@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational analytics core (SURVEY §2 block B).
+  *
+  * Demonstrates the generic query capability the reference exercises
+  * through raw SQL over MySQL (joins, exists-subqueries, group-bys) —
+  * expressed as declarative Spark plans so Catalyst pushes filters to
+  * the parquet scan, broadcasts dimension tables, and keeps
+  * aggregation map-side-partial.
+  *
+  * Oracle-parity conventions (see SURVEY §6): money/quantity doubles
+  * are cast to DECIMAL(18,4) *before* aggregation so sums are exact and
+  * order-independent (any partitioning gives the same bits), then cast
+  * back to double and rounded; every output column is aliased; every
+  * query ends in a deterministic ORDER BY.
+  */
+object Tpch {
+
+  /** Decimal-exact view of a money/quantity column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def money(c: Column): Column = round(c.cast("double"), 2)
+
+  /** TPC-H Q1: pricing summary. One shuffle; partial aggregation
+    * map-side; filter pushed to the scan. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        money(sum(dec($"l_quantity"))).as("sum_qty"),
+        money(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("sum_disc_price"),
+        money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")) * (lit(1).cast(DecimalType(18, 4)) + dec($"l_tax")))).as("sum_charge"),
+        round(sum(dec($"l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec($"l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec($"l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3: shipping priority. Customer filter broadcast into the
+    * orders join; top-k via orderBy+limit → TakeOrderedAndProject (no
+    * global sort materialization at scale). */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.read(spark, dir, "orders").filter($"o_orderdate" < lit("1995-03-15"))
+    val li = Tables.read(spark, dir, "lineitem").filter($"l_shipdate" > lit("1995-03-15"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("revenue"))
+      .select($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q4: order priority checking — EXISTS as a left-semi join
+    * (no row duplication, no distinct needed). */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.read(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01") && $"o_orderdate" < lit("1995-10-01"))
+    val li = Tables.read(spark, dir, "lineitem").filter($"l_shipdate" > lit("1995-02-01"))
+    ord.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1995-02-01 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 (adapted to available columns): local supplier volume.
+    * Star join — every dimension broadcast, the lineitem⋈orders join is
+    * the only shuffle. Customer and supplier must share a nation. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, dir, "customer")
+    val ord = Tables.read(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1994-01-01") && $"o_orderdate" < lit("1996-01-01"))
+    val li = Tables.read(spark, dir, "lineitem")
+    val sup = Tables.read(spark, dir, "supplier")
+    val nat = Tables.read(spark, dir, "nation")
+    val reg = Tables.read(spark, dir, "region")
+
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6: forecasting revenue change — the pushdown showcase.
+    * All three predicates reach the parquet scan (PushedFilters). */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1994-01-01") && $"l_shipdate" < lit("1995-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(money(sum(dec($"l_extendedprice") * dec($"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q18: large-volume customers — aggregate, filter on the
+    * aggregate (HAVING), join the qualifying key set back. The
+    * qualifying set is tiny → broadcast back into the join. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("q"))
+      .filter($"q" > 150)
+      .select($"l_orderkey".as("big_orderkey"))
+    val ord = Tables.read(spark, dir, "orders")
+    val cust = Tables.read(spark, dir, "customer")
+    ord.join(broadcast(big), $"o_orderkey" === $"big_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"o_totalprice")
+      .agg(money(sum(dec($"l_quantity"))).as("sum_qty"))
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        money($"o_totalprice").as("o_totalprice"), $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY round(CAST(o_totalprice AS DOUBLE), 2) DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Top-k per group: 3 most valuable orders per customer — single
+    * shuffle on the window partition key. */
+  def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.read(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", money($"o_totalprice").as("o_totalprice"), $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val w1Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice, rk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running total of order value per customer over time — cumulative
+    * window (rowsBetween unbounded preceding). */
+  def w2RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.read(spark, dir, "orders")
+      .withColumn("running_total", money(sum(dec($"o_totalprice")).over(w)))
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"running_total")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val w2Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is documented rows-only") {
+    // every oracle key must have a query; queries without oracle are the
+    // documented rows-only set (LSH family etc.)
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle $k has no query")
+    }
+  }
+
+  test("all queries run non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 aggregates match hand-computed slice") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Tpch.q1(spark, sf).collect()
+    assert(got.length <= 6 && got.nonEmpty)
+    val total = got.map(_.getAs[Long]("count_order")).sum
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(total === raw)
+  }
+}
