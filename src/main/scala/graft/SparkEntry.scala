@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Tpch
+import graft.merge.{MergePipeline, MergeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each `queries` entry is one operator/capability; `oracleSql` holds
@@ -23,6 +24,16 @@ object SparkEntry {
     "q18_large_orders"     -> (Tpch.q18 _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
+    "m1_consolidate_meta"  -> (MergeQueries.m1Consolidate _),
+    "m2_remap_fk"          -> (MergeQueries.m2RemapFk _),
+    "m3_uuid_collision"    -> (MergeQueries.m3UuidCollision _),
+    "m4_orphan_check"      -> (MergeQueries.m4OrphanCheck _),
+    "m5_exclude_moved"     -> (MergeQueries.m5ExcludeMoved _),
+    "m6_audit_counts"      -> (MergeQueries.m6AuditCounts _),
+    "m7_merge_pipeline"    -> (MergePipeline.m7Merge _),
+    "m8_upsert_latest"     -> (MergeQueries.m8UpsertLatest _),
+    "m9_seq_assign"        -> (MergeQueries.m9SeqAssign _),
+    "m10_setunion_merge"   -> (MergeQueries.m10SetUnion _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -35,5 +46,15 @@ object SparkEntry {
     "q18_large_orders"     -> Tpch.q18Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,
+    "m1_consolidate_meta"  -> MergeQueries.m1Sql,
+    "m2_remap_fk"          -> MergeQueries.m2Sql,
+    "m3_uuid_collision"    -> MergeQueries.m3Sql,
+    "m4_orphan_check"      -> MergeQueries.m4Sql,
+    "m5_exclude_moved"     -> MergeQueries.m5Sql,
+    "m6_audit_counts"      -> MergeQueries.m6Sql,
+    "m7_merge_pipeline"    -> MergePipeline.m7Sql,
+    "m8_upsert_latest"     -> MergeQueries.m8Sql,
+    "m9_seq_assign"        -> MergeQueries.m9Sql,
+    "m10_setunion_merge"   -> MergeQueries.m10Sql,
   )
 }

@@ -1,0 +1,164 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The reference engine's merge primitives, re-expressed as
+  * declarative Spark plans (SURVEY §2 block A).
+  *
+  * beehive keeps `src_id → dest_id` maps in driver-side JS `Map`s and
+  * loops row-by-row over JDBC batches (reference utils.js:83,161;
+  * person-users.js; preparation.js:134). At 100 TB those maps and that
+  * loop are the bottleneck, so here:
+  *
+  *   - id maps ARE DataFrames — joined (broadcast when small, shuffle
+  *     otherwise), never collected;
+  *   - "next AUTO_INCREMENT" id assignment is a range-partitioned sort
+  *     + per-partition offset (the zipWithIndex pattern): two passes,
+  *     no single-partition window, no skew;
+  *   - dedup/match/exclusion rules are semi/anti-joins Catalyst can
+  *     push down and reorder.
+  */
+object MergeOps {
+
+  /** Contiguous id assignment, AUTO_INCREMENT semantics at scale
+    * (reference utils.js:11 getNextAutoIncrementId + utils.js:161
+    * moveAllTableRecords's `ORDER BY id` batching).
+    *
+    * Global order comes from a distributed range-partitioned sort
+    * (terasort shape); ids from partition-local offsets computed by
+    * `zipWithIndex` (one counting pass + one numbering pass). The sort
+    * key must be unique for the numbering to be deterministic.
+    */
+  def assignSequentialIds(df: DataFrame, sortCol: String, idName: String, start: Long): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, math.min(df.sparkSession.sessionState.conf.numShufflePartitions,
+      // avoid 32 near-empty partitions for tiny inputs; RangePartitioner handles it, this is cosmetic
+      Int.MaxValue))
+    val sorted = df.repartitionByRange(parts, col(sortCol)).sortWithinPartitions(sortCol)
+    val outSchema = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (start + i + 1))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Non-contiguous but globally unique ids — the cheap path when the
+    * destination doesn't require dense sequences (one pass, no sort). */
+  def assignUniqueIds(df: DataFrame, idName: String, start: Long): DataFrame =
+    df.withColumn(idName, monotonically_increasing_id() + start)
+
+  /** Metadata dedup-merge by natural key (reference utils.js:83
+    * consolidateTableRecords): rows whose natural key already exists in
+    * the destination map to the (minimum) existing dest id; the rest get
+    * fresh contiguous ids past the destination's max id.
+    *
+    * Returns the id map: (src_id, dest_id, is_new).
+    */
+  def consolidate(src: DataFrame, dest: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame = {
+    val destKeyed = dest.groupBy(naturalKey.map(col): _*)
+      .agg(min(col(idCol)).as("dest_id"))
+    val matched = src.join(destKeyed, naturalKey)
+      .select(col(idCol).as("src_id"), col("dest_id"), lit(0).as("is_new"))
+    // max() is an aggregate — driver receives one scalar, never rows.
+    val maxId = dest.agg(max(col(idCol)).cast(LongType)).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val missing = src.join(destKeyed, naturalKey, "left_anti")
+      .select(col(idCol).cast(LongType).as("src_id"))
+    val assigned = assignSequentialIds(missing, "src_id", "dest_id", maxId)
+      .select(col("src_id"), col("dest_id"), lit(1).as("is_new"))
+    matched.select(col("src_id").cast(LongType), col("dest_id").cast(LongType), col("is_new"))
+      .unionAll(assigned)
+  }
+
+  /** Foreign-key rewrite through an id map (reference
+    * person-users.js:223 `beehive.personMap.get(row[...])` per row).
+    * The map rides a join: broadcast when small (metadata maps), plain
+    * shuffle join on the fk otherwise (person-scale maps at 100 TB).
+    */
+  def remapFk(child: DataFrame, fkCol: String, idMap: DataFrame,
+              newCol: String, broadcastMap: Boolean = true): DataFrame = {
+    val m = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
+    val mapSide = if (broadcastMap) broadcast(m) else m
+    child.join(mapSide, child(fkCol) === col("__fk_src"), "left")
+      .drop("__fk_src")
+  }
+
+  /** UUID-collision repair (reference uuid-checks.js:26
+    * ensureUniqueUuids): semi-join finds src rows whose uuid already
+    * exists in dest; each gets a fresh uuid. The reference draws
+    * uuid/v1 from the clock; for a reproducible distributed engine the
+    * new uuid is derived deterministically from the old (md5-based,
+    * v4-shaped), so retries/re-runs are idempotent.
+    */
+  def uuidCollisions(src: DataFrame, dest: DataFrame, idCol: String, uuidCol: String): DataFrame = {
+    val colliding = src.join(dest.select(uuidCol), Seq(uuidCol), "left_semi")
+    colliding.select(
+      col(idCol).as("src_id"),
+      col(uuidCol).as("old_uuid"),
+      formatUuid(md5(concat(lit("graft-remap:"), col(uuidCol)))).as("new_uuid"))
+  }
+
+  /** Shape a 32-hex-char md5 into 8-4-4-4-12 uuid form. */
+  def formatUuid(hex32: Column): Column =
+    concat_ws("-",
+      substring(hex32, 1, 8), substring(hex32, 9, 4), substring(hex32, 13, 4),
+      substring(hex32, 17, 4), substring(hex32, 21, 12))
+
+  /** Referential-integrity orphan scan (reference
+    * integrity-checks.js:5): for each (child, fk) → (parent, pk)
+    * relation, an anti-join counts child rows pointing nowhere. One
+    * row per relation so clean runs are still observable.
+    */
+  def orphanCheck(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    relations.map { case (name, child, fk, parent, pk) =>
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk)), child(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphan_count"))
+        .select(lit(name).as("relation"), col("orphan_count"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** "Already in destination" exclusion (reference preparation.js:134):
+    * a src row is excluded when it matches dest on the composite
+    * natural key OR on uuid. OR-of-equijoins is expressed as two
+    * semi-joins + union + distinct — each leg stays an equi-join the
+    * planner can broadcast/shuffle correctly (never a cartesian).
+    */
+  def excludeMoved(src: DataFrame, dest: DataFrame, naturalKey: Seq[String],
+                   uuidCol: String, idCol: String): DataFrame = {
+    val byKey = src.join(dest.select(naturalKey.map(col): _*).distinct(), naturalKey, "left_semi")
+    val byUuid = src.join(dest.select(col(uuidCol)).distinct(), Seq(uuidCol), "left_semi")
+    byKey.select(col(idCol)).unionAll(byUuid.select(col(idCol))).distinct()
+  }
+
+  /** Audit counts (reference utils.js:28 getCount, used before/after
+    * each mover): one row per table. Parquet answers count(*) from
+    * row-group metadata — no data scan. */
+  def auditCounts(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+    }.reduce(_ unionAll _)
+
+  /** Keep-latest upsert (reference person-users.js:307 two-phase
+    * `ON DUPLICATE KEY UPDATE` audit pass): latest version per key via
+    * one window over the key partition — single shuffle. */
+  def upsertLatest(df: DataFrame, keyCols: Seq[String], versionCol: String,
+                   tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Set-union merge (reference person-users.js:359 `INSERT IGNORE
+    * role_privilege`): union + dropDuplicates on the full key —
+    * map-side partial dedup keeps the shuffle proportional to distinct
+    * keys. */
+  def setUnionMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).dropDuplicates()
+}

@@ -1,0 +1,87 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** m7 — the flagship composed merge (SURVEY §2), mirroring the
+  * reference's whole pipeline shape (orchestrator.js:66-94): parents
+  * are consolidated first, children follow with their FKs rewritten
+  * through the parents' id map and their own ids re-sequenced onto the
+  * destination's AUTO_INCREMENT (utils.js:161).
+  *
+  * Here: customers (parent) consolidate by natural key; src-instance
+  * orders (children) get contiguous new order ids past the dest max
+  * and their o_custkey rewritten; output is the merged orders table.
+  *
+  * Plan shape at scale: one broadcast of the (small) id map into the
+  * orders join when it fits, one range-sort for id assignment, one
+  * union — no driver-side state.
+  */
+object MergePipeline {
+
+  def m7Merge(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.read(spark, dir, "customer")
+    val srcCust = customer.filter(col("c_custkey") % 3 =!= 0)
+    val destCust = customer.filter(col("c_custkey") % 2 === 0)
+    val orders = Tables.read(spark, dir, "orders")
+
+    // Phase 1: consolidate parents → src_id → dest_id map (MergeOps.consolidate)
+    val idMap = MergeOps.consolidate(srcCust, destCust, Seq("c_name"), "c_custkey")
+
+    // Phase 2: destination keeps its rows and ids verbatim
+    val destOrders = orders.filter(col("o_custkey") % 2 === 0)
+      .select(
+        col("o_orderkey").as("new_orderkey"),
+        col("o_custkey").cast(LongType).as("new_custkey"),
+        col("o_orderkey").as("src_orderkey"),
+        lit("dest").as("instance"),
+        col("o_totalprice"), col("o_orderdate"))
+
+    // Phase 3: src children re-sequenced past dest max id, FKs remapped
+    val maxOrderId = orders.filter(col("o_custkey") % 2 === 0)
+      .agg(coalesce(max(col("o_orderkey")), lit(0L)).cast(LongType)).head().getLong(0)
+    val srcOrders = orders.filter(col("o_custkey") % 3 =!= 0)
+    val reseq = MergeOps.assignSequentialIds(srcOrders, "o_orderkey", "new_orderkey", maxOrderId)
+    val remapped = MergeOps.remapFk(reseq, "o_custkey", idMap, "new_custkey")
+      .select(col("new_orderkey"), col("new_custkey"),
+        col("o_orderkey").as("src_orderkey"), lit("src").as("instance"),
+        col("o_totalprice"), col("o_orderdate"))
+
+    destOrders.unionAll(remapped)
+      .select(col("new_orderkey"), col("new_custkey"), col("src_orderkey"), col("instance"),
+        round(col("o_totalprice").cast("double"), 2).as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy("instance", "new_orderkey")
+  }
+
+  val m7Sql: String =
+    """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+      |idmap AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id FROM srcc s JOIN destk k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey)
+      |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name)),
+      |desto AS (
+      |  SELECT o_orderkey AS new_orderkey, o_custkey AS new_custkey,
+      |         o_orderkey AS src_orderkey, 'dest' AS instance, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_custkey % 2 = 0),
+      |mxo AS (SELECT coalesce(max(o_orderkey), 0) AS m FROM orders WHERE o_custkey % 2 = 0),
+      |srco AS (
+      |  SELECT (SELECT m FROM mxo) + row_number() OVER (ORDER BY o_orderkey) AS new_orderkey,
+      |         o_custkey, o_orderkey, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_custkey % 3 <> 0),
+      |srcm AS (
+      |  SELECT s.new_orderkey, i.dest_id AS new_custkey, s.o_orderkey AS src_orderkey,
+      |         'src' AS instance, s.o_totalprice, s.o_orderdate
+      |  FROM srco s JOIN idmap i ON s.o_custkey = i.src_id)
+      |SELECT new_orderkey, new_custkey, src_orderkey, instance,
+      |  round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      |FROM (SELECT * FROM desto UNION ALL SELECT * FROM srcm) m
+      |ORDER BY instance, new_orderkey""".stripMargin
+}

@@ -1,0 +1,192 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Driver-facing wrappers for the A-block merge operators (SURVEY §2).
+  *
+  * beehive merges two live OpenMRS instances; the testdata is one star
+  * schema, so the two instances are simulated deterministically:
+  * `src` = customers with c_custkey % 3 ≠ 0, `dest` = c_custkey % 2 = 0.
+  * The overlap (keys ≡ 2,4 mod 6) plays the role of records present in
+  * both instances — exactly the condition beehive's consolidation,
+  * uuid-collision, and exclusion logic exists to handle.
+  * `uuid` is simulated as md5(c_name) so it is identical across
+  * instances for overlapping rows, like real OpenMRS uuids.
+  */
+object MergeQueries {
+
+  private def cust(spark: SparkSession, dir: String) = Tables.read(spark, dir, "customer")
+  private def srcCust(spark: SparkSession, dir: String) =
+    cust(spark, dir).filter(col("c_custkey") % 3 =!= 0)
+  private def destCust(spark: SparkSession, dir: String) =
+    cust(spark, dir).filter(col("c_custkey") % 2 === 0)
+
+  /** m1: metadata dedup-merge by natural key → id map. */
+  def m1Consolidate(spark: SparkSession, dir: String): DataFrame =
+    MergeOps.consolidate(srcCust(spark, dir), destCust(spark, dir), Seq("c_name"), "c_custkey")
+      .orderBy("src_id")
+
+  val m1Sql: String =
+    """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc)
+      |SELECT s.c_custkey AS src_id, k.dest_id AS dest_id, 0 AS is_new
+      |FROM srcc s JOIN destk k ON s.c_name = k.c_name
+      |UNION ALL
+      |SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name)
+      |ORDER BY src_id""".stripMargin
+
+  /** m2: FK rewrite of src-instance orders through the m1 id map. */
+  def m2RemapFk(spark: SparkSession, dir: String): DataFrame = {
+    val idMap = MergeOps.consolidate(srcCust(spark, dir), destCust(spark, dir), Seq("c_name"), "c_custkey")
+    val srcOrders = Tables.read(spark, dir, "orders").filter(col("o_custkey") % 3 =!= 0)
+    MergeOps.remapFk(srcOrders, "o_custkey", idMap, "new_custkey")
+      .select(col("o_orderkey"), col("o_custkey").as("old_custkey"), col("new_custkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val m2Sql: String =
+    """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+      |idmap AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id FROM srcc s JOIN destk k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey)
+      |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name))
+      |SELECT o.o_orderkey, o.o_custkey AS old_custkey, i.dest_id AS new_custkey
+      |FROM orders o JOIN idmap i ON o.o_custkey = i.src_id
+      |WHERE o.o_custkey % 3 <> 0
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** m3: uuid-collision repair — deterministic replacement uuids. */
+  def m3UuidCollision(spark: SparkSession, dir: String): DataFrame = {
+    val s = srcCust(spark, dir).withColumn("uuid", md5(col("c_name")))
+    val d = destCust(spark, dir).withColumn("uuid", md5(col("c_name")))
+    MergeOps.uuidCollisions(s, d, "c_custkey", "uuid").orderBy("src_id")
+  }
+
+  val m3Sql: String =
+    """WITH srcc AS (SELECT c_custkey, md5(c_name) AS uuid FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT md5(c_name) AS uuid FROM customer WHERE c_custkey % 2 = 0),
+      |coll AS (SELECT s.c_custkey, s.uuid FROM srcc s
+      |         WHERE EXISTS (SELECT 1 FROM destc d WHERE d.uuid = s.uuid)),
+      |remap AS (SELECT c_custkey, uuid, md5('graft-remap:' || uuid) AS h FROM coll)
+      |SELECT c_custkey AS src_id, uuid AS old_uuid,
+      |  concat_ws('-', substring(h,1,8), substring(h,9,4), substring(h,13,4),
+      |            substring(h,17,4), substring(h,21,12)) AS new_uuid
+      |FROM remap ORDER BY src_id""".stripMargin
+
+  /** m4: referential-integrity orphan scan across the schema's FK
+    * relations, plus one deliberately-narrowed relation (orders →
+    * dest-instance customers) that yields real orphans. */
+  def m4OrphanCheck(spark: SparkSession, dir: String): DataFrame = {
+    val customer = cust(spark, dir)
+    val orders = Tables.read(spark, dir, "orders")
+    val li = Tables.read(spark, dir, "lineitem")
+    val nation = Tables.read(spark, dir, "nation")
+    val region = Tables.read(spark, dir, "region")
+    val supplier = Tables.read(spark, dir, "supplier")
+    val part = Tables.read(spark, dir, "part")
+    MergeOps.orphanCheck(Seq(
+      ("customer->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+      ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+      ("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+      ("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+      ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+      ("orders->customer_dest", orders, "o_custkey", destCust(spark, dir), "c_custkey"),
+      ("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey")
+    )).orderBy("relation")
+  }
+
+  val m4Sql: String =
+    """SELECT 'customer->nation' AS relation, count(*) AS orphan_count FROM customer WHERE c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      |UNION ALL SELECT 'lineitem->orders', count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL SELECT 'lineitem->part', count(*) FROM lineitem WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |UNION ALL SELECT 'lineitem->supplier', count(*) FROM lineitem WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |UNION ALL SELECT 'nation->region', count(*) FROM nation WHERE n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+      |UNION ALL SELECT 'orders->customer', count(*) FROM orders WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |UNION ALL SELECT 'orders->customer_dest', count(*) FROM orders WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 2 = 0)
+      |UNION ALL SELECT 'supplier->nation', count(*) FROM supplier WHERE s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+      |ORDER BY relation""".stripMargin
+
+  /** m5: "already moved" exclusion — composite natural key OR uuid. */
+  def m5ExcludeMoved(spark: SparkSession, dir: String): DataFrame = {
+    val s = srcCust(spark, dir).withColumn("uuid", md5(col("c_name")))
+    val d = destCust(spark, dir).withColumn("uuid", md5(col("c_name")))
+    MergeOps.excludeMoved(s, d, Seq("c_nationkey", "c_mktsegment"), "uuid", "c_custkey")
+      .withColumnRenamed("c_custkey", "excluded_id")
+      .orderBy("excluded_id")
+  }
+
+  val m5Sql: String =
+    """WITH srcc AS (SELECT *, md5(c_name) AS uuid FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT *, md5(c_name) AS uuid FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT DISTINCT s.c_custkey AS excluded_id FROM srcc s
+      |WHERE EXISTS (SELECT 1 FROM destc d
+      |              WHERE d.c_nationkey = s.c_nationkey AND d.c_mktsegment = s.c_mktsegment)
+      |   OR EXISTS (SELECT 1 FROM destc d WHERE d.uuid = s.uuid)
+      |ORDER BY excluded_id""".stripMargin
+
+  /** m6: per-table audit counts. */
+  def m6AuditCounts(spark: SparkSession, dir: String): DataFrame =
+    MergeOps.auditCounts(Tables.names.map(n => n -> Tables.read(spark, dir, n)))
+      .orderBy("table_name")
+
+  val m6Sql: String = Tables.names.sorted
+    .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+    .mkString("", "\nUNION ALL ", "\nORDER BY table_name")
+
+  /** m8: keep-latest upsert per (user_id, event_type). */
+  def m8UpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    MergeOps.upsertLatest(ev, Seq("user_id", "event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"),
+        unix_micros(col("ts")).as("ts_us"), round(col("value"), 4).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val m8Sql: String =
+    """SELECT user_id, event_type, event_id AS latest_event_id,
+      |  epoch_us(ts) AS ts_us, round(value, 4) AS value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** m9: contiguous id assignment (AUTO_INCREMENT semantics). */
+  def m9SeqAssign(spark: SparkSession, dir: String): DataFrame =
+    MergeOps.assignSequentialIds(
+      cust(spark, dir).select(col("c_custkey")), "c_custkey", "new_id", 1000000L)
+      .orderBy("c_custkey")
+
+  val m9Sql: String =
+    """SELECT c_custkey, 1000000 + row_number() OVER (ORDER BY c_custkey) AS new_id
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** m10: set-union merge of association pairs (INSERT IGNORE). */
+  def m10SetUnion(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+    val a = orders.filter(col("o_custkey") % 3 =!= 0).select("o_custkey", "o_orderpriority")
+    val b = orders.filter(col("o_custkey") % 2 === 0).select("o_custkey", "o_orderpriority")
+    MergeOps.setUnionMerge(a, b)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_orderpriority")
+  }
+
+  val m10Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_pairs FROM (
+      |  SELECT DISTINCT o_custkey, o_orderpriority FROM (
+      |    SELECT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 3 <> 0
+      |    UNION ALL
+      |    SELECT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 2 = 0) u) p
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+}

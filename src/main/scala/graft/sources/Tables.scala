@@ -21,6 +21,20 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to TimestampType. The file stores
+    * TIMESTAMP(NANOS), which Spark only reads as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong=true); truncate to micros —
+    * same precision DuckDB keeps, so oracles agree. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 
