@@ -1,8 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Tpch
+import graft.queries.{Events, Tpch}
 import graft.merge.{MergePipeline, MergeQueries}
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import graft.multimodal.Media
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each `queries` entry is one operator/capability; `oracleSql` holds
@@ -34,6 +38,21 @@ object SparkEntry {
     "m8_upsert_latest"     -> (MergeQueries.m8UpsertLatest _),
     "m9_seq_assign"        -> (MergeQueries.m9SeqAssign _),
     "m10_setunion_merge"   -> (MergeQueries.m10SetUnion _),
+    "e1_windowed_agg"      -> (Events.e1WindowedAgg _),
+    "e2_sessionize"        -> ((s, d) => Events.e2Sessionize(s, d)),
+    "e3_event_funnel"      -> (Events.e3Funnel _),
+    "d1_exact_dedup"       -> (Dedup.d1Exact _),
+    "d2_minhash_lsh"       -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
+    "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
+    "d4_ngram_jaccard"     -> ((s, d) => Dedup.d4NgramJaccard(s, d)),
+    "d5_embedding_neardup" -> ((s, d) => Dedup.d5EmbeddingNearDup(s, d)),
+    "s1_knn_brute"         -> ((s, d) => Knn.s1Brute(s, d)),
+    "s2_knn_ivf"           -> ((s, d) => Knn.s2Ivf(s, d)),
+    "t1_lang_id"           -> (TextAnalysis.t1LangId _),
+    "t2_quality_score"     -> (TextAnalysis.t2QualityScore _),
+    "t3_token_count"       -> (TextAnalysis.t3TokenCount _),
+    "t4_fingerprint"       -> (TextAnalysis.t4Fingerprint _),
+    "mm1_media_stats"      -> (Media.mm1MediaStats _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -56,5 +75,20 @@ object SparkEntry {
     "m8_upsert_latest"     -> MergeQueries.m8Sql,
     "m9_seq_assign"        -> MergeQueries.m9Sql,
     "m10_setunion_merge"   -> MergeQueries.m10Sql,
+    "e1_windowed_agg"      -> Events.e1Sql,
+    "e2_sessionize"        -> Events.e2Sql,
+    "e3_event_funnel"      -> Events.e3Sql,
+    "d1_exact_dedup"       -> Dedup.d1Sql,
+    "d4_ngram_jaccard"     -> Dedup.d4Sql,
+    "d5_embedding_neardup" -> Dedup.d5Sql,
+    "s1_knn_brute"         -> Knn.s1Sql,
+    "t1_lang_id"           -> TextAnalysis.t1Sql,
+    "t2_quality_score"     -> TextAnalysis.t2Sql,
+    "t3_token_count"       -> TextAnalysis.t3Sql,
+    "t4_fingerprint"       -> TextAnalysis.t4Sql,
+    "mm1_media_stats"      -> Media.mm1Sql,
+    // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
+    // s2_knn_ivf — banded-LSH / simhash pipelines aren't reasonably
+    // expressible in ANSI SQL; ScalaTest pins their behavior instead.
   )
 }

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal plumbing (SURVEY §2 block G).
+  *
+  * Image/audio/video ride Spark as opaque `binary` columns with typed
+  * metadata. The decode / feature-extract step is a per-partition
+  * batch transform over a typed Dataset — exactly the shape a real
+  * decoder (JNI image lib, ffmpeg bridge, batched model) plugs into:
+  * partitions stream through the worker, each batch is decoded locally,
+  * nothing is collected to the driver. The actual byte → pixels
+  * decode is STUBBED deterministically (no media libs in this
+  * environment); everything around it — binary schema, encoders,
+  * partition-parallel execution, output schema — is real and tested.
+  *
+  * The stub derives all "decoded" properties from the payload bytes
+  * (ASCII text encoded as UTF-8), so the DuckDB oracle can reproduce
+  * them arithmetically and this block is fully correctness-gated.
+  */
+object Media {
+
+  /** Opaque media row: payload + typed metadata. */
+  case class MediaRow(doc_id: Long, source: String, payload: Array[Byte])
+
+  /** "Decoded" stats — what a real decoder would emit per object. */
+  case class MediaStats(doc_id: Long, source: String, byte_len: Long,
+                        first_byte: Int, width: Int, height: Int, n_frames: Long)
+
+  /** STUB decoder: deterministic fake standing in for e.g. JPEG
+    * dimension parsing / video frame counting. Reads real bytes. */
+  def decodeStub(m: MediaRow): MediaStats = {
+    val len = m.payload.length.toLong
+    val first = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
+    MediaStats(
+      doc_id = m.doc_id,
+      source = m.source,
+      byte_len = len,
+      first_byte = first,
+      width = 64 + (first % 16) * 32,
+      height = 48 + (len % 9L).toInt * 16,
+      n_frames = len / 256L + 1L)
+  }
+
+  /** The documents table viewed as a media table: payload = UTF-8
+    * bytes of `text` (stands in for image/audio blobs). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** mm1: decode-and-extract over every media object. mapPartitions =
+    * the batch-decode hook; partition parallelism is preserved, no
+    * shuffle until the final presentation sort. */
+  def mm1MediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle reproduces the stub arithmetically: the payload is ASCII
+    * text, so byte_len = length(text), first_byte = ascii(first char). */
+  val mm1Sql: String =
+    """SELECT doc_id, source,
+      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
+      |  48 + CAST(length(text) % 9 AS INTEGER) * 16 AS height,
+      |  CAST(length(text) // 256 + 1 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

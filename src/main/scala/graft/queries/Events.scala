@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Event-stream analytics, batch form (SURVEY §2 block C). The
+  * streaming twins of e1/e2 live in [[graft.streaming.EventStream]] —
+  * same logic over `readStream` with watermarks / stateful timeouts.
+  *
+  * Scale notes: e1 is one shuffle on (hour, event_type); e2/e3 shuffle
+  * once on user_id and do everything else inside the partition via
+  * windows — the classic sessionization shape that scales linearly
+  * with users. Sums run decimal-exact so results are identical under
+  * any partitioning (and match the DuckDB oracle bit-for-bit).
+  */
+object Events {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** e1: tumbling 1-hour windowed aggregation per event type. */
+  def e1WindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy("hour", "event_type")
+  }
+
+  val e1Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** e2: gap-based sessionization (30-minute inactivity gap) — one
+    * shuffle on user_id; lag + cumulative-sum windows inside it. */
+  def e2Sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min($"ts")).as("start_us"),
+        unix_micros(max($"ts")).as("end_us"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val e2Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM sess GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** e3: ordered funnel view → click → purchase per user. Stage joins
+    * over per-user minima (compose, no UDF): step N's timestamp is the
+    * earliest step-N event at-or-after step N-1's timestamp. */
+  def e3Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val c = ev.filter($"event_type" === "click").as("e")
+      .join(v.as("v"), $"e.user_id" === $"v.user_id" && $"e.ts" >= $"view_ts")
+      .groupBy($"e.user_id".as("user_id")).agg(min($"e.ts").as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase").as("e")
+      .join(c.as("c"), $"e.user_id" === $"c.user_id" && $"e.ts" >= $"click_ts")
+      .groupBy($"e.user_id".as("user_id")).agg(min($"e.ts").as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"click_ts").as("click_us"),
+        unix_micros($"purchase_ts").as("purchase_us"))
+      .orderBy("user_id")
+  }
+
+  val e3Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id, epoch_us(view_ts) AS view_us,
+      |  epoch_us(click_ts) AS click_us, epoch_us(purchase_ts) AS purchase_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+}

@@ -1,0 +1,92 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.dedup.Dedup.cosine
+
+/** Similarity search over the `embeddings` table (SURVEY §2 block E).
+  *
+  * s1 is the exact baseline: broadcast the (small) query set against
+  * the corpus — the corpus is never shuffled, the scan streams through
+  * a broadcast hash of queries, and per-query top-k is one window over
+  * the query key. At 100 TB the corpus side stays partition-parallel.
+  *
+  * s2 is the approximate scale path: random-hyperplane LSH assigns
+  * every vector an 8-bit bucket; search touches only the query's
+  * bucket (≈ 1/256 of the corpus). Deterministic hyperplanes (seeded
+  * from xxhash64 of the coordinate index) keep results reproducible.
+  */
+object Knn {
+
+  /** s1: exact top-k cosine neighbors for query vectors (vec_id < 10)
+    * against the rest of the corpus. */
+  def s1Brute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+    val queries = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val corpus = e.filter($"vec_id" >= 10).select($"vec_id".as("neighbor_id"), $"embedding".as("c"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id", round(cosine($"q", $"c"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val s1Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos_sim
+      |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): xxhash64 of the flat index, mapped to [-1, 1). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(j * dim + i), lit(2000L)).cast("double") / 1000.0) - 1.0))
+
+  /** 8-bit LSH bucket code: bit j = sign of dot(v, plane_j). */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), j => {
+        val plane = element_at(hyperplanes(nPlanes, dim), j + 1)
+        val dot = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
+    * as s1, but the join key is the bucket, so each query scans ~1/256
+    * of the corpus. Rows-only oracle; KnnSpec measures recall vs s1. */
+  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, nPlanes: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val e = Tables.read(spark, dir, "embeddings")
+      .withColumn("bucket", lshBucket($"embedding", nPlanes, dim))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket")
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .select($"query_id", $"neighbor_id", round(cosine($"q", $"c"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+}

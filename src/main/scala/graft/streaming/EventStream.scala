@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators (SURVEY §2
+  * block C / H): same semantics as [[graft.queries.Events]], expressed
+  * over unbounded input with watermarks and stateful timeouts.
+  *
+  * Scale: state is keyed by user_id and bounded by the watermark — the
+  * store grows with *active* users only, and partitions by the grouping
+  * key across executors exactly like the batch shuffle.
+  */
+object EventStream {
+
+  /** Typed event for the stateful path. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Emitted (closed) session. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Streaming twin of e1: tumbling 1-hour counts per event type.
+    * Works on any DataFrame with (ts: timestamp, event_type, value) —
+    * batch or streaming — the plan is identical, which is the point. */
+  def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming twin of e2: gap-based sessionization via
+    * flatMapGroupsWithState with event-time timeout. A session closes
+    * either when a later event arrives past the gap (emitted
+    * immediately) or when the watermark passes lastTs+gap (emitted on
+    * timeout). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+                 watermark: String = "1 minute"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+    val fn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
+      (userId, it, state) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum))
+        } else {
+          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.value))
+          var closed = List.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val ts = usOf(e.ts)
+            cur match {
+              case Some(s) if ts - s.lastUs <= gapUs =>
+                cur = Some(SessionState(s.startUs, ts, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+                cur = Some(SessionState(ts, ts, 1, e.value))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+          }
+          closed.result().iterator
+        }
+      }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Parquet-directory streaming source for the events schema — the
+    * ingest path a production deployment tails (file source is
+    * exactly-once, scales by adding files/partitions). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}
