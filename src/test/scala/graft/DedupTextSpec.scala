@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Pins dedup + text-analysis behavior on synthetic docs with planted
+  * exact and near duplicates (written to a temp dir in the testdata
+  * layout, so the operators run end-to-end through the same path the
+  * driver uses). */
+class DedupTextSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private lazy val tmp: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val docs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base, "en", "s0", base.length.toLong),                       // exact dup of 0
+      (2L, base.replace("tonight", "today"), "en", "s1", 90L),          // near dup of 0
+      (3L, "completely different text about spark query engines and distributed joins for scale",
+        "en", "s2", 80L),
+      (4L, "short one", "en", "s3", 9L),
+      (5L, base.replace("quick", "slow").replace("tonight", "today"), "en", "s4", 90L) // near dup
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d1 exact dedup groups identical normalized text, keeps min id") {
+    val r = Dedup.d1Exact(spark, tmp).collect()
+    val g = r.find(_.getAs[Long]("n_copies") == 2L)
+    assert(g.isDefined && g.get.getAs[Long]("keep_id") == 0L)
+    assert(r.map(_.getAs[Long]("n_copies")).sum == 6L)
+  }
+
+  test("d2 minhash LSH finds the planted near-dups without all-pairs") {
+    val pairs = Dedup.d2MinhashLsh(spark, tmp)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))  // exact dup always survives
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))  // near dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))  // unrelated doc not paired
+  }
+
+  test("d3 simhash: identical docs at hamming 0, near-dups within budget") {
+    val r = Dedup.d3Simhash(spark, tmp).collect()
+      .map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2")) -> x.getAs[Long]("hamming"))
+      .toMap
+    assert(r.get((0L, 1L)).contains(0L))
+    assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("d4 jaccard: exact dup = 1.0, near dup high, ordering deterministic") {
+    val r = Dedup.d4NgramJaccard(spark, tmp).collect()
+    val m = r.map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2")) -> x.getAs[Double]("jaccard")).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m.get((0L, 2L)).exists(j => j > 0.6 && j < 1.0))
+  }
+
+  test("t3/t4: token counts and fingerprint agree with hand computation") {
+    val t3 = TextAnalysis.t3TokenCount(spark, tmp).filter($"doc_id" === 0).head()
+    assert(t3.getAs[Int]("ws_tokens") == base.split("\\s+").length)
+    assert(t3.getAs[Int]("re_tokens") == base.split("\\s+").length)
+    val t4 = TextAnalysis.t4Fingerprint(spark, tmp).collect()
+    assert(t4.filter(_.getAs[Long]("doc_id") <= 1).map(_.getAs[String]("fingerprint")).distinct.length == 1)
+  }
+
+  test("t1 lang id picks en for english stopword-heavy text") {
+    val r = TextAnalysis.t1LangId(spark, tmp).filter($"doc_id" === 0).head()
+    assert(r.getAs[String]("pred_lang") == "en")
+    assert(r.getAs[Double]("en_ratio") > 0)
+  }
+
+  test("d5 returns topN most similar pairs, deterministically ordered") {
+    val r1 = Dedup.d5EmbeddingNearDup(spark, sf, topN = 10).collect()
+    val r2 = Dedup.d5EmbeddingNearDup(spark, sf, topN = 10).collect()
+    assert(r1.length == 10 && r1.sameElements(r2))
+    val sims = r1.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+}

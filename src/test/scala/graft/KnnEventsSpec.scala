@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Knn
+import graft.queries.Events
+
+class KnnEventsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("s1 brute-force knn: k per query, ranked by exact cosine") {
+    val r = Knn.s1Brute(spark, sf).collect()
+    val byQuery = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s2 ivf returns bucket-correct cosines consistent with s1") {
+    val exact = Knn.s1Brute(spark, sf, k = 1000000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val approx = Knn.s2Ivf(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact(key) == r.getAs[Double]("cos_sim"), s"cosine mismatch at $key")
+    }
+  }
+
+  private lazy val evDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val rows = Seq(
+      // user 1: two sessions split by a 45-min gap
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10), 1L, "click", 2.0, "{}"),
+      (3L, ts(55), 1L, "purchase", 3.0, "{}"),
+      // user 2: one session, funnel out of order (purchase before view)
+      (4L, ts(0), 2L, "purchase", 4.0, "{}"),
+      (5L, ts(5), 2L, "view", 5.0, "{}"),
+      (6L, ts(10), 2L, "click", 6.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("e2 sessionize splits on the 30-minute gap") {
+    val r = Events.e2Sessionize(spark, evDir).collect()
+    val u1 = r.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    val u2 = r.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 3L)
+  }
+
+  test("e3 funnel honors event ordering (purchase must follow click)") {
+    val r = Events.e3Funnel(spark, evDir).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    // user 1 completes the funnel
+    assert(!r(1L).isNullAt(r(1L).fieldIndex("purchase_us")))
+    // user 2's purchase predates the view → no funnel purchase
+    assert(!r(2L).isNullAt(r(2L).fieldIndex("click_us")))
+    assert(r(2L).isNullAt(r(2L).fieldIndex("purchase_us")))
+  }
+
+  test("e1 windowed agg covers every event exactly once") {
+    val total = Events.e1WindowedAgg(spark, sf)
+      .agg(sum($"n_events")).head().getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+/** Streaming twins (SURVEY §2 block C/H): the same operator logic must
+  * hold over unbounded input — windowed agg through watermarks, and
+  * sessionization through flatMapGroupsWithState + event-time timeout. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+
+  test("streaming windowedAgg matches the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1L, ts(5), 10.0), Ev(1L, ts(20), 5.0),   // hour 0
+      Ev(2L, ts(65), 7.0), Ev(1L, ts(70), 1.0))   // hour 1
+    input.addData(events: _*)
+
+    val streamed = EventStream.windowedAgg(
+      input.toDF().withColumn("event_type", lit("e")))
+    val q = streamed.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select($"hour", $"n_events", $"sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).toSet
+      val batch = EventStream.windowedAgg(
+        events.toDF().withColumn("event_type", lit("e")))
+        .select($"hour", $"n_events", $"sum_value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch && got.size == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits gap-closed and timeout-closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one open session)
+      input.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      // batch 2: event past the gap closes session 1 in-stream; the far
+      // event advances the watermark so user 1's new session times out
+      input.addData(Ev(1L, ts(60), 3.0), Ev(2L, ts(300), 4.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark far enough to time out everything
+      input.addData(Ev(3L, ts(1000), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions").as[EventStream.SessionOut].collect()
+      val u1 = got.filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0)
+      assert(u1(1).n_events == 1 && u1(1).sum_value == 3.0)
+      assert(got.count(_.user_id == 2L) == 1)
+    } finally q.stop()
+  }
+}
