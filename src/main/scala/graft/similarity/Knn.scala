@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.dedup.Dedup.cosine
+import graft.dedup.Dedup.{dot, vecNorm}
 
 /** Similarity search over the `embeddings` table (SURVEY §2 block E).
   *
@@ -25,11 +25,17 @@ object Knn {
   def s1Brute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val e = Tables.read(spark, dir, "embeddings")
-    val queries = e.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding".as("q"))
-    val corpus = e.filter($"vec_id" >= 10).select($"vec_id".as("neighbor_id"), $"embedding".as("c"))
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    // repartition: the corpus side must parallelize even off one split
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     corpus.join(broadcast(queries))
-      .select($"query_id", $"neighbor_id", round(cosine($"q", $"c"), 6).as("cos_sim"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy("query_id", "rank")
@@ -52,23 +58,23 @@ object Knn {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim i): xxhash64 of the flat index, mapped to [-1, 1). */
-  private def hyperplanes(nPlanes: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), j =>
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        (pmod(xxhash64(j * dim + i), lit(2000L)).cast("double") / 1000.0) - 1.0))
+  /** Deterministic random hyperplanes, materialized as array LITERALS
+    * at plan time (seeded per plane) — zero per-row regeneration cost,
+    * reproducible across runs and clusters. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Column] =
+    (0 until nPlanes).map { j =>
+      val rng = new scala.util.Random(42L + j)
+      array((0 until dim).map(_ => lit(rng.nextDouble() * 2.0 - 1.0)): _*)
+    }
 
-  /** 8-bit LSH bucket code: bit j = sign of dot(v, plane_j). */
+  /** LSH bucket code: bit j = sign of dot(v, plane_j); literal shift
+    * amounts keep the packing codegen-friendly. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), j => {
-        val plane = element_at(hyperplanes(nPlanes, dim), j + 1)
-        val dot = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc + x)
+    hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, j) =>
+      val d = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
     * as s1, but the join key is the bucket, so each query scans ~1/256
@@ -77,14 +83,17 @@ object Knn {
     import spark.implicits._
     val dim = 64
     val e = Tables.read(spark, dir, "embeddings")
-      .withColumn("bucket", lshBucket($"embedding", nPlanes, dim))
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        lshBucket($"embedding", nPlanes, dim).as("bucket"))
     val queries = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"), $"bucket")
     val corpus = e.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"bucket")
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"), $"bucket")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
     corpus.join(broadcast(queries), Seq("bucket"))
-      .select($"query_id", $"neighbor_id", round(cosine($"q", $"c"), 6).as("cos_sim"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy("query_id", "rank")
