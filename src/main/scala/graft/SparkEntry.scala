@@ -38,6 +38,7 @@ object SparkEntry {
     "m8_upsert_latest"     -> (MergeQueries.m8UpsertLatest _),
     "m9_seq_assign"        -> (MergeQueries.m9SeqAssign _),
     "m10_setunion_merge"   -> (MergeQueries.m10SetUnion _),
+    "m11_selfref_remap"    -> (MergeQueries.m11SelfRefRemap _),
     "e1_windowed_agg"      -> (Events.e1WindowedAgg _),
     "e2_sessionize"        -> ((s, d) => Events.e2Sessionize(s, d)),
     "e3_event_funnel"      -> (Events.e3Funnel _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "m8_upsert_latest"     -> MergeQueries.m8Sql,
     "m9_seq_assign"        -> MergeQueries.m9Sql,
     "m10_setunion_merge"   -> MergeQueries.m10Sql,
+    "m11_selfref_remap"    -> MergeQueries.m11Sql,
     "e1_windowed_agg"      -> Events.e1Sql,
     "e2_sessionize"        -> Events.e2Sql,
     "e3_event_funnel"      -> Events.e3Sql,

@@ -229,16 +229,13 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
   }
 
-  /** Dot product of two float-array columns in double precision
-    * (deterministic left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float-array columns in double precision —
+    * native codegen'd expression (same left-to-right fold as the
+    * higher-order formulation, so results are bit-identical). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotF32(a, b)
 
   /** Euclidean norm of a float-array column, double precision. */
-  def vecNorm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def vecNorm(v: Column): Column = graft.functions.VectorFunctions.normF32(v)
 
   /** Cosine similarity between two float-array columns. Prefer
     * precomputing [[vecNorm]] per ROW before a pair join — norms are

@@ -171,6 +171,49 @@ object MergeQueries {
     """SELECT c_custkey, 1000000 + row_number() OVER (ORDER BY c_custkey) AS new_id
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** m11: two-phase self-referential FK handling (reference
+    * person-users.js:307 — users.changed_by / obs.obs_group_id /
+    * location.parent_location): phase 1 consolidates the entity and
+    * yields the id map; phase 2 rewrites the SELF-referencing column
+    * through that same, now-complete map. The self-FK is synthesized
+    * deterministically (previous src custkey within the nation — the
+    * lag window mirrors parent-pointer chains). */
+  def m11SelfRefRemap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val src = srcCust(spark, dir)
+      .withColumn("referred_by", lag(col("c_custkey"), 1).over(w))
+    val idMap = MergeOps.consolidate(srcCust(spark, dir), destCust(spark, dir), Seq("c_name"), "c_custkey")
+    // phase 1: primary key through the map
+    val phase1 = MergeOps.remapFk(src, "c_custkey", idMap, "new_id")
+    // phase 2: self-FK through the SAME map (nulls stay null)
+    MergeOps.remapFk(phase1, "referred_by", idMap, "new_referred_by")
+      .select(col("c_custkey").as("src_id"), col("new_id"),
+        col("referred_by"), col("new_referred_by"))
+      .orderBy("src_id")
+  }
+
+  val m11Sql: String =
+    """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+      |idmap AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id FROM srcc s JOIN destk k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey)
+      |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name)),
+      |withref AS (
+      |  SELECT c_custkey, lag(c_custkey) OVER (
+      |    PARTITION BY c_nationkey ORDER BY c_custkey) AS referred_by
+      |  FROM srcc)
+      |SELECT w.c_custkey AS src_id, i1.dest_id AS new_id,
+      |  w.referred_by, i2.dest_id AS new_referred_by
+      |FROM withref w
+      |LEFT JOIN idmap i1 ON w.c_custkey = i1.src_id
+      |LEFT JOIN idmap i2 ON w.referred_by = i2.src_id
+      |ORDER BY src_id""".stripMargin
+
   /** m10: set-union merge of association pairs (INSERT IGNORE). */
   def m10SetUnion(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.read(spark, dir, "orders")

@@ -41,22 +41,36 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
-  /** Parallel JDBC read, the scale-path for the reference's MySQL
-    * source (no MySQL in this environment; options builder is
-    * unit-tested, execution path exercised only against real DBs).
-    * Partitioned on a numeric key so 1 executor isn't a straw through
-    * which 100 TB must pass — mirrors `batchSize` paging in
-    * reference utils.js:161 but reads N ranges concurrently.
-    */
+  /** Parallel JDBC source spec, the scale-path for the reference's
+    * MySQL source (reference connection.js:1, utils.js:161 pages with
+    * `LIMIT start,batch` on ONE connection; here N ranges read
+    * concurrently so a single connection is never the straw through
+    * which 100 TB must pass). The spec is a plain value so the option
+    * set is unit-testable without a live database — no MySQL exists in
+    * this environment; `load` is exercised only against real DBs. */
+  final case class JdbcSource(url: String, table: String, partitionColumn: String,
+                              lowerBound: Long, upperBound: Long, numPartitions: Int,
+                              extraOptions: Map[String, String] = Map.empty) {
+    def options: Map[String, String] = Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString,
+      // sane OLAP defaults: big fetch batches, read-only session
+      "fetchsize" -> "10000",
+      "pushDownPredicate" -> "true"
+    ) ++ extraOptions
+
+    def load(spark: SparkSession): DataFrame =
+      spark.read.format("jdbc").options(options).load()
+  }
+
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
-           numPartitions: Int, props: java.util.Properties = new java.util.Properties()): DataFrame =
-    spark.read
-      .option("partitionColumn", partitionColumn)
-      .option("lowerBound", lowerBound.toString)
-      .option("upperBound", upperBound.toString)
-      .option("numPartitions", numPartitions.toString)
-      .jdbc(url, table, props)
+           numPartitions: Int): DataFrame =
+    JdbcSource(url, table, partitionColumn, lowerBound, upperBound, numPartitions).load(spark)
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")

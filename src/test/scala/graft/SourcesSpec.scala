@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("jdbc source spec builds a fully parallel partitioned read") {
+    val src = Tables.JdbcSource(
+      url = "jdbc:mysql://srchost:3306/openmrs",
+      table = "obs",
+      partitionColumn = "obs_id",
+      lowerBound = 1L, upperBound = 50000000L, numPartitions = 64,
+      extraOptions = Map("sessionInitStatement" -> "SET TRANSACTION READ ONLY"))
+    val o = src.options
+    assert(o("partitionColumn") == "obs_id")
+    assert(o("numPartitions") == "64")
+    assert(o("lowerBound") == "1" && o("upperBound") == "50000000")
+    assert(o("fetchsize").toInt >= 1000)
+    assert(o("pushDownPredicate") == "true")
+    assert(o("sessionInitStatement").nonEmpty)
+  }
+
+  test("all star-schema tables read with expected keys present") {
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, sf) else Tables.read(spark, sf, n)
+      assert(df.columns.nonEmpty && df.count() > 0, s"table $n")
+    }
+    // events ts must be a real timestamp after nanos normalization
+    assert(Tables.events(spark, sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("writeParquet round-trips with partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w").toString
+    val df = Tables.read(spark, sf, "nation")
+    Tables.writeParquet(df, s"$dir/nation", partitionBy = Seq("n_regionkey"))
+    val back = spark.read.parquet(s"$dir/nation")
+    assert(back.count() == df.count())
+  }
+}

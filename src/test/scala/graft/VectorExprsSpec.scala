@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions.{dotF32, normF32}
+import graft.sources.Tables
+
+/** Native codegen'd vector expressions must be bit-identical to the
+  * generic higher-order formulation (same left-to-right double fold)
+  * and must survive both codegen and interpreted eval paths. */
+class VectorExprsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dotF32/normF32 match the higher-order formulation bit-for-bit") {
+    val e = Tables.read(spark, sf, "embeddings").limit(100)
+      .select($"vec_id", $"embedding")
+    val hofDot = aggregate(zip_with($"embedding", $"embedding",
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(transform($"embedding",
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val rows = e.select(
+      dotF32($"embedding", $"embedding").as("native_dot"), hofDot.as("hof_dot"),
+      normF32($"embedding").as("native_norm"), hofNorm.as("hof_norm")).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0)
+    }
+  }
+
+  test("expressions handle null arrays and hand-computed values") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val r = df.select(dotF32($"a", $"b").as("d"), normF32($"a").as("n")).collect()
+    assert(r(0).getDouble(0) == 32.0)
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
+  test("GraftExtensions exposes dot_f32/norm_f32 to SQL sessions") {
+    // TestSpark builds its session with
+    // spark.sql.extensions=graft.functions.GraftExtensions — the same
+    // config a deployed cluster would set
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+}
