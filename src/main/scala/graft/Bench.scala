@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/codegen/scan warmup so per-query numbers are steady-state
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -25,7 +25,11 @@ object SparkEntry {
     "q4_order_priority"    -> (Tpch.q4 _),
     "q5_local_supplier"    -> (Tpch.q5 _),
     "q6_forecast_revenue"  -> (Tpch.q6 _),
+    "q10_returned_items"   -> (Tpch.q10 _),
+    "q12_priority_class"   -> (Tpch.q12 _),
+    "q14_promo_revenue"    -> (Tpch.q14 _),
     "q18_large_orders"     -> (Tpch.q18 _),
+    "q19_disjunctive"      -> (Tpch.q19 _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
     "m1_consolidate_meta"  -> (MergeQueries.m1Consolidate _),
@@ -63,7 +67,11 @@ object SparkEntry {
     "q4_order_priority"    -> Tpch.q4Sql,
     "q5_local_supplier"    -> Tpch.q5Sql,
     "q6_forecast_revenue"  -> Tpch.q6Sql,
+    "q10_returned_items"   -> Tpch.q10Sql,
+    "q12_priority_class"   -> Tpch.q12Sql,
+    "q14_promo_revenue"    -> Tpch.q14Sql,
     "q18_large_orders"     -> Tpch.q18Sql,
+    "q19_disjunctive"      -> Tpch.q19Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,
     "m1_consolidate_meta"  -> MergeQueries.m1Sql,

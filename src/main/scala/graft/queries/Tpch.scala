@@ -215,6 +215,111 @@ object Tpch {
       |ORDER BY round(CAST(o_totalprice AS DOUBLE), 2) DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q10 (adapted): returned-item reporting — which customers
+    * returned the most revenue. 3-way join, customer broadcast, top-20
+    * via TakeOrderedAndProject. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem").filter($"l_returnflag" === "R")
+    val ord = Tables.read(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1994-01-01") && $"o_orderdate" < lit("1995-01-01"))
+    val cust = Tables.read(spark, dir, "customer")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_nationkey")
+      .agg(money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("revenue"),
+        round(avg($"c_acctbal"), 2).as("c_acctbal"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+      |  round(avg(c_acctbal), 2) AS c_acctbal
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q12 (adapted): priority-class conditional aggregation —
+    * CASE-based pivot counts inside one shuffle. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1994-01-01") && $"l_shipdate" < lit("1995-01-01"))
+    val ord = Tables.read(spark, dir, "orders")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q14 (adapted): promo revenue ratio — scalar CASE aggregate
+    * over a broadcast part join. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1995-02-01"))
+    val part = Tables.read(spark, dir, "part")
+    val disc = dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        sum(when($"p_type" === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double") * 100.0 /
+          sum(disc).cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-02-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q19 (adapted): disjunctive multi-column predicates — the
+    * OR-of-ANDs shape that exercises filter pushdown and join
+    * predicate splitting. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+    val part = Tables.read(spark, dir, "part")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey" && (
+      ($"p_brand" === "Brand#13" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+      ($"p_brand" === "Brand#22" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+      ($"p_brand" === "Brand#25" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30))))
+      .agg(money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Top-k per group: 3 most valuable orders per customer — single
     * shuffle on the window partition key. */
   def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
