@@ -222,7 +222,7 @@ object Tpch {
     import spark.implicits._
     val li = Tables.read(spark, dir, "lineitem").filter($"l_returnflag" === "R")
     val ord = Tables.read(spark, dir, "orders")
-      .filter($"o_orderdate" >= lit("1994-01-01") && $"o_orderdate" < lit("1995-01-01"))
+      .filter($"o_orderdate" >= lit("1995-01-01") && $"o_orderdate" < lit("1996-01-01"))
     val cust = Tables.read(spark, dir, "customer")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
@@ -240,8 +240,8 @@ object Tpch {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE l_returnflag = 'R'
-      |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY c_custkey, c_name, c_nationkey
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
@@ -250,7 +250,7 @@ object Tpch {
   def q12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.read(spark, dir, "lineitem")
-      .filter($"l_shipdate" >= lit("1994-01-01") && $"l_shipdate" < lit("1995-01-01"))
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01"))
     val ord = Tables.read(spark, dir, "orders")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_linestatus")
@@ -267,8 +267,8 @@ object Tpch {
       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** TPC-H Q14 (adapted): promo revenue ratio — scalar CASE aggregate
