@@ -30,6 +30,8 @@ object SparkEntry {
     "q14_promo_revenue"    -> (Tpch.q14 _),
     "q18_large_orders"     -> (Tpch.q18 _),
     "q19_disjunctive"      -> (Tpch.q19 _),
+    "q20_count_distinct"   -> (Tpch.q20 _),
+    "j1_salted_join"       -> (Tpch.j1SaltedJoin _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
     "m1_consolidate_meta"  -> (MergeQueries.m1Consolidate _),
@@ -72,6 +74,8 @@ object SparkEntry {
     "q14_promo_revenue"    -> Tpch.q14Sql,
     "q18_large_orders"     -> Tpch.q18Sql,
     "q19_disjunctive"      -> Tpch.q19Sql,
+    "q20_count_distinct"   -> Tpch.q20Sql,
+    "j1_salted_join"       -> Tpch.j1Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,
     "m1_consolidate_meta"  -> MergeQueries.m1Sql,

@@ -320,6 +320,48 @@ object Tpch {
       |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q20: distinct-count analytics — count(DISTINCT) per group
+    * (Expand-based two-phase distinct aggregation, one extra shuffle
+    * stage; the approximate HLL variant is `approx_count_distinct`
+    * on the same plan when a 2% error is acceptable at scale). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q20Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** j1: skew-safe salted join — same result as the plain equi-join
+    * (the oracle is the plain join), but hot keys are spread across
+    * salt buckets so no task drowns. */
+  def j1SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.read(spark, dir, "orders")
+    val cust = Tables.read(spark, dir, "customer")
+    graft.operators.Skew.saltedJoin(orders, "o_custkey", cust, "c_custkey",
+        buckets = 8, saltSrc = $"o_orderkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"c_nationkey")
+  }
+
+  val j1Sql: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Top-k per group: 3 most valuable orders per customer — single
     * shuffle on the window partition key. */
   def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {

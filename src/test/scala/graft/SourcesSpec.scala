@@ -39,4 +39,31 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/nation")
     assert(back.count() == df.count())
   }
+
+  test("csv and json sources round-trip the nation table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cj").toString
+    val df = Tables.read(spark, sf, "nation")
+    df.write.option("header", "true").csv(s"$dir/nation_csv")
+    df.write.json(s"$dir/nation_json")
+    assert(Tables.csv(spark, s"$dir/nation_csv").count() == df.count())
+    val j = Tables.json(spark, s"$dir/nation_json")
+    assert(j.count() == df.count())
+    assert(j.columns.toSet == df.columns.toSet)
+  }
+
+  test("salted join equals the plain join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = Tables.read(spark, sf, "orders")
+    val cust = Tables.read(spark, sf, "customer")
+    val salted = graft.operators.Skew.saltedJoin(orders, "o_custkey", cust, "c_custkey",
+      buckets = 4, saltSrc = $"o_orderkey")
+    val plain = orders.join(cust, $"o_custkey" === $"c_custkey")
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy($"c_nationkey").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val b = plain.groupBy($"c_nationkey").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
