@@ -34,6 +34,7 @@ object SparkEntry {
     "j1_salted_join"       -> (Tpch.j1SaltedJoin _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
+    "w3_moving_avg"        -> (Tpch.w3MovingAvg _),
     "m1_consolidate_meta"  -> (MergeQueries.m1Consolidate _),
     "m2_remap_fk"          -> (MergeQueries.m2RemapFk _),
     "m3_uuid_collision"    -> (MergeQueries.m3UuidCollision _),
@@ -45,9 +46,11 @@ object SparkEntry {
     "m9_seq_assign"        -> (MergeQueries.m9SeqAssign _),
     "m10_setunion_merge"   -> (MergeQueries.m10SetUnion _),
     "m11_selfref_remap"    -> (MergeQueries.m11SelfRefRemap _),
+    "m12_consolidate_fkmapped" -> (MergeQueries.m12ConsolidateMapped _),
     "e1_windowed_agg"      -> (Events.e1WindowedAgg _),
     "e2_sessionize"        -> ((s, d) => Events.e2Sessionize(s, d)),
     "e3_event_funnel"      -> (Events.e3Funnel _),
+    "e4_json_extract"      -> (Events.e4JsonExtract _),
     "d1_exact_dedup"       -> (Dedup.d1Exact _),
     "d2_minhash_lsh"       -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
     "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
@@ -78,6 +81,7 @@ object SparkEntry {
     "j1_salted_join"       -> Tpch.j1Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,
+    "w3_moving_avg"        -> Tpch.w3Sql,
     "m1_consolidate_meta"  -> MergeQueries.m1Sql,
     "m2_remap_fk"          -> MergeQueries.m2Sql,
     "m3_uuid_collision"    -> MergeQueries.m3Sql,
@@ -89,9 +93,11 @@ object SparkEntry {
     "m9_seq_assign"        -> MergeQueries.m9Sql,
     "m10_setunion_merge"   -> MergeQueries.m10Sql,
     "m11_selfref_remap"    -> MergeQueries.m11Sql,
+    "m12_consolidate_fkmapped" -> MergeQueries.m12Sql,
     "e1_windowed_agg"      -> Events.e1Sql,
     "e2_sessionize"        -> Events.e2Sql,
     "e3_event_funnel"      -> Events.e3Sql,
+    "e4_json_extract"      -> Events.e4Sql,
     "d1_exact_dedup"       -> Dedup.d1Sql,
     "d4_ngram_jaccard"     -> Dedup.d4Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,

@@ -75,6 +75,21 @@ object MergeOps {
       .unionAll(assigned)
   }
 
+  /** Consolidation where one comparison column must itself be
+    * rewritten through an already-established id map before matching
+    * (reference utils.js:74-103: comparison columns carry
+    * `mapped: boolean` + `mappedValueMap` — e.g. person_attribute_type
+    * matched on a name AND an fk that only aligns after the parent
+    * table was merged). The mapped column rides a join against the fk
+    * map (broadcast when small), then ordinary consolidation applies.
+    */
+  def consolidateMapped(src: DataFrame, dest: DataFrame, plainKeys: Seq[String],
+                        mappedCol: String, fkMap: DataFrame, idCol: String): DataFrame = {
+    val srcMapped = remapFk(src, mappedCol, fkMap, "__mapped_key")
+      .drop(mappedCol).withColumnRenamed("__mapped_key", mappedCol)
+    consolidate(srcMapped, dest, plainKeys :+ mappedCol, idCol)
+  }
+
   /** Foreign-key rewrite through an id map (reference
     * person-users.js:223 `beehive.personMap.get(row[...])` per row).
     * The map rides a join: broadcast when small (metadata maps), plain

@@ -214,6 +214,41 @@ object MergeQueries {
       |LEFT JOIN idmap i2 ON w.referred_by = i2.src_id
       |ORDER BY src_id""".stripMargin
 
+  /** m12: consolidation through a MAPPED comparison column (reference
+    * utils.js:74-103). Simulation: the destination instance numbers
+    * nations +100, so matching src customers by (c_name, nationkey)
+    * only works after the nation id map rewrites src's c_nationkey —
+    * exactly the `mapped`/`mappedValueMap` behavior. */
+  def m12ConsolidateMapped(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.read(spark, dir, "nation")
+    val nationMap = nation.select(
+      col("n_nationkey").cast("long").as("src_id"),
+      (col("n_nationkey") + 100).cast("long").as("dest_id"))
+    val dest = destCust(spark, dir)
+      .withColumn("c_nationkey", col("c_nationkey") + 100)
+    MergeOps.consolidateMapped(srcCust(spark, dir), dest,
+        Seq("c_name"), "c_nationkey", nationMap, "c_custkey")
+      .orderBy("src_id")
+  }
+
+  val m12Sql: String =
+    """WITH srcc AS (
+      |  SELECT c_custkey, c_name, c_nationkey + 100 AS c_nationkey
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (
+      |  SELECT c_custkey, c_name, c_nationkey + 100 AS c_nationkey
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, c_nationkey, min(c_custkey) AS dest_id
+      |          FROM destc GROUP BY c_name, c_nationkey),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc)
+      |SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+      |FROM srcc s JOIN destk k ON s.c_name = k.c_name AND s.c_nationkey = k.c_nationkey
+      |UNION ALL
+      |SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |FROM srcc s WHERE NOT EXISTS (
+      |  SELECT 1 FROM destk k WHERE k.c_name = s.c_name AND k.c_nationkey = s.c_nationkey)
+      |ORDER BY src_id""".stripMargin
+
   /** m10: set-union merge of association pairs (INSERT IGNORE). */
   def m10SetUnion(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.read(spark, dir, "orders")

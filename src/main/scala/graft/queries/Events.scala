@@ -79,6 +79,28 @@ object Events {
       |FROM sess GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** e4: semi-structured extraction — the `props` JSON column parsed
+    * with `get_json_object` (codegen'd Jackson path eval, no UDF) and
+    * aggregated per user. At scale prefer `from_json` with an explicit
+    * schema once the shape is known; the path form handles ragged
+    * payloads. */
+  def e4JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg($"k"), 6).as("avg_k"),
+        max($"k").as("max_k"))
+      .orderBy("user_id")
+  }
+
+  val e4Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** e3: ordered funnel view → click → purchase per user. Stage joins
     * over per-user minima (compose, no UDF): step N's timestamp is the
     * earliest step-N event at-or-after step N-1's timestamp. */

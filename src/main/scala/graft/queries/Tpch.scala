@@ -405,4 +405,32 @@ object Tpch {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** w3: 7-day moving average per customer — RANGE frame over an
+    * integer day offset (value-based frame, peers included; distinct
+    * from w2's ROWS frame). Decimal-exact numerator so the frame
+    * accumulation order can't produce float drift vs the oracle. */
+  def w3MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff($"o_orderdate", lit("1995-01-01"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-7, Window.currentRow)
+    Tables.read(spark, dir, "orders")
+      .withColumn("day", day.cast("long"))
+      .withColumn("avg7", round(
+        sum(dec($"o_totalprice")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .select($"o_custkey", $"o_orderkey", $"day", $"avg7")
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val w3Sql: String =
+    """SELECT o_custkey, o_orderkey, day,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) /
+      |        count(*) OVER w, 6) AS avg7
+      |FROM (SELECT *, CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS day
+      |      FROM orders) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 }
