@@ -61,7 +61,10 @@ object EventStream {
             val ts = usOf(e.ts)
             cur match {
               case Some(s) if ts - s.lastUs <= gapUs =>
-                cur = Some(SessionState(s.startUs, ts, s.n + 1, s.sum + e.value))
+                // max: a late (but in-watermark) event must not move the
+                // session end backwards
+                cur = Some(SessionState(math.min(s.startUs, ts), math.max(s.lastUs, ts),
+                  s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
                 cur = Some(SessionState(ts, ts, 1, e.value))

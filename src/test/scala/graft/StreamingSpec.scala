@@ -61,6 +61,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.columns.toSet == Set("hour", "event_type", "n_events", "sum_value"))
   }
 
+  test("stream-static dimension join enriches events in flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1L, ts(0), 1.0), Ev(2L, ts(1), 2.0), Ev(999L, ts(2), 3.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = input.toDF().join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 999L -> None))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits gap-closed and timeout-closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
