@@ -76,4 +76,18 @@ object Tables {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed managed table — the co-located-join path (SURVEY §5):
+    * two tables bucketed+sorted on their join key produce a
+    * sort-merge join with NO exchange and NO per-query sort, the
+    * biggest single shuffle saving for repeated large-fact joins
+    * (e.g. re-running the merge pipeline's obs⋈person joins).
+    * Bucket count must match across join sides. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -51,6 +51,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(j.columns.toSet == df.columns.toSet)
   }
 
+  test("bucketed tables join without any exchange (co-located SMJ)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(Tables.read(spark, sf, "orders"), "orders_b", "o_custkey", 4)
+      Tables.writeBucketed(Tables.read(spark, sf, "customer"), "customer_b", "c_custkey", 4)
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"))
+      assert(!physical.contains("Exchange"), s"plan should be exchange-free:\n$physical")
+      assert(joined.count() ==
+        Tables.read(spark, sf, "orders").join(Tables.read(spark, sf, "customer"),
+          $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("salted join equals the plain join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
