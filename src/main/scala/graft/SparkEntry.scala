@@ -31,6 +31,7 @@ object SparkEntry {
     "q18_large_orders"     -> (Tpch.q18 _),
     "q19_disjunctive"      -> (Tpch.q19 _),
     "q20_count_distinct"   -> (Tpch.q20 _),
+    "q21_exists_combo"     -> (Tpch.q21 _),
     "j1_salted_join"       -> (Tpch.j1SaltedJoin _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "e2_sessionize"        -> ((s, d) => Events.e2Sessionize(s, d)),
     "e3_event_funnel"      -> (Events.e3Funnel _),
     "e4_json_extract"      -> (Events.e4JsonExtract _),
+    "e5_last_touch"        -> (Events.e5LastTouch _),
     "d1_exact_dedup"       -> (Dedup.d1Exact _),
     "d2_minhash_lsh"       -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
     "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
@@ -62,6 +64,7 @@ object SparkEntry {
     "t2_quality_score"     -> (TextAnalysis.t2QualityScore _),
     "t3_token_count"       -> (TextAnalysis.t3TokenCount _),
     "t4_fingerprint"       -> (TextAnalysis.t4Fingerprint _),
+    "t5_stable_split"      -> (TextAnalysis.t5StableSplit _),
     "mm1_media_stats"      -> (Media.mm1MediaStats _),
   )
 
@@ -78,6 +81,7 @@ object SparkEntry {
     "q18_large_orders"     -> Tpch.q18Sql,
     "q19_disjunctive"      -> Tpch.q19Sql,
     "q20_count_distinct"   -> Tpch.q20Sql,
+    "q21_exists_combo"     -> Tpch.q21Sql,
     "j1_salted_join"       -> Tpch.j1Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,
@@ -98,6 +102,7 @@ object SparkEntry {
     "e2_sessionize"        -> Events.e2Sql,
     "e3_event_funnel"      -> Events.e3Sql,
     "e4_json_extract"      -> Events.e4Sql,
+    "e5_last_touch"        -> Events.e5Sql,
     "d1_exact_dedup"       -> Dedup.d1Sql,
     "d4_ngram_jaccard"     -> Dedup.d4Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
@@ -106,6 +111,7 @@ object SparkEntry {
     "t2_quality_score"     -> TextAnalysis.t2Sql,
     "t3_token_count"       -> TextAnalysis.t3Sql,
     "t4_fingerprint"       -> TextAnalysis.t4Sql,
+    "t5_stable_split"      -> TextAnalysis.t5Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
     // s2_knn_ivf — banded-LSH / simhash pipelines aren't reasonably

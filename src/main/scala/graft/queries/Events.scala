@@ -101,6 +101,33 @@ object Events {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** e5: last-touch attribution — for every purchase, the most recent
+    * preceding non-purchase event of the same user (ignore-nulls
+    * `last` over an unbounded-to-previous frame; one shuffle on
+    * user_id, everything else inside the partition). */
+  def e5LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prior_touch", last(
+        when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("ts_us"), $"prior_touch")
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val e5Sql: String =
+    """SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us, prior_touch
+      |FROM (
+      |  SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_touch
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   /** e3: ordered funnel view → click → purchase per user. Stage joins
     * over per-user minima (compose, no UDF): step N's timestamp is the
     * earliest step-N event at-or-after step N-1's timestamp. */

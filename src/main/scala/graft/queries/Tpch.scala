@@ -341,6 +341,33 @@ object Tpch {
       |  count(*) AS n_items
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q21 (adapted): combined EXISTS / NOT EXISTS — customers holding
+    * open ('O') orders but no failed/final ('F') orders: a left-semi
+    * join chained with a left-anti join, each pushable and
+    * broadcast-able independently (the shape MySQL subqueries force
+    * into nested loops). */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, dir, "customer")
+    val orders = Tables.read(spark, dir, "orders")
+    val open = orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val failed = orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+    cust.join(open, $"c_custkey" === open("o_custkey"), "left_semi")
+      .join(failed, $"c_custkey" === failed("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q21Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */

@@ -144,4 +144,30 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t5: stable train/val/test split — assignment from a hash of the
+    * CONTENT fingerprint, not the row id, so the split survives
+    * re-ingestion, re-partitioning, and id reassignment (the property
+    * a training pipeline actually needs; duplicate texts always land
+    * in the same split, preventing train/test leakage). 90/5/5 by
+    * hex-hash mod 100. */
+  def t5StableSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5(normalize($"text")), 1, 6), 16, 10)
+      .cast("long") % 100
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  val t5Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
 }
