@@ -58,6 +58,7 @@ object SparkEntry {
     "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
     "d4_ngram_jaccard"     -> ((s, d) => Dedup.d4NgramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => Dedup.d5EmbeddingNearDup(s, d)),
+    "d6_incremental_dedup" -> (Dedup.d6IncrementalDedup _),
     "s1_knn_brute"         -> ((s, d) => Knn.s1Brute(s, d)),
     "s2_knn_ivf"           -> ((s, d) => Knn.s2Ivf(s, d)),
     "t1_lang_id"           -> (TextAnalysis.t1LangId _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "d1_exact_dedup"       -> Dedup.d1Sql,
     "d4_ngram_jaccard"     -> Dedup.d4Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
+    "d6_incremental_dedup" -> Dedup.d6Sql,
     "s1_knn_brute"         -> Knn.s1Sql,
     "t1_lang_id"           -> TextAnalysis.t1Sql,
     "t2_quality_score"     -> TextAnalysis.t2Sql,

@@ -229,6 +229,47 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
   }
 
+  /** d6: incremental dedup — the production ingestion shape: an
+    * incoming batch is admitted only if it duplicates neither the
+    * existing corpus nor an earlier row of the same batch. Exact
+    * fingerprint anti-join against the corpus (at 100 TB the corpus
+    * side is a bucketed fingerprint index, so this is a co-located
+    * join) + windowed first-wins within the batch. The near-dup
+    * extension runs d2's band join restricted to incoming×corpus —
+    * same plan, one side filtered. Simulation: doc_id % 5 == 0 is the
+    * incoming batch, the rest the corpus. */
+  def d6IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables.read(spark, dir, "documents")
+      .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+    val corpus = fp.filter($"doc_id" % 5 =!= 0)
+    val incoming = fp.filter($"doc_id" % 5 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fingerprint").orderBy($"doc_id")
+    incoming
+      .join(corpus.select($"fingerprint"), Seq("fingerprint"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fingerprint")
+      .orderBy("doc_id")
+  }
+
+  val d6Sql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      |  FROM documents),
+      |corpus AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+      |incoming AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+      |fresh AS (
+      |  SELECT i.* FROM incoming i
+      |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = i.fingerprint)),
+      |ranked AS (
+      |  SELECT doc_id, fingerprint,
+      |    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      |  FROM fresh)
+      |SELECT doc_id, fingerprint FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Dot product of two float-array columns in double precision —
     * native codegen'd expression (same left-to-right fold as the
     * higher-order formulation, so results are bit-identical). */
