@@ -14,8 +14,9 @@ import graft.text.TextAnalysis.{normalize, tokens}
   *     self-join* (LSH band key / simhash chunk / prefix block), never
   *     an all-pairs cross join — shuffle volume is proportional to the
   *     number of candidate pairs, not n²;
-  *   - signatures are computed with higher-order array functions in one
-  *     distributed projection; no driver-side state, no UDFs.
+  *   - signatures are computed relationally (explode + codegen'd
+  *     aggregate columns), never with interpreted higher-order array
+  *     functions; no driver-side state, no UDFs (see SURVEY §5).
   */
 object Dedup {
 
@@ -59,16 +60,17 @@ object Dedup {
     *   1. explode shingles → (doc_id, shingle) rows — spreads the
     *      signature computation across the cluster regardless of how
     *      few input splits the scan produced;
-    *   2. k minhash slots are k `min(xxhash64('j:' || shingle))`
-    *      AGGREGATE COLUMNS over a single groupBy(doc_id) — plain
-    *      hash aggregation, fully whole-stage-codegen'd, one shuffle
-    *      (the higher-order-function formulation evaluates interpreted
-    *      and 30× slower);
+    *   2. k minhash slots are k `min(...)` AGGREGATE COLUMNS over a
+    *      single groupBy(doc_id) — plain hash aggregation, fully
+    *      whole-stage-codegen'd, one shuffle; the shingle string is
+    *      hashed once and slot j re-mixes the long (the
+    *      higher-order-function formulation evaluates interpreted and
+    *      measured far slower);
     *   3. bands hash r adjacent slots → explode to (band_idx,
     *      band_key) rows carrying NOTHING but the 12-byte key — the
     *      bucket self-join shuffles candidates, never n²;
-    *   4. only surviving candidate pairs rejoin their shingle sets for
-    *      exact-Jaccard verification.
+    *   4. surviving candidate pairs rejoin the (narrow, 32-long)
+    *      signatures and are verified by the slot-agreement estimate.
     * Bands (b=8, r=4) make P(candidate) ≈ 1-(1-j⁴)⁸ — 0.9-similar docs
     * caught with p≈0.9998, 0.5-similar mostly pruned.
     *

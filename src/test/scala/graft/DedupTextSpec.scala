@@ -74,6 +74,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.getAs[Double]("en_ratio") > 0)
   }
 
+  test("d6 incremental dedup rejects corpus dups, admits fresh docs once") {
+    // incoming = ids % 5 == 0 → {0, 5}; corpus = {1,2,3,4}.
+    // doc 0 duplicates corpus doc 1 exactly → rejected;
+    // doc 5 is only a NEAR dup of corpus docs → admitted (exact pass).
+    val r = Dedup.d6IncrementalDedup(spark, tmp).collect().map(_.getAs[Long]("doc_id"))
+    assert(r.toSeq == Seq(5L))
+  }
+
+  test("t5 stable split is content-derived: identical text, identical split") {
+    val r = TextAnalysis.t5StableSplit(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    assert(r(0L) == r(1L))  // exact dups co-split → no train/test leakage
+    assert(r.values.forall(Set("train", "val", "test")))
+  }
+
   test("d5 returns topN most similar pairs, deterministically ordered") {
     val r1 = Dedup.d5EmbeddingNearDup(spark, sf, topN = 10).collect()
     val r2 = Dedup.d5EmbeddingNearDup(spark, sf, topN = 10).collect()
