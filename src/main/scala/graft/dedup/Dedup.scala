@@ -54,7 +54,9 @@ object Dedup {
       .filter($"ok").select($"doc_id", $"sh")
   }
 
-  /** d2: MinHash + banded LSH near-dup pairs.
+  /** d2: MinHash + banded LSH near-dup pairs (Broder, "On the
+    * resemblance and containment of documents", 1997; banding per
+    * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
     *
     * Shape chosen for scale AND codegen:
     *   1. explode shingles → (doc_id, shingle) rows — spreads the
@@ -174,7 +176,9 @@ object Dedup {
       |SELECT doc_id1, doc_id2, jaccard FROM j
       |WHERE jaccard >= 0.5 ORDER BY doc_id1, doc_id2""".stripMargin
 
-  /** d3: SimHash near-dup candidates.
+  /** d3: SimHash near-dup candidates (Charikar, "Similarity
+    * estimation techniques from rounding algorithms", STOC 2002; the
+    * chunked-bucket search follows Manku/Jain/Das Sarma, WWW 2007).
     *
     * 64-bit simhash per doc from token hashes (each hash bit votes
     * ±1; the sign of the per-bit sum is the signature bit), held as

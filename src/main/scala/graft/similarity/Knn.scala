@@ -13,10 +13,12 @@ import graft.dedup.Dedup.{dot, vecNorm}
   * a broadcast hash of queries, and per-query top-k is one window over
   * the query key. At 100 TB the corpus side stays partition-parallel.
   *
-  * s2 is the approximate scale path: random-hyperplane LSH assigns
+  * s2 is the approximate scale path (random-hyperplane LSH per
+  * Charikar STOC 2002, the IVF-style bucket-probe shape of
+  * Johnson/Douze/Jégou's billion-scale similarity search): it assigns
   * every vector an 8-bit bucket; search touches only the query's
-  * bucket (≈ 1/256 of the corpus). Deterministic hyperplanes (seeded
-  * from xxhash64 of the coordinate index) keep results reproducible.
+  * bucket (≈ 1/256 of the corpus). Hyperplanes are plan-time literals
+  * from fixed seeds, so results are reproducible across runs/clusters.
   */
 object Knn {
 
