@@ -67,6 +67,7 @@ object SparkEntry {
     "t4_fingerprint"       -> (TextAnalysis.t4Fingerprint _),
     "t5_stable_split"      -> (TextAnalysis.t5StableSplit _),
     "mm1_media_stats"      -> (Media.mm1MediaStats _),
+    "mm2_frame_sample"     -> ((s, d) => Media.mm2FrameSample(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -115,6 +116,7 @@ object SparkEntry {
     "t4_fingerprint"       -> TextAnalysis.t4Sql,
     "t5_stable_split"      -> TextAnalysis.t5Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
+    "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
     // s2_knn_ivf — banded-LSH / simhash pipelines aren't reasonably
     // expressible in ANSI SQL; ScalaTest pins their behavior instead.

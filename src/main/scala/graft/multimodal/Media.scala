@@ -74,4 +74,38 @@ object Media {
       |  48 + CAST(length(text) % 9 AS INTEGER) * 16 AS height,
       |  CAST(length(text) // 256 + 1 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One sampled frame of a media object. */
+  case class FrameRow(doc_id: Long, frame_idx: Long, byte_len: Long)
+
+  /** mm2: BATCHED decode + frame sampling — the model-inference shape:
+    * partitions stream through in fixed-size batches (`grouped`), the
+    * whole batch is handed to the (stubbed) vectorized decoder at
+    * once — exactly where an ONNX session / JNI codec amortizes its
+    * per-call cost — and each object fans out to its sampled frames.
+    * Output is independent of batch boundaries, so the op is
+    * deterministic under any partitioning. */
+  def mm2FrameSample(spark: SparkSession, dir: String,
+                     every: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // batched decode hook: one call per batch, not per row
+        val decoded = batch.map(decodeStub)
+        decoded.iterator.flatMap { s =>
+          (0L until s.n_frames by every.toLong)
+            .map(i => FrameRow(s.doc_id, i, s.byte_len))
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mm2Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      |         length(text) // 256 + 1 AS nf
+      |  FROM documents)
+      |SELECT doc_id, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx, byte_len
+      |FROM m ORDER BY doc_id, frame_idx""".stripMargin
 }
