@@ -91,11 +91,14 @@ object Dedup {
     val exploded = shingleRows(spark, dir)
       .select($"doc_id", xxhash64($"sh").as("h0"))
     val sigCols = (0 until k).map(j => min(xxhash64($"h0" + j)).as(s"h$j"))
+    // materialize the signature index ONCE: four consumers below (both
+    // bucket-join sides, both verify sides) would otherwise recompute
+    // the whole shingle+signature pipeline (verified in the physical
+    // plan — AQE's broadcast conversion defeats ReuseExchange here).
+    // The index is tiny relative to the corpus (33 longs per doc), so
+    // persisting it is exactly what a production minhash pipeline does.
     val sigs = exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // explicit exchange above the signature agg: all three consumers
-      // below (band buckets, both verify sides) hit ReuseExchange and
-      // the expensive signature computation runs exactly once
-      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = (0 until bands).map(b =>
       hash((b * r until (b + 1) * r).map(j => col(s"h$j")): _*))
@@ -137,11 +140,10 @@ object Dedup {
       .groupBy($"doc_id").agg(collect_list($"sh").as("sh"))
     val blocks = Tables.read(spark, dir, "documents")
       .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"))
+    // materialize the shingle-set index once — both self-join branches
+    // consume it (see d2 for rationale)
     val docs = sets.join(blocks, Seq("doc_id"))
-      // exchange on the join key: set assembly runs once
-      // (ReuseExchange) and both self-join branches arrive
-      // co-partitioned on `block` — no further shuffle for the join
-      .repartition(spark.sessionState.conf.numShufflePartitions, $"block")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select($"doc_id".as("doc_id1"), $"block", $"sh".as("sh1"))
     val b = docs.select($"doc_id".as("doc_id2"), $"block", $"sh".as("sh2"))
     val inter = size(array_intersect($"sh1", $"sh2")).cast("double")
@@ -207,16 +209,16 @@ object Dedup {
     val voteCols = (0 until 64).map(i =>
       sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
     val votes = tokHash.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-      // exchange for ReuseExchange: both self-join branches share one
-      // computation of the 64-column vote aggregation
-      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
     // pack sign bits into 16-bit chunk values (literal shifts again)
     val chunkCols = (0 until nChunks).map { c =>
       (0 until bitsPerChunk).map { i =>
         when(col(s"v${c * bitsPerChunk + i}") > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"c$c")
     }
+    // materialize the simhash index once — four plan branches consume
+    // it (see d2 for rationale); 5 longs per doc
     val sigs = votes.select($"doc_id" +: chunkCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sigs.select($"doc_id",
       posexplode(array((0 until nChunks).map(c => col(s"c$c")): _*)).as(Seq("chunk_idx", "chunk_val")))
     val cand = buckets.select($"doc_id".as("doc_id1"), $"chunk_idx", $"chunk_val")
