@@ -56,6 +56,27 @@ object MergePipeline {
       .orderBy("instance", "new_orderkey")
   }
 
+  /** Integrity-gated merge (reference orchestrator.js: the pipeline
+    * REFUSES to run when any FK relation has orphans — "integrity
+    * checks" precede every mover). The orphan scan is one action over
+    * anti-join counts; only if every relation is clean does the merge
+    * plan execute. Throws [[IntegrityViolation]] otherwise, listing
+    * the broken relations — the driver-side abort the reference
+    * implements with transaction rollback. */
+  final case class IntegrityViolation(relations: Seq[(String, Long)])
+      extends RuntimeException(
+        s"orphaned foreign keys detected: ${relations.map { case (r, n) => s"$r=$n" }.mkString(", ")}")
+
+  def m7MergeGated(spark: SparkSession, dir: String,
+                   relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val orphans = MergeOps.orphanCheck(relations)
+      .filter(col("orphan_count") > 0)
+      .collect()
+      .map(r => (r.getAs[String]("relation"), r.getAs[Long]("orphan_count")))
+    if (orphans.nonEmpty) throw IntegrityViolation(orphans.toSeq)
+    m7Merge(spark, dir)
+  }
+
   val m7Sql: String =
     """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
       |destc AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),

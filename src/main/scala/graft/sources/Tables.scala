@@ -72,6 +72,28 @@ object Tables {
            numPartitions: Int): DataFrame =
     JdbcSource(url, table, partitionColumn, lowerBound, upperBound, numPartitions).load(spark)
 
+  /** JDBC sink spec — the "write merged output" path (reference writes
+    * batched multi-row INSERTs inside one transaction,
+    * utils.js:161/orchestrator.js commit-rollback). Spark-side each
+    * partition writes its own batched transaction; `batchsize` sizes
+    * the INSERT batches (reference `config.batchSize`), parallelism =
+    * the DataFrame's partitions. Unit-testable like [[JdbcSource]]. */
+  final case class JdbcSink(url: String, table: String,
+                            batchSize: Int = 500, isolationLevel: String = "READ_COMMITTED",
+                            truncate: Boolean = false,
+                            extraOptions: Map[String, String] = Map.empty) {
+    def options: Map[String, String] = Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "batchsize" -> batchSize.toString,
+      "isolationLevel" -> isolationLevel,
+      "truncate" -> truncate.toString
+    ) ++ extraOptions
+
+    def save(df: DataFrame, mode: String = "append"): Unit =
+      df.write.format("jdbc").mode(mode).options(options).save()
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

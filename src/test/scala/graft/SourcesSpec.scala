@@ -22,6 +22,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(o("sessionInitStatement").nonEmpty)
   }
 
+  test("jdbc sink spec mirrors the reference's batched transactional write") {
+    val sink = Tables.JdbcSink("jdbc:mysql://desthost:3306/openmrs", "obs",
+      batchSize = 1000, truncate = false)
+    val o = sink.options
+    assert(o("batchsize") == "1000")
+    assert(o("isolationLevel") == "READ_COMMITTED")
+    assert(o("truncate") == "false" && o("dbtable") == "obs")
+  }
+
+  test("gated merge refuses to run when a relation has orphans") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("id", "fk")   // fk=99 is orphaned
+    val parent = Seq((10L, "x")).toDF("pk", "v")
+    val bad = Seq(("child->parent", child, "fk", parent, "pk"))
+    val ex = intercept[graft.merge.MergePipeline.IntegrityViolation] {
+      graft.merge.MergePipeline.m7MergeGated(spark, sf, bad)
+    }
+    assert(ex.relations == Seq(("child->parent", 1L)))
+    // clean relations → the merge actually runs
+    val ok = Seq(("child->parent", child.filter($"fk" === 10L), "fk", parent, "pk"))
+    assert(graft.merge.MergePipeline.m7MergeGated(spark, sf, ok).count() > 0)
+  }
+
   test("all star-schema tables read with expected keys present") {
     Tables.names.foreach { n =>
       val df = if (n == "events") Tables.events(spark, sf) else Tables.read(spark, sf, n)
