@@ -33,9 +33,7 @@ object MergeOps {
     */
   def assignSequentialIds(df: DataFrame, sortCol: String, idName: String, start: Long): DataFrame = {
     val spark = df.sparkSession
-    val parts = math.max(1, math.min(df.sparkSession.sessionState.conf.numShufflePartitions,
-      // avoid 32 near-empty partitions for tiny inputs; RangePartitioner handles it, this is cosmetic
-      Int.MaxValue))
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(parts, col(sortCol)).sortWithinPartitions(sortCol)
     val outSchema = StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(idName, LongType, nullable = false))

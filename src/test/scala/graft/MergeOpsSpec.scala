@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.merge.MergeOps
+
+/** Edge cases for the merge primitives the oracle can't easily pin
+  * (empty sides, null FKs, id-assignment contiguity). */
+class MergeOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("consolidate with empty destination: every src row is new, ids from 1") {
+    val src = Seq((5L, "a"), (7L, "b")).toDF("id", "name")
+    val dest = Seq.empty[(Long, String)].toDF("id", "name")
+    val m = MergeOps.consolidate(src, dest, Seq("name"), "id")
+      .orderBy("dest_id").collect()
+    assert(m.map(_.getAs[Long]("dest_id")).toSeq == Seq(1L, 2L))
+    assert(m.forall(_.getAs[Int]("is_new") == 1))
+  }
+
+  test("assignSequentialIds: contiguous, deterministic, order follows sort key") {
+    val df = Seq(30L, 10L, 20L, 40L).toDF("k")
+    val r = MergeOps.assignSequentialIds(df, "k", "nid", 100L)
+      .orderBy("k").collect()
+    assert(r.map(_.getAs[Long]("nid")).toSeq == Seq(101L, 102L, 103L, 104L))
+    // rerun → identical assignment (no nondeterminism from partitioning)
+    val r2 = MergeOps.assignSequentialIds(df, "k", "nid", 100L).orderBy("k").collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
+  test("remapFk leaves unmatched and null FKs null") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("id", "fk")
+    val idMap = Seq((10L, 110L)).toDF("src_id", "dest_id")
+    val r = MergeOps.remapFk(child, "fk", idMap, "new_fk")
+      .orderBy("id").collect()
+    assert(r(0).getAs[Long]("new_fk") == 110L)
+    assert(r(1).isNullAt(r(1).fieldIndex("new_fk")))
+    assert(r(2).isNullAt(r(2).fieldIndex("new_fk")))
+  }
+
+  test("uuidCollisions: empty when no collisions; deterministic v4-shaped uuids") {
+    val src = Seq((1L, "u1"), (2L, "u2")).toDF("id", "uuid")
+    val destNone = Seq((9L, "zz")).toDF("id", "uuid")
+    assert(MergeOps.uuidCollisions(src, destNone, "id", "uuid").count() == 0)
+    val destHit = Seq((9L, "u2")).toDF("id", "uuid")
+    val r = MergeOps.uuidCollisions(src, destHit, "id", "uuid").collect()
+    assert(r.length == 1 && r.head.getAs[Long]("src_id") == 2L)
+    val nu = r.head.getAs[String]("new_uuid")
+    assert(nu.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    // deterministic: same input → same replacement uuid
+    assert(MergeOps.uuidCollisions(src, destHit, "id", "uuid")
+      .collect().head.getAs[String]("new_uuid") == nu)
+  }
+
+  test("every registered query id is documented in SURVEY §2") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    SparkEntry.queries.keys.foreach { id =>
+      assert(survey.contains(s"`$id`"), s"$id missing from SURVEY.md §2")
+    }
+  }
+}
