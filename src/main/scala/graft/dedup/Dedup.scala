@@ -83,6 +83,8 @@ object Dedup {
   def d2MinhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands " +
+      "(integer truncation would silently drop signature slots from banding)")
     val r = k / bands
     // hash each shingle string ONCE; the k slot hashes re-mix the long
     // (xxhash64 of a bigint avalanches) — k cheap long-hashes instead

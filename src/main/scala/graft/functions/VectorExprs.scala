@@ -26,9 +26,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be array<float>; call sites are library-controlled
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
+
+  // SQL users reach this through GraftExtensions, so the float32 input
+  // contract must be an analysis error, not silent garbage from
+  // reading 4-byte strides over wider elements
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -60,9 +73,17 @@ case class DotProductF32(left: Expression, right: Expression)
 /** Euclidean norm of a float array, double accumulation. */
 case class NormF32(child: Expression)
     extends UnaryExpression {
-  // input must be array<float>; call sites are library-controlled
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm_f32"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -112,10 +133,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
-      (children: Seq[Expression]) => DotProductF32(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"dot_f32 takes 2 arguments, got ${children.length}")
+        DotProductF32(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("norm_f32"),
       new ExpressionInfo(classOf[NormF32].getName, "norm_f32"),
-      (children: Seq[Expression]) => NormF32(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"norm_f32 takes 1 argument, got ${children.length}")
+        NormF32(children.head)
+      }))
   }
 }

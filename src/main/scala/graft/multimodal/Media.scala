@@ -64,15 +64,19 @@ object Media {
       .orderBy("doc_id")
   }
 
-  /** Oracle reproduces the stub arithmetically: the payload is ASCII
-    * text, so byte_len = length(text), first_byte = ascii(first char). */
+  /** Oracle reproduces the stub arithmetically. byte_len (and the
+    * fields derived from it) use octet_length(encode(...)) — true
+    * UTF-8 byte count, robust to non-ASCII text. first_byte/width use
+    * ascii(), which equals the first PAYLOAD byte only for ASCII
+    * leading characters — the documented scope of this stub's oracle
+    * (the Spark side reads real bytes either way). */
   val mm1Sql: String =
     """SELECT doc_id, source,
-      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |  ascii(substr(text, 1, 1)) AS first_byte,
       |  64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
-      |  48 + CAST(length(text) % 9 AS INTEGER) * 16 AS height,
-      |  CAST(length(text) // 256 + 1 AS BIGINT) AS n_frames
+      |  48 + CAST(octet_length(encode(text)) % 9 AS INTEGER) * 16 AS height,
+      |  CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** One sampled frame of a media object. */
@@ -103,8 +107,8 @@ object Media {
 
   val mm2Sql: String =
     """WITH m AS (
-      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
-      |         length(text) // 256 + 1 AS nf
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |         octet_length(encode(text)) // 256 + 1 AS nf
       |  FROM documents)
       |SELECT doc_id, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx, byte_len
       |FROM m ORDER BY doc_id, frame_idx""".stripMargin

@@ -81,9 +81,17 @@ object Knn {
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
     * as s1, but the join key is the bucket, so each query scans ~1/256
     * of the corpus. Rows-only oracle; KnnSpec measures recall vs s1. */
-  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, nPlanes: Int = 8): DataFrame = {
+  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, nPlanes: Int = 8,
+            dimOverride: Int = -1): DataFrame = {
     import spark.implicits._
-    val dim = 64
+    // hyperplanes are plan-time literals, so the dimension must be
+    // known up front; detect it from the data (one cheap first-row
+    // action) — a mismatched hardcoded dim would null-pad zip_with and
+    // silently collapse every vector into bucket 0
+    val dim =
+      if (dimOverride > 0) dimOverride
+      else Tables.read(spark, dir, "embeddings")
+        .select(size($"embedding")).head().getInt(0)
     val e = Tables.read(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
         lshBucket($"embedding", nPlanes, dim).as("bucket"))

@@ -29,8 +29,12 @@ object EventStream {
     * batch or streaming — the plan is identical, which is the point. */
   def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // decimal-exact sum, same as the batch twin e1 — identical results
+    // under any partitioning / trigger pattern
     in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -45,7 +49,11 @@ object EventStream {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    // full microsecond precision: getTime carries only millis; the
+    // sub-millisecond part lives in getNanos (batch twin e2 compares
+    // unix_micros, so truncating here would fork the semantics)
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
     val fn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
       (userId, it, state) => {

@@ -40,6 +40,14 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0) && r(1).isNullAt(1))
   }
 
+  test("non-float32 arrays are an analysis error, not silent garbage") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_f32(array(1.0, 2.0), array(3.0, 4.0))").head()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("GraftExtensions exposes dot_f32/norm_f32 to SQL sessions") {
     // TestSpark builds its session with
     // spark.sql.extensions=graft.functions.GraftExtensions — the same
