@@ -32,6 +32,8 @@ object SparkEntry {
     "q19_disjunctive"      -> (Tpch.q19 _),
     "q20_count_distinct"   -> (Tpch.q20 _),
     "q21_exists_combo"     -> (Tpch.q21 _),
+    "q22_rollup"           -> (Tpch.q22Rollup _),
+    "q23_pivot"            -> (Tpch.q23Pivot _),
     "j1_salted_join"       -> (Tpch.j1SaltedJoin _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
@@ -84,6 +86,8 @@ object SparkEntry {
     "q19_disjunctive"      -> Tpch.q19Sql,
     "q20_count_distinct"   -> Tpch.q20Sql,
     "q21_exists_combo"     -> Tpch.q21Sql,
+    "q22_rollup"           -> Tpch.q22Sql,
+    "q23_pivot"            -> Tpch.q23Sql,
     "j1_salted_join"       -> Tpch.j1Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,

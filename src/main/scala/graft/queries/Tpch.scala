@@ -368,6 +368,52 @@ object Tpch {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q22: ROLLUP aggregation — subtotal/grand-total levels in one
+    * Expand-based pass (one shuffle for all grouping sets; the
+    * classic OLAP reporting shape). */
+  def q22Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        money(sum(dec($"l_extendedprice"))).as("sum_price"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n_items", $"sum_price")
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val q22Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q23: pivot — returnflag × linestatus count matrix (Spark's
+    * `pivot` with an explicit value list stays a single Expand+agg
+    * pass; the explicit list is what keeps it one job at scale —
+    * implicit pivot values would add a distinct-scan). */
+  def q23Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"))
+      .orderBy("l_returnflag")
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */
