@@ -100,4 +100,46 @@ object EventStream {
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** Streaming exact dedup — at-least-once sources (Kafka replays,
+    * file re-lists) deduped to exactly-once semantics on an id column.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by event
+    * time: state for ids older than the watermark is evicted, so the
+    * store can't grow without bound (plain dropDuplicates on a stream
+    * would). The d-block twin is d1/d6; this is their unbounded form. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming→merge bridge: every micro-batch is upserted into a
+    * parquet target with keep-latest semantics (the reference's
+    * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,
+    * applied continuously). foreachBatch gives the batch DataFrame to
+    * the SAME MergeOps.upsertLatest used by m8 — one code path for
+    * batch and streaming merges. Exactly-once per micro-batch via the
+    * checkpoint + idempotent overwrite of the keyed snapshot. */
+  def upsertSink(events: DataFrame, targetPath: String, checkpoint: String,
+                 keyCols: Seq[String], versionCol: String, tieBreak: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+        val merged = graft.merge.MergeOps.upsertLatest(
+          existing.unionByName(batch), keyCols, versionCol, tieBreak)
+        // write-then-swap keeps the snapshot readable mid-rewrite
+        val tmp = targetPath + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
 }

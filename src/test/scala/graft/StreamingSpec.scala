@@ -61,6 +61,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.columns.toSet == Set("hour", "event_type", "n_events", "sum_value"))
   }
 
+  test("streaming dedup drops replayed ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // Ev has no id column; reuse (user_id, ts) as the dedup key
+    val deduped = EventStream.dedupStream(input.toDF(), Seq("user_id", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(0), 1.0), Ev(2L, ts(1), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(1L, ts(0), 1.0))  // replay in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink keeps latest version per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[Ev]
+    val q = EventStream.upsertSink(input.toDF(), s"$dir/target", s"$dir/ckpt",
+      keyCols = Seq("user_id"), versionCol = "ts", tieBreak = "value")
+    try {
+      input.addData(Ev(1L, ts(0), 1.0), Ev(2L, ts(1), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(1L, ts(5), 9.0))  // newer version for user 1
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/target").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(1L -> 9.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+
   test("stream-static dimension join enriches events in flight") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
