@@ -34,6 +34,7 @@ object SparkEntry {
     "q21_exists_combo"     -> (Tpch.q21 _),
     "q22_rollup"           -> (Tpch.q22Rollup _),
     "q23_pivot"            -> (Tpch.q23Pivot _),
+    "q24_above_avg"        -> (Tpch.q24AboveAvg _),
     "j1_salted_join"       -> (Tpch.j1SaltedJoin _),
     "w1_topk_per_group"    -> (Tpch.w1TopkPerGroup _),
     "w2_running_total"     -> (Tpch.w2RunningTotal _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q21_exists_combo"     -> Tpch.q21Sql,
     "q22_rollup"           -> Tpch.q22Sql,
     "q23_pivot"            -> Tpch.q23Sql,
+    "q24_above_avg"        -> Tpch.q24Sql,
     "j1_salted_join"       -> Tpch.j1Sql,
     "w1_topk_per_group"    -> Tpch.w1Sql,
     "w2_running_total"     -> Tpch.w2Sql,

@@ -414,6 +414,43 @@ object Tpch {
       |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q24: correlated-scalar-subquery shape — orders above their own
+    * customer's average order value. Decorrelated into one aggregate
+    * + an equi-join (what Catalyst's RewriteCorrelatedScalarQuery does
+    * to the SQL form); the per-customer average is decimal-exact so
+    * the > comparison is partition-stable. */
+  def q24AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.read(spark, dir, "orders")
+    val avgByCust = orders.groupBy($"o_custkey".as("ac_custkey"))
+      .agg(sum(dec($"o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+    orders.join(avgByCust, $"o_custkey" === $"ac_custkey")
+      // cross-multiplied comparison: price > total/n ⇔ price*n > total —
+      // exact decimal×integer arithmetic on both engines, no division
+      // rounding at the boundary
+      .filter(dec($"o_totalprice") * $"n_orders" > $"total_price")
+      // expose the exact total+count rather than the divided average:
+      // round(total/n) lands on half-boundaries where Spark (HALF_UP on
+      // the shortest decimal repr) and DuckDB (scaled-double rounding)
+      // legitimately disagree in the last digit
+      .select($"o_orderkey", $"o_custkey", money($"o_totalprice").as("o_totalprice"),
+        money($"total_price").as("cust_total"), $"n_orders")
+      .orderBy("o_orderkey")
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+      |  round(CAST(total_price AS DOUBLE), 2) AS cust_total, n_orders
+      |FROM orders o JOIN (
+      |  SELECT o_custkey AS ac_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey) a
+      |ON o.o_custkey = a.ac_custkey
+      |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n_orders > total_price
+      |ORDER BY o_orderkey""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */

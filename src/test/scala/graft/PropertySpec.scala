@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.merge.MergeOps
+import graft.operators.Skew
+
+/** Property-based invariants over generated inputs — the guarantees
+  * the operators must hold under ANY data, not just the fixtures.
+  * (Raw ScalaCheck generators with fixed seeds; the scalatest-plus
+  * bridge isn't in the dependency set.) */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(params, Seed(seed)).getOrElse(sys.error("gen failed"))
+
+  test("assignSequentialIds is a contiguous bijection for any key set") {
+    for (s <- 1L to 8L) {
+      val keys = sample(Gen.listOfN(40, Gen.choose(-100000L, 100000L)), s).distinct
+      val ids = MergeOps.assignSequentialIds(keys.toDF("k"), "k", "nid", 7L)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("nid"))
+      // contiguous range starting past `start`, one id per row
+      assert(ids.map(_._2).sorted.toSeq == (8L to 7L + keys.length).toSeq, s"seed $s")
+      // order-preserving in the sort key
+      assert(ids.sortBy(_._1).map(_._2).toSeq == ids.map(_._2).sorted.toSeq, s"seed $s")
+    }
+  }
+
+  test("salted join equals plain join for any fact/dim data") {
+    for (s <- 1L to 5L) {
+      val fact = sample(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0, 100))), s)
+      val dimKeys = sample(Gen.listOfN(6, Gen.choose(0L, 10L)), s + 100).distinct
+      val f = fact.toDF("fk", "v")
+      val d = dimKeys.map(k => (k, s"d$k")).toDF("pk", "name")
+      val salted = Skew.saltedJoin(f, "fk", d, "pk", buckets = 3, saltSrc = $"v")
+      val plain = f.join(d, $"fk" === $"pk")
+      assert(salted.count() == plain.count(), s"seed $s")
+    }
+  }
+
+  test("consolidate maps every src row exactly once, to dest or a fresh id") {
+    val rows = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    for (s <- 1L to 5L) {
+      val src = sample(rows, s).distinctBy(_._1).toDF("id", "name")
+      val dest = sample(rows, s + 50).distinctBy(_._1).toDF("id", "name")
+      val m = MergeOps.consolidate(src, dest, Seq("name"), "id").collect()
+      assert(m.length == src.count(), s"seed $s")
+      val destIds = dest.select("id").as[Long].collect().toSet
+      val destMax = if (destIds.isEmpty) 0L else destIds.max
+      m.foreach { r =>
+        if (r.getAs[Int]("is_new") == 0)
+          assert(destIds.contains(r.getAs[Long]("dest_id")), s"seed $s")
+        else assert(r.getAs[Long]("dest_id") > destMax, s"seed $s")
+      }
+    }
+  }
+}
