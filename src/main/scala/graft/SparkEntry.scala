@@ -69,6 +69,7 @@ object SparkEntry {
     "t3_token_count"       -> (TextAnalysis.t3TokenCount _),
     "t4_fingerprint"       -> (TextAnalysis.t4Fingerprint _),
     "t5_stable_split"      -> (TextAnalysis.t5StableSplit _),
+    "t6_vocab_stats"       -> (TextAnalysis.t6VocabStats _),
     "mm1_media_stats"      -> (Media.mm1MediaStats _),
     "mm2_frame_sample"     -> ((s, d) => Media.mm2FrameSample(s, d)),
   )
@@ -121,6 +122,7 @@ object SparkEntry {
     "t3_token_count"       -> TextAnalysis.t3Sql,
     "t4_fingerprint"       -> TextAnalysis.t4Sql,
     "t5_stable_split"      -> TextAnalysis.t5Sql,
+    "t6_vocab_stats"       -> TextAnalysis.t6Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,

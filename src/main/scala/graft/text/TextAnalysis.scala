@@ -162,6 +162,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t6: corpus vocabulary statistics — top-20 tokens by frequency plus
+    * per-token document frequency. One explode + one shuffle on the
+    * token; global top-k via orderBy+limit (TakeOrderedAndProject). */
+  def t6VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"term_freq".desc, $"token")
+      .limit(20)
+  }
+
+  val t6Sql: String =
+    """SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+      |FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents) t
+      |GROUP BY token ORDER BY term_freq DESC, token LIMIT 20""".stripMargin
+
   val t5Sql: String =
     """WITH b AS (
       |  SELECT doc_id,

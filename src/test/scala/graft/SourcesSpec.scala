@@ -22,6 +22,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(o("sessionInitStatement").nonEmpty)
   }
 
+  test("ScaleDefaults sizes shuffle partitions from cores and data volume") {
+    import graft.ScaleDefaults.shufflePartitions
+    // small shuffle on a big cluster: core-bound (2 per core)
+    assert(shufflePartitions(totalCores = 1000, expectedShuffleGB = 10) == 2000)
+    // huge shuffle: size-bound at ~200MB per partition
+    assert(shufflePartitions(totalCores = 1000, expectedShuffleGB = 100000) == 512000)
+    // never below the core count
+    assert(shufflePartitions(totalCores = 32, expectedShuffleGB = 0.001) >= 32)
+  }
+
   test("jdbc sink spec mirrors the reference's batched transactional write") {
     val sink = Tables.JdbcSink("jdbc:mysql://desthost:3306/openmrs", "obs",
       batchSize = 1000, truncate = false)
