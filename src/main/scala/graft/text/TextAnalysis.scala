@@ -33,24 +33,42 @@ object TextAnalysis {
   val frStop: Seq[String] = Seq("le", "la", "de", "et", "un", "une", "les", "des", "en", "est")
   val esStop: Seq[String] = Seq("el", "lo", "y", "una", "los", "que", "por", "con", "para", "se")
 
-  private def hitRatio(toks: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    round(size(filter(toks, t => array_contains(set, t))).cast("double") /
-      greatest(size(toks), lit(1)), 6)
+  /** Exact half-up integer division (a/b rounded to nearest, halves
+    * up): (2a+b) div 2b, via an exactly-divisible double division
+    * (numerator minus its remainder is a true multiple, so the IEEE
+    * quotient is the exact integer). Rounded RATIOS are emitted as
+    * integers scaled by 1e6, NOT rounded doubles: a ratio like 3/128
+    * lands exactly on a 6-dp half-boundary (dyadic denominator), where
+    * Spark (HALF_UP on shortest decimal repr) and DuckDB (scaled
+    * binary rounding) legitimately disagree in the last digit. */
+  private def halfUpDiv(num: Column, den: Column): Column = {
+    val n2 = num * 2 + den
+    val d2 = den * 2
+    ((n2 - pmod(n2, d2)) / d2).cast("long")
   }
+
+  private def hitsOf(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** ratio scaled to millionths, exact in integer arithmetic. */
+  private def ratioE6(hits: Column, n: Column): Column =
+    halfUpDiv(hits.cast("long") * 1000000L, greatest(n, lit(1)).cast("long"))
 
   /** t1: stopword-ratio language ID. One projection, no shuffle. */
   def t1LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
+    val n = size(toks)
     Tables.read(spark, dir, "documents")
       .select($"doc_id",
-        hitRatio(toks, enStop).as("en_ratio"),
-        hitRatio(toks, frStop).as("fr_ratio"),
-        hitRatio(toks, esStop).as("es_ratio"))
+        ratioE6(hitsOf(toks, enStop), n).as("en_ratio_e6"),
+        ratioE6(hitsOf(toks, frStop), n).as("fr_ratio_e6"),
+        ratioE6(hitsOf(toks, esStop), n).as("es_ratio_e6"))
       .withColumn("pred_lang",
-        when($"en_ratio" >= $"fr_ratio" && $"en_ratio" >= $"es_ratio", "en")
-          .when($"fr_ratio" >= $"es_ratio", "fr")
+        when($"en_ratio_e6" >= $"fr_ratio_e6" && $"en_ratio_e6" >= $"es_ratio_e6", "en")
+          .when($"fr_ratio_e6" >= $"es_ratio_e6", "fr")
           .otherwise("es"))
       .orderBy("doc_id")
   }
@@ -58,8 +76,12 @@ object TextAnalysis {
   private def stopListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def ratioSql(words: Seq[String]): String =
-    s"round(CAST(len(list_filter(toks, t -> list_contains(${stopListSql(words)}, t))) AS DOUBLE) / greatest(len(toks), 1), 6)"
+  // (2a+b) // (2b) = half-up division; pure integer arithmetic so both
+  // engines agree exactly
+  private def ratioE6Sql(words: Seq[String]): String = {
+    val hits = s"len(list_filter(toks, t -> list_contains(${stopListSql(words)}, t)))"
+    s"(2 * $hits * 1000000 + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))"
+  }
 
   val t1Sql: String =
     s"""WITH tok AS (
@@ -68,32 +90,35 @@ object TextAnalysis {
        |  FROM documents),
        |r AS (
        |  SELECT doc_id,
-       |    ${ratioSql(enStop)} AS en_ratio,
-       |    ${ratioSql(frStop)} AS fr_ratio,
-       |    ${ratioSql(esStop)} AS es_ratio
+       |    CAST(${ratioE6Sql(enStop)} AS BIGINT) AS en_ratio_e6,
+       |    CAST(${ratioE6Sql(frStop)} AS BIGINT) AS fr_ratio_e6,
+       |    CAST(${ratioE6Sql(esStop)} AS BIGINT) AS es_ratio_e6
        |  FROM tok)
-       |SELECT doc_id, en_ratio, fr_ratio, es_ratio,
-       |  CASE WHEN en_ratio >= fr_ratio AND en_ratio >= es_ratio THEN 'en'
-       |       WHEN fr_ratio >= es_ratio THEN 'fr' ELSE 'es' END AS pred_lang
+       |SELECT doc_id, en_ratio_e6, fr_ratio_e6, es_ratio_e6,
+       |  CASE WHEN en_ratio_e6 >= fr_ratio_e6 AND en_ratio_e6 >= es_ratio_e6 THEN 'en'
+       |       WHEN fr_ratio_e6 >= es_ratio_e6 THEN 'fr' ELSE 'es' END AS pred_lang
        |FROM r ORDER BY doc_id""".stripMargin
 
   /** t2: document quality score — length, stopword and word-shape
-    * ratios combined into one deterministic [0,1] score. Codegen'd. */
+    * ratios combined into one deterministic [0,1] score, emitted
+    * scaled ×1e6 in exact integer arithmetic (see halfUpDiv):
+    * quality_e6 = 5000·min(nt,100) + hu(3·stop_e6, 10)
+    *            + hu(min(avg_e6, 10e6), 50). Codegen'd, no shuffle. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
+    val n = greatest(size(toks), lit(1)).cast("long")
     Tables.read(spark, dir, "documents")
-      .select($"doc_id", $"text", toks.as("toks"))
       .select($"doc_id",
         length($"text").as("n_chars"),
-        size($"toks").as("n_tokens"),
-        round(aggregate(transform($"toks", t => length(t)), lit(0), (a, x) => a + x)
-          .cast("double") / greatest(size($"toks"), lit(1)), 6).as("avg_token_len"),
-        hitRatio($"toks", enStop).as("stop_ratio"))
-      .withColumn("quality",
-        round(least(($"n_tokens" / 100.0), lit(1.0)) * 0.5 +
-          $"stop_ratio" * 0.3 +
-          least($"avg_token_len" / 10.0, lit(1.0)) * 0.2, 6))
+        size(toks).as("n_tokens"),
+        halfUpDiv(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long") * 1000000L, n).as("avg_token_len_e6"),
+        ratioE6(hitsOf(toks, enStop), size(toks)).as("stop_ratio_e6"))
+      .withColumn("quality_e6",
+        least($"n_tokens".cast("long"), lit(100L)) * 5000L +
+          halfUpDiv($"stop_ratio_e6" * 3L, lit(10L)) +
+          halfUpDiv(least($"avg_token_len_e6", lit(10000000L)), lit(50L)))
       .orderBy("doc_id")
   }
 
@@ -104,12 +129,14 @@ object TextAnalysis {
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
-       |    round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1), 6) AS avg_token_len,
-       |    ${ratioSql(enStop)} AS stop_ratio
+       |    CAST((2 * list_sum(list_transform(toks, t -> length(t))) * 1000000 + greatest(len(toks), 1))
+       |         // (2 * greatest(len(toks), 1)) AS BIGINT) AS avg_token_len_e6,
+       |    CAST(${ratioE6Sql(enStop)} AS BIGINT) AS stop_ratio_e6
        |  FROM tok)
-       |SELECT doc_id, n_chars, n_tokens, avg_token_len, stop_ratio,
-       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 +
-       |        least(avg_token_len / 10.0, 1.0) * 0.2, 6) AS quality
+       |SELECT doc_id, n_chars, n_tokens, avg_token_len_e6, stop_ratio_e6,
+       |  CAST(least(n_tokens, 100) * 5000
+       |    + (2 * stop_ratio_e6 * 3 + 10) // 20
+       |    + (2 * least(avg_token_len_e6, 10000000) + 50) // 100 AS BIGINT) AS quality_e6
        |FROM m ORDER BY doc_id""".stripMargin
 
   /** t3: token counting — whitespace tokens, regex word tokens, and a

@@ -71,7 +71,7 @@ class DedupTextSpec extends AnyFunSuite {
   test("t1 lang id picks en for english stopword-heavy text") {
     val r = TextAnalysis.t1LangId(spark, tmp).filter($"doc_id" === 0).head()
     assert(r.getAs[String]("pred_lang") == "en")
-    assert(r.getAs[Double]("en_ratio") > 0)
+    assert(r.getAs[Long]("en_ratio_e6") > 0)
   }
 
   test("d6 incremental dedup rejects corpus dups, admits fresh docs once") {
