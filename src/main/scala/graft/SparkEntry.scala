@@ -64,6 +64,7 @@ object SparkEntry {
     "d6_incremental_dedup" -> (Dedup.d6IncrementalDedup _),
     "s1_knn_brute"         -> ((s, d) => Knn.s1Brute(s, d)),
     "s2_knn_ivf"           -> ((s, d) => Knn.s2Ivf(s, d)),
+    "s3_embed_cluster"     -> ((s, d) => Knn.s3Cluster(s, d)),
     "t1_lang_id"           -> (TextAnalysis.t1LangId _),
     "t2_quality_score"     -> (TextAnalysis.t2QualityScore _),
     "t3_token_count"       -> (TextAnalysis.t3TokenCount _),
@@ -126,7 +127,8 @@ object SparkEntry {
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
-    // s2_knn_ivf — banded-LSH / simhash pipelines aren't reasonably
-    // expressible in ANSI SQL; ScalaTest pins their behavior instead.
+    // s2_knn_ivf, s3_embed_cluster — banded-LSH / simhash / k-means
+    // pipelines aren't reasonably expressible in ANSI SQL; ScalaTest
+    // pins their behavior instead.
   )
 }

@@ -78,6 +78,28 @@ object Knn {
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** s3: embedding k-means clustering — the data-curation staple
+    * (topic balancing, stratified sampling, near-dup triage). Built on
+    * MLlib's KMeans (k-means|| init, seeded → deterministic for a
+    * fixed input layout); `array_to_vector` bridges the raw
+    * array<float> column without a UDF. Output is cluster sizes +
+    * per-cluster mean norm — stable aggregate shape. Rows-only oracle
+    * (k-means isn't expressible in ANSI SQL); KnnSpec pins k,
+    * determinism, and total coverage. */
+  def s3Cluster(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"embedding"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(e)
+    model.transform(e)
+      .groupBy($"prediction".as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg($"nrm"), 4).as("mean_norm"))
+      .orderBy("cluster")
+  }
+
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
     * as s1, but the join key is the bucket, so each query scans ~1/256
     * of the corpus. Rows-only oracle; KnnSpec measures recall vs s1. */

@@ -32,6 +32,15 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s3 clustering covers all vectors with k clusters, deterministically") {
+    val r1 = Knn.s3Cluster(spark, sf).collect()
+    assert(r1.length == 8)
+    assert(r1.map(_.getAs[Long]("n_vectors")).sum ==
+      graft.sources.Tables.read(spark, sf, "embeddings").count())
+    val r2 = Knn.s3Cluster(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
   private lazy val evDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
