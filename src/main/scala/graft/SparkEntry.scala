@@ -71,6 +71,7 @@ object SparkEntry {
     "t4_fingerprint"       -> (TextAnalysis.t4Fingerprint _),
     "t5_stable_split"      -> (TextAnalysis.t5StableSplit _),
     "t6_vocab_stats"       -> (TextAnalysis.t6VocabStats _),
+    "t7_repetition"        -> (TextAnalysis.t7Repetition _),
     "mm1_media_stats"      -> (Media.mm1MediaStats _),
     "mm2_frame_sample"     -> ((s, d) => Media.mm2FrameSample(s, d)),
   )
@@ -124,6 +125,7 @@ object SparkEntry {
     "t4_fingerprint"       -> TextAnalysis.t4Sql,
     "t5_stable_split"      -> TextAnalysis.t5Sql,
     "t6_vocab_stats"       -> TextAnalysis.t6Sql,
+    "t7_repetition"        -> TextAnalysis.t7Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,

@@ -189,6 +189,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t7: repetition scoring — distinct/total token ratio and max
+    * single-token share, the standard boilerplate/spam signals for
+    * training-data curation. Integer-exact ×1e6 outputs (see
+    * halfUpDiv); one explode + one shuffle on (doc, token). */
+  def t7Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"cnt").as("max_cnt"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        halfUpDiv($"n_distinct" * 1000000L, $"n_tokens").as("distinct_ratio_e6"),
+        halfUpDiv($"max_cnt" * 1000000L, $"n_tokens").as("top_token_share_e6"))
+      .orderBy("doc_id")
+  }
+
+  val t7Sql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, token, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |    FROM documents) t
+      |  GROUP BY doc_id, token),
+      |agg AS (
+      |  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_cnt
+      |  FROM tc GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST((2 * n_distinct * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS distinct_ratio_e6,
+      |  CAST((2 * max_cnt * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS top_token_share_e6
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** t6: corpus vocabulary statistics — top-20 tokens by frequency plus
     * per-token document frequency. One explode + one shuffle on the
     * token; global top-k via orderBy+limit (TakeOrderedAndProject). */
