@@ -101,6 +101,64 @@ object EventStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Typed event carrying the funnel stage. */
+  case class FEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** Funnel stage progress per user (µs epochs; -1 = not reached). */
+  case class FunnelState(viewUs: Long = -1L, clickUs: Long = -1L)
+
+  /** One completed funnel stage. */
+  case class StageOut(user_id: Long, stage: String, ts_us: Long)
+
+  /** Streaming twin of e3: ordered funnel view → click → purchase with
+    * FIRST-COMPLETION semantics — a stage is emitted the first time it
+    * completes in order, and never retracted (Append mode can't
+    * retract; the batch e3 computes exact minima over all data, so the
+    * two agree whenever events arrive in order — the documented
+    * divergence for late stage-1 events is inherent to streaming
+    * funnels). State is dropped once the funnel completes; incomplete
+    * funnels are evicted by the event-time timeout. */
+  def funnelStream(events: Dataset[FEv], watermark: String = "1 minute",
+                   idleTimeoutMinutes: Int = 120): Dataset[StageOut] = {
+    import events.sparkSession.implicits._
+
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    val fn: (Long, Iterator[FEv], GroupState[FunnelState]) => Iterator[StageOut] =
+      (userId, it, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var s = state.getOption.getOrElse(FunnelState())
+          val out = List.newBuilder[StageOut]
+          var done = false
+          it.toArray.sortBy(e => (usOf(e.ts), e.event_type)).foreach { e =>
+            val ts = usOf(e.ts)
+            e.event_type match {
+              case "view" if s.viewUs < 0 =>
+                s = s.copy(viewUs = ts); out += StageOut(userId, "view", ts)
+              case "click" if s.clickUs < 0 && s.viewUs >= 0 && ts >= s.viewUs =>
+                s = s.copy(clickUs = ts); out += StageOut(userId, "click", ts)
+              case "purchase" if !done && s.clickUs >= 0 && ts >= s.clickUs =>
+                out += StageOut(userId, "purchase", ts); done = true
+              case _ =>
+            }
+          }
+          if (done) state.remove()
+          else {
+            state.update(s)
+            val anchor = math.max(s.viewUs, math.max(s.clickUs, 0L)) / 1000L
+            state.setTimeoutTimestamp(anchor + idleTimeoutMinutes * 60L * 1000L)
+          }
+          out.result().iterator
+        }
+      }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming exact dedup — at-least-once sources (Kafka replays,
     * file re-lists) deduped to exactly-once semantics on an id column.
     * `dropDuplicatesWithinWatermark` bounds the dedup state by event

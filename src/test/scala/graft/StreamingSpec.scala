@@ -61,6 +61,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.columns.toSet == Set("hour", "event_type", "n_events", "sum_value"))
   }
 
+  test("streaming funnel emits stages in order, ignores out-of-order purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.FEv
+    val input = MemoryStream[FEv]
+    val q = EventStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 completes across two batches; user 2 purchases before viewing
+      input.addData(FEv(1L, ts(0), "view"), FEv(1L, ts(5), "click"),
+        FEv(2L, ts(0), "purchase"), FEv(2L, ts(5), "view"))
+      q.processAllAvailable()
+      input.addData(FEv(1L, ts(10), "purchase"), FEv(2L, ts(20), "error"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[EventStream.StageOut].collect()
+      val u1 = got.filter(_.user_id == 1L).map(_.stage).toSet
+      assert(u1 == Set("view", "click", "purchase"))
+      val u2 = got.filter(_.user_id == 2L).map(_.stage).toSet
+      assert(u2 == Set("view"))  // premature purchase never counts
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
