@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleDefaults {
 
-  /** Shuffle partition count: ~2 tasks per core, floored at the core
-    * count, capped so each partition stays near `targetPartitionMB`
+  /** Shuffle partition count: at least ~2 tasks per core (pipeline
+    * overlap), raised so each partition stays near `targetPartitionMB`
     * for the expected shuffle volume (oversized partitions spill;
     * thousands of tiny ones drown the scheduler — AQE coalesces the
     * in-between at runtime). */
@@ -18,7 +18,7 @@ object ScaleDefaults {
                         targetPartitionMB: Int = 200): Int = {
     val byCores = totalCores * 2
     val bySize = math.ceil(expectedShuffleGB * 1024.0 / targetPartitionMB).toInt
-    math.max(totalCores, math.max(byCores, bySize))
+    math.max(byCores, bySize)
   }
 
   /** Apply the scale configuration to a session builder. */

@@ -24,6 +24,8 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
                  buckets: Int, saltSrc: Column): DataFrame = {
+    // pmod(_, 0) is NULL → a silent empty join; fail fast instead
+    require(buckets > 0, s"saltedJoin requires buckets > 0, got $buckets")
     val sf = fact.withColumn("__salt_f", pmod(hash(saltSrc), lit(buckets)))
     val sd = dim.withColumn("__salt_d", explode(sequence(lit(0), lit(buckets - 1))))
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt_f") === sd("__salt_d"))

@@ -95,17 +95,30 @@ object EventStream {
 
   /** Parquet-directory streaming source for the events schema — the
     * ingest path a production deployment tails (file source is
-    * exactly-once, scales by adding files/partitions). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
+    * exactly-once, scales by adding files/partitions). Expects
+    * standard micro/milli timestamp columns; for files carrying
+    * TIMESTAMP(NANOS) (like this repo's generated testdata) set
+    * `nanos = true` to read the raw longs and truncate to micros —
+    * the streaming mirror of `Tables.events`' normalization. */
+  def readEventStream(spark: SparkSession, dir: String, nanos: Boolean = false): DataFrame =
+    if (nanos)
+      spark.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
 
   /** Typed event carrying the funnel stage. */
   case class FEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
-  /** Funnel stage progress per user (µs epochs; -1 = not reached). */
-  case class FunnelState(viewUs: Long = -1L, clickUs: Long = -1L)
+  /** Funnel stage progress per user (µs epochs; -1 = not reached).
+    * `done` keeps completed funnels parked (instead of removing state)
+    * so a later view can't open a duplicate funnel for the user —
+    * batch e3 reports exactly one funnel per user. */
+  case class FunnelState(viewUs: Long = -1L, clickUs: Long = -1L, done: Boolean = false)
 
   /** One completed funnel stage. */
   case class StageOut(user_id: Long, stage: String, ts_us: Long)
@@ -125,31 +138,38 @@ object EventStream {
     def usOf(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
+    // same-timestamp ties processed in FUNNEL order (view before click
+    // before purchase) — the batch twin's >= comparisons are inclusive,
+    // so a click sharing the first view's timestamp must count
+    val stageOrder = Map("view" -> 0, "click" -> 1, "purchase" -> 2).withDefaultValue(3)
+
     val fn: (Long, Iterator[FEv], GroupState[FunnelState]) => Iterator[StageOut] =
       (userId, it, state) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           var s = state.getOption.getOrElse(FunnelState())
           val out = List.newBuilder[StageOut]
-          var done = false
-          it.toArray.sortBy(e => (usOf(e.ts), e.event_type)).foreach { e =>
+          it.toArray.sortBy(e => (usOf(e.ts), stageOrder(e.event_type))).foreach { e =>
             val ts = usOf(e.ts)
             e.event_type match {
+              case _ if s.done =>
               case "view" if s.viewUs < 0 =>
                 s = s.copy(viewUs = ts); out += StageOut(userId, "view", ts)
               case "click" if s.clickUs < 0 && s.viewUs >= 0 && ts >= s.viewUs =>
                 s = s.copy(clickUs = ts); out += StageOut(userId, "click", ts)
-              case "purchase" if !done && s.clickUs >= 0 && ts >= s.clickUs =>
-                out += StageOut(userId, "purchase", ts); done = true
+              case "purchase" if s.clickUs >= 0 && ts >= s.clickUs =>
+                out += StageOut(userId, "purchase", ts); s = s.copy(done = true)
               case _ =>
             }
           }
-          if (done) state.remove()
-          else {
-            state.update(s)
-            val anchor = math.max(s.viewUs, math.max(s.clickUs, 0L)) / 1000L
-            state.setTimeoutTimestamp(anchor + idleTimeoutMinutes * 60L * 1000L)
-          }
+          state.update(s)
+          // the anchor must never fall below the current watermark, or
+          // setTimeoutTimestamp throws and kills the query (a batch of
+          // only non-matching events for a fresh key anchors at 0)
+          val anchorMs = math.max(
+            math.max(s.viewUs, s.clickUs) / 1000L,
+            state.getCurrentWatermarkMs())
+          state.setTimeoutTimestamp(anchorMs + idleTimeoutMinutes * 60L * 1000L)
           out.result().iterator
         }
       }
@@ -175,8 +195,17 @@ object EventStream {
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,
     * applied continuously). foreachBatch gives the batch DataFrame to
     * the SAME MergeOps.upsertLatest used by m8 — one code path for
-    * batch and streaming merges. Exactly-once per micro-batch via the
-    * checkpoint + idempotent overwrite of the keyed snapshot. */
+    * batch and streaming merges. Idempotent per micro-batch (the
+    * checkpoint replays a batch into the same keyed snapshot).
+    *
+    * Crash-safety: staging is renamed in with the previous snapshot
+    * parked at `__prev` FIRST, so no moment exists where all copies
+    * are gone; if the target is missing on recovery, `__prev` is
+    * read. Renames are checked. Note each batch rewrites the full
+    * snapshot — fine for dimension-sized targets (the reference's
+    * metadata tables); for fact-sized targets partition the snapshot
+    * and rewrite only touched buckets, or use a merge-capable format.
+    */
   def upsertSink(events: DataFrame, targetPath: String, checkpoint: String,
                  keyCols: Seq[String], versionCol: String, tieBreak: String)
   : org.apache.spark.sql.streaming.StreamingQuery =
@@ -184,19 +213,29 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        val prev = new org.apache.hadoop.fs.Path(targetPath + "__prev")
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__staging")
+        // the target's OWN filesystem, not the cluster default FS
+        val fs = dst.getFileSystem(hconf)
+
+        val existingPath =
+          if (fs.exists(dst)) Some(targetPath)
+          else if (fs.exists(prev)) Some(targetPath + "__prev")
+          else None
+        val existing = existingPath.map(spark.read.parquet(_))
+          .getOrElse(batch.limit(0))
+
         val merged = graft.merge.MergeOps.upsertLatest(
           existing.unionByName(batch), keyCols, versionCol, tieBreak)
-        // write-then-swap keeps the snapshot readable mid-rewrite
-        val tmp = targetPath + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+
+        fs.delete(prev, true)
+        if (fs.exists(dst) && !fs.rename(dst, prev))
+          sys.error(s"upsertSink: failed to park $dst at $prev")
+        if (!fs.rename(tmp, dst))
+          sys.error(s"upsertSink: failed to publish $tmp as $dst")
         ()
       }
       .start()
