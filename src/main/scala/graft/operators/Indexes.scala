@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded registry for persisted derived indexes (minhash signatures,
+  * simhash chunks, shingle sets, LSH band keys).
+  *
+  * Those indexes must be materialized once per operator invocation —
+  * AQE's broadcast-join conversion defeats ReuseExchange, so the 4+
+  * plan branches that consume them would otherwise recompute the whole
+  * signature pipeline per branch (SURVEY §5). But a bare `persist()`
+  * never released leaks cache entries for the lifetime of the session:
+  * a long-lived pipeline session (Bench runs 50+ queries in one
+  * session; a production deployment runs far more) accumulates
+  * MEMORY_AND_DISK blocks without bound.
+  *
+  * `swap(key, df)` persists the new index and unpersists the previous
+  * generation registered under the same key, bounding live cache to
+  * ONE index per operator. Callers that are completely done can drop
+  * everything with [[clear]]. (A caller still holding the previous
+  * invocation's DataFrame merely loses the cache — lineage recomputes
+  * correctly.)
+  */
+object Indexes {
+
+  private val live = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Persist `df` as the current index for `key`, releasing the
+    * previous generation. Non-blocking unpersist: in-flight jobs on
+    * the old index finish from lineage. */
+  def swap(key: String, df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.put(key, p).foreach(_.unpersist(blocking = false))
+    p
+  }
+
+  /** Release every registered index (end-of-pipeline cleanup). */
+  def clear(): Unit = {
+    live.values.foreach(_.unpersist(blocking = false))
+    live.clear()
+  }
+}

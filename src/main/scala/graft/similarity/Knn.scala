@@ -60,23 +60,13 @@ object Knn {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic random hyperplanes, materialized as array LITERALS
-    * at plan time (seeded per plane) — zero per-row regeneration cost,
-    * reproducible across runs and clusters. */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Column] =
-    (0 until nPlanes).map { j =>
-      val rng = new scala.util.Random(42L + j)
-      array((0 until dim).map(_ => lit(rng.nextDouble() * 2.0 - 1.0)): _*)
-    }
-
-  /** LSH bucket code: bit j = sign of dot(v, plane_j); literal shift
-    * amounts keep the packing codegen-friendly. */
+  /** LSH bucket code: bit j = sign of dot(v, plane_j). Every dot runs
+    * through the codegen'd DotProductF32 kernel against md5-derived
+    * literal planes ([[Lsh]]) — the interpreted `aggregate(zip_with)`
+    * higher-order form measured ~20× slower on this exact per-row hot
+    * path (SURVEY §5). */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, j) =>
-      val d = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    Lsh.bandKey(v, b = 0, r = nPlanes, dim = dim)
 
   /** s3: embedding k-means clustering — the data-curation staple
     * (topic balancing, stratified sampling, near-dup triage). Built on
@@ -102,18 +92,13 @@ object Knn {
 
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
     * as s1, but the join key is the bucket, so each query scans ~1/256
-    * of the corpus. Rows-only oracle; KnnSpec measures recall vs s1. */
+    * of the corpus. `dim` is part of the embedding-table contract (the
+    * planes are plan-time literals), not sniffed from the data — no
+    * driver-side action before the plan runs. Oracle-checked: the
+    * DuckDB SQL reproduces the exact bucket assignment ([[Lsh]]). */
   def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, nPlanes: Int = 8,
-            dimOverride: Int = -1): DataFrame = {
+            dim: Int = 64): DataFrame = {
     import spark.implicits._
-    // hyperplanes are plan-time literals, so the dimension must be
-    // known up front; detect it from the data (one cheap first-row
-    // action) — a mismatched hardcoded dim would null-pad zip_with and
-    // silently collapse every vector into bucket 0
-    val dim =
-      if (dimOverride > 0) dimOverride
-      else Tables.read(spark, dir, "embeddings")
-        .select(size($"embedding")).head().getInt(0)
     val e = Tables.read(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
         lshBucket($"embedding", nPlanes, dim).as("bucket"))
@@ -130,4 +115,27 @@ object Knn {
       .filter($"rank" <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** s2 oracle: DuckDB reproduces the bucket assignment from the same
+    * md5-derived planes (Lsh.bandsSqlCtes), so candidates — and
+    * therefore the whole result — match the Spark plan exactly. */
+  val s2Sql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |${Lsh.bandsSqlCtes(nPlanes = 8, r = 8, dim = 64)},
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos_sim
+       |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+       |  JOIN bands bq ON bq.vec_id = q.vec_id
+       |  JOIN bands bc ON bc.vec_id = c.vec_id AND bc.band_key = bq.band_key
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -14,11 +14,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Typed event for the stateful path. */
-  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Typed event for the stateful path. `event_id` is the same-timestamp
+    * tie-break the batch twin e2 orders by; sources without ids may
+    * leave the default (ties then carry equal ts, where session
+    * membership and the exact scaled-long sum are order-independent). */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                event_id: Long = 0L)
 
-  /** Open-session state carried between micro-batches. */
-  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  /** Open-session state carried between micro-batches. `sumE4` is the
+    * value sum as a scaled long (×10⁴) — the same DECIMAL(18,4)
+    * arithmetic the batch twin uses, so the two never diverge by
+    * float-addition order across micro-batch boundaries. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sumE4: Long)
+
+  /** Double → exact ×10⁴ long, matching Spark's cast(value AS
+    * DECIMAL(18,4)) (canonical double repr, HALF_UP at scale 4). */
+  private def e4Of(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).longValueExact()
 
   /** Emitted (closed) session. */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
@@ -60,9 +74,11 @@ object EventStream {
         if (state.hasTimedOut) {
           val s = state.get
           state.remove()
-          Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum))
+          Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n,
+            java.math.BigDecimal.valueOf(s.sumE4, 4).doubleValue))
         } else {
-          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.value))
+          // (ts, event_id) — the batch twin's exact ordering
+          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
           var closed = List.newBuilder[SessionOut]
           var cur = state.getOption
           sorted.foreach { e =>
@@ -72,12 +88,13 @@ object EventStream {
                 // max: a late (but in-watermark) event must not move the
                 // session end backwards
                 cur = Some(SessionState(math.min(s.startUs, ts), math.max(s.lastUs, ts),
-                  s.n + 1, s.sum + e.value))
+                  s.n + 1, s.sumE4 + e4Of(e.value)))
               case Some(s) =>
-                closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
-                cur = Some(SessionState(ts, ts, 1, e.value))
+                closed += SessionOut(userId, s.startUs, s.lastUs, s.n,
+                  java.math.BigDecimal.valueOf(s.sumE4, 4).doubleValue)
+                cur = Some(SessionState(ts, ts, 1, e4Of(e.value)))
               case None =>
-                cur = Some(SessionState(ts, ts, 1, e.value))
+                cur = Some(SessionState(ts, ts, 1, e4Of(e.value)))
             }
           }
           cur.foreach { s =>

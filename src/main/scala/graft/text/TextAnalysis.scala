@@ -47,25 +47,40 @@ object TextAnalysis {
     ((n2 - pmod(n2, d2)) / d2).cast("long")
   }
 
-  private def hitsOf(toks: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(set, t)))
-  }
+  /** Stopword hits WITH multiplicity as a conditional aggregate over
+    * exploded tokens. `isin` against ≤10 literals compiles to a
+    * codegen'd In/InSet — the `size(filter(toks, ...))` higher-order
+    * form this replaces evaluates interpreted per token per document,
+    * exactly the full-corpus curation hot path where HOFs measured
+    * ~20× slower (SURVEY §5). */
+  private def hitSum(tok: Column, words: Seq[String]): Column =
+    sum(when(tok.isin(words: _*), 1L).otherwise(0L))
 
   /** ratio scaled to millionths, exact in integer arithmetic. */
   private def ratioE6(hits: Column, n: Column): Column =
     halfUpDiv(hits.cast("long") * 1000000L, greatest(n, lit(1)).cast("long"))
 
-  /** t1: stopword-ratio language ID. One projection, no shuffle. */
+  /** t1: stopword-ratio language ID. Relational shape (t7's): explode
+    * tokens → one groupBy(doc_id) with codegen'd conditional-sum
+    * columns — a single shuffle, no interpreted higher-order
+    * functions on the per-document hot path. The pre-explode
+    * repartition spreads tokenization across the cluster even when the
+    * scan yields few splits. `split` always returns ≥1 element, so
+    * every doc_id survives the explode. */
   def t1LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
-    val n = size(toks)
     Tables.read(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        hitSum($"tok", enStop).as("en_hits"),
+        hitSum($"tok", frStop).as("fr_hits"),
+        hitSum($"tok", esStop).as("es_hits"))
       .select($"doc_id",
-        ratioE6(hitsOf(toks, enStop), n).as("en_ratio_e6"),
-        ratioE6(hitsOf(toks, frStop), n).as("fr_ratio_e6"),
-        ratioE6(hitsOf(toks, esStop), n).as("es_ratio_e6"))
+        ratioE6($"en_hits", $"n").as("en_ratio_e6"),
+        ratioE6($"fr_hits", $"n").as("fr_ratio_e6"),
+        ratioE6($"es_hits", $"n").as("es_ratio_e6"))
       .withColumn("pred_lang",
         when($"en_ratio_e6" >= $"fr_ratio_e6" && $"en_ratio_e6" >= $"es_ratio_e6", "en")
           .when($"fr_ratio_e6" >= $"es_ratio_e6", "fr")
@@ -103,18 +118,23 @@ object TextAnalysis {
     * ratios combined into one deterministic [0,1] score, emitted
     * scaled ×1e6 in exact integer arithmetic (see halfUpDiv):
     * quality_e6 = 5000·min(nt,100) + hu(3·stop_e6, 10)
-    *            + hu(min(avg_e6, 10e6), 50). Codegen'd, no shuffle. */
+    *            + hu(min(avg_e6, 10e6), 50).
+    * Same relational shape as t1 (explode → one codegen'd groupBy);
+    * the interpreted `aggregate(transform(...))` token-length fold is
+    * replaced by sum(length(tok)) over the exploded rows. n_chars is
+    * functionally dependent on doc_id so it rides the grouping key. */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
-    val n = greatest(size(toks), lit(1)).cast("long")
     Tables.read(spark, dir, "documents")
-      .select($"doc_id",
-        length($"text").as("n_chars"),
-        size(toks).as("n_tokens"),
-        halfUpDiv(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-          .cast("long") * 1000000L, n).as("avg_token_len_e6"),
-        ratioE6(hitsOf(toks, enStop), size(toks)).as("stop_ratio_e6"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", length($"text").as("n_chars"), explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"n_chars")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length($"tok")).as("sum_tok_len"),
+        hitSum($"tok", enStop).as("en_hits"))
+      .select($"doc_id", $"n_chars", $"n_tokens".cast("int").as("n_tokens"),
+        halfUpDiv($"sum_tok_len" * 1000000L, $"n_tokens").as("avg_token_len_e6"),
+        ratioE6($"en_hits", $"n_tokens").as("stop_ratio_e6"))
       .withColumn("quality_e6",
         least($"n_tokens".cast("long"), lit(100L)) * 5000L +
           halfUpDiv($"stop_ratio_e6" * 3L, lit(10L)) +

@@ -96,4 +96,39 @@ class DedupTextSpec extends AnyFunSuite {
     val sims = r1.map(_.getAs[Double]("cos_sim"))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  test("d5 plan is the bucketed join — no broadcast nested loop, no cartesian") {
+    val plan = Dedup.d5EmbeddingNearDup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("d5 finds planted high-cosine near-dups (recall 1.0 at cos >= 0.9)") {
+    // The sf corpus is random (top pairs sit near cos 0.5, the regime
+    // where sub-quadratic search is information-theoretically weak);
+    // REAL near-dup corpora have cos >= 0.9 pairs, where banding
+    // guarantees P(candidate) ≈ 1-(1-0.9^8)^16 ≈ 0.9996. Plant such
+    // pairs and require every one recalled, plus agreement with the
+    // brute-force oracle on the planted set.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(_ => Array.fill(64)(rng.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      // twin = v with small perturbation → cos > 0.95
+      val twin = v.map(x => x + 0.1f * rng.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, twin))
+    }
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-d5").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp2/embeddings.parquet")
+    val found = Dedup.d5EmbeddingNearDup(spark, tmp2, topN = 40).collect()
+      .map(r => (r.getAs[Long]("vec_id1"), r.getAs[Long]("vec_id2"))).toSet
+    val planted = (0 until 40).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted pairs: ${(planted -- found).take(5)}")
+    val brute = Dedup.d5BruteForce(spark, tmp2, topN = 40).collect()
+      .map(r => (r.getAs[Long]("vec_id1"), r.getAs[Long]("vec_id2"))).toSet
+    assert((brute intersect planted) == (found intersect planted))
+  }
 }

@@ -29,15 +29,21 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
-  test("remapFk leaves unmatched and null FKs null") {
+  test("remapFk joinType: left preserves unmatched/null FKs, inner drops them") {
     val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
       .toDF("id", "fk")
     val idMap = Seq((10L, 110L)).toDF("src_id", "dest_id")
-    val r = MergeOps.remapFk(child, "fk", idMap, "new_fk")
+    // left: nullable self-FK semantics — unmatched and null FKs survive
+    val l = MergeOps.remapFk(child, "fk", idMap, "new_fk", joinType = "left")
       .orderBy("id").collect()
-    assert(r(0).getAs[Long]("new_fk") == 110L)
-    assert(r(1).isNullAt(r(1).fieldIndex("new_fk")))
-    assert(r(2).isNullAt(r(2).fieldIndex("new_fk")))
+    assert(l(0).getAs[Long]("new_fk") == 110L)
+    assert(l(1).isNullAt(l(1).fieldIndex("new_fk")))
+    assert(l(2).isNullAt(l(2).fieldIndex("new_fk")))
+    // inner (default): strict post-integrity-check path — FK-violating
+    // children are dropped, never emitted with a null FK
+    val i = MergeOps.remapFk(child, "fk", idMap, "new_fk").collect()
+    assert(i.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(i.head.getAs[Long]("new_fk") == 110L)
   }
 
   test("uuidCollisions: empty when no collisions; deterministic v4-shaped uuids") {
