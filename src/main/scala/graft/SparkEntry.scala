@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Events, Tpch}
-import graft.merge.{MergePipeline, MergeQueries}
+import graft.merge.{MergePipeline, MergeQueries, OrchestratorQueries}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -51,6 +51,9 @@ object SparkEntry {
     "m10_setunion_merge"   -> (MergeQueries.m10SetUnion _),
     "m11_selfref_remap"    -> (MergeQueries.m11SelfRefRemap _),
     "m12_consolidate_fkmapped" -> (MergeQueries.m12ConsolidateMapped _),
+    "m13_full_pipeline"    -> (OrchestratorQueries.m13FullPipeline _),
+    "m14_dry_run"          -> (OrchestratorQueries.m14DryRun _),
+    "m15_uuid_regen"       -> (OrchestratorQueries.m15UuidRegen _),
     "e1_windowed_agg"      -> (Events.e1WindowedAgg _),
     "e2_sessionize"        -> ((s, d) => Events.e2Sessionize(s, d)),
     "e3_event_funnel"      -> (Events.e3Funnel _),
@@ -109,6 +112,9 @@ object SparkEntry {
     "m10_setunion_merge"   -> MergeQueries.m10Sql,
     "m11_selfref_remap"    -> MergeQueries.m11Sql,
     "m12_consolidate_fkmapped" -> MergeQueries.m12Sql,
+    "m13_full_pipeline"    -> OrchestratorQueries.m13Sql,
+    "m14_dry_run"          -> OrchestratorQueries.m14Sql,
+    "m15_uuid_regen"       -> OrchestratorQueries.m15Sql,
     "e1_windowed_agg"      -> Events.e1Sql,
     "e2_sessionize"        -> Events.e2Sql,
     "e3_event_funnel"      -> Events.e3Sql,

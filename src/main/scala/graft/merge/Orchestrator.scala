@@ -1,0 +1,278 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Generic dependency-ordered multi-table merge — the reference's core
+  * deliverable re-expressed as a declarative plan builder
+  * (orchestrator.js:66-94: persons/users → locations → patients → … →
+  * obs, each mover consuming the id maps of its parents).
+  *
+  * beehive hardcodes the ~31-table OpenMRS DAG in `prepare()` call
+  * order and threads driver-side JS maps between movers. Here the DAG
+  * is DATA — a `Seq[TableSpec]` (the reference's config surface,
+  * preparation.js:134: match columns, exclusions, per-table modes) —
+  * and the orchestrator topologically orders it and threads id maps as
+  * DataFrames. Nothing is collected: each table's merge is one
+  * declarative plan whose inputs are its parents' id-map plans, so
+  * Catalyst sees the whole lineage and the id maps ride broadcast or
+  * shuffle joins exactly as [[MergeOps.remapFk]] chooses.
+  *
+  * Scale notes (100 TB): per-table work is the m1/m2/m9 shape — one
+  * range-sort for id assignment, semi/anti-joins for exclusion, map
+  * joins for FK rewrite. The orchestrator adds NO driver state beyond
+  * the spec list and NO extra shuffles: id maps are reused DataFrames,
+  * broadcast when dimension-sized, shuffled when person-scale.
+  */
+object Orchestrator {
+
+  /** How a table's rows merge into the destination
+    * (reference utils.js:83 consolidateTableRecords vs utils.js:161
+    * moveAllTableRecords). */
+  sealed trait MergeMode
+  object MergeMode {
+    /** Metadata semantics: rows matching dest on the natural key are
+      * deduped into the existing dest row; only unmatched rows are
+      * inserted (with fresh ids). */
+    case object Consolidate extends MergeMode
+    /** Data semantics: every src row moves with a fresh id, EXCEPT
+      * rows already present in dest (natural key / uuid match), which
+      * map to their dest counterpart and are not re-inserted
+      * (preparation.js "not moved if already in destination"). */
+    case object Move extends MergeMode
+  }
+
+  /** Declarative per-table merge config — the reference's table-config
+    * object (preparation.js:134 match columns + exclusions,
+    * utils.js:74 comparison columns) as a case class.
+    *
+    * @param name       table name (keys `fks` of child specs)
+    * @param idCol      primary key column (LONG-castable)
+    * @param naturalKey cross-instance identity: Consolidate match
+    *                   columns / Move already-in-destination key
+    * @param mode       consolidate vs move
+    * @param fks        fk column → parent table name; rewritten through
+    *                   the parent's completed id map (inner join — the
+    *                   strict post-integrity-check path)
+    * @param selfFks    nullable self-referential fk columns (changed_by,
+    *                   obs_group_id); rewritten through this table's OWN
+    *                   completed map in a second phase (left join, nulls
+    *                   survive — the m11 semantics)
+    * @param uuidCol    optional uuid column: adds the OR-uuid exclusion
+    *                   leg (preparation.js:134)
+    * @param mappedKeys natural-key columns that are themselves FKs and
+    *                   must be rewritten through the parent's map
+    *                   BEFORE matching (utils.js:74-103 `mapped` +
+    *                   `mappedValueMap` — the m12 semantics); column →
+    *                   parent table. Counted as dependency edges.
+    */
+  final case class TableSpec(
+      name: String,
+      idCol: String,
+      naturalKey: Seq[String],
+      mode: MergeMode,
+      fks: Map[String, String] = Map.empty,
+      selfFks: Seq[String] = Nil,
+      uuidCol: Option[String] = None,
+      mappedKeys: Map[String, String] = Map.empty) {
+    /** Tables that must be merged before this one. */
+    def parents: Iterable[String] = fks.values ++ mappedKeys.values
+  }
+
+  /** One merged table: the output rows plus the src→dest id map the
+    * table's children consumed. `merged` has the src table's columns
+    * with idCol/fks/selfFks REWRITTEN IN PLACE, plus lineage columns
+    * `src_<idCol>` (original id), `instance` ('src'/'dest') and
+    * `merge_source` (which source instance a row came from —
+    * orchestrator.js:92 insertSource). */
+  final case class MergedTable(merged: DataFrame, idMap: DataFrame)
+
+  /** Kahn topological order over fk dependencies. Self-FKs are not
+    * edges (they resolve against the table's own completed map).
+    * Throws on unknown parents or cycles — a mis-declared DAG must
+    * fail before any plan runs, like the reference's hardcoded call
+    * order failing to compile. */
+  def topoOrder(specs: Seq[TableSpec]): Seq[TableSpec] = {
+    val byName = specs.map(s => s.name -> s).toMap
+    specs.foreach { s =>
+      s.parents.foreach { p =>
+        require(byName.contains(p), s"table '${s.name}' references unknown parent '$p'")
+      }
+    }
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[TableSpec]
+    val done = scala.collection.mutable.Set.empty[String]
+    var remaining = specs
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.parents.forall(done))
+      require(ready.nonEmpty,
+        s"cyclic fk dependencies among: ${blocked.map(_.name).mkString(", ")}")
+      // stable within a level: declaration order
+      ordered ++= ready
+      done ++= ready.map(_.name)
+      remaining = blocked
+    }
+    ordered.toSeq
+  }
+
+  /** Scalar max id from the destination — one aggregate action, no
+    * rows to the driver (utils.js:11 getNextAutoIncrementId). */
+  private def maxId(dest: DataFrame, idCol: String): Long =
+    dest.agg(coalesce(max(col(idCol)), lit(0L)).cast(LongType)).head().getLong(0)
+
+  /** Move-mode id map: rows matching dest (natural key, then uuid for
+    * the remainder) map to their dest counterpart with is_new=0; the
+    * rest get contiguous ids past dest's max with is_new=1. */
+  private def moveIdMap(src: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame = {
+    val destK = dest.groupBy(spec.naturalKey.map(col): _*)
+      .agg(min(col(spec.idCol)).cast(LongType).as("dest_id"))
+    val byKey = src.join(destK, spec.naturalKey)
+      .select(col(spec.idCol).cast(LongType).as("src_id"), col("dest_id"), lit(0).as("is_new"))
+    val afterKey = src.join(destK, spec.naturalKey, "left_anti")
+    val (matched, unmatched) = spec.uuidCol match {
+      case Some(u) =>
+        val destU = dest.groupBy(col(u)).agg(min(col(spec.idCol)).cast(LongType).as("dest_id"))
+        val byUuid = afterKey.join(destU, Seq(u))
+          .select(col(spec.idCol).cast(LongType).as("src_id"), col("dest_id"), lit(0).as("is_new"))
+        (byKey.unionAll(byUuid), afterKey.join(destU, Seq(u), "left_anti"))
+      case None => (byKey, afterKey)
+    }
+    val assigned = MergeOps.assignSequentialIds(
+        unmatched.select(col(spec.idCol).cast(LongType).as("src_id")),
+        "src_id", "dest_id", maxId(dest, spec.idCol))
+      .select(col("src_id"), col("dest_id"), lit(1).as("is_new"))
+    matched.unionAll(assigned)
+  }
+
+  /** Id map for one table given its mode. Complete over ALL src rows
+    * (movers and already-present alike), so children and self-FKs
+    * always resolve. `mappedKeys` columns are rewritten through the
+    * parent maps before any matching — on the SRC side only, since
+    * dest values are already in the destination id space. */
+  /** src with mappedKeys columns rewritten into dest id space. */
+  private def withMappedKeys(src: DataFrame, spec: TableSpec,
+                             parentMaps: String => DataFrame): DataFrame =
+    spec.mappedKeys.foldLeft(src) { case (df, (c, parent)) =>
+      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c")
+        .drop(c).withColumnRenamed(s"__mapped_$c", c)
+    }
+
+  def idMapFor(src: DataFrame, dest: DataFrame, spec: TableSpec,
+               parentMaps: String => DataFrame): DataFrame =
+    idMapMapped(withMappedKeys(src, spec, parentMaps), dest, spec)
+
+  /** As [[idMapFor]], but `srcMapped` already has mappedKeys in dest
+    * id space. */
+  private def idMapMapped(srcMapped: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame =
+    spec.mode match {
+      case MergeMode.Consolidate =>
+        MergeOps.consolidate(srcMapped, dest,
+          spec.naturalKey ++ spec.mappedKeys.keys.filterNot(spec.naturalKey.contains),
+          spec.idCol)
+      case MergeMode.Move => moveIdMap(srcMapped, dest, spec)
+    }
+
+  /** Run the full pipeline: topological order, id maps threaded
+    * parents→children, merged output per table.
+    *
+    * @param src/dest   table name → instance DataFrame
+    * @param sourceTag  provenance label recorded on every row moved
+    *                   from the source instance (orchestrator.js:92)
+    */
+  def run(specs: Seq[TableSpec],
+          src: String => DataFrame, dest: String => DataFrame,
+          sourceTag: String): Map[String, MergedTable] = {
+    val maps = scala.collection.mutable.Map.empty[String, DataFrame]
+    topoOrder(specs).map { spec =>
+      // mappedKeys rewritten once, used for BOTH matching and output —
+      // new rows must land in dest with dest-space key values
+      val s = withMappedKeys(src(spec.name), spec, maps)
+      val d = dest(spec.name)
+      val idMap = idMapMapped(s, d, spec)
+      maps(spec.name) = idMap
+
+      // src rows that produce NEW dest rows; their id becomes dest_id
+      val newIds = idMap.filter(col("is_new") === 1)
+        .select(col("src_id"), col("dest_id"))
+      val movers = s.join(newIds, s(spec.idCol).cast(LongType) === col("src_id"))
+
+      // fk rewrite through each parent's completed map (inner: strict
+      // post-integrity-check path), then self-FKs through the OWN map
+      // (left: null means no parent — m11 two-phase)
+      val fkDone = spec.fks.foldLeft(movers) { case (df, (fkCol, parent)) =>
+        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol")
+          .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
+      }
+      val selfDone = spec.selfFks.foldLeft(fkDone) { (df, fkCol) =>
+        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol", joinType = "left")
+          .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
+      }
+      val dataCols = s.columns.filter(_ != spec.idCol)
+      val srcOut = selfDone.select(
+        col("dest_id").as(spec.idCol) +:
+          dataCols.map(col) :+
+          col("src_id").as(s"src_${spec.idCol}") :+
+          lit("src").as("instance") :+
+          lit(sourceTag).as("merge_source"): _*)
+      val destOut = d.select(
+        col(spec.idCol).cast(LongType).as(spec.idCol) +:
+          dataCols.map(col) :+
+          col(spec.idCol).cast(LongType).as(s"src_${spec.idCol}") :+
+          lit("dest").as("instance") :+
+          lit("dest").as("merge_source"): _*)
+      spec.name -> MergedTable(destOut.unionByName(srcOut), idMap)
+    }.toMap
+  }
+
+  /** Dry-run (reference orchestrator.js:26 `--dry-run`: full rehearsal,
+    * then ROLLBACK): per-table would-happen counts as ONE DataFrame —
+    * a pure plan over the id maps, zero writes. The reference rehearses
+    * by executing then rolling back; a declarative engine can report
+    * the same numbers without executing the merge at all. */
+  def dryRun(specs: Seq[TableSpec],
+             src: String => DataFrame, dest: String => DataFrame): DataFrame = {
+    val maps = scala.collection.mutable.Map.empty[String, DataFrame]
+    topoOrder(specs).map { spec =>
+      val idMap = idMapFor(src(spec.name), dest(spec.name), spec, maps)
+      maps(spec.name) = idMap
+      idMap.agg(
+          count(lit(1)).as("src_rows"),
+          sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
+          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
+        .select(
+          lit(spec.name).as("table_name"),
+          lit(spec.mode match {
+            case MergeMode.Consolidate => "consolidate"
+            case MergeMode.Move        => "move"
+          }).as("mode"),
+          col("src_rows"), col("already_in_dest"), col("would_insert"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** UUID handling for moved rows (reference utils.js:55 config flag
+    * `generateNewUuids`, uuid-checks.js:26 initial→final report).
+    *
+    * `generateNewUuids = false`: keep uuids, regenerate ONLY dest
+    * collisions (the m3 semantics). `true`: regenerate EVERY moved
+    * row's uuid. Either way the report lists every src row with its
+    * initial and final uuid plus a `regenerated` flag — the reference's
+    * per-table uuid report. Replacement uuids are md5-derived from the
+    * old (deterministic: re-runs are idempotent, and the oracle can
+    * reproduce them). */
+  def uuidRemapReport(src: DataFrame, dest: DataFrame, idCol: String,
+                      uuidCol: String, generateNewUuids: Boolean): DataFrame = {
+    val fresh = MergeOps.formatUuid(md5(concat(lit("graft-remap:"), col(uuidCol))))
+    if (generateNewUuids)
+      src.select(col(idCol).cast(LongType).as("src_id"),
+        col(uuidCol).as("initial_uuid"), fresh.as("final_uuid"),
+        lit(1).as("regenerated"))
+    else {
+      val collided = dest.select(col(uuidCol)).distinct()
+      src.join(broadcast(collided.withColumn("__hit", lit(1))), Seq(uuidCol), "left")
+        .select(col(idCol).cast(LongType).as("src_id"),
+          col(uuidCol).as("initial_uuid"),
+          when(col("__hit").isNotNull, fresh).otherwise(col(uuidCol)).as("final_uuid"),
+          when(col("__hit").isNotNull, 1).otherwise(0).as("regenerated"))
+    }
+  }
+}

@@ -1,0 +1,224 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+import Orchestrator.{MergeMode, TableSpec}
+
+/** Driver-facing wrappers for the generic N-table orchestrator
+  * (SURVEY §2 block A): the full beehive pipeline shape — a 3-level
+  * parent→child→grandchild chain with a self-FK — declared as
+  * `TableSpec`s and executed by [[Orchestrator.run]].
+  *
+  * Instance simulation follows [[MergeQueries]]: src = keys % 3 ≠ 0,
+  * dest = keys % 2 = 0, overlap ≡ {2,4} mod 6 present in both.
+  * `referred_by` (a customer self-FK, the reference's changed_by /
+  * parent_location shape) is synthesized per instance with `lag` —
+  * test-fixture synthesis, not part of the operator (real data carries
+  * its own self-FK column); the single-partition lag window is fixture
+  * cost only. `l_lineid` realizes lineitem's composite key
+  * (l_orderkey, l_linenumber) as one unique long (linenumber ≤ 7).
+  */
+object OrchestratorQueries {
+
+  private val SourceTag = "instanceB"
+
+  private def specs: Seq[TableSpec] = Seq(
+    TableSpec("customer", "c_custkey", Seq("c_name"), MergeMode.Consolidate,
+      selfFks = Seq("referred_by")),
+    TableSpec("orders", "o_orderkey", Seq("o_orderkey"), MergeMode.Move,
+      fks = Map("o_custkey" -> "customer")),
+    TableSpec("lineitem", "l_lineid", Seq("l_orderkey", "l_linenumber"), MergeMode.Move,
+      fks = Map("l_orderkey" -> "orders")))
+
+  /** Per-instance table reader: filters + the synthesized self-FK /
+    * composite-key columns. */
+  private def instance(spark: SparkSession, dir: String, isSrc: Boolean)(name: String): DataFrame = {
+    val keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
+    name match {
+      case "customer" =>
+        Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
+          .select(col("c_custkey"), col("c_name"))
+          .withColumn("referred_by", lag(col("c_custkey"), 1).over(Window.orderBy("c_custkey")))
+      case "orders" =>
+        Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"))
+      case "lineitem" =>
+        val orderSide = Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
+          .select(col("o_orderkey"))
+        // the synthetic lineitem does NOT enforce the TPC-H composite
+        // key (up to 6 duplicate (l_orderkey, l_linenumber) pairs) —
+        // distinct() first so l_lineid is a real primary key
+        Tables.read(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber")).distinct()
+          .join(orderSide, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .withColumn("l_lineid", (col("l_orderkey") * 8 + col("l_linenumber")).cast(LongType))
+    }
+  }
+
+  /** m13: full pipeline over customer → orders → lineitem. Output is
+    * all three merged tables projected to one narrow lineage schema:
+    * (table_name, instance, merge_source, new_id, src_id, new_fk,
+    * new_selffk) — new ids contiguous past each destination's max,
+    * FKs resolved through the parents' maps, the customer self-FK
+    * through customer's own completed map, provenance on every row. */
+  def m13FullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val r = Orchestrator.run(specs,
+      instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
+    val nullFk = lit(null).cast(LongType)
+    val c = r("customer").merged.select(
+      lit("customer").as("table_name"), col("instance"), col("merge_source"),
+      col("c_custkey").cast(LongType).as("new_id"),
+      col("src_c_custkey").cast(LongType).as("src_id"),
+      nullFk.as("new_fk"), col("referred_by").cast(LongType).as("new_selffk"))
+    val o = r("orders").merged.select(
+      lit("orders").as("table_name"), col("instance"), col("merge_source"),
+      col("o_orderkey").cast(LongType).as("new_id"),
+      col("src_o_orderkey").cast(LongType).as("src_id"),
+      col("o_custkey").cast(LongType).as("new_fk"), nullFk.as("new_selffk"))
+    val l = r("lineitem").merged.select(
+      lit("lineitem").as("table_name"), col("instance"), col("merge_source"),
+      col("l_lineid").cast(LongType).as("new_id"),
+      col("src_l_lineid").cast(LongType).as("src_id"),
+      col("l_orderkey").cast(LongType).as("new_fk"), nullFk.as("new_selffk"))
+    c.unionAll(o).unionAll(l).orderBy("table_name", "instance", "new_id")
+  }
+
+  /** Shared oracle CTEs: both instances of all three tables plus the
+    * three id maps, mirroring the orchestrator's exact assignment
+    * (already-present rows map to the dest counterpart; new rows get
+    * row_number past dest max, ordered by src id — the
+    * assignSequentialIds contract). */
+  private val mapCtes: String =
+    """srcc AS (
+      |  SELECT c_custkey, c_name, lag(c_custkey) OVER (ORDER BY c_custkey) AS referred_by
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (
+      |  SELECT c_custkey, c_name, lag(c_custkey) OVER (ORDER BY c_custkey) AS referred_by
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |destck AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mxc AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+      |cmap AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+      |  FROM srcc s JOIN destck k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mxc) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destck k WHERE k.c_name = s.c_name)),
+      |desto AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0),
+      |srco AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 3 <> 0),
+      |mxo AS (SELECT coalesce(max(o_orderkey), 0) AS m FROM desto),
+      |omap AS (
+      |  SELECT s.o_orderkey AS src_id, d.o_orderkey AS dest_id, 0 AS is_new
+      |  FROM srco s JOIN desto d ON d.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT s.o_orderkey, (SELECT m FROM mxo) + row_number() OVER (ORDER BY s.o_orderkey), 1
+      |  FROM srco s WHERE NOT EXISTS (SELECT 1 FROM desto d WHERE d.o_orderkey = s.o_orderkey)),
+      |destl AS (
+      |  SELECT DISTINCT l_orderkey * 8 + l_linenumber AS l_lineid, l_orderkey, l_linenumber
+      |  FROM lineitem WHERE EXISTS (SELECT 1 FROM desto d WHERE d.o_orderkey = l_orderkey)),
+      |srcl AS (
+      |  SELECT DISTINCT l_orderkey * 8 + l_linenumber AS l_lineid, l_orderkey, l_linenumber
+      |  FROM lineitem WHERE EXISTS (SELECT 1 FROM srco s WHERE s.o_orderkey = l_orderkey)),
+      |mxl AS (SELECT coalesce(max(l_lineid), 0) AS m FROM destl),
+      |lmap AS (
+      |  SELECT s.l_lineid AS src_id, d.l_lineid AS dest_id, 0 AS is_new
+      |  FROM srcl s JOIN destl d
+      |    ON d.l_orderkey = s.l_orderkey AND d.l_linenumber = s.l_linenumber
+      |  UNION ALL
+      |  SELECT s.l_lineid, (SELECT m FROM mxl) + row_number() OVER (ORDER BY s.l_lineid), 1
+      |  FROM srcl s WHERE NOT EXISTS (SELECT 1 FROM destl d
+      |    WHERE d.l_orderkey = s.l_orderkey AND d.l_linenumber = s.l_linenumber))""".stripMargin
+
+  val m13Sql: String =
+    s"""WITH $mapCtes,
+       |cust_out AS (
+       |  SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |         CAST(c_custkey AS BIGINT) AS new_id, CAST(c_custkey AS BIGINT) AS src_id,
+       |         CAST(referred_by AS BIGINT) AS new_selffk
+       |  FROM destc
+       |  UNION ALL
+       |  SELECT 'src', '$SourceTag', m.dest_id, s.c_custkey, rm.dest_id
+       |  FROM srcc s
+       |  JOIN cmap m ON m.src_id = s.c_custkey AND m.is_new = 1
+       |  LEFT JOIN cmap rm ON rm.src_id = s.referred_by),
+       |orders_out AS (
+       |  SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |         CAST(o_orderkey AS BIGINT) AS new_id, CAST(o_orderkey AS BIGINT) AS src_id,
+       |         CAST(o_custkey AS BIGINT) AS new_fk
+       |  FROM desto
+       |  UNION ALL
+       |  SELECT 'src', '$SourceTag', m.dest_id, s.o_orderkey, cm.dest_id
+       |  FROM srco s
+       |  JOIN omap m ON m.src_id = s.o_orderkey AND m.is_new = 1
+       |  JOIN cmap cm ON cm.src_id = s.o_custkey),
+       |li_out AS (
+       |  SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |         CAST(l_lineid AS BIGINT) AS new_id, CAST(l_lineid AS BIGINT) AS src_id,
+       |         CAST(l_orderkey AS BIGINT) AS new_fk
+       |  FROM destl
+       |  UNION ALL
+       |  SELECT 'src', '$SourceTag', m.dest_id, s.l_lineid, om.dest_id
+       |  FROM srcl s
+       |  JOIN lmap m ON m.src_id = s.l_lineid AND m.is_new = 1
+       |  JOIN omap om ON om.src_id = s.l_orderkey)
+       |SELECT 'customer' AS table_name, instance, merge_source, new_id, src_id,
+       |       CAST(NULL AS BIGINT) AS new_fk, new_selffk
+       |FROM cust_out
+       |UNION ALL
+       |SELECT 'orders', instance, merge_source, new_id, src_id, new_fk, CAST(NULL AS BIGINT)
+       |FROM orders_out
+       |UNION ALL
+       |SELECT 'lineitem', instance, merge_source, new_id, src_id, new_fk, CAST(NULL AS BIGINT)
+       |FROM li_out
+       |ORDER BY table_name, instance, new_id""".stripMargin
+
+  /** m14: dry-run rehearsal report — per-table would-happen counts,
+    * zero writes (orchestrator.js:26 --dry-run). */
+  def m14DryRun(spark: SparkSession, dir: String): DataFrame =
+    Orchestrator.dryRun(specs,
+        instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false))
+      .orderBy("table_name")
+
+  val m14Sql: String =
+    s"""WITH $mapCtes
+       |SELECT 'customer' AS table_name, 'consolidate' AS mode, count(*) AS src_rows,
+       |       CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS already_in_dest,
+       |       CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS would_insert
+       |FROM cmap
+       |UNION ALL
+       |SELECT 'orders', 'move', count(*),
+       |       CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |       CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM omap
+       |UNION ALL
+       |SELECT 'lineitem', 'move', count(*),
+       |       CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |       CAST(sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM lmap
+       |ORDER BY table_name""".stripMargin
+
+  /** m15: generateNewUuids mode — EVERY moved row's uuid regenerated
+    * (reference utils.js:55), with the initial→final uuid report the
+    * reference's uuid-checks.js returns per table. uuid is simulated
+    * as md5(c_name) like m3. */
+  def m15UuidRegen(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.read(spark, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("uuid", md5(col("c_name")))
+    val d = Tables.read(spark, dir, "customer").filter(col("c_custkey") % 2 === 0)
+      .withColumn("uuid", md5(col("c_name")))
+    Orchestrator.uuidRemapReport(s, d, "c_custkey", "uuid", generateNewUuids = true)
+      .orderBy("src_id")
+  }
+
+  val m15Sql: String =
+    """WITH srcc AS (SELECT c_custkey, md5(c_name) AS uuid FROM customer WHERE c_custkey % 3 <> 0),
+      |remap AS (SELECT c_custkey, uuid, md5('graft-remap:' || uuid) AS h FROM srcc)
+      |SELECT c_custkey AS src_id, uuid AS initial_uuid,
+      |  concat_ws('-', substring(h,1,8), substring(h,9,4), substring(h,13,4),
+      |            substring(h,17,4), substring(h,21,12)) AS final_uuid,
+      |  1 AS regenerated
+      |FROM remap ORDER BY src_id""".stripMargin
+}

@@ -230,29 +230,11 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        val prev = new org.apache.hadoop.fs.Path(targetPath + "__prev")
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__staging")
-        // the target's OWN filesystem, not the cluster default FS
-        val fs = dst.getFileSystem(hconf)
-
-        val existingPath =
-          if (fs.exists(dst)) Some(targetPath)
-          else if (fs.exists(prev)) Some(targetPath + "__prev")
-          else None
-        val existing = existingPath.map(spark.read.parquet(_))
-          .getOrElse(batch.limit(0))
-
+        val existing = graft.sources.AtomicSnapshot
+          .readCurrent(spark, targetPath).getOrElse(batch.limit(0))
         val merged = graft.merge.MergeOps.upsertLatest(
           existing.unionByName(batch), keyCols, versionCol, tieBreak)
-        merged.write.mode("overwrite").parquet(tmp.toString)
-
-        fs.delete(prev, true)
-        if (fs.exists(dst) && !fs.rename(dst, prev))
-          sys.error(s"upsertSink: failed to park $dst at $prev")
-        if (!fs.rename(tmp, dst))
-          sys.error(s"upsertSink: failed to publish $tmp as $dst")
+        graft.sources.AtomicSnapshot.publish(merged, targetPath)
         ()
       }
       .start()

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.merge.{MergeOps, Orchestrator, OrchestratorQueries}
+import graft.merge.Orchestrator.{MergeMode, TableSpec}
+import graft.sources.AtomicSnapshot
+
+/** The generic N-table pipeline: ordering, id-map threading, dry-run
+  * fidelity, atomic publish, uuid regeneration. */
+class OrchestratorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("topoOrder: parents precede children regardless of declaration order; cycles rejected") {
+    val a = TableSpec("a", "id", Seq("k"), MergeMode.Consolidate)
+    val b = TableSpec("b", "id", Seq("k"), MergeMode.Move, fks = Map("a_id" -> "a"))
+    val c = TableSpec("c", "id", Seq("k"), MergeMode.Move,
+      fks = Map("b_id" -> "b"), mappedKeys = Map("a_ref" -> "a"))
+    val order = Orchestrator.topoOrder(Seq(c, b, a)).map(_.name)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+    // self-FKs are not edges
+    val selfy = TableSpec("s", "id", Seq("k"), MergeMode.Move, selfFks = Seq("parent_id"))
+    assert(Orchestrator.topoOrder(Seq(selfy)).map(_.name) == Seq("s"))
+    val x = TableSpec("x", "id", Seq("k"), MergeMode.Move, fks = Map("y_id" -> "y"))
+    val y = TableSpec("y", "id", Seq("k"), MergeMode.Move, fks = Map("x_id" -> "x"))
+    assertThrows[IllegalArgumentException](Orchestrator.topoOrder(Seq(x, y)))
+    assertThrows[IllegalArgumentException](Orchestrator.topoOrder(Seq(x)))
+  }
+
+  test("run threads id maps through a 2-table synthetic chain with mappedKeys") {
+    // parent: metadata consolidated by name; child: metadata whose
+    // natural key INCLUDES the parent fk (the m12 shape: matching only
+    // aligns after the parent's map rewrites the src fk)
+    val srcParent = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val destParent = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    // child natural key = (label, parent_id[mapped])
+    val srcChild = Seq((100L, "t", 1L), (101L, "t", 2L)).toDF("id", "label", "parent_id")
+    // dest child (10,"t") matches src child 100 ONLY through the map 1→10
+    val destChild = Seq((500L, "t", 10L)).toDF("id", "label", "parent_id")
+
+    val specs = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("label"), MergeMode.Consolidate,
+        mappedKeys = Map("parent_id" -> "parent")))
+    val r = Orchestrator.run(specs,
+      Map("parent" -> srcParent, "child" -> srcChild),
+      Map("parent" -> destParent, "child" -> destChild), "inst2")
+
+    val pmap = r("parent").idMap.collect().map(x =>
+      x.getAs[Long]("src_id") -> x.getAs[Long]("dest_id")).toMap
+    assert(pmap(1L) == 10L)       // matched by name
+    assert(pmap(2L) == 12L)       // new, past dest max 11
+    val cmap = r("child").idMap.collect().map(x =>
+      (x.getAs[Long]("src_id"), x.getAs[Long]("dest_id"), x.getAs[Int]("is_new"))).toSet
+    assert(cmap.contains((100L, 500L, 0))) // matched only via mapped parent fk
+    val merged = r("child").merged.orderBy("id").collect()
+    // dest row + ONE new src row (101), whose parent_id landed in dest space (12)
+    assert(merged.length == 2)
+    val newRow = merged.find(_.getAs[String]("instance") == "src").get
+    assert(newRow.getAs[Long]("id") == 501L)
+    assert(newRow.getAs[Long]("parent_id") == 12L)
+    assert(newRow.getAs[String]("merge_source") == "inst2")
+    assert(merged.find(_.getAs[String]("instance") == "dest").get
+      .getAs[String]("merge_source") == "dest")
+  }
+
+  test("m13 merged output preserves referential integrity and provenance") {
+    val out = OrchestratorQueries.m13FullPipeline(spark, sf).cache()
+    val cust = out.filter($"table_name" === "customer")
+    val ords = out.filter($"table_name" === "orders")
+    val li = out.filter($"table_name" === "lineitem")
+    // no duplicate ids within a table
+    assert(cust.count() == cust.select("new_id").distinct().count())
+    assert(ords.count() == ords.select("new_id").distinct().count())
+    // every order fk resolves to a merged customer; every lineitem fk to a merged order
+    assert(ords.join(cust.select($"new_id".as("ck")), $"new_fk" === $"ck", "left_anti").count() == 0)
+    assert(li.join(ords.select($"new_id".as("ok")), $"new_fk" === $"ok", "left_anti").count() == 0)
+    // every customer self-FK resolves within merged customers
+    assert(cust.filter($"new_selffk".isNotNull)
+      .join(cust.select($"new_id".as("ck")), $"new_selffk" === $"ck", "left_anti").count() == 0)
+    // provenance: both instances present, src rows tagged with the source id
+    assert(out.select("merge_source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("dest", "instanceB"))
+    out.unpersist()
+  }
+
+  test("dry-run counts match what run() actually does") {
+    val dry = OrchestratorQueries.m14DryRun(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("src_rows"), r.getAs[Long]("already_in_dest"), r.getAs[Long]("would_insert"))).toMap
+    val out = OrchestratorQueries.m13FullPipeline(spark, sf)
+      .groupBy("table_name")
+      .agg(sum(when($"instance" === "src", 1L).otherwise(0L)).as("inserted"))
+      .collect().map(r => r.getAs[String]("table_name") -> r.getAs[Long]("inserted")).toMap
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      val (srcRows, already, ins) = dry(t)
+      assert(ins == out(t), s"$t: dry-run would_insert $ins != actual ${out(t)}")
+      assert(srcRows == already + ins)
+    }
+  }
+
+  test("atomic publish: target always readable, crash window falls back to __prev") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    val target = s"$dir/snap"
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    val v2 = Seq((1L, "b"), (2L, "c")).toDF("id", "v")
+    AtomicSnapshot.publish(v1, target)
+    assert(AtomicSnapshot.readCurrent(spark, target).get.count() == 1)
+    AtomicSnapshot.publish(v2, target)
+    assert(AtomicSnapshot.readCurrent(spark, target).get.count() == 2)
+    // simulate a crash between park and publish: target gone, prev present
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target + "__prev"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "__prev")))
+    val recovered = AtomicSnapshot.readCurrent(spark, target)
+    assert(recovered.isDefined && recovered.get.count() == 2)
+    // republish heals
+    AtomicSnapshot.publish(v2, target)
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("uuidRemapReport keep-mode agrees with m3's collision repair; regen-mode covers all rows") {
+    val s = Seq((1L, "u-shared"), (2L, "u-only-src")).toDF("id", "uuid")
+    val d = Seq((9L, "u-shared")).toDF("id", "uuid")
+    val keep = Orchestrator.uuidRemapReport(s, d, "id", "uuid", generateNewUuids = false)
+      .orderBy("src_id").collect()
+    // collided row regenerated to the SAME uuid m3's uuidCollisions derives
+    val m3 = MergeOps.uuidCollisions(s, d, "id", "uuid").collect().head
+    assert(keep(0).getAs[Int]("regenerated") == 1)
+    assert(keep(0).getAs[String]("final_uuid") == m3.getAs[String]("new_uuid"))
+    assert(keep(1).getAs[Int]("regenerated") == 0)
+    assert(keep(1).getAs[String]("final_uuid") == "u-only-src")
+    val regen = Orchestrator.uuidRemapReport(s, d, "id", "uuid", generateNewUuids = true).collect()
+    assert(regen.forall(_.getAs[Int]("regenerated") == 1))
+    assert(regen.forall(r => r.getAs[String]("final_uuid") != r.getAs[String]("initial_uuid")))
+  }
+}
