@@ -121,6 +121,8 @@ object SparkEntry {
     "e4_json_extract"      -> Events.e4Sql,
     "e5_last_touch"        -> Events.e5Sql,
     "d1_exact_dedup"       -> Dedup.d1Sql,
+    "d2_minhash_lsh"       -> Dedup.d2Sql,
+    "d3_simhash"           -> Dedup.d3Sql,
     "d4_ngram_jaccard"     -> Dedup.d4Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
     "d6_incremental_dedup" -> Dedup.d6Sql,
@@ -135,7 +137,8 @@ object SparkEntry {
     "t7_repetition"        -> TextAnalysis.t7Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
-    // rows-only (documented in SURVEY §2): d2_minhash_lsh, d3_simhash,
-    // s3_embed_cluster — ScalaTest pins their behavior instead.
+    // rows-only (documented in SURVEY §2): s3_embed_cluster — k-means
+    // isn't reasonably expressible in ANSI SQL; ScalaTest pins its
+    // behavior (seed, k, determinism, coverage) instead.
   )
 }

@@ -76,23 +76,30 @@ object Dedup {
     * Bands (b=8, r=4) make P(candidate) ≈ 1-(1-j⁴)⁸ — 0.9-similar docs
     * caught with p≈0.9998, 0.5-similar mostly pruned.
     *
-    * Oracle: rows-only (banded LSH isn't reasonably expressible in
-    * ANSI SQL); exact-Jaccard verification is oracle-covered by d4 and
-    * DedupTextSpec asserts the planted near-dups are found.
+    * Oracle: FULL hash-checked. Each shingle hashes to a 60-bit
+    * md5-derived int reduced mod 2³¹−1; slot j is the Carter–Wegman
+    * affine re-mix (a_j·x+b_j) mod 2⁶¹−1 with md5-derived constants
+    * ([[graft.functions.DetHash]]) — exact 64-bit integer arithmetic
+    * DuckDB reproduces verbatim, so candidates, estimates, and the
+    * final pair set all hash-match. Band keys are md5 over the
+    * comma-joined slot mins (same string formation both engines).
     */
   def d2MinhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
+    import graft.functions.DetHash
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands " +
       "(integer truncation would silently drop signature slots from banding)")
     val r = k / bands
-    // hash each shingle string ONCE; the k slot hashes re-mix the long
-    // (xxhash64 of a bigint avalanches) — k cheap long-hashes instead
-    // of k string concat+hashes per shingle row. Shingle multiplicity
-    // is irrelevant under min(), so no distinct pass is needed.
+    // hash each shingle string ONCE (codegen'd md5+conv), reduce to the
+    // 31-bit domain; the k slot hashes are k literal multiply-add-mod
+    // re-mixes of that long — cheaper than k string hashes per shingle
+    // row. Shingle multiplicity is irrelevant under min(), so no
+    // distinct pass is needed.
     val exploded = shingleRows(spark, dir)
-      .select($"doc_id", xxhash64($"sh").as("h0"))
-    val sigCols = (0 until k).map(j => min(xxhash64($"h0" + j)).as(s"h$j"))
+      .select($"doc_id", (DetHash.md5Long60Col($"sh") % DetHash.M31).as("h0"))
+    val sigCols = (0 until k).map(j =>
+      min((lit(DetHash.slotA(j)) * $"h0" + lit(DetHash.slotB(j))) % DetHash.P61).as(s"h$j"))
     // materialize the signature index ONCE: four consumers below (both
     // bucket-join sides, both verify sides) would otherwise recompute
     // the whole shingle+signature pipeline (verified in the physical
@@ -103,7 +110,7 @@ object Dedup {
       exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
 
     val bandCols = (0 until bands).map(b =>
-      hash((b * r until (b + 1) * r).map(j => col(s"h$j")): _*))
+      md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
     val buckets = sigs.select($"doc_id",
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
 
@@ -128,6 +135,50 @@ object Dedup {
       .filter($"est_jaccard" >= threshold)
       .orderBy("doc_id1", "doc_id2")
   }
+
+  /** d2 oracle: DuckDB reproduces shingling (the d4Sql formation),
+    * the md5-derived slot hashes, band keys, candidates, and the
+    * slot-agreement estimate exactly. Estimates are multiples of 1/32
+    * (5 exact decimal places), so round-6 doubles compare exactly. */
+  val d2Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |shu AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
+      |  FROM tok WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM shu),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h0
+      |  FROM sh),
+      |ab AS (
+      |  SELECT j,
+      |    CAST(('0x' || substr(md5('mh:a:' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1073741823 + 1 AS a,
+      |    CAST(('0x' || substr(md5('mh:b:' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2305843009213693951 AS b
+      |  FROM range(32) tj(j)),
+      |slots AS (
+      |  SELECT h.doc_id, ab.j, min((ab.a * h.h0 + ab.b) % 2305843009213693951) AS v
+      |  FROM hs h CROSS JOIN ab GROUP BY h.doc_id, ab.j),
+      |bandk AS (
+      |  SELECT doc_id, j // 4 AS band_idx,
+      |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS band_key
+      |  FROM slots GROUP BY doc_id, j // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+      |  FROM bandk a JOIN bandk b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.doc_id1, c.doc_id2,
+      |    round(sum(CASE WHEN s1.v = s2.v THEN 1.0 ELSE 0.0 END) / 32, 6) AS est_jaccard
+      |  FROM cand c
+      |  JOIN slots s1 ON s1.doc_id = c.doc_id1
+      |  JOIN slots s2 ON s2.doc_id = c.doc_id2 AND s2.j = s1.j
+      |  GROUP BY 1, 2)
+      |SELECT doc_id1, doc_id2, est_jaccard FROM est
+      |WHERE est_jaccard >= 0.7 ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** d4: exact n-gram Jaccard on blocked candidate pairs. Blocking key
     * = first 30 chars of normalized text (cheap, SQL-expressible, so
@@ -184,22 +235,26 @@ object Dedup {
     * estimation techniques from rounding algorithms", STOC 2002; the
     * chunked-bucket search follows Manku/Jain/Das Sarma, WWW 2007).
     *
-    * 64-bit simhash per doc from token hashes (each hash bit votes
-    * ±1; the sign of the per-bit sum is the signature bit), held as
-    * 4 chunks of 16 bits. Pigeonhole: two docs within hamming ≤ 3
-    * must agree on ≥ 1 of the 4 chunks, so candidates come from an
-    * equi-join on (chunk_idx, chunk_value) — no all-pairs, and 16-bit
-    * chunks keep buckets selective (65k values vs 256 for 8-bit,
-    * which measured ~400k spurious candidates at sf0.1). Exact
-    * hamming = Σ bit_count(xor) over the 4 chunk columns — literal
-    * arithmetic, whole-stage-codegen'd, no array allocation per pair.
-    * Rows-only oracle; DedupTextSpec pins behavior. */
+    * 60-bit simhash per doc from md5-derived token hashes (each hash
+    * bit votes ±1, weighted by occurrence; the sign of the per-bit sum
+    * is the signature bit), held as 4 chunks of 15 bits. Pigeonhole:
+    * two docs within hamming ≤ 3 must agree on ≥ 1 of the 4 chunks, so
+    * candidates come from an equi-join on (chunk_idx, chunk_value) —
+    * no all-pairs, and 15-bit chunks keep buckets selective (32k
+    * values vs 256 for 8-bit, which measured ~400k spurious candidates
+    * at sf0.1). Exact hamming = Σ bit_count(xor) over the 4 chunk
+    * columns — literal arithmetic, whole-stage-codegen'd, no array
+    * allocation per pair.
+    *
+    * Oracle: FULL hash-checked — the 60-bit md5-derived token hash
+    * ([[graft.functions.DetHash]]) is reproduced bit-for-bit in
+    * DuckDB, so votes, chunks, candidates and hamming all match. */
   def d3Simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
     val nChunks = 4
-    val bitsPerChunk = 16
-    // explode tokens → one 64-bit hash per (doc, token) row, then the
-    // 64 per-bit ±1 vote sums are 64 codegen'd aggregate columns over
+    val bitsPerChunk = 15
+    // explode tokens → one 60-bit hash per (doc, token) row, then the
+    // 60 per-bit ±1 vote sums are 60 codegen'd aggregate columns over
     // one groupBy(doc_id) — literal shift amounts keep every
     // expression inside whole-stage codegen (the higher-order-function
     // formulation evaluates interpreted and orders of magnitude
@@ -207,8 +262,8 @@ object Dedup {
     val tokHash = Tables.read(spark, dir, "documents")
       .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
-    val voteCols = (0 until 64).map(i =>
+      .select($"doc_id", graft.functions.DetHash.md5Long60Col($"tok").as("h"))
+    val voteCols = (0 until nChunks * bitsPerChunk).map(i =>
       sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
     val votes = tokHash.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
     // pack sign bits into 16-bit chunk values (literal shifts again)
@@ -238,6 +293,40 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
       .orderBy("doc_id1", "doc_id2")
   }
+
+  /** d3 oracle: DuckDB reproduces the md5-derived token hashes, the
+    * per-bit vote sums (occurrence-weighted, via a range(60) lateral),
+    * the 15-bit chunk packing, the pigeonhole candidate join, and the
+    * exact hamming distance. */
+  val d3Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tk
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN range(60) ri(i) GROUP BY doc_id, i),
+      |chunks AS (
+      |  SELECT doc_id, i // 15 AS chunk_idx,
+      |    CAST(sum(CASE WHEN v > 0 THEN 1 << (i % 15) ELSE 0 END) AS BIGINT) AS c
+      |  FROM votes GROUP BY doc_id, i // 15),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk_idx = b.chunk_idx AND a.c = b.c AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_id1, c.doc_id2,
+      |    CAST(sum(bit_count(xor(a.c, b.c))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN chunks a ON a.doc_id = c.doc_id1
+      |  JOIN chunks b ON b.doc_id = c.doc_id2 AND b.chunk_idx = a.chunk_idx
+      |  GROUP BY 1, 2)
+      |SELECT doc_id1, doc_id2, hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** d6: incremental dedup — the production ingestion shape: an
     * incoming batch is admitted only if it duplicates neither the

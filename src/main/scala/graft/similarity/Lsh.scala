@@ -34,13 +34,8 @@ object Lsh {
     * literal and the oracle's CAST(... AS FLOAT) agree bit-for-bit
     * (both sides then multiply in double precision). `i` is 1-based to
     * line up with DuckDB's generate_subscripts. */
-  def planeWeight(p: Int, i: Int): Float = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane:$p:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    (h.toDouble / Scale - 1.0).toFloat
-  }
+  def planeWeight(p: Int, i: Int): Float =
+    (graft.functions.DetHash.md5Long60(s"plane:$p:$i").toDouble / Scale - 1.0).toFloat
 
   /** Plane p as a float array of length `dim`. */
   def plane(p: Int, dim: Int): Array[Float] =
