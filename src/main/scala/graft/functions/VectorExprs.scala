@@ -43,10 +43,16 @@ case class DotProductF32(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // dimension mismatch is DATA corruption (a truncated dot returns a
+  // plausible-but-wrong similarity) — fail fast at runtime, matching
+  // the analysis-time strictness of checkInputDataTypes
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_f32: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -58,7 +64,11 @@ case class DotProductF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f32: dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += (double)$x.getFloat($i) * (double)$y.getFloat($i);
@@ -115,6 +125,84 @@ case class NormF32(child: Expression)
     copy(child = newChild)
 }
 
+/** All LSH band keys of one vector in ONE expression: band b's key has
+  * bit j = sign of dot(v, planes(b*r+j)). The plane matrix rides the
+  * generated class as a codegen reference object — NOT as b·r array
+  * literals, which made the d5/s2 plans balloon (64-128 literal
+  * expressions per branch; analysis + codegen cost dwarfed the actual
+  * data work at bench scale). One tight nested primitive loop, same
+  * left-to-right double dot fold as [[DotProductF32]], so band keys
+  * are bit-identical to the compositional form (spec-pinned).
+  */
+case class BandKeysF32(child: Expression, planes: Array[Array[Float]], r: Int)
+    extends UnaryExpression {
+  private val nBands = planes.length / r
+  require(planes.length == nBands * r, s"planes ${planes.length} not divisible by r=$r")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "lsh_band_keys_f32"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs $dim)")
+    val keys = new Array[Int](nBands)
+    var p = 0
+    while (p < planes.length) {
+      var acc = 0.0
+      val plane = planes(p)
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (acc > 0) keys(p / r) |= 1 << (p % r)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val keys = ctx.freshName("keys")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val plane = ctx.freshName("plane")
+      val dim = planes(0).length
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_band_keys_f32: dimension mismatch (" + $v.numElements() + " vs $dim)");
+         |}
+         |int[] $keys = new int[$nBands];
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  double $acc = 0.0;
+         |  float[] $plane = $planesRef[$p];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += (double)$v.getFloat($i) * (double)$plane[$i];
+         |  }
+         |  if ($acc > 0) $keys[$p / $r] |= 1 << ($p % $r);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysF32 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product as a Column. */
   def dotF32(a: Column, b: Column): Column =
@@ -123,6 +211,10 @@ object VectorFunctions {
   /** Codegen'd float-array euclidean norm as a Column. */
   def normF32(v: Column): Column =
     Bridge.column(NormF32(Bridge.expression(v)))
+
+  /** Codegen'd all-band LSH keys as a Column. */
+  def bandKeysF32(v: Column, planes: Array[Array[Float]], r: Int): Column =
+    Bridge.column(BandKeysF32(Bridge.expression(v), planes, r))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

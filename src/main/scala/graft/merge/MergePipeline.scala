@@ -21,7 +21,7 @@ import graft.sources.Tables
   */
 object MergePipeline {
 
-  def m7Merge(spark: SparkSession, dir: String): DataFrame = {
+  def m7MergeCore(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.read(spark, dir, "customer")
     val srcCust = customer.filter(col("c_custkey") % 3 =!= 0)
     val destCust = customer.filter(col("c_custkey") % 2 === 0)
@@ -58,8 +58,15 @@ object MergePipeline {
       .select(col("new_orderkey"), col("new_custkey"), col("src_orderkey"), col("instance"),
         round(col("o_totalprice").cast("double"), 2).as("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-      .orderBy("instance", "new_orderkey")
   }
+
+  /** Driver-registered m7: [[m7MergeCore]] plus the PRESENTATION sort
+    * the oracle compare convention wants. The sort is not part of the
+    * operator — a production merge writes [[m7MergeCore]]'s output
+    * (partitioned, unsorted); a global total sort of the merged fact
+    * table would be pure waste at scale. */
+  def m7Merge(spark: SparkSession, dir: String): DataFrame =
+    m7MergeCore(spark, dir).orderBy("instance", "new_orderkey")
 
   /** Integrity-gated merge (reference orchestrator.js: the pipeline
     * REFUSES to run when any FK relation has orphans — "integrity
@@ -79,7 +86,7 @@ object MergePipeline {
       .collect()
       .map(r => (r.getAs[String]("relation"), r.getAs[Long]("orphan_count")))
     if (orphans.nonEmpty) throw IntegrityViolation(orphans.toSeq)
-    m7Merge(spark, dir)
+    m7MergeCore(spark, dir)
   }
 
   val m7Sql: String =

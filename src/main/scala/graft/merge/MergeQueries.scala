@@ -116,11 +116,17 @@ object MergeQueries {
       |UNION ALL SELECT 'supplier->nation', count(*) FROM supplier WHERE s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
       |ORDER BY relation""".stripMargin
 
-  /** m5: "already moved" exclusion — composite natural key OR uuid. */
+  /** m5: "already moved" exclusion — composite natural key OR uuid,
+    * driven from the same declarative `TableSpec` the N-table
+    * orchestrator consumes (preparation.js reads these rules from
+    * config, not code). */
   def m5ExcludeMoved(spark: SparkSession, dir: String): DataFrame = {
     val s = srcCust(spark, dir).withColumn("uuid", md5(col("c_name")))
     val d = destCust(spark, dir).withColumn("uuid", md5(col("c_name")))
-    MergeOps.excludeMoved(s, d, Seq("c_nationkey", "c_mktsegment"), "uuid", "c_custkey")
+    val spec = Orchestrator.TableSpec("customer", "c_custkey",
+      Seq("c_nationkey", "c_mktsegment"), Orchestrator.MergeMode.Move,
+      uuidCol = Some("uuid"))
+    Orchestrator.excludedIds(s, d, spec)
       .withColumnRenamed("c_custkey", "excluded_id")
       .orderBy("excluded_id")
   }

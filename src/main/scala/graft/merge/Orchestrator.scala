@@ -232,10 +232,35 @@ object Orchestrator {
   def dryRun(specs: Seq[TableSpec],
              src: String => DataFrame, dest: String => DataFrame): DataFrame = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
+    // only parents consumed by some child's mappedKeys need a REAL id
+    // map (its construction runs the dest-max scalar action); every
+    // other table's dry count is pure semi/anti-join shape
+    val mapConsumers = specs.flatMap(_.mappedKeys.values).toSet
     topoOrder(specs).map { spec =>
-      val idMap = idMapFor(src(spec.name), dest(spec.name), spec, maps)
-      maps(spec.name) = idMap
-      idMap.agg(
+      val s = withMappedKeys(src(spec.name), spec, maps)
+      val d = dest(spec.name)
+      // children's dry shapes still thread the REAL parent maps (their
+      // mappedKeys must land in dest id space before matching)
+      if (mapConsumers(spec.name)) maps(spec.name) = idMapMapped(s, d, spec)
+      // counts need only the match DECISION per src row, not ids —
+      // semi/anti joins replicate idMapMapped's matching (natural key,
+      // then uuid for the Move remainder) with no range sort, no
+      // zipWithIndex jobs, no dest-max action. The OrchestratorSpec
+      // dry-run-equals-actual test pins this equivalence.
+      val destKeys = d.select(spec.naturalKey.map(col): _*).distinct()
+      val matchedKey = s.join(destKeys, spec.naturalKey, "left_semi")
+        .select(lit(0).as("is_new"))
+      val rest = s.join(destKeys, spec.naturalKey, "left_anti")
+      val shape = spec.uuidCol.filter(_ => spec.mode == MergeMode.Move) match {
+        case Some(u) =>
+          val destU = d.select(col(u)).distinct()
+          matchedKey
+            .unionAll(rest.join(destU, Seq(u), "left_semi").select(lit(0).as("is_new")))
+            .unionAll(rest.join(destU, Seq(u), "left_anti").select(lit(1).as("is_new")))
+        case None =>
+          matchedKey.unionAll(rest.select(lit(1).as("is_new")))
+      }
+      shape.agg(
           count(lit(1)).as("src_rows"),
           sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
           sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
@@ -248,6 +273,21 @@ object Orchestrator {
           col("src_rows"), col("already_in_dest"), col("would_insert"))
     }.reduce(_ unionAll _)
   }
+
+  /** Declarative exclusion set for one table (preparation.js:134): the
+    * src ids that would NOT move because a dest row matches on the
+    * spec's natural key OR its uuid — m5's operator driven from the
+    * same `TableSpec` config surface the full pipeline uses. This is
+    * exactly the is_new=0 side of the Move-mode id map, exposed as an
+    * id list. */
+  def excludedIds(src: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame =
+    spec.uuidCol match {
+      case Some(u) => MergeOps.excludeMoved(src, dest, spec.naturalKey, u, spec.idCol)
+      case None =>
+        src.join(dest.select(spec.naturalKey.map(col): _*).distinct(),
+            spec.naturalKey, "left_semi")
+          .select(col(spec.idCol)).distinct()
+    }
 
   /** UUID handling for moved rows (reference utils.js:55 config flag
     * `generateNewUuids`, uuid-checks.js:26 initial→final report).

@@ -91,32 +91,49 @@ object Knn {
   }
 
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
-    * as s1, but the join key is the bucket, so each query scans ~1/256
-    * of the corpus. `dim` is part of the embedding-table contract (the
-    * planes are plan-time literals), not sniffed from the data — no
-    * driver-side action before the plan runs. Oracle-checked: the
-    * DuckDB SQL reproduces the exact bucket assignment ([[Lsh]]). */
-  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, nPlanes: Int = 8,
-            dim: Int = 64): DataFrame = {
+    * as s1, but candidates come from a MULTI-BAND bucket join (8 bands
+    * × 8 sign bits, the d5/MMDS banding scheme): a query scans the
+    * union of its 8 band buckets, ~8/256 of the corpus, and a
+    * truly-near neighbor (cos ≥ 0.95 → per-plane agreement p ≈ 0.9)
+    * is a candidate with P = 1-(1-p⁸)⁸ ≈ 0.99 — recall a single-probe
+    * single-bucket join can't reach at any comparable scan fraction
+    * (8-bit single bucket: p⁸ ≈ 0.43).
+    * `dim` is part of the embedding-table contract (the planes are
+    * plan-time literals), not sniffed from the data — no driver-side
+    * action before the plan runs. Oracle-checked: the DuckDB SQL
+    * reproduces the exact band assignment ([[Lsh]]). */
+  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, bands: Int = 8,
+            r: Int = 8, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    // repartition BEFORE the band-key computation and explode: spreads
+    // the 64-dot kernel across the cluster even when the scan yields
+    // few splits, and the exploded (×bands) rows never reshuffle
     val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
-        lshBucket($"embedding", nPlanes, dim).as("bucket"))
+        Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
     val queries = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
     val corpus = e.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"), $"bucket")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
-    corpus.join(broadcast(queries), Seq("bucket"))
+    // a pair agreeing on several bands is scored per occurrence and
+    // deduped AFTER the cosine projection: the dedup shuffle then
+    // carries 3 narrow columns instead of two embeddings per row —
+    // recomputing a ≤bands-times-duplicated dot is far cheaper than
+    // shipping vectors (cosine is deterministic, so dupes are exact)
+    corpus.join(broadcast(queries), Seq("band_idx", "band_key"))
       .select($"query_id", $"neighbor_id",
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy("query_id", "rank")
   }
 
-  /** s2 oracle: DuckDB reproduces the bucket assignment from the same
+  /** s2 oracle: DuckDB reproduces the band assignment from the same
     * md5-derived planes (Lsh.bandsSqlCtes), so candidates — and
     * therefore the whole result — match the Spark plan exactly. */
   val s2Sql: String =
@@ -124,13 +141,18 @@ object Knn {
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
-       |${Lsh.bandsSqlCtes(nPlanes = 8, r = 8, dim = 64)},
+       |${Lsh.bandsSqlCtes(nPlanes = 64, r = 8, dim = 64)},
+       |cand AS (
+       |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+       |  FROM bands bq JOIN bands bc
+       |    ON bc.band_idx = bq.band_idx AND bc.band_key = bq.band_key
+       |  WHERE bq.vec_id < 10 AND bc.vec_id >= 10),
        |s AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT cd.query_id, cd.neighbor_id,
        |    round(sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos_sim
-       |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
-       |  JOIN bands bq ON bq.vec_id = q.vec_id
-       |  JOIN bands bc ON bc.vec_id = c.vec_id AND bc.band_key = bq.band_key
+       |  FROM cand cd
+       |  JOIN u q ON q.vec_id = cd.query_id
+       |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
        |  GROUP BY 1, 2),
        |r AS (
        |  SELECT query_id, neighbor_id, cos_sim,

@@ -51,9 +51,15 @@ object Lsh {
   def bandKey(v: Column, b: Int, r: Int, dim: Int): Column =
     (0 until r).map(j => bit(v, b * r + j, dim) * lit(1 << j)).reduce(_ + _)
 
-  /** All band keys as one array<int> column (posexplode → bucket join). */
+  /** All band keys as one array<int> column (posexplode → bucket
+    * join). ONE native expression carrying the plane matrix as a
+    * codegen reference ([[graft.functions.BandKeysF32]]) — building
+    * bands·r literal-array dot expressions instead made analysis +
+    * codegen the dominant cost of the d5/s2 plans. Bit-identical to
+    * the compositional [[bandKey]] form (spec-pinned). */
   def bandKeys(v: Column, bands: Int, r: Int, dim: Int): Column =
-    array((0 until bands).map(b => bandKey(v, b, r, dim)): _*)
+    VectorFunctions.bandKeysF32(v,
+      (0 until bands * r).map(p => plane(p, dim)).toArray, r)
 
   /** DuckDB CTE bodies replicating the plane/band computation. Expects
     * a CTE `u(vec_id, v, i)` = unnested double embeddings with 1-based

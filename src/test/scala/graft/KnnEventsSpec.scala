@@ -32,6 +32,30 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s2 multi-band recall: every planted near neighbor is found") {
+    // queries (ids 0..9) are perturbed copies of corpus vectors
+    // (ids 10..19): cos ≈ 0.997, where 8-band banding recalls with
+    // P ≈ 1-(1-p^8)^8 ≈ 0.9992 per pair — the single-probe shape the
+    // round-1 review flagged recalled these at only ~0.43 per pair.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val base = (0 until 10).map(_ => Array.fill(64)(rng.nextGaussian().toFloat))
+    val queries = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(x => x + 0.05f * rng.nextGaussian().toFloat)) }
+    val corpus = base.zipWithIndex.map { case (v, i) => (10L + i, v) } ++
+      (20 until 120).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
+    (queries ++ corpus).toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val found = Knn.s2Ivf(spark, tmp, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    (0 until 10).foreach { i =>
+      assert(found.get(i.toLong).contains(10L + i),
+        s"query $i: expected planted neighbor ${10 + i}, got ${found.get(i.toLong)}")
+    }
+  }
+
   test("s3 clustering covers all vectors with k clusters, deterministically") {
     val r1 = Knn.s3Cluster(spark, sf).collect()
     assert(r1.length == 8)

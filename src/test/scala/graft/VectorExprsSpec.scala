@@ -40,6 +40,33 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0) && r(1).isNullAt(1))
   }
 
+  test("BandKeysF32 matches the compositional bandKey form bit-for-bit") {
+    import graft.similarity.Lsh
+    val bands = 8; val r = 8; val dim = 64
+    val e = Tables.read(spark, sf, "embeddings").limit(100)
+    // compositional reference: per-plane literal dot + shift/sum
+    val ref = org.apache.spark.sql.functions.array(
+      (0 until bands).map(b => Lsh.bandKey($"embedding", b, r, dim)): _*)
+    val rows = e.select(Lsh.bandKeys($"embedding", bands, r, dim).as("native"),
+      ref.as("comp")).collect()
+    assert(rows.length == 100)
+    rows.foreach { row =>
+      assert(row.getSeq[Int](0) == row.getSeq[Int](1))
+    }
+  }
+
+  test("dimension mismatch is a runtime error, not a truncated dot") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(dotF32($"a", $"b")).head()
+    }
+    // unwrapped or wrapped in Spark's execution exception chain
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("dimension mismatch")))
+  }
+
   test("non-float32 arrays are an analysis error, not silent garbage") {
     val ex = intercept[Exception] {
       spark.sql("SELECT dot_f32(array(1.0, 2.0), array(3.0, 4.0))").head()
