@@ -188,6 +188,13 @@ object Orchestrator {
       // new rows must land in dest with dest-space key values
       val s = withMappedKeys(src(spec.name), spec, maps)
       val d = dest(spec.name)
+      // the id map has 3+ consumers (this table's movers join and
+      // self-FK remap, every child's FK remap); each re-derives it
+      // from lineage, which is SAFE (assignSequentialIds is a
+      // deterministic range-sort + numbering) and measured faster than
+      // a persist() round-trip at bench scale. At 100 TB the map for a
+      // fact-sized table should instead be WRITTEN once (a parquet id
+      // table, the reference's durable mapping) and read by consumers.
       val idMap = idMapMapped(s, d, spec)
       maps(spec.name) = idMap
 

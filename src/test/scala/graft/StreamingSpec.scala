@@ -158,4 +158,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.count(_.user_id == 2L) == 1)
     } finally q.stop()
   }
+
+  test("streaming sessionize is EXACTLY the batch e2 on real data, across micro-batches") {
+    // the twin claim, proven end-to-end: the full sf0.001 events table
+    // fed through three chronological micro-batches + a watermark-
+    // flushing sentinel must reproduce batch e2's sessions bit-for-bit
+    // (same (ts, event_id) tie-break, same decimal-exact sums)
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value", $"event_id").as[Ev]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length > 100)
+    val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+    val sentinel = Ev(-1L, new java.sql.Timestamp(
+      evs.last.ts.getTime + 30L * 24 * 3600 * 1000), 0.0)
+
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("sess_parity").as[EventStream.SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events, s.sum_value)).toSet
+      val batch = graft.queries.Events.e2Sessionize(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(streamed == batch,
+        s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
