@@ -249,10 +249,18 @@ object Dedup {
     * Oracle: FULL hash-checked — the 60-bit md5-derived token hash
     * ([[graft.functions.DetHash]]) is reproduced bit-for-bit in
     * DuckDB, so votes, chunks, candidates and hamming all match. */
-  def d3Simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def d3Simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                nChunks: Int = 4): DataFrame = {
     import spark.implicits._
-    val nChunks = 4
-    val bitsPerChunk = 15
+    // pigeonhole soundness: hamming ≤ maxHamming can differ in at most
+    // maxHamming chunks, so agreement on ≥1 chunk needs nChunks >
+    // maxHamming. More chunks = more candidates (volume ≈
+    // nChunks·n²/2^bitsPerChunk per uniform-bucket estimate): size
+    // nChunks to the hamming budget, not above it.
+    require(nChunks > maxHamming,
+      s"pigeonhole needs nChunks ($nChunks) > maxHamming ($maxHamming)")
+    require(60 % nChunks == 0, s"nChunks=$nChunks must divide the 60 hash bits")
+    val bitsPerChunk = 60 / nChunks
     // explode tokens → one 60-bit hash per (doc, token) row, then the
     // 60 per-bit ±1 vote sums are 60 codegen'd aggregate columns over
     // one groupBy(doc_id) — literal shift amounts keep every

@@ -1,0 +1,142 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.sources.AtomicSnapshot
+import Orchestrator.{MergeMode, TableSpec}
+
+/** The reference's USER surface, re-expressed: a JSON config describing
+  * both instances and the table DAG, plus a `--dry-run` flag
+  * (orchestrator.js:22-44, config.json). beehive aborts with an
+  * aggregated error list when `source.location` or `generateNewUuids`
+  * is missing — so does this loader.
+  *
+  * ```json
+  * {
+  *   "source":      {"path": "/data/instanceB", "location": "instanceB"},
+  *   "destination": {"path": "/data/instanceA"},
+  *   "output":      "/data/merged",
+  *   "generateNewUuids": false,
+  *   "tables": [
+  *     {"name": "customer", "idCol": "c_custkey", "mode": "consolidate",
+  *      "naturalKey": ["c_name"], "selfFks": ["referred_by"]},
+  *     {"name": "orders", "idCol": "o_orderkey", "mode": "move",
+  *      "naturalKey": ["o_orderkey"], "fks": {"o_custkey": "customer"}}
+  *   ]
+  * }
+  * ```
+  */
+object MergeConfig {
+
+  final case class Instance(path: String, location: String)
+
+  final case class Config(
+      source: Instance,
+      destination: Instance,
+      output: String,
+      generateNewUuids: Boolean,
+      tables: Seq[TableSpec])
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Parse + validate. Aggregates every config error into one failure,
+    * like the reference's initialErrors list (orchestrator.js:38-44). */
+  def fromJson(json: String): Config = {
+    val root = JsonMethods.parse(json)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def str(v: JValue, what: String): String = v match {
+      case JString(s) if s.nonEmpty => s
+      case _ => errors += s"Error: $what not specified in config"; ""
+    }
+    val srcPath = str(root \ "source" \ "path", "source.path")
+    val srcLoc = str(root \ "source" \ "location", "source.location")
+    val destPath = str(root \ "destination" \ "path", "destination.path")
+    val output = str(root \ "output", "output")
+    val genUuids = root \ "generateNewUuids" match {
+      case JBool(b) => b
+      case _ =>
+        errors += "Error: generateNewUuids option must be explicitly set to true/false in config"
+        false
+    }
+    val tables = root \ "tables" match {
+      case JArray(ts) if ts.nonEmpty => ts.map(parseTable(_, errors))
+      case _ => errors += "Error: tables not specified in config"; Nil
+    }
+    require(errors.isEmpty, errors.mkString("; "))
+    Config(Instance(srcPath, srcLoc), Instance(destPath, ""), output, genUuids, tables)
+  }
+
+  private def parseTable(t: JValue, errors: scala.collection.mutable.ArrayBuffer[String]): TableSpec = {
+    val name = (t \ "name").extractOpt[String].getOrElse {
+      errors += "Error: table without a name"; "?"
+    }
+    val idCol = (t \ "idCol").extractOpt[String].getOrElse {
+      errors += s"Error: table '$name': idCol missing"; "?"
+    }
+    val mode = (t \ "mode").extractOpt[String] match {
+      case Some("consolidate") => MergeMode.Consolidate
+      case Some("move")        => MergeMode.Move
+      case other =>
+        errors += s"Error: table '$name': mode must be 'consolidate' or 'move', got $other"
+        MergeMode.Move
+    }
+    val naturalKey = (t \ "naturalKey").extractOpt[Seq[String]].getOrElse(Nil)
+    if (naturalKey.isEmpty) errors += s"Error: table '$name': naturalKey missing"
+    TableSpec(name, idCol, naturalKey, mode,
+      fks = (t \ "fks").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      selfFks = (t \ "selfFks").extractOpt[Seq[String]].getOrElse(Nil),
+      uuidCol = (t \ "uuidCol").extractOpt[String],
+      mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty))
+  }
+
+  /** Execute a parsed config: dry-run returns the rehearsal report
+    * WITHOUT writing (orchestrator.js:26); a real run publishes every
+    * merged table atomically under `output/<table>` (the COMMIT
+    * analogue) plus, when the spec declares a uuid column, the
+    * initial→final uuid report under `output/<table>__uuid_report`
+    * (uuid-checks.js:26; every-row regeneration when
+    * `generateNewUuids`, utils.js:55). Returns the per-table
+    * would/did counts DataFrame either way. */
+  def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
+    def reader(base: String)(name: String): DataFrame =
+      spark.read.parquet(s"$base/$name.parquet")
+    val src = reader(cfg.source.path) _
+    val dest = reader(cfg.destination.path) _
+    if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)
+    else {
+      val results = Orchestrator.run(cfg.tables, src, dest, cfg.source.location)
+      cfg.tables.foreach { spec =>
+        AtomicSnapshot.publish(results(spec.name).merged, s"${cfg.output}/${spec.name}")
+        spec.uuidCol.foreach { u =>
+          AtomicSnapshot.publish(
+            Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
+              spec.idCol, u, cfg.generateNewUuids),
+            s"${cfg.output}/${spec.name}__uuid_report")
+        }
+      }
+      Orchestrator.dryRun(cfg.tables, src, dest)
+    }
+  }
+}
+
+/** CLI: `runMain graft.merge.MergeMain <config.json> [--dry-run]` —
+  * the reference's `node orchestrator.js [--dry-run]`. */
+object MergeMain {
+  def main(args: Array[String]): Unit = {
+    val dryRun = args.contains("--dry-run")
+    val cfgPath = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse(sys.error("usage: MergeMain <config.json> [--dry-run]"))
+    val cfg = MergeConfig.fromJson(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val report = MergeConfig.execute(spark, cfg, dryRun)
+      report.collect().foreach(r => println(r.mkString("\t")))
+    } finally spark.stop()
+  }
+}

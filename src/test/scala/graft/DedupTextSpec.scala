@@ -97,11 +97,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
-  test("d5 plan is the bucketed join — no broadcast nested loop, no cartesian") {
-    val plan = Dedup.d5EmbeddingNearDup(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
-    assert(!plan.contains("CartesianProduct"))
+  test("every near-dup/ANN plan is a bucketed join — no broadcast nested loop, no cartesian") {
+    // the property that keeps the whole sketch family alive at 100×:
+    // candidates come from equi-joins on bucket keys, never all-pairs
+    Seq(
+      "d2" -> Dedup.d2MinhashLsh(spark, sf),
+      "d3" -> Dedup.d3Simhash(spark, sf),
+      "d5" -> Dedup.d5EmbeddingNearDup(spark, sf),
+      "s2" -> graft.similarity.Knn.s2Ivf(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${plan.linesIterator.take(5).mkString("\n")}")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
   }
 
   test("d5 finds planted high-cosine near-dups (recall 1.0 at cos >= 0.9)") {

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.merge.{MergeConfig, Orchestrator}
+import graft.merge.Orchestrator.MergeMode
+
+/** The config-driven user surface: JSON → TableSpec DAG → executed
+  * merge with atomic outputs; validation aggregates errors like the
+  * reference's initialErrors list. */
+class MergeConfigSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def writeInstances(): (String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+    val (srcDir, destDir, outDir) = (s"$base/src", s"$base/dest", s"$base/out")
+    Seq((1L, "alpha", "u1"), (2L, "beta", "u2"))
+      .toDF("id", "name", "uuid").write.parquet(s"$srcDir/parent.parquet")
+    Seq((10L, "alpha", "u1"), (11L, "gamma", "u3"))
+      .toDF("id", "name", "uuid").write.parquet(s"$destDir/parent.parquet")
+    Seq((100L, 1L, "x"), (101L, 2L, "y"))
+      .toDF("id", "parent_id", "payload").write.parquet(s"$srcDir/child.parquet")
+    Seq((500L, 10L, "x"))
+      .toDF("id", "parent_id", "payload").write.parquet(s"$destDir/child.parquet")
+    (srcDir, destDir, outDir)
+  }
+
+  private def configJson(srcDir: String, destDir: String, outDir: String,
+                         genUuids: Boolean): String =
+    s"""{
+       |  "source": {"path": "$srcDir", "location": "instanceB"},
+       |  "destination": {"path": "$destDir"},
+       |  "output": "$outDir",
+       |  "generateNewUuids": $genUuids,
+       |  "tables": [
+       |    {"name": "parent", "idCol": "id", "mode": "consolidate",
+       |     "naturalKey": ["name"], "uuidCol": "uuid"},
+       |    {"name": "child", "idCol": "id", "mode": "move",
+       |     "naturalKey": ["payload"], "fks": {"parent_id": "parent"}}
+       |  ]
+       |}""".stripMargin
+
+  test("fromJson parses the full table DAG") {
+    val cfg = MergeConfig.fromJson(configJson("/s", "/d", "/o", genUuids = true))
+    assert(cfg.generateNewUuids)
+    assert(cfg.source.location == "instanceB")
+    val byName = cfg.tables.map(t => t.name -> t).toMap
+    assert(byName("parent").mode == MergeMode.Consolidate)
+    assert(byName("parent").uuidCol.contains("uuid"))
+    assert(byName("child").fks == Map("parent_id" -> "parent"))
+  }
+
+  test("validation aggregates every error like the reference's initialErrors") {
+    val ex = intercept[IllegalArgumentException] {
+      MergeConfig.fromJson("""{"tables": [{"name": "t"}]}""")
+    }
+    val msg = ex.getMessage
+    assert(msg.contains("source.location"))
+    assert(msg.contains("generateNewUuids"))
+    assert(msg.contains("idCol"))
+    assert(msg.contains("naturalKey"))
+  }
+
+  test("dry-run reports counts and writes NOTHING; real run publishes atomically") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    val cfg = MergeConfig.fromJson(configJson(srcDir, destDir, outDir, genUuids = false))
+
+    val dry = MergeConfig.execute(spark, cfg, dryRun = true).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("would_insert")).toMap
+    assert(dry == Map("parent" -> 1L, "child" -> 1L)) // beta + the "y" child
+    assert(!new java.io.File(outDir).exists())
+
+    MergeConfig.execute(spark, cfg, dryRun = false)
+    val parent = spark.read.parquet(s"$outDir/parent").collect()
+    assert(parent.length == 3) // 2 dest + 1 new (beta → id 12)
+    val beta = parent.find(_.getAs[String]("name") == "beta").get
+    assert(beta.getAs[Long]("id") == 12L)
+    assert(beta.getAs[String]("merge_source") == "instanceB")
+    val child = spark.read.parquet(s"$outDir/child").collect()
+    // "x" child already in dest; "y" child moved with parent_id 2→12
+    assert(child.length == 2)
+    val y = child.find(_.getAs[String]("payload") == "y").get
+    assert(y.getAs[Long]("parent_id") == 12L && y.getAs[Long]("id") == 501L)
+    // uuid report exists for parent (declared uuidCol), collision mode:
+    // only u1 (shared with dest) regenerated
+    val rep = spark.read.parquet(s"$outDir/parent__uuid_report").collect()
+      .map(r => r.getAs[String]("initial_uuid") -> r.getAs[Int]("regenerated")).toMap
+    assert(rep == Map("u1" -> 1, "u2" -> 0))
+  }
+}
