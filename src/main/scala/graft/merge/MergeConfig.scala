@@ -36,7 +36,8 @@ object MergeConfig {
       destination: Instance,
       output: String,
       generateNewUuids: Boolean,
-      tables: Seq[TableSpec])
+      tables: Seq[TableSpec],
+      persist: Boolean)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -64,8 +65,10 @@ object MergeConfig {
       case JArray(ts) if ts.nonEmpty => ts.map(parseTable(_, errors))
       case _ => errors += "Error: tables not specified in config"; Nil
     }
+    // persist is optional like the reference's `config.persist || false`
+    val persist = (root \ "persist").extractOpt[Boolean].getOrElse(false)
     require(errors.isEmpty, errors.mkString("; "))
-    Config(Instance(srcPath, srcLoc), Instance(destPath, ""), output, genUuids, tables)
+    Config(Instance(srcPath, srcLoc), Instance(destPath, ""), output, genUuids, tables, persist)
   }
 
   private def parseTable(t: JValue, errors: scala.collection.mutable.ArrayBuffer[String]): TableSpec = {
@@ -98,7 +101,15 @@ object MergeConfig {
     * initial→final uuid report under `output/<table>__uuid_report`
     * (uuid-checks.js:26; every-row regeneration when
     * `generateNewUuids`, utils.js:55). Returns the per-table
-    * would/did counts DataFrame either way. */
+    * would/did counts DataFrame either way.
+    *
+    * Source-once guard (preparation.js:71-75): a location already in
+    * the `_merge_sources` registry must not merge twice — the
+    * reference throws `Location X already processed`. With
+    * `persist = true` each table's src→dest id map is also published
+    * durably (`output/<table>__idmap`, preparation.js:53 — the
+    * reference's beehive_merge_* map tables), the 100 TB answer to
+    * per-consumer map recomputation. */
   def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
     def reader(base: String)(name: String): DataFrame =
       spark.read.parquet(s"$base/$name.parquet")
@@ -106,9 +117,17 @@ object MergeConfig {
     val dest = reader(cfg.destination.path) _
     if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)
     else {
+      import spark.implicits._
+      val registry = s"${cfg.output}/_merge_sources"
+      val processed = AtomicSnapshot.readCurrent(spark, registry)
+        .map(_.as[String].collect().toSet).getOrElse(Set.empty)
+      if (processed(cfg.source.location))
+        throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
       val results = Orchestrator.run(cfg.tables, src, dest, cfg.source.location)
       cfg.tables.foreach { spec =>
         AtomicSnapshot.publish(results(spec.name).merged, s"${cfg.output}/${spec.name}")
+        if (cfg.persist)
+          AtomicSnapshot.publish(results(spec.name).idMap, s"${cfg.output}/${spec.name}__idmap")
         spec.uuidCol.foreach { u =>
           AtomicSnapshot.publish(
             Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
@@ -116,6 +135,10 @@ object MergeConfig {
             s"${cfg.output}/${spec.name}__uuid_report")
         }
       }
+      // record provenance LAST — a crash above leaves the source
+      // unrecorded and the run safely repeatable (orchestrator.js:94)
+      AtomicSnapshot.publish(
+        (processed + cfg.source.location).toSeq.sorted.toDF("location"), registry)
       Orchestrator.dryRun(cfg.tables, src, dest)
     }
   }

@@ -26,12 +26,13 @@ class MergeConfigSpec extends AnyFunSuite {
   }
 
   private def configJson(srcDir: String, destDir: String, outDir: String,
-                         genUuids: Boolean): String =
+                         genUuids: Boolean, persist: Boolean = false): String =
     s"""{
        |  "source": {"path": "$srcDir", "location": "instanceB"},
        |  "destination": {"path": "$destDir"},
        |  "output": "$outDir",
        |  "generateNewUuids": $genUuids,
+       |  "persist": $persist,
        |  "tables": [
        |    {"name": "parent", "idCol": "id", "mode": "consolidate",
        |     "naturalKey": ["name"], "uuidCol": "uuid"},
@@ -86,5 +87,23 @@ class MergeConfigSpec extends AnyFunSuite {
     val rep = spark.read.parquet(s"$outDir/parent__uuid_report").collect()
       .map(r => r.getAs[String]("initial_uuid") -> r.getAs[Int]("regenerated")).toMap
     assert(rep == Map("u1" -> 1, "u2" -> 0))
+  }
+
+  test("source-once guard: re-merging a processed location throws; persist publishes id maps") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    val cfg = MergeConfig.fromJson(
+      configJson(srcDir, destDir, outDir, genUuids = false, persist = true))
+    MergeConfig.execute(spark, cfg, dryRun = false)
+    // persist=true → durable id maps (the reference's beehive_merge_* tables)
+    val pmap = spark.read.parquet(s"$outDir/parent__idmap").collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dest_id")).toMap
+    assert(pmap == Map(1L -> 10L, 2L -> 12L))
+    // the registry records the location; a second run must refuse
+    val ex = intercept[IllegalStateException] {
+      MergeConfig.execute(spark, cfg, dryRun = false)
+    }
+    assert(ex.getMessage.contains("instanceB already processed"))
+    // dry-run remains allowed (rehearsal, no writes)
+    assert(MergeConfig.execute(spark, cfg, dryRun = true).count() == 2)
   }
 }
