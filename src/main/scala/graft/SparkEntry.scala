@@ -59,6 +59,7 @@ object SparkEntry {
     "e3_event_funnel"      -> (Events.e3Funnel _),
     "e4_json_extract"      -> (Events.e4JsonExtract _),
     "e5_last_touch"        -> (Events.e5LastTouch _),
+    "e6_asof_join"         -> (Events.e6AsofJoin _),
     "d1_exact_dedup"       -> (Dedup.d1Exact _),
     "d2_minhash_lsh"       -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
     "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "t5_stable_split"      -> (TextAnalysis.t5StableSplit _),
     "t6_vocab_stats"       -> (TextAnalysis.t6VocabStats _),
     "t7_repetition"        -> (TextAnalysis.t7Repetition _),
+    "t8_balanced_sample"   -> ((s, d) => TextAnalysis.t8BalancedSample(s, d)),
     "mm1_media_stats"      -> (Media.mm1MediaStats _),
     "mm2_frame_sample"     -> ((s, d) => Media.mm2FrameSample(s, d)),
   )
@@ -120,6 +122,7 @@ object SparkEntry {
     "e3_event_funnel"      -> Events.e3Sql,
     "e4_json_extract"      -> Events.e4Sql,
     "e5_last_touch"        -> Events.e5Sql,
+    "e6_asof_join"         -> Events.e6Sql,
     "d1_exact_dedup"       -> Dedup.d1Sql,
     "d2_minhash_lsh"       -> Dedup.d2Sql,
     "d3_simhash"           -> Dedup.d3Sql,
@@ -135,6 +138,7 @@ object SparkEntry {
     "t5_stable_split"      -> TextAnalysis.t5Sql,
     "t6_vocab_stats"       -> TextAnalysis.t6Sql,
     "t7_repetition"        -> TextAnalysis.t7Sql,
+    "t8_balanced_sample"   -> TextAnalysis.t8Sql,
     "mm1_media_stats"      -> Media.mm1Sql,
     "mm2_frame_sample"     -> Media.mm2Sql,
     // rows-only (documented in SURVEY §2): s3_embed_cluster — k-means

@@ -168,4 +168,39 @@ object Events {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
+
+  /** e6: as-of join — every purchase paired with the user's LATEST
+    * click at-or-before it ([[graft.operators.AsOf.asofJoin]]: the
+    * union+window shape, one shuffle, no range join). Clicks are
+    * first deduped to one per (user, ts) (max event_id) so the ≤-tie
+    * winner is engine-independent; DuckDB's native ASOF JOIN is the
+    * oracle. */
+  def e6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .withColumn("click_ts", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    graft.operators.AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = "click_id")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("purchase_ts_us"),
+        $"asof_click_id", unix_micros($"asof_click_ts").as("click_ts_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val e6Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+      |  c.click_id AS asof_click_id, epoch_us(c.ts) AS click_ts_us
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
 }

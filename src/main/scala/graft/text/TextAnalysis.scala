@@ -274,4 +274,53 @@ object TextAnalysis {
       |SELECT doc_id, bucket,
       |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** t8: balanced stratified downsample — cap every stratum (here t1's
+    * predicted language) at `cap` documents, keeping a DETERMINISTIC
+    * hash-ordered prefix. The corpus-curation staple: a dominant
+    * language/domain must not drown the mixture, and the kept set must
+    * be reproducible run-to-run and engine-to-engine (md5-derived
+    * order, [[graft.functions.DetHash]]) — not `TABLESAMPLE`'s
+    * partition-dependent RNG. One extra shuffle on the stratum for the
+    * rank window; the hash order also makes the cap extension-stable
+    * (growing the corpus only appends to each stratum's tail). */
+  def t8BalancedSample(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pred_lang")
+      .orderBy($"h", $"doc_id")
+    t1LangId(spark, dir)
+      .select($"doc_id", $"pred_lang")
+      .withColumn("h", graft.functions.DetHash.md5Long60Col(
+        concat(lit("sample:"), $"doc_id".cast("string"))))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= cap)
+      .select($"doc_id", $"pred_lang", $"sample_rank")
+      .orderBy("pred_lang", "sample_rank")
+  }
+
+  val t8Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(${ratioE6Sql(enStop)} AS BIGINT) AS en_ratio_e6,
+       |    CAST(${ratioE6Sql(frStop)} AS BIGINT) AS fr_ratio_e6,
+       |    CAST(${ratioE6Sql(esStop)} AS BIGINT) AS es_ratio_e6
+       |  FROM tok),
+       |lang AS (
+       |  SELECT doc_id,
+       |    CASE WHEN en_ratio_e6 >= fr_ratio_e6 AND en_ratio_e6 >= es_ratio_e6 THEN 'en'
+       |         WHEN fr_ratio_e6 >= es_ratio_e6 THEN 'fr' ELSE 'es' END AS pred_lang
+       |  FROM r),
+       |ranked AS (
+       |  SELECT doc_id, pred_lang,
+       |    row_number() OVER (PARTITION BY pred_lang ORDER BY
+       |      CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+       |      doc_id) AS sample_rank
+       |  FROM lang)
+       |SELECT doc_id, pred_lang, sample_rank FROM ranked
+       |WHERE sample_rank <= 100 ORDER BY pred_lang, sample_rank""".stripMargin
 }

@@ -101,6 +101,39 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(r(2L).isNullAt(r(2L).fieldIndex("purchase_us")))
   }
 
+  test("asofJoin: latest right at-or-before, exact-tie matches, no-prior null, max tie-break") {
+    import org.apache.spark.sql.functions._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val right = Seq(
+      (1L, t(10), 100L), (1L, t(20), 200L),   // user 1: clicks at 10, 20
+      (2L, t(50), 500L), (2L, t(50), 501L)    // user 2: two clicks SAME ts
+    ).toDF("user_id", "ts", "click_id").withColumn("click_ts", $"ts")
+    val left = Seq(
+      (1L, t(15), 9001L),  // between clicks → 100
+      (1L, t(20), 9002L),  // exactly at click 200 → 200 (≤ semantics)
+      (1L, t(5), 9003L),   // before any click → null
+      (2L, t(60), 9004L)   // tie at t(50) → max click_id 501
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.AsOf.asofJoin(left, right, Seq("user_id"),
+        "ts", "ts", Seq("click_id", "click_ts"), "click_id")
+      .select($"event_id", $"asof_click_id").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(1)) -1L else r.getAs[Long]("asof_click_id"))).toMap
+    assert(got == Map(9001L -> 100L, 9002L -> 200L, 9003L -> -1L, 9004L -> 501L))
+  }
+
+  test("t8 balanced sample caps every stratum and is deterministic") {
+    val r1 = graft.text.TextAnalysis.t8BalancedSample(spark, sf, cap = 7).collect()
+    val byLang = r1.groupBy(_.getAs[String]("pred_lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 7, s"$lang over cap")
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"$lang ranks not a prefix")
+    }
+    val r2 = graft.text.TextAnalysis.t8BalancedSample(spark, sf, cap = 7).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
   test("e1 windowed agg covers every event exactly once") {
     val total = Events.e1WindowedAgg(spark, sf)
       .agg(sum($"n_events")).head().getLong(0)
