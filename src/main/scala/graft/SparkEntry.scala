@@ -27,7 +27,11 @@ object SparkEntry {
     "q6_forecast_revenue"  -> (Tpch.q6 _),
     "q10_returned_items"   -> (Tpch.q10 _),
     "q12_priority_class"   -> (Tpch.q12 _),
+    "q13_cust_dist"        -> (Tpch.q13CustDist _),
     "q14_promo_revenue"    -> (Tpch.q14 _),
+    "q15_top_supplier"     -> (Tpch.q15TopSupplier _),
+    "q16_supplier_cnt"     -> (Tpch.q16SupplierCnt _),
+    "q17_small_qty"        -> (Tpch.q17SmallQty _),
     "q18_large_orders"     -> (Tpch.q18 _),
     "q19_disjunctive"      -> (Tpch.q19 _),
     "q20_count_distinct"   -> (Tpch.q20 _),
@@ -60,6 +64,7 @@ object SparkEntry {
     "e4_json_extract"      -> (Events.e4JsonExtract _),
     "e5_last_touch"        -> (Events.e5LastTouch _),
     "e6_asof_join"         -> (Events.e6AsofJoin _),
+    "e7_range_join"        -> (Events.e7RangeJoin _),
     "d1_exact_dedup"       -> (Dedup.d1Exact _),
     "d2_minhash_lsh"       -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
     "d3_simhash"           -> ((s, d) => Dedup.d3Simhash(s, d)),
@@ -90,7 +95,11 @@ object SparkEntry {
     "q6_forecast_revenue"  -> Tpch.q6Sql,
     "q10_returned_items"   -> Tpch.q10Sql,
     "q12_priority_class"   -> Tpch.q12Sql,
+    "q13_cust_dist"        -> Tpch.q13Sql,
     "q14_promo_revenue"    -> Tpch.q14Sql,
+    "q15_top_supplier"     -> Tpch.q15Sql,
+    "q16_supplier_cnt"     -> Tpch.q16Sql,
+    "q17_small_qty"        -> Tpch.q17Sql,
     "q18_large_orders"     -> Tpch.q18Sql,
     "q19_disjunctive"      -> Tpch.q19Sql,
     "q20_count_distinct"   -> Tpch.q20Sql,
@@ -123,6 +132,7 @@ object SparkEntry {
     "e4_json_extract"      -> Events.e4Sql,
     "e5_last_touch"        -> Events.e5Sql,
     "e6_asof_join"         -> Events.e6Sql,
+    "e7_range_join"        -> Events.e7Sql,
     "d1_exact_dedup"       -> Dedup.d1Sql,
     "d2_minhash_lsh"       -> Dedup.d2Sql,
     "d3_simhash"           -> Dedup.d3Sql,

@@ -192,6 +192,37 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** e7: range join — per maintenance window ([hh:10, hh:40] of every
+    * active hour) the events it contains.
+    * [[graft.operators.RangeJoin.rangeJoin]]'s binned equi-join: the
+    * naive `BETWEEN` join is a BroadcastNestedLoopJoin (points ×
+    * intervals); binning makes it an equi-join on the 30-min bin with
+    * the range predicate as a residual filter (plan-asserted BNLJ-free). */
+  def e7RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros($"ts").as("t_us"), $"value")
+    val windows = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("hour", $"ts")).as("h_us")).distinct()
+      .select(($"h_us" + 600000000L).as("lo_us"), ($"h_us" + 2400000000L).as("hi_us"))
+    graft.operators.RangeJoin.rangeJoin(ev, windows,
+        t = "t_us", lo = "lo_us", hi = "hi_us", binWidth = 1800000000L)
+      .groupBy($"lo_us", $"hi_us")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .orderBy("lo_us")
+  }
+
+  val e7Sql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT epoch_us(date_trunc('hour', ts)) + 600000000 AS lo_us,
+      |         epoch_us(date_trunc('hour', ts)) + 2400000000 AS hi_us
+      |  FROM events)
+      |SELECT lo_us, hi_us, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM events e JOIN w ON epoch_us(e.ts) BETWEEN lo_us AND hi_us
+      |GROUP BY lo_us, hi_us ORDER BY lo_us""".stripMargin
+
   val e6Sql: String =
     """WITH clicks AS (
       |  SELECT user_id, ts, max(event_id) AS click_id

@@ -451,6 +451,118 @@ object Tpch {
       |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n_orders > total_price
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q13 shape: customer order-count distribution — the OUTER
+    * join + two-level aggregation histogram (customers with zero
+    * orders must appear in the 0 bucket, which an inner join silently
+    * drops). Both aggregations shuffle once; the second input is one
+    * row per customer. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, dir, "customer")
+    val ord = Tables.read(spark, dir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+    val counts = cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count skips nulls → 0 bucket
+    counts.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — an
+    * aggregate compared against the MAX of the same aggregate. The max
+    * rides a single-row broadcast join (no second scan pass at scale:
+    * the revenue aggregate is computed once and reused under AQE). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.read(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(money(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("max_revenue"))
+    Tables.read(spark, dir, "supplier")
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(mx), $"total_revenue" === $"max_revenue")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape (adapted: no partsupp table in the testdata):
+    * supplier diversity per part attribute with a NOT-IN exclusion —
+    * distinct suppliers per (p_brand, p_size) from lineitem, excluding
+    * negative-balance suppliers. NOT IN = broadcast anti-join (never a
+    * per-row subquery). */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val excluded = Tables.read(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val part = Tables.read(spark, dir, "part")
+    Tables.read(spark, dir, "lineitem")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — each lineitem
+    * compared against 20% of ITS part's average quantity. The
+    * correlated subquery becomes one aggregate + an equi-join;
+    * the threshold comparison is cross-multiplied (5·q·n < sum) so the
+    * boundary is exact integer/decimal arithmetic on both engines. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+    val avgQ = li.groupBy($"l_partkey".as("a_partkey"))
+      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n_qty"))
+    li.join(avgQ, $"l_partkey" === $"a_partkey")
+      // l_quantity < 0.2 * (sum/n)  ⇔  5·q·n < sum (exact, no division)
+      .filter(dec($"l_quantity") * 5 * $"n_qty" < $"sum_qty")
+      .agg(money(sum(dec($"l_extendedprice"))).as("total_extprice"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_extprice,
+      |  count(*) AS n_lines
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS a_partkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, count(*) AS n_qty
+      |  FROM lineitem GROUP BY l_partkey) a
+      |ON l.l_partkey = a.a_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_qty < sum_qty""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */

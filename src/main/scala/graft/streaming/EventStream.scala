@@ -207,6 +207,21 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join — the unbounded twin of the e6/e7
+    * temporal correlation: every right event within `[left.ts,
+    * left.ts + window]` of a same-key left event. Watermarks on BOTH
+    * sides + the time-bound join condition let Spark evict join state
+    * (an unbounded stream-stream join without them grows state
+    * forever and is rejected in append mode). Works on batch frames
+    * too — identical plan semantics, which the spec exploits. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         windowMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $windowMinutes minutes"))
+  }
+
   /** Streaming→merge bridge: every micro-batch is upserted into a
     * parquet target with keep-latest semantics (the reference's
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,

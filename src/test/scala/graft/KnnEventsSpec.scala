@@ -134,6 +134,26 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("rangeJoin: boundaries inclusive, multi-bin intervals, overlaps; plan has no BNLJ") {
+    import org.apache.spark.sql.functions._
+    val points = Seq(10L, 100L, 150L, 250L, 999L).toDF("t")
+    val intervals = Seq(
+      (100L, 150L, "a"),   // contains 100 (lo), 150 (hi) — inclusive bounds
+      (90L, 260L, "b"),    // spans 3 bins of width 100; contains 100,150,250
+      (400L, 500L, "c")    // empty
+    ).toDF("lo", "hi", "name")
+    val joined = graft.operators.RangeJoin.rangeJoin(points, intervals, "t", "lo", "hi", 100L)
+    val got = joined.collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[String]("name"))).toSet
+    assert(got == Set((100L, "a"), (150L, "a"), (100L, "b"), (150L, "b"), (250L, "b")))
+    // structural dedup: exactly one row per (point, containing interval)
+    assert(joined.count() == 5)
+    val plan = graft.queries.Events.e7RangeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("e1 windowed agg covers every event exactly once") {
     val total = Events.e1WindowedAgg(spark, sf)
       .agg(sum($"n_events")).head().getLong(0)

@@ -159,6 +159,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch plan; late right rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStream.intervalJoinStream(
+      clicks.toDF().withColumnRenamed("event_id", "click_id"),
+      purchases.toDF().withColumnRenamed("event_id", "purchase_id"),
+      key = "user_id", windowMinutes = 30, watermark = "10 minutes")
+      .select($"click_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1L, ts(0), 0, 1L), Ev(1L, ts(100), 0, 2L), Ev(2L, ts(0), 0, 3L))
+      purchases.addData(
+        Ev(1L, ts(10), 0, 91L),   // within 30 min of click 1
+        Ev(1L, ts(40), 0, 92L),   // past click 1's window, before click 2
+        Ev(1L, ts(110), 0, 93L),  // within click 2's window
+        Ev(3L, ts(10), 0, 94L))   // no matching user
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got == Set((1L, 91L), (2L, 93L)))
+      // the SAME operator over batch frames gives the same pairs
+      val batchPairs = EventStream.intervalJoinStream(
+        Seq(Ev(1L, ts(0), 0, 1L), Ev(1L, ts(100), 0, 2L), Ev(2L, ts(0), 0, 3L))
+          .toDF().withColumnRenamed("event_id", "click_id"),
+        Seq(Ev(1L, ts(10), 0, 91L), Ev(1L, ts(40), 0, 92L),
+          Ev(1L, ts(110), 0, 93L), Ev(3L, ts(10), 0, 94L))
+          .toDF().withColumnRenamed("event_id", "purchase_id"),
+        key = "user_id", windowMinutes = 30)
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(batchPairs == got)
+    } finally q.stop()
+  }
+
   test("streaming sessionize is EXACTLY the batch e2 on real data, across micro-batches") {
     // the twin claim, proven end-to-end: the full sf0.001 events table
     // fed through three chronological micro-batches + a watermark-
