@@ -563,6 +563,88 @@ object Tpch {
       |ON l.l_partkey = a.a_partkey
       |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * n_qty < sum_qty""".stripMargin
 
+  /** TPC-H Q7 shape: volume shipping between two nations — the
+    * double-role dimension join (nation joined TWICE, as supplier
+    * nation and customer nation) with a symmetric pair filter and a
+    * per-year rollup. Both nation sides broadcast; one shuffle for
+    * the final (pair, year) aggregation. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.read(spark, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables.read(spark, dir, "nation")
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    Tables.read(spark, dir, "lineitem")
+      .join(Tables.read(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.read(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.read(spark, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      // cross-border shipments only (TPC-H Q7 pins one nation pair;
+      // the sf0.001 smoke corpus has just 10 suppliers, so a fixed
+      // pair can be legitimately empty — the all-pairs form keeps the
+      // same double-role join shape and is never vacuous)
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      // revenue ×10⁴ as an exact BIGINT: 2dp×2dp products have ≤4 dp,
+      // so the scaled sum is integral — no round() half-boundary where
+      // Spark and DuckDB legitimately disagree (the t1/t2 lesson)
+      .agg((sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))) * 10000)
+        .cast("long").as("revenue_e4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape: market share — a conditional aggregate against
+    * the total aggregate per year, both in one pass (no second scan,
+    * no self-join). The share is exposed as the exact decimal pair
+    * (nation_revenue_e4, total_revenue_e4) ×10⁴ as exact BIGINTs
+    * rather than their quotient: the division's (and round's) last
+    * digit is engine-dependent, the scaled sums are integral and
+    * bit-exact on both. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.read(spark, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables.read(spark, dir, "lineitem")
+      .join(Tables.read(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.read(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        (sum(when($"supp_nation" === "NATION_3",
+          dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))) * 10000).cast("long").as("nation_revenue_e4"),
+        (sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))) * 10000)
+          .cast("long").as("total_revenue_e4"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN n_name = 'NATION_3'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_revenue_e4,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) AS total_revenue_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */
