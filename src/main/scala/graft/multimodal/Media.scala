@@ -112,4 +112,63 @@ object Media {
       |  FROM documents)
       |SELECT doc_id, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx, byte_len
       |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** A media object's "embedding" — what a batched vision/audio model
+    * emits per object. */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** STUB batch encoder standing in for an ONNX/TensorRT session: one
+    * call per BATCH (where a real model amortizes GPU transfer +
+    * kernel launch), returning one embedding per input. Derives each
+    * float deterministically from the payload's md5 via the same
+    * [[graft.functions.DetHash]]-style formula the oracle reproduces.
+    * Reads real bytes; output is batch-boundary independent. */
+  def encodeStubBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] =
+    batch.map { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(m.payload).map(b => f"$b%02x").mkString
+      // 4 hex chars per dimension, scaled to [0, 1); dim ≤ 8 from one md5
+      val emb = (0 until dim).map { i =>
+        (java.lang.Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16)
+          .toDouble / 65536.0).toFloat
+      }.toArray
+      MediaEmbedding(m.doc_id, emb)
+    }
+
+  /** mm3: media → embedding bridge — the inference step that feeds the
+    * s-block (kNN / clustering / near-dup) from raw media. Same
+    * batched mapPartitions shape as mm2; the output column is the
+    * exact `array<float>` contract the embeddings table and the
+    * [[graft.functions.DotProductF32]] kernels consume. The summary
+    * projection (norm per object, codegen'd) proves the bridge output
+    * feeds the vector kernels directly. */
+  def mm3EmbedMedia(spark: SparkSession, dir: String,
+                    dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.normF32
+    mediaTable(spark, dir)
+      .mapPartitions(_.grouped(batchSize).flatMap(encodeStubBatch(_, dim)))
+      .toDF()
+      .select($"doc_id", round(normF32($"embedding"), 6).as("emb_norm"),
+        round(element_at($"embedding", 1).cast("double"), 6).as("e0"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —
+    * exactly the payload the Spark side hashes. Each dimension =
+    * 4 hex chars / 2¹⁶ as FLOAT (dyadic, so the double→float rounding
+    * is identical), then the same left-to-right double-precision
+    * norm; round-6 doubles compare bit-equal. */
+  val mm3Sql: String = {
+    val dims = (0 until 8).map { i =>
+      s"CAST(CAST(('0x' || substr(md5(text), ${i * 4 + 1}, 4)) AS BIGINT) AS DOUBLE) / 65536.0"
+    }
+    val sq = dims.map(d => s"CAST(CAST($d AS FLOAT) AS DOUBLE) * CAST(CAST($d AS FLOAT) AS DOUBLE)")
+      .mkString(" + ")
+    val e0 = s"CAST(CAST(${dims.head} AS FLOAT) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  round(sqrt($sq), 6) AS emb_norm,
+       |  round($e0, 6) AS e0
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

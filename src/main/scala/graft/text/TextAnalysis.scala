@@ -281,18 +281,37 @@ object TextAnalysis {
     * language/domain must not drown the mixture, and the kept set must
     * be reproducible run-to-run and engine-to-engine (md5-derived
     * order, [[graft.functions.DetHash]]) — not `TABLESAMPLE`'s
-    * partition-dependent RNG. One extra shuffle on the stratum for the
-    * rank window; the hash order also makes the cap extension-stable
-    * (growing the corpus only appends to each stratum's tail). */
-  def t8BalancedSample(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    * partition-dependent RNG. The hash order also makes the cap
+    * extension-stable (growing the corpus only appends to each
+    * stratum's tail).
+    *
+    * Scale shape: the naive form ranks EVERY row of a stratum in one
+    * window task — a dominant stratum means one task sorting most of
+    * the corpus. Since only the `cap` smallest hashes survive, a
+    * hash-threshold prefilter runs first: h is uniform on [0, 2⁶⁰), so
+    * keeping h ≤ margin·cap/n·2⁶⁰ passes ~margin·cap rows per stratum
+    * into the window while P[fewer than cap survive] ≤
+    * exp(−cap·(margin−1)²/(2·margin)) — at cap=100, margin=4 that is
+    * e⁻¹¹² ≈ 10⁻⁴⁹, 0 for engineering purposes. The prefilter needs
+    * one per-stratum count (tiny broadcast) and changes NO output bit:
+    * the oracle ranks without it. */
+  def t8BalancedSample(spark: SparkSession, dir: String, cap: Int = 100,
+                       margin: Int = 4): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"pred_lang")
-      .orderBy($"h", $"doc_id")
-    t1LangId(spark, dir)
+    val hashed = t1LangId(spark, dir)
       .select($"doc_id", $"pred_lang")
       .withColumn("h", graft.functions.DetHash.md5Long60Col(
         concat(lit("sample:"), $"doc_id".cast("string"))))
+    val sizes = hashed.groupBy($"pred_lang").agg(count(lit(1)).as("n"))
+    // threshold = margin·cap/n · 2⁶⁰, computed in exact integer math;
+    // strata smaller than margin·cap keep everything
+    val thresholded = hashed.join(broadcast(sizes), Seq("pred_lang"))
+      .filter($"n" <= lit(margin.toLong * cap) ||
+        $"h" <= lit(1L << 60) / $"n" * (margin.toLong * cap))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pred_lang")
+      .orderBy($"h", $"doc_id")
+    thresholded
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter($"sample_rank" <= cap)
       .select($"doc_id", $"pred_lang", $"sample_rank")
