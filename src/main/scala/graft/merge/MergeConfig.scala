@@ -125,15 +125,31 @@ object MergeConfig {
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
       val results = Orchestrator.run(cfg.tables, src, dest, cfg.source.location)
       cfg.tables.foreach { spec =>
-        AtomicSnapshot.publish(results(spec.name).merged, s"${cfg.output}/${spec.name}")
+        // the uuid report is not just documentation: moved rows are
+        // PUBLISHED with their final uuids (collision repairs in keep
+        // mode, every moved row under generateNewUuids) — dest rows
+        // keep theirs. Join on the lineage id; rows without a report
+        // entry (none in practice — the report covers all src rows)
+        // keep their uuid via coalesce.
+        val merged = spec.uuidCol match {
+          case Some(u) =>
+            val report = Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
+              spec.idCol, u, cfg.generateNewUuids)
+            AtomicSnapshot.publish(report, s"${cfg.output}/${spec.name}__uuid_report")
+            val finals = report.select(org.apache.spark.sql.functions.col("src_id"),
+              org.apache.spark.sql.functions.col("final_uuid"))
+            val m = results(spec.name).merged
+            import org.apache.spark.sql.functions.{broadcast => bcast, coalesce, col, when}
+            m.join(bcast(finals),
+                m(s"src_${spec.idCol}") === finals("src_id") && m("instance") === "src", "left")
+              .withColumn(u, when(col("instance") === "src",
+                coalesce(col("final_uuid"), col(u))).otherwise(col(u)))
+              .drop("src_id", "final_uuid")
+          case None => results(spec.name).merged
+        }
+        AtomicSnapshot.publish(merged, s"${cfg.output}/${spec.name}")
         if (cfg.persist)
           AtomicSnapshot.publish(results(spec.name).idMap, s"${cfg.output}/${spec.name}__idmap")
-        spec.uuidCol.foreach { u =>
-          AtomicSnapshot.publish(
-            Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
-              spec.idCol, u, cfg.generateNewUuids),
-            s"${cfg.output}/${spec.name}__uuid_report")
-        }
       }
       // record provenance LAST — a crash above leaves the source
       // unrecorded and the run safely repeatable (orchestrator.js:94)

@@ -83,7 +83,9 @@ object MergeOps {
     */
   def consolidateMapped(src: DataFrame, dest: DataFrame, plainKeys: Seq[String],
                         mappedCol: String, fkMap: DataFrame, idCol: String): DataFrame = {
-    val srcMapped = remapFk(src, mappedCol, fkMap, "__mapped_key")
+    // left: a null/unmapped comparison column must not DROP the row
+    // from consolidation — it matches nothing and becomes a new insert
+    val srcMapped = remapFk(src, mappedCol, fkMap, "__mapped_key", joinType = "left")
       .drop(mappedCol).withColumnRenamed("__mapped_key", mappedCol)
     consolidate(srcMapped, dest, plainKeys :+ mappedCol, idCol)
   }

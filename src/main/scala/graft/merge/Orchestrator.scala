@@ -124,11 +124,12 @@ object Orchestrator {
     * the remainder) map to their dest counterpart with is_new=0; the
     * rest get contiguous ids past dest's max with is_new=1. */
   private def moveIdMap(src: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame = {
-    val destK = dest.groupBy(spec.naturalKey.map(col): _*)
+    val key = effectiveKey(spec)
+    val destK = dest.groupBy(key.map(col): _*)
       .agg(min(col(spec.idCol)).cast(LongType).as("dest_id"))
-    val byKey = src.join(destK, spec.naturalKey)
+    val byKey = src.join(destK, key)
       .select(col(spec.idCol).cast(LongType).as("src_id"), col("dest_id"), lit(0).as("is_new"))
-    val afterKey = src.join(destK, spec.naturalKey, "left_anti")
+    val afterKey = src.join(destK, key, "left_anti")
     val (matched, unmatched) = spec.uuidCol match {
       case Some(u) =>
         val destU = dest.groupBy(col(u)).agg(min(col(spec.idCol)).cast(LongType).as("dest_id"))
@@ -149,13 +150,23 @@ object Orchestrator {
     * always resolve. `mappedKeys` columns are rewritten through the
     * parent maps before any matching — on the SRC side only, since
     * dest values are already in the destination id space. */
-  /** src with mappedKeys columns rewritten into dest id space. */
+  /** src with mappedKeys columns rewritten into dest id space. LEFT
+    * join: a null/unmapped mapped key must NOT drop the row (the id
+    * map is contractually complete over all src rows) — it becomes a
+    * null key value, which matches no dest row and therefore
+    * consolidates/moves as new. */
   private def withMappedKeys(src: DataFrame, spec: TableSpec,
                              parentMaps: String => DataFrame): DataFrame =
     spec.mappedKeys.foldLeft(src) { case (df, (c, parent)) =>
-      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c")
+      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c", joinType = "left")
         .drop(c).withColumnRenamed(s"__mapped_$c", c)
     }
+
+  /** Cross-instance identity columns: the declared natural key plus
+    * every mapped key (both modes match on the same composite —
+    * a row is "the same row" only if its mapped parents agree too). */
+  private def effectiveKey(spec: TableSpec): Seq[String] =
+    spec.naturalKey ++ spec.mappedKeys.keys.filterNot(spec.naturalKey.contains)
 
   def idMapFor(src: DataFrame, dest: DataFrame, spec: TableSpec,
                parentMaps: String => DataFrame): DataFrame =
@@ -166,9 +177,7 @@ object Orchestrator {
   private def idMapMapped(srcMapped: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame =
     spec.mode match {
       case MergeMode.Consolidate =>
-        MergeOps.consolidate(srcMapped, dest,
-          spec.naturalKey ++ spec.mappedKeys.keys.filterNot(spec.naturalKey.contains),
-          spec.idCol)
+        MergeOps.consolidate(srcMapped, dest, effectiveKey(spec), spec.idCol)
       case MergeMode.Move => moveIdMap(srcMapped, dest, spec)
     }
 
@@ -250,14 +259,16 @@ object Orchestrator {
       // mappedKeys must land in dest id space before matching)
       if (mapConsumers(spec.name)) maps(spec.name) = idMapMapped(s, d, spec)
       // counts need only the match DECISION per src row, not ids —
-      // semi/anti joins replicate idMapMapped's matching (natural key,
-      // then uuid for the Move remainder) with no range sort, no
-      // zipWithIndex jobs, no dest-max action. The OrchestratorSpec
-      // dry-run-equals-actual test pins this equivalence.
-      val destKeys = d.select(spec.naturalKey.map(col): _*).distinct()
-      val matchedKey = s.join(destKeys, spec.naturalKey, "left_semi")
+      // semi/anti joins replicate idMapMapped's matching (the SAME
+      // effective key: naturalKey + mappedKeys, then uuid for the Move
+      // remainder) with no range sort, no zipWithIndex jobs, no
+      // dest-max action. The OrchestratorSpec dry-run-equals-actual
+      // test pins this equivalence.
+      val key = effectiveKey(spec)
+      val destKeys = d.select(key.map(col): _*).distinct()
+      val matchedKey = s.join(destKeys, key, "left_semi")
         .select(lit(0).as("is_new"))
-      val rest = s.join(destKeys, spec.naturalKey, "left_anti")
+      val rest = s.join(destKeys, key, "left_anti")
       val shape = spec.uuidCol.filter(_ => spec.mode == MergeMode.Move) match {
         case Some(u) =>
           val destU = d.select(col(u)).distinct()

@@ -123,7 +123,9 @@ object Media {
     * float deterministically from the payload's md5 via the same
     * [[graft.functions.DetHash]]-style formula the oracle reproduces.
     * Reads real bytes; output is batch-boundary independent. */
-  def encodeStubBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] =
+  def encodeStubBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] = {
+    require(dim >= 1 && dim <= 8,
+      s"stub encoder derives 4 hex chars per dimension from one md5 (32 chars): dim=$dim not in [1,8]")
     batch.map { m =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(m.payload).map(b => f"$b%02x").mkString
@@ -134,6 +136,7 @@ object Media {
       }.toArray
       MediaEmbedding(m.doc_id, emb)
     }
+  }
 
   /** mm3: media → embedding bridge — the inference step that feeds the
     * s-block (kNN / clustering / near-dup) from raw media. Same

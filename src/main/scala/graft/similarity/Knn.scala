@@ -60,14 +60,6 @@ object Knn {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH bucket code: bit j = sign of dot(v, plane_j). Every dot runs
-    * through the codegen'd DotProductF32 kernel against md5-derived
-    * literal planes ([[Lsh]]) — the interpreted `aggregate(zip_with)`
-    * higher-order form measured ~20× slower on this exact per-row hot
-    * path (SURVEY §5). */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    Lsh.bandKey(v, b = 0, r = nPlanes, dim = dim)
-
   /** s3: embedding k-means clustering — the data-curation staple
     * (topic balancing, stratified sampling, near-dup triage). Built on
     * MLlib's KMeans (k-means|| init, seeded → deterministic for a

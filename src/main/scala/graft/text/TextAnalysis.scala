@@ -303,11 +303,15 @@ object TextAnalysis {
       .withColumn("h", graft.functions.DetHash.md5Long60Col(
         concat(lit("sample:"), $"doc_id".cast("string"))))
     val sizes = hashed.groupBy($"pred_lang").agg(count(lit(1)).as("n"))
-    // threshold = margin·cap/n · 2⁶⁰, computed in exact integer math;
-    // strata smaller than margin·cap keep everything
+    // threshold = (2⁶⁰ DIV n) · margin·cap in exact LONG arithmetic
+    // (SQL DIV, not `/` which is double division and would compare a
+    // 60-bit h in 53-bit float precision). No overflow where the
+    // branch matters: the first disjunct keeps all rows of strata with
+    // n ≤ margin·cap, and for larger n the product is < 2⁶⁰/n·4n ≪ 2⁶³.
+    // Strata smaller than margin·cap keep everything.
     val thresholded = hashed.join(broadcast(sizes), Seq("pred_lang"))
       .filter($"n" <= lit(margin.toLong * cap) ||
-        $"h" <= lit(1L << 60) / $"n" * (margin.toLong * cap))
+        $"h" <= expr(s"${1L << 60} DIV n") * (margin.toLong * cap))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"pred_lang")
       .orderBy($"h", $"doc_id")

@@ -122,6 +122,21 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(got == Map(9001L -> 100L, 9002L -> 200L, 9003L -> -1L, 9004L -> 501L))
   }
 
+  test("asofJoin carries the matched right row ATOMICALLY (null fields never backfill)") {
+    import org.apache.spark.sql.functions._
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val right = Seq(
+      (1L, t(10), 1L, Some("x")),
+      (1L, t(20), 2L, None)       // latest row has a NULL payload field
+    ).toDF("user_id", "ts", "click_id", "ref")
+    val left = Seq((1L, t(25), 9001L)).toDF("user_id", "ts", "event_id")
+    val r = graft.operators.AsOf.asofJoin(left, right, Seq("user_id"),
+      "ts", "ts", Seq("click_id", "ref"), "click_id").collect().head
+    assert(r.getAs[Long]("asof_click_id") == 2L)
+    // the OLD row's "x" must NOT leak into the newer match
+    assert(r.isNullAt(r.fieldIndex("asof_ref")))
+  }
+
   test("t8 balanced sample caps every stratum and is deterministic") {
     val r1 = graft.text.TextAnalysis.t8BalancedSample(spark, sf, cap = 7).collect()
     val byLang = r1.groupBy(_.getAs[String]("pred_lang"))

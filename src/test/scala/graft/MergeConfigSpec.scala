@@ -92,12 +92,23 @@ class MergeConfigSpec extends AnyFunSuite {
   test("source-once guard: re-merging a processed location throws; persist publishes id maps") {
     val (srcDir, destDir, outDir) = writeInstances()
     val cfg = MergeConfig.fromJson(
-      configJson(srcDir, destDir, outDir, genUuids = false, persist = true))
+      configJson(srcDir, destDir, outDir, genUuids = true, persist = true))
     MergeConfig.execute(spark, cfg, dryRun = false)
     // persist=true → durable id maps (the reference's beehive_merge_* tables)
     val pmap = spark.read.parquet(s"$outDir/parent__idmap").collect()
       .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dest_id")).toMap
     assert(pmap == Map(1L -> 10L, 2L -> 12L))
+    // generateNewUuids=true: the PUBLISHED moved row carries the
+    // regenerated uuid from the report, not its original
+    val parentOut = spark.read.parquet(s"$outDir/parent").collect()
+    val movedBeta = parentOut.find(_.getAs[String]("instance") == "src").get
+    val reported = spark.read.parquet(s"$outDir/parent__uuid_report").collect()
+      .find(_.getAs[Long]("src_id") == 2L).get.getAs[String]("final_uuid")
+    assert(movedBeta.getAs[String]("uuid") == reported)
+    assert(movedBeta.getAs[String]("uuid") != "u2")
+    // dest rows keep their uuids verbatim
+    assert(parentOut.filter(_.getAs[String]("instance") == "dest")
+      .map(_.getAs[String]("uuid")).toSet == Set("u1", "u3"))
     // the registry records the location; a second run must refuse
     val ex = intercept[IllegalStateException] {
       MergeConfig.execute(spark, cfg, dryRun = false)

@@ -68,6 +68,48 @@ class OrchestratorSpec extends AnyFunSuite {
       .getAs[String]("merge_source") == "dest")
   }
 
+  test("mappedKeys: dry-run equals run(), null mapped keys survive, Move matches on the full key") {
+    val srcParent = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val destParent = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    // child 102 has a NULL parent ref — must consolidate as new, not vanish
+    val srcChild = Seq((100L, "t", Some(1L)), (101L, "t", Some(2L)), (102L, "z", None))
+      .toDF("id", "label", "parent_id")
+    val destChild = Seq((500L, "t", Some(10L))).toDF("id", "label", "parent_id")
+    val specs = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("label"), MergeMode.Consolidate,
+        mappedKeys = Map("parent_id" -> "parent")))
+    val src = Map("parent" -> srcParent, "child" -> srcChild)
+    val dst = Map("parent" -> destParent, "child" -> destChild)
+
+    val r = Orchestrator.run(specs, src, dst, "inst2")
+    val childOut = r("child").merged.collect()
+    // dest row + 2 new src rows (101 via mapped-parent mismatch is
+    // matched: ("t", 12)? no — dest has ("t",10): 100 matches, 101 new;
+    // 102 has null parent → new)
+    assert(childOut.length == 3)
+    val z = childOut.find(_.getAs[String]("label") == "z").get
+    assert(z.isNullAt(z.fieldIndex("parent_id"))) // null mapped key survived
+    val dry = Orchestrator.dryRun(specs, src, dst).collect()
+      .map(x => x.getAs[String]("table_name") -> x.getAs[Long]("would_insert")).toMap
+    val actualInserts = Map(
+      "parent" -> r("parent").merged.filter($"instance" === "src").count(),
+      "child" -> r("child").merged.filter($"instance" === "src").count())
+    assert(dry == actualInserts, s"dry $dry vs actual $actualInserts")
+
+    // Move mode matches on naturalKey ++ mappedKeys: same label under a
+    // DIFFERENT mapped parent is NOT "already in destination"
+    val moveSpecs = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("label"), MergeMode.Move,
+        mappedKeys = Map("parent_id" -> "parent")))
+    val srcChild2 = Seq((100L, "t", Some(2L))).toDF("id", "label", "parent_id") // parent beta→12
+    val rm = Orchestrator.run(moveSpecs,
+      Map("parent" -> srcParent, "child" -> srcChild2), dst, "inst2")
+    // dest child is ("t", 10); src child maps to ("t", 12) → MOVED, not excluded
+    assert(rm("child").merged.filter($"instance" === "src").count() == 1)
+  }
+
   test("m13 merged output preserves referential integrity and provenance") {
     val out = OrchestratorQueries.m13FullPipeline(spark, sf).cache()
     val cust = out.filter($"table_name" === "customer")
