@@ -140,8 +140,9 @@ object Dedup {
     * the md5-derived slot hashes, band keys, candidates, and the
     * slot-agreement estimate exactly. Estimates are multiples of 1/32
     * (5 exact decimal places), so round-6 doubles compare exactly. */
-  val d2Sql: String =
-    """WITH tok AS (
+  /** d2's CTE chain through `est` — shared by d2Sql and d7Sql. */
+  private val d2Ctes: String =
+    """tok AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       |  FROM documents),
@@ -176,9 +177,80 @@ object Dedup {
       |  FROM cand c
       |  JOIN slots s1 ON s1.doc_id = c.doc_id1
       |  JOIN slots s2 ON s2.doc_id = c.doc_id2 AND s2.j = s1.j
-      |  GROUP BY 1, 2)
-      |SELECT doc_id1, doc_id2, est_jaccard FROM est
-      |WHERE est_jaccard >= 0.7 ORDER BY doc_id1, doc_id2""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val d2Sql: String =
+    s"""WITH $d2Ctes
+       |SELECT doc_id1, doc_id2, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.7 ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** d7: duplicate CLUSTERING — connected components over d2's
+    * near-dup pairs, assigning every document the min doc_id of its
+    * duplicate cluster (its canonical representative; singletons map
+    * to themselves). This is the step an actual curation pipeline runs
+    * AFTER pair generation: near-duplication is transitive in practice
+    * (A≈B, B≈C ⇒ keep one of {A,B,C}), so the kept set is one doc per
+    * component, not per pair.
+    *
+    * Distributed shape: iterative min-label propagation — each round,
+    * every node takes the min of its own label and its neighbors'
+    * (two joins + one aggregation per round), converging in
+    * ≤ diameter rounds (duplicate clusters are shallow; the cap is a
+    * guard). This is the MapReduce-CC family of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC 2014) —
+    * no driver-side graph, state is a (doc_id, label) DataFrame.
+    * The per-round `count` action is the convergence check; labels
+    * are persisted per round and released after the next round
+    * materializes. */
+  def d7DupClusters(spark: SparkSession, dir: String, threshold: Double = 0.7,
+                    maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = d2MinhashLsh(spark, dir, threshold = threshold)
+      .select($"doc_id1".as("a"), $"doc_id2".as("b"))
+    val edges = graft.operators.Indexes.swap("d7_edges",
+      pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b"))))
+    // propagation runs over the PAIR SUBGRAPH only — unpaired docs can
+    // never change label, so at corpus scale the per-round joins touch
+    // the (tiny) duplicate graph, not the whole corpus; singletons
+    // union back in at the end with label = self
+    var labels = edges.select($"a".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy($"a").agg(min($"label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
+        .select(labels("doc_id"), least($"nbr_label", $"label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter($"label" =!= $"old_label").count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    val singletons = Tables.read(spark, dir, "documents").select($"doc_id")
+      .join(edges.select($"a".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.unionAll(singletons)
+      .select($"doc_id", $"label".as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** d7 oracle: the same d2 pair CTEs + a recursive transitive-closure
+    * CTE; cluster id = min reachable doc_id (every doc reaches itself). */
+  val d7Sql: String =
+    s"""WITH RECURSIVE $d2Ctes,
+       |pairs AS (
+       |  SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** d4: exact n-gram Jaccard on blocked candidate pairs. Blocking key
     * = first 30 chars of normalized text (cheap, SQL-expressible, so

@@ -97,6 +97,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("d7 clusters are transitive closures: chained pairs collapse to one canonical id") {
+    import spark.implicits._
+    // doc_ids whose d2 pairs chain (A-B, B-C) must share min-id cluster
+    val clusters = Dedup.d7DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Dedup.d2MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2")))
+    // every pair's two docs share a cluster, and the cluster id is a member
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { case (d, c) =>
+      assert(c <= d)                        // canonical = min member
+      assert(clusters(c) == c, s"canonical $c of $d is not its own canonical")
+    }
+    // docs in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot { case (d, _) => paired(d) }
+      .foreach { case (d, c) => assert(c == d) }
+  }
+
   test("every near-dup/ANN plan is a bucketed join — no broadcast nested loop, no cartesian") {
     // the property that keeps the whole sketch family alive at 100×:
     // candidates come from equi-joins on bucket keys, never all-pairs
