@@ -140,8 +140,9 @@ object Dedup {
     * the md5-derived slot hashes, band keys, candidates, and the
     * slot-agreement estimate exactly. Estimates are multiples of 1/32
     * (5 exact decimal places), so round-6 doubles compare exactly. */
-  /** d2's CTE chain through `est` — shared by d2Sql and d7Sql. */
-  private val d2Ctes: String =
+  /** d2's CTE chain through `est` — shared by d2Sql, d7Sql and the
+    * t9 leakage oracle. */
+  private[graft] val d2Ctes: String =
     """tok AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
@@ -216,18 +217,24 @@ object Dedup {
     var labels = edges.select($"a".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the frame actually holding the cache for the current round
+    // (labels may be a projection of it — unpersist the real one)
+    var cached = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy($"a").agg(min($"label").as("nbr_label"))
+      // carry the previous label through the round so convergence is
+      // one filter on the materialized frame, not an extra join
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
-        .select(labels("doc_id"), least($"nbr_label", $"label").as("label"))
+        .select(labels("doc_id"), least($"nbr_label", $"label").as("label"),
+          labels("label").as("__old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter($"label" =!= $"old_label").count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.filter($"label" =!= $"__old").count()
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select($"doc_id", $"label")
       iter += 1
     }
     val singletons = Tables.read(spark, dir, "documents").select($"doc_id")

@@ -209,6 +209,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t9: split-leakage audit — eval contamination detection. t5's
+    * content-hash split already pins EXACT duplicates to one split;
+    * the remaining leak is NEAR-duplicates (a test doc whose light
+    * paraphrase sits in train). Those are exactly d7's clusters, so
+    * leakage = clusters spanning >1 split. One narrow join (clusters ⋈
+    * splits) + one aggregation on the (tiny) dup-cluster graph. */
+  def t9SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = graft.dedup.Dedup.d7DupClusters(spark, dir)
+    val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
+    clusters.join(splits, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"split").as("n_splits"),
+        concat_ws(",", sort_array(collect_set($"split"))).as("splits"))
+      .filter($"n_splits" > 1)
+      .orderBy("cluster_id")
+  }
+
+  val t9Sql: String = {
+    val d2Ctes = graft.dedup.Dedup.d2Ctes
+    s"""WITH RECURSIVE $d2Ctes,
+       |pairs AS (
+       |  SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100 AS b
+       |    FROM documents) t),
+       |j AS (SELECT c.cluster_id, s.split FROM cc c JOIN sp s ON c.doc_id = s.doc_id)
+       |SELECT cluster_id, count(*) AS n_docs,
+       |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+       |FROM j GROUP BY cluster_id HAVING count(DISTINCT split) > 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** t7: repetition scoring — distinct/total token ratio and max
     * single-token share, the standard boilerplate/spam signals for
     * training-data curation. Integer-exact ×1e6 outputs (see
