@@ -214,12 +214,12 @@ object Dedup {
     // never change label, so at corpus scale the per-round joins touch
     // the (tiny) duplicate graph, not the whole corpus; singletons
     // union back in at the end with label = self
-    var labels = edges.select($"a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the frame actually holding the cache for the current round
-    // (labels may be a projection of it — unpersist the real one)
-    var cached = labels
+    // round state rides Indexes.swap under one key: each round's
+    // persist releases the previous round's, and the FINAL frame stays
+    // registered (bounded — the next d7/t9 invocation swaps it out)
+    var labels = graft.operators.Indexes.swap("d7_labels",
+      edges.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -227,16 +227,18 @@ object Dedup {
         .groupBy($"a").agg(min($"label").as("nbr_label"))
       // carry the previous label through the round so convergence is
       // one filter on the materialized frame, not an extra join
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
-        .select(labels("doc_id"), least($"nbr_label", $"label").as("label"),
-          labels("label").as("__old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = graft.operators.Indexes.swap("d7_labels",
+        labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
+          .select(labels("doc_id"), least($"nbr_label", $"label").as("label"),
+            labels("label").as("__old")))
       changed = next.filter($"label" =!= $"__old").count()
-      cached.unpersist(blocking = false)
-      cached = next
       labels = next.select($"doc_id", $"label")
       iter += 1
     }
+    // silent non-convergence would emit non-minimal cluster ids and
+    // desync the transitive-closure oracle — fail loudly instead
+    require(changed == 0,
+      s"d7DupClusters did not converge in $maxIters rounds (component diameter too large)")
     val singletons = Tables.read(spark, dir, "documents").select($"doc_id")
       .join(edges.select($"a".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))
@@ -245,19 +247,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** d7 oracle: the same d2 pair CTEs + a recursive transitive-closure
-    * CTE; cluster id = min reachable doc_id (every doc reaches itself). */
+  /** Recursive transitive-closure block over d2's `est` — shared by
+    * d7Sql and the t9 leakage oracle (ONE copy of the threshold and
+    * closure, like d2Ctes itself). Yields `cc(doc_id, cluster_id)`;
+    * cluster id = min reachable doc_id (every doc reaches itself). */
+  private[graft] val ccCtes: String =
+    """pairs AS (
+      |  SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  /** d7 oracle: the same d2 pair CTEs + the recursive closure. */
   val d7Sql: String =
     s"""WITH RECURSIVE $d2Ctes,
-       |pairs AS (
-       |  SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
-       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-       |reach AS (
-       |  SELECT doc_id AS a, doc_id AS b FROM documents
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT a AS doc_id, min(b) AS cluster_id
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+       |$ccCtes
+       |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
 
   /** d4: exact n-gram Jaccard on blocked candidate pairs. Blocking key
     * = first 30 chars of normalized text (cheap, SQL-expressible, so

@@ -136,15 +136,18 @@ object MergeConfig {
             val report = Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
               spec.idCol, u, cfg.generateNewUuids)
             AtomicSnapshot.publish(report, s"${cfg.output}/${spec.name}__uuid_report")
-            val finals = report.select(org.apache.spark.sql.functions.col("src_id"),
-              org.apache.spark.sql.functions.col("final_uuid"))
-            val m = results(spec.name).merged
             import org.apache.spark.sql.functions.{broadcast => bcast, coalesce, col, when}
+            // unique aliases: the report's src_id would otherwise
+            // collide with the lineage column src_<idCol> when
+            // idCol == "id", and drop() removes ALL same-named columns
+            val finals = report.select(col("src_id").as("__uuid_src"),
+              col("final_uuid").as("__uuid_final"))
+            val m = results(spec.name).merged
             m.join(bcast(finals),
-                m(s"src_${spec.idCol}") === finals("src_id") && m("instance") === "src", "left")
+                m(s"src_${spec.idCol}") === finals("__uuid_src") && m("instance") === "src", "left")
               .withColumn(u, when(col("instance") === "src",
-                coalesce(col("final_uuid"), col(u))).otherwise(col(u)))
-              .drop("src_id", "final_uuid")
+                coalesce(col("__uuid_final"), col(u))).otherwise(col(u)))
+              .drop("__uuid_src", "__uuid_final")
           case None => results(spec.name).merged
         }
         AtomicSnapshot.publish(merged, s"${cfg.output}/${spec.name}")

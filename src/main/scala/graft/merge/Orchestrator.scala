@@ -294,18 +294,23 @@ object Orchestrator {
 
   /** Declarative exclusion set for one table (preparation.js:134): the
     * src ids that would NOT move because a dest row matches on the
-    * spec's natural key OR its uuid — m5's operator driven from the
-    * same `TableSpec` config surface the full pipeline uses. This is
-    * exactly the is_new=0 side of the Move-mode id map, exposed as an
-    * id list. */
-  def excludedIds(src: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame =
+    * spec's cross-instance identity (effectiveKey: naturalKey +
+    * mappedKeys, the SAME composite the Move-mode id map uses — this
+    * is exactly its is_new=0 side, exposed as an id list) OR its uuid.
+    * Specs with mappedKeys need the parents' completed maps. */
+  def excludedIds(src: DataFrame, dest: DataFrame, spec: TableSpec,
+                  parentMaps: String => DataFrame =
+                    name => sys.error(s"excludedIds: parent map for '$name' required by mappedKeys"))
+  : DataFrame = {
+    val s = withMappedKeys(src, spec, parentMaps)
+    val key = effectiveKey(spec)
     spec.uuidCol match {
-      case Some(u) => MergeOps.excludeMoved(src, dest, spec.naturalKey, u, spec.idCol)
+      case Some(u) => MergeOps.excludeMoved(s, dest, key, u, spec.idCol)
       case None =>
-        src.join(dest.select(spec.naturalKey.map(col): _*).distinct(),
-            spec.naturalKey, "left_semi")
+        s.join(dest.select(key.map(col): _*).distinct(), key, "left_semi")
           .select(col(spec.idCol)).distinct()
     }
+  }
 
   /** UUID handling for moved rows (reference utils.js:55 config flag
     * `generateNewUuids`, uuid-checks.js:26 initial→final report).

@@ -39,9 +39,15 @@ object AsOf {
                leftTime: String, rightTime: String,
                rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
     val payloadStruct = struct(rightPayload.map(col): _*)
-    val taggedRight = right.select(
-      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
-        col(rightTieBreak).as("__tie") :+ payloadStruct.as("__asof"): _*)
+    // join-equality semantics for NULL keys: a null-keyed right row
+    // matches nothing (the window would otherwise group null keys
+    // together and "match" them); null-keyed LEFT rows survive with a
+    // null payload, like any unmatched left row
+    val taggedRight = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+          col(rightTieBreak).as("__tie") :+ payloadStruct.as("__asof"): _*)
     val leftCols = left.columns
     val taggedLeft = left.select(
       leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+

@@ -35,7 +35,11 @@ object RangeJoin {
                 t: String, lo: String, hi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val binnedPoints = points.withColumn("__bin", floor(col(t) / binWidth))
-    val binnedIntervals = intervals.withColumn("__bin",
+    // inverted intervals (lo > hi) contain no points — drop them BEFORE
+    // sequence(), which would otherwise step DOWNWARD through every bin
+    // between the bounds (huge arrays / sequence-length errors for far
+    // bounds) instead of yielding zero rows
+    val binnedIntervals = intervals.filter(col(lo) <= col(hi)).withColumn("__bin",
       explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
     binnedPoints.join(binnedIntervals, Seq("__bin"))
       .filter(col(t) >= col(lo) && col(t) <= col(hi))

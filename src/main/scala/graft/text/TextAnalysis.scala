@@ -228,30 +228,18 @@ object TextAnalysis {
       .orderBy("cluster_id")
   }
 
-  val t9Sql: String = {
-    val d2Ctes = graft.dedup.Dedup.d2Ctes
-    s"""WITH RECURSIVE $d2Ctes,
-       |pairs AS (
-       |  SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
-       |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-       |reach AS (
-       |  SELECT doc_id AS a, doc_id AS b FROM documents
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+  val t9Sql: String =
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.d2Ctes},
+       |${graft.dedup.Dedup.ccCtes},
        |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT doc_id,
-       |    CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100 AS b
-       |    FROM documents) t),
+       |  SELECT doc_id, $splitCaseSql AS split
+       |  FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents) t),
        |j AS (SELECT c.cluster_id, s.split FROM cc c JOIN sp s ON c.doc_id = s.doc_id)
        |SELECT cluster_id, count(*) AS n_docs,
        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
        |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
        |FROM j GROUP BY cluster_id HAVING count(DISTINCT split) > 1
        |ORDER BY cluster_id""".stripMargin
-  }
 
   /** t7: repetition scoring — distinct/total token ratio and max
     * single-token share, the standard boilerplate/spam signals for
@@ -310,14 +298,21 @@ object TextAnalysis {
       |  FROM documents) t
       |GROUP BY token ORDER BY term_freq DESC, token LIMIT 20""".stripMargin
 
+  /** t5's bucket + split arithmetic — ONE copy shared by t5Sql and
+    * t9Sql so a boundary change can't desynchronize the oracles.
+    * (defs, not vals: t9Sql is declared earlier in the object and
+    * would interpolate null from an uninitialized val.) */
+  private def splitBucketSql: String =
+    "CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100"
+  private def splitCaseSql: String =
+    "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"
+
   val t5Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100 AS bucket
-      |  FROM documents)
-      |SELECT doc_id, bucket,
-      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-      |FROM b ORDER BY doc_id""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, $splitBucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket, $splitCaseSql AS split
+       |FROM b ORDER BY doc_id""".stripMargin
 
   /** t8: balanced stratified downsample — cap every stratum (here t1's
     * predicted language) at `cap` documents, keeping a DETERMINISTIC
@@ -338,7 +333,11 @@ object TextAnalysis {
     * exp(−cap·(margin−1)²/(2·margin)) — at cap=100, margin=4 that is
     * e⁻¹¹² ≈ 10⁻⁴⁹, 0 for engineering purposes. The prefilter needs
     * one per-stratum count (tiny broadcast) and changes NO output bit:
-    * the oracle ranks without it. */
+    * the oracle ranks without it. The +64 additive cushion keeps the
+    * Chernoff bound strong for SMALL caps too (cap=7, margin=4 alone
+    * would only bound failure at ~4·10⁻⁴; with the cushion the
+    * expected survivor count is ≥ 4·cap+64, giving ≤ e⁻³⁹ even at
+    * cap=1). */
   def t8BalancedSample(spark: SparkSession, dir: String, cap: Int = 100,
                        margin: Int = 4): DataFrame = {
     import spark.implicits._
@@ -347,15 +346,16 @@ object TextAnalysis {
       .withColumn("h", graft.functions.DetHash.md5Long60Col(
         concat(lit("sample:"), $"doc_id".cast("string"))))
     val sizes = hashed.groupBy($"pred_lang").agg(count(lit(1)).as("n"))
-    // threshold = (2⁶⁰ DIV n) · margin·cap in exact LONG arithmetic
-    // (SQL DIV, not `/` which is double division and would compare a
-    // 60-bit h in 53-bit float precision). No overflow where the
-    // branch matters: the first disjunct keeps all rows of strata with
-    // n ≤ margin·cap, and for larger n the product is < 2⁶⁰/n·4n ≪ 2⁶³.
-    // Strata smaller than margin·cap keep everything.
+    // survivors target: margin·cap + 64 rows per stratum
+    val keep = margin.toLong * cap + 64
+    // threshold = (2⁶⁰ DIV n) · keep in exact LONG arithmetic (SQL
+    // DIV, not `/` which is double division and would compare a 60-bit
+    // h in 53-bit float precision). No overflow where the branch
+    // matters: the first disjunct keeps all rows of strata with
+    // n ≤ keep, and for larger n the product is < 2⁶⁰/n·n ≪ 2⁶³.
     val thresholded = hashed.join(broadcast(sizes), Seq("pred_lang"))
-      .filter($"n" <= lit(margin.toLong * cap) ||
-        $"h" <= expr(s"${1L << 60} DIV n") * (margin.toLong * cap))
+      .filter($"n" <= lit(keep) ||
+        $"h" <= expr(s"${1L << 60} DIV n") * keep)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"pred_lang")
       .orderBy($"h", $"doc_id")

@@ -137,6 +137,17 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("asof_ref")))
   }
 
+  test("asofJoin never matches NULL keys (join equality, not window grouping)") {
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val right = Seq((Option.empty[Long], t(10), 1L))
+      .toDF("user_id", "ts", "click_id").withColumn("ref", lit("x"))
+    val left = Seq((Option.empty[Long], t(25), 9001L)).toDF("user_id", "ts", "event_id")
+    val r = graft.operators.AsOf.asofJoin(left, right, Seq("user_id"),
+      "ts", "ts", Seq("click_id", "ref"), "click_id").collect()
+    // the null-keyed left row survives, with NO match
+    assert(r.length == 1 && r.head.isNullAt(r.head.fieldIndex("asof_click_id")))
+  }
+
   test("t8 balanced sample caps every stratum and is deterministic") {
     val r1 = graft.text.TextAnalysis.t8BalancedSample(spark, sf, cap = 7).collect()
     val byLang = r1.groupBy(_.getAs[String]("pred_lang"))

@@ -60,6 +60,16 @@ class MergeOpsSpec extends AnyFunSuite {
       .collect().head.getAs[String]("new_uuid") == nu)
   }
 
+  test("no oracle SQL contains an interpolated Scala null (val init-order guard)") {
+    // a `val` SQL helper declared AFTER its interpolation site renders
+    // as the literal "null" — caught once in t9Sql; SQL's own NULL
+    // literals are uppercase by repo convention
+    SparkEntry.oracleSql.foreach { case (id, sql) =>
+      assert(!"""\bnull\b""".r.findFirstIn(sql).isDefined,
+        s"$id oracle contains lowercase 'null' — likely an uninitialized val interpolation")
+    }
+  }
+
   test("every registered query id is documented in SURVEY §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
