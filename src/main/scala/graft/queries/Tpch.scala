@@ -645,6 +645,47 @@ object Tpch {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q9 shape (adapted: no partsupp, so supply cost is the
+    * deterministic stand-in 0.6·p_retailprice): product-line profit
+    * per supplier nation per year, parts filtered by name. All money
+    * math in scaled LONGS (e2 inputs → e4 amounts): per-row amount =
+    * ext_e2·(100−disc_e2) − 60·retail_e2·qty, integral and exact on
+    * both engines — chained DECIMAL products would trip Spark's
+    * precision-loss scale reduction (and DuckDB's different decimal
+    * promotion rules). */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e2: Column => Column = c => (dec(c) * 100).cast("long")
+    val part = Tables.read(spark, dir, "part").filter($"p_name".contains("widget"))
+    val n1 = Tables.read(spark, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("nation"))
+    Tables.read(spark, dir, "lineitem")
+      .join(Tables.read(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.read(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg(sum(e2($"l_extendedprice") * (lit(100L) - e2($"l_discount")) -
+        lit(60L) * e2($"p_retailprice") * dec($"l_quantity").cast("long")).as("profit_e4"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 100 AS BIGINT))
+      |    - 60 * CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |      * CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)) AS BIGINT) AS profit_e4
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   /** j1: skew-safe salted join — same result as the plain equi-join
     * (the oracle is the plain join), but hot keys are spread across
     * salt buckets so no task drowns. */

@@ -41,6 +41,15 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC round-trip — the columnar alternative some warehouses mandate
+    * (Hive-era estates); Spark's native vectorized ORC reader keeps
+    * pushdown + pruning like parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Parallel JDBC source spec, the scale-path for the reference's
     * MySQL source (reference connection.js:1, utils.js:161 pages with
     * `LIMIT start,batch` on ONE connection; here N ranges read

@@ -73,15 +73,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == df.count())
   }
 
-  test("csv and json sources round-trip the nation table") {
+  test("csv, json and orc sources round-trip the nation table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cj").toString
     val df = Tables.read(spark, sf, "nation")
     df.write.option("header", "true").csv(s"$dir/nation_csv")
     df.write.json(s"$dir/nation_json")
+    Tables.writeOrc(df, s"$dir/nation_orc")
     assert(Tables.csv(spark, s"$dir/nation_csv").count() == df.count())
     val j = Tables.json(spark, s"$dir/nation_json")
     assert(j.count() == df.count())
     assert(j.columns.toSet == df.columns.toSet)
+    // ORC preserves schema exactly (columnar, typed) — full row equality
+    val o = Tables.orc(spark, s"$dir/nation_orc")
+    assert(o.schema == df.schema)
+    assert(o.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ==
+      df.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
   }
 
   test("bucketed tables join without any exchange (co-located SMJ)") {
