@@ -158,7 +158,8 @@ object Orchestrator {
   private def withMappedKeys(src: DataFrame, spec: TableSpec,
                              parentMaps: String => DataFrame): DataFrame =
     spec.mappedKeys.foldLeft(src) { case (df, (c, parent)) =>
-      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c", joinType = "left")
+      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c",
+          broadcastMap = false, joinType = "left")
         .drop(c).withColumnRenamed(s"__mapped_$c", c)
     }
 
@@ -214,13 +215,18 @@ object Orchestrator {
 
       // fk rewrite through each parent's completed map (inner: strict
       // post-integrity-check path), then self-FKs through the OWN map
-      // (left: null means no parent — m11 two-phase)
+      // (left: null means no parent — m11 two-phase).
+      // broadcastMap=false: id maps range from metadata-sized to
+      // person-scale — a FORCED broadcast of a fact-sized map kills
+      // the driver at 100 TB, while Spark's size-based auto-broadcast
+      // still broadcasts the small ones (same plan at test scale)
       val fkDone = spec.fks.foldLeft(movers) { case (df, (fkCol, parent)) =>
-        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol")
+        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", broadcastMap = false)
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val selfDone = spec.selfFks.foldLeft(fkDone) { (df, fkCol) =>
-        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol", joinType = "left")
+        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol",
+            broadcastMap = false, joinType = "left")
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val dataCols = s.columns.filter(_ != spec.idCol)
