@@ -92,8 +92,12 @@ object MergeOps {
 
   /** Foreign-key rewrite through an id map (reference
     * person-users.js:223 `beehive.personMap.get(row[...])` per row).
-    * The map rides a join: broadcast when small (metadata maps), plain
-    * shuffle join on the fk otherwise (person-scale maps at 100 TB).
+    * The map rides a join. By default (broadcastMap=false) the join
+    * strategy is Spark's size-based auto-broadcast: metadata-sized
+    * maps broadcast, person-scale maps shuffle-join on the fk — a
+    * FORCED broadcast of a fact-sized map would OOM the driver at
+    * 100 TB. Pass broadcastMap=true only when the caller KNOWS the
+    * map is dimension-sized and wants the hint pinned.
     *
     * `joinType` is part of the operator's semantics, chosen per call
     * site: "inner" DROPS children whose FK is missing from the map
@@ -103,7 +107,7 @@ object MergeOps {
     * like changed_by, where null means "no parent").
     */
   def remapFk(child: DataFrame, fkCol: String, idMap: DataFrame,
-              newCol: String, broadcastMap: Boolean = true,
+              newCol: String, broadcastMap: Boolean = false,
               joinType: String = "inner"): DataFrame = {
     val m = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
     val mapSide = if (broadcastMap) broadcast(m) else m

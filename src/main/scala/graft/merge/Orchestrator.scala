@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.LongType
   * and the orchestrator topologically orders it and threads id maps as
   * DataFrames. Nothing is collected: each table's merge is one
   * declarative plan whose inputs are its parents' id-map plans, so
-  * Catalyst sees the whole lineage and the id maps ride broadcast or
-  * shuffle joins exactly as [[MergeOps.remapFk]] chooses.
+  * Catalyst sees the whole lineage; id-map join strategy is left to
+  * Spark's size-based auto-broadcast (metadata maps broadcast,
+  * person-scale maps shuffle — never a forced hint that would OOM the
+  * driver on a fact-sized map).
   *
   * Scale notes (100 TB): per-table work is the m1/m2/m9 shape — one
   * range-sort for id assignment, semi/anti-joins for exclusion, map
@@ -158,8 +160,7 @@ object Orchestrator {
   private def withMappedKeys(src: DataFrame, spec: TableSpec,
                              parentMaps: String => DataFrame): DataFrame =
     spec.mappedKeys.foldLeft(src) { case (df, (c, parent)) =>
-      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c",
-          broadcastMap = false, joinType = "left")
+      MergeOps.remapFk(df, c, parentMaps(parent), s"__mapped_$c", joinType = "left")
         .drop(c).withColumnRenamed(s"__mapped_$c", c)
     }
 
@@ -216,17 +217,14 @@ object Orchestrator {
       // fk rewrite through each parent's completed map (inner: strict
       // post-integrity-check path), then self-FKs through the OWN map
       // (left: null means no parent — m11 two-phase).
-      // broadcastMap=false: id maps range from metadata-sized to
-      // person-scale — a FORCED broadcast of a fact-sized map kills
-      // the driver at 100 TB, while Spark's size-based auto-broadcast
-      // still broadcasts the small ones (same plan at test scale)
+      // (join strategy: remapFk defaults to size-based auto-broadcast
+      // — small maps broadcast, person-scale maps shuffle)
       val fkDone = spec.fks.foldLeft(movers) { case (df, (fkCol, parent)) =>
-        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", broadcastMap = false)
+        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol")
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val selfDone = spec.selfFks.foldLeft(fkDone) { (df, fkCol) =>
-        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol",
-            broadcastMap = false, joinType = "left")
+        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol", joinType = "left")
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val dataCols = s.columns.filter(_ != spec.idCol)

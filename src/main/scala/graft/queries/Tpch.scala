@@ -652,7 +652,11 @@ object Tpch {
     * ext_e2·(100−disc_e2) − 60·retail_e2·qty, integral and exact on
     * both engines — chained DECIMAL products would trip Spark's
     * precision-loss scale reduction (and DuckDB's different decimal
-    * promotion rules). */
+    * promotion rules). The oracle wraps each scaled cast in trunc():
+    * Spark's decimal→long cast TRUNCATES while DuckDB's rounds, so
+    * without it sub-cent prices or fractional quantities in future
+    * testdata would introduce silent per-row off-by-ones (current
+    * data is exactly 2-dp / integral — verified at all three sfs). */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e2: Column => Column = c => (dec(c) * 100).cast("long")
@@ -673,10 +677,10 @@ object Tpch {
   val q9Sql: String =
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(sum(
-      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
-      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 100 AS BIGINT))
-      |    - 60 * CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100 AS BIGINT)
-      |      * CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT)) AS BIGINT) AS profit_e4
+      |    CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+      |      * (100 - CAST(trunc(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT))
+      |    - 60 * CAST(trunc(CAST(p_retailprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+      |      * CAST(trunc(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT)) AS BIGINT) AS profit_e4
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN part ON l_partkey = p_partkey
