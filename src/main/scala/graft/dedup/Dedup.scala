@@ -140,9 +140,10 @@ object Dedup {
     * the md5-derived slot hashes, band keys, candidates, and the
     * slot-agreement estimate exactly. Estimates are multiples of 1/32
     * (5 exact decimal places), so round-6 doubles compare exactly. */
-  /** d2's CTE chain through `est` — shared by d2Sql, d7Sql and the
-    * t9 leakage oracle. */
-  private[graft] val d2Ctes: String =
+  /** The shingle-formation CTE chain `tok → shu → sh` — ONE copy of
+    * the word-3-gram definition, shared by d2Ctes (and through it
+    * d7Sql/t9Sql) and the t11 contamination oracle. */
+  private[graft] val shingleCtes: String =
     """tok AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
@@ -151,7 +152,12 @@ object Dedup {
       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
       |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh
       |  FROM tok WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM shu),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM shu)""".stripMargin
+
+  /** d2's CTE chain through `est` — shared by d2Sql, d7Sql and the
+    * t9 leakage oracle. */
+  private[graft] val d2Ctes: String =
+    s"""$shingleCtes,
       |hs AS (
       |  SELECT doc_id,
       |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h0
@@ -226,12 +232,17 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy($"a").agg(min($"label").as("nbr_label"))
       // carry the previous label through the round so convergence is
-      // one filter on the materialized frame, not an extra join
-      val next = graft.operators.Indexes.swap("d7_labels",
+      // one filter on the materialized frame, not an extra join.
+      // swapWith materializes the new generation (the convergence
+      // count) BEFORE releasing the previous one — next is derived
+      // from labels, so a plain swap would recompute every prior
+      // round from lineage each round (O(rounds²))
+      val (next, ch) = graft.operators.Indexes.swapWith("d7_labels",
         labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
           .select(labels("doc_id"), least($"nbr_label", $"label").as("label"),
-            labels("label").as("__old")))
-      changed = next.filter($"label" =!= $"__old").count()
+            labels("label").as("__old")))(
+        _.filter($"label" =!= $"__old").count())
+      changed = ch
       labels = next.select($"doc_id", $"label")
       iter += 1
     }
@@ -361,7 +372,7 @@ object Dedup {
     val voteCols = (0 until nChunks * bitsPerChunk).map(i =>
       sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
     val votes = tokHash.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-    // pack sign bits into 16-bit chunk values (literal shifts again)
+    // pack sign bits into bitsPerChunk-bit chunk values (literal shifts again)
     val chunkCols = (0 until nChunks).map { c =>
       (0 until bitsPerChunk).map { i =>
         when(col(s"v${c * bitsPerChunk + i}") > 0, lit(1L << i)).otherwise(lit(0L))
@@ -555,7 +566,7 @@ object Dedup {
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
        |p AS (
        |  SELECT c.vec_id1, c.vec_id2,
-       |    sum(ua.v * ub.v) / (sqrt(sum(ua.v * ua.v)) * sqrt(sum(ub.v * ub.v))) AS c
+       |    sum(ua.v * ub.v ORDER BY ua.i) / (sqrt(sum(ua.v * ua.v ORDER BY ua.i)) * sqrt(sum(ub.v * ub.v ORDER BY ub.i))) AS c
        |  FROM cand c
        |  JOIN u ua ON ua.vec_id = c.vec_id1
        |  JOIN u ub ON ub.vec_id = c.vec_id2 AND ub.i = ua.i

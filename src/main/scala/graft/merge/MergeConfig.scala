@@ -91,7 +91,8 @@ object MergeConfig {
       fks = (t \ "fks").extractOpt[Map[String, String]].getOrElse(Map.empty),
       selfFks = (t \ "selfFks").extractOpt[Seq[String]].getOrElse(Nil),
       uuidCol = (t \ "uuidCol").extractOpt[String],
-      mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      deferredFks = (t \ "deferredFks").extractOpt[Map[String, String]].getOrElse(Map.empty))
   }
 
   /** Execute a parsed config: dry-run returns the rehearsal report
@@ -136,14 +137,17 @@ object MergeConfig {
             val report = Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
               spec.idCol, u, cfg.generateNewUuids)
             AtomicSnapshot.publish(report, s"${cfg.output}/${spec.name}__uuid_report")
-            import org.apache.spark.sql.functions.{broadcast => bcast, coalesce, col, when}
+            import org.apache.spark.sql.functions.{coalesce, col, when}
             // unique aliases: the report's src_id would otherwise
             // collide with the lineage column src_<idCol> when
-            // idCol == "id", and drop() removes ALL same-named columns
+            // idCol == "id", and drop() removes ALL same-named columns.
+            // No forced broadcast: the report has one row per SRC row —
+            // fact-sized at the 100 TB target — so the join strategy is
+            // left to size-based auto-broadcast (remapFk convention)
             val finals = report.select(col("src_id").as("__uuid_src"),
               col("final_uuid").as("__uuid_final"))
             val m = results(spec.name).merged
-            m.join(bcast(finals),
+            m.join(finals,
                 m(s"src_${spec.idCol}") === finals("__uuid_src") && m("instance") === "src", "left")
               .withColumn(u, when(col("instance") === "src",
                 coalesce(col("__uuid_final"), col(u))).otherwise(col(u)))

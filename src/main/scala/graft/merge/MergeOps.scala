@@ -104,15 +104,28 @@ object MergeOps {
     * (the strict post-integrity-check merge path — a left join here
     * would silently emit orphaned children with null FKs); "left"
     * PRESERVES rows with null/unmapped FKs (nullable self-references
-    * like changed_by, where null means "no parent").
+    * like changed_by, where null means "no parent");
+    * "inner_or_null" is the strict path for NULLABLE declared FKs
+    * (reference utils.js moveAllTableRecords copies null-FK rows
+    * verbatim): a null FK survives with a null new value — it is
+    * legal, the integrity gate (orphanCheck) only inspects non-null
+    * FKs — while a NON-null FK missing from the map still drops, so
+    * unresolvable references never silently become nulls.
     */
   def remapFk(child: DataFrame, fkCol: String, idMap: DataFrame,
               newCol: String, broadcastMap: Boolean = false,
               joinType: String = "inner"): DataFrame = {
     val m = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
     val mapSide = if (broadcastMap) broadcast(m) else m
-    child.join(mapSide, child(fkCol) === col("__fk_src"), joinType)
-      .drop("__fk_src")
+    joinType match {
+      case "inner_or_null" =>
+        child.join(mapSide, child(fkCol) === col("__fk_src"), "left")
+          .filter(child(fkCol).isNull || col(newCol).isNotNull)
+          .drop("__fk_src")
+      case jt =>
+        child.join(mapSide, child(fkCol) === col("__fk_src"), jt)
+          .drop("__fk_src")
+    }
   }
 
   /** UUID-collision repair (reference uuid-checks.js:26

@@ -68,6 +68,15 @@ object Orchestrator {
     *                   BEFORE matching (utils.js:74-103 `mapped` +
     *                   `mappedValueMap` — the m12 semantics); column →
     *                   parent table. Counted as dependency edges.
+    * @param deferredFks nullable fk columns resolved in a SECOND pass
+    *                   after ALL tables are merged; column → parent
+    *                   table, NOT a dependency edge — this is how
+    *                   mutually-referential tables merge (the
+    *                   reference's person ⇄ users cycle: persons insert
+    *                   with their users-audit columns unresolved, then
+    *                   person-users.js:307 back-fills them once the
+    *                   users map is complete). Left-join semantics:
+    *                   null or unresolvable stays null.
     */
   final case class TableSpec(
       name: String,
@@ -77,8 +86,10 @@ object Orchestrator {
       fks: Map[String, String] = Map.empty,
       selfFks: Seq[String] = Nil,
       uuidCol: Option[String] = None,
-      mappedKeys: Map[String, String] = Map.empty) {
-    /** Tables that must be merged before this one. */
+      mappedKeys: Map[String, String] = Map.empty,
+      deferredFks: Map[String, String] = Map.empty) {
+    /** Tables that must be merged before this one (deferredFks are
+      * deliberately absent — they are what BREAKS cycles). */
     def parents: Iterable[String] = fks.values ++ mappedKeys.values
   }
 
@@ -98,7 +109,7 @@ object Orchestrator {
   def topoOrder(specs: Seq[TableSpec]): Seq[TableSpec] = {
     val byName = specs.map(s => s.name -> s).toMap
     specs.foreach { s =>
-      s.parents.foreach { p =>
+      (s.parents ++ s.deferredFks.values).foreach { p =>
         require(byName.contains(p), s"table '${s.name}' references unknown parent '$p'")
       }
     }
@@ -194,7 +205,7 @@ object Orchestrator {
           src: String => DataFrame, dest: String => DataFrame,
           sourceTag: String): Map[String, MergedTable] = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
-    topoOrder(specs).map { spec =>
+    val firstPass = topoOrder(specs).map { spec =>
       // mappedKeys rewritten once, used for BOTH matching and output —
       // new rows must land in dest with dest-space key values
       val s = withMappedKeys(src(spec.name), spec, maps)
@@ -214,13 +225,18 @@ object Orchestrator {
         .select(col("src_id"), col("dest_id"))
       val movers = s.join(newIds, s(spec.idCol).cast(LongType) === col("src_id"))
 
-      // fk rewrite through each parent's completed map (inner: strict
-      // post-integrity-check path), then self-FKs through the OWN map
+      // fk rewrite through each parent's completed map. inner_or_null:
+      // a NULL declared FK survives with null (the reference copies
+      // null-FK rows verbatim, and orphanCheck only gates non-null
+      // FKs — a plain inner join would silently drop those rows AND
+      // desync dryRun's would_insert from the actual run), while a
+      // non-null FK missing from the map still drops (strict
+      // post-integrity-check path). Self-FKs then ride the OWN map
       // (left: null means no parent — m11 two-phase).
       // (join strategy: remapFk defaults to size-based auto-broadcast
       // — small maps broadcast, person-scale maps shuffle)
       val fkDone = spec.fks.foldLeft(movers) { case (df, (fkCol, parent)) =>
-        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol")
+        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", joinType = "inner_or_null")
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val selfDone = spec.selfFks.foldLeft(fkDone) { (df, fkCol) =>
@@ -242,6 +258,30 @@ object Orchestrator {
           lit("dest").as("merge_source"): _*)
       spec.name -> MergedTable(destOut.unionByName(srcOut), idMap)
     }.toMap
+
+    // second pass: deferred FKs, now that EVERY table's map is
+    // complete (person-users.js:307 — the reference back-fills
+    // persons' users-audit columns only after the users mover ran).
+    // Only SRC-instance rows are rewritten (dest rows already carry
+    // dest-space values); left semantics — null or unresolvable
+    // stays null, exactly the selfFks convention.
+    val byName = specs.map(s => s.name -> s).toMap
+    firstPass.map { case (name, mt) =>
+      val deferred = byName(name).deferredFks
+      if (deferred.isEmpty) name -> mt
+      else {
+        val merged = deferred.foldLeft(mt.merged) { case (df, (fkCol, parent)) =>
+          val m = maps(parent)
+            .select(col("src_id").as("__dfk_src"), col("dest_id").as("__dfk_dest"))
+          df.join(m,
+              df(fkCol) === col("__dfk_src") && df("instance") === lit("src"), "left")
+            .withColumn(fkCol,
+              when(col("instance") === "src", col("__dfk_dest")).otherwise(col(fkCol)))
+            .drop("__dfk_src", "__dfk_dest")
+        }
+        name -> MergedTable(merged, mt.idMap)
+      }
+    }
   }
 
   /** Dry-run (reference orchestrator.js:26 `--dry-run`: full rehearsal,
@@ -334,8 +374,10 @@ object Orchestrator {
         col(uuidCol).as("initial_uuid"), fresh.as("final_uuid"),
         lit(1).as("regenerated"))
     else {
+      // no forced broadcast: dest's distinct uuids are fact-sized at
+      // the 100 TB target — size-based auto-broadcast decides
       val collided = dest.select(col(uuidCol)).distinct()
-      src.join(broadcast(collided.withColumn("__hit", lit(1))), Seq(uuidCol), "left")
+      src.join(collided.withColumn("__hit", lit(1)), Seq(uuidCol), "left")
         .select(col(idCol).cast(LongType).as("src_id"),
           col(uuidCol).as("initial_uuid"),
           when(col("__hit").isNotNull, fresh).otherwise(col(uuidCol)).as("final_uuid"),

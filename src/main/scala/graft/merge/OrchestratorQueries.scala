@@ -200,6 +200,85 @@ object OrchestratorQueries {
        |FROM lmap
        |ORDER BY table_name""".stripMargin
 
+  /** m16: MUTUALLY-referential tables — the reference's hardest pair.
+    * OpenMRS person ⇄ users is a genuine FK cycle (users.person_id →
+    * person; person.creator/changed_by → users); beehive breaks it by
+    * moving persons with audit columns unresolved, then back-filling
+    * them after the users map completes (person-users.js:307). Here
+    * the cycle is customer ⇄ orders: orders.o_custkey → customer is a
+    * hard edge, and customer.first_order → orders (each customer's
+    * earliest order, synthesized per instance — nullable: customers
+    * with no orders carry null) is a `deferredFks` column resolved in
+    * the orchestrator's second pass. Declaring it as a plain fk would
+    * (correctly) throw "cyclic fk dependencies". Output = the merged
+    * customer table with the deferred column in dest id space. */
+  def m16CircularFk(spark: SparkSession, dir: String): DataFrame = {
+    def inst(isSrc: Boolean)(name: String): DataFrame = {
+      val keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
+      name match {
+        case "customer" =>
+          val c = Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
+            .select(col("c_custkey"), col("c_name"))
+          val fo = Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
+            .groupBy(col("o_custkey")).agg(min(col("o_orderkey")).as("first_order"))
+          c.join(fo, c("c_custkey") === fo("o_custkey"), "left").drop("o_custkey")
+        case "orders" =>
+          Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
+            .select(col("o_orderkey"), col("o_custkey"))
+      }
+    }
+    val circular = Seq(
+      TableSpec("customer", "c_custkey", Seq("c_name"), MergeMode.Consolidate,
+        deferredFks = Map("first_order" -> "orders")),
+      TableSpec("orders", "o_orderkey", Seq("o_orderkey"), MergeMode.Move,
+        fks = Map("o_custkey" -> "customer")))
+    val r = Orchestrator.run(circular, inst(isSrc = true), inst(isSrc = false), SourceTag)
+    r("customer").merged.select(
+        col("instance"), col("merge_source"),
+        col("c_custkey").cast(LongType).as("new_id"),
+        col("src_c_custkey").cast(LongType).as("src_id"),
+        col("first_order").cast(LongType).as("new_first_order"))
+      .orderBy("instance", "new_id")
+  }
+
+  val m16Sql: String =
+    s"""WITH srco AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 3 <> 0),
+       |desto AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0),
+       |srcc AS (
+       |  SELECT c_custkey, c_name,
+       |    (SELECT min(o_orderkey) FROM srco o WHERE o.o_custkey = c.c_custkey) AS first_order
+       |  FROM customer c WHERE c_custkey % 3 <> 0),
+       |destc AS (
+       |  SELECT c_custkey, c_name,
+       |    (SELECT min(o_orderkey) FROM desto o WHERE o.o_custkey = c.c_custkey) AS first_order
+       |  FROM customer c WHERE c_custkey % 2 = 0),
+       |destck AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+       |mxc AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+       |cmap AS (
+       |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+       |  FROM srcc s JOIN destck k ON s.c_name = k.c_name
+       |  UNION ALL
+       |  SELECT s.c_custkey, (SELECT m FROM mxc) + row_number() OVER (ORDER BY s.c_custkey), 1
+       |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destck k WHERE k.c_name = s.c_name)),
+       |mxo AS (SELECT coalesce(max(o_orderkey), 0) AS m FROM desto),
+       |omap AS (
+       |  SELECT s.o_orderkey AS src_id, d.o_orderkey AS dest_id, 0 AS is_new
+       |  FROM srco s JOIN desto d ON d.o_orderkey = s.o_orderkey
+       |  UNION ALL
+       |  SELECT s.o_orderkey, (SELECT m FROM mxo) + row_number() OVER (ORDER BY s.o_orderkey), 1
+       |  FROM srco s WHERE NOT EXISTS (SELECT 1 FROM desto d WHERE d.o_orderkey = s.o_orderkey))
+       |SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |       CAST(c_custkey AS BIGINT) AS new_id, CAST(c_custkey AS BIGINT) AS src_id,
+       |       CAST(first_order AS BIGINT) AS new_first_order
+       |FROM destc
+       |UNION ALL
+       |SELECT 'src', '$SourceTag', m.dest_id, s.c_custkey, om.dest_id
+       |FROM srcc s
+       |JOIN cmap m ON m.src_id = s.c_custkey AND m.is_new = 1
+       |LEFT JOIN omap om ON om.src_id = s.first_order
+       |ORDER BY instance, new_id""".stripMargin
+
   /** m15: generateNewUuids mode — EVERY moved row's uuid regenerated
     * (reference utils.js:55), with the initial→final uuid report the
     * reference's uuid-checks.js returns per table. uuid is simulated

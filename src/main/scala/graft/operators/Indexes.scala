@@ -35,6 +35,20 @@ object Indexes {
     p
   }
 
+  /** As [[swap]], but for iterative state where the NEW generation is
+    * derived FROM the previous one (d7's label propagation): persist
+    * `df`, run `materialize` to force it (persist is lazy — swapping
+    * first would release the old generation before the new one ever
+    * computed, so every round would recompute all prior rounds from
+    * lineage, O(rounds²)), and only THEN release the previous
+    * generation. Returns the persisted frame and the action's result. */
+  def swapWith[A](key: String, df: DataFrame)(materialize: DataFrame => A): (DataFrame, A) = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val a = materialize(p)
+    live.put(key, p).foreach(_.unpersist(blocking = false))
+    (p, a)
+  }
+
   /** Release every registered index (end-of-pipeline cleanup). */
   def clear(): Unit = {
     live.values.foreach(_.unpersist(blocking = false))

@@ -50,7 +50,7 @@ object Knn {
       |  FROM embeddings),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    round(sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos_sim
+      |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
       |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
       |  GROUP BY 1, 2),
       |r AS (
@@ -141,7 +141,7 @@ object Knn {
        |  WHERE bq.vec_id < 10 AND bc.vec_id >= 10),
        |s AS (
        |  SELECT cd.query_id, cd.neighbor_id,
-       |    round(sum(q.v * c.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos_sim
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
        |  FROM cand cd
        |  JOIN u q ON q.vec_id = cd.query_id
        |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
@@ -152,4 +152,38 @@ object Knn {
        |  FROM s)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s4: ANN quality audit — recall@k of the bucketed s2 plan against
+    * the exact s1 baseline, per query. An approximate index is only
+    * deployable with a measured recall; a production pipeline runs
+    * this audit on a query sample after every (re)build of the index
+    * (the recall/probe trade-off knob of the IVF literature —
+    * Johnson/Douze/Jégou). Both sides are deterministic (seeded
+    * plan-time hyperplanes), so the audit itself is DuckDB-oracle-
+    * checked end to end — recall is an EXACT integer here, not a
+    * flaky float. k divides 1e6, keeping recall_e6 integer-exact. */
+  def s4AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val exact = s1Brute(spark, dir, k).select($"query_id", $"neighbor_id")
+    val approx = s2Ivf(spark, dir, k)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id")
+      .agg(count($"n2").as("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .orderBy("query_id")
+  }
+
+  /** s4 oracle: the s1 and s2 oracles composed verbatim as nested
+    * CTEs (DuckDB scopes each side's internal names). */
+  val s4Sql: String =
+    s"""WITH ex AS ($s1Sql),
+       |ap AS ($s2Sql)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / 5} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 }

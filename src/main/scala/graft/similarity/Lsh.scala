@@ -64,7 +64,13 @@ object Lsh {
   /** DuckDB CTE bodies replicating the plane/band computation. Expects
     * a CTE `u(vec_id, v, i)` = unnested double embeddings with 1-based
     * subscripts (the s1Sql shape). Yields `bands(vec_id, band_idx,
-    * band_key)` — band_idx = p / r, matching [[bandKeys]] order. */
+    * band_key)` — band_idx = p / r, matching [[bandKeys]] order.
+    *
+    * The dot is an ORDERED aggregate (`ORDER BY u.i`): DuckDB then
+    * accumulates doubles ascending-index exactly like the Spark
+    * kernels' left-to-right fold, so a near-zero dot cannot flip a
+    * plane sign between engines (an unordered FP sum varies with
+    * DuckDB's parallel-agg combine order — latent oracle flakiness). */
   def bandsSqlCtes(nPlanes: Int, r: Int, dim: Int): String =
     s"""planes AS (
        |  SELECT p, i,
@@ -72,7 +78,7 @@ object Lsh {
        |         / $ScaleSql - 1.0 AS FLOAT) AS w
        |  FROM range($nPlanes) tp(p), range(1, ${dim + 1}) ti(i)),
        |dots AS (
-       |  SELECT u.vec_id, planes.p, sum(u.v * CAST(planes.w AS DOUBLE)) AS d
+       |  SELECT u.vec_id, planes.p, sum(u.v * CAST(planes.w AS DOUBLE) ORDER BY u.i) AS d
        |  FROM u JOIN planes ON u.i = planes.i
        |  GROUP BY u.vec_id, planes.p),
        |bands AS (

@@ -390,4 +390,131 @@ object TextAnalysis {
        |  FROM lang)
        |SELECT doc_id, pred_lang, sample_rank FROM ranked
        |WHERE sample_rank <= 100 ORDER BY pred_lang, sample_rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t10: PII scrubbing
+  // ---------------------------------------------------------------
+
+  /** Cross-engine-safe PII patterns: plain character classes and
+    * bounded repetition only — identical semantics under Java regex
+    * (Spark codegen) and RE2 (DuckDB). No lookaround, no `\b`, no
+    * shorthand classes whose definitions differ. */
+  private[text] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val urlRe   = "https?://[A-Za-z0-9./_%&=?#-]+"
+  private[text] val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The synthetic corpus carries no PII, so the FIXTURE plants
+    * deterministic markers (email on doc_id%7, URL on %11, IPv4 on
+    * %13) before scrubbing — fixture synthesis, not part of the
+    * operator, exactly like m13's synthesized self-FK. Real data
+    * carries its own PII. */
+  private def plantPii(docId: Column, text: Column): Column = {
+    val d = docId.cast("string")
+    val e = when(docId % 7 === 0,
+      concat(text, lit(" contact user"), d, lit("@example.com"))).otherwise(text)
+    val u = when(docId % 11 === 0,
+      concat(e, lit(" see https://example.org/doc/"), d)).otherwise(e)
+    when(docId % 13 === 0,
+      concat(u, lit(" from 10.0."), (docId % 256).cast("string"),
+        lit("."), (docId % 100).cast("string"))).otherwise(u)
+  }
+
+  /** t10: PII detection + redaction — the compliance pass every
+    * training-data pipeline runs before anything else. Sequential
+    * scrub (count emails → mask → count URLs → mask → count IPs →
+    * mask) so later patterns never re-match inside earlier masks;
+    * output is per-doc counts plus the md5 fingerprint of the
+    * scrubbed text (the full text stays in the pipeline, not in the
+    * report). Pure codegen'd regexp projection over the scan — zero
+    * shuffle, embarrassingly parallel at 100 TB. */
+  def t10PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def nMatches(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", plantPii($"doc_id", $"text").as("t0"))
+      .withColumn("n_emails", nMatches($"t0", emailRe))
+      .withColumn("t1", regexp_replace($"t0", emailRe, "<EMAIL>"))
+      .withColumn("n_urls", nMatches($"t1", urlRe))
+      .withColumn("t2", regexp_replace($"t1", urlRe, "<URL>"))
+      .withColumn("n_ips", nMatches($"t2", ipRe))
+      .withColumn("t3", regexp_replace($"t2", ipRe, "<IP>"))
+      .select($"doc_id", $"n_emails", $"n_urls", $"n_ips",
+        md5($"t3").as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN t2 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE t2 END AS t0
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 11 = 0 THEN t1 || ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE t1 END AS t2
+       |    FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE text END AS t1
+       |      FROM documents) a) b),
+       |e AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(t0, '$emailRe')) AS BIGINT) AS n_emails,
+       |         regexp_replace(t0, '$emailRe', '<EMAIL>', 'g') AS t
+       |  FROM aug),
+       |u AS (
+       |  SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$urlRe')) AS BIGINT) AS n_urls,
+       |         regexp_replace(t, '$urlRe', '<URL>', 'g') AS t
+       |  FROM e),
+       |i AS (
+       |  SELECT doc_id, n_emails, n_urls, CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+       |         regexp_replace(t, '$ipRe', '<IP>', 'g') AS t
+       |  FROM u)
+       |SELECT doc_id, n_emails, n_urls, n_ips, md5(t) AS scrubbed_fp
+       |FROM i ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // t11: benchmark / eval contamination by n-gram containment
+  // ---------------------------------------------------------------
+
+  /** t11: n-gram contamination audit — for every TEST-split document,
+    * the fraction of its distinct word-3-grams that appear anywhere in
+    * the TRAIN split (the GPT-3/PaLM-style n-gram-overlap
+    * decontamination check). t9 catches near-duplicate documents;
+    * this catches PARTIAL containment — a test passage quoted inside
+    * a train doc — that whole-doc sketches miss.
+    *
+    * Shape: one shuffle on the shingle (test shingles ⋈ distinct
+    * train shingles) + one per-doc aggregation. At 100 TB the train
+    * side is a bucketed shingle index (or a bloom filter broadcast
+    * when false positives are acceptable); the join stays
+    * candidate-proportional either way. Integer-exact ×1e6 ratio. */
+  def t11Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.dedup.Dedup.shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+    val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
+    val withSplit = sh.join(splits, Seq("doc_id"))
+    val trainSh = withSplit.filter($"split" === "train").select($"sh").distinct()
+    withSplit.filter($"split" === "test")
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String =
+    s"""WITH ${graft.dedup.Dedup.shingleCtes},
+       |sp AS (
+       |  SELECT doc_id, $splitCaseSql AS split
+       |  FROM (SELECT doc_id, $splitBucketSql AS bucket FROM documents) t),
+       |train AS (
+       |  SELECT DISTINCT s.sh FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.split = 'train'),
+       |test AS (
+       |  SELECT s.doc_id, s.sh FROM sh s JOIN sp ON sp.doc_id = s.doc_id AND sp.split = 'test')
+       |SELECT t.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST((2 * sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) * 1000000 + count(*))
+       |       // (2 * count(*)) AS BIGINT) AS contamination_e6
+       |FROM test t LEFT JOIN train tr ON tr.sh = t.sh
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }

@@ -60,6 +60,56 @@ class DedupTextSpec extends AnyFunSuite {
     assert(m.get((0L, 2L)).exists(j => j > 0.6 && j < 1.0))
   }
 
+  test("t10 pii scrub: planted markers counted and masked; clean docs untouched") {
+    val r = TextAnalysis.t10PiiScrub(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_emails"), x.getAs[Long]("n_urls"), x.getAs[Long]("n_ips"),
+          x.getAs[String]("scrubbed_fp"))).toMap
+    // doc 0 is divisible by 7, 11 AND 13 → one of each marker planted
+    assert(r(0L)._1 == 1 && r(0L)._2 == 1 && r(0L)._3 == 1)
+    // docs 1–5: nothing planted, nothing matched → scrub is identity
+    val rawFp = spark.read.parquet(s"$tmp/documents.parquet")
+      .select($"doc_id", md5($"text").as("fp")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("fp")).toMap
+    (1L to 5L).foreach { id =>
+      assert(r(id)._1 == 0 && r(id)._2 == 0 && r(id)._3 == 0)
+      assert(r(id)._4 == rawFp(id), s"doc $id fingerprint changed by a no-op scrub")
+    }
+    // doc 0's fingerprint reflects the MASKED text, and masking killed
+    // every marker (a second scrub pass finds nothing)
+    assert(r(0L)._4 != rawFp(0L))
+  }
+
+  test("t11 contamination agrees with a from-scratch recomputation on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.t11Contamination(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independent driver-side recomputation: tokens → 3-grams → set ops
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val split = TextAnalysis.t5StableSplit(spark, dir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val trainSet = docs.filter(d => split(d._1) == "train").flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => split(d._1) == "test")
+      .map { case (id, t) =>
+        val g = grams(t)
+        id -> (g.size.toLong, g.count(trainSet).toLong)
+      }.filter(_._2._1 > 0).toMap
+    assert(out.length == expected.size)
+    out.foreach { x =>
+      val id = x.getAs[Long]("doc_id")
+      val (n, hit) = expected(id)
+      assert(x.getAs[Long]("n_shingles") == n, s"doc $id shingle count")
+      assert(x.getAs[Long]("n_contaminated") == hit, s"doc $id contamination")
+      assert(x.getAs[Long]("contamination_e6") == (2 * hit * 1000000L + n) / (2 * n))
+    }
+  }
+
   test("t3/t4: token counts and fingerprint agree with hand computation") {
     val t3 = TextAnalysis.t3TokenCount(spark, tmp).filter($"doc_id" === 0).head()
     assert(t3.getAs[Int]("ws_tokens") == base.split("\\s+").length)

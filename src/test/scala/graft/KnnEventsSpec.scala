@@ -56,6 +56,22 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s4 ann recall matches a driver-side intersection of s1 and s2") {
+    val exact = Knn.s1Brute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Knn.s2Ivf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = exact.intersect(approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r = Knn.s4AnnRecall(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("query_id")).toSeq == (0L to 9L)) // one row per query, ordered
+    r.foreach { x =>
+      val q = x.getAs[Long]("query_id")
+      assert(x.getAs[Long]("n_hits") == hits.getOrElse(q, 0L), s"query $q hit count")
+      assert(x.getAs[Long]("recall_e6") == x.getAs[Long]("n_hits") * 200000L)
+      assert(x.getAs[Long]("n_hits") <= 5L)
+    }
+  }
+
   test("s3 clustering covers all vectors with k clusters, deterministically") {
     val r1 = Knn.s3Cluster(spark, sf).collect()
     assert(r1.length == 8)

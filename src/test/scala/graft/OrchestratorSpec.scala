@@ -110,6 +110,83 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(rm("child").merged.filter($"instance" === "src").count() == 1)
   }
 
+  test("null declared FKs survive the merge; dry-run stays equal; unresolvable non-null FKs still drop") {
+    // reference utils.js moveAllTableRecords copies null-FK rows
+    // verbatim — orphanCheck only gates NON-null fks, so a null fk is
+    // legal and the row must not vanish at the remap join
+    val srcParent = Seq((1L, "alpha")).toDF("id", "name")
+    val destParent = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    val srcChild = Seq((100L, "x", Some(1L)), (101L, "y", None))
+      .toDF("id", "label", "parent_id")
+    val destChild = Seq((500L, "zz", Some(10L))).toDF("id", "label", "parent_id")
+    val specs = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("label"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent")))
+    val src = Map("parent" -> srcParent, "child" -> srcChild)
+    val dst = Map("parent" -> destParent, "child" -> destChild)
+
+    val r = Orchestrator.run(specs, src, dst, "inst2")
+    val childOut = r("child").merged.collect()
+    assert(childOut.length == 3) // dest row + BOTH src rows
+    val y = childOut.find(_.getAs[String]("label") == "y").get
+    assert(y.isNullAt(y.fieldIndex("parent_id"))) // null fk survived as null
+    val x = childOut.find(_.getAs[String]("label") == "x").get
+    assert(x.getAs[Long]("parent_id") == 10L) // non-null fk remapped
+
+    // dry-run would_insert equals the actual inserted count (the
+    // null-fk row used to be silently dropped, desyncing the two)
+    val dry = Orchestrator.dryRun(specs, src, dst).collect()
+      .map(row => row.getAs[String]("table_name") -> row.getAs[Long]("would_insert")).toMap
+    assert(dry("child") == r("child").merged.filter($"instance" === "src").count())
+
+    // a NON-null fk missing from the parent map is still strict-dropped
+    // (post-integrity-check path), never silently nulled
+    val srcChildBad = Seq((102L, "w", Some(99L))).toDF("id", "label", "parent_id")
+    val rBad = Orchestrator.run(specs,
+      Map("parent" -> srcParent, "child" -> srcChildBad), dst, "inst2")
+    assert(rBad("child").merged.filter($"instance" === "src").count() == 0)
+  }
+
+  test("deferredFks break cycles: mutually-referential tables merge, second pass resolves") {
+    // person ⇄ users shape: b.a_id → a is a hard edge, a.b_ref → b is
+    // deferred (resolved after ALL maps complete). As plain fks this
+    // DAG is cyclic and must throw; with deferredFks it runs.
+    val hardA = TableSpec("a", "id", Seq("k"), MergeMode.Consolidate, fks = Map("b_ref" -> "b"))
+    val hardB = TableSpec("b", "id", Seq("k"), MergeMode.Move, fks = Map("a_id" -> "a"))
+    assertThrows[IllegalArgumentException](Orchestrator.topoOrder(Seq(hardA, hardB)))
+
+    val specs = Seq(
+      TableSpec("a", "id", Seq("k"), MergeMode.Consolidate,
+        deferredFks = Map("b_ref" -> "b")),
+      TableSpec("b", "id", Seq("k"), MergeMode.Move, fks = Map("a_id" -> "a")))
+    // unknown deferred parent still rejected up front
+    assertThrows[IllegalArgumentException](Orchestrator.topoOrder(
+      Seq(TableSpec("a", "id", Seq("k"), MergeMode.Consolidate,
+        deferredFks = Map("b_ref" -> "nope")))))
+
+    val srcA = Seq((1L, "alpha", Some(100L)), (2L, "beta", None)).toDF("id", "k", "b_ref")
+    val destA = Seq((10L, "gamma", Option.empty[Long])).toDF("id", "k", "b_ref")
+    val srcB = Seq((100L, "x", 1L), (101L, "y", 2L)).toDF("id", "k", "a_id")
+    val destB = Seq((500L, "z", 10L)).toDF("id", "k", "a_id")
+    val r = Orchestrator.run(specs,
+      Map("a" -> srcA, "b" -> srcB), Map("a" -> destA, "b" -> destB), "inst2")
+
+    val aOut = r("a").merged.collect()
+    assert(aOut.length == 3)
+    // src a row 1: b_ref 100 resolved through b's completed map (100 → 501)
+    val alpha = aOut.find(_.getAs[String]("k") == "alpha").get
+    assert(alpha.getAs[Long]("b_ref") == 501L)
+    // null deferred fk survives as null; dest rows untouched
+    val beta = aOut.find(_.getAs[String]("k") == "beta").get
+    assert(beta.isNullAt(beta.fieldIndex("b_ref")))
+    val gamma = aOut.find(_.getAs[String]("k") == "gamma").get
+    assert(gamma.isNullAt(gamma.fieldIndex("b_ref")))
+    // b's hard edge remapped as usual: a_id 1 → 11 (new a id past dest max 10)
+    val x = r("b").merged.collect().find(_.getAs[String]("k") == "x").get
+    assert(x.getAs[Long]("a_id") == 11L)
+  }
+
   test("m13 merged output preserves referential integrity and provenance") {
     val out = OrchestratorQueries.m13FullPipeline(spark, sf).cache()
     val cust = out.filter($"table_name" === "customer")
