@@ -20,7 +20,8 @@ import Orchestrator.{MergeMode, TableSpec}
   *   "generateNewUuids": false,
   *   "tables": [
   *     {"name": "customer", "idCol": "c_custkey", "mode": "consolidate",
-  *      "naturalKey": ["c_name"], "selfFks": ["referred_by"]},
+  *      "naturalKey": ["c_name"], "selfFks": ["referred_by"],
+  *      "deferredFks": {"first_order": "orders"}},
   *     {"name": "orders", "idCol": "o_orderkey", "mode": "move",
   *      "naturalKey": ["o_orderkey"], "fks": {"o_custkey": "customer"}}
   *   ]

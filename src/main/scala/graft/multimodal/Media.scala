@@ -157,6 +157,30 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** mm4: byte-level media dedup — the FIRST pass of any multimodal
+    * ingestion: identical assets (re-posted images, mirrored files)
+    * collapse on the hash of their raw bytes before any decode or
+    * perceptual step runs (decode is the expensive stage; never decode
+    * the same bytes twice). One shuffle on the digest; the payload
+    * itself never shuffles (only doc_id + 32-char fp move). Keeps the
+    * min doc_id per group — d1's keep convention, but on RAW bytes
+    * (asset identity), not normalized text (content identity).
+    * Perceptual near-dup is the mm3 → s-block/d5 path. */
+  def mm4MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"doc_id", md5($"payload").as("payload_fp"))
+      .groupBy($"payload_fp")
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+      .orderBy("payload_fp")
+  }
+
+  /** mm4 oracle: DuckDB md5(VARCHAR) hashes UTF-8 bytes = the Spark
+    * payload (see mm3Sql). */
+  val mm4Sql: String =
+    """SELECT md5(text) AS payload_fp, count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY payload_fp""".stripMargin
+
   /** Oracle: DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —
     * exactly the payload the Spark side hashes. Each dimension =
     * 4 hex chars / 2¹⁶ as FLOAT (dyadic, so the double→float rounding

@@ -60,6 +60,14 @@ class DedupTextSpec extends AnyFunSuite {
     assert(m.get((0L, 2L)).exists(j => j > 0.6 && j < 1.0))
   }
 
+  test("mm4 byte-level media dedup collapses identical payloads, keeps min id") {
+    val r = graft.multimodal.Media.mm4MediaDedup(spark, tmp).collect()
+    val dup = r.filter(_.getAs[Long]("n_copies") > 1)
+    assert(dup.length == 1 && dup.head.getAs[Long]("n_copies") == 2)
+    assert(dup.head.getAs[Long]("keep_id") == 0L) // docs 0 and 1 are byte-identical
+    assert(r.map(_.getAs[Long]("n_copies")).sum == 6L) // every doc in exactly one group
+  }
+
   test("t10 pii scrub: planted markers counted and masked; clean docs untouched") {
     val r = TextAnalysis.t10PiiScrub(spark, tmp).collect()
       .map(x => x.getAs[Long]("doc_id") ->
@@ -182,6 +190,25 @@ class DedupTextSpec extends AnyFunSuite {
         s"$name: ${plan.linesIterator.take(5).mkString("\n")}")
       assert(!plan.contains("CartesianProduct"), name)
     }
+  }
+
+  test("round-3 op plan shapes: t10 shuffle-free compute, t11 no BNLJ, mm4 single digest shuffle") {
+    // t10 is a per-row projection: the ONLY exchange is the
+    // presentation sort (rangepartitioning) — no hash shuffle at all
+    val t10 = TextAnalysis.t10PiiScrub(spark, sf).queryExecution.executedPlan.toString
+    assert(!t10.contains("hashpartitioning"), t10.linesIterator.take(8).mkString("\n"))
+    // t11's test ⋈ train containment is an equi-join on the shingle
+    val t11 = TextAnalysis.t11Contamination(spark, sf).queryExecution.executedPlan.toString
+    assert(!t11.contains("BroadcastNestedLoopJoin") && !t11.contains("CartesianProduct"))
+    // mm4 shuffles only (doc_id, 32-char digest) — the payload column
+    // must not survive past the projection under the aggregate
+    val mm4 = graft.multimodal.Media.mm4MediaDedup(spark, sf).queryExecution
+    assert(!mm4.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val aggInputs = mm4.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.child.output.map(_.name)
+    }
+    assert(aggInputs.nonEmpty && aggInputs.forall(!_.contains("payload")),
+      s"payload reaches the shuffle: $aggInputs")
   }
 
   test("d5 finds planted high-cosine near-dups (recall 1.0 at cos >= 0.9)") {

@@ -49,6 +49,12 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(byName("parent").mode == MergeMode.Consolidate)
     assert(byName("parent").uuidCol.contains("uuid"))
     assert(byName("child").fks == Map("parent_id" -> "parent"))
+    // deferredFks (the cycle-breaking column class) round-trips too
+    val cyc = MergeConfig.fromJson(
+      configJson("/s", "/d", "/o", genUuids = true).replace(
+        """"naturalKey": ["name"], "uuidCol": "uuid"""",
+        """"naturalKey": ["name"], "uuidCol": "uuid", "deferredFks": {"fav_child": "child"}"""))
+    assert(cyc.tables.find(_.name == "parent").get.deferredFks == Map("fav_child" -> "child"))
   }
 
   test("validation aggregates every error like the reference's initialErrors") {

@@ -44,6 +44,14 @@ class MergeOpsSpec extends AnyFunSuite {
     val i = MergeOps.remapFk(child, "fk", idMap, "new_fk").collect()
     assert(i.map(_.getAs[Long]("id")).toSeq == Seq(1L))
     assert(i.head.getAs[Long]("new_fk") == 110L)
+    // inner_or_null: strict for NON-null FKs (unresolvable 99 drops),
+    // but a legal null FK survives with a null new value — the
+    // nullable-declared-FK path (reference copies null-FK rows verbatim)
+    val n = MergeOps.remapFk(child, "fk", idMap, "new_fk", joinType = "inner_or_null")
+      .orderBy("id").collect()
+    assert(n.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(n(0).getAs[Long]("new_fk") == 110L)
+    assert(n(1).isNullAt(n(1).fieldIndex("new_fk")))
   }
 
   test("uuidCollisions: empty when no collisions; deterministic v4-shaped uuids") {
