@@ -42,7 +42,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // ALWAYS the full map, even under a query filter: a later DuckDB
+    // compare over this outDir would otherwise silently check only the
+    // filtered subset and report green on 1/N queries. (The compare
+    // skips oracle entries with no result dir, so extra keys are safe;
+    // a missing key would be an unchecked result.)
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -263,8 +263,14 @@ object Orchestrator {
     // complete (person-users.js:307 — the reference back-fills
     // persons' users-audit columns only after the users mover ran).
     // Only SRC-instance rows are rewritten (dest rows already carry
-    // dest-space values); left semantics — null or unresolvable
-    // stays null, exactly the selfFks convention.
+    // dest-space values). Null stays null (the selfFks convention —
+    // deferred columns are nullable by contract), but a NON-null value
+    // with no map entry fails LOUDLY at execution: deferredFks are
+    // ordinary declared FKs that merely sit on a cycle, and
+    // orphanCheck (non-null-only) has already run — silently nulling
+    // a dangling reference would publish corruption indistinguishable
+    // from a legitimate null, breaking the strict-remap invariant
+    // (unresolvable references never silently become nulls).
     val byName = specs.map(s => s.name -> s).toMap
     firstPass.map { case (name, mt) =>
       val deferred = byName(name).deferredFks
@@ -276,7 +282,13 @@ object Orchestrator {
           df.join(m,
               df(fkCol) === col("__dfk_src") && df("instance") === lit("src"), "left")
             .withColumn(fkCol,
-              when(col("instance") === "src", col("__dfk_dest")).otherwise(col(fkCol)))
+              when(col("instance") === "src" && col(fkCol).isNotNull
+                     && col("__dfk_dest").isNull,
+                raise_error(concat(
+                  lit(s"unresolvable deferred FK $name.$fkCol -> $parent: src value "),
+                  col(fkCol).cast("string"))))
+              .when(col("instance") === "src", col("__dfk_dest"))
+              .otherwise(col(fkCol)))
             .drop("__dfk_src", "__dfk_dest")
         }
         name -> MergedTable(merged, mt.idMap)

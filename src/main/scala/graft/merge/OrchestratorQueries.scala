@@ -33,11 +33,16 @@ object OrchestratorQueries {
     TableSpec("lineitem", "l_lineid", Seq("l_orderkey", "l_linenumber"), MergeMode.Move,
       fks = Map("l_orderkey" -> "orders")))
 
+  /** The src/dest instance-simulation convention, in ONE place (m13
+    * and m16 must simulate the SAME two instances): src = keys % 3 ≠ 0,
+    * dest = keys % 2 = 0. */
+  private def keepPred(isSrc: Boolean): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
+
   /** Per-instance table reader: filters + the synthesized self-FK /
     * composite-key columns. */
   private def instance(spark: SparkSession, dir: String, isSrc: Boolean)(name: String): DataFrame = {
-    val keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
+    val keep = keepPred(isSrc)
     name match {
       case "customer" =>
         Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
@@ -213,20 +218,18 @@ object OrchestratorQueries {
     * (correctly) throw "cyclic fk dependencies". Output = the merged
     * customer table with the deferred column in dest id space. */
   def m16CircularFk(spark: SparkSession, dir: String): DataFrame = {
-    def inst(isSrc: Boolean)(name: String): DataFrame = {
-      val keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
-      name match {
-        case "customer" =>
-          val c = Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
-            .select(col("c_custkey"), col("c_name"))
-          val fo = Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
-            .groupBy(col("o_custkey")).agg(min(col("o_orderkey")).as("first_order"))
-          c.join(fo, c("c_custkey") === fo("o_custkey"), "left").drop("o_custkey")
-        case "orders" =>
-          Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
-            .select(col("o_orderkey"), col("o_custkey"))
-      }
+    // same simulated instances as m13 (shared keepPred; orders branch
+    // reused verbatim) — only customer differs: first_order replaces
+    // the referred_by self-FK
+    def inst(isSrc: Boolean)(name: String): DataFrame = name match {
+      case "customer" =>
+        val keep = keepPred(isSrc)
+        val c = Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
+          .select(col("c_custkey"), col("c_name"))
+        val fo = Tables.read(spark, dir, "orders").filter(keep(col("o_custkey")))
+          .groupBy(col("o_custkey")).agg(min(col("o_orderkey")).as("first_order"))
+        c.join(fo, c("c_custkey") === fo("o_custkey"), "left").drop("o_custkey")
+      case other => instance(spark, dir, isSrc)(other)
     }
     val circular = Seq(
       TableSpec("customer", "c_custkey", Seq("c_name"), MergeMode.Consolidate,

@@ -44,7 +44,14 @@ object Indexes {
     * generation. Returns the persisted frame and the action's result. */
   def swapWith[A](key: String, df: DataFrame)(materialize: DataFrame => A): (DataFrame, A) = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val a = materialize(p)
+    // if the action dies (executor lost, task failure past retries),
+    // release the half-born generation before rethrowing — otherwise it
+    // stays persisted with no registry entry and only clear() could
+    // ever free it (the unbounded-cache problem this registry exists
+    // to prevent); the previous generation stays registered and valid
+    val a = try materialize(p) catch {
+      case e: Throwable => p.unpersist(blocking = false); throw e
+    }
     live.put(key, p).foreach(_.unpersist(blocking = false))
     (p, a)
   }

@@ -22,9 +22,16 @@ import graft.dedup.Dedup.{dot, vecNorm}
   */
 object Knn {
 
+  /** The k the REGISTERED queries and their DuckDB oracles share —
+    * s1Sql/s2Sql pin `rank <= 5` and s4Sql derives its recall factor
+    * from this constant, so the Spark defaults must come from the same
+    * place (a k passed explicitly is a library call with no registered
+    * oracle). */
+  val K = 5
+
   /** s1: exact top-k cosine neighbors for query vectors (vec_id < 10)
     * against the rest of the corpus. */
-  def s1Brute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def s1Brute(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     import spark.implicits._
     val e = Tables.read(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
@@ -94,7 +101,7 @@ object Knn {
     * plan-time literals), not sniffed from the data — no driver-side
     * action before the plan runs. Oracle-checked: the DuckDB SQL
     * reproduces the exact band assignment ([[Lsh]]). */
-  def s2Ivf(spark: SparkSession, dir: String, k: Int = 5, bands: Int = 8,
+  def s2Ivf(spark: SparkSession, dir: String, k: Int = K, bands: Int = 8,
             r: Int = 8, dim: Int = 64): DataFrame = {
     import spark.implicits._
     // repartition BEFORE the band-key computation and explode: spreads
@@ -162,7 +169,7 @@ object Knn {
     * plan-time hyperplanes), so the audit itself is DuckDB-oracle-
     * checked end to end — recall is an EXACT integer here, not a
     * flaky float. k divides 1e6, keeping recall_e6 integer-exact. */
-  def s4AnnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def s4AnnRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     import spark.implicits._
     require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
     val exact = s1Brute(spark, dir, k).select($"query_id", $"neighbor_id")
@@ -182,7 +189,7 @@ object Knn {
     s"""WITH ex AS ($s1Sql),
        |ap AS ($s2Sql)
        |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
-       |  CAST(count(ap.neighbor_id) * ${1000000L / 5} AS BIGINT) AS recall_e6
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
        |FROM ex LEFT JOIN ap
        |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin

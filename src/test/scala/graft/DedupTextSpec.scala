@@ -89,7 +89,7 @@ class DedupTextSpec extends AnyFunSuite {
   }
 
   test("t11 contamination agrees with a from-scratch recomputation on real data") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf
     val out = TextAnalysis.t11Contamination(spark, dir).collect()
     assert(out.nonEmpty)
     // independent driver-side recomputation: tokens → 3-grams → set ops

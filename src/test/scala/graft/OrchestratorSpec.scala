@@ -185,6 +185,19 @@ class OrchestratorSpec extends AnyFunSuite {
     // b's hard edge remapped as usual: a_id 1 → 11 (new a id past dest max 10)
     val x = r("b").merged.collect().find(_.getAs[String]("k") == "x").get
     assert(x.getAs[Long]("a_id") == 11L)
+
+    // a NON-null deferred value with no map entry must fail LOUDLY at
+    // execution (deferred columns are declared FKs on a cycle; orphan
+    // gating already ran, so silently nulling would publish corruption
+    // indistinguishable from a legitimate null)
+    val srcDangling = Seq((1L, "alpha", Some(999L))).toDF("id", "k", "b_ref")
+    val bad = Orchestrator.run(specs,
+      Map("a" -> srcDangling, "b" -> srcB), Map("a" -> destA, "b" -> destB), "inst2")
+    val e = intercept[Exception](bad("a").merged.collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unresolvable deferred FK"),
+      s"expected loud deferred-FK failure, got: $msgs")
   }
 
   test("m13 merged output preserves referential integrity and provenance") {
