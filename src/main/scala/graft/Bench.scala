@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
 object Bench {
+
+  /** Compact JSON number: 3 decimals, trailing zeros (and a bare
+    * trailing dot) stripped — "1.700" → "1.7", "0.000" → "0". */
+  private def num(v: Double): String = {
+    val s = f"$v%.3f"
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse match {
+      case "" | "-" => "0"
+      case t        => t
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,6 +23,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // count(*)-style audits read parquet row-group metadata, not rows
+      .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,10 +43,32 @@ object Bench {
       // a failed query must not masquerade as a fast success
       name -> (if (failed) -1.0 else sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], dropped: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$drop,"sf":"${
+        Paths.get(sfDir).getFileName}"}"""
+    }
+    // Full-precision record for the repo (BENCH_FULL.json, committed
+    // per round). The stdout line must stay SHORT: the harness keeps
+    // only the last ~2000 chars of output and a longer line gets
+    // front-clipped past "metric", so the metric line is unparseable
+    // (observed rounds 1-3). Budget leaves room for the sbt trailer;
+    // if the map still would not fit, the fastest queries are dropped
+    // from the map (count reported as "dropped") — slow queries are
+    // the ones per-round comparison needs.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+    val budget = 1850
+    val bySlowest = results.sortBy(-_._2)
+    var keep = results.size
+    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1), results.size - keep).length > budget)
+      keep -= 1
+    println(line(bySlowest.take(keep).sortBy(_._1), results.size - keep))
     spark.stop()
   }
 }

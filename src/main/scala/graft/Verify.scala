@@ -10,6 +10,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] = args.drop(2).headOption
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // a typo'd filter would run ZERO queries yet still write a full
+    // oracle_sql.json — a later compare over that outDir would skip
+    // everything and look clean; fail loudly instead
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
     def selected(name: String) = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -119,9 +119,14 @@ object MergeOps {
     val mapSide = if (broadcastMap) broadcast(m) else m
     joinType match {
       case "inner_or_null" =>
-        child.join(mapSide, child(fkCol) === col("__fk_src"), "left")
-          .filter(child(fkCol).isNull || col(newCol).isNotNull)
-          .drop("__fk_src")
+        // "matched" is detected with a sentinel marker, NOT dest_id
+        // nullness — a map row carrying a null dest_id must surface as
+        // a matched-to-null FK, not silently drop its child row as if
+        // the FK were unmapped
+        val marked = mapSide.withColumn("__fk_hit", lit(1))
+        child.join(marked, child(fkCol) === col("__fk_src"), "left")
+          .filter(child(fkCol).isNull || col("__fk_hit").isNotNull)
+          .drop("__fk_src", "__fk_hit")
       case jt =>
         child.join(mapSide, child(fkCol) === col("__fk_src"), jt)
           .drop("__fk_src")

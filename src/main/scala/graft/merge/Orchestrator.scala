@@ -75,8 +75,11 @@ object Orchestrator {
     *                   reference's person ⇄ users cycle: persons insert
     *                   with their users-audit columns unresolved, then
     *                   person-users.js:307 back-fills them once the
-    *                   users map is complete). Left-join semantics:
-    *                   null or unresolvable stays null.
+    *                   users map is complete). Null stays null; an
+    *                   unresolvable NON-null value fails loudly at
+    *                   execution (raise_error) — deferred columns skip
+    *                   the integrity gate, so silently nulling a
+    *                   dangling reference would publish corruption.
     */
   final case class TableSpec(
       name: String,

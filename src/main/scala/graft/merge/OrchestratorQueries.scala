@@ -245,6 +245,11 @@ object OrchestratorQueries {
       .orderBy("instance", "new_id")
   }
 
+  // The deferred-FK CASE mirrors the engine's STRICT semantics: a
+  // non-null first_order missing from the orders map raises in BOTH
+  // engines (DuckDB error() ≙ Spark raise_error) instead of the plain
+  // LEFT JOIN's silent null — keeps the oracle from diverging if a
+  // fixture change ever produces a dangling deferred reference.
   val m16Sql: String =
     s"""WITH srco AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 3 <> 0),
        |desto AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0),
@@ -276,7 +281,10 @@ object OrchestratorQueries {
        |       CAST(first_order AS BIGINT) AS new_first_order
        |FROM destc
        |UNION ALL
-       |SELECT 'src', '$SourceTag', m.dest_id, s.c_custkey, om.dest_id
+       |SELECT 'src', '$SourceTag', m.dest_id, s.c_custkey,
+       |  CASE WHEN s.first_order IS NOT NULL AND om.dest_id IS NULL
+       |       THEN CAST(error('unresolvable deferred FK') AS BIGINT)
+       |       ELSE om.dest_id END
        |FROM srcc s
        |JOIN cmap m ON m.src_id = s.c_custkey AND m.is_new = 1
        |LEFT JOIN omap om ON om.src_id = s.first_order

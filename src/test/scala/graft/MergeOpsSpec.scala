@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.merge.MergeOps
@@ -52,6 +53,17 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(n.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
     assert(n(0).getAs[Long]("new_fk") == 110L)
     assert(n(1).isNullAt(n(1).fieldIndex("new_fk")))
+    // a map row whose dest_id is NULL is still a MATCH: the child row
+    // survives carrying the mapped null — match detection rides a
+    // sentinel marker, not dest_id nullness
+    val nullMap = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(10L, null))),
+      new org.apache.spark.sql.types.StructType()
+        .add("src_id", "long").add("dest_id", "long"))
+    val nm = MergeOps.remapFk(child, "fk", nullMap, "new_fk", joinType = "inner_or_null")
+      .orderBy("id").collect()
+    assert(nm.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(nm(0).isNullAt(nm(0).fieldIndex("new_fk")))
   }
 
   test("uuidCollisions: empty when no collisions; deterministic v4-shaped uuids") {
