@@ -85,7 +85,22 @@ object Dedup {
     * comma-joined slot mins (same string formation both engines).
     */
   def d2MinhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7): DataFrame =
+    d2Pairs(spark, dir, k, bands, threshold).orderBy("doc_id1", "doc_id2")
+
+  /** d2's near-dup pair set WITHOUT the presentation sort, materialized
+    * once per parameter set and shared by every consumer (d2's own
+    * query, d7's clustering) — the pair set is the expensive artifact
+    * of the dedup family; a production pipeline writes it once and
+    * every downstream job reads it. */
+  def d2Pairs(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
+              threshold: Double = 0.7): DataFrame =
+    graft.operators.Indexes.memo(s"d2_pairs:$dir:$k:$bands:$threshold") {
+      d2PairsCompute(spark, dir, k, bands, threshold)
+    }
+
+  private def d2PairsCompute(spark: SparkSession, dir: String, k: Int, bands: Int,
+                             threshold: Double): DataFrame = {
     import spark.implicits._
     import graft.functions.DetHash
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands " +
@@ -133,7 +148,6 @@ object Dedup {
     cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
       .select($"doc_id1", $"doc_id2", round(est, 6).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
-      .orderBy("doc_id1", "doc_id2")
   }
 
   /** d2 oracle: DuckDB reproduces shingling (the d4Sql formation),
@@ -210,9 +224,27 @@ object Dedup {
     * are persisted per round and released after the next round
     * materializes. */
   def d7DupClusters(spark: SparkSession, dir: String, threshold: Double = 0.7,
-                    maxIters: Int = 20): DataFrame = {
+                    maxIters: Int = 20): DataFrame =
+    d7Clusters(spark, dir, threshold, maxIters).orderBy("doc_id")
+
+  /** The cluster map WITHOUT the presentation sort, materialized once
+    * per (dir, threshold) and shared by every consumer in the session
+    * — d7's registered query and t9's leakage audit both read it; a
+    * production pipeline writes this map to storage once and every
+    * downstream job reads it, it never recomputes the sketch+CC
+    * pipeline per consumer. (maxIters is a non-semantic guard: on
+    * convergence the labels are the unique component minima regardless
+    * of the cap, so it stays out of the memo key.) */
+  def d7Clusters(spark: SparkSession, dir: String, threshold: Double = 0.7,
+                 maxIters: Int = 20): DataFrame =
+    graft.operators.Indexes.memo(s"d7_clusters:$dir:$threshold") {
+      d7ClustersCompute(spark, dir, threshold, maxIters)
+    }
+
+  private def d7ClustersCompute(spark: SparkSession, dir: String, threshold: Double,
+                                maxIters: Int): DataFrame = {
     import spark.implicits._
-    val pairs = d2MinhashLsh(spark, dir, threshold = threshold)
+    val pairs = d2Pairs(spark, dir, threshold = threshold)
       .select($"doc_id1".as("a"), $"doc_id2".as("b"))
     val edges = graft.operators.Indexes.swap("d7_edges",
       pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b"))))
@@ -255,7 +287,6 @@ object Dedup {
       .select($"doc_id", $"doc_id".as("label"))
     labels.unionAll(singletons)
       .select($"doc_id", $"label".as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Recursive transitive-closure block over d2's `est` — shared by

@@ -56,6 +56,17 @@ object Indexes {
     (p, a)
   }
 
+  /** Get-or-compute: return the live index registered under `key`, or
+    * compute, [[swap]]-register, and return it. The session-scope form
+    * of the production pattern "materialize a derived artifact ONCE
+    * and read it from every consumer" (at 100 TB the artifact — e.g.
+    * d7's duplicate-cluster map — is written to storage once and read
+    * by each downstream job; in one driver session the persisted frame
+    * plays that role). Callers must put every input parameter that
+    * changes the result INTO the key. */
+  def memo(key: String)(compute: => DataFrame): DataFrame =
+    live.getOrElse(key, swap(key, compute))
+
   /** Release every registered index (end-of-pipeline cleanup). */
   def clear(): Unit = {
     live.values.foreach(_.unpersist(blocking = false))

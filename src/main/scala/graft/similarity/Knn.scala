@@ -77,11 +77,17 @@ object Knn {
     * determinism, and total coverage. */
   def s3Cluster(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    val e = Tables.read(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
-      .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"embedding"))
+    // persist the featurized input: k-means runs one job per init
+    // step + iteration, and an unpersisted input re-scans the parquet
+    // and re-runs array_to_vector every job (MLlib itself warns "input
+    // not cached"). Bounded via the index registry.
+    val e = graft.operators.Indexes.memo(s"s3_features:$dir") {
+      Tables.read(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+        .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"embedding"))
+    }
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .setK(k).setSeed(42L).setMaxIter(10).setInitSteps(1).setFeaturesCol("features")
       .fit(e)
     model.transform(e)
       .groupBy($"prediction".as("cluster"))

@@ -211,6 +211,38 @@ class DedupTextSpec extends AnyFunSuite {
       s"payload reaches the shuffle: $aggInputs")
   }
 
+  test("t12 packing: bucketed prefix-sum equals a global cumsum; windows tile the stream") {
+    import org.apache.spark.sql.expressions.Window
+    val r = TextAnalysis.t12Pack(spark, sf).collect()
+    // windows tile: offsets are an exclusive prefix sum of n_tok in
+    // SOME total order — sorted by start_tok, each doc starts exactly
+    // where the previous ended, from 0
+    val byOff = r.sortBy(_.getAs[Long]("start_tok"))
+    assert(byOff.head.getAs[Long]("start_tok") == 0L)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_tok") ==
+        a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"))
+    case _ => }
+    // the two-level scan must equal the naive single-partition global
+    // window (the formulation that does NOT scale) — recompute it here
+    val docs = graft.sources.Tables.read(spark, sf, "documents")
+      .select($"doc_id", md5(TextAnalysis.normalize($"text")).as("fp"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+    val naive = docs.withColumn("start_tok",
+        coalesce(sum($"n_tok").over(Window.orderBy($"fp", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_tok").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("start_tok")).toMap
+    r.foreach(x => assert(x.getAs[Long]("start_tok") == naive(x.getAs[Long]("doc_id"))))
+    // window spans are consistent with the 512-token chunking
+    r.foreach { x =>
+      val (s, n) = (x.getAs[Long]("start_tok"), x.getAs[Long]("n_tok"))
+      assert(x.getAs[Long]("first_win") == s / 512)
+      assert(x.getAs[Long]("last_win") == (s + n - 1) / 512)
+      assert(x.getAs[Long]("n_wins") == (s + n - 1) / 512 - s / 512 + 1)
+    }
+  }
+
   test("d5 finds planted high-cosine near-dups (recall 1.0 at cos >= 0.9)") {
     // The sf corpus is random (top pairs sit near cos 0.5, the regime
     // where sub-quadratic search is information-theoretically weak);
