@@ -181,6 +181,80 @@ object Media {
     """SELECT md5(text) AS payload_fp, count(*) AS n_copies, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY payload_fp""".stripMargin
 
+  /** mm5: cross-modal retrieval — text queries against the media
+    * embedding corpus, the two-tower (CLIP-style) serving shape: one
+    * tower embeds the media (mm3's batched stub encoder), the other
+    * embeds the query TEXT (a distinct deterministic stub, "txt:"
+    * namespace, expressed as codegen'd column arithmetic — a real
+    * text tower would be another batched mapPartitions call), and
+    * retrieval is top-k cosine in the shared space.
+    *
+    * Plan shape = s1's exact-search contract: the tiny query set
+    * broadcasts, the media corpus never shuffles (repartitioned for
+    * scan parallelism only), per-query top-k is one window on the
+    * query key. At billions of assets the corpus side swaps to the
+    * s2 bucketed index — same scoring, pruned candidates. */
+  def mm5CrossModal(spark: SparkSession, dir: String,
+                    dim: Int = 8, k: Int = 5, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dotF32, normF32}
+    val media = mediaTable(spark, dir)
+      .mapPartitions(_.grouped(batchSize).flatMap(encodeStubBatch(_, dim)))
+      .toDF()
+      .select($"doc_id".as("media_id"), $"embedding".as("c"))
+      .withColumn("cn", normF32($"c"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val hex = md5(encode(concat(lit("txt:"), $"text"), "UTF-8"))
+    val dims = (0 until dim).map { i =>
+      (conv(substring(hex, i * 4 + 1, 4), 16, 10).cast("double") / 65536.0).cast("float")
+    }
+    val queries = Tables.read(spark, dir, "documents")
+      .filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("query_id"), array(dims: _*).as("q"))
+      .withColumn("qn", normF32($"q"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
+    media.join(broadcast(queries))
+      .select($"query_id", $"media_id",
+        round(dotF32($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** mm5 oracle: both towers' dimensions re-derived arithmetically
+    * (mm3Sql's formula; the text tower prefixes "txt:"), dot and
+    * norms expanded as explicit left-to-right double chains matching
+    * the dotF32/normF32 fold order. Each dim is a 16-bit dyadic
+    * rational — the FLOAT cast is lossless, the double arithmetic is
+    * bit-identical, round-6 compares exact. */
+  val mm5Sql: String = {
+    def dimExprs(src: String) = (0 until 8).map { i =>
+      s"CAST(CAST(CAST(('0x' || substr($src, ${i * 4 + 1}, 4)) AS BIGINT) AS DOUBLE) / 65536.0 AS FLOAT)"
+    }
+    val qd = dimExprs("qh").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS q$i" }
+    val cd = dimExprs("ch").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS c$i" }
+    val dot = (0 until 8).map(i => s"q$i * c$i").mkString(" + ")
+    val qn = (0 until 8).map(i => s"q$i * q$i").mkString(" + ")
+    val cn = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
+    s"""WITH q0 AS (
+       |  SELECT doc_id AS query_id, md5('txt:' || text) AS qh
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |c0 AS (SELECT doc_id AS media_id, md5(text) AS ch FROM documents),
+       |q AS (SELECT query_id, ${qd.mkString(", ")} FROM q0),
+       |c AS (SELECT media_id, ${cd.mkString(", ")} FROM c0),
+       |s AS (
+       |  SELECT query_id, media_id,
+       |    round(($dot) / (sqrt($qn) * sqrt($cn)), 6) AS cos_sim
+       |  FROM q CROSS JOIN c),
+       |r AS (
+       |  SELECT query_id, media_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, media_id) AS rank
+       |  FROM s)
+       |SELECT query_id, media_id, cos_sim, rank FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle: DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —
     * exactly the payload the Spark side hashes. Each dimension =
     * 4 hex chars / 2¹⁶ as FLOAT (dyadic, so the double→float rounding

@@ -782,4 +782,53 @@ object Tpch {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
       |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  /** q25: EXACT distributed percentiles (p50/p90/p99 of l_quantity per
+    * return flag), percentile_disc semantics — smallest value whose
+    * cumulative count reaches ceil(p·n).
+    *
+    * Scale shape: the naive plan (row_number per group over the fact
+    * table) shuffles EVERY row onto 3 group keys — a giant-group sort
+    * that dies at 100 TB. Instead: aggregate to a (group, value)
+    * HISTOGRAM first (one map-side-combined shuffle; the histogram is
+    * groups × distinct-values rows — metadata-sized for discrete or
+    * bucketed metrics), then run the cumulative window and rank
+    * selection on the tiny histogram. Rank arithmetic stays in exact
+    * integers (ceil(p·n) = (p_num·n + p_den − 1) DIV p_den — no
+    * double p·n at the boundary). Continuous metrics bucket/quantize
+    * first; approx_percentile is the sketch alternative when exactness
+    * can yield. */
+  def q25Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.read(spark, dir, "lineitem")
+      .groupBy($"l_returnflag".as("flag"), $"l_quantity".as("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy($"flag").orderBy($"q")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy($"flag")
+    def pick(rank: Column) = min(when($"cum" >= rank, $"q")).cast("long")
+    hist.withColumn("cum", sum($"cnt").over(cum))
+      .withColumn("n", sum($"cnt").over(tot))
+      .groupBy($"flag")
+      .agg(max($"n").as("n_rows"),
+        pick(expr("(n + 1) DIV 2")).as("p50"),
+        pick(expr("(9 * n + 9) DIV 10")).as("p90"),
+        pick(expr("(99 * n + 99) DIV 100")).as("p99"))
+      .orderBy("flag")
+  }
+
+  val q25Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag, l_quantity AS q, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, q,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY q) AS cum,
+      |    sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM h)
+      |SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN q END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN q END) AS BIGINT) AS p99
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
 }
