@@ -38,6 +38,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 op plan shapes: q25 histogram-first, t12 single tiny global window, mm5 broadcast queries") {
+    // q25: the cumulative windows must consume the (group, value)
+    // HISTOGRAM, not the raw fact table — the first Window sits above
+    // a HashAggregate in the plan tree (a per-row window would sort
+    // all of lineitem onto 3 group keys)
+    val q25 = queries.Tpch.q25Quantiles(spark, sf).queryExecution.executedPlan.toString
+    val winAt = q25.indexOf("Window ")
+    assert(winAt >= 0 && q25.indexOf("HashAggregate", winAt) >= 0,
+      q25.linesIterator.take(12).mkString("\n"))
+    // t12: exactly one SinglePartition exchange, and it feeds the
+    // bucket-offset window over AGGREGATE rows (sum of n_tok per
+    // bucket), never the per-document data
+    val t12 = text.TextAnalysis.t12Pack(spark, sf).queryExecution.executedPlan.toString
+    assert(t12.split("Exchange SinglePartition").length == 2, t12)
+    val spAt = t12.indexOf("Exchange SinglePartition")
+    assert(t12.indexOf("HashAggregate", spAt) >= 0)
+    // mm5: the only join is s1's deliberate broadcast-queries shape —
+    // the BUILD side must be the broadcast (tiny) query set, the
+    // corpus streams
+    val mm5 = multimodal.Media.mm5CrossModal(spark, sf).queryExecution.executedPlan.toString
+    assert(mm5.contains("BroadcastNestedLoopJoin BuildRight"), mm5)
+    assert(mm5.contains("WindowGroupLimit"), "top-k pushdown missing")
+  }
+
   test("q1 aggregates match hand-computed slice") {
     import org.apache.spark.sql.functions._
     val got = queries.Tpch.q1(spark, sf).collect()
