@@ -522,6 +522,67 @@ object TextAnalysis {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t13: TF-IDF top terms per document
+  // ---------------------------------------------------------------
+
+  /** t13: characteristic terms per document — top-5 by a TF-IDF
+    * score, the retrieval/topic-labeling staple of a curation
+    * pipeline (keyword extraction, near-dup triage, cluster naming).
+    *
+    * Scoring: `score_e6 = tf · (N·10⁶ DIV df)` — term frequency
+    * times RAW inverse document frequency, kept in exact 64-bit
+    * integers. The conventional ln(N/df) damping is a monotone
+    * transform of df that would put a libm `ln` (1-ulp, engine-
+    * dependent) into every ranking comparison; the raw ratio ranks
+    * identically for equal tf and is bit-reproducible everywhere —
+    * the log-damped variant is a one-line swap where cross-engine
+    * exactness isn't a gate. Overflow headroom: tf ≤ doc tokens,
+    * N·10⁶ ≤ 9·10¹⁸ up to ~10⁹ docs (rescale the ×10⁶ beyond).
+    *
+    * Shape: explode → (doc, token) counts (one map-side-combined
+    * shuffle), df = one aggregation over that frame (second shuffle),
+    * score join on the token key, per-doc top-5 window (third
+    * shuffle). The df frame is vocabulary-sized — broadcast when it
+    * fits, shuffle-join on token otherwise. */
+  def t13Tfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.read(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = Tables.read(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_e6".desc, $"token")
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_e6", expr("tf * (n_docs * 1000000 DIV df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"token", $"tf", $"df", $"score_e6", $"rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val t13Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    tf.tf * (n.n_docs * 1000000 // df.df) AS score_e6,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * (n.n_docs * 1000000 // df.df) DESC, tf.token) AS rank
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, df, CAST(score_e6 AS BIGINT) AS score_e6, rank
+      |FROM s WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // t12: sequence packing (concat-and-chunk for training windows)
   // ---------------------------------------------------------------
 

@@ -71,6 +71,16 @@ class SourcesSpec extends AnyFunSuite {
     Tables.writeParquet(df, s"$dir/nation", partitionBy = Seq("n_regionkey"))
     val back = spark.read.parquet(s"$dir/nation")
     assert(back.count() == df.count())
+    // the point of partitioning: a filter on the partition column must
+    // reach the scan as a PartitionFilter (directory pruning — at
+    // 100 TB this is the difference between reading one partition and
+    // reading everything), not as a post-scan Filter
+    import org.apache.spark.sql.functions.col
+    val pruned = back.filter(col("n_regionkey") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*n_regionkey#\\d+ = 1".r.findFirstIn(scan).isDefined,
+      scan.linesIterator.take(6).mkString("\n"))
+    assert(pruned.count() == df.filter(col("n_regionkey") === 1).count())
   }
 
   test("csv, json and orc sources round-trip the nation table") {
