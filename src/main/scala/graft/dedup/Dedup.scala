@@ -246,47 +246,9 @@ object Dedup {
     import spark.implicits._
     val pairs = d2Pairs(spark, dir, threshold = threshold)
       .select($"doc_id1".as("a"), $"doc_id2".as("b"))
-    val edges = graft.operators.Indexes.swap("d7_edges",
-      pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b"))))
-    // propagation runs over the PAIR SUBGRAPH only — unpaired docs can
-    // never change label, so at corpus scale the per-round joins touch
-    // the (tiny) duplicate graph, not the whole corpus; singletons
-    // union back in at the end with label = self
-    // round state rides Indexes.swap under one key: each round's
-    // persist releases the previous round's, and the FINAL frame stays
-    // registered (bounded — the next d7/t9 invocation swaps it out)
-    var labels = graft.operators.Indexes.swap("d7_labels",
-      edges.select($"a".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("label")))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy($"a").agg(min($"label").as("nbr_label"))
-      // carry the previous label through the round so convergence is
-      // one filter on the materialized frame, not an extra join.
-      // swapWith materializes the new generation (the convergence
-      // count) BEFORE releasing the previous one — next is derived
-      // from labels, so a plain swap would recompute every prior
-      // round from lineage each round (O(rounds²))
-      val (next, ch) = graft.operators.Indexes.swapWith("d7_labels",
-        labels.join(nbrMin, labels("doc_id") === nbrMin("a"))
-          .select(labels("doc_id"), least($"nbr_label", $"label").as("label"),
-            labels("label").as("__old")))(
-        _.filter($"label" =!= $"__old").count())
-      changed = ch
-      labels = next.select($"doc_id", $"label")
-      iter += 1
-    }
-    // silent non-convergence would emit non-minimal cluster ids and
-    // desync the transitive-closure oracle — fail loudly instead
-    require(changed == 0,
-      s"d7DupClusters did not converge in $maxIters rounds (component diameter too large)")
-    val singletons = Tables.read(spark, dir, "documents").select($"doc_id")
-      .join(edges.select($"a".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"doc_id".as("label"))
-    labels.unionAll(singletons)
-      .select($"doc_id", $"label".as("cluster_id"))
+    graft.operators.Graph.connectedComponents(pairs,
+        Tables.read(spark, dir, "documents").select($"doc_id"), "d7", maxIters)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
   }
 
   /** Recursive transitive-closure block over d2's `est` — shared by
@@ -585,8 +547,10 @@ object Dedup {
       .limit(topN)
   }
 
-  val d5Sql: String =
-    s"""WITH u AS (
+  /** d5's CTE chain through the cosine frame `p` — ONE copy of the
+    * banded candidate generation + scoring, shared by d5Sql and d8Sql. */
+  private[graft] val d5Ctes: String =
+    s"""u AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
@@ -601,7 +565,59 @@ object Dedup {
        |  FROM cand c
        |  JOIN u ua ON ua.vec_id = c.vec_id1
        |  JOIN u ub ON ub.vec_id = c.vec_id2 AND ub.i = ua.i
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val d5Sql: String =
+    s"""WITH $d5Ctes
        |SELECT vec_id1, vec_id2, round(c, 6) AS cos_sim
        |FROM p ORDER BY round(c, 6) DESC, vec_id1, vec_id2 LIMIT 50""".stripMargin
+
+  /** d8: SEMANTIC dedup over embeddings (the SemDeDup shape — Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): collapse groups of semantically
+    * near-identical items to ONE kept representative. SemDeDup groups
+    * via k-means; here grouping is the deterministic banded-LSH
+    * candidate path (d5's top near-dup pairs), which keeps the whole
+    * operator hash-checkable — connected components over the pair
+    * graph (near-duplication is transitive), keep = min vec_id per
+    * component. Output per vector: its representative and whether it
+    * survives the dedup — the keep-list a curation pipeline feeds to
+    * the next stage.
+    *
+    * Scale shape: pair generation is d5's bucketed join (shuffle ∝
+    * candidates), CC runs on the tiny pair subgraph
+    * ([[graft.operators.Graph.connectedComponents]]), and the
+    * singleton union is one anti-join — the corpus is never
+    * all-paired. */
+  def d8SemanticDedup(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val pairs = d5EmbeddingNearDup(spark, dir, topN = topN)
+      .select($"vec_id1".as("a"), $"vec_id2".as("b"))
+    val nodes = Tables.read(spark, dir, "embeddings").select($"vec_id")
+    graft.operators.Graph.connectedComponents(pairs, nodes, "d8")
+      .select($"id".as("vec_id"), $"label".as("rep_id"),
+        when($"id" === $"label", 1L).otherwise(0L).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** d8 oracle: d5's pair CTEs + the recursive closure over the top-N
+    * pair graph. `top` is MATERIALIZED: DuckDB re-evaluates plain CTEs
+    * referenced from inside a recursive union on every iteration —
+    * re-running the whole banded-cosine chain per round OOMs. */
+  val d8Sql: String =
+    s"""WITH RECURSIVE $d5Ctes,
+       |top AS MATERIALIZED (
+       |  SELECT vec_id1, vec_id2 FROM p
+       |  ORDER BY round(c, 6) DESC, vec_id1, vec_id2 LIMIT 50),
+       |edges AS (
+       |  SELECT vec_id1 AS a, vec_id2 AS b FROM top
+       |  UNION SELECT vec_id2, vec_id1 FROM top),
+       |reach AS (
+       |  SELECT vec_id AS a, vec_id AS b FROM embeddings
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cc AS (SELECT a AS vec_id, min(b) AS rep_id FROM reach GROUP BY a)
+       |SELECT vec_id, rep_id,
+       |  CAST(CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM cc ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation
+  * — the MapReduce-CC family of Kiveris et al., "Connected Components
+  * in MapReduce and Beyond" (SoCC 2014): each round every node takes
+  * the min of its own label and its neighbors' (two joins + one
+  * aggregation per round), converging in ≤ diameter rounds. No
+  * driver-side graph; state is a (id, label) DataFrame.
+  *
+  * Propagation runs over the EDGE SUBGRAPH only — isolated nodes can
+  * never change label, so at corpus scale the per-round joins touch
+  * the (tiny) pair graph, not the whole corpus; singletons union back
+  * in at the end with label = self. Round state rides [[Indexes]]
+  * under `cacheKey`: each round's persist releases the previous
+  * round's, and [[Indexes.swapWith]] materializes the new generation
+  * BEFORE releasing the old (a plain swap would recompute all prior
+  * rounds from lineage — O(rounds²)).
+  *
+  * Shared by d7 (text near-dup clusters) and d8 (embedding semantic
+  * dedup).
+  */
+object Graph {
+
+  /** @param pairs    undirected edges, one row per pair; the first two
+    *                 columns are the endpoints
+    * @param nodes    ALL node ids (single column) — nodes without
+    *                 edges come back as singletons (label = self)
+    * @param cacheKey scopes the per-round persisted state
+    * @return (id, label) with label = min node id of the component
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          cacheKey: String, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    val edges = Indexes.swap(s"$cacheKey:edges",
+      p.unionAll(p.select($"b".as("a"), $"a".as("b"))))
+    var labels = Indexes.swap(s"$cacheKey:labels",
+      edges.select($"a".as("id")).distinct()
+        .select($"id", $"id".as("label")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy($"a").agg(min($"label").as("nbr_label"))
+      // previous label carried through the round: convergence is one
+      // filter on the materialized frame, not an extra join
+      val (next, ch) = Indexes.swapWith(s"$cacheKey:labels",
+        labels.join(nbrMin, labels("id") === nbrMin("a"))
+          .select(labels("id"), least($"nbr_label", $"label").as("label"),
+            labels("label").as("__old")))(
+        _.filter($"label" =!= $"__old").count())
+      changed = ch
+      labels = next.select($"id", $"label")
+      iter += 1
+    }
+    // silent non-convergence would emit non-minimal labels and desync
+    // any transitive-closure oracle — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents($cacheKey) did not converge in $maxIters rounds " +
+        "(component diameter too large)")
+    val idCol = nodes.columns.head
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(edges.select($"a".as("id")).distinct(), Seq("id"), "left_anti")
+      .select($"id", $"id".as("label"))
+    labels.unionAll(singletons)
+  }
+}

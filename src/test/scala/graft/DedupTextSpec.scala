@@ -243,6 +243,28 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d8 semantic dedup keeps exactly one representative per planted twin pair") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 10).flatMap { i =>
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      val twin = v.map(x => x + 0.05f * rng.nextGaussian().toFloat) // cos > 0.95
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, twin))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Dedup.d8SemanticDedup(spark, dir, topN = 10).collect()
+    assert(r.length == 20)
+    // every twin maps to the even rep; exactly one survivor per pair
+    (0 until 10).foreach { i =>
+      val pair = r.filter(x => x.getAs[Long]("vec_id") / 2 == i)
+      assert(pair.map(_.getAs[Long]("rep_id")).toSet == Set(i.toLong * 2),
+        s"pair $i not collapsed: ${pair.mkString(",")}")
+      assert(pair.map(_.getAs[Long]("is_kept")).sum == 1L)
+    }
+  }
+
   test("d5 finds planted high-cosine near-dups (recall 1.0 at cos >= 0.9)") {
     // The sf corpus is random (top pairs sit near cos 0.5, the regime
     // where sub-quadratic search is information-theoretically weak);
