@@ -522,6 +522,76 @@ object TextAnalysis {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // t14: weighted domain mixing (training-mixture sampling)
+  // ---------------------------------------------------------------
+
+  /** t14: weighted domain mix — the data-mixing step of a training
+    * pipeline (the static form of DoReMi/Pile-style domain weighting):
+    * each source domain gets a share of the token/doc budget
+    * proportional to its declared weight, and the sample drawn from
+    * each domain is a deterministic hash-ordered prefix — reproducible
+    * across runs, engines, and re-ingestion, and unbiased w.r.t. any
+    * corpus ordering.
+    *
+    * Weights here derive from the source name (suffix mod 3 + 1) so
+    * the mix is non-trivial on the synthetic corpus; a real pipeline
+    * passes a weight table. Budget shares stay in exact integer
+    * arithmetic: take(source) = min(available, w·budget DIV Σw) —
+    * floor division, the remainder deliberately unallocated (stable
+    * under domain add/remove, never over-budget).
+    *
+    * Scale shape: t8's machinery — per-domain counts broadcast, the
+    * hash-threshold prefilter keeps the per-domain window from sorting
+    * a giant domain (survivors ≈ margin·take + 64 per domain), one
+    * shuffle on the domain key. */
+  def t14DomainMix(spark: SparkSession, dir: String, budget: Int = 120,
+                   margin: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("w", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+      .withColumn("h", graft.functions.DetHash.md5Long60Col(
+        concat(lit("mix:"), $"doc_id".cast("string"))))
+    val sizes = docs.groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+    val sumW = sizes.agg(sum($"w").as("sum_w"))
+    val targets = sizes.crossJoin(broadcast(sumW))
+      .withColumn("n_target", least($"n", expr(s"w * $budget DIV sum_w")))
+      .select($"source", $"n", $"n_target")
+    // hash-threshold prefilter (t8's): only ~margin·target + 64 rows
+    // per domain survive into the window sort; exact LONG arithmetic
+    val keep = $"n_target" * margin.toLong + 64L
+    val pre = docs.join(broadcast(targets), Seq("source"))
+      .filter($"n" <= keep || $"h" <= expr(s"${1L << 60} DIV n") * keep)
+    val rank = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    pre.withColumn("sample_rank", row_number().over(rank).cast("long"))
+      .filter($"sample_rank" <= $"n_target")
+      .select($"source", $"doc_id", $"sample_rank", $"n_target")
+      .orderBy("source", "sample_rank")
+  }
+
+  val t14Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w,
+      |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |sz AS (SELECT source, w, count(*) AS n FROM d GROUP BY source, w),
+      |tw AS (SELECT sum(w) AS sum_w FROM sz),
+      |tgt AS (
+      |  SELECT source, n,
+      |    least(n, w * 120 // (SELECT sum_w FROM tw)) AS n_target
+      |  FROM sz),
+      |ranked AS (
+      |  SELECT d.source, d.doc_id, t.n_target,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS sample_rank
+      |  FROM d JOIN tgt t ON t.source = d.source)
+      |SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank,
+      |  CAST(n_target AS BIGINT) AS n_target
+      |FROM ranked WHERE sample_rank <= n_target
+      |ORDER BY source, sample_rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // t13: TF-IDF top terms per document
   // ---------------------------------------------------------------
 
