@@ -322,6 +322,70 @@ object Dedup {
       |SELECT doc_id1, doc_id2, jaccard FROM j
       |WHERE jaccard >= 0.5 ORDER BY doc_id1, doc_id2""".stripMargin
 
+  /** d9: asymmetric containment near-dup — the overlap coefficient
+    * |A∩B| / min(|A|,|B|) over distinct shingle sets. Symmetric
+    * Jaccard (d4) misses containment: a short document quoted
+    * wholesale inside a long one scores overlap ≈ 1.0 but Jaccard ≈
+    * |short|/|long|. This is the quote/subset detector that
+    * complements d4's same-size near-dup detector.
+    *
+    * Candidate generation is a RARE-shingle inverted index: shingles
+    * with document frequency in [2, dfCap] (the prefix/positional
+    * filtering idea of the PPJoin family — Xiao et al., WWW 2008 —
+    * reduced to its df-capped core). A high-overlap pair shares many
+    * shingles; once stop-shingles (df > dfCap) are excluded, it
+    * shares a rare one with near-certainty, and the candidate shuffle
+    * is Σ df² over rare shingles ≤ dfCap · |rare occurrences| —
+    * never all-pairs, and bounded tighter as dfCap shrinks (recall
+    * trade-off documented like d4's blocking). Scoring joins the
+    * (small) candidate set back to the materialized shingle-set
+    * index; the ×1e6 score is exact integer arithmetic. */
+  def d9Overlap(spark: SparkSession, dir: String, dfCap: Int = 4,
+                minOverlapE6: Long = 800000L): DataFrame = {
+    import spark.implicits._
+    // one materialization serves the df branch, both candidate legs,
+    // and both scoring legs (AQE recomputes shared lineage otherwise)
+    val sets = graft.operators.Indexes.swap("d9_shingle_sets",
+      shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+        .groupBy($"doc_id").agg(collect_list($"sh").as("ss"), count(lit(1)).as("n")))
+    val occ = sets.select($"doc_id", explode($"ss").as("sh"))
+    val rare = occ.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, dfCap)).select($"sh")
+    val rareOcc = occ.join(rare, Seq("sh"))
+    val cand = rareOcc.select($"sh", $"doc_id".as("doc_id1"))
+      .join(rareOcc.select($"sh", $"doc_id".as("doc_id2")), Seq("sh"))
+      .filter($"doc_id1" < $"doc_id2")
+      .select($"doc_id1", $"doc_id2").distinct()
+    cand
+      .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
+      .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")), Seq("doc_id2"))
+      .select($"doc_id1", $"doc_id2",
+        size(array_intersect($"ss1", $"ss2")).cast("long").as("n_shared"),
+        least($"n1", $"n2").cast("long").as("n_min"))
+      .withColumn("overlap_e6", expr("n_shared * 1000000 DIV n_min"))
+      .filter($"overlap_e6" >= minOverlapE6)
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  val d9Sql: String =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |rare AS (SELECT sh FROM df WHERE df BETWEEN 2 AND 4),
+       |ro AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+       |  FROM ro a JOIN ro b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(sh) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id1, doc_id2,
+       |    CAST(len(list_filter(x.ss, s -> list_contains(y.ss, s))) AS BIGINT) AS n_shared,
+       |    CAST(least(x.n, y.n) AS BIGINT) AS n_min
+       |  FROM cand JOIN sets x ON x.doc_id = doc_id1 JOIN sets y ON y.doc_id = doc_id2)
+       |SELECT doc_id1, doc_id2, n_shared, n_min,
+       |  CAST(n_shared * 1000000 // n_min AS BIGINT) AS overlap_e6
+       |FROM scored WHERE n_shared * 1000000 // n_min >= 800000
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+
   /** d3: SimHash near-dup candidates (Charikar, "Similarity
     * estimation techniques from rounding algorithms", STOC 2002; the
     * chunked-bucket search follows Manku/Jain/Das Sarma, WWW 2007).

@@ -234,4 +234,39 @@ object Events {
       |FROM purchases p ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
+
+  /** e8: cohort retention — users grouped into daily cohorts by their
+    * first activity date; the matrix counts how many of each cohort
+    * were active again k days later (the product-analytics retention
+    * triangle).
+    *
+    * Shape: first-touch = one map-side-combined min-aggregation on
+    * user_id; activity = distinct (user, date) — the same user_id
+    * shuffle key, so the join is co-partitioned with no extra
+    * exchange; the final aggregation collapses to cohorts × offsets
+    * rows (metadata-sized at any corpus: days², independent of event
+    * volume). A user appears once per active date, so the matrix
+    * count is already distinct users — no count(DISTINCT) Expand. */
+  def e8Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val firsts = ev.groupBy($"user_id").agg(min($"d").as("cohort"))
+    ev.distinct()
+      .join(firsts, Seq("user_id"))
+      .groupBy($"cohort", datediff($"d", $"cohort").cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_date"),
+        $"day_offset", $"active_users")
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  val e8Sql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |firsts AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+      |  date_diff('day', f.cohort, a.d) AS day_offset,
+      |  count(*) AS active_users
+      |FROM ev a JOIN firsts f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
 }

@@ -392,6 +392,33 @@ object Tpch {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q26: CUBE aggregation — every grouping-set combination of
+    * (priority, status) plus both one-dimension margins and the grand
+    * total, in ONE Expand-based pass (a single shuffle carries all
+    * 2^k grouping sets; the hand-written alternative is 4 scans + a
+    * union). Completes the grouping-set family next to q22's ROLLUP
+    * and q23's pivot. */
+  def q26Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec($"o_totalprice"))).as("sum_total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"sum_total")
+      .orderBy("priority", "status")
+  }
+
+  val q26Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_total
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   /** q23: pivot — returnflag × linestatus count matrix (Spark's
     * `pivot` with an explicit value list stays a single Expand+agg
     * pass; the explicit list is what keeps it one job at scale —

@@ -521,6 +521,54 @@ object TextAnalysis {
        |FROM test t LEFT JOIN train tr ON tr.sh = t.sh
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** t15: boilerplate score — the C4/CCNet repeated-content filter
+    * re-expressed for line-less corpora: per document, the share of
+    * its word-3-gram OCCURRENCES whose shingle is corpus-common
+    * (appears in ≥ `commonDf` distinct documents). C4 drops lines
+    * repeated across the corpus; with no line structure the per-doc
+    * fraction of corpus-common shingles carries the same
+    * template/boilerplate signal, emitted as a score for an upstream
+    * keep-filter threshold.
+    *
+    * Shape: shingle occurrences from the shared relational shingler
+    * (d2/d4/t11's [[graft.dedup.Dedup.shingleRows]]); df = one
+    * aggregation over the distinct (doc, shingle) frame; the common
+    * set (df ≥ commonDf) is head-of-vocabulary-sized — bounded by
+    * total_shingles / commonDf — persisted once
+    * ([[graft.operators.Indexes.swap]]; both the df branch and the
+    * join-back would otherwise recompute the shingler under AQE,
+    * SURVEY §5d) and joined back into the occurrence stream (AQE
+    * picks broadcast from its runtime size); the per-doc aggregation
+    * is the only fact-sized shuffle and map-side combines. Ratio is
+    * integer-exact ×1e6 ([[halfUpDiv]]). */
+  def t15Boilerplate(spark: SparkSession, dir: String, commonDf: Int = 4): DataFrame = {
+    import spark.implicits._
+    val shu = graft.dedup.Dedup.shingleRows(spark, dir)
+    val common = graft.operators.Indexes.swap("t15_common_shingles",
+      shu.dropDuplicates("doc_id", "sh")
+        .groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" >= commonDf)
+        .select($"sh", lit(1).as("__common")))
+    shu.join(common, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"__common".isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select($"doc_id", $"n_shingles", $"n_common",
+        halfUpDiv($"n_common" * 1000000L, $"n_shingles").as("boilerplate_e6"))
+      .orderBy("doc_id")
+  }
+
+  val t15Sql: String =
+    s"""WITH ${graft.dedup.Dedup.shingleCtes},
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |common AS (SELECT sh FROM df WHERE df >= 4)
+       |SELECT o.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST((2 * sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) * 1000000 + count(*))
+       |       // (2 * count(*)) AS BIGINT) AS boilerplate_e6
+       |FROM shu o LEFT JOIN common c ON c.sh = o.sh
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   // t14: weighted domain mixing (training-mixture sampling)
   // ---------------------------------------------------------------

@@ -183,6 +183,8 @@ class DedupTextSpec extends AnyFunSuite {
       "d2" -> Dedup.d2MinhashLsh(spark, sf),
       "d3" -> Dedup.d3Simhash(spark, sf),
       "d5" -> Dedup.d5EmbeddingNearDup(spark, sf),
+      "d9" -> Dedup.d9Overlap(spark, sf),
+      "t15" -> TextAnalysis.t15Boilerplate(spark, sf),
       "s2" -> graft.similarity.Knn.s2Ivf(spark, sf)
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
@@ -291,5 +293,61 @@ class DedupTextSpec extends AnyFunSuite {
     val brute = Dedup.d5BruteForce(spark, tmp2, topN = 40).collect()
       .map(r => (r.getAs[Long]("vec_id1"), r.getAs[Long]("vec_id2"))).toSet
     assert((brute intersect planted) == (found intersect planted))
+  }
+
+  test("d9 overlap equals a driver-side ALL-pairs recomputation on real data") {
+    // the rare-shingle candidate index must lose nothing at the 0.8
+    // threshold on this corpus: compare against brute-force overlap
+    // over every pair, computed from the same shingle sets
+    val sets = Dedup.shingleRows(spark, sf).dropDuplicates("doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val expected = (for {
+      (id1, s1) <- sets; (id2, s2) <- sets if id1 < id2
+      ov = (s1 intersect s2).size * 1000000L / math.min(s1.size, s2.size)
+      if ov >= 800000L
+    } yield (id1, id2, ov)).toSet
+    val got = Dedup.d9Overlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2"),
+        r.getAs[Long]("overlap_e6"))).toSet
+    assert(got == expected, s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("d9 scores containment that jaccard misses (quote inside a long doc)") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"unrelated filler words spread all around here $quote and then even more filler text continues onwards"
+    val dir = java.nio.file.Files.createTempDirectory("graft-d9").toString
+    Seq(
+      (0L, quote, "en", "s0", quote.length.toLong),
+      (1L, long, "en", "s1", long.length.toLong),
+      (2L, "a completely different third document about nothing shared", "en", "s2", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.d9Overlap(spark, dir).collect()
+    // every 3-gram of the quote appears in the long doc → overlap = 1.0
+    assert(r.length == 1 && r.head.getAs[Long]("doc_id1") == 0L &&
+      r.head.getAs[Long]("doc_id2") == 1L &&
+      r.head.getAs[Long]("overlap_e6") == 1000000L, r.mkString(","))
+  }
+
+  test("t15 boilerplate agrees with a driver-side recomputation on real data") {
+    val occ = Dedup.shingleRows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = occ.distinct.groupBy(_._2).map { case (sh, xs) => sh -> xs.length }
+    val common = df.collect { case (sh, n) if n >= 4 => sh }.toSet
+    val expected = occ.groupBy(_._1).map { case (id, xs) =>
+      val n = xs.length.toLong
+      val hits = xs.count(x => common(x._2)).toLong
+      // halfUpDiv(hits*1e6, n)
+      val n2 = hits * 1000000L * 2 + n
+      id -> (n, hits, (n2 - java.lang.Math.floorMod(n2, 2 * n)) / (2 * n))
+    }
+    val got = TextAnalysis.t15Boilerplate(spark, sf).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_common"),
+          r.getAs[Long]("boilerplate_e6")))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0L), "no common shingles found at all — threshold dead")
   }
 }

@@ -201,4 +201,23 @@ class KnnEventsSpec extends AnyFunSuite {
       .agg(sum($"n_events")).head().getLong(0)
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
+
+  test("e8 retention: day-0 diagonal counts every user once; offsets bounded by cohort") {
+    val r = Events.e8Retention(spark, sf).collect()
+    val day0 = r.filter(_.getAs[Long]("day_offset") == 0L)
+    // every user is active on their own first day → the day-0 column
+    // partitions the user population by cohort
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(day0.map(_.getAs[Long]("active_users")).sum == nUsers)
+    // no offset row can exceed its cohort's day-0 size, offsets >= 0
+    val day0ByCohort = day0.map(x =>
+      x.getAs[String]("cohort_date") -> x.getAs[Long]("active_users")).toMap
+    r.foreach { x =>
+      val off = x.getAs[Long]("day_offset")
+      assert(off >= 0L)
+      assert(x.getAs[Long]("active_users") <= day0ByCohort(x.getAs[String]("cohort_date")),
+        s"retained > cohort at $x")
+    }
+  }
 }

@@ -62,6 +62,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(mm5.contains("WindowGroupLimit"), "top-k pushdown missing")
   }
 
+  test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
+    val r = queries.Tpch.q26Cube(spark, sf).collect()
+    val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
+    assert(total.length == 1)
+    val leaf = r.filter(x => x.getString(0) != "ALL" && x.getString(1) != "ALL")
+    assert(leaf.map(_.getAs[Long]("n_orders")).sum == total.head.getAs[Long]("n_orders"))
+    val pMargin = r.filter(x => x.getString(0) != "ALL" && x.getString(1) == "ALL")
+    assert(pMargin.map(_.getAs[Long]("n_orders")).sum == total.head.getAs[Long]("n_orders"))
+    // all 2^k grouping sets ride ONE Expand + ONE hash shuffle (the
+    // other exchange is the presentation sort)
+    val plan = queries.Tpch.q26Cube(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length == 2, plan)
+    assert(plan.split("Exchange hashpartitioning").length == 2, plan)
+  }
+
   test("q1 aggregates match hand-computed slice") {
     import org.apache.spark.sql.functions._
     val got = queries.Tpch.q1(spark, sf).collect()
