@@ -222,6 +222,8 @@ object VectorFunctions {
   * session of a deployed cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // conf-gated interval-join rewrite (see graft.plans.BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

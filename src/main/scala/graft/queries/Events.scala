@@ -235,6 +235,33 @@ object Events {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
+  /** e9: e7's interval-containment workload written the way a USER
+    * writes it — the naive `t BETWEEN lo AND hi` join — executed
+    * through the conf-gated optimizer rewrite
+    * ([[graft.plans.BinnedRangeJoinRule]] via `GraftExtensions`): the
+    * planner's BroadcastNestedLoopJoin becomes the binned equi-join
+    * automatically, no operator-API call in sight. Spec-asserted
+    * BNLJ-free; the conf stays enabled on the session (the rule only
+    * ever matches both-bounds integral non-equi joins). */
+  def e9AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set(graft.plans.BinnedRangeJoinRule.EnabledKey, "true")
+    spark.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "1800000000")
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros($"ts").as("t_us"), $"value")
+    val windows = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("hour", $"ts")).as("h_us")).distinct()
+      .select(($"h_us" + 600000000L).as("lo_us"), ($"h_us" + 2400000000L).as("hi_us"))
+    ev.join(windows, $"t_us" >= $"lo_us" && $"t_us" <= $"hi_us")
+      .groupBy($"lo_us", $"hi_us")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .orderBy("lo_us")
+  }
+
+  /** e9 oracle: the same naive BETWEEN join DuckDB plans natively. */
+  val e9Sql: String = e7Sql
+
   /** e8: cohort retention — users grouped into daily cohorts by their
     * first activity date; the matrix counts how many of each cohort
     * were active again k days later (the product-analytics retention
