@@ -296,4 +296,37 @@ object Events {
       |  count(*) AS active_users
       |FROM ev a JOIN firsts f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
+
+  /** w4: per-user inter-event gap statistics — the empirical input to
+    * choosing e2's sessionization gap (and the staleness signal of an
+    * event stream). One shuffle on user_id; the lag window and the
+    * aggregation ride the same partitioning. Gaps in exact integer
+    * microseconds; the mean is floor-divided (`DIV`), identical in
+    * DuckDB (`//`). Users with a single event have no gap and drop. */
+  def w4GapStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .filter($"prev_ts".isNotNull)
+      .select($"user_id", (unix_micros($"ts") - unix_micros($"prev_ts")).as("gap_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_us").as("sum_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .withColumn("avg_gap_us", expr("sum_gap_us DIV n_gaps"))
+      .orderBy("user_id")
+  }
+
+  val w4Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, max(gap_us) AS max_gap_us,
+      |  CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

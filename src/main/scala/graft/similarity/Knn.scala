@@ -67,6 +67,44 @@ object Knn {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s5: radius (threshold) search — ALL corpus neighbors within a
+    * cosine radius of each query, the other half of the search API
+    * surface next to s1/s2's top-k (retrieval gating, near-dup
+    * lookup by example, dedup-against-blocklist).
+    *
+    * Cheaper than top-k at scale: broadcast queries × corpus scan +
+    * codegen'd dot + filter — NO per-query window, no shuffle of the
+    * corpus at all (the only exchange is the presentation sort).
+    * At billions of rows the corpus side swaps to s2's bucketed
+    * index exactly as for top-k. */
+  def s5Radius(spark: SparkSession, dir: String, minCos: Double = 0.30): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= minCos)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val s5Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+      |FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |GROUP BY 1, 2
+      |HAVING round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) >= 0.30
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   /** s3: embedding k-means clustering — the data-curation staple
     * (topic balancing, stratified sampling, near-dup triage). Built on
     * MLlib's KMeans (k-means|| init, seeded → deterministic for a

@@ -569,6 +569,40 @@ object TextAnalysis {
        |FROM shu o LEFT JOIN common c ON c.sh = o.sh
        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
 
+  /** t16: within-document duplicate n-gram fraction — the Gopher
+    * repetition filter (Rae et al. 2021, "Scaling Language Models:
+    * ... Gopher", Table A1): the share of a doc's 3-gram OCCURRENCES
+    * that are repeats of an earlier 3-gram in the SAME doc. t7 scores
+    * token-level repetition; 3-gram repeats specifically catch looped
+    * phrases/templating that common-token reuse doesn't.
+    *
+    * Shape: two-level aggregation — (doc, shingle) counts (map-side
+    * combined), then per-doc totals — both on the doc_id-prefixed
+    * key, no count(DISTINCT) Expand. Integer-exact ×1e6. */
+  def t16DupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.dedup.Dedup.shingleRows(spark, dir)
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_shingles"), count(lit(1)).as("n_distinct"))
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        halfUpDiv(($"n_shingles" - $"n_distinct") * 1000000L, $"n_shingles")
+          .as("dup_ngram_e6"))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String =
+    s"""WITH ${graft.dedup.Dedup.shingleCtes},
+       |lvl1 AS (SELECT doc_id, sh, count(*) AS n FROM shu GROUP BY doc_id, sh),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shingles,
+       |    count(*) AS n_distinct
+       |  FROM lvl1 GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_distinct,
+       |  CAST((2 * (n_shingles - n_distinct) * 1000000 + n_shingles)
+       |       // (2 * n_shingles) AS BIGINT) AS dup_ngram_e6
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   // t14: weighted domain mixing (training-mixture sampling)
   // ---------------------------------------------------------------

@@ -331,6 +331,20 @@ class DedupTextSpec extends AnyFunSuite {
       r.head.getAs[Long]("overlap_e6") == 1000000L, r.mkString(","))
   }
 
+  test("t16 dup-ngram fraction agrees with a driver-side recomputation on real data") {
+    val occ = Dedup.shingleRows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = occ.groupBy(_._1).map { case (id, xs) =>
+      val n = xs.length.toLong
+      val dup = n - xs.map(_._2).distinct.length.toLong
+      val n2 = dup * 1000000L * 2 + n
+      id -> (n2 - java.lang.Math.floorMod(n2, 2 * n)) / (2 * n)
+    }
+    val got = TextAnalysis.t16DupNgrams(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_ngram_e6")).toMap
+    assert(got == expected)
+  }
+
   test("t15 boilerplate agrees with a driver-side recomputation on real data") {
     val occ = Dedup.shingleRows(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))

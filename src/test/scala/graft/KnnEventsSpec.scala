@@ -202,6 +202,30 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("s5 radius search: superset of s1's qualifying top-k, all within radius") {
+    val s5 = graft.similarity.Knn.s5Radius(spark, sf).collect()
+    s5.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.30))
+    val s5Pairs = s5.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // every s1 neighbor above the radius must be in the radius result
+    graft.similarity.Knn.s1Brute(spark, sf).collect()
+      .filter(_.getAs[Double]("cos_sim") >= 0.30)
+      .foreach { r =>
+        assert(s5Pairs.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))), r)
+      }
+  }
+
+  test("w4 gap stats: n_gaps = events - 1 per multi-event user; max >= avg") {
+    val perUser = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val w4 = Events.w4GapStats(spark, sf).collect()
+    assert(w4.length == perUser.count(_._2 >= 2))
+    w4.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == perUser(r.getAs[Long]("user_id")) - 1)
+      assert(r.getAs[Long]("max_gap_us") >= r.getAs[Long]("avg_gap_us"))
+    }
+  }
+
   test("e8 retention: day-0 diagonal counts every user once; offsets bounded by cohort") {
     val r = Events.e8Retention(spark, sf).collect()
     val day0 = r.filter(_.getAs[Long]("day_offset") == 0L)
