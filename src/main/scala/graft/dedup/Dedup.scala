@@ -340,14 +340,24 @@ object Dedup {
     * trade-off documented like d4's blocking). Scoring joins the
     * (small) candidate set back to the materialized shingle-set
     * index; the ×1e6 score is exact integer arithmetic. */
+  /** Distinct shingle sets per doc (doc_id, ss, n) — the scoring-side
+    * artifact of the exact-similarity family, materialized once per
+    * dir and shared by d9 (candidates + scoring) and d10
+    * (calibration). At 100 TB this is a written table. */
+  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"shingle_sets:$dir") {
+      shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+        .groupBy($"doc_id").agg(collect_list($"sh").as("ss"), count(lit(1)).as("n"))
+    }
+  }
+
   def d9Overlap(spark: SparkSession, dir: String, dfCap: Int = 4,
                 minOverlapE6: Long = 800000L): DataFrame = {
     import spark.implicits._
     // one materialization serves the df branch, both candidate legs,
     // and both scoring legs (AQE recomputes shared lineage otherwise)
-    val sets = graft.operators.Indexes.swap("d9_shingle_sets",
-      shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
-        .groupBy($"doc_id").agg(collect_list($"sh").as("ss"), count(lit(1)).as("n")))
+    val sets = shingleSets(spark, dir)
     val occ = sets.select($"doc_id", explode($"ss").as("sh"))
     val rare = occ.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df".between(2, dfCap)).select($"sh")
@@ -385,6 +395,55 @@ object Dedup {
        |  CAST(n_shared * 1000000 // n_min AS BIGINT) AS overlap_e6
        |FROM scored WHERE n_shared * 1000000 // n_min >= 800000
        |ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** d10: sketch calibration audit — every pair d2's MinHash+LSH
+    * emits, scored with its EXACT Jaccard (recomputed from the
+    * shingle sets), the estimation error, and a false-positive flag
+    * at the d4 near-dup threshold (0.5). This is the gate a
+    * production pipeline runs after retuning k/bands/threshold — the
+    * text-dedup analog of s4's ANN recall audit: it quantifies what
+    * the sketch trades away, continuously, on the live corpus.
+    *
+    * Cost ∝ emitted pairs (the already-small dedup artifact — d2Pairs
+    * is memoized, so the sketch pipeline is not re-run when d2/d7
+    * already ran in the session): two joins against the materialized
+    * shingle-set index, never a corpus-sized shuffle. Both sides are
+    * md5-deterministic, so the audit itself is fully hash-checked. */
+  def d10SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d2Pairs(spark, dir)
+    val sets = shingleSets(spark, dir)
+    val union = ($"n1" + $"n2" - $"inter").cast("double")
+    pairs
+      .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
+      .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")), Seq("doc_id2"))
+      .withColumn("inter", size(array_intersect($"ss1", $"ss2")).cast("long"))
+      .withColumn("exact_jaccard", round($"inter".cast("double") / union, 6))
+      .select($"doc_id1", $"doc_id2", $"est_jaccard", $"exact_jaccard",
+        round($"est_jaccard" - $"exact_jaccard", 6).as("err"),
+        ($"exact_jaccard" < 0.5).cast("int").as("is_false_pos"))
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  val d10Sql: String =
+    s"""WITH $d2Ctes,
+       |pairs AS (
+       |  SELECT doc_id1, doc_id2, est_jaccard FROM est WHERE est_jaccard >= 0.7),
+       |sets AS (SELECT doc_id, list(sh) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+       |x AS (
+       |  SELECT p.doc_id1, p.doc_id2, p.est_jaccard,
+       |    len(list_filter(a.ss, s -> list_contains(b.ss, s))) AS inter,
+       |    a.n AS n1, b.n AS n2
+       |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_id1
+       |  JOIN sets b ON b.doc_id = p.doc_id2),
+       |sc AS (
+       |  SELECT doc_id1, doc_id2, est_jaccard,
+       |    round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS exact_jaccard
+       |  FROM x)
+       |SELECT doc_id1, doc_id2, est_jaccard, exact_jaccard,
+       |  round(est_jaccard - exact_jaccard, 6) AS err,
+       |  CAST(exact_jaccard < 0.5 AS INTEGER) AS is_false_pos
+       |FROM sc ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** d3: SimHash near-dup candidates (Charikar, "Similarity
     * estimation techniques from rounding algorithms", STOC 2002; the

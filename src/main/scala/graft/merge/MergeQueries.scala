@@ -275,4 +275,65 @@ object MergeQueries {
       |    SELECT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 2 = 0) u) p
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** m17: SEQUENTIAL multi-source merge — the reference's actual
+    * deployment mode (one clinic instance after another into the same
+    * destination; `_merge_sources` registry, preparation.js:53): srcA
+    * consolidates into dest, then srcB consolidates into the UPDATED
+    * destination — srcB rows matching names srcA just added map to
+    * srcA's newly-assigned ids, and srcB's fresh ids continue PAST
+    * srcA's (id continuity across merges, the AUTO_INCREMENT
+    * contract over time).
+    *
+    * Instances: dest = %2=0, srcA = %3≠0, srcB = %5≠0 (overlaps
+    * both). Between stages the merged destination is dest ∪ (srcA's
+    * new rows under their new ids) — in production that's the
+    * published table of stage 1 (MergeMain's persist), here one
+    * union. Output = both id maps tagged by source. */
+  def m17MultiSource(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val dest0 = cust.filter(col("c_custkey") % 2 === 0)
+    val srcA = cust.filter(col("c_custkey") % 3 =!= 0)
+    val srcB = cust.filter(col("c_custkey") % 5 =!= 0)
+    val mapA = MergeOps.consolidate(srcA, dest0, Seq("c_name"), "c_custkey")
+    val newA = mapA.filter(col("is_new") === 1)
+      .join(srcA, mapA("src_id") === srcA("c_custkey"))
+      .select(col("dest_id").as("c_custkey"), col("c_name"))
+    val destA = dest0.unionAll(newA)
+    val mapB = MergeOps.consolidate(srcB, destA, Seq("c_name"), "c_custkey")
+    mapA.withColumn("merge_source", lit("srcA"))
+      .unionAll(mapB.withColumn("merge_source", lit("srcB")))
+      .select(col("merge_source"), col("src_id"), col("dest_id"), col("is_new"))
+      .orderBy("merge_source", "src_id")
+  }
+
+  val m17Sql: String =
+    """WITH srca AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+      |srcb AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 <> 0),
+      |dest0 AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+      |d0k AS (SELECT c_name, min(c_custkey) AS dest_id FROM dest0 GROUP BY c_name),
+      |mx0 AS (SELECT coalesce(max(c_custkey), 0) AS m FROM dest0),
+      |mapa AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+      |  FROM srca s JOIN d0k k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mx0) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |  FROM srca s WHERE NOT EXISTS (SELECT 1 FROM d0k k WHERE k.c_name = s.c_name)),
+      |desta AS (
+      |  SELECT c_custkey, c_name FROM dest0
+      |  UNION ALL
+      |  SELECT m.dest_id, s.c_name FROM mapa m
+      |  JOIN srca s ON m.src_id = s.c_custkey AND m.is_new = 1),
+      |dak AS (SELECT c_name, min(c_custkey) AS dest_id FROM desta GROUP BY c_name),
+      |mxa AS (SELECT coalesce(max(c_custkey), 0) AS m FROM desta),
+      |mapb AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+      |  FROM srcb s JOIN dak k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mxa) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |  FROM srcb s WHERE NOT EXISTS (SELECT 1 FROM dak k WHERE k.c_name = s.c_name))
+      |SELECT 'srcA' AS merge_source, src_id, dest_id, is_new FROM mapa
+      |UNION ALL
+      |SELECT 'srcB', src_id, dest_id, is_new FROM mapb
+      |ORDER BY merge_source, src_id""".stripMargin
 }

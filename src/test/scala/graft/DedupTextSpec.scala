@@ -345,6 +345,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("d10 calibration covers every d2 pair; exact jaccard verified driver-side") {
+    val sets = Dedup.shingleRows(spark, sf).dropDuplicates("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val d2n = Dedup.d2MinhashLsh(spark, sf).count()
+    val d10 = Dedup.d10SketchCalibration(spark, sf).collect()
+    assert(d10.length == d2n, s"${d10.length} vs $d2n")
+    d10.foreach { r =>
+      val (s1, s2) = (sets(r.getAs[Long]("doc_id1")), sets(r.getAs[Long]("doc_id2")))
+      val ratio = (s1 intersect s2).size.toDouble / (s1 union s2).size
+      assert(math.abs(r.getAs[Double]("exact_jaccard") - ratio) < 1e-6, r)
+      assert(math.abs(r.getAs[Double]("err") -
+        (r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))) < 1e-6)
+      assert((r.getAs[Int]("is_false_pos") == 1) == (r.getAs[Double]("exact_jaccard") < 0.5))
+    }
+  }
+
   test("t15 boilerplate agrees with a driver-side recomputation on real data") {
     val occ = Dedup.shingleRows(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))

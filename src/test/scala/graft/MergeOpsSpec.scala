@@ -90,6 +90,37 @@ class MergeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m17 sequential merge: cross-source identity and id continuity") {
+    import org.apache.spark.sql.functions.col
+    val cust = graft.sources.Tables.read(TestSpark.spark, TestSpark.sf, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val destNames = cust.filter(_._1 % 2 == 0).map(_._2).toSet
+    val nameOf = cust.toMap
+    val r = graft.merge.MergeQueries.m17MultiSource(TestSpark.spark, TestSpark.sf).collect()
+    val mapA = r.filter(_.getAs[String]("merge_source") == "srcA")
+      .map(x => x.getAs[Long]("src_id") -> (x.getAs[Long]("dest_id"), x.getAs[Int]("is_new"))).toMap
+    val mapB = r.filter(_.getAs[String]("merge_source") == "srcB")
+      .map(x => x.getAs[Long]("src_id") -> (x.getAs[Long]("dest_id"), x.getAs[Int]("is_new"))).toMap
+    // identity by name ACROSS merges: a srcB row whose name srcA just
+    // added must land on srcA's newly-assigned id, not get a fresh one
+    val aByName = mapA.map { case (sid, (did, _)) => nameOf(sid) -> did }
+    mapB.foreach { case (sid, (did, isNew)) =>
+      val name = nameOf(sid)
+      if (aByName.contains(name) && !destNames.contains(name)) {
+        assert(isNew == 0 && did == aByName(name),
+          s"srcB $sid ($name) should consolidate onto srcA's id ${aByName(name)}, got $did/$isNew")
+      }
+    }
+    // id continuity: srcB's fresh ids start past EVERYTHING stage 1
+    // produced (dest ids and srcA's assigned ids)
+    val bNew = mapB.collect { case (_, (did, 1)) => did }
+    if (bNew.nonEmpty) {
+      val stage1Max = (cust.filter(_._1 % 2 == 0).map(_._1) ++ mapA.values.map(_._1)).max
+      assert(bNew.min == stage1Max + 1, s"${bNew.min} vs $stage1Max")
+    }
+  }
+
   test("every registered query id is documented in SURVEY §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
