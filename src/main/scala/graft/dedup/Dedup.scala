@@ -396,6 +396,50 @@ object Dedup {
        |FROM scored WHERE n_shared * 1000000 // n_min >= 800000
        |ORDER BY doc_id1, doc_id2""".stripMargin
 
+  /** d11: incremental NEAR-dup dedup — d6's ingestion shape lifted
+    * from exact fingerprints to the d2 sketch: which docs of the
+    * incoming batch (doc_id % 5 = 0, d6's convention) are near-dups
+    * of something already in the corpus, with the evidence (match
+    * count, best match, estimate). The reject-list a crawl ingests
+    * against — exact d6 catches re-crawls, this catches re-renders.
+    *
+    * Expressed over the shared memoized pair artifact (d2Pairs)
+    * filtered to batch↔corpus pairs; in production the batch side is
+    * signed fresh and band-joined against the PERSISTED corpus band
+    * index — the same join with one side batch-sized (d2's plan with
+    * one input filtered), never corpus × corpus per ingest. */
+  def d11IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d2Pairs(spark, dir)
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    // pairs carry doc_id1 < doc_id2; batch↔corpus means exactly one
+    // endpoint is in the batch
+    val oriented = pairs
+      .select(when(isBatch($"doc_id1"), $"doc_id1").otherwise($"doc_id2").as("batch_id"),
+        when(isBatch($"doc_id1"), $"doc_id2").otherwise($"doc_id1").as("corpus_id"),
+        $"est_jaccard")
+      .filter(isBatch($"batch_id") && !isBatch($"corpus_id"))
+    oriented.groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        min($"corpus_id").as("min_match_id"),
+        max($"est_jaccard").as("max_est"))
+      .select($"batch_id".as("doc_id"), $"n_corpus_matches", $"min_match_id", $"max_est")
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    s"""WITH $d2Ctes,
+       |p AS (SELECT doc_id1, doc_id2, est_jaccard FROM est WHERE est_jaccard >= 0.7),
+       |o AS (
+       |  SELECT CASE WHEN doc_id1 % 5 = 0 THEN doc_id1 ELSE doc_id2 END AS batch_id,
+       |         CASE WHEN doc_id1 % 5 = 0 THEN doc_id2 ELSE doc_id1 END AS corpus_id,
+       |         est_jaccard
+       |  FROM p),
+       |f AS (SELECT * FROM o WHERE batch_id % 5 = 0 AND corpus_id % 5 <> 0)
+       |SELECT batch_id AS doc_id, count(*) AS n_corpus_matches,
+       |  min(corpus_id) AS min_match_id, max(est_jaccard) AS max_est
+       |FROM f GROUP BY batch_id ORDER BY doc_id""".stripMargin
+
   /** d10: sketch calibration audit — every pair d2's MinHash+LSH
     * emits, scored with its EXACT Jaccard (recomputed from the
     * shingle sets), the estimation error, and a false-positive flag

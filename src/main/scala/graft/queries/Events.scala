@@ -297,6 +297,48 @@ object Events {
       |FROM ev a JOIN firsts f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** e10: calendar gap-fill — the complete hourly time series per
+    * event type with ZERO rows for silent hours (dashboards, anomaly
+    * detection and downstream window math all need the empty slots a
+    * plain groupBy never emits).
+    *
+    * Shape: the fact table is touched exactly once (the groupBy);
+    * the calendar dimension is GENERATED (explode(sequence)) from a
+    * scalar min/max aggregate, never scanned — hours × types is
+    * metadata-sized, the left join against the aggregate is
+    * broadcast-sized at any event volume. */
+  def e10GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val agg = ev.groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec($"value")).cast("double"), 4).as("sv"))
+    val hours = ev
+      .agg(date_trunc("hour", min($"ts")).as("lo"), date_trunc("hour", max($"ts")).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"))
+    val types = ev.select($"event_type").distinct()
+    hours.crossJoin(types)
+      .join(agg, Seq("hour", "event_type"), "left")
+      .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"sv", lit(0.0)).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  val e10Sql: String =
+    """WITH ag AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+      |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events)
+      |SELECT strftime(hours.hour, '%Y-%m-%d %H:%M:%S') AS hour, ty.event_type,
+      |  coalesce(ag.n, 0) AS n_events, coalesce(ag.sv, 0.0) AS sum_value
+      |FROM hours CROSS JOIN ty
+      |LEFT JOIN ag ON ag.h = hours.hour AND ag.event_type = ty.event_type
+      |ORDER BY 1, 2""".stripMargin
+
   /** w4: per-user inter-event gap statistics — the empirical input to
     * choosing e2's sessionization gap (and the staleness signal of an
     * event stream). One shuffle on user_id; the lag window and the

@@ -226,6 +226,33 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e10 gap fill: complete hour x type grid, totals preserved, real zeros") {
+    val r = Events.e10GapFill(spark, sf).collect()
+    val hours = r.map(_.getAs[String]("hour")).distinct.length
+    val types = r.map(_.getAs[String]("event_type")).distinct.length
+    assert(r.length == hours * types, "grid incomplete")
+    assert(r.map(_.getAs[Long]("n_events")).sum ==
+      graft.sources.Tables.events(spark, sf).count())
+    assert(r.exists(_.getAs[Long]("n_events") == 0L), "no gap rows — fixture too dense")
+  }
+
+  test("d11 incremental near-dup agrees with an orientation of the d2 pair set") {
+    val pairs = graft.dedup.Dedup.d2MinhashLsh(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2"), x.getAs[Double]("est_jaccard")))
+    val expected = pairs.flatMap { case (a, b, e) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, e))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, e))
+      else None
+    }.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._3).max))
+    }
+    val got = graft.dedup.Dedup.d11IncrementalNearDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_corpus_matches"), r.getAs[Long]("min_match_id"),
+          r.getAs[Double]("max_est")))).toMap
+    assert(got == expected)
+  }
+
   test("e8 retention: day-0 diagonal counts every user once; offsets bounded by cohort") {
     val r = Events.e8Retention(spark, sf).collect()
     val day0 = r.filter(_.getAs[Long]("day_offset") == 0L)
