@@ -66,9 +66,10 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     val binWidth = conf.getConfString(BinWidthKey, "3600").toLong
     require(binWidth > 0, s"$BinWidthKey must be positive, got $binWidth")
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if extractRange(j, cond).isDefined =>
-        val (t, lo, hi, pointsOnLeft) = extractRange(j, cond).get
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        extractRange(j, cond) match {
+          case None => j
+          case Some((t, lo, hi, pointsOnLeft)) =>
         val w = Literal(binWidth, LongType)
         val (points, intervals) = if (pointsOnLeft) (left, right) else (right, left)
 
@@ -90,6 +91,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
           else (binnedIntervals, binnedPoints)
         val newCond = And(EqualTo(binP.toAttribute, binI), cond)
         Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+        }
     }
   }
 

@@ -241,8 +241,18 @@ object Events {
     * ([[graft.plans.BinnedRangeJoinRule]] via `GraftExtensions`): the
     * planner's BroadcastNestedLoopJoin becomes the binned equi-join
     * automatically, no operator-API call in sight. Spec-asserted
-    * BNLJ-free; the conf stays enabled on the session (the rule only
-    * ever matches both-bounds integral non-equi joins). */
+    * BNLJ-free.
+    *
+    * The conf stays enabled on the session DELIBERATELY: planning
+    * happens lazily at action time (and the write path re-plans), so
+    * a set-then-restore here would hand the executor the nested loop
+    * back. The leak is safe for correctness — the rewrite is
+    * result-identical wherever it matches, and it only matches
+    * both-bounds integral non-equi inner joins (every registered
+    * query audited; the deliberate-BNLJ shapes s1/mm5/d5 don't
+    * qualify) — but a future matching join inherits THIS query's
+    * 30-minute bin width; pick a width per workload when adopting the
+    * rule outside e9. */
   def e9AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set(graft.plans.BinnedRangeJoinRule.EnabledKey, "true")
