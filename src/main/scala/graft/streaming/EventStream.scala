@@ -196,6 +196,93 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Gap-fill input row (event_type keyed). */
+  case class GEv(event_type: String, ts: java.sql.Timestamp, value: Double)
+
+  /** Completed hour emitted by [[gapFillStream]] — including explicit
+    * zero rows for silent hours. */
+  case class GapOut(event_type: String, hour_us: Long, n_events: Long, sum_value: Double)
+
+  /** Per-type gap-fill state: open hour buckets (hour µs → (count,
+    * ×10⁴ sum)) + the next hour to emit + consecutive silent hours. */
+  case class GapState(pending: Map[Long, (Long, Long)], nextHourUs: Long, silent: Int)
+
+  /** Streaming twin of e10: per event type, the COMPLETE hourly
+    * series — when the watermark passes the end of an hour, that
+    * hour is emitted even if no event arrived in it (count 0). A
+    * plain streaming groupBy(window) can never emit the empty slots;
+    * this is the stateful-timer shape that can: state per type holds
+    * the open hour buckets, and each invocation (data or event-time
+    * timeout) flushes every hour the watermark has completed,
+    * zero-filling the holes in between.
+    *
+    * State is bounded two ways: the watermark caps how many hours
+    * can be open (late data beyond it is dropped by the engine), and
+    * `maxSilentHours` caps trailing-silence zero-fill — a type silent
+    * longer than that drops its state entirely and resumes fresh at
+    * its next event (the gap beyond the cap is NOT back-filled;
+    * dashboards treat absent-after-cap as "series ended"). */
+  def gapFillStream(events: Dataset[GEv], watermark: String = "1 minute",
+                    maxSilentHours: Int = 48): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    val fn: (String, Iterator[GEv], GroupState[GapState]) => Iterator[GapOut] =
+      (eventType, it, state) => {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        var st = state.getOption.getOrElse(GapState(Map.empty, -1L, 0))
+        // merge the batch's events into hour buckets; rows below the
+        // already-emitted frontier cannot arrive (watermark contract —
+        // the engine filtered them), so no emitted hour is ever reopened
+        it.foreach { e =>
+          val h = usOf(e.ts) / HourUs * HourUs
+          if (st.nextHourUs < 0 || h >= st.nextHourUs) {
+            val (n, s) = st.pending.getOrElse(h, (0L, 0L))
+            st = st.copy(pending = st.pending.updated(h, (n + 1, s + e4Of(e.value))),
+              nextHourUs = if (st.nextHourUs < 0) h else st.nextHourUs)
+          }
+        }
+        val out = List.newBuilder[GapOut]
+        // flush every hour the watermark has fully passed — holes
+        // BETWEEN data hours emit as explicit zeros (that is the
+        // operator's contract, even when a watermark jump flushes
+        // them all in one pass: data exists on both sides, so the
+        // series didn't end). Only TRAILING silence is capped — the
+        // cap must apply inside this loop, or a single large
+        // watermark advance would zero-fill the entire silence
+        // before the post-loop check ever ran.
+        var capped = false
+        while (!capped && st.nextHourUs >= 0 && st.nextHourUs + HourUs <= wmUs) {
+          val h = st.nextHourUs
+          val (n, sumE4) = st.pending.getOrElse(h, (0L, 0L))
+          val trailing = st.pending.forall(_._1 <= h)
+          val silent = if (n == 0 && trailing) st.silent + 1 else 0
+          if (silent > maxSilentHours) capped = true
+          else {
+            out += GapOut(eventType, h, n,
+              java.math.BigDecimal.valueOf(sumE4, 4).doubleValue)
+            st = GapState(st.pending - h, h + HourUs, silent)
+          }
+        }
+        if (capped) {
+          state.remove()
+        } else {
+          state.update(st)
+          // fire when the next open hour completes (guaranteed past the
+          // current watermark by the flush loop's exit condition)
+          if (st.nextHourUs >= 0)
+            state.setTimeoutTimestamp((st.nextHourUs + HourUs) / 1000L)
+        }
+        out.result().iterator
+      }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming exact dedup — at-least-once sources (Kafka replays,
     * file re-lists) deduped to exactly-once semantics on an id column.
     * `dropDuplicatesWithinWatermark` bounds the dedup state by event

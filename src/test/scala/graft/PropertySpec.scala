@@ -59,4 +59,32 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("binned range-join rewrite equals the nested loop for any data, bins, signs") {
+    import graft.plans.BinnedRangeJoinRule
+    val pts = Gen.listOfN(40, Gen.choose(-500L, 500L))
+    val ivs = Gen.listOfN(15, Gen.zip(Gen.choose(-500L, 500L), Gen.choose(-60L, 120L)))
+    for (s <- 1L to 6L) {
+      val points = sample(pts, s).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // hi < lo (inverted/empty) intervals arise naturally from negative spans
+      val intervals = sample(ivs, s + 10).zipWithIndex
+        .map { case ((lo, span), i) => (i.toLong, lo, lo + span) }
+      val p = points.toDF("pid", "t")
+      val iv = intervals.toDF("iid", "lo", "hi")
+      def joined = p.join(iv, $"t" >= $"lo" && $"t" <= $"hi")
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(BinnedRangeJoinRule.EnabledKey, "false")
+      val naive = joined
+      try {
+        for (w <- Seq(1L, 7L, 100L)) {
+          spark.conf.set(BinnedRangeJoinRule.EnabledKey, "true")
+          spark.conf.set(BinnedRangeJoinRule.BinWidthKey, w.toString)
+          assert(joined == naive, s"seed $s width $w")
+        }
+      } finally {
+        spark.conf.set(BinnedRangeJoinRule.EnabledKey, "false")
+        spark.conf.unset(BinnedRangeJoinRule.BinWidthKey)
+      }
+    }
+  }
 }

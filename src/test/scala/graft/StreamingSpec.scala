@@ -228,4 +228,75 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming gap fill emits explicit zero rows for silent hours") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // ts(0), an exact hour boundary
+    def hourUs(k: Long) = (base + k * 3600000L) * 1000L
+    val input = MemoryStream[GEv]
+    val q = EventStream.gapFillStream(input.toDS())
+      .writeStream.format("memory").queryName("gap_fill")
+      .outputMode("append").start()
+    try {
+      // hours 0 and 3 carry data; 1, 2 are holes
+      input.addData(GEv("e", ts(5), 10.0), GEv("e", ts(20), 2.5), GEv("e", ts(185), 4.0))
+      q.processAllAvailable()
+      // two advancer batches on a DIFFERENT key push the watermark
+      // past hour 9; "e" flushes purely via its event-time timeout
+      input.addData(GEv("adv", ts(605), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(615), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("gap_fill").filter($"event_type" === "e").collect()
+        .map(r => (r.getAs[Long]("hour_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).sortBy(_._1)
+      val expected = (0L to 9L).map { k =>
+        k match {
+          case 0L => (hourUs(0), 2L, 12.5)
+          case 3L => (hourUs(3), 1L, 4.0)
+          case _  => (hourUs(k), 0L, 0.0)
+        }
+      }
+      assert(got.toSeq == expected,
+        s"got ${got.toSeq.map(x => (x._1 - hourUs(0)) / 3600000000L -> x._2)}")
+      // non-zero rows match the batch twin's aggregation exactly
+      val nonZero = got.filter(_._2 > 0).toSet
+      assert(nonZero == Set((hourUs(0), 2L, 12.5), (hourUs(3), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("gap fill drops state after the silent-hour cap and resumes fresh") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GEv]
+    val q = EventStream.gapFillStream(input.toDS(), maxSilentHours = 2)
+      .writeStream.format("memory").queryName("gap_fill_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(GEv("e", ts(5), 1.0))
+      q.processAllAvailable()
+      // silence far beyond the cap, then the series resumes
+      input.addData(GEv("adv", ts(100 * 60), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(101 * 60), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("e", ts(120 * 60 + 5), 2.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(125 * 60), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(126 * 60), 1.0))
+      q.processAllAvailable()
+      val hours = spark.table("gap_fill_cap").filter($"event_type" === "e").collect()
+        .map(r => ((r.getAs[Long]("hour_us") / 3600000000L) -
+          (1704067200000L / 3600000L), r.getAs[Long]("n_events"))).sortBy(_._1)
+      // hour 0 (data), a few capped zeros (cap 2 → hours 1-3 at most),
+      // then NOTHING until the series resumes at hour 120 — the
+      // 100-hour silence is not back-filled
+      assert(hours.exists(h => h._1 == 0L && h._2 == 1L))
+      assert(hours.exists(h => h._1 == 120L && h._2 == 1L))
+      assert(!hours.exists(h => h._1 > 3L && h._1 < 120L),
+        s"silence was back-filled: $hours")
+    } finally q.stop()
+  }
 }
