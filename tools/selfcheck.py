@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run DuckDB oracle SQL
 against the same parquet tables and compare to Verify's parquet dumps
-(column-name-sorted, row-sorted, value-hash)."""
+(column-name-sorted, row-sorted, value-hash).
+
+If DuckDB/pyarrow report tiny-malloc OOM ("malloc of size N failed",
+"bad allocation") with plenty of free RAM at sf0.1+, the box has hit
+vm.max_map_count (65530 default): the 90+ heavy CTE queries exhaust
+memory MAPPINGS, which malloc surfaces as ENOMEM. Fix:
+`sysctl -w vm.max_map_count=1048576` and re-run."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
