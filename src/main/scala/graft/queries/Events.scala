@@ -307,6 +307,76 @@ object Events {
       |FROM ev a JOIN firsts f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** e11: funnel latency distribution — per funnel stage pair, the
+    * exact p50/p90/max time-to-convert in seconds (the metric a
+    * growth team actually reads off e3's funnel). Composes e3's
+    * stage timestamps with q25's histogram-first exact-percentile
+    * shape: latencies bucket to whole seconds (bounded histogram at
+    * any user count — the q25 scale rule), the cumulative windows run
+    * over the aggregated histogram, never per-user rows. */
+  def e11FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val lat = e3Funnel(spark, dir).select(expr(
+      """stack(3,
+        |'click_to_purchase', (purchase_us - click_us) DIV 1000000,
+        |'view_to_click', (click_us - view_us) DIV 1000000,
+        |'view_to_purchase', (purchase_us - view_us) DIV 1000000)
+        |AS (stage, lat_s)""".stripMargin))
+      .filter($"lat_s".isNotNull)
+    val hist = lat.groupBy($"stage", $"lat_s").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy($"stage").orderBy($"lat_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy($"stage")
+    def pick(rank: Column) = min(when($"cum" >= rank, $"lat_s")).cast("long")
+    hist.withColumn("cum", sum($"cnt").over(cum))
+      .withColumn("n", sum($"cnt").over(tot))
+      .groupBy($"stage")
+      .agg(max($"n").as("n_users"),
+        pick(expr("(n + 1) DIV 2")).as("p50_s"),
+        pick(expr("(9 * n + 9) DIV 10")).as("p90_s"),
+        max($"lat_s").cast("long").as("max_s"))
+      .orderBy("stage")
+  }
+
+  val e11Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |f AS (
+      |  SELECT v.user_id, epoch_us(view_ts) AS view_us,
+      |    epoch_us(click_ts) AS click_us, epoch_us(purchase_ts) AS purchase_us
+      |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  LEFT JOIN p ON v.user_id = p.user_id),
+      |lat AS (
+      |  SELECT 'click_to_purchase' AS stage, (purchase_us - click_us) // 1000000 AS lat_s
+      |  FROM f WHERE purchase_us IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'view_to_click', (click_us - view_us) // 1000000
+      |  FROM f WHERE click_us IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'view_to_purchase', (purchase_us - view_us) // 1000000
+      |  FROM f WHERE purchase_us IS NOT NULL),
+      |h AS (SELECT stage, lat_s, count(*) AS cnt FROM lat GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT stage, lat_s,
+      |    sum(cnt) OVER (PARTITION BY stage ORDER BY lat_s) AS cum,
+      |    sum(cnt) OVER (PARTITION BY stage) AS n
+      |  FROM h)
+      |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+      |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat_s END) AS BIGINT) AS p90_s,
+      |  CAST(max(lat_s) AS BIGINT) AS max_s
+      |FROM cc GROUP BY stage ORDER BY stage""".stripMargin
+
   /** e10: calendar gap-fill — the complete hourly time series per
     * event type with ZERO rows for silent hours (dashboards, anomaly
     * detection and downstream window math all need the empty slots a

@@ -50,6 +50,26 @@ object Tables {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Raw-asset directory source — HOW image/audio/video bytes enter
+    * the engine before any mm-block operator sees them. Spark's
+    * `binaryFile` source lists the tree in parallel, reads each file
+    * once, and pushes `pathGlobFilter` into the LISTING (files that
+    * don't match are never opened — at 100 TB of mixed assets that is
+    * the difference between scanning one modality and scanning all).
+    * Output is projected to the mm-block contract: (asset_id = path,
+    * payload = raw bytes, n_bytes, modified_us). Per-file size is
+    * capped by `spark.sql.sources.binaryFile.maxLength`; giant assets
+    * should stream through a manifest + ranged reads instead. */
+  def binaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path").as("asset_id"), col("content").as("payload"),
+        col("length").as("n_bytes"),
+        unix_micros(col("modificationTime")).as("modified_us"))
+  }
+
   /** Parallel JDBC source spec, the scale-path for the reference's
     * MySQL source (reference connection.js:1, utils.js:161 pages with
     * `LIMIT start,batch` on ONE connection; here N ranges read

@@ -226,6 +226,38 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e11 funnel latency matches a driver-side percentile recomputation") {
+    val f = Events.e3Funnel(spark, sf).collect()
+    def latencies(a: String, b: String): Seq[Long] = f.flatMap { r =>
+      (Option(r.getAs[Any](a)), Option(r.getAs[Any](b))) match {
+        case (Some(x), Some(y)) =>
+          Some((y.asInstanceOf[Long] - x.asInstanceOf[Long]) / 1000000L)
+        case _ => None
+      }
+    }.sorted.toSeq
+    val got = Events.e11FunnelLatency(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("p50_s"),
+          r.getAs[Long]("p90_s"), r.getAs[Long]("max_s")))).toMap
+    for ((stage, a, b) <- Seq(("view_to_click", "view_us", "click_us"),
+        ("view_to_purchase", "view_us", "purchase_us"),
+        ("click_to_purchase", "click_us", "purchase_us"))) {
+      val xs = latencies(a, b)
+      val (n, p50, p90, mx) = got(stage)
+      assert(n == xs.length.toLong, stage)
+      assert(mx == xs.max, stage)
+      // percentile_disc: smallest value with cumulative count >= ceil(p*n)
+      def pick(p: Int) = xs(math.max(0, (p * xs.length + 99) / 100 - 1))
+      assert(p50 == pick(50), s"$stage p50 $p50 vs ${pick(50)}")
+      assert(p90 == pick(90), s"$stage p90 $p90 vs ${pick(90)}")
+    }
+    // q25's plan rule holds: the cumulative window consumes the
+    // HISTOGRAM (Window above HashAggregate), never per-user rows
+    val plan = Events.e11FunnelLatency(spark, sf).queryExecution.executedPlan.toString
+    val winAt = plan.indexOf("Window ")
+    assert(winAt >= 0 && plan.indexOf("HashAggregate", winAt) >= 0)
+  }
+
   test("e10 gap fill: complete hour x type grid, totals preserved, real zeros") {
     val r = Events.e10GapFill(spark, sf).collect()
     val hours = r.map(_.getAs[String]("hour")).distinct.length

@@ -137,4 +137,26 @@ class SourcesSpec extends AnyFunSuite {
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("binaryFile asset source reads raw bytes; glob prunes at the listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets")
+    val img = Array[Byte](0x50, 0x4b, 7, 9, -1, 0, 42)
+    java.nio.file.Files.write(dir.resolve("a.img"), img)
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "skip me".getBytes)
+    val all = graft.sources.Tables.binaryDir(spark, dir.toString).collect()
+    assert(all.length == 3)
+    val imgs = graft.sources.Tables.binaryDir(spark, dir.toString, "*.img").collect()
+    assert(imgs.length == 2)
+    val a = imgs.find(_.getAs[String]("asset_id").endsWith("a.img")).get
+    assert(a.getAs[Array[Byte]]("payload").toSeq == img.toSeq)
+    assert(a.getAs[Long]("n_bytes") == img.length.toLong)
+    // the glob is a LISTING filter: the pruned file contributes no
+    // partition at all (check the scan's input files, not just rows)
+    val files = graft.sources.Tables.binaryDir(spark, dir.toString, "*.img")
+      .queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq }).flatten
+    assert(files.nonEmpty && files.forall(_.endsWith(".img")), files.mkString(","))
+  }
 }
