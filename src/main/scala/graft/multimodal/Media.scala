@@ -53,6 +53,22 @@ object Media {
       .as[MediaRow]
   }
 
+  /** Adapter from [[graft.sources.Tables.binaryDir]]'s raw-asset
+    * frame (asset_id = path, payload, …) to the [[MediaRow]] contract
+    * every mm operator consumes: doc_id is the md5-derived 60-bit
+    * long of the asset path (deterministic, re-ingestion-stable,
+    * collision-checkable downstream via mm4's byte digest), source is
+    * the parent directory. This is the join point between "bytes on
+    * disk" and the typed decode pipeline. */
+  def assetsAsMedia(assets: org.apache.spark.sql.DataFrame): Dataset[MediaRow] = {
+    import assets.sparkSession.implicits._
+    assets.select(
+      graft.functions.DetHash.md5Long60Col(col("asset_id")).as("doc_id"),
+      regexp_extract(col("asset_id"), "^(.*)/[^/]+$", 1).as("source"),
+      col("payload"))
+      .as[MediaRow]
+  }
+
   /** mm1: decode-and-extract over every media object. mapPartitions =
     * the batch-decode hook; partition parallelism is preserved, no
     * shuffle until the final presentation sort. */

@@ -56,8 +56,10 @@ object Tables {
     * once, and pushes `pathGlobFilter` into the LISTING (files that
     * don't match are never opened — at 100 TB of mixed assets that is
     * the difference between scanning one modality and scanning all).
-    * Output is projected to the mm-block contract: (asset_id = path,
-    * payload = raw bytes, n_bytes, modified_us). Per-file size is
+    * Output is the raw-asset frame (asset_id = path, payload = raw
+    * bytes, n_bytes, modified_us);
+    * [[graft.multimodal.Media.assetsAsMedia]] adapts it to the typed
+    * MediaRow contract the mm operators consume. Per-file size is
     * capped by `spark.sql.sources.binaryFile.maxLength`; giant assets
     * should stream through a manifest + ranged reads instead. */
   def binaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {

@@ -34,6 +34,13 @@ object EventStream {
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .movePointRight(4).longValueExact()
 
+  /** Timestamp → epoch µs at FULL microsecond precision: getTime
+    * carries only millis, the sub-millisecond part lives in getNanos.
+    * The batch twins compare `unix_micros`, so truncating here would
+    * fork the semantics. Shared by every stateful operator below. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Emitted (closed) session. */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
                         n_events: Long, sum_value: Double)
@@ -62,12 +69,6 @@ object EventStream {
                  watermark: String = "1 minute"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-
-    // full microsecond precision: getTime carries only millis; the
-    // sub-millisecond part lives in getNanos (batch twin e2 compares
-    // unix_micros, so truncating here would fork the semantics)
-    def usOf(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
     val fn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
       (userId, it, state) => {
@@ -152,9 +153,6 @@ object EventStream {
                    idleTimeoutMinutes: Int = 120): Dataset[StageOut] = {
     import events.sparkSession.implicits._
 
-    def usOf(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-
     // same-timestamp ties processed in FUNNEL order (view before click
     // before purchase) — the batch twin's >= comparisons are inclusive,
     // so a click sharing the first view's timestamp must count
@@ -218,49 +216,58 @@ object EventStream {
     *
     * State is bounded two ways: the watermark caps how many hours
     * can be open (late data beyond it is dropped by the engine), and
-    * `maxSilentHours` caps trailing-silence zero-fill — a type silent
-    * longer than that drops its state entirely and resumes fresh at
-    * its next event (the gap beyond the cap is NOT back-filled;
-    * dashboards treat absent-after-cap as "series ended"). */
+    * `maxSilentHours` caps EVERY zero run — trailing silence drops
+    * the state entirely (series ended; resumes fresh at the next
+    * event), and a silence followed by more data (a real outage, or
+    * one bad-clock event stamped years ahead) emits at most the cap
+    * of zeros before the frontier jumps to the next data hour. Either
+    * way a gap longer than the cap is NOT back-filled, and no single
+    * invocation can flood the output. */
   def gapFillStream(events: Dataset[GEv], watermark: String = "1 minute",
                     maxSilentHours: Int = 48): Dataset[GapOut] = {
     import events.sparkSession.implicits._
     val HourUs = 3600L * 1000000L
-    def usOf(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
     val fn: (String, Iterator[GEv], GroupState[GapState]) => Iterator[GapOut] =
       (eventType, it, state) => {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
         var st = state.getOption.getOrElse(GapState(Map.empty, -1L, 0))
-        // merge the batch's events into hour buckets; rows below the
-        // already-emitted frontier cannot arrive (watermark contract —
-        // the engine filtered them), so no emitted hour is ever reopened
-        it.foreach { e =>
+        // materialize first: the frontier initializes from the batch
+        // MINIMUM (iterator order is arbitrary — seeding it from the
+        // first-seen event would silently drop same-batch events in
+        // earlier hours). Once initialized, rows below the frontier
+        // only exist for already-emitted hours, which the engine's
+        // watermark filter drops before they reach us.
+        val evs = it.toArray
+        if (st.nextHourUs < 0 && evs.nonEmpty)
+          st = st.copy(nextHourUs = evs.map(e => usOf(e.ts) / HourUs * HourUs).min)
+        evs.foreach { e =>
           val h = usOf(e.ts) / HourUs * HourUs
-          if (st.nextHourUs < 0 || h >= st.nextHourUs) {
+          if (h >= st.nextHourUs) {
             val (n, s) = st.pending.getOrElse(h, (0L, 0L))
-            st = st.copy(pending = st.pending.updated(h, (n + 1, s + e4Of(e.value))),
-              nextHourUs = if (st.nextHourUs < 0) h else st.nextHourUs)
+            st = st.copy(pending = st.pending.updated(h, (n + 1, s + e4Of(e.value))))
           }
         }
         val out = List.newBuilder[GapOut]
-        // flush every hour the watermark has fully passed — holes
-        // BETWEEN data hours emit as explicit zeros (that is the
-        // operator's contract, even when a watermark jump flushes
-        // them all in one pass: data exists on both sides, so the
-        // series didn't end). Only TRAILING silence is capped — the
-        // cap must apply inside this loop, or a single large
-        // watermark advance would zero-fill the entire silence
-        // before the post-loop check ever ran.
+        // flush every hour the watermark has fully passed, zero-filling
+        // holes — but every zero RUN is capped at maxSilentHours, and
+        // the cap must live inside this loop (a single watermark jump
+        // flushes the whole backlog in one pass; a post-loop check
+        // would run after the flood). A capped run with NO future data
+        // drops the state (series ended; resumes fresh). A capped run
+        // WITH future data — one bad-clock event would otherwise force
+        // zero-fill all the way to it — jumps the frontier to the next
+        // hour that has data; the remainder of that gap is deliberately
+        // not back-filled.
         var capped = false
         while (!capped && st.nextHourUs >= 0 && st.nextHourUs + HourUs <= wmUs) {
           val h = st.nextHourUs
           val (n, sumE4) = st.pending.getOrElse(h, (0L, 0L))
-          val trailing = st.pending.forall(_._1 <= h)
-          val silent = if (n == 0 && trailing) st.silent + 1 else 0
-          if (silent > maxSilentHours) capped = true
-          else {
+          val silent = if (n == 0) st.silent + 1 else 0
+          if (silent > maxSilentHours) {
+            if (st.pending.isEmpty) capped = true
+            else st = GapState(st.pending, st.pending.keys.min, 0)
+          } else {
             out += GapOut(eventType, h, n,
               java.math.BigDecimal.valueOf(sumE4, 4).doubleValue)
             st = GapState(st.pending - h, h + HourUs, silent)

@@ -158,5 +158,15 @@ class SourcesSpec extends AnyFunSuite {
       .flatMap(_.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.inputFiles.toSeq }).flatten
     assert(files.nonEmpty && files.forall(_.endsWith(".img")), files.mkString(","))
+    // the adapter lands the bytes in the typed MediaRow contract the
+    // mm operators consume — ids deterministic, payloads intact
+    val media = graft.multimodal.Media.assetsAsMedia(
+      graft.sources.Tables.binaryDir(spark, dir.toString, "*.img")).collect()
+    assert(media.length == 2)
+    assert(media.map(_.doc_id).distinct.length == 2)
+    // binaryFile paths carry the file: URI scheme; the parent-dir
+    // source therefore ends with (not equals) the raw path
+    assert(media.forall(_.source.endsWith(dir.toString)))
+    assert(media.exists(_.payload.toSeq == img.toSeq))
   }
 }

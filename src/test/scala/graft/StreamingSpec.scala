@@ -266,6 +266,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gap fill counts same-batch events in hours before the first-seen event") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GEv]
+    val q = EventStream.gapFillStream(input.toDS())
+      .writeStream.format("memory").queryName("gap_fill_order")
+      .outputMode("append").start()
+    try {
+      // the hour-5 event first, the hour-4 event second, ONE batch —
+      // the frontier must initialize from the batch minimum
+      input.addData(GEv("e", ts(305), 1.0), GEv("e", ts(245), 2.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(500), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(510), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("gap_fill_order").filter($"event_type" === "e").collect()
+        .map(r => ((r.getAs[Long]("hour_us") / 3600000000L) % 100,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).sortBy(_._1)
+      // both hours present with their one event each — a first-seen
+      // frontier would have dropped the hour-4 event (sum_value 2.0)
+      assert(got.exists(h => h._2 == 1L && h._3 == 2.0) &&
+        got.exists(h => h._2 == 1L && h._3 == 1.0),
+        s"hour-4 event lost: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("gap fill: one far-future event cannot flood zeros past the cap") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GEv]
+    val q = EventStream.gapFillStream(input.toDS(), maxSilentHours = 3)
+      .writeStream.format("memory").queryName("gap_fill_poison")
+      .outputMode("append").start()
+    try {
+      input.addData(GEv("e", ts(5), 1.0))
+      q.processAllAvailable()
+      // bad-clock event ~10000 hours ahead jumps the watermark
+      input.addData(GEv("e", ts(10000L * 60), 9.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(10010L * 60), 1.0))
+      q.processAllAvailable()
+      val r = spark.table("gap_fill_poison").filter($"event_type" === "e").collect()
+      // two data rows + at most cap zeros PER GAP (before the poison
+      // hour, and trailing after it) — never the ~10000 zero rows of
+      // an uncapped fill
+      val zeros = r.count(_.getAs[Long]("n_events") == 0L)
+      assert(zeros <= 2 * 3 && r.length <= 2 + 2 * 3,
+        s"zero flood: ${r.length} rows, $zeros zeros")
+    } finally q.stop()
+  }
+
   test("gap fill drops state after the silent-hour cap and resumes fresh") {
     import graft.streaming.EventStream.GEv
     implicit val sqlCtx = spark.sqlContext
