@@ -569,6 +569,37 @@ object TextAnalysis {
        |FROM shu o LEFT JOIN common c ON c.sh = o.sh
        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
 
+  /** t17: corpus-level frequent n-grams — the top-k 3-grams by total
+    * occurrence with their document frequency: the human-readable
+    * BOILERPLATE CANDIDATE LIST behind t15's score (what you eyeball
+    * before committing a removal rule), and the n-gram analog of
+    * t6's token vocabulary.
+    *
+    * Shape: two-level aggregation — (sh, doc) counts then per-sh
+    * totals, both map-side combined (the t16 shape; a
+    * count(DISTINCT) here would add an Expand pass) — and global
+    * top-k via orderBy+limit → TakeOrderedAndProject (no full sort
+    * materialization). Deterministic ties by shingle text. */
+  def t17TopNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    graft.dedup.Dedup.shingleRows(spark, dir)
+      .groupBy($"sh", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"sh")
+      .agg(sum($"n").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy($"n_occurrences".desc, $"sh")
+      .limit(k)
+      .select($"sh".as("ngram"), $"n_occurrences", $"n_docs")
+  }
+
+  val t17Sql: String =
+    s"""WITH ${graft.dedup.Dedup.shingleCtes},
+       |agg AS (
+       |  SELECT sh AS ngram, count(*) AS n_occurrences,
+       |    count(DISTINCT doc_id) AS n_docs
+       |  FROM shu GROUP BY sh)
+       |SELECT ngram, n_occurrences, n_docs FROM agg
+       |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin
+
   /** t16: within-document duplicate n-gram fraction — the Gopher
     * repetition filter (Rae et al. 2021, "Scaling Language Models:
     * ... Gopher", Table A1): the share of a doc's 3-gram OCCURRENCES

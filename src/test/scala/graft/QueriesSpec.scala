@@ -62,6 +62,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(mm5.contains("WindowGroupLimit"), "top-k pushdown missing")
   }
 
+  test("round-4 ops keep bucketed/broadcast plans: no stray nested loops") {
+    // every remaining round-4 query must plan without a
+    // BroadcastNestedLoopJoin or cartesian — the two deliberate
+    // exceptions are e10 (tiny hours×types cross) and s5 (s1's
+    // broadcast-queries exact-search shape, asserted as BuildRight)
+    Seq(
+      "e8" -> queries.Events.e8Retention(spark, sf),
+      "e11" -> queries.Events.e11FunnelLatency(spark, sf),
+      "w4" -> queries.Events.w4GapStats(spark, sf),
+      "m17" -> merge.MergeQueries.m17MultiSource(spark, sf),
+      "d10" -> dedup.Dedup.d10SketchCalibration(spark, sf),
+      "d11" -> dedup.Dedup.d11IncrementalNearDup(spark, sf),
+      "t16" -> text.TextAnalysis.t16DupNgrams(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name: ${plan.linesIterator.take(6).mkString("\n")}")
+    }
+    val s5 = similarity.Knn.s5Radius(spark, sf).queryExecution.executedPlan.toString
+    assert(s5.contains("BroadcastNestedLoopJoin BuildRight"), s5)
+  }
+
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
     val r = queries.Tpch.q26Cube(spark, sf).collect()
     val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
