@@ -95,6 +95,54 @@ object Media {
       |  CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** mm6: media QUALITY FILTER — the keep/drop gate every multimodal
+    * pipeline runs right after decode (LAION-style resolution/length
+    * thresholds): per source, how many assets pass minimum
+    * width/height and frame-count, with the reject-reason breakdown
+    * (resolution first, then length — each asset counted once) and
+    * an integer-exact keep rate. The per-asset stats come from the
+    * same (stubbed) decoder as mm1 — in production this consumes
+    * mm1's materialized stats table, decode runs once.
+    *
+    * Shape: typed mapPartitions decode → one map-side-combined
+    * shuffle on source (conditional aggregates, no second pass). */
+  def mm6MediaFilter(spark: SparkSession, dir: String, minWidth: Int = 128,
+                     minHeight: Int = 80, minFrames: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val resOk = col("width") >= minWidth && col("height") >= minHeight
+    val lenOk = col("n_frames") >= minFrames
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(resOk && lenOk, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!resOk, 1L).otherwise(0L)).as("n_small_res"),
+        sum(when(resOk && !lenOk, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("keep_e6",
+        expr("(2 * n_kept * 1000000 + n_assets) DIV (2 * n_assets)"))
+      .orderBy("source")
+  }
+
+  val mm6Sql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
+      |    48 + CAST(octet_length(encode(text)) % 9 AS INTEGER) * 16 AS height,
+      |    octet_length(encode(text)) // 256 + 1 AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT source, (width >= 128 AND height >= 80) AS res_ok,
+      |    (n_frames >= 2) AS len_ok
+      |  FROM s)
+      |SELECT source, count(*) AS n_assets,
+      |  CAST(sum(CASE WHEN res_ok AND len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN NOT res_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_small_res,
+      |  CAST(sum(CASE WHEN res_ok AND NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST((2 * sum(CASE WHEN res_ok AND len_ok THEN 1 ELSE 0 END) * 1000000 + count(*))
+      |       // (2 * count(*)) AS BIGINT) AS keep_e6
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** One sampled frame of a media object. */
   case class FrameRow(doc_id: Long, frame_idx: Long, byte_len: Long)
 

@@ -362,6 +362,21 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("mm6 media filter: reject reasons partition every asset exactly once") {
+    val r = graft.multimodal.Media.mm6MediaFilter(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, kept, small, short) = (x.getAs[Long]("n_assets"), x.getAs[Long]("n_kept"),
+        x.getAs[Long]("n_small_res"), x.getAs[Long]("n_short"))
+      assert(kept + small + short == n, s"reasons don't partition: $x")
+      val keep = x.getAs[Long]("keep_e6")
+      assert(keep >= 0L && keep <= 1000000L)
+    }
+    // totals must cover the corpus
+    assert(r.map(_.getAs[Long]("n_assets")).sum ==
+      graft.sources.Tables.read(spark, sf, "documents").count())
+  }
+
   test("t15 boilerplate agrees with a driver-side recomputation on real data") {
     val occ = Dedup.shingleRows(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
