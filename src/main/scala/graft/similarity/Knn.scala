@@ -105,32 +105,157 @@ object Knn {
       |HAVING round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) >= 0.30
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Round-half-up integer division (TextAnalysis's convention): the
+    * subtraction peels the remainder so the IEEE quotient is the exact
+    * integer; pmod keeps floor semantics for negative numerators
+    * (centroid coordinate sums go negative). */
+  private def halfUpDiv(num: Column, den: Column): Column = {
+    val n2 = num * 2 + den
+    val d2 = den * 2
+    ((n2 - pmod(n2, d2)) / d2).cast("long")
+  }
+
+  /** Driver-side twin of [[halfUpDiv]] for centroid updates. */
+  private def halfUpDivL(num: Long, den: Long): Long =
+    Math.floorDiv(2 * num + den, 2 * den)
+
+  /** Embedding dimensionality — part of the embeddings-table contract
+    * (as for s2's plan-time hyperplanes), not sniffed from the data. */
+  private val Dim = 64
+
   /** s3: embedding k-means clustering — the data-curation staple
-    * (topic balancing, stratified sampling, near-dup triage). Built on
-    * MLlib's KMeans (k-means|| init, seeded → deterministic for a
-    * fixed input layout); `array_to_vector` bridges the raw
-    * array<float> column without a UDF. Output is cluster sizes +
-    * per-cluster mean norm — stable aggregate shape. Rows-only oracle
-    * (k-means isn't expressible in ANSI SQL); KnnSpec pins k,
-    * determinism, and total coverage. */
-  def s3Cluster(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    * (topic balancing, stratified sampling, near-dup triage).
+    *
+    * A deterministic fixed-iteration relational Lloyd's, NOT MLlib:
+    * every quantity lives in exact integer space so the result is
+    * bit-identical across engines, partitionings, and runs —
+    * coordinates quantized to ×1e6 longs (float→double widening and
+    * the ×1e6 product are exact IEEE ops, identical in DuckDB),
+    * squared L2 distances as order-free BIGINT sums, centroid updates
+    * via round-half-up integer division, seeds the k rows with the
+    * smallest md5(vec_id) (cluster id = md5 rank). Ties in the argmin
+    * break to the lowest cluster id in both engines.
+    *
+    * Execution shape per iteration (MLlib's own, but codegen'd, with
+    * no ML runtime): centroids ride into the plan as literals →
+    * one corpus scan computing k codegen'd distance columns → an
+    * 8-group map-side-combined agg → collect of k tiny rows. The
+    * corpus is never shuffled; driver traffic is k×Dim longs per
+    * iteration. The quantized projection is memoized across the
+    * iterations' scans (at 100 TB the cache degrades to spill/
+    * recompute-from-scan — correctness and shape are unchanged).
+    * Empty clusters drop out (both engines), so k is an upper bound.
+    *
+    * Output: per-cluster size, mean vector norm ×1e6, and mean
+    * distance-to-centroid ×1e6 (per-cluster inertia) — all integer-
+    * exact, DuckDB-oracle hash-checked end to end. */
+  def s3Cluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame = {
     import spark.implicits._
-    // persist the featurized input: k-means runs one job per init
-    // step + iteration, and an unpersisted input re-scans the parquet
-    // and re-runs array_to_vector every job (MLlib itself warns "input
-    // not cached"). Bounded via the index registry.
-    val e = graft.operators.Indexes.memo(s"s3_features:$dir") {
-      Tables.read(spark, dir, "embeddings")
-        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
-        .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"embedding"))
+    val eCols = (0 until Dim).map { i =>
+      floor(element_at($"embedding", i + 1).cast("double") * 1e6).as(s"e$i")
     }
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setMaxIter(10).setInitSteps(1).setFeaturesCol("features")
-      .fit(e)
-    model.transform(e)
-      .groupBy($"prediction".as("cluster"))
-      .agg(count(lit(1)).as("n_vectors"), round(avg($"nrm"), 4).as("mean_norm"))
+    // memoized: 1 (seed) + iters assignment scans reuse one materialization
+    val q = graft.operators.Indexes.memo(s"s3_quant:$dir") {
+      Tables.read(spark, dir, "embeddings").select(($"vec_id" +: eCols): _*)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+    }
+
+    // seeds: k rows with the smallest md5(vec_id), cluster id = rank.
+    // Ordered driver collect of k ids + k quantized rows (tiny).
+    val seedIds = q.select($"vec_id")
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(k).as[Long].collect()
+    val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
+      .map(r => r.getLong(0) -> (0 until Dim).map(i => r.getLong(i + 1)).toArray).toMap
+    var cents: Seq[(Int, Array[Long])] =
+      seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
+
+    // assignment: k codegen'd squared-distance columns; argmin via
+    // array_position = FIRST min = lowest cluster id on ties
+    def assigned(cs: Seq[(Int, Array[Long])]): DataFrame = {
+      val dists = array(cs.map { case (_, c) =>
+        (0 until Dim).map { i => val d = col(s"e$i") - lit(c(i)); d * d }.reduce(_ + _)
+      }: _*)
+      val clusterIds = lit(cs.map(_._1).toArray)
+      q.withColumn("dists", dists)
+        .withColumn("dist", array_min($"dists"))
+        .withColumn("cluster",
+          element_at(clusterIds, array_position($"dists", $"dist").cast("int")).cast("long"))
+        .drop("dists")
+    }
+
+    for (_ <- 1 until iters) {
+      val aggCols = count(lit(1)).as("n") +:
+        (0 until Dim).map(i => sum(col(s"e$i")).as(s"s$i"))
+      val rows = assigned(cents).groupBy($"cluster")
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0).toInt,
+          (0 until Dim).map(i => halfUpDivL(r.getLong(i + 2), n)).toArray)
+      }.sortBy(_._1).toSeq
+    }
+
+    val sumSq = (0 until Dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
+    assigned(cents)
+      .select($"cluster",
+        floor(sqrt(sumSq.cast("double"))).as("nrm_e6"),
+        floor(sqrt($"dist".cast("double"))).as("dist_e6"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        halfUpDiv(sum($"nrm_e6"), count(lit(1))).as("mean_norm_e6"),
+        halfUpDiv(sum($"dist_e6"), count(lit(1))).as("mean_dist_e6"))
       .orderBy("cluster")
+  }
+
+  /** s3 oracle: the same fixed-iteration integer Lloyd's unrolled as
+    * iteration-pair CTEs over the long form (assign = min-dist
+    * QUALIFY; update = half-up integer division — DuckDB `//`
+    * truncates toward zero, so floor semantics for negative sums are
+    * spelled with the positive-mod identity). */
+  val s3Sql: String = {
+    val iters = 4
+    def fdiv(n: String, d: String) =
+      s"(($n) - ((($n) % ($d) + ($d)) % ($d))) // ($d)"
+    def halfUp(num: String, den: String) = fdiv(s"2*($num) + ($den)", s"2*($den)")
+    def assignCte(it: Int, withDist: Boolean) = {
+      val cols = if (withDist) "vec_id, cluster, dist" else "vec_id, cluster"
+      s"""a$it AS (
+         |  SELECT $cols FROM (
+         |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+         |    FROM q JOIN c${it - 1} c ON c.i = q.i GROUP BY 1, 2
+         |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
+    }
+    val parts = Seq(
+      """q AS (
+        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin,
+      """seeds AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)""".stripMargin,
+      """c0 AS (
+        |  SELECT s.cluster, q.i, q.e AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id)""".stripMargin) ++
+      (1 to iters).flatMap { it =>
+        val a = assignCte(it, withDist = it == iters)
+        if (it < iters)
+          Seq(a,
+            s"""c$it AS (
+               |  SELECT a.cluster, q.i,
+               |    CAST(${halfUp("sum(q.e)", "count(*)")} AS BIGINT) AS c
+               |  FROM a$it a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+        else Seq(a)
+      } ++ Seq(
+      """nrm AS (
+        |  SELECT vec_id, CAST(floor(sqrt(CAST(sum(e*e) AS DOUBLE))) AS BIGINT) AS nrm_e6
+        |  FROM q GROUP BY vec_id)""".stripMargin)
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT a.cluster, count(*) AS n_vectors,
+       |  CAST(${halfUp("sum(n.nrm_e6)", "count(*)")} AS BIGINT) AS mean_norm_e6,
+       |  CAST(${halfUp("sum(CAST(floor(sqrt(CAST(a.dist AS DOUBLE))) AS BIGINT))", "count(*)")} AS BIGINT) AS mean_dist_e6
+       |FROM a$iters a JOIN nrm n ON n.vec_id = a.vec_id
+       |GROUP BY a.cluster ORDER BY a.cluster""".stripMargin
   }
 
   /** s2: IVF/LSH-bucketed approximate top-k — same queries/corpus split
