@@ -457,15 +457,26 @@ object Dedup {
     import spark.implicits._
     val pairs = d2Pairs(spark, dir)
     val sets = shingleSets(spark, dir)
-    val union = ($"n1" + $"n2" - $"inter").cast("double")
+    // ratios as ×1e6 integers (halfUpDiv, the d9/t15 convention):
+    // inter/union can land on a 6-dp half-boundary where Spark and
+    // DuckDB round a double differently. est_jaccard is m/32 (dyadic,
+    // ≤5 dp — exactly representable), so est_e6 = m·31250 is an exact
+    // integer product and err_e6 a pure integer difference.
+    val union = $"n1" + $"n2" - $"inter"
+    val halfUpDiv = (num: Column, den: Column) => {
+      val n2 = num * 2 + den
+      val d2 = den * 2
+      ((n2 - pmod(n2, d2)) / d2).cast("long")
+    }
     pairs
       .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
       .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")), Seq("doc_id2"))
       .withColumn("inter", size(array_intersect($"ss1", $"ss2")).cast("long"))
-      .withColumn("exact_jaccard", round($"inter".cast("double") / union, 6))
-      .select($"doc_id1", $"doc_id2", $"est_jaccard", $"exact_jaccard",
-        round($"est_jaccard" - $"exact_jaccard", 6).as("err"),
-        ($"exact_jaccard" < 0.5).cast("int").as("is_false_pos"))
+      .withColumn("exact_jaccard_e6", halfUpDiv($"inter" * 1000000L, union))
+      .withColumn("est_e6", ($"est_jaccard" * 1000000d).cast("long"))
+      .select($"doc_id1", $"doc_id2", $"est_jaccard", $"exact_jaccard_e6",
+        ($"est_e6" - $"exact_jaccard_e6").as("err_e6"),
+        ($"exact_jaccard_e6" < 500000L).cast("int").as("is_false_pos"))
       .orderBy("doc_id1", "doc_id2")
   }
 
@@ -482,11 +493,12 @@ object Dedup {
        |  JOIN sets b ON b.doc_id = p.doc_id2),
        |sc AS (
        |  SELECT doc_id1, doc_id2, est_jaccard,
-       |    round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS exact_jaccard
+       |    CAST((2 * inter * 1000000 + (n1 + n2 - inter)) // (2 * (n1 + n2 - inter)) AS BIGINT) AS exact_jaccard_e6,
+       |    CAST(est_jaccard * 1000000 AS BIGINT) AS est_e6
        |  FROM x)
-       |SELECT doc_id1, doc_id2, est_jaccard, exact_jaccard,
-       |  round(est_jaccard - exact_jaccard, 6) AS err,
-       |  CAST(exact_jaccard < 0.5 AS INTEGER) AS is_false_pos
+       |SELECT doc_id1, doc_id2, est_jaccard, exact_jaccard_e6,
+       |  CAST(est_e6 - exact_jaccard_e6 AS BIGINT) AS err_e6,
+       |  CAST(exact_jaccard_e6 < 500000 AS INTEGER) AS is_false_pos
        |FROM sc ORDER BY doc_id1, doc_id2""".stripMargin
 
   /** d3: SimHash near-dup candidates (Charikar, "Similarity

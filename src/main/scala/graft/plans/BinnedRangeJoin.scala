@@ -120,8 +120,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     def fromOnly(e: Expression, p: LogicalPlan): Boolean =
       e.references.nonEmpty && e.references.subsetOf(p.outputSet) && e.deterministic
     // an existing equi-conjunct means the join already has a hash key
+    // (EqualNullSafe plans to a hash key just like EqualTo — rewriting
+    // such a join would only add a redundant Generate + second key)
     val hasEquiKey = conjuncts.exists {
       case EqualTo(a, b) =>
+        (fromOnly(a, j.left) && fromOnly(b, j.right)) ||
+          (fromOnly(a, j.right) && fromOnly(b, j.left))
+      case EqualNullSafe(a, b) =>
         (fromOnly(a, j.left) && fromOnly(b, j.right)) ||
           (fromOnly(a, j.right) && fromOnly(b, j.left))
       case _ => false

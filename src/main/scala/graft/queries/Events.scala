@@ -243,23 +243,23 @@ object Events {
     * automatically, no operator-API call in sight. Spec-asserted
     * BNLJ-free.
     *
-    * The conf stays enabled on the session DELIBERATELY: planning
-    * happens lazily at action time (and the write path re-plans), so
-    * a set-then-restore here would hand the executor the nested loop
-    * back. The leak is safe for correctness — the rewrite is
-    * result-identical wherever it matches, and it only matches
-    * both-bounds integral non-equi inner joins (every registered
-    * query audited; the deliberate-BNLJ shapes s1/mm5/d5 don't
-    * qualify) — but a future matching join inherits THIS query's
-    * 30-minute bin width; pick a width per workload when adopting the
-    * rule outside e9. */
+    * The conf is enabled on a scoped `newSession()` (shared
+    * SparkContext, extensions, and builder confs; fresh session
+    * state): planning happens lazily at action time, so a
+    * set-then-restore on the caller's session would hand the executor
+    * the nested loop back — and a leaked `set` would make every later
+    * naive interval join in the session silently inherit e9's
+    * 30-minute bin width. The scoped session bounds both: the
+    * returned DataFrame carries its own session whose conf never
+    * changes again, and the caller's session is untouched. */
   def e9AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.conf.set(graft.plans.BinnedRangeJoinRule.EnabledKey, "true")
-    spark.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "1800000000")
-    val ev = Tables.events(spark, dir)
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set(graft.plans.BinnedRangeJoinRule.EnabledKey, "true")
+    s.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthKey, "1800000000")
+    val ev = Tables.events(s, dir)
       .select(unix_micros($"ts").as("t_us"), $"value")
-    val windows = Tables.events(spark, dir)
+    val windows = Tables.events(s, dir)
       .select(unix_micros(date_trunc("hour", $"ts")).as("h_us")).distinct()
       .select(($"h_us" + 600000000L).as("lo_us"), ($"h_us" + 2400000000L).as("hi_us"))
     ev.join(windows, $"t_us" >= $"lo_us" && $"t_us" <= $"hi_us")
@@ -382,26 +382,33 @@ object Events {
     * detection and downstream window math all need the empty slots a
     * plain groupBy never emits).
     *
-    * Shape: the fact table is touched exactly once (the groupBy);
-    * the calendar dimension is GENERATED (explode(sequence)) from a
-    * scalar min/max aggregate, never scanned — hours × types is
-    * metadata-sized, the left join against the aggregate is
-    * broadcast-sized at any event volume. */
+    * Shape: the fact table is touched EXACTLY ONCE (the groupBy) —
+    * plan-asserted in EventsSpec. Everything else derives from the
+    * hours×types-sized aggregate itself: the global calendar bounds
+    * ride a window over it (min(hour) over a truncated column IS the
+    * truncated global min; the single-partition window holds only
+    * metadata-sized rows), the type dimension is its own key set, and
+    * each type's observed hours collapse into a map that the exploded
+    * full calendar looks up — missing hours surface as nulls →
+    * zero-fill. No second scan, no cache, no join back. */
   def e10GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
     val agg = ev.groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
         round(sum(dec($"value")).cast("double"), 4).as("sv"))
-    val hours = ev
-      .agg(date_trunc("hour", min($"ts")).as("lo"), date_trunc("hour", max($"ts")).as("hi"))
-      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"))
-    val types = ev.select($"event_type").distinct()
-    hours.crossJoin(types)
-      .join(agg, Seq("hour", "event_type"), "left")
+    val all = Window.partitionBy()
+    agg
+      .withColumn("lo", min($"hour").over(all))
+      .withColumn("hi", max($"hour").over(all))
+      .groupBy($"event_type")
+      .agg(min($"lo").as("lo"), min($"hi").as("hi"),
+        map_from_entries(collect_list(struct($"hour", struct($"n", $"sv")))).as("m"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"), $"m")
       .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type",
-        coalesce($"n", lit(0L)).as("n_events"),
-        coalesce($"sv", lit(0.0)).as("sum_value"))
+        coalesce($"m"($"hour")("n"), lit(0L)).as("n_events"),
+        coalesce($"m"($"hour")("sv"), lit(0.0)).as("sum_value"))
       .orderBy("hour", "event_type")
   }
 

@@ -37,9 +37,12 @@ object EventStream {
   /** Timestamp → epoch µs at FULL microsecond precision: getTime
     * carries only millis, the sub-millisecond part lives in getNanos.
     * The batch twins compare `unix_micros`, so truncating here would
-    * fork the semantics. Shared by every stateful operator below. */
+    * fork the semantics. floorDiv, not `/`: getNanos is always in
+    * [0, 1e9), so for pre-epoch timestamps a truncating divide would
+    * pair a toward-zero second with a positive sub-second and land a
+    * whole second high. Shared by every stateful operator below. */
   private def usOf(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Emitted (closed) session. */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
@@ -236,8 +239,16 @@ object EventStream {
         // MINIMUM (iterator order is arbitrary — seeding it from the
         // first-seen event would silently drop same-batch events in
         // earlier hours). Once initialized, rows below the frontier
-        // only exist for already-emitted hours, which the engine's
-        // watermark filter drops before they reach us.
+        // normally exist only for already-emitted hours, which the
+        // engine's watermark filter drops before they reach us. The
+        // one exception is a capped-gap frontier JUMP (below): the
+        // jump target is the next hour with data, which can sit ahead
+        // of the watermark, and until the watermark catches up a
+        // genuinely non-late event in an hour between the two is
+        // dropped HERE rather than by the lateness filter. That
+        // window is at most the watermark delay and sits inside a
+        // gap the cap has already declared not-back-fillable, so the
+        // drop is accepted (documented no-back-fill policy).
         val evs = it.toArray
         if (st.nextHourUs < 0 && evs.nonEmpty)
           st = st.copy(nextHourUs = evs.map(e => usOf(e.ts) / HourUs * HourUs).min)

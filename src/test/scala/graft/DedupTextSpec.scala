@@ -354,11 +354,14 @@ class DedupTextSpec extends AnyFunSuite {
     assert(d10.length == d2n, s"${d10.length} vs $d2n")
     d10.foreach { r =>
       val (s1, s2) = (sets(r.getAs[Long]("doc_id1")), sets(r.getAs[Long]("doc_id2")))
-      val ratio = (s1 intersect s2).size.toDouble / (s1 union s2).size
-      assert(math.abs(r.getAs[Double]("exact_jaccard") - ratio) < 1e-6, r)
-      assert(math.abs(r.getAs[Double]("err") -
-        (r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))) < 1e-6)
-      assert((r.getAs[Int]("is_false_pos") == 1) == (r.getAs[Double]("exact_jaccard") < 0.5))
+      val (inter, uni) = ((s1 intersect s2).size.toLong, (s1 union s2).size.toLong)
+      // ×1e6 half-up integer ratio, same formula as the operator
+      val n2 = inter * 1000000L * 2 + uni
+      val exactE6 = (n2 - java.lang.Math.floorMod(n2, 2 * uni)) / (2 * uni)
+      assert(r.getAs[Long]("exact_jaccard_e6") == exactE6, r)
+      val estE6 = math.round(r.getAs[Double]("est_jaccard") * 1000000d)
+      assert(r.getAs[Long]("err_e6") == estE6 - exactE6, r)
+      assert((r.getAs[Int]("is_false_pos") == 1) == (exactE6 < 500000L))
     }
   }
 

@@ -266,6 +266,14 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("n_events")).sum ==
       graft.sources.Tables.events(spark, sf).count())
     assert(r.exists(_.getAs[Long]("n_events") == 0L), "no gap rows — fixture too dense")
+    // the fact table is scanned EXACTLY once: bounds, the type
+    // dimension, and the zero-fill all derive from the aggregate
+    val scans = Events.e10GapFill(spark, sf).queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.exists(_.contains("events")) => r }
+      .length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans")
   }
 
   test("d11 incremental near-dup agrees with an orientation of the d2 pair set") {

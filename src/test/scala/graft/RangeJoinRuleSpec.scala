@@ -87,6 +87,14 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set(BinnedRangeJoinRule.EnabledKey, "false")
   }
 
+  test("e9 scopes its conf to a cloned session; the caller session is untouched") {
+    spark.conf.set(BinnedRangeJoinRule.EnabledKey, "false")
+    spark.conf.unset(BinnedRangeJoinRule.BinWidthKey)
+    graft.queries.Events.e9AutoRangeJoin(spark, sf).collect()
+    assert(spark.conf.get(BinnedRangeJoinRule.EnabledKey) == "false")
+    assert(spark.conf.getOption(BinnedRangeJoinRule.BinWidthKey).isEmpty)
+  }
+
   test("agrees with the explicit RangeJoin operator on real event data at sf") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(unix_micros($"ts").as("t_us"), $"value")
