@@ -113,8 +113,16 @@ object MergeConfig {
     * reference's beehive_merge_* map tables), the 100 TB answer to
     * per-consumer map recomputation. */
   def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
+    // an instance path starting with "jdbc:" is a LIVE database (the
+    // reference's whole I/O surface is MySQL — connection.js:1): each
+    // table is read through the auto-partitioned JDBC source, range-
+    // split on its declared idCol so no single connection is the straw
+    // the data passes through. Anything else is a parquet directory.
+    val idColOf = cfg.tables.map(t => t.name -> t.idCol).toMap
     def reader(base: String)(name: String): DataFrame =
-      spark.read.parquet(s"$base/$name.parquet")
+      if (base.startsWith("jdbc:"))
+        graft.sources.Tables.jdbcTableAuto(spark, base, name, idColOf.get(name))
+      else spark.read.parquet(s"$base/$name.parquet")
     val src = reader(cfg.source.path) _
     val dest = reader(cfg.destination.path) _
     if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)

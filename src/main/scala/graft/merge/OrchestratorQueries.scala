@@ -40,8 +40,10 @@ object OrchestratorQueries {
     k => if (isSrc) k % 3 =!= 0 else k % 2 === 0
 
   /** Per-instance table reader: filters + the synthesized self-FK /
-    * composite-key columns. */
-  private def instance(spark: SparkSession, dir: String, isSrc: Boolean)(name: String): DataFrame = {
+    * composite-key columns. `private[graft]` so the live-JDBC
+    * integration spec can seed its databases with the SAME simulated
+    * instances and assert parity against this parquet path. */
+  private[graft] def instance(spark: SparkSession, dir: String, isSrc: Boolean)(name: String): DataFrame = {
     val keep = keepPred(isSrc)
     name match {
       case "customer" =>

@@ -103,6 +103,44 @@ object Tables {
            numPartitions: Int): DataFrame =
     JdbcSource(url, table, partitionColumn, lowerBound, upperBound, numPartitions).load(spark)
 
+  /** Live-JDBC table read with AUTOMATIC range partitioning: the
+    * reference reads its MySQL tables by paging one connection
+    * (utils.js:161 `LIMIT start,batch`); the Spark-native scale shape
+    * is N executors each reading an id range concurrently. Spark's
+    * JDBC source needs explicit bounds for that, so this resolves
+    * min/max with one driver-side metadata query first (aggregate-
+    * sized, the same class of driver work as a file listing) and then
+    * issues the partitioned scan through [[JdbcSource]].
+    *
+    * Column names are lowercased on the way in: case-insensitive
+    * engines (Derby, MySQL) surface unquoted identifiers as
+    * upper/any-case, and the merge layer joins on exact names.
+    * An empty table (null bounds) or a missing partition column falls
+    * back to a single-partition read — correct, just not parallel. */
+  def jdbcTableAuto(spark: SparkSession, url: String, table: String,
+                    partitionColumn: Option[String],
+                    numPartitions: Int = 8): DataFrame = {
+    def lowered(df: DataFrame): DataFrame =
+      df.toDF(df.columns.map(_.toLowerCase): _*)
+    val bounds = partitionColumn.flatMap { c =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT min($c), max($c) FROM $table")
+        rs.next()
+        val (lo, hi) = (rs.getLong(1), rs.getLong(2))
+        if (rs.wasNull()) None else Some((c, lo, hi))
+      } finally conn.close()
+    }
+    bounds match {
+      case Some((c, lo, hi)) =>
+        lowered(JdbcSource(url, table, c, lo, math.max(hi, lo + 1), numPartitions).load(spark))
+      case None =>
+        lowered(spark.read.format("jdbc")
+          .option("url", url).option("dbtable", table).load())
+    }
+  }
+
   /** JDBC sink spec — the "write merged output" path (reference writes
     * batched multi-row INSERTs inside one transaction,
     * utils.js:161/orchestrator.js commit-rollback). Spark-side each

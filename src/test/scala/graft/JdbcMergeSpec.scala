@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.merge.{MergeConfig, OrchestratorQueries}
+import graft.sources.{AtomicSnapshot, Tables}
+
+/** LIVE-JDBC end-to-end merge: the reference is a MySQL-to-MySQL tool
+  * (connection.js:1, utils.js:161), so the JDBC read path is its
+  * entire I/O surface. This spec drives the full config-driven merge
+  * (MergeConfig.fromJson → execute: consolidate + move + self-FK +
+  * uuid report + dry-run + `_merge_sources` guard) against two
+  * embedded Derby databases seeded with the SAME simulated sf0.01
+  * instances the m13 parquet path uses, and asserts the merged
+  * outputs are row-identical between the two transports.
+  *
+  * The databases are seeded the real-world way: unquoted DDL (an
+  * application-created schema — identifiers stored case-insensitively,
+  * as in MySQL) + Spark JDBC appends. `jdbcTableAuto` then reads with
+  * unquoted names and lowercases columns on the way in.
+  */
+class JdbcMergeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private val names = Seq("customer", "orders", "lineitem")
+
+  private def ddlFor(df: DataFrame, table: String): String = {
+    val cols = df.schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType    => "BIGINT"
+        case IntegerType => "INTEGER"
+        case StringType  => "VARCHAR(256)"
+        case other       => fail(s"unmapped fixture type $other")
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
+    s"CREATE TABLE $table ($cols)"
+  }
+
+  private def runDdl(url: String, ddl: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(ddl)
+    finally conn.close()
+  }
+
+  // customer carries a deterministic uuid so the uuid-report path runs
+  private def withUuid(name: String, df: DataFrame): DataFrame =
+    if (name == "customer")
+      df.withColumn("c_uuid", md5(concat(lit("cust-"), col("c_custkey"))))
+    else df
+
+  /** Seed once: two Derby DBs + the parquet twin dirs, same frames. */
+  private lazy val env: (String, String, String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    System.setProperty("derby.system.home", base) // derby.log stays out of the repo
+    val srcUrl = s"jdbc:derby:$base/dbB;create=true"
+    val destUrl = s"jdbc:derby:$base/dbA;create=true"
+    val (srcDir, destDir) = (s"$base/src", s"$base/dest")
+    names.foreach { n =>
+      val s = withUuid(n, OrchestratorQueries.instance(spark, sf01, isSrc = true)(n))
+      val d = withUuid(n, OrchestratorQueries.instance(spark, sf01, isSrc = false)(n))
+      s.write.mode("overwrite").parquet(s"$srcDir/$n.parquet")
+      d.write.mode("overwrite").parquet(s"$destDir/$n.parquet")
+      runDdl(srcUrl, ddlFor(s, n))
+      runDdl(destUrl, ddlFor(d, n))
+      Tables.JdbcSink(srcUrl, n).save(s, "append")
+      Tables.JdbcSink(destUrl, n).save(d, "append")
+    }
+    (base, srcUrl, destUrl, srcDir, destDir)
+  }
+
+  private def configJson(src: String, dest: String, out: String): String =
+    s"""{
+       |  "source": {"path": "$src", "location": "instanceB"},
+       |  "destination": {"path": "$dest"},
+       |  "output": "$out",
+       |  "generateNewUuids": false,
+       |  "tables": [
+       |    {"name": "customer", "idCol": "c_custkey", "mode": "consolidate",
+       |     "naturalKey": ["c_name"], "selfFks": ["referred_by"], "uuidCol": "c_uuid"},
+       |    {"name": "orders", "idCol": "o_orderkey", "mode": "move",
+       |     "naturalKey": ["o_orderkey"], "fks": {"o_custkey": "customer"}},
+       |    {"name": "lineitem", "idCol": "l_lineid", "mode": "move",
+       |     "naturalKey": ["l_orderkey", "l_linenumber"], "fks": {"l_orderkey": "orders"}}
+       |  ]
+       |}""".stripMargin
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("jdbcTableAuto reads a live Derby table range-partitioned, columns lowercased") {
+    val (_, srcUrl, _, _, _) = env
+    val df = Tables.jdbcTableAuto(spark, srcUrl, "customer", Some("c_custkey"), numPartitions = 8)
+    assert(df.columns.toSeq == Seq("c_custkey", "c_name", "referred_by", "c_uuid"))
+    assert(df.rdd.getNumPartitions == 8, "bounds discovered → range-partitioned scan")
+    val expected = withUuid("customer", OrchestratorQueries.instance(spark, sf01, isSrc = true)("customer"))
+    assert(rows(df) == rows(expected))
+  }
+
+  test("dry-run over live JDBC equals the parquet dry-run") {
+    val (base, srcUrl, destUrl, srcDir, destDir) = env
+    val viaJdbc = MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcUrl, destUrl, s"$base/outdry_j")), dryRun = true)
+    val viaParquet = MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, s"$base/outdry_p")), dryRun = true)
+    assert(rows(viaJdbc) == rows(viaParquet))
+    assert(viaJdbc.count() == 3) // one rehearsal row per table
+  }
+
+  test("full config-driven merge over live JDBC row-equals the parquet path") {
+    val (base, srcUrl, destUrl, srcDir, destDir) = env
+    val (outJ, outP) = (s"$base/out_j", s"$base/out_p")
+    val repJ = MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcUrl, destUrl, outJ)), dryRun = false)
+    val repP = MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, outP)), dryRun = false)
+    assert(rows(repJ) == rows(repP))
+    for (n <- names) {
+      val j = AtomicSnapshot.readCurrent(spark, s"$outJ/$n")
+        .getOrElse(fail(s"no published $n via jdbc"))
+      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n")
+        .getOrElse(fail(s"no published $n via parquet"))
+      assert(j.columns.toSeq == p.columns.toSeq, n)
+      assert(rows(j) == rows(p), s"merged $n diverged between transports")
+    }
+    // the uuid report published on both transports, identically
+    val uj = AtomicSnapshot.readCurrent(spark, s"$outJ/customer__uuid_report").get
+    val up = AtomicSnapshot.readCurrent(spark, s"$outP/customer__uuid_report").get
+    assert(rows(uj) == rows(up))
+
+    // source-once guard holds on the JDBC transport too
+    val again = intercept[IllegalStateException] {
+      MergeConfig.execute(spark,
+        MergeConfig.fromJson(configJson(srcUrl, destUrl, outJ)), dryRun = false)
+    }
+    assert(again.getMessage.contains("already processed"))
+  }
+
+  test("JdbcSink writes merged output back to a live database, round-trip intact") {
+    val (base, _, destUrl, srcDir, destDir) = env
+    val out = s"$base/out_sink"
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, out)), dryRun = false)
+    val merged = AtomicSnapshot.readCurrent(spark, s"$out/customer").get
+      // CLOB-safe narrow projection with the lineage columns included
+      .select(col("c_custkey").cast(LongType), col("c_name"), col("c_uuid"),
+        col("instance"), col("merge_source"))
+    runDdl(destUrl, ddlFor(merged, "customer_merged"))
+    Tables.JdbcSink(destUrl, "customer_merged", batchSize = 200).save(merged, "append")
+    val back = Tables.jdbcTableAuto(spark, destUrl, "customer_merged", Some("c_custkey"))
+    assert(rows(back) == rows(merged))
+  }
+}
