@@ -37,7 +37,26 @@ object Bench {
     // absorb JVM/codegen/scan warmup so per-query numbers are steady-state
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // materialize the CROSS-QUERY memoized artifacts (d2 sketch pairs,
+    // shingle-set index, d7 cluster assignment) in an explicitly timed
+    // "_artifacts" phase. Without this the alphabetically-first
+    // consumer (d10 in round 4: 44.6 s vs its own ~1 s of work)
+    // absorbs the whole shared pipeline and masks real per-query
+    // regressions; with it, every per-query number is that query's own
+    // marginal cost regardless of execution order.
+    val ta0 = System.nanoTime()
+    val artifactsFailed =
+      try {
+        graft.dedup.Dedup.d2Pairs(spark, sfDir).count()
+        graft.dedup.Dedup.shingleSets(spark, sfDir).count()
+        graft.dedup.Dedup.d7Clusters(spark, sfDir).count()
+        false
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true
+      }
+    val artifactsSec = (System.nanoTime() - ta0) / 1e9
+    System.err.println(f"[bench] ${"_artifacts"}%-22s $artifactsSec%8.2f s")
+    val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }
@@ -49,6 +68,7 @@ object Bench {
       // a failed query must not masquerade as a fast success
       name -> (if (failed) -1.0 else sec)
     }
+    val results = ("_artifacts" -> (if (artifactsFailed) -1.0 else artifactsSec)) +: perQuery
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(entries: Seq[(String, Double)], dropped: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + num(v) }

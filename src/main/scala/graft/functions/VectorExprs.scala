@@ -203,6 +203,184 @@ case class BandKeysF32(child: Expression, planes: Array[Array[Float]], r: Int)
     copy(child = newChild)
 }
 
+/** Exact ×1e6 integer quantization of a float vector (s3's
+  * cross-engine-deterministic coordinate space): per element,
+  * floor(double(x) · 1e6) — float→double widening and the product are
+  * exact IEEE ops, so the result is bit-identical in DuckDB. */
+case class QuantizeE6(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "quantize_e6"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(v.getFloat(i).toDouble * 1e6).toLong; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (long) java.lang.Math.floor((double)$v.getFloat($i) * 1.0E6);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeE6 =
+    copy(child = newChild)
+}
+
+/** s3's k-means assignment kernel: nearest centroid of a quantized
+  * vector over the whole centroid matrix in ONE expression, result
+  * packed as `sqdist · 16 + index` (k ≤ 16; sqdist ≤ 64·(2²¹)² ≪
+  * 2⁵⁹, so the pack is lossless and the two halves come back out
+  * with integer div/mod — builtins, no struct plumbing).
+  *
+  * The centroid matrix rides the generated class as a codegen
+  * REFERENCE OBJECT — the same lesson [[BandKeysF32]] documents: k·dim
+  * unrolled literal subtract-square terms made every Lloyd iteration
+  * pay seconds of analysis + Janino compilation (~1 MB task
+  * binaries), dwarfing the actual data work; and because the source
+  * here is literal-free, every iteration reuses the SAME generated
+  * class via the codegen cache. Ties break to the LOWEST index
+  * (strict `<`), matching the oracle's `ORDER BY dist, cluster`. */
+case class NearestCentE6(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.length <= 16,
+    s"nearest_cent_e6 supports 1..16 centroids, got ${cents.length}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_cent_e6"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs $dim)")
+    var best = Long.MaxValue
+    var bestIdx = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0L
+      var i = 0
+      while (i < dim && acc < best) {
+        val d = v.getLong(i) - cent(i); acc += d * d; i += 1
+      }
+      if (acc < best) { best = acc; bestIdx = c }
+      c += 1
+    }
+    best * 16L + bestIdx
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = cents(0).length
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cent_e6: dimension mismatch (" + $v.numElements() + " vs $dim)");
+         |}
+         |long $best = Long.MAX_VALUE;
+         |int $bestIdx = 0;
+         |for (int $c = 0; $c < ${cents.length}; $c++) {
+         |  long[] $cent = $centsRef[$c];
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $dim && $acc < $best; $i++) {
+         |    long $d = $v.getLong($i) - $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bestIdx = $c; }
+         |}
+         |${ev.value} = $best * 16L + $bestIdx;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentE6 =
+    copy(child = newChild)
+}
+
+/** Integer sum of squares of a long array (s3's exact ×1e6 norm
+  * numerator — an order-free integer sum, deterministic under any
+  * partitioning). */
+case class SumSqI64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sumsq_i64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val x = v.getLong(i); acc += x * x; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $v.numElements();
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $v.getLong($i);
+         |  ${ev.value} += $x * $x;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SumSqI64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product as a Column. */
   def dotF32(a: Column, b: Column): Column =
@@ -215,6 +393,18 @@ object VectorFunctions {
   /** Codegen'd all-band LSH keys as a Column. */
   def bandKeysF32(v: Column, planes: Array[Array[Float]], r: Int): Column =
     Bridge.column(BandKeysF32(Bridge.expression(v), planes, r))
+
+  /** Codegen'd exact ×1e6 quantization as a Column. */
+  def quantizeE6(v: Column): Column =
+    Bridge.column(QuantizeE6(Bridge.expression(v)))
+
+  /** Codegen'd packed nearest-centroid assignment as a Column. */
+  def nearestCentE6(v: Column, cents: Array[Array[Long]]): Column =
+    Bridge.column(NearestCentE6(Bridge.expression(v), cents))
+
+  /** Codegen'd integer sum of squares as a Column. */
+  def sumSqI64(v: Column): Column =
+    Bridge.column(SumSqI64(Bridge.expression(v)))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -151,12 +151,17 @@ object Knn {
     * exact, DuckDB-oracle hash-checked end to end. */
   def s3Cluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame = {
     import spark.implicits._
-    val eCols = (0 until Dim).map { i =>
-      floor(element_at($"embedding", i + 1).cast("double") * 1e6).as(s"e$i")
-    }
-    // memoized: 1 (seed) + iters assignment scans reuse one materialization
+    import graft.functions.VectorFunctions.{nearestCentE6, quantizeE6, sumSqI64}
+    // memoized: 1 (seed) + iters assignment scans reuse one
+    // materialization. The kernels are the loop-codegen expressions in
+    // functions.VectorExprs — k·Dim unrolled literal terms cost
+    // seconds of analysis+Janino per iteration (the BandKeysF32
+    // lesson); the reference-object loops compile once and the
+    // literal-free source lets all iterations share one generated
+    // class via the codegen cache.
     val q = graft.operators.Indexes.memo(s"s3_quant:$dir") {
-      Tables.read(spark, dir, "embeddings").select(($"vec_id" +: eCols): _*)
+      Tables.read(spark, dir, "embeddings")
+        .select($"vec_id", quantizeE6($"embedding").as("el"))
         .repartition(spark.sessionState.conf.numShufflePartitions)
     }
 
@@ -166,27 +171,24 @@ object Knn {
       .orderBy(md5($"vec_id".cast("string")), $"vec_id")
       .limit(k).as[Long].collect()
     val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
-      .map(r => r.getLong(0) -> (0 until Dim).map(i => r.getLong(i + 1)).toArray).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     var cents: Seq[(Int, Array[Long])] =
       seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
 
-    // assignment: k codegen'd squared-distance columns; argmin via
-    // array_position = FIRST min = lowest cluster id on ties
+    // assignment: one packed argmin kernel per row (first strict min =
+    // lowest cluster id on ties, matching the oracle's ORDER BY)
     def assigned(cs: Seq[(Int, Array[Long])]): DataFrame = {
-      val dists = array(cs.map { case (_, c) =>
-        (0 until Dim).map { i => val d = col(s"e$i") - lit(c(i)); d * d }.reduce(_ + _)
-      }: _*)
       val clusterIds = lit(cs.map(_._1).toArray)
-      q.withColumn("dists", dists)
-        .withColumn("dist", array_min($"dists"))
+      q.withColumn("__packed", nearestCentE6($"el", cs.map(_._2).toArray))
+        .withColumn("dist", expr("__packed DIV 16"))
         .withColumn("cluster",
-          element_at(clusterIds, array_position($"dists", $"dist").cast("int")).cast("long"))
-        .drop("dists")
+          element_at(clusterIds, (pmod($"__packed", lit(16)) + 1).cast("int")).cast("long"))
+        .drop("__packed")
     }
 
     for (_ <- 1 until iters) {
       val aggCols = count(lit(1)).as("n") +:
-        (0 until Dim).map(i => sum(col(s"e$i")).as(s"s$i"))
+        (0 until Dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
       val rows = assigned(cents).groupBy($"cluster")
         .agg(aggCols.head, aggCols.tail: _*).collect()
       cents = rows.map { r =>
@@ -196,10 +198,9 @@ object Knn {
       }.sortBy(_._1).toSeq
     }
 
-    val sumSq = (0 until Dim).map(i => col(s"e$i") * col(s"e$i")).reduce(_ + _)
     assigned(cents)
       .select($"cluster",
-        floor(sqrt(sumSq.cast("double"))).as("nrm_e6"),
+        floor(sqrt(sumSqI64($"el").cast("double"))).as("nrm_e6"),
         floor(sqrt($"dist".cast("double"))).as("dist_e6"))
       .groupBy($"cluster")
       .agg(count(lit(1)).as("n_vectors"),

@@ -485,10 +485,11 @@ object TextAnalysis {
     * a train doc — that whole-doc sketches miss.
     *
     * Shape: one shuffle on the shingle (test shingles ⋈ distinct
-    * train shingles) + one per-doc aggregation. At 100 TB the train
-    * side is a bucketed shingle index (or a bloom filter broadcast
-    * when false positives are acceptable); the join stays
-    * candidate-proportional either way. Integer-exact ×1e6 ratio. */
+    * train shingles) + one per-doc aggregation. At 100 TB prefer
+    * [[t11ContaminationBloom]]: same audit with the train side
+    * collapsed to a broadcast Bloom filter — no shingle shuffle at
+    * all, false positives bounded by `fpp`. The exact join here stays
+    * the oracle-gated query. Integer-exact ×1e6 ratio. */
   def t11Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = graft.dedup.Dedup.shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
@@ -500,6 +501,46 @@ object TextAnalysis {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** t11's 100 TB path: the contamination audit with the train-side
+    * shingle set collapsed into a driver-built, cluster-broadcast
+    * Bloom filter (`stat.bloomFilter` — a distributed aggregation
+    * whose result is bits, not rows). The test side then needs NO
+    * join and NO shuffle of train data: each test shingle probes the
+    * broadcast bitset and the per-doc aggregation is the only
+    * exchange. Contamination can only be OVER-counted, by at most the
+    * filter's false-positive rate (`fpp`) of each document's
+    * truly-clean shingles — the conservative direction for a
+    * decontamination gate (you drop slightly more, never leak).
+    *
+    * Deterministic for a fixed train set + sizing (Spark's Bloom
+    * hashing is seedless), so the parity spec is exact-repeatable.
+    * The probe is a broadcast-bitset lookup behind a scala UDF — the
+    * documented external-object boundary (like the mm decode): the
+    * avoided train-shingle shuffle dwarfs the codegen loss, and no
+    * built-in expression can address a driver-built sketch.
+    * `expectedItems < 0` sizes the filter from a train-side distinct
+    * count (one aggregate job, part of the index build). */
+  def t11ContaminationBloom(spark: SparkSession, dir: String,
+                            fpp: Double = 0.01,
+                            expectedItems: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val sh = graft.dedup.Dedup.shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+    val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
+    val withSplit = sh.join(splits, Seq("doc_id"))
+    val trainSh = withSplit.filter($"split" === "train").select($"sh").distinct()
+    val items = if (expectedItems > 0) expectedItems else math.max(trainSh.count(), 1L)
+    val bf = trainSh.stat.bloomFilter("sh", items, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hit = udf((s: String) => s != null && bc.value.mightContainString(s))
+    withSplit.filter($"split" === "test")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(hit($"sh"), 1L).otherwise(0L)).as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
         halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
       .orderBy("doc_id")

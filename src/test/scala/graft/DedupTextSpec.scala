@@ -365,6 +365,39 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("t11 bloom scale path: superset-within-FPR of the exact audit, shingle-join-free") {
+    val fpp = 0.01
+    val exact = TextAnalysis.t11Contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated")))).toMap
+    val bloom = TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated")))).toMap
+    // same docs, same shingle universe; contamination only OVER-counts
+    assert(bloom.keySet == exact.keySet)
+    var extra = 0L; var negatives = 0L
+    exact.foreach { case (id, (n, cont)) =>
+      val (bn, bcont) = bloom(id)
+      assert(bn == n, s"doc $id shingle count")
+      assert(bcont >= cont, s"doc $id: bloom under-counted (impossible for a Bloom filter)")
+      extra += bcont - cont; negatives += n - cont
+    }
+    // observed FPR within a 3x margin of the configured fpp
+    assert(negatives == 0L || extra.toDouble / negatives <= 3 * fpp,
+      s"observed FPR ${extra.toDouble / negatives} vs fpp $fpp")
+    // the plan carries ONLY the doc_id split join — the train shingle
+    // set reaches the test side as broadcast bits, never as rows
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Join") && !l.contains("ReusedExchange"))
+    assert(joins(TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp)) == 1)
+    assert(joins(TextAnalysis.t11Contamination(spark, sf)) >= 2)
+    // deterministic: same train set + sizing → bit-identical filter
+    val again = TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(again == bloom.view.mapValues(_._2).toMap)
+  }
+
   test("mm6 media filter: reject reasons partition every asset exactly once") {
     val r = graft.multimodal.Media.mm6MediaFilter(spark, sf).collect()
     assert(r.nonEmpty)

@@ -55,6 +55,33 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizeE6/SumSqI64/NearestCentE6 match compositional + driver-side forms") {
+    import graft.functions.VectorFunctions.{nearestCentE6, quantizeE6, sumSqI64}
+    val e = Tables.read(spark, sf, "embeddings").limit(100)
+      .select($"vec_id", $"embedding")
+    // quantization parity vs the builtin floor form, per element
+    val comp = transform($"embedding", x => floor(x.cast("double") * 1e6))
+    val qrows = e.select(quantizeE6($"embedding").as("native"), comp.as("comp")).collect()
+    qrows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // sumsq + packed argmin parity vs driver-side arithmetic
+    val cents: Array[Array[Long]] = qrows.take(3).map(_.getSeq[Long](0).toArray)
+    val rows = e.select(quantizeE6($"embedding").as("el"))
+      .select($"el", sumSqI64($"el").as("ss"), nearestCentE6($"el", cents).as("packed"))
+      .collect()
+    rows.foreach { r =>
+      val el = r.getSeq[Long](0)
+      assert(r.getLong(1) == el.map(x => x * x).sum)
+      val dists = cents.map(c => el.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = dists.min
+      val bestIdx = dists.indexOf(best) // first min = lowest index tie-break
+      assert(r.getLong(2) == best * 16L + bestIdx)
+    }
+    // nulls propagate
+    val nr = Seq(Option.empty[Array[Float]]).toDF("v")
+      .select(quantizeE6($"v").as("q")).collect()
+    assert(nr(0).isNullAt(0))
+  }
+
   test("dimension mismatch is a runtime error, not a truncated dot") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     val ex = intercept[Exception] {
