@@ -93,7 +93,8 @@ object MergeConfig {
       selfFks = (t \ "selfFks").extractOpt[Seq[String]].getOrElse(Nil),
       uuidCol = (t \ "uuidCol").extractOpt[String],
       mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty),
-      deferredFks = (t \ "deferredFks").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      deferredFks = (t \ "deferredFks").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty))
   }
 
   /** Execute a parsed config: dry-run returns the rehearsal report

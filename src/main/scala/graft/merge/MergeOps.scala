@@ -112,11 +112,30 @@ object MergeOps {
     * FKs — while a NON-null FK missing from the map still drops, so
     * unresolvable references never silently become nulls.
     */
+  /** `saltBuckets > 0` applies the [[graft.operators.Skew]] salted
+    * shape to the map join: the child side gets a deterministic salt
+    * (hash of the whole row — per-row variety without needing to know
+    * the child's key column), the map side replicates ×buckets, and
+    * the join keys on (fk, salt). The OpenMRS-shaped merge has exactly
+    * this skew — a few provider/location ids own most child rows, and
+    * an unsalted shuffle puts one hot key's entire fact volume in one
+    * task. Shuffle grows by map-size×buckets (maps are id pairs —
+    * cheap); hot-key tasks shrink ×buckets. Same rows either way
+    * (spec-pinned in OrchestratorSpec). */
   def remapFk(child: DataFrame, fkCol: String, idMap: DataFrame,
               newCol: String, broadcastMap: Boolean = false,
-              joinType: String = "inner"): DataFrame = {
-    val m = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
-    val mapSide = if (broadcastMap) broadcast(m) else m
+              joinType: String = "inner", saltBuckets: Int = 0): DataFrame = {
+    val base = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
+    val (factSide, mapSide0, saltCols) =
+      if (saltBuckets > 0)
+        (child.withColumn("__salt_f", pmod(hash(child.columns.map(col): _*), lit(saltBuckets))),
+          base.withColumn("__salt_d", explode(sequence(lit(0), lit(saltBuckets - 1)))),
+          Seq("__salt_f", "__salt_d"))
+      else (child, base, Nil)
+    val mapSide = if (broadcastMap) broadcast(mapSide0) else mapSide0
+    val keyCond = factSide(fkCol) === col("__fk_src")
+    val cond =
+      if (saltBuckets > 0) keyCond && col("__salt_f") === col("__salt_d") else keyCond
     joinType match {
       case "inner_or_null" =>
         // "matched" is detected with a sentinel marker, NOT dest_id
@@ -124,12 +143,12 @@ object MergeOps {
         // a matched-to-null FK, not silently drop its child row as if
         // the FK were unmapped
         val marked = mapSide.withColumn("__fk_hit", lit(1))
-        child.join(marked, child(fkCol) === col("__fk_src"), "left")
-          .filter(child(fkCol).isNull || col("__fk_hit").isNotNull)
-          .drop("__fk_src", "__fk_hit")
+        factSide.join(marked, cond, "left")
+          .filter(factSide(fkCol).isNull || col("__fk_hit").isNotNull)
+          .drop(Seq("__fk_src", "__fk_hit") ++ saltCols: _*)
       case jt =>
-        child.join(mapSide, child(fkCol) === col("__fk_src"), jt)
-          .drop("__fk_src")
+        factSide.join(mapSide, cond, jt)
+          .drop(Seq("__fk_src") ++ saltCols: _*)
     }
   }
 

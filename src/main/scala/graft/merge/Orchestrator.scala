@@ -68,6 +68,13 @@ object Orchestrator {
     *                   BEFORE matching (utils.js:74-103 `mapped` +
     *                   `mappedValueMap` — the m12 semantics); column →
     *                   parent table. Counted as dependency edges.
+    * @param saltedFks  fk/selfFk columns with HOT parent keys (the
+    *                   OpenMRS shape: one location/provider owning
+    *                   most child rows) → salt bucket count. Their
+    *                   map joins run through [[MergeOps.remapFk]]'s
+    *                   salted shape so no single task carries a hot
+    *                   key's whole fact volume; rows are identical
+    *                   either way (spec-pinned planted-skew test).
     * @param deferredFks nullable fk columns resolved in a SECOND pass
     *                   after ALL tables are merged; column → parent
     *                   table, NOT a dependency edge — this is how
@@ -90,7 +97,8 @@ object Orchestrator {
       selfFks: Seq[String] = Nil,
       uuidCol: Option[String] = None,
       mappedKeys: Map[String, String] = Map.empty,
-      deferredFks: Map[String, String] = Map.empty) {
+      deferredFks: Map[String, String] = Map.empty,
+      saltedFks: Map[String, Int] = Map.empty) {
     /** Tables that must be merged before this one (deferredFks are
       * deliberately absent — they are what BREAKS cycles). */
     def parents: Iterable[String] = fks.values ++ mappedKeys.values
@@ -239,11 +247,13 @@ object Orchestrator {
       // (join strategy: remapFk defaults to size-based auto-broadcast
       // — small maps broadcast, person-scale maps shuffle)
       val fkDone = spec.fks.foldLeft(movers) { case (df, (fkCol, parent)) =>
-        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", joinType = "inner_or_null")
+        MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", joinType = "inner_or_null",
+            saltBuckets = spec.saltedFks.getOrElse(fkCol, 0))
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val selfDone = spec.selfFks.foldLeft(fkDone) { (df, fkCol) =>
-        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol", joinType = "left")
+        MergeOps.remapFk(df, fkCol, idMap, s"__new_$fkCol", joinType = "left",
+            saltBuckets = spec.saltedFks.getOrElse(fkCol, 0))
           .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
       }
       val dataCols = s.columns.filter(_ != spec.idCol)

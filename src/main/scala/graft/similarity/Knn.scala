@@ -330,6 +330,80 @@ object Knn {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s6: BUCKETED radius search — s5's threshold search run over s2's
+    * multi-band hyperplane index instead of the full corpus: the scale
+    * path s5's docstring promises, as a real selectable operator.
+    * Candidates come from the 8-band bucket join (≈ bands/2^r of the
+    * corpus scanned per query), then the exact cosine filter applies.
+    * Results are a deterministic SUBSET of s5's: a pair is returned
+    * iff it shares ≥1 band bucket AND clears the radius — so recall is
+    * governed by the band collision curve (high for near pairs,
+    * falling toward the radius boundary: p_band = p_plane⁸, the
+    * s2/MMDS banding trade-off). [[s5RadiusRecallAudit]] measures
+    * exactly that, per query, s4-style. Fully DuckDB-oracle
+    * hash-checked (same plan-time planes as s2). */
+  def s6RadiusBucketed(spark: SparkSession, dir: String, minCos: Double = 0.30,
+                       bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    corpus.join(broadcast(queries), Seq("band_idx", "band_key"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .filter($"cos_sim" >= minCos)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** s6 oracle: s2's band CTEs + the radius HAVING. */
+  val s6Sql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |${Lsh.bandsSqlCtes(nPlanes = 64, r = 8, dim = 64)},
+       |cand AS (
+       |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+       |  FROM bands bq JOIN bands bc
+       |    ON bc.band_idx = bq.band_idx AND bc.band_key = bq.band_key
+       |  WHERE bq.vec_id < 10 AND bc.vec_id >= 10),
+       |s AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN u q ON q.vec_id = cd.query_id
+       |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cos_sim FROM s
+       |WHERE cos_sim >= 0.30 ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Recall audit for the bucketed radius path (s4's pattern applied
+    * to s6): per query, how many of the exact in-radius neighbors the
+    * bucketed index surfaced. Both sides deterministic → exact
+    * integers. The audit quantifies the band-collision recall curve a
+    * production deployment must re-measure per index rebuild. */
+  def s5RadiusRecallAudit(spark: SparkSession, dir: String,
+                          minCos: Double = 0.30): DataFrame = {
+    import spark.implicits._
+    val exact = s5Radius(spark, dir, minCos).select($"query_id", $"neighbor_id")
+    val approx = s6RadiusBucketed(spark, dir, minCos)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"), count($"n2").as("n_found"))
+      .select($"query_id", $"n_exact", $"n_found",
+        halfUpDiv($"n_found" * 1000000L, $"n_exact").as("recall_e6"))
+      .orderBy("query_id")
+  }
+
   /** s4: ANN quality audit — recall@k of the bucketed s2 plan against
     * the exact s1 baseline, per query. An approximate index is only
     * deployable with a measured recall; a production pipeline runs

@@ -327,6 +327,96 @@ object EventStream {
       expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + interval $windowMinutes minutes"))
   }
 
+  /** Tagged union row for [[asofJoinStream]]: side "L" = the probing
+    * stream (e6's purchases), "R" = the reference stream (clicks). */
+  case class AsofIn(key: Long, ts: java.sql.Timestamp, id: Long, side: String)
+
+  /** One as-of match: the left row plus the latest right row at or
+    * before it (None when no right row precedes it — e6's LEFT join). */
+  case class AsofOut(key: Long, left_id: Long, left_us: Long,
+                     asof_right_id: Option[Long], right_us: Option[Long])
+
+  /** Per-key as-of state. The crucial bound: right rows at or below
+    * the watermark are COMPACTED to the single best (latest ts, then
+    * highest id) — any future left row's timestamp is above the
+    * watermark, so every older right row is dominated by that best and
+    * can never win again. State is therefore O(1) per key plus only
+    * the in-flight rows inside the watermark window. */
+  case class AsofState(bestUs: Long, bestId: Long, hasBest: Boolean,
+                       rights: List[(Long, Long)], lefts: List[(Long, Long)])
+
+  /** Stream-stream AS-OF join — the unbounded twin of e6
+    * ([[graft.operators.AsOf.asofJoin]]): every left event paired with
+    * the latest right event at or before it, per key.
+    *
+    * Spark has interval stream-stream joins but no as-of (an as-of
+    * needs unbounded lookback, which the join-state eviction model
+    * can't express), so this is `flatMapGroupsWithState` over the
+    * tagged union of both streams: a left row emits exactly when the
+    * watermark passes its timestamp (all eligible right rows have then
+    * arrived — later ones are above it, earlier ones are either
+    * buffered or compacted into the carried best). Ties break to the
+    * highest right id at equal ts, matching the batch operator's
+    * `rightTieBreak` on e6's per-(user, ts) max-id dedup — so raw
+    * (undeduped) right streams produce identical matches. Emission is
+    * ts-then-id ordered within a flush for determinism; output is
+    * append-mode, each left row exactly once (StreamingSpec pins
+    * batch parity on real sf data plus the no-premature-emit and
+    * late-row regressions).
+    *
+    * Both inputs need (key: long, ts: timestamp, id: long) columns.
+    * At scale this partitions by key like every stateful operator
+    * here; per-key state is one compacted best + the watermark-window
+    * buffer, evicted by the same event-time timeout that flushes
+    * quiet keys when OTHER keys advance the watermark. */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+                     watermark: String = "1 hour"): Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    val tagged = left.select(col("key"), col("ts"), col("id"), lit("L").as("side"))
+      .unionByName(right.select(col("key"), col("ts"), col("id"), lit("R").as("side")))
+      .as[AsofIn]
+
+    val fn: (Long, Iterator[AsofIn], GroupState[AsofState]) => Iterator[AsofOut] =
+      (key, it, state) => {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        var st = state.getOption.getOrElse(AsofState(0L, 0L, false, Nil, Nil))
+        val evs = it.toArray
+        val rights = st.rights ++ evs.filter(_.side == "R").map(e => (usOf(e.ts), e.id))
+        val lefts = st.lefts ++ evs.filter(_.side == "L").map(e => (usOf(e.ts), e.id))
+        def better(a: (Long, Long), b: (Long, Long)): Boolean =
+          b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)
+        // flush every left row the watermark has passed, in (ts, id)
+        // order; candidates are the carried best (ts ≤ previous
+        // watermark ≤ this row's ts — still eligible) + buffered
+        // rights at or before the row
+        val (ripe, pendingLefts) = lefts.partition(_._1 <= wmUs)
+        val out = ripe.sortBy(identity).map { case (lus, lid) =>
+          val carried = if (st.hasBest) List((st.bestUs, st.bestId)) else Nil
+          val m = (carried ++ rights.filter(_._1 <= lus))
+            .reduceOption((a, b) => if (better(a, b)) b else a)
+          AsofOut(key, lid, lus, m.map(_._2), m.map(_._1))
+        }
+        // compact rights the watermark has passed into the best
+        val (oldRights, keepRights) = rights.partition(_._1 <= wmUs)
+        oldRights.foreach { c =>
+          if (!st.hasBest || better((st.bestUs, st.bestId), c))
+            st = st.copy(bestUs = c._1, bestId = c._2, hasBest = true)
+        }
+        st = st.copy(rights = keepRights, lefts = pendingLefts)
+        state.update(st)
+        // wake when the watermark passes the oldest pending left so
+        // quiet keys still flush (ms + 1: the timeout must sit
+        // strictly past the flush threshold)
+        if (pendingLefts.nonEmpty)
+          state.setTimeoutTimestamp(pendingLefts.map(_._1).min / 1000L + 1)
+        out.iterator
+      }
+
+    tagged.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming→merge bridge: every micro-batch is upserted into a
     * parquet target with keep-latest semantics (the reference's
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,

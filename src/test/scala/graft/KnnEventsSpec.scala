@@ -72,6 +72,39 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s6 bucketed radius search is a subset of exact s5; recall audit is consistent") {
+    val exact = Knn.s5Radius(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val bucketed = Knn.s6RadiusBucketed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    assert(bucketed.nonEmpty)
+    // every bucketed hit is an exact hit with the identical cosine
+    bucketed.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"$pair not in exact radius set")
+    }
+    // the audit's integers agree with the two result sets
+    val audit = Knn.s5RadiusRecallAudit(spark, sf).collect()
+    val exactByQ = exact.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val foundByQ = bucketed.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(audit.map(_.getAs[Long]("query_id")).toSet == exactByQ.keySet)
+    audit.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_exact") == exactByQ(q))
+      assert(r.getAs[Long]("n_found") == foundByQ.getOrElse(q, 0L))
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"))
+    }
+    // near pairs must be found: the band-collision curve is steep, so
+    // recall over the high-similarity slice (cos >= 0.8) stays high
+    val near = exact.filter(_._2 >= 0.8)
+    if (near.nonEmpty) {
+      val nearFound = near.keys.count(bucketed.contains)
+      assert(nearFound.toDouble / near.size >= 0.8,
+        s"near-pair recall $nearFound/${near.size}")
+    }
+  }
+
   test("s3 clustering covers all vectors with k clusters, deterministically") {
     val r1 = Knn.s3Cluster(spark, sf).collect()
     assert(r1.length == 8)

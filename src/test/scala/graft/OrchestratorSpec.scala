@@ -200,6 +200,44 @@ class OrchestratorSpec extends AnyFunSuite {
       s"expected loud deferred-FK failure, got: $msgs")
   }
 
+  test("saltedFks: planted hot-key skew merges identically and plans the salted join") {
+    // parent: 5 dim rows; child: 4000 rows with 90% on ONE hot parent
+    // (the OpenMRS shape — one location/provider owning most rows)
+    val srcParent = (1L to 5L).map(i => (i, s"p$i")).toDF("id", "name")
+    val destParent = Seq((10L, "p1")).toDF("id", "name")
+    val srcChild = (1L to 4000L)
+      .map(i => (i, if (i % 10 == 0) (i % 5) + 1 else 1L, s"c$i"))
+      .toDF("id", "parent_id", "payload")
+    val destChild = Seq((1L, 10L, "seed")).toDF("id", "parent_id", "payload")
+    def specs(salt: Map[String, Int]) = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("payload"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent"), saltedFks = salt))
+    def runChild(salt: Map[String, Int]) = Orchestrator.run(specs(salt),
+      Map("parent" -> srcParent, "child" -> srcChild),
+      Map("parent" -> destParent, "child" -> destChild), "inst2")("child")
+
+    val plain = runChild(Map.empty).merged
+    val salted = runChild(Map("parent_id" -> 8)).merged
+    // identical rows, identical schema — salting is purely physical
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.collect().map(_.toSeq.mkString("|")).sorted.toSeq ==
+      plain.collect().map(_.toSeq.mkString("|")).sorted.toSeq)
+    // the salted plan joins on (fk, salt); the plain one must not
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt_f") && plan.contains("__salt_d"), plan)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("__salt_f"))
+    // the hot key's rows really do spread: its 3600 child rows land in
+    // all 8 salt buckets, no bucket holding more than a quarter of
+    // what the unsalted join would put in ONE task
+    val hot = srcChild.filter($"parent_id" === 1L)
+      .withColumn("s", pmod(hash(srcChild.columns.map(col): _*), lit(8)))
+      .groupBy($"s").count().collect()
+    assert(hot.length == 8, "hot key must occupy every salt bucket")
+    assert(hot.map(_.getAs[Long]("count")).max < 3600 / 4,
+      "salt failed to break up the hot key")
+  }
+
   test("m13 merged output preserves referential integrity and provenance") {
     val out = OrchestratorQueries.m13FullPipeline(spark, sf).cache()
     val cust = out.filter($"table_name" === "customer")

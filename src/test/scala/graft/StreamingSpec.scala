@@ -195,6 +195,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of: left emits only after the watermark passes it; rights buffer across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[ARow]
+    val rIn = MemoryStream[ARow]
+    val q = EventStream.asofJoinStream(lIn.toDF(), rIn.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_unit")
+      .outputMode("append").start()
+    try {
+      lIn.addData(ARow(1L, ts(10), 91L))
+      q.processAllAvailable()
+      // watermark has not passed the left row — nothing may emit yet
+      assert(spark.table("asof_unit").count() == 0)
+      // the matching right arrives LATER in wall-clock but EARLIER in
+      // event time (out-of-order within the watermark window)
+      rIn.addData(ARow(1L, ts(5), 7L))
+      q.processAllAvailable()
+      assert(spark.table("asof_unit").count() == 0)
+      // a far-future right pushes the watermark past the left row:
+      // it flushes, matched to the buffered t5 click — NOT the later one
+      rIn.addData(ARow(1L, ts(120), 8L))
+      q.processAllAvailable()
+      val got = spark.table("asof_unit").as[EventStream.AsofOut].collect()
+      assert(got.toSeq == Seq(EventStream.AsofOut(
+        1L, 91L, 1704067200000000L + 10L * 60000000L,
+        Some(7L), Some(1704067200000000L + 5L * 60000000L))))
+      // a left with NO preceding right emits a null match (left-join)
+      lIn.addData(ARow(2L, ts(130), 92L))
+      rIn.addData(ARow(-1L, ts(400), 0L))
+      q.processAllAvailable()
+      val u2 = spark.table("asof_unit").as[EventStream.AsofOut].collect()
+        .filter(_.key == 2L)
+      assert(u2.toSeq == Seq(EventStream.AsofOut(
+        2L, 92L, 1704067200000000L + 130L * 60000000L, None, None)))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join is EXACTLY the batch e6 on real data, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("key"), $"ts", $"event_id".as("id")).as[ARow]
+      .collect().sortBy(r => (r.ts.getTime, r.id))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), $"ts", $"event_id".as("id")).as[ARow]
+      .collect().sortBy(r => (r.ts.getTime, r.id))
+    // three chronological phases over BOTH streams so the shared
+    // union watermark advances coherently
+    val cuts = Seq(0.33, 0.66, 1.01).map { f =>
+      val all = (clicks ++ purchases).map(_.ts.getTime).sorted
+      all((all.length * f).toInt.min(all.length - 1))
+    }
+    val lIn = MemoryStream[ARow]
+    val rIn = MemoryStream[ARow]
+    val q = EventStream.asofJoinStream(lIn.toDF(), rIn.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      var prevCut = Long.MinValue
+      cuts.foreach { cut =>
+        val lc = purchases.filter(p => p.ts.getTime > prevCut && p.ts.getTime <= cut)
+        val rc = clicks.filter(c => c.ts.getTime > prevCut && c.ts.getTime <= cut)
+        if (lc.nonEmpty) lIn.addData(lc: _*)
+        if (rc.nonEmpty) rIn.addData(rc: _*)
+        q.processAllAvailable()
+        prevCut = cut
+      }
+      rIn.addData(ARow(-1L, new java.sql.Timestamp(
+        prevCut + 30L * 24 * 3600 * 1000), 0L))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_parity").as[EventStream.AsofOut].collect()
+        .filter(_.key >= 0)
+        .map(o => (o.key, o.left_id, o.left_us, o.asof_right_id, o.right_us)).toSet
+      val batch = graft.queries.Events.e6AsofJoin(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("purchase_ts_us"),
+          Option(r.getAs[java.lang.Long]("asof_click_id")).map(Long.unbox),
+          Option(r.getAs[java.lang.Long]("click_ts_us")).map(Long.unbox))).toSet
+      assert(streamed == batch,
+        s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize is EXACTLY the batch e2 on real data, across micro-batches") {
     // the twin claim, proven end-to-end: the full sf0.001 events table
     // fed through three chronological micro-batches + a watermark-
@@ -352,3 +435,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Input row for the as-of join tests (top-level for a stable
+  * product encoder under MemoryStream). */
+case class ARow(key: Long, ts: java.sql.Timestamp, id: Long)
