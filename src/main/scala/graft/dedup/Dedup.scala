@@ -463,11 +463,7 @@ object Dedup {
     // ≤5 dp — exactly representable), so est_e6 = m·31250 is an exact
     // integer product and err_e6 a pure integer difference.
     val union = $"n1" + $"n2" - $"inter"
-    val halfUpDiv = (num: Column, den: Column) => {
-      val n2 = num * 2 + den
-      val d2 = den * 2
-      ((n2 - pmod(n2, d2)) / d2).cast("long")
-    }
+    val halfUpDiv = graft.functions.IntMath.halfUpDiv _
     pairs
       .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
       .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")), Seq("doc_id2"))

@@ -120,10 +120,16 @@ object MergeConfig {
     // split on its declared idCol so no single connection is the straw
     // the data passes through. Anything else is a parquet directory.
     val idColOf = cfg.tables.map(t => t.name -> t.idCol).toMap
+    // memoized per (transport, table): jdbcTableAuto issues an EAGER
+    // driver-side bounds query — the orchestrator, uuid-report and
+    // dry-run paths each re-read tables, and without the cache every
+    // call would hit the live database again for the same bounds
+    val readerCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
     def reader(base: String)(name: String): DataFrame =
-      if (base.startsWith("jdbc:"))
-        graft.sources.Tables.jdbcTableAuto(spark, base, name, idColOf.get(name))
-      else spark.read.parquet(s"$base/$name.parquet")
+      readerCache.getOrElseUpdate((base, name),
+        if (base.startsWith("jdbc:"))
+          graft.sources.Tables.jdbcTableAuto(spark, base, name, idColOf.get(name))
+        else spark.read.parquet(s"$base/$name.parquet"))
     val src = reader(cfg.source.path) _
     val dest = reader(cfg.destination.path) _
     if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)

@@ -105,15 +105,10 @@ object Knn {
       |HAVING round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) >= 0.30
       |ORDER BY query_id, neighbor_id""".stripMargin
 
-  /** Round-half-up integer division (TextAnalysis's convention): the
-    * subtraction peels the remainder so the IEEE quotient is the exact
-    * integer; pmod keeps floor semantics for negative numerators
-    * (centroid coordinate sums go negative). */
-  private def halfUpDiv(num: Column, den: Column): Column = {
-    val n2 = num * 2 + den
-    val d2 = den * 2
-    ((n2 - pmod(n2, d2)) / d2).cast("long")
-  }
+  /** Round-half-up integer division ([[graft.functions.IntMath]] —
+    * the shared exact implementation). */
+  private def halfUpDiv(num: Column, den: Column): Column =
+    graft.functions.IntMath.halfUpDiv(num, den)
 
   /** Driver-side twin of [[halfUpDiv]] for centroid updates. */
   private def halfUpDivL(num: Long, den: Long): Long =
@@ -339,7 +334,7 @@ object Knn {
     * iff it shares ≥1 band bucket AND clears the radius — so recall is
     * governed by the band collision curve (high for near pairs,
     * falling toward the radius boundary: p_band = p_plane⁸, the
-    * s2/MMDS banding trade-off). [[s5RadiusRecallAudit]] measures
+    * s2/MMDS banding trade-off). [[s6RadiusRecallAudit]] measures
     * exactly that, per query, s4-style. Fully DuckDB-oracle
     * hash-checked (same plan-time planes as s2). */
   def s6RadiusBucketed(spark: SparkSession, dir: String, minCos: Double = 0.30,
@@ -390,7 +385,7 @@ object Knn {
     * bucketed index surfaced. Both sides deterministic → exact
     * integers. The audit quantifies the band-collision recall curve a
     * production deployment must re-measure per index rebuild. */
-  def s5RadiusRecallAudit(spark: SparkSession, dir: String,
+  def s6RadiusRecallAudit(spark: SparkSession, dir: String,
                           minCos: Double = 0.30): DataFrame = {
     import spark.implicits._
     val exact = s5Radius(spark, dir, minCos).select($"query_id", $"neighbor_id")

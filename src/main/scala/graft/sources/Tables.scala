@@ -130,6 +130,10 @@ object Tables {
         rs.next()
         val (lo, hi) = (rs.getLong(1), rs.getLong(2))
         if (rs.wasNull()) None else Some((c, lo, hi))
+      } catch {
+        // a non-numeric partition column (uuid/varchar key) must take
+        // the documented single-partition fallback, not abort the read
+        case _: java.sql.SQLException => None
       } finally conn.close()
     }
     bounds match {

@@ -378,7 +378,13 @@ object EventStream {
 
     val fn: (Long, Iterator[AsofIn], GroupState[AsofState]) => Iterator[AsofOut] =
       (key, it, state) => {
-        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        // 0 is the engine's "no watermark yet" sentinel — treat it as
+        // -infinity, or pre-epoch left rows (lus < 0) would count as
+        // ripe on arrival and flush before their rights can arrive
+        val wmUs = state.getCurrentWatermarkMs() match {
+          case 0L => Long.MinValue
+          case ms => ms * 1000L
+        }
         var st = state.getOption.getOrElse(AsofState(0L, 0L, false, Nil, Nil))
         val evs = it.toArray
         val rights = st.rights ++ evs.filter(_.side == "R").map(e => (usOf(e.ts), e.id))

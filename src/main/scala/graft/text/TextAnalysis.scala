@@ -41,11 +41,8 @@ object TextAnalysis {
     * lands exactly on a 6-dp half-boundary (dyadic denominator), where
     * Spark (HALF_UP on shortest decimal repr) and DuckDB (scaled
     * binary rounding) legitimately disagree in the last digit. */
-  private def halfUpDiv(num: Column, den: Column): Column = {
-    val n2 = num * 2 + den
-    val d2 = den * 2
-    ((n2 - pmod(n2, d2)) / d2).cast("long")
-  }
+  private def halfUpDiv(num: Column, den: Column): Column =
+    graft.functions.IntMath.halfUpDiv(num, den)
 
   /** Stopword hits WITH multiplicity as a conditional aggregate over
     * exploded tokens. `isin` against ≤10 literals compiles to a
@@ -533,8 +530,13 @@ object TextAnalysis {
     val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
     val withSplit = sh.join(splits, Seq("doc_id"))
     val trainSh = withSplit.filter($"split" === "train").select($"sh").distinct()
+    // auto-sizing needs two actions over the distinct train set (count
+    // + the bloom aggregation) — persist across them so the shuffle
+    // that dominates the index build runs once, then release
+    if (expectedItems <= 0) trainSh.persist()
     val items = if (expectedItems > 0) expectedItems else math.max(trainSh.count(), 1L)
     val bf = trainSh.stat.bloomFilter("sh", items, fpp)
+    if (expectedItems <= 0) trainSh.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(bf)
     val hit = udf((s: String) => s != null && bc.value.mightContainString(s))
     withSplit.filter($"split" === "test")

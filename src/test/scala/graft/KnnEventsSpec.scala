@@ -85,7 +85,7 @@ class KnnEventsSpec extends AnyFunSuite {
       assert(exact.get(pair).contains(cos), s"$pair not in exact radius set")
     }
     // the audit's integers agree with the two result sets
-    val audit = Knn.s5RadiusRecallAudit(spark, sf).collect()
+    val audit = Knn.s6RadiusRecallAudit(spark, sf).collect()
     val exactByQ = exact.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val foundByQ = bucketed.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(audit.map(_.getAs[Long]("query_id")).toSet == exactByQ.keySet)
