@@ -112,7 +112,22 @@ object MergeConfig {
     * `persist = true` each table's src→dest id map is also published
     * durably (`output/<table>__idmap`, preparation.js:53 — the
     * reference's beehive_merge_* map tables), the 100 TB answer to
-    * per-consumer map recomputation. */
+    * per-consumer map recomputation.
+    *
+    * A `jdbc:` output writes every merged table INTO the live
+    * database instead (the reference's actual shape — it inserts
+    * straight into the destination MySQL): each table lands via
+    * [[graft.sources.Tables.JdbcSink]] batched-transactional
+    * overwrite, and the provenance registry is the
+    * `graft_merge_sources` table (named like the reference's
+    * beehive_merge_* bookkeeping tables; no underscore prefix — that
+    * convention is parquet-specific, and a leading underscore is not
+    * a portable unquoted SQL identifier). Crash semantics match the
+    * parquet path's argument rather than the reference's single-
+    * connection ROLLBACK (a distributed write has no global txn):
+    * provenance is recorded LAST, so a mid-run crash leaves the
+    * source unrecorded and the rerun's overwrites repair every
+    * partially-written table. */
   def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
     // an instance path starting with "jdbc:" is a LIVE database (the
     // reference's whole I/O surface is MySQL — connection.js:1): each
@@ -135,9 +150,20 @@ object MergeConfig {
     if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)
     else {
       import spark.implicits._
-      val registry = s"${cfg.output}/_merge_sources"
-      val processed = AtomicSnapshot.readCurrent(spark, registry)
-        .map(_.as[String].collect().toSet).getOrElse(Set.empty)
+      val jdbcOut = cfg.output.startsWith("jdbc:")
+      def publish(df: DataFrame, name: String): Unit =
+        if (jdbcOut) graft.sources.Tables.JdbcSink(cfg.output, name).save(df, "overwrite")
+        else AtomicSnapshot.publish(df, s"${cfg.output}/$name")
+      val registryName = if (jdbcOut) "graft_merge_sources" else "_merge_sources"
+      val processed =
+        if (jdbcOut)
+          // a missing registry table = first-ever merge into this DB
+          try spark.read.format("jdbc").option("url", cfg.output)
+            .option("dbtable", registryName).load()
+            .select("location").as[String].collect().toSet
+          catch { case _: Exception => Set.empty[String] }
+        else AtomicSnapshot.readCurrent(spark, s"${cfg.output}/$registryName")
+          .map(_.as[String].collect().toSet).getOrElse(Set.empty)
       if (processed(cfg.source.location))
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
       val results = Orchestrator.run(cfg.tables, src, dest, cfg.source.location)
@@ -152,7 +178,7 @@ object MergeConfig {
           case Some(u) =>
             val report = Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
               spec.idCol, u, cfg.generateNewUuids)
-            AtomicSnapshot.publish(report, s"${cfg.output}/${spec.name}__uuid_report")
+            publish(report, s"${spec.name}__uuid_report")
             import org.apache.spark.sql.functions.{coalesce, col, when}
             // unique aliases: the report's src_id would otherwise
             // collide with the lineage column src_<idCol> when
@@ -170,14 +196,14 @@ object MergeConfig {
               .drop("__uuid_src", "__uuid_final")
           case None => results(spec.name).merged
         }
-        AtomicSnapshot.publish(merged, s"${cfg.output}/${spec.name}")
+        publish(merged, spec.name)
         if (cfg.persist)
-          AtomicSnapshot.publish(results(spec.name).idMap, s"${cfg.output}/${spec.name}__idmap")
+          publish(results(spec.name).idMap, s"${spec.name}__idmap")
       }
       // record provenance LAST — a crash above leaves the source
       // unrecorded and the run safely repeatable (orchestrator.js:94)
-      AtomicSnapshot.publish(
-        (processed + cfg.source.location).toSeq.sorted.toDF("location"), registry)
+      publish(
+        (processed + cfg.source.location).toSeq.sorted.toDF("location"), registryName)
       Orchestrator.dryRun(cfg.tables, src, dest)
     }
   }

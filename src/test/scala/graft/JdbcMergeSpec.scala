@@ -139,6 +139,35 @@ class JdbcMergeSpec extends AnyFunSuite {
     assert(again.getMessage.contains("already processed"))
   }
 
+  test("jdbc output: full DB-to-DB merge writes live tables, registry guard, parquet parity") {
+    val (base, srcUrl, destUrl, srcDir, destDir) = env
+    val outUrl = s"jdbc:derby:$base/dbOut;create=true"
+    val rep = MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcUrl, destUrl, outUrl)), dryRun = false)
+    assert(rep.count() == 3)
+    val outP = s"$base/out_parity"
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, outP)), dryRun = false)
+    // Spark's JDBC writer creates tables with UNQUOTED names (Derby
+    // stores them case-insensitively), so plain names read back
+    def readOut(name: String) = spark.read.format("jdbc")
+      .option("url", outUrl).option("dbtable", name).load()
+    for (n <- names) {
+      val j = readOut(n)
+      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n").get
+      assert(j.columns.map(_.toLowerCase).toSeq == p.columns.toSeq, n)
+      assert(rows(j) == rows(p), s"live-DB merged $n diverged from the parquet transport")
+    }
+    assert(readOut("customer__uuid_report").count() > 0)
+    assert(rows(readOut("graft_merge_sources")) == Seq(Seq("instanceB")))
+    // the registry lives IN the output database and guards re-merges
+    val again = intercept[IllegalStateException] {
+      MergeConfig.execute(spark,
+        MergeConfig.fromJson(configJson(srcUrl, destUrl, outUrl)), dryRun = false)
+    }
+    assert(again.getMessage.contains("already processed"))
+  }
+
   test("JdbcSink writes merged output back to a live database, round-trip intact") {
     val (base, _, destUrl, srcDir, destDir) = env
     val out = s"$base/out_sink"

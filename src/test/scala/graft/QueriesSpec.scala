@@ -84,6 +84,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(s5.contains("BroadcastNestedLoopJoin BuildRight"), s5)
   }
 
+  test("round-5 op plan shapes: s6 equi-join on bands, e10 scan-once without cross join, s3 literal-free kernel") {
+    // s6: the bucketed radius search must plan the band EQUI-join
+    // (broadcast hash), never a nested loop over queries×corpus
+    val s6 = similarity.Knn.s6RadiusBucketed(spark, sf).queryExecution.executedPlan.toString
+    assert(!s6.contains("BroadcastNestedLoopJoin") && !s6.contains("CartesianProduct"), s6)
+    assert(s6.contains("BroadcastHashJoin"), s6)
+    // e10's rewrite: the calendar grid comes from map lookups over the
+    // aggregate — the old hours×types CrossJoin is gone entirely
+    val e10 = queries.Events.e10GapFill(spark, sf).queryExecution.executedPlan.toString
+    assert(!e10.contains("CartesianProduct") && !e10.contains("BroadcastNestedLoopJoin"), e10)
+    // s3: the assignment kernel rides the plan as ONE expression
+    // (nearest_cent_e6), not k·dim unrolled literal arithmetic
+    val s3 = similarity.Knn.s3Cluster(spark, sf).queryExecution.executedPlan.toString
+    assert(s3.contains("nearest_cent_e6"), s3.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
     val r = queries.Tpch.q26Cube(spark, sf).collect()
     val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
