@@ -858,4 +858,100 @@ object Tpch {
       |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS BIGINT) AS p90,
       |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN q END) AS BIGINT) AS p99
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** TPC-H Q2's correlated-minimum shape over the synthetic schema
+    * (no partsupp table → the observed supply cost is each supplier's
+    * minimum sale price per part, from lineitem): for small parts
+    * (p_size ≤ 5), every supplier whose per-part cost EQUALS the
+    * part's global minimum — the classic "WHERE x = (SELECT min(...)
+    * correlated)" decorrelated Spark-first: the per-(part, supplier)
+    * aggregate + a window min over the part, then an equality filter.
+    * No self-join, no subquery re-scan; the two shuffles (agg key,
+    * then part key) are the irreducible decorrelation cost. min() of
+    * doubles is a COMPARISON, not arithmetic — exact cross-engine. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.read(spark, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice").as("supply_cost"))
+    val smallParts = Tables.read(spark, dir, "part")
+      .filter($"p_size" <= 5).select($"p_partkey", $"p_brand", $"p_type")
+    val nations = Tables.read(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val suppliers = Tables.read(spark, dir, "supplier")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val best = Window.partitionBy($"p_partkey")
+    ps.join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .withColumn("min_cost", min($"supply_cost").over(best))
+      .filter($"supply_cost" === $"min_cost")
+      .join(broadcast(suppliers), $"l_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"p_brand", $"p_type", $"s_name", $"n_name",
+        round($"supply_cost".cast("double"), 2).as("supply_cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val q2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT ps.l_partkey, ps.l_suppkey, ps.supply_cost,
+      |    min(ps.supply_cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+      |  FROM ps JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_size <= 5)
+      |SELECT p.p_partkey, p.p_brand, p.p_type, s.s_name, n.n_name,
+      |  round(w.supply_cost, 2) AS supply_cost
+      |FROM w
+      |JOIN part p ON p.p_partkey = w.l_partkey
+      |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE w.supply_cost = w.min_cost
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  /** TPC-H Q11's global-share HAVING shape: within one nation's
+    * suppliers, the parts whose shipped volume exceeds a fixed
+    * fraction (1/10000) of that nation's total volume — "HAVING
+    * sum(...) > (SELECT sum(...) * fraction)". The audited nation is
+    * supplier 1's home nation (a 1-row broadcast — Q11's scalar
+    * subquery shape; a hardcoded name would be empty at small SFs).
+    * The global total is likewise a SCALAR broadcast (crossJoin of a
+    * 1-row aggregate) — never an unpartitioned window over the
+    * per-part frame, which would single-thread parts-scale data at
+    * 100 TB. Volumes are DECIMAL-exact sums; the threshold compare
+    * is value·10000 > total, all in decimal — no float drift at any
+    * scale. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supplier = Tables.read(spark, dir, "supplier")
+    val homeNation = supplier.filter($"s_suppkey" === 1)
+      .select($"s_nationkey".as("home_nk"))
+    val suppIn = supplier
+      .join(broadcast(homeNation), $"s_nationkey" === $"home_nk")
+      .select($"s_suppkey")
+    val perPart = Tables.read(spark, dir, "lineitem")
+      .join(broadcast(suppIn), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_quantity")).as("value"))
+    val total = perPart.agg(sum($"value").as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"value" * 10000 > $"total")
+      .select($"l_partkey".as("p_partkey"),
+        round($"value".cast("double"), 2).as("value"))
+      .orderBy($"value".desc, $"p_partkey")
+  }
+
+  val q11Sql: String =
+    """WITH s AS (
+      |  SELECT s_suppkey FROM supplier
+      |  WHERE s_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)),
+      |pp AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS value
+      |  FROM lineitem JOIN s ON s_suppkey = l_suppkey
+      |  GROUP BY l_partkey),
+      |t AS (SELECT sum(value) AS total FROM pp)
+      |SELECT pp.l_partkey AS p_partkey,
+      |  round(CAST(pp.value AS DOUBLE), 2) AS value
+      |FROM pp, t
+      |WHERE pp.value * 10000 > t.total
+      |ORDER BY value DESC, p_partkey""".stripMargin
 }

@@ -60,6 +60,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IntMath.halfUpDiv equals BigInteger round-half-up for any sign and magnitude") {
+    // includes numerators far past 2^53, where a double-division
+    // implementation silently drifts (the round-5 review finding)
+    val gen = Gen.zip(
+      Gen.oneOf(Gen.choose(-1000000L, 1000000L),
+        Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)),
+      Gen.oneOf(Gen.choose(1L, 1000L), Gen.choose(1L, Long.MaxValue / 8)))
+    val cases = (1L to 40L).map(s => sample(gen, s)) ++
+      Seq((3L, 2L), (-3L, 2L), (1L, 3L), ((1L << 60) + 1L, 3L), (Long.MaxValue / 4, 1L))
+    val got = cases.toDF("n", "d")
+      .select($"n", $"d", graft.functions.IntMath.halfUpDiv($"n", $"d").as("q"))
+      .collect()
+    got.foreach { r =>
+      val (n, d, q) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // the convention's mathematical definition: floor((2n+d)/(2d)) —
+      // half rounds toward +infinity, negatives floor (not truncate).
+      // Math.floorDiv is exact at any magnitude, unlike a double path.
+      assert(q == Math.floorDiv(2L * n + d, 2L * d), s"n=$n d=$d got $q")
+    }
+  }
+
+  test("NearestCentE6 argmin equals driver arithmetic for any vectors and centroids") {
+    for (s <- 1L to 5L) {
+      val dim = 16
+      val vecGen = Gen.listOfN(dim, Gen.choose(-2000000L, 2000000L)).map(_.toArray)
+      val cents = (1L to 5L).map(i => sample(vecGen, s * 100 + i)).toArray
+      val rows = (1L to 30L).map(i => Tuple1(sample(vecGen, s * 1000 + i))).toDF("el")
+      val got = rows.select($"el",
+        graft.functions.VectorFunctions.nearestCentE6($"el", cents).as("packed")).collect()
+      got.foreach { r =>
+        val el = r.getSeq[Long](0)
+        val dists = cents.map(c => el.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val best = dists.min
+        assert(r.getLong(1) == best * 16L + dists.indexOf(best), s"seed $s")
+      }
+    }
+  }
+
   test("binned range-join rewrite equals the nested loop for any data, bins, signs") {
     import graft.plans.BinnedRangeJoinRule
     val pts = Gen.listOfN(40, Gen.choose(-500L, 500L))
