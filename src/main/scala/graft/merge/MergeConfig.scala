@@ -212,19 +212,29 @@ object MergeConfig {
 /** CLI: `runMain graft.merge.MergeMain <config.json> [--dry-run]` —
   * the reference's `node orchestrator.js [--dry-run]`. */
 object MergeMain {
-  def main(args: Array[String]): Unit = {
+  /** The CLI body minus session lifecycle: parse argv, load + execute
+    * the config, print the per-table report lines. Split from main()
+    * so the integration spec can drive the EXACT argv surface on the
+    * shared test session (main would stop it). Returns the printed
+    * lines. */
+  def run(args: Array[String], spark: SparkSession): Seq[String] = {
     val dryRun = args.contains("--dry-run")
     val cfgPath = args.filterNot(_.startsWith("--")).headOption
       .getOrElse(sys.error("usage: MergeMain <config.json> [--dry-run]"))
     val cfg = MergeConfig.fromJson(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+    val report = MergeConfig.execute(spark, cfg, dryRun)
+    val lines = report.collect().map(_.mkString("\t")).toSeq
+    lines.foreach(println)
+    lines
+  }
+
+  def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${Runtime.getRuntime.availableProcessors}]"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val report = MergeConfig.execute(spark, cfg, dryRun)
-      report.collect().foreach(r => println(r.mkString("\t")))
-    } finally spark.stop()
+    try run(args, spark)
+    finally spark.stop()
   }
 }

@@ -380,11 +380,12 @@ object Knn {
        |SELECT query_id, neighbor_id, cos_sim FROM s
        |WHERE cos_sim >= 0.30 ORDER BY query_id, neighbor_id""".stripMargin
 
-  /** Recall audit for the bucketed radius path (s4's pattern applied
-    * to s6): per query, how many of the exact in-radius neighbors the
-    * bucketed index surfaced. Both sides deterministic → exact
-    * integers. The audit quantifies the band-collision recall curve a
-    * production deployment must re-measure per index rebuild. */
+  /** s7: recall audit for the bucketed radius path (s4's pattern
+    * applied to s6): per query, how many of the exact in-radius
+    * neighbors the bucketed index surfaced. Both sides deterministic
+    * → exact integers, DuckDB-oracle hash-checked end to end. The
+    * audit quantifies the band-collision recall curve a production
+    * deployment must re-measure per index rebuild. */
   def s6RadiusRecallAudit(spark: SparkSession, dir: String,
                           minCos: Double = 0.30): DataFrame = {
     import spark.implicits._
@@ -398,6 +399,19 @@ object Knn {
         halfUpDiv($"n_found" * 1000000L, $"n_exact").as("recall_e6"))
       .orderBy("query_id")
   }
+
+  /** s7 oracle: the s5 and s6 oracles composed as CTEs (the s4
+    * pattern). Positive operands, so DuckDB's truncating `//` IS
+    * floor — the halfUpDiv identity holds without the pmod spelling. */
+  val s7Sql: String =
+    s"""WITH ex AS ($s5Sql),
+       |ap AS ($s6Sql)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |  count(ap.neighbor_id) AS n_found,
+       |  CAST((2 * count(ap.neighbor_id) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** s4: ANN quality audit — recall@k of the bucketed s2 plan against
     * the exact s1 baseline, per query. An approximate index is only

@@ -168,6 +168,27 @@ class JdbcMergeSpec extends AnyFunSuite {
     assert(again.getMessage.contains("already processed"))
   }
 
+  test("MergeMain CLI argv surface drives a DB-to-DB dry run end-to-end") {
+    val (base, srcUrl, destUrl, _, _) = env
+    val cfgPath = s"$base/cli_config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      configJson(srcUrl, destUrl, s"$base/out_cli"))
+    val lines = graft.merge.MergeMain.run(Array(cfgPath, "--dry-run"), spark)
+    assert(lines.length == 3) // one rehearsal line per table
+    assert(lines.forall(_.split("\t").length >= 3))
+    // dry run wrote nothing
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/out_cli")))
+    // a bad config aborts with the reference's aggregated error list
+    val badPath = s"$base/cli_bad.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badPath),
+      """{"source": {"path": "/x"}, "tables": []}""")
+    val err = intercept[IllegalArgumentException] {
+      graft.merge.MergeMain.run(Array(badPath, "--dry-run"), spark)
+    }
+    assert(err.getMessage.contains("location not specified"))
+    assert(err.getMessage.contains("generateNewUuids"))
+  }
+
   test("JdbcSink writes merged output back to a live database, round-trip intact") {
     val (base, _, destUrl, srcDir, destDir) = env
     val out = s"$base/out_sink"
