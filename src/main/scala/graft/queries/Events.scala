@@ -458,4 +458,57 @@ object Events {
       |  CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** e12: hourly anomaly flags over the gap-filled series — e10's
+    * output IS the input, because anomaly detection needs the explicit
+    * zero rows: a silent hour is exactly the anomaly a plain groupBy
+    * can never surface. Per event type, an hour is anomalous when its
+    * count deviates from the type's mean by more than z = 2 population
+    * standard deviations.
+    *
+    * The z-test is cross-multiplied into EXACT integer arithmetic —
+    * with n = hours in the series, S = Σx, Q = Σx²:
+    *     |x − μ| > z·σ   ⇔   (n·x − S)² > z²·(n·Q − S²)
+    * — no sqrt, no doubles, no half-boundary risk anywhere. The
+    * squared terms ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    * exact for integral values below 10³⁸: the test survives hourly
+    * counts ~10⁹ over ~10⁵ hours with ~10¹⁰ headroom, where plain
+    * BIGINT squares would overflow.
+    *
+    * Shape: e10's single fact scan → hours×types aggregate; the
+    * per-type stats windows and the flag projection run entirely over
+    * that metadata-sized frame (each type's partition is its hour
+    * count — thousands of rows, never data-sized). */
+  def e12Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val byType = Window.partitionBy($"event_type")
+    val st = e10GapFill(spark, dir)
+      .select($"hour", $"event_type", $"n_events",
+        $"n_events".cast(d38).as("x"))
+      .withColumn("n", count(lit(1)).over(byType).cast(d38))
+      .withColumn("s", sum($"x").over(byType))
+      .withColumn("q", sum($"x" * $"x").over(byType))
+    st.withColumn("dev", $"n" * $"x" - $"s")
+      .select($"hour", $"event_type", $"n_events",
+        ($"dev" * $"dev" > lit(4).cast(d38) * ($"n" * $"q" - $"s" * $"s"))
+          .cast("int").as("is_anomaly"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** e12 oracle: e10's oracle composed as a CTE + the same
+    * cross-multiplied test in HUGEINT (DuckDB's BIGINT sums already
+    * promote to HUGEINT; products are exact below 2¹²⁷). */
+  val e12Sql: String =
+    s"""WITH gf AS ($e10Sql),
+       |st AS (
+       |  SELECT hour, event_type, n_events,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    sum(CAST(n_events AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+       |    sum(CAST(n_events AS HUGEINT) * n_events) OVER (PARTITION BY event_type) AS q
+       |  FROM gf)
+       |SELECT hour, event_type, n_events,
+       |  CAST(CASE WHEN (CAST(n AS HUGEINT)*n_events - s)*(CAST(n AS HUGEINT)*n_events - s)
+       |              > 4*(CAST(n AS HUGEINT)*q - s*s) THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+       |FROM st ORDER BY hour, event_type""".stripMargin
 }

@@ -144,56 +144,81 @@ object Knn {
     * Output: per-cluster size, mean vector norm ×1e6, and mean
     * distance-to-centroid ×1e6 (per-cluster inertia) — all integer-
     * exact, DuckDB-oracle hash-checked end to end. */
-  def s3Cluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame = {
+  /** The memoized ×1e6-quantized projection of the embeddings table —
+    * 1 (seed) + iters assignment scans (and s8's cell assignment)
+    * reuse one materialization. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorFunctions.{nearestCentE6, quantizeE6, sumSqI64}
-    // memoized: 1 (seed) + iters assignment scans reuse one
-    // materialization. The kernels are the loop-codegen expressions in
-    // functions.VectorExprs — k·Dim unrolled literal terms cost
-    // seconds of analysis+Janino per iteration (the BandKeysF32
-    // lesson); the reference-object loops compile once and the
-    // literal-free source lets all iterations share one generated
-    // class via the codegen cache.
-    val q = graft.operators.Indexes.memo(s"s3_quant:$dir") {
+    import graft.functions.VectorFunctions.quantizeE6
+    graft.operators.Indexes.memo(s"s3_quant:$dir") {
       Tables.read(spark, dir, "embeddings")
         .select($"vec_id", quantizeE6($"embedding").as("el"))
         .repartition(spark.sessionState.conf.numShufflePartitions)
     }
+  }
 
-    // seeds: k rows with the smallest md5(vec_id), cluster id = rank.
-    // Ordered driver collect of k ids + k quantized rows (tiny).
-    val seedIds = q.select($"vec_id")
-      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
-      .limit(k).as[Long].collect()
-    val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    var cents: Seq[(Int, Array[Long])] =
-      seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
+  /** Cell assignment against a fixed centroid set: one packed argmin
+    * kernel per row (first strict min = lowest cluster id on ties,
+    * matching the oracle's ORDER BY). Shared by s3's Lloyd's loop and
+    * s8's IVF index build. The kernels are the loop-codegen
+    * expressions in functions.VectorExprs — k·Dim unrolled literal
+    * terms cost seconds of analysis+Janino per iteration (the
+    * BandKeysF32 lesson); the reference-object loops compile once and
+    * the literal-free source lets all iterations share one generated
+    * class via the codegen cache. */
+  private def assignCells(spark: SparkSession, q: DataFrame,
+                          cs: Seq[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.nearestCentE6
+    val clusterIds = lit(cs.map(_._1).toArray)
+    q.withColumn("__packed", nearestCentE6($"el", cs.map(_._2).toArray))
+      .withColumn("dist", expr("__packed DIV 16"))
+      .withColumn("cluster",
+        element_at(clusterIds, (pmod($"__packed", lit(16)) + 1).cast("int")).cast("long"))
+      .drop("__packed")
+  }
 
-    // assignment: one packed argmin kernel per row (first strict min =
-    // lowest cluster id on ties, matching the oracle's ORDER BY)
-    def assigned(cs: Seq[(Int, Array[Long])]): DataFrame = {
-      val clusterIds = lit(cs.map(_._1).toArray)
-      q.withColumn("__packed", nearestCentE6($"el", cs.map(_._2).toArray))
-        .withColumn("dist", expr("__packed DIV 16"))
-        .withColumn("cluster",
-          element_at(clusterIds, (pmod($"__packed", lit(16)) + 1).cast("int")).cast("long"))
-        .drop("__packed")
-    }
+  /** The fixed-iteration deterministic Lloyd's loop: k tiny
+    * (cluster, quantized-centroid) rows on the driver — k×Dim longs
+    * per iteration of driver traffic, the corpus never shuffles.
+    * Cached per (dir, k, iters) so s3 and the s8 IVF index share one
+    * training run per session (an index build in production). */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Array[Long])]]
+  def lloydCentroids(spark: SparkSession, dir: String, k: Int = 8,
+                     iters: Int = 4): Seq[(Int, Array[Long])] =
+    centCache.getOrElseUpdate(s"$dir:$k:$iters", {
+      import spark.implicits._
+      val q = quantized(spark, dir)
+      // seeds: k rows with the smallest md5(vec_id), cluster id = rank.
+      // Ordered driver collect of k ids + k quantized rows (tiny).
+      val seedIds = q.select($"vec_id")
+        .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+        .limit(k).as[Long].collect()
+      val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      var cents: Seq[(Int, Array[Long])] =
+        seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
+      for (_ <- 1 until iters) {
+        val aggCols = count(lit(1)).as("n") +:
+          (0 until Dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
+        val rows = assignCells(spark, q, cents).groupBy($"cluster")
+          .agg(aggCols.head, aggCols.tail: _*).collect()
+        cents = rows.map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0).toInt,
+            (0 until Dim).map(i => halfUpDivL(r.getLong(i + 2), n)).toArray)
+        }.sortBy(_._1).toSeq
+      }
+      cents
+    })
 
-    for (_ <- 1 until iters) {
-      val aggCols = count(lit(1)).as("n") +:
-        (0 until Dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
-      val rows = assigned(cents).groupBy($"cluster")
-        .agg(aggCols.head, aggCols.tail: _*).collect()
-      cents = rows.map { r =>
-        val n = r.getLong(1)
-        (r.getLong(0).toInt,
-          (0 until Dim).map(i => halfUpDivL(r.getLong(i + 2), n)).toArray)
-      }.sortBy(_._1).toSeq
-    }
-
-    assigned(cents)
+  def s3Cluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.sumSqI64
+    val q = quantized(spark, dir)
+    val cents = lloydCentroids(spark, dir, k, iters)
+    assignCells(spark, q, cents)
       .select($"cluster",
         floor(sqrt(sumSqI64($"el").cast("double"))).as("nrm_e6"),
         floor(sqrt($"dist".cast("double"))).as("dist_e6"))
@@ -209,20 +234,27 @@ object Knn {
     * QUALIFY; update = half-up integer division — DuckDB `//`
     * truncates toward zero, so floor semantics for negative sums are
     * spelled with the positive-mod identity). */
-  val s3Sql: String = {
-    val iters = 4
-    def fdiv(n: String, d: String) =
-      s"(($n) - ((($n) % ($d) + ($d)) % ($d))) // ($d)"
-    def halfUp(num: String, den: String) = fdiv(s"2*($num) + ($den)", s"2*($den)")
-    def assignCte(it: Int, withDist: Boolean) = {
-      val cols = if (withDist) "vec_id, cluster, dist" else "vec_id, cluster"
-      s"""a$it AS (
-         |  SELECT $cols FROM (
-         |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
-         |    FROM q JOIN c${it - 1} c ON c.i = q.i GROUP BY 1, 2
-         |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
-    }
-    val parts = Seq(
+  private def fdivSql(n: String, d: String) =
+    s"(($n) - ((($n) % ($d) + ($d)) % ($d))) // ($d)"
+  private def halfUpSql(num: String, den: String) =
+    fdivSql(s"2*($num) + ($den)", s"2*($den)")
+
+  /** One Lloyd's assignment step in SQL — argmin over centroid frame
+    * c{it-1} (QUALIFY rn = 1, ties to the lowest cluster id). */
+  private def lloydAssignCteSql(it: Int, withDist: Boolean): String = {
+    val cols = if (withDist) "vec_id, cluster, dist" else "vec_id, cluster"
+    s"""a$it AS (
+       |  SELECT $cols FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${it - 1} c ON c.i = q.i GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
+  }
+
+  /** The Lloyd's TRAINING CTE chain — quantized long form `q`, seeds,
+    * centroid frames c0..c{iters-1} — shared by s3Sql and the s8 IVF
+    * oracle, exactly as `lloydCentroids` is shared on the Scala side. */
+  private def lloydCteParts(iters: Int): Seq[String] =
+    Seq(
       """q AS (
         |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
         |  FROM (SELECT vec_id, unnest(embedding) AS v,
@@ -233,23 +265,25 @@ object Knn {
         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)""".stripMargin,
       """c0 AS (
         |  SELECT s.cluster, q.i, q.e AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id)""".stripMargin) ++
-      (1 to iters).flatMap { it =>
-        val a = assignCte(it, withDist = it == iters)
-        if (it < iters)
-          Seq(a,
-            s"""c$it AS (
-               |  SELECT a.cluster, q.i,
-               |    CAST(${halfUp("sum(q.e)", "count(*)")} AS BIGINT) AS c
-               |  FROM a$it a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
-        else Seq(a)
-      } ++ Seq(
+    (1 until iters).flatMap { it =>
+      Seq(lloydAssignCteSql(it, withDist = false),
+        s"""c$it AS (
+           |  SELECT a.cluster, q.i,
+           |    CAST(${halfUpSql("sum(q.e)", "count(*)")} AS BIGINT) AS c
+           |  FROM a$it a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+    }
+
+  val s3Sql: String = {
+    val iters = 4
+    val parts = lloydCteParts(iters) ++ Seq(
+      lloydAssignCteSql(iters, withDist = true),
       """nrm AS (
         |  SELECT vec_id, CAST(floor(sqrt(CAST(sum(e*e) AS DOUBLE))) AS BIGINT) AS nrm_e6
         |  FROM q GROUP BY vec_id)""".stripMargin)
     s"""WITH ${parts.mkString(",\n")}
        |SELECT a.cluster, count(*) AS n_vectors,
-       |  CAST(${halfUp("sum(n.nrm_e6)", "count(*)")} AS BIGINT) AS mean_norm_e6,
-       |  CAST(${halfUp("sum(CAST(floor(sqrt(CAST(a.dist AS DOUBLE))) AS BIGINT))", "count(*)")} AS BIGINT) AS mean_dist_e6
+       |  CAST(${halfUpSql("sum(n.nrm_e6)", "count(*)")} AS BIGINT) AS mean_norm_e6,
+       |  CAST(${halfUpSql("sum(CAST(floor(sqrt(CAST(a.dist AS DOUBLE))) AS BIGINT))", "count(*)")} AS BIGINT) AS mean_dist_e6
        |FROM a$iters a JOIN nrm n ON n.vec_id = a.vec_id
        |GROUP BY a.cluster ORDER BY a.cluster""".stripMargin
   }
@@ -441,6 +475,136 @@ object Knn {
   val s4Sql: String =
     s"""WITH ex AS ($s1Sql),
        |ap AS ($s2Sql)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** s8: IVF top-k ANN with a K-MEANS coarse quantizer — the
+    * IVF-Flat shape of the billion-scale ANN literature
+    * (Johnson/Douze/Jégou, IEEE Big Data '19): s3's deterministic
+    * Lloyd's centroids partition the corpus into kc cells ONCE (one
+    * codegen'd argmin scan; in production the cell id is persisted
+    * and the table bucketed by it at index-build time), each query
+    * probes its nprobe nearest cells, and candidates re-rank under
+    * the exact cosine. Next to s2's data-OBLIVIOUS hyperplanes this
+    * is the data-ADAPTIVE index: cells follow the corpus density, so
+    * the scanned fraction (≈ nprobe/kc on balanced cells) buys more
+    * recall where the data actually clusters.
+    *
+    * Scale shape: the corpus is scanned once for assignment and once
+    * per search batch through a broadcast-hash join on the cell id —
+    * it NEVER shuffles; a neighbor lives in exactly one cell so
+    * candidate pairs are structurally unique (no dedup stage, unlike
+    * s2's multi-band union). Probe selection is a kc-row constant-key
+    * broadcast join + a per-query window (metadata-sized; the integer
+    * zip_with/aggregate distance is interpreted, fine at kc rows —
+    * the corpus-sized argmin stays in the codegen'd kernel).
+    * Training, assignment, probing and scoring are all integer- or
+    * IEEE-exact → fully DuckDB-oracle hash-checked. */
+  def s8IvfKm(spark: SparkSession, dir: String, k: Int = K, nprobe: Int = 2,
+              kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        quantizeE6($"embedding").as("el"))
+    val corpus = assignCells(spark, e.filter($"vec_id" >= 10), cents)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"),
+        $"cluster".as("cell"))
+    // probe selection is a pure projection: the centroids are
+    // plan-time literals, so each query's kc distances are literal
+    // column arithmetic and the nprobe smallest fall out of one
+    // array_sort (struct order = (dist, cell), the same tie-break as
+    // the oracle's ORDER BY dist, cluster). No join, no window, no
+    // exchange — and the interpreted zip_with/aggregate runs on
+    // query-set-sized rows only (the corpus-sized argmin stays in the
+    // codegen'd kernel above).
+    val cellDists = cents.map { case (c, arr) =>
+      struct(
+        aggregate(zip_with($"el", lit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("cdist"),
+        lit(c.toLong).as("cell"))
+    }
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)).as("probe"))
+      .select($"query_id", $"q", $"qn", $"probe.cell".as("cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    corpus.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s8 oracle: the shared Lloyd's training CTEs (c3 = the final
+    * centroids `lloydCentroids` returns) + corpus cell assignment,
+    * query probe selection (QUALIFY rn ≤ nprobe, same dist/cluster
+    * tie order as the Spark window) and exact-cosine re-ranking. */
+  val s8Sql: String = {
+    val iters = 4
+    s"""WITH ${lloydCteParts(iters).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id < 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) <= 2)),
+       |cand AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.cell),
+       |u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN u uq ON uq.vec_id = cd.query_id
+       |  JOIN u uc ON uc.vec_id = cd.neighbor_id AND uc.i = uq.i
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s9: recall@k audit of the IVF-k-means index against the exact
+    * s1 baseline (s4's pattern for s8) — the per-rebuild quality gate
+    * of the nprobe/kc trade-off. Both sides deterministic, so the
+    * audit is itself DuckDB-oracle hash-checked. */
+  def s8IvfRecallAudit(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val exact = s1Brute(spark, dir, k).select($"query_id", $"neighbor_id")
+    val approx = s8IvfKm(spark, dir, k)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id")
+      .agg(count($"n2").as("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .orderBy("query_id")
+  }
+
+  /** s9 oracle: s1 and s8 oracles composed as CTEs (the s4 pattern). */
+  val s9Sql: String =
+    s"""WITH ex AS ($s1Sql),
+       |ap AS ($s8Sql)
        |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
        |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
        |FROM ex LEFT JOIN ap

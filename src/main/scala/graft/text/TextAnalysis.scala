@@ -883,4 +883,60 @@ object TextAnalysis {
       |  (start_tok + n_tok - 1) // 512 AS last_win,
       |  (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_wins
       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** t18: hashed-linear quality classifier — the fasttext-shaped
+    * model-based keep-filter every modern curation pipeline runs after
+    * the rule-based scores (t2/t7/t15): score = mean weight of the
+    * doc's token OCCURRENCES under a hashed bag-of-words linear model
+    * (a trained model ships its weight table; here the weights are a
+    * deterministic md5-derived STUB — the mm-block convention: the
+    * Spark-side plumbing is the real deliverable and is exactly what
+    * a trained table would ride through).
+    *
+    * Weight lookup is pure column arithmetic on the token (DetHash →
+    * signed ×1e6 weight in [−1e6, 1e6]), so the "model" is a
+    * zero-shuffle codegen'd projection; the per-doc mean is one
+    * map-side-combined groupBy(doc_id) — explode never reshuffles
+    * (documents arrive doc_id-partitioned), and the aggregate
+    * collapses back to doc-sized rows before any exchange. Score and
+    * threshold are integer-exact (halfUpDiv, negatives included) →
+    * DuckDB hash-checked. */
+  def t18QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DetHash
+    val w = DetHash.md5Long60Col(concat(lit("qw:"), $"token")) % 2000001L - 1000000L
+    Tables.read(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .select($"doc_id", w.as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("sw"))
+      .select($"doc_id", $"n_tokens",
+        halfUpDiv($"sw", $"n_tokens").as("score_e6"),
+        (halfUpDiv($"sw", $"n_tokens") >= 0L).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** t18 oracle: same tokenization, same md5-derived weights
+    * ([[graft.functions.DetHash.sql60]]), half-up division spelled
+    * with the negative-safe floor identity (DuckDB `//` truncates
+    * toward zero; sw can be negative). */
+  val t18Sql: String = {
+    val w = s"${graft.functions.DetHash.sql60("'qw:' || token")} % 2000001 - 1000000"
+    def fdiv(n: String, d: String) =
+      s"(($n) - ((($n) % ($d) + ($d)) % ($d))) // ($d)"
+    def halfUp(num: String, den: String) = fdiv(s"2*($num) + ($den)", s"2*($den)")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum($w) AS BIGINT) AS sw
+       |  FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(${halfUp("sw", "n_tokens")} AS BIGINT) AS score_e6,
+       |  CAST(CASE WHEN ${halfUp("sw", "n_tokens")} >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
 }

@@ -313,6 +313,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == expected, s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("t18 quality classifier matches a driver-side hashed-weight recomputation") {
+    import graft.functions.DetHash
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).toSeq
+    val texts = graft.sources.Tables.read(spark, tmp, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TextAnalysis.t18QualityClassifier(spark, tmp).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val ws = toks(texts(r.getAs[Long]("doc_id")))
+        .map(t => DetHash.md5Long60(s"qw:$t") % 2000001L - 1000000L)
+      val n = ws.length.toLong
+      val score = Math.floorDiv(2L * ws.sum + n, 2L * n)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc ${r.get(0)} token count")
+      assert(r.getAs[Long]("score_e6") == score, s"doc ${r.get(0)} score")
+      assert(r.getAs[Int]("keep") == (if (score >= 0L) 1 else 0))
+    }
+    // identical texts (docs 0/1, the planted exact dups) must score
+    // identically — the classifier is content-deterministic
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e6")).toMap
+    assert(byId(0L) == byId(1L))
+  }
+
   test("d9 scores containment that jaccard misses (quote inside a long doc)") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta eta theta"

@@ -344,4 +344,65 @@ class KnnEventsSpec extends AnyFunSuite {
         s"retained > cohort at $x")
     }
   }
+
+  test("s8 ivf-km: ranked exact cosines, audit matches driver intersection, deterministic") {
+    val r8 = Knn.s8IvfKm(spark, sf).collect()
+    r8.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q overflow")
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), s"query $q not ranked")
+    }
+    // the re-rank is EXACT: any (query, neighbor) pair s8 shares with
+    // the exact s1 top-k must carry the identical cosine
+    val exactRows = Knn.s1Brute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    r8.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactRows.get(k).foreach(c => assert(c == r.getAs[Double]("cos_sim"), s"$k cosine"))
+    }
+    // s9 audit equals a driver-side set intersection (the s4 pattern)
+    val approx = r8.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = exactRows.keySet.intersect(approx)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val audit = Knn.s8IvfRecallAudit(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("query_id")).toSeq == (0L to 9L))
+    audit.foreach { x =>
+      val q = x.getAs[Long]("query_id")
+      assert(x.getAs[Long]("n_hits") == hits.getOrElse(q, 0L), s"query $q hit count")
+      assert(x.getAs[Long]("recall_e6") == x.getAs[Long]("n_hits") * 200000L)
+    }
+    // deterministic across invocations (plan-time centroids, no RNG)
+    val r8b = Knn.s8IvfKm(spark, sf).collect()
+    assert(r8.map(_.toString).toSeq == r8b.map(_.toString).toSeq)
+  }
+
+  test("s8 plan: codegen'd argmin kernel, hash joins only — the corpus never nested-loops") {
+    val plan = Knn.s8IvfKm(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.contains("nearest_cent_e6"), "cell assignment must ride the loop-codegen kernel")
+    assert(plan.contains("BroadcastHashJoin"), "probe/cell joins must be broadcast hash joins")
+  }
+
+  test("e12 anomaly flags match a driver-side BigInt recomputation over the gap-filled series") {
+    val series = Events.e10GapFill(spark, sf).collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events")))
+    val byType = series.groupBy(_._2)
+    val expected = series.map { case (h, t, x) =>
+      val xs = byType(t).map(_._3)
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(v => BigInt(v) * v).sum
+      val dev = n * x - s
+      ((h, t), if (dev * dev > 4 * (n * q - s * s)) 1 else 0)
+    }.toMap
+    val got = Events.e12Anomaly(spark, sf).collect()
+    assert(got.length == series.length, "e12 must keep the full gap-filled grid")
+    got.foreach { r =>
+      val k = (r.getAs[String]("hour"), r.getAs[String]("event_type"))
+      assert(r.getAs[Int]("is_anomaly") == expected(k), s"flag mismatch at $k")
+    }
+  }
 }
