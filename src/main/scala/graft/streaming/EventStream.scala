@@ -226,74 +226,157 @@ object EventStream {
     * of zeros before the frontier jumps to the next data hour. Either
     * way a gap longer than the cap is NOT back-filled, and no single
     * invocation can flood the output. */
+  private val HourUs = 3600L * 1000000L
+
+  /** One shared gap-fill micro-batch step — ingest this batch's events
+    * into the per-type hour buckets, then flush every hour the
+    * watermark has completed, zero-filling holes. Returns the emitted
+    * (hour_us, n, sumE4) rows in hour order plus the next state (None
+    * = series ended, remove state). Factored out of [[gapFillStream]]
+    * so the running-stats anomaly twin ([[anomalyStream]]) can NEVER
+    * drift from its gap semantics.
+    *
+    * Ingest: the frontier initializes from the batch MINIMUM
+    * (iterator order is arbitrary — seeding it from the first-seen
+    * event would silently drop same-batch events in earlier hours).
+    * Once initialized, rows below the frontier normally exist only
+    * for already-emitted hours, which the engine's watermark filter
+    * drops before they reach us. The one exception is a capped-gap
+    * frontier JUMP (below): the jump target is the next hour with
+    * data, which can sit ahead of the watermark, and until the
+    * watermark catches up a genuinely non-late event in an hour
+    * between the two is dropped HERE rather than by the lateness
+    * filter. That window is at most the watermark delay and sits
+    * inside a gap the cap has already declared not-back-fillable, so
+    * the drop is accepted (documented no-back-fill policy).
+    *
+    * Flush: every zero RUN is capped at maxSilentHours, and the cap
+    * must live inside the loop (a single watermark jump flushes the
+    * whole backlog in one pass; a post-loop check would run after the
+    * flood). A capped run with NO future data drops the state (series
+    * ended; resumes fresh). A capped run WITH future data — one
+    * bad-clock event would otherwise force zero-fill all the way to
+    * it — jumps the frontier to the next hour that has data; the
+    * remainder of that gap is deliberately not back-filled. */
+  private def gapFillStep(evs: Array[GEv], st0: GapState, wmUs: Long,
+                          maxSilentHours: Int): (List[(Long, Long, Long)], Option[GapState]) = {
+    var st = st0
+    if (st.nextHourUs < 0 && evs.nonEmpty)
+      st = st.copy(nextHourUs = evs.map(e => usOf(e.ts) / HourUs * HourUs).min)
+    evs.foreach { e =>
+      val h = usOf(e.ts) / HourUs * HourUs
+      if (h >= st.nextHourUs) {
+        val (n, s) = st.pending.getOrElse(h, (0L, 0L))
+        st = st.copy(pending = st.pending.updated(h, (n + 1, s + e4Of(e.value))))
+      }
+    }
+    val out = List.newBuilder[(Long, Long, Long)]
+    var capped = false
+    while (!capped && st.nextHourUs >= 0 && st.nextHourUs + HourUs <= wmUs) {
+      val h = st.nextHourUs
+      val (n, sumE4) = st.pending.getOrElse(h, (0L, 0L))
+      val silent = if (n == 0) st.silent + 1 else 0
+      if (silent > maxSilentHours) {
+        if (st.pending.isEmpty) capped = true
+        else st = GapState(st.pending, st.pending.keys.min, 0)
+      } else {
+        out += ((h, n, sumE4))
+        st = GapState(st.pending - h, h + HourUs, silent)
+      }
+    }
+    (out.result(), if (capped) None else Some(st))
+  }
+
   def gapFillStream(events: Dataset[GEv], watermark: String = "1 minute",
                     maxSilentHours: Int = 48): Dataset[GapOut] = {
     import events.sparkSession.implicits._
-    val HourUs = 3600L * 1000000L
 
     val fn: (String, Iterator[GEv], GroupState[GapState]) => Iterator[GapOut] =
       (eventType, it, state) => {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
-        var st = state.getOption.getOrElse(GapState(Map.empty, -1L, 0))
-        // materialize first: the frontier initializes from the batch
-        // MINIMUM (iterator order is arbitrary — seeding it from the
-        // first-seen event would silently drop same-batch events in
-        // earlier hours). Once initialized, rows below the frontier
-        // normally exist only for already-emitted hours, which the
-        // engine's watermark filter drops before they reach us. The
-        // one exception is a capped-gap frontier JUMP (below): the
-        // jump target is the next hour with data, which can sit ahead
-        // of the watermark, and until the watermark catches up a
-        // genuinely non-late event in an hour between the two is
-        // dropped HERE rather than by the lateness filter. That
-        // window is at most the watermark delay and sits inside a
-        // gap the cap has already declared not-back-fillable, so the
-        // drop is accepted (documented no-back-fill policy).
-        val evs = it.toArray
-        if (st.nextHourUs < 0 && evs.nonEmpty)
-          st = st.copy(nextHourUs = evs.map(e => usOf(e.ts) / HourUs * HourUs).min)
-        evs.foreach { e =>
-          val h = usOf(e.ts) / HourUs * HourUs
-          if (h >= st.nextHourUs) {
-            val (n, s) = st.pending.getOrElse(h, (0L, 0L))
-            st = st.copy(pending = st.pending.updated(h, (n + 1, s + e4Of(e.value))))
-          }
+        val st0 = state.getOption.getOrElse(GapState(Map.empty, -1L, 0))
+        val (hours, next) = gapFillStep(it.toArray, st0, wmUs, maxSilentHours)
+        next match {
+          case None => state.remove()
+          case Some(st) =>
+            state.update(st)
+            // fire when the next open hour completes (guaranteed past
+            // the current watermark by the flush loop's exit condition)
+            if (st.nextHourUs >= 0)
+              state.setTimeoutTimestamp((st.nextHourUs + HourUs) / 1000L)
         }
-        val out = List.newBuilder[GapOut]
-        // flush every hour the watermark has fully passed, zero-filling
-        // holes — but every zero RUN is capped at maxSilentHours, and
-        // the cap must live inside this loop (a single watermark jump
-        // flushes the whole backlog in one pass; a post-loop check
-        // would run after the flood). A capped run with NO future data
-        // drops the state (series ended; resumes fresh). A capped run
-        // WITH future data — one bad-clock event would otherwise force
-        // zero-fill all the way to it — jumps the frontier to the next
-        // hour that has data; the remainder of that gap is deliberately
-        // not back-filled.
-        var capped = false
-        while (!capped && st.nextHourUs >= 0 && st.nextHourUs + HourUs <= wmUs) {
-          val h = st.nextHourUs
-          val (n, sumE4) = st.pending.getOrElse(h, (0L, 0L))
-          val silent = if (n == 0) st.silent + 1 else 0
-          if (silent > maxSilentHours) {
-            if (st.pending.isEmpty) capped = true
-            else st = GapState(st.pending, st.pending.keys.min, 0)
-          } else {
-            out += GapOut(eventType, h, n,
-              java.math.BigDecimal.valueOf(sumE4, 4).doubleValue)
-            st = GapState(st.pending - h, h + HourUs, silent)
-          }
+        hours.iterator.map { case (h, n, sumE4) =>
+          GapOut(eventType, h, n, java.math.BigDecimal.valueOf(sumE4, 4).doubleValue)
         }
-        if (capped) {
-          state.remove()
-        } else {
-          state.update(st)
-          // fire when the next open hour completes (guaranteed past the
-          // current watermark by the flush loop's exit condition)
-          if (st.nextHourUs >= 0)
-            state.setTimeoutTimestamp((st.nextHourUs + HourUs) / 1000L)
+      }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Flagged hour emitted by [[anomalyStream]]: the gap-filled count
+    * plus the prefix-stats anomaly verdict (n_prior = hours the stats
+    * were computed over). */
+  case class AnomOut(event_type: String, hour_us: Long, n_events: Long,
+                     n_prior: Long, is_anomaly: Boolean)
+
+  /** Per-type anomaly state: the gap-fill buckets + exact running
+    * prefix stats over every emitted hour. `q` (Σx²) is carried as a
+    * decimal string — an unbounded exact integer that still encodes
+    * as flat state (Σx² overflows a long once hourly counts reach
+    * ~3×10⁹ over enough hours; the audit must not silently wrap
+    * there). `s` (Σx) stays a long: it is the type's total event
+    * count, which a long fits by definition. */
+  case class AnomState(gap: GapState, n: Long, s: Long, q: String)
+
+  /** Streaming twin of e12: ONLINE hourly anomaly detection over the
+    * gap-filled series. Each completed hour (including the explicit
+    * zero hours — a silent hour IS the anomaly a plain streaming
+    * groupBy(window) can never emit) is tested against the running
+    * statistics of all PREVIOUSLY emitted hours of its type:
+    *     (n·x − S)² > 4·(n·Q − S²)      (z = 2, population σ)
+    * in exact BigInt arithmetic — the same cross-multiplied integer
+    * z-test as batch e12, with one deliberate semantic difference:
+    * e12 is the retrospective audit (global stats over the whole
+    * series), this is the real-time detector (prefix stats — a
+    * streaming operator cannot see the future). Hours with fewer than
+    * 2 prior hours are never flagged (no variance to test against).
+    *
+    * Gap semantics are BY CONSTRUCTION identical to gapFillStream's
+    * (shared [[gapFillStep]]); when a capped silence drops the series
+    * the stats reset with it — detection resumes fresh, exactly like
+    * the fill. One stateful operator, not a chain: Structured
+    * Streaming does not support stacking flatMapGroupsWithState, so
+    * the fill and the stats advance in the same state update. */
+  def anomalyStream(events: Dataset[GEv], watermark: String = "1 minute",
+                    maxSilentHours: Int = 48): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+
+    val fn: (String, Iterator[GEv], GroupState[AnomState]) => Iterator[AnomOut] =
+      (eventType, it, state) => {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val st0 = state.getOption.getOrElse(
+          AnomState(GapState(Map.empty, -1L, 0), 0L, 0L, "0"))
+        val (hours, gapNext) = gapFillStep(it.toArray, st0.gap, wmUs, maxSilentHours)
+        var n = st0.n
+        var s = BigInt(st0.s)
+        var q = BigInt(st0.q)
+        val out = hours.map { case (h, x, _) =>
+          val dev = BigInt(n) * x - s
+          val flag = n >= 2 && dev * dev > 4 * (BigInt(n) * q - s * s)
+          val res = AnomOut(eventType, h, x, n, flag)
+          n += 1; s += x; q += BigInt(x) * x
+          res
         }
-        out.result().iterator
+        gapNext match {
+          case None => state.remove() // series ended — stats reset with it
+          case Some(g) =>
+            state.update(AnomState(g, n, s.toLong, q.toString))
+            if (g.nextHourUs >= 0)
+              state.setTimeoutTimestamp((g.nextHourUs + HourUs) / 1000L)
+        }
+        out.iterator
       }
 
     events.withWatermark("ts", watermark)

@@ -434,6 +434,51 @@ class StreamingSpec extends AnyFunSuite {
         s"silence was back-filled: $hours")
     } finally q.stop()
   }
+
+  test("anomaly stream flags exactly the prefix-stats z-test over the gap-filled series") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def hourUs(k: Long) = (base + k * 3600000L) * 1000L
+    val input = MemoryStream[GEv]
+    val q = EventStream.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    try {
+      // hour counts per type "e": h0=2, h1=0 (hole), h2=1, h3=30 (spike)
+      input.addData(Seq(GEv("e", ts(5), 1.0), GEv("e", ts(20), 1.0),
+        GEv("e", ts(125), 1.0)) ++
+        (0 until 30).map(i => GEv("e", ts(185 + (i % 10)), 1.0)): _*)
+      q.processAllAvailable()
+      // advancer batches on a different key push the watermark past h3
+      input.addData(GEv("adv", ts(605), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(615), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom_stream").filter($"event_type" === "e").collect()
+        .map(r => (r.getAs[Long]("hour_us"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_prior"), r.getAs[Boolean]("is_anomaly"))).sortBy(_._1)
+      // driver-side prefix recomputation (the operator's contract);
+      // the advancer watermark (min 614) also flushes the trailing
+      // zero hours 4..9 — post-spike silence must NOT flag (the spike
+      // inflates the prefix variance enough to cover zeros)
+      val series = Seq(2L, 0L, 1L, 30L, 0L, 0L, 0L, 0L, 0L, 0L)
+      val expected = series.zipWithIndex.map { case (x, i) =>
+        val prior = series.take(i)
+        val n = BigInt(prior.length); val s = prior.map(BigInt(_)).sum
+        val qq = prior.map(v => BigInt(v) * v).sum
+        val dev = n * x - s
+        (hourUs(i), x, prior.length.toLong,
+          prior.length >= 2 && dev * dev > 4 * (n * qq - s * s))
+      }
+      assert(got.toSeq == expected, s"got ${got.toSeq}")
+      // the constructed spike IS flagged, and nothing before it is
+      // (warm-up hours have < 2 priors; the hole and the 1-count hour
+      // sit inside 2σ of their prefixes)
+      assert(got.count(_._4) == 1 && got(3)._4,
+        "exactly the planted spike must flag")
+    } finally q.stop()
+  }
 }
 
 /** Input row for the as-of join tests (top-level for a stable
