@@ -50,6 +50,10 @@ object Bench {
         graft.dedup.Dedup.d2Pairs(spark, sfDir).count()
         graft.dedup.Dedup.shingleSets(spark, sfDir).count()
         graft.dedup.Dedup.d7Clusters(spark, sfDir).count()
+        // k-means training (quantized memo + centroid cache) is shared
+        // by s3 (reports it), s8 and s9 — warm it here so all three
+        // report marginal cost
+        graft.similarity.Knn.lloydCentroids(spark, sfDir)
         false
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true
