@@ -954,4 +954,45 @@ object Tpch {
       |FROM pp, t
       |WHERE pp.value * 10000 > t.total
       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** q27: TPC-H Q22's pattern — the last of the classic query shapes
+    * (scalar-subquery threshold + NOT EXISTS anti-join + rollup):
+    * customers richer than the positive-balance average with no
+    * URGENT-priority order, per nation (Q22's "no orders" has no
+    * support in this testdata — every customer orders — so the
+    * exclusion keys on the priority slice; the plan shape is
+    * identical). The threshold is a 1-row scalar broadcast (q11's
+    * shape) and the comparison is CROSS-MULTIPLIED into exact decimal
+    * arithmetic (q17/q24's convention: avg = S/n as a double would
+    * put the boundary on an engine-dependent division; bal·n > S is
+    * exact on both engines). The anti-join shuffles on the customer
+    * key — Q22's own scale shape; the orders side is a key-only
+    * pruned scan with the priority filter pushed down. */
+  def q27NoOrderRich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.read(spark, dir, "customer")
+    val thr = cust.filter($"c_acctbal" > 0.0)
+      .agg(sum(dec($"c_acctbal")).as("s"), count(lit(1)).as("cnt"))
+    val urgent = Tables.read(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(dec($"c_acctbal") * $"cnt" > $"s")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec($"c_acctbal")).cast("double"), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val q27Sql: String =
+    """WITH t AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, count(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+      |FROM customer, t
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 }

@@ -100,6 +100,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(s3.contains("nearest_cent_e6"), s3.linesIterator.take(8).mkString("\n"))
   }
 
+  test("round-5b op plan shapes: t18 zero-join single-shuffle, e12 single events scan, q27 anti-join") {
+    // t18: the "model" is a pure projection — no join anywhere in the
+    // plan; the only exchange is the per-doc aggregate's
+    val t18 = text.TextAnalysis.t18QualityClassifier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!t18.contains("Join"), t18.linesIterator.take(6).mkString("\n"))
+    // e12 inherits e10's single-scan shape: the stats windows consume
+    // the hours×types aggregate, never a second scan of events
+    val scans = queries.Events.e12Anomaly(spark, sf).queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.exists(_.contains("events")) => r }
+      .length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans")
+    // q27: the no-orders exclusion must plan as a real anti-join, and
+    // the scalar threshold must not force a nested loop over customer
+    // (the only BNLJ is the deliberate 1-row threshold broadcast)
+    val q27 = queries.Tpch.q27NoOrderRich(spark, sf).queryExecution.executedPlan.toString
+    assert(q27.contains("LeftAnti"), q27.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
     val r = queries.Tpch.q26Cube(spark, sf).collect()
     val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
