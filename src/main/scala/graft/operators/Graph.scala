@@ -63,10 +63,25 @@ object Graph {
     require(changed == 0,
       s"connectedComponents($cacheKey) did not converge in $maxIters rounds " +
         "(component diameter too large)")
+    // The converged frame's LOGICAL plan still nests every round's
+    // generation (each InMemoryRelation embeds its child plan, which
+    // embeds the previous round's, …): execution hits the cache, but
+    // every downstream consumer pays O(rounds-deep tree) in plan
+    // canonicalization / cache lookup — measured at seconds per query
+    // for t9/d8 on a result of a few thousand rows. The artifact is
+    // FINAL here, so cut the lineage: localCheckpoint materializes the
+    // rows and replaces the plan with a flat LogicalRDD (the
+    // session-scope analogue of the production pattern — write the
+    // cluster map to storage once, read it back shallow; on a real
+    // cluster use a reliable checkpoint dir, since localCheckpoint
+    // blocks don't survive executor loss). Round-state cache entries
+    // are released right after: the checkpoint holds the data now.
+    val converged = labels.localCheckpoint(true)
+    Indexes.drop(s"$cacheKey:labels")
     val idCol = nodes.columns.head
     val singletons = nodes.select(col(idCol).as("id"))
       .join(edges.select($"a".as("id")).distinct(), Seq("id"), "left_anti")
       .select($"id", $"id".as("label"))
-    labels.unionAll(singletons)
+    converged.unionAll(singletons)
   }
 }

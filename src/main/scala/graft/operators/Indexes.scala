@@ -67,6 +67,12 @@ object Indexes {
   def memo(key: String)(compute: => DataFrame): DataFrame =
     live.getOrElse(key, swap(key, compute))
 
+  /** Release one registered index (no-op if absent) — for artifacts
+    * superseded mid-pipeline, e.g. CC round state once the converged
+    * result is checkpointed. */
+  def drop(key: String): Unit =
+    live.remove(key).foreach(_.unpersist(blocking = false))
+
   /** Release every registered index (end-of-pipeline cleanup). */
   def clear(): Unit = {
     live.values.foreach(_.unpersist(blocking = false))
