@@ -939,4 +939,113 @@ object TextAnalysis {
        |  CAST(CASE WHEN ${halfUp("sw", "n_tokens")} >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
        |FROM a ORDER BY doc_id""".stripMargin
   }
+
+  /** t19: cross-document repeated-passage detection — the ExactSubstr
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") at k-token granularity: a k-gram (k=5)
+    * occurring in ≥2 DISTINCT documents marks a shared passage, and
+    * overlapping/contiguous hits merge into maximal spans
+    * (gaps-and-islands over token positions). t16 scores WITHIN-doc
+    * repetition; this finds the cross-doc boilerplate/quotation spans
+    * an ExactSubstr pass would strip before training. Per doc: span
+    * count, covered tokens, longest span, coverage ratio (×1e6,
+    * integer-exact).
+    *
+    * Scale shape: positioned k-grams are one posexplode + one
+    * doc-partitioned window (documents arrive doc_id-partitioned, so
+    * the lead() window reuses that exchange); the gram is immediately
+    * crushed to a 60-bit md5 hash so the only fact-sized shuffle — the
+    * (hash, doc) document-frequency agg — moves narrow longs, never
+    * strings. The two-level DF agg avoids a count-DISTINCT Expand
+    * (t16/t17's shape). Hits join the (tiny) duplicated-hash set —
+    * AQE broadcasts it when it fits — and the island merge windows
+    * run per-doc, shuffle-partitioned on doc_id. */
+  def t19PassageDedup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
+    val docs = Tables.read(spark, dir, "documents")
+    val toks = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", posexplode(tokens($"text"))).toDF("doc_id", "pos", "tok")
+    val gramCols = (0 until k).map(i => if (i == 0) $"tok" else lead($"tok", i).over(w))
+    val grams = toks
+      .select($"doc_id", $"pos",
+        concat_ws(" ", gramCols: _*).as("gram"),
+        lead($"tok", k - 1).over(w).isNotNull.as("ok"))
+      .filter($"ok")
+      .select($"doc_id", $"pos",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+    val dup = grams.groupBy($"h", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"h").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2).select($"h")
+    val hits = grams.join(dup, Seq("h")).select($"doc_id", $"pos")
+    // islands: a hit at q extends the previous span (last gram start p
+    // covers [p, p+k-1]) iff q <= p + k (overlap or contiguous tokens)
+    val prev = lag($"pos", 1).over(w)
+    val islands = hits
+      .withColumn("brk", when(prev.isNull || $"pos" > prev + k, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(w))
+    val perDoc = islands.groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("s"), (max($"pos") + (k - 1)).as("e"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum($"e" - $"s" + 1).as("dup_tokens"),
+        max($"e" - $"s" + 1).as("max_span_len"))
+    docs.select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"max_span_len", lit(0L)).as("max_span_len"),
+        halfUpDiv(coalesce($"dup_tokens", lit(0L)) * 1000000L,
+          greatest($"n_tokens", lit(1L))).as("dup_frac_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** t19 oracle: the proven tok CTE (d2's), positioned 5-grams via
+    * list_transform over a struct (pos is i−1: DuckDB arrays are
+    * 1-indexed, Spark posexplode 0-indexed), same 60-bit md5 crush,
+    * same island windowing. */
+  val t19Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |    i -> {'pos': i - 1,
+      |          'gram': concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])})) AS s
+      |  FROM tok WHERE len(t) >= 5),
+      |g AS (
+      |  SELECT doc_id, s.pos AS pos,
+      |    CAST(('0x' || substr(md5(s.gram), 1, 15)) AS BIGINT) AS h
+      |  FROM g0),
+      |dupg AS (
+      |  SELECT h FROM (SELECT h, doc_id FROM g GROUP BY h, doc_id)
+      |  GROUP BY h HAVING count(*) >= 2),
+      |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (h)),
+      |i1 AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM i1),
+      |sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+      |  FROM i2 GROUP BY doc_id, island),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS dup_tokens,
+      |    max(e - s + 1) AS max_span_len
+      |  FROM sp GROUP BY doc_id),
+      |nt AS (SELECT doc_id, len(t) AS n_tokens FROM tok)
+      |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(coalesce(p.max_span_len, 0) AS BIGINT) AS max_span_len,
+      |  CAST((2 * coalesce(p.dup_tokens, 0) * 1000000 + greatest(n.n_tokens, 1))
+      |       // (2 * greatest(n.n_tokens, 1)) AS BIGINT) AS dup_frac_e6
+      |FROM nt n LEFT JOIN pd p USING (doc_id) ORDER BY n.doc_id""".stripMargin
 }

@@ -455,4 +455,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.values.exists(_._3 > 0L), "no common shingles found at all — threshold dead")
   }
+
+  test("t19 passage dedup: planted shared passages merge to maximal spans") {
+    val r = TextAnalysis.t19PassageDedup(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 0/1 are identical 18-token texts: one wall-to-wall span
+    assert(r(0L).getAs[Long]("n_tokens") == 18L)
+    assert(r(0L).getAs[Long]("n_dup_spans") == 1L)
+    assert(r(0L).getAs[Long]("max_span_len") == 18L)
+    assert(r(0L).getAs[Long]("dup_frac_e6") == 1000000L)
+    // doc 3 shares no 5-gram with anyone
+    assert(r(3L).getAs[Long]("n_dup_spans") == 0L && r(3L).getAs[Long]("dup_frac_e6") == 0L)
+    // doc 4 is shorter than one gram — no grams, zero coverage
+    assert(r(4L).getAs[Long]("n_tokens") == 2L && r(4L).getAs[Long]("dup_tokens") == 0L)
+    // doc 5 differs from the base at token 1 ("slow") but shares its
+    // tail with doc 2 ("today"): hits at gram starts 2..13 merge to
+    // ONE island covering tokens [2,17] = 16 of 18
+    assert(r(5L).getAs[Long]("n_dup_spans") == 1L && r(5L).getAs[Long]("dup_tokens") == 16L)
+  }
 }
