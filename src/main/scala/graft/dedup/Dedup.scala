@@ -795,4 +795,61 @@ object Dedup {
        |SELECT vec_id, rep_id,
        |  CAST(CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
        |FROM cc ORDER BY vec_id""".stripMargin
+
+  /** d12: KMV distinct-count sketch audit — per source, the
+    * bottom-k=64 sketch estimate of distinct document fingerprints
+    * next to the exact count and the signed error. The sketch side is
+    * [[graft.functions.KmvMinsAgg]], a native bounded-state aggregate:
+    * each partition keeps ≤ 64 longs per source, so the sketch's only
+    * shuffle moves (sources × 64) longs off a 100 TB scan — the
+    * mergeable-synopsis shape every distinct-cardinality dashboard
+    * needs (HLL's role, but deterministic via [[DetHash]], so the
+    * oracle reproduces it bit-for-bit — approx_count_distinct's HLL++
+    * never hash-checks). Estimator (Beyer et al. 2007, unbiased
+    * bottom-k): exact size below k, else (k−1)·2⁶⁰/kth-min; the
+    * arithmetic is three correctly-rounded IEEE double ops with
+    * identical inputs in both engines (the sqrt convention), floored
+    * to a BIGINT. The exact side is the usual two-level agg (no
+    * count-DISTINCT Expand) and exists only as the audit's yardstick.
+    */
+  def d12KmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{DetHash, SketchFunctions}
+    val h = DetHash.md5Long60Col(normalize($"text"))
+    val docs = Tables.read(spark, dir, "documents").select($"source", h.as("h"))
+    val sketch = docs.groupBy($"source")
+      .agg(SketchFunctions.kmvMins($"h", k).as("mins"))
+    val exact = docs.groupBy($"source", $"h").agg(count(lit(1)).as("n"))
+      .groupBy($"source").agg(count(lit(1)).as("n_exact"))
+    val kth = get($"mins", lit(k - 1))
+    val est = when(size($"mins") < k, size($"mins").cast("long"))
+      .otherwise(floor(lit(k - 1).cast("double") * pow(lit(2.0), lit(60)) /
+        kth.cast("double")).cast("long"))
+    sketch.join(exact, Seq("source"))
+      .select($"source", $"n_exact",
+        coalesce(kth, lit(-1L)).as("kmv_kth"),
+        est.as("kmv_est"),
+        (est - $"n_exact").as("err"))
+      .orderBy("source")
+  }
+
+  val d12Sql: String = {
+    val h = graft.functions.DetHash.sql60(
+      "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")
+    """WITH h AS (SELECT source, HEXPR AS h FROM documents),
+      |d AS (SELECT DISTINCT source, h FROM h),
+      |r AS (SELECT source, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+      |a AS (SELECT source, count(*) AS n_exact,
+      |  max(CASE WHEN rn = 64 THEN h END) AS kth FROM r GROUP BY source)
+      |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(coalesce(kth, -1) AS BIGINT) AS kmv_kth,
+      |  CAST(CASE WHEN kth IS NULL THEN n_exact
+      |       ELSE floor(CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(kth AS DOUBLE))
+      |       END AS BIGINT) AS kmv_est,
+      |  CAST(CASE WHEN kth IS NULL THEN 0
+      |       ELSE floor(CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(kth AS DOUBLE)) - n_exact
+      |       END AS BIGINT) AS err
+      |FROM a ORDER BY source""".stripMargin.replace("HEXPR", h)
+  }
 }

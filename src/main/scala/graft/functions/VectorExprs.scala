@@ -428,5 +428,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, s"norm_f32 takes 1 argument, got ${children.length}")
         NormF32(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_mins"),
+      new ExpressionInfo(classOf[KmvMinsAgg].getName, "kmv_mins"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"kmv_mins takes 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_mins k must be an integer literal, got $other")
+        }
+        KmvMinsAgg(children.head, k)
+      }))
   }
 }

@@ -473,4 +473,35 @@ class DedupTextSpec extends AnyFunSuite {
     // ONE island covering tokens [2,17] = 16 of 18
     assert(r(5L).getAs[Long]("n_dup_spans") == 1L && r(5L).getAs[Long]("dup_tokens") == 16L)
   }
+
+  test("kmv_mins aggregate: k smallest DISTINCT values survive partial merges") {
+    import graft.functions.SketchFunctions
+    // 1000 values with duplicates, spread over 8 partitions so the
+    // map-side partial + merge path genuinely runs
+    val vals = (1 to 500).flatMap(i => Seq(i.toLong * 7, i.toLong * 7)) // dups of 7,14,...,3500
+    val df = vals.toDF("h").repartition(8)
+      .agg(SketchFunctions.kmvMins($"h", 10).as("mins"))
+    val row0 = df.collect().head
+    val mins = row0.getSeq[Long](row0.fieldIndex("mins")).toList
+    assert(mins == (1 to 10).map(_.toLong * 7).toList, s"got $mins")
+    // below k the sketch is exact: 4 distinct values -> size-4 array
+    val row1 = Seq(5L, 5L, 9L, 1L, 7L).toDF("h")
+      .agg(SketchFunctions.kmvMins($"h", 10).as("mins"))
+      .collect().head
+    val small = row1.getSeq[Long](row1.fieldIndex("mins")).toList
+    assert(small == List(1L, 5L, 7L, 9L))
+  }
+
+  test("d12 kmv distinct: exact below k, s0's two identical docs count once") {
+    val r = Dedup.d12KmvDistinct(spark, tmp).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // docs 0 and 1 share source s0 and identical normalized text
+    assert(r("s0").getAs[Long]("n_exact") == 1L)
+    // every source here is far below k=64: estimate must be EXACT
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("kmv_est") == row.getAs[Long]("n_exact"))
+      assert(row.getAs[Long]("err") == 0L)
+      assert(row.getAs[Long]("kmv_kth") == -1L)
+    }
+  }
 }
