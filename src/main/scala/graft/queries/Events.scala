@@ -511,4 +511,78 @@ object Events {
        |  CAST(CASE WHEN (CAST(n AS HUGEINT)*n_events - s)*(CAST(n AS HUGEINT)*n_events - s)
        |              > 4*(CAST(n AS HUGEINT)*q - s*s) THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
        |FROM st ORDER BY hour, event_type""".stripMargin
+
+  /** e13: count–min-sketch heavy hitters (Cormode & Muthukrishnan,
+    * "An improved data stream summary: the count-min sketch", 2005) —
+    * the frequent-users report (count ≥ 1.15× the per-user mean) with
+    * the sketch estimate next to the exact count, auditing the
+    * one-sided error (CMS only ever OVER-estimates; `overcount`
+    * quantifies by how much at this d×w).
+    *
+    * The sketch is d=4 hash rows × w=64 counters built relationally:
+    * the per-event explode to (i, j) rows map-side combines straight
+    * down to ≤ d·w counter rows per partition, so the only fact-sized
+    * work is the scan — the shuffle moves ≤ d·w rows per partition
+    * regardless of input size, which is precisely the CMS guarantee
+    * (fixed-size summary of an unbounded stream; the streaming twin
+    * would keep the same d×w grid in mapGroupsWithState). Hashes are
+    * [[graft.functions.DetHash]] md5-derived → the whole grid and the
+    * min-over-rows estimates reproduce bit-for-bit in DuckDB, unlike
+    * a seeded random sketch. Candidate set and threshold come from
+    * the exact side (one groupBy — the audit's yardstick, same
+    * convention as s4/d10's recall audits); estimates are min over
+    * the candidate×d lookups against the broadcast-sized grid. */
+  def e13HeavyHitters(spark: SparkSession, dir: String,
+                      w: Int = 64, d: Int = 4, meanPctE2: Long = 115L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DetHash
+    val events = Tables.read(spark, dir, "events")
+    def slot(i: Int, user: org.apache.spark.sql.Column) =
+      DetHash.md5Long60Col(concat(lit(s"cms:$i:"), user.cast("string"))) % w
+    val grid = events.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("i"), slot(i, $"user_id").as("j"))): _*)).as("s"))
+      .select($"s.i".as("i"), $"s.j".as("j"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+    // "heavy" is relative to the per-user MEAN (count ≥ 1.15×mean) so
+    // the report scales with the data: a fixed φ share of n empties
+    // out as the user base grows with the corpus. Total and user
+    // count both derive from the per-user aggregate — no second scan
+    // of the fact table (the e10 lesson).
+    val perUser = events.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    val tot = perUser.agg(sum($"exact_cnt").as("n"), count(lit(1)).as("n_users"))
+    val heavy = perUser
+      .crossJoin(broadcast(tot))
+      .filter($"exact_cnt" * $"n_users" * 100L >= lit(meanPctE2) * $"n")
+      .select($"user_id", $"exact_cnt")
+    val lookups = heavy.select($"user_id", $"exact_cnt",
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("i"), slot(i, $"user_id").as("j"))): _*)).as("s"))
+      .select($"user_id", $"exact_cnt", $"s.i".as("i"), $"s.j".as("j"))
+    lookups.join(broadcast(grid), Seq("i", "j"))
+      .groupBy($"user_id", $"exact_cnt")
+      .agg(min($"c").as("cms_est"))
+      .select($"user_id", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"exact_cnt".desc, $"user_id")
+  }
+
+  val e13Sql: String = {
+    def h(iExpr: String) = graft.functions.DetHash.sql60(
+      s"'cms:' || CAST($iExpr AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH r AS (SELECT unnest(range(4)) AS i),
+       |grid AS (
+       |  SELECT r.i AS i, ${h("r.i")} % 64 AS j, count(*) AS c
+       |  FROM events CROSS JOIN r GROUP BY 1, 2),
+       |pu AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+       |tot AS (SELECT sum(exact_cnt) AS n, count(*) AS n_users FROM pu),
+       |hh AS (SELECT pu.user_id, pu.exact_cnt FROM pu, tot
+       |       WHERE pu.exact_cnt * tot.n_users * 100 >= 115 * tot.n),
+       |est AS (
+       |  SELECT hh.user_id, hh.exact_cnt, min(g.c) AS cms_est
+       |  FROM hh CROSS JOIN r
+       |  JOIN grid g ON g.i = r.i AND g.j = ${h("r.i")} % 64
+       |  GROUP BY hh.user_id, hh.exact_cnt)
+       |SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+       |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
+  }
 }

@@ -405,4 +405,24 @@ class KnnEventsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("is_anomaly") == expected(k), s"flag mismatch at $k")
     }
   }
+
+  test("e13 CMS estimates match a driver-side sketch and never under-count") {
+    val got = Events.e13HeavyHitters(spark, sf).collect()
+    assert(got.nonEmpty)
+    // driver-side CMS from scratch: same d×w grid, same md5 hashes
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id").as[Long].collect()
+    def slot(i: Int, u: Long): Long =
+      graft.functions.DetHash.md5Long60(s"cms:$i:$u") % 64
+    val grid = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    users.foreach(u => (0 until 4).foreach(i => grid((i, slot(i, u))) += 1))
+    val exact = users.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val est = (0 until 4).map(i => grid((i, slot(i, u)))).min
+      assert(r.getAs[Long]("cms_est") == est, s"user $u estimate")
+      assert(r.getAs[Long]("exact_cnt") == exact(u), s"user $u exact")
+      assert(r.getAs[Long]("overcount") >= 0L, s"user $u: CMS must never under-count")
+    }
+  }
 }
