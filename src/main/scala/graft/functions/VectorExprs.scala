@@ -381,6 +381,53 @@ case class SumSqI64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Integer dot product of two long arrays (×1e6-quantized space) —
+  * the codegen'd kernel behind exact integer L2 distances at corpus
+  * scale: ‖q−c‖² = Σq² + Σc² − 2·q·c with [[SumSqI64]] norms, every
+  * term an order-free BIGINT (deterministic under any partitioning,
+  * reproducible in DuckDB). Lengths must match (the embeddings-table
+  * contract); evaluation reads min(len) defensively like zip_with. */
+case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_i64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val u = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val n = Math.min(u.numElements(), v.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += u.getLong(i) * v.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, v) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($u.numElements(), $v.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $u.getLong($i) * $v.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotI64 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product as a Column. */
   def dotF32(a: Column, b: Column): Column =
@@ -405,6 +452,10 @@ object VectorFunctions {
   /** Codegen'd integer sum of squares as a Column. */
   def sumSqI64(v: Column): Column =
     Bridge.column(SumSqI64(Bridge.expression(v)))
+
+  /** Codegen'd integer dot product as a Column. */
+  def dotI64(a: Column, b: Column): Column =
+    Bridge.column(DotI64(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

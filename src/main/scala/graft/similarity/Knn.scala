@@ -185,33 +185,39 @@ object Knn {
     * training run per session (an index build in production). */
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Array[Long])]]
+
+  /** The loop itself, over ANY (vec_id, el) frame — full-vector
+    * k-means (s3/s8) and s10's per-subspace PQ codebooks share it.
+    * Seeds: k rows with the smallest md5(vec_id), cluster id = rank
+    * (an ordered driver collect of k ids + k quantized rows — tiny). */
+  private def lloydLoop(spark: SparkSession, q: DataFrame, k: Int,
+                        iters: Int, dim: Int): Seq[(Int, Array[Long])] = {
+    import spark.implicits._
+    val seedIds = q.select($"vec_id")
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(k).as[Long].collect()
+    val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    var cents: Seq[(Int, Array[Long])] =
+      seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
+    for (_ <- 1 until iters) {
+      val aggCols = count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
+      val rows = assignCells(spark, q, cents).groupBy($"cluster")
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0).toInt,
+          (0 until dim).map(i => halfUpDivL(r.getLong(i + 2), n)).toArray)
+      }.sortBy(_._1).toSeq
+    }
+    cents
+  }
+
   def lloydCentroids(spark: SparkSession, dir: String, k: Int = 8,
                      iters: Int = 4): Seq[(Int, Array[Long])] =
-    centCache.getOrElseUpdate(s"$dir:$k:$iters", {
-      import spark.implicits._
-      val q = quantized(spark, dir)
-      // seeds: k rows with the smallest md5(vec_id), cluster id = rank.
-      // Ordered driver collect of k ids + k quantized rows (tiny).
-      val seedIds = q.select($"vec_id")
-        .orderBy(md5($"vec_id".cast("string")), $"vec_id")
-        .limit(k).as[Long].collect()
-      val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-      var cents: Seq[(Int, Array[Long])] =
-        seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq
-      for (_ <- 1 until iters) {
-        val aggCols = count(lit(1)).as("n") +:
-          (0 until Dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
-        val rows = assignCells(spark, q, cents).groupBy($"cluster")
-          .agg(aggCols.head, aggCols.tail: _*).collect()
-        cents = rows.map { r =>
-          val n = r.getLong(1)
-          (r.getLong(0).toInt,
-            (0 until Dim).map(i => halfUpDivL(r.getLong(i + 2), n)).toArray)
-        }.sortBy(_._1).toSeq
-      }
-      cents
-    })
+    centCache.getOrElseUpdate(s"$dir:$k:$iters",
+      lloydLoop(spark, quantized(spark, dir), k, iters, Dim))
 
   def s3Cluster(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame = {
     import spark.implicits._
@@ -605,6 +611,218 @@ object Knn {
   val s9Sql: String =
     s"""WITH ex AS ($s1Sql),
        |ap AS ($s8Sql)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  // ---- s10/s11: product quantization -------------------------------
+
+  /** PQ geometry: m=4 subspaces of 16 dims, 16 codes each — every
+    * corpus vector compresses to 4 small ints (64 floats → 4 bytes in
+    * production storage, a 64× memory cut). */
+  private val SubM = 8
+  private val SubDim = Dim / SubM
+  private val KCode = 16
+
+  /** Per-subspace codebooks: the SAME deterministic Lloyd's loop as
+    * s3, run m times over the sliced projection (cached per (dir,
+    * subspace) — an index-build artifact, like s8's coarse cells). */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
+                          iters: Int = 3): Seq[(Int, Seq[(Int, Array[Long])])] =
+    (0 until SubM).map { s =>
+      s -> centCache.getOrElseUpdate(s"$dir:pq:$s:$KCode:$iters", {
+        import spark.implicits._
+        lloydLoop(spark,
+          quantized(spark, dir)
+            .select($"vec_id", slice($"el", s * SubDim + 1, SubDim).as("el")),
+          KCode, iters, SubDim)
+      })
+    }
+
+  /** s10: product-quantization ANN (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory-side compression of the billion-scale ANN stack, next to
+    * s2/s8's scan-side pruning: each corpus vector is stored as m=4
+    * codebook ids, and queries rank candidates by the asymmetric
+    * distance (ADC): ‖q−v‖² ≈ Σₛ ‖qₛ − cb_s[code_s(v)]‖², looked up
+    * from a per-query m×16 distance table instead of touching the
+    * vector.
+    *
+    * Scale shape: encoding is one corpus scan through 4 packed-argmin
+    * kernels (one projection, no shuffle — persisted at index-build
+    * time in production); search joins the exploded (vec_id, s, code)
+    * codes against the BROADCAST per-query distance table (m×16×
+    * queries rows) and sums 4 narrow ints per candidate — the corpus
+    * never shuffles vectors, only (query, neighbor, partial-dist)
+    * rows into the top-k window. At billions of rows PQ composes with
+    * s8's coarse cells (IVFPQ: probe cells, then ADC within them);
+    * the distance-table trick is exactly why ADC beats re-decoding.
+    * Everything is ×1e6-integer-exact (training via [[lloydLoop]],
+    * distances as order-free BIGINT sums) → hash-checked oracle. */
+  def s10PqAnn(spark: SparkSession, dir: String, k: Int = K,
+               iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.nearestCentE6
+    val books = pqCodebooks(spark, dir, iters)
+    val q = quantized(spark, dir)
+    def codeCol(s: Int, cs: Seq[(Int, Array[Long])]): Column = {
+      val ids = lit(cs.map(_._1).toArray)
+      element_at(ids,
+        (pmod(nearestCentE6(slice($"el", s * SubDim + 1, SubDim),
+          cs.map(_._2).toArray), lit(16)) + 1).cast("int")).cast("long")
+    }
+    val codes = q.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"),
+        explode(array(books.map { case (s, cs) =>
+          struct(lit(s).as("s"), codeCol(s, cs).as("code")) }: _*)).as("sc"))
+      .select($"neighbor_id", $"sc.s".as("s"), $"sc.code".as("code"))
+    // per-query ADC table: m×16 integer squared distances, computed on
+    // the query rows only (interpreted zip_with is fine there — the
+    // corpus-sized work above stays in the codegen'd kernel)
+    val dcols = books.flatMap { case (s, cs) =>
+      cs.map { case (cid, arr) =>
+        struct(lit(s).as("s"), lit(cid.toLong).as("code"),
+          aggregate(zip_with(slice($"el", s * SubDim + 1, SubDim), lit(arr),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("qdist"))
+      }
+    }
+    val dtab = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), explode(array(dcols: _*)).as("d"))
+      .select($"query_id", $"d.s".as("s"), $"d.code".as("code"), $"d.qdist".as("qdist"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist_e12", $"neighbor_id")
+    codes.join(broadcast(dtab), Seq("s", "code"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"qdist").as("adist_e12"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PQ training CTE chain — subspace slices q0..q3, shared
+    * 16-seed frame, per-subspace centroid frames p{s}c0..c{iters-1} —
+    * mirroring [[pqCodebooks]] exactly as lloydCteParts mirrors
+    * [[lloydCentroids]]. */
+  private def pqCteParts(iters: Int): Seq[String] = {
+    val base = Seq(
+      """q AS (
+        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin,
+      s"""pseeds AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+         |  FROM embeddings
+         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $KCode)""".stripMargin)
+    val per = (0 until SubM).flatMap { s =>
+      val lo = s * SubDim
+      val hi = (s + 1) * SubDim
+      val head = Seq(
+        s"q$s AS (SELECT vec_id, i, e FROM q WHERE i > $lo AND i <= $hi)",
+        s"p${s}c0 AS (SELECT ps.cluster, q.i, q.e AS c FROM pseeds ps JOIN q$s q ON q.vec_id = ps.vec_id)")
+      val its = (1 until iters).flatMap { it =>
+        Seq(
+          s"""p${s}a$it AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+             |    FROM q$s q JOIN p${s}c${it - 1} c ON c.i = q.i GROUP BY 1, 2
+             |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin,
+          s"""p${s}c$it AS (
+             |  SELECT a.cluster, q.i,
+             |    CAST(${halfUpSql("sum(q.e)", "count(*)")} AS BIGINT) AS c
+             |  FROM p${s}a$it a JOIN q$s q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+      }
+      head ++ its
+    }
+    base ++ per
+  }
+
+  val s10Sql: String = {
+    val iters = 3
+    val fin = iters - 1
+    val codes = (0 until SubM).map(s =>
+      s"""SELECT vec_id, $s AS s, cluster AS code FROM (
+         |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+         |    FROM q$s q JOIN p${s}c$fin c ON c.i = q.i
+         |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+         |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val dtab = (0 until SubM).map(s =>
+      s"""SELECT q.vec_id AS query_id, $s AS s, c.cluster AS code,
+         |    CAST(sum((q.e - c.c)*(q.e - c.c)) AS BIGINT) AS qdist
+         |    FROM q$s q JOIN p${s}c$fin c ON c.i = q.i
+         |    WHERE q.vec_id < 10 GROUP BY 1, 2, 3""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${pqCteParts(iters).mkString(",\n")},
+       |codes AS (
+       |  $codes),
+       |dtab AS (
+       |  $dtab),
+       |adc AS (
+       |  SELECT d.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(sum(d.qdist) AS BIGINT) AS adist_e12
+       |  FROM codes cd JOIN dtab d ON d.s = cd.s AND d.code = cd.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adist_e12,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e12, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adist_e12, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s11: PQ recall audit — recall@k of s10's ADC ranking against the
+    * EXACT integer-L2 top-k in the same ×1e6 space (PQ approximates
+    * L2, so the yardstick is L2, not s1's cosine). The exact side is
+    * the s1 broadcast shape with a codegen'd integer kernel:
+    * ‖q−v‖² = Σq² + Σv² − 2·q·v via [[graft.functions.SumSqI64]] +
+    * [[graft.functions.DotI64]] — order-free BIGINT terms, bit-equal
+    * in DuckDB. The quantization-error gap PQ trades for 64× memory
+    * is exactly what this audit prices, per query, per rebuild. */
+  def s11PqRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sumSqI64}
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val q = quantized(spark, dir)
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"el".as("qe"), sumSqI64($"el").as("qq"))
+    val corpus = q.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"el".as("ce"), sumSqI64($"el").as("cc"))
+    val w = Window.partitionBy($"query_id").orderBy($"l2_e12", $"neighbor_id")
+    val exact = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("l2_e12"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id")
+    val approx = s10PqAnn(spark, dir, k)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id")
+      .agg(count($"n2").as("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .orderBy("query_id")
+  }
+
+  /** s11 oracle: exact integer-L2 top-k composed with the s10 oracle
+    * (the s4 pattern). */
+  val s11Sql: String =
+    s"""WITH ap AS ($s10Sql),
+       |eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |el2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS l2_e12
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY l2_e12, neighbor_id) AS rank
+       |    FROM el2) WHERE rank <= $K)
        |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
        |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
        |FROM ex LEFT JOIN ap

@@ -406,6 +406,43 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 PQ: codes and ADC ranking match a driver-side recomputation") {
+    import graft.similarity.Knn
+    val books = Knn.pqCodebooks(spark, sf)
+    assert(books.length == 8 && books.forall(_._2.nonEmpty))
+    // driver-side re-encode + ADC from the quantized vectors
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray).toMap
+    def sub(v: Array[Long], s: Int) = v.slice(s * 8, s * 8 + 8)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Array[Long], s: Int): Int =
+      books(s)._2.minBy { case (cid, c) => (d2(sub(v, s), c), cid) }._1
+    val queries = q.keys.filter(_ < 10).toSeq.sorted
+    val corpus = q.keys.filter(_ >= 10).toSeq.sorted
+    val expected = queries.flatMap { qid =>
+      val dt = books.map { case (s, cs) =>
+        s -> cs.map { case (cid, c) => cid -> d2(sub(q(qid), s), c) }.toMap }.toMap
+      corpus.map { nid =>
+        (qid, nid, (0 until 8).map(s => dt(s)(code(q(nid), s))).sum) }
+        .sortBy { case (_, nid, d) => (d, nid) }.take(5)
+    }.map { case (qid, nid, d) => (qid, nid) -> d }.toMap
+    val got = Knn.s10PqAnn(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(expected.get(k).contains(r.getAs[Long]("adist_e12")), s"pair $k")
+    }
+  }
+
+  test("s10 PQ plans the broadcast equi-join, never a nested loop over codes") {
+    val plan = graft.similarity.Knn.s10PqAnn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("e13 CMS estimates match a driver-side sketch and never under-count") {
     val got = Events.e13HeavyHitters(spark, sf).collect()
     assert(got.nonEmpty)
