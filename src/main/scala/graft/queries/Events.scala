@@ -539,10 +539,9 @@ object Events {
     val events = Tables.read(spark, dir, "events")
     def slot(i: Int, user: org.apache.spark.sql.Column) =
       DetHash.md5Long60Col(concat(lit(s"cms:$i:"), user.cast("string"))) % w
-    val grid = events.select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("i"), slot(i, $"user_id").as("j"))): _*)).as("s"))
-      .select($"s.i".as("i"), $"s.j".as("j"))
-      .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+    // the grid builder is SHARED with the streaming twin
+    // (EventStream.cmsGrid) — one plan, batch or stream
+    val grid = graft.streaming.EventStream.cmsGrid(events, w, d)
     // "heavy" is relative to the per-user MEAN (count ≥ 1.15×mean) so
     // the report scales with the data: a fixed φ share of n empties
     // out as the user base grows with the corpus. Total and user

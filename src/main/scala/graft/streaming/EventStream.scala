@@ -384,6 +384,45 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Count–min-sketch counter grid — ONE plan for batch and stream
+    * (the windowedAgg principle): per event, d (row, slot) pairs
+    * explode and aggregate to the d×w grid. On a stream this is a
+    * plain streaming aggregation whose ENTIRE state is the grid —
+    * ≤ d·w rows forever, the sketch's fixed-size guarantee expressed
+    * as the state bound (no watermark needed: the state can't grow).
+    * The batch twin e13 builds its grid through this same function,
+    * so stream and batch grids are bit-identical on the same data.
+    * Hashes are [[graft.functions.DetHash]] md5 — deterministic
+    * across engines, runs, and replays. */
+  def cmsGrid(events: DataFrame, w: Int = 64, d: Int = 4): DataFrame = {
+    val slots = (0 until d).map { i =>
+      struct(lit(i).as("i"),
+        (graft.functions.DetHash.md5Long60Col(
+          concat(lit(s"cms:$i:"), col("user_id").cast("string"))) % w).as("j"))
+    }
+    events.select(explode(array(slots: _*)).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-hour distinct-user KMV sketch on a stream — the
+    * [[graft.functions.KmvMinsAgg]] native aggregate running as
+    * streaming state: each open hour window holds ≤ k longs, the
+    * bounded-buffer property doing double duty as the streaming
+    * state bound (the cardinality dashboards HLL usually serves,
+    * but deterministic and replay-stable). Works identically on a
+    * batch frame — the parity spec pins it. */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64,
+                        watermark: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.select(window(col("ts"), "1 hour").as("w"),
+        graft.functions.DetHash.md5Long60Col(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(graft.functions.SketchFunctions.kmvMins(col("h"), k).as("mins"))
+      .select(col("w.start").as("hour"), size(col("mins")).as("n_distinct_capped"),
+        col("mins"))
+  }
+
   /** Streaming exact dedup — at-least-once sources (Kafka replays,
     * file re-lists) deduped to exactly-once semantics on an id column.
     * `dropDuplicatesWithinWatermark` bounds the dedup state by event

@@ -479,6 +479,49 @@ class StreamingSpec extends AnyFunSuite {
         "exactly the planted spike must flag")
     } finally q.stop()
   }
+
+  test("streaming CMS grid equals the batch grid on the same data (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val rows = (1 to 200).map(i => Ev(i.toLong % 17, ts(i % 90), 1.0))
+    input.addData(rows: _*)
+    val q = EventStream.cmsGrid(input.toDF())
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_grid").collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Long]("j")) -> r.getAs[Long]("c")).toMap
+      val batch = EventStream.cmsGrid(rows.toDF()).collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Long]("j")) -> r.getAs[Long]("c")).toMap
+      assert(got == batch && got.nonEmpty)
+      // the state bound: never more than d×w grid rows
+      assert(got.size <= 4 * 64)
+    } finally q.stop()
+  }
+
+  test("streaming KMV per-hour distinct sketch matches the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // 40 users across 2 hours, with repeats — k=8 caps the kept mins
+    val rows = (1 to 120).map(i => Ev(i.toLong % 40, ts(if (i % 3 == 0) 10 else 70), 1.0))
+    input.addData(rows: _*)
+    val q = EventStream.kmvDistinctStream(input.toDF(), k = 8)
+      .writeStream.format("memory").queryName("kmv_hours")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getAs[Int]("n_distinct_capped"),
+          r.getSeq[Long](2).toList)
+      val got = spark.table("kmv_hours").collect().map(key).toSet
+      val batch = EventStream.kmvDistinctStream(rows.toDF(), k = 8)
+        .collect().map(key).toSet
+      assert(got == batch && got.size == 2)
+      // the bounded buffer really bounds: 40 distinct users, k=8 kept
+      assert(got.forall(_._2 == 8))
+    } finally q.stop()
+  }
 }
 
 /** Input row for the as-of join tests (top-level for a stable
