@@ -336,4 +336,45 @@ object MergeQueries {
       |UNION ALL
       |SELECT 'srcB', src_id, dest_id, is_new FROM mapb
       |ORDER BY merge_source, src_id""".stripMargin
+
+  /** m18: SCD2 (type-2 slowly-changing-dimension) history build — the
+    * warehouse dual of m8's keep-latest upsert: instead of collapsing
+    * versions to the newest row, EVERY version becomes an interval
+    * row [valid_from, valid_to) with a version number and a current
+    * flag — the standard shape for as-of joins against dimension
+    * history (e6 then probes it by time). The reference keeps only
+    * latest state (beehive upserts audit columns, person-users.js:307);
+    * SCD2 is what a warehouse builds from the same versioned feed
+    * when history must stay queryable.
+    *
+    * Shape: one shuffle on the entity key; lead + row_number ride the
+    * SAME window spec, so Spark plans a single Window operator over
+    * one sort — no per-version self-join (the naive SCD2 build), no
+    * second exchange. Deterministic tie-break (date, then key). */
+  def m18Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    def fmt(c: org.apache.spark.sql.Column) =
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    Tables.read(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey", $"o_orderkey", $"version",
+        fmt($"o_orderdate").as("valid_from"),
+        fmt($"valid_to_ts").as("valid_to"),
+        $"valid_to_ts".isNull.cast("int").as("is_current"))
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val m18Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
 }

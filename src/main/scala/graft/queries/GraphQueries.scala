@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics over the document-similarity graph (SURVEY §2 —
+  * rides d2's near-dup pair artifact, like d7's connected components).
+  */
+object GraphQueries {
+
+  /** g1: fixed-iteration deterministic PageRank (Page/Brin/Motwani/
+    * Winograd 1999) over the d2 near-dup graph — centrality on the
+    * duplication graph ranks the CANONICAL copies: a doc many
+    * near-dups point at is the template/original, the right survivor
+    * for d7's clusters and the first thing a curation pass should
+    * eyeball. Degree rides along (the d7 cluster map gives
+    * membership; this adds WITHIN-cluster structure).
+    *
+    * Same execution family as d7's label propagation: per iteration
+    * two joins + one aggregation over the EDGE SUBGRAPH only (the
+    * tiny pair artifact — the corpus never shuffles); 3 fixed
+    * iterations, so the plan is static and needs no convergence
+    * action. All arithmetic is ×1e6-integer with round-half-up
+    * division ([[graft.functions.IntMath.halfUpDiv]]) — per-node
+    * shares, the 0.85 damping product, and the 0.15/N base are all
+    * exact, so ranks are bit-identical across engines and
+    * partitionings (the s3 convention, applied to graph iteration).
+    * Isolated docs keep the base rank (their mass leaks — the
+    * standard simplified dangling-node treatment, mirrored exactly
+    * in the oracle). */
+  def g1PageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
+      .select($"doc_id1".as("a"), $"doc_id2".as("b"))
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    val docs = Tables.read(spark, dir, "documents").select($"doc_id")
+    val nFrame = docs.agg(count(lit(1)).as("n"))
+    val base = docs.crossJoin(broadcast(nFrame))
+      .select($"doc_id",
+        halfUp(lit(150000L), $"n").as("base_e6"),
+        halfUp(lit(1000000L), $"n").as("r0"))
+    var r = base.select($"doc_id", $"r0".as("r_e6"))
+    for (_ <- 1 to iters) {
+      val share = r.join(deg, r("doc_id") === deg("a"))
+        .select(r("doc_id").as("u"), halfUp($"r_e6", $"deg").as("share"))
+      val inSum = edges.join(share, edges("a") === share("u"))
+        .groupBy(edges("b")).agg(sum($"share").as("s"))
+      r = base.join(inSum, base("doc_id") === inSum("b"), "left")
+        .select(base("doc_id"),
+          ($"base_e6" + halfUp(coalesce($"s", lit(0L)) * 85L, lit(100L))).as("r_e6"))
+    }
+    r.join(deg.select($"a".as("doc_id"), $"deg"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"deg", lit(0L)).as("degree"), $"r_e6".as("rank_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** g1 oracle: d2's pair CTEs + the same 3 iterations unrolled
+    * (generated, like the Lloyd's chains); half-up division spelled
+    * `(2n+d)//(2d)` — every quantity here is non-negative. */
+  val g1Sql: String = {
+    val iters = 3
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    val iterCtes = (1 to iters).flatMap { i =>
+      Seq(
+        s"""sh$i AS (
+           |  SELECT r.doc_id AS u, ${hu("r.r", "g.deg")} AS share
+           |  FROM r${i - 1}t r JOIN deg g ON g.a = r.doc_id)""".stripMargin,
+        s"""in$i AS (
+           |  SELECT e.b, CAST(sum(sh.share) AS BIGINT) AS s
+           |  FROM edges e JOIN sh$i sh ON sh.u = e.a GROUP BY e.b)""".stripMargin,
+        s"""r${i}t AS (
+           |  SELECT b.doc_id, b.base_e6 + ${hu("coalesce(i.s, 0) * 85", "100")} AS r
+           |  FROM base b LEFT JOIN in$i i ON i.b = b.doc_id)""".stripMargin)
+    }
+    s"""WITH ${graft.dedup.Dedup.d2Ctes},
+       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |base AS (
+       |  SELECT d.doc_id, ${hu("150000", "nn.n")} AS base_e6,
+       |         ${hu("1000000", "nn.n")} AS r0
+       |  FROM documents d, nn),
+       |r0t AS (SELECT doc_id, r0 AS r FROM base),
+       |${iterCtes.mkString(",\n")}
+       |SELECT r.doc_id, CAST(coalesce(g.deg, 0) AS BIGINT) AS degree,
+       |  CAST(r.r AS BIGINT) AS rank_e6
+       |FROM r${iters}t r LEFT JOIN deg g ON g.a = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }
+}

@@ -492,6 +492,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(small == List(1L, 5L, 7L, 9L))
   }
 
+  test("g1 pagerank: cluster members outrank isolated docs; isolated rank = base") {
+    val r = graft.queries.GraphQueries.g1PageRank(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("rank_e6"))).toMap
+    assert(r.size == 6)
+    // docs 3 and 4 are isolated: degree 0, rank = halfUp(150000/6) = 25000
+    assert(r(3L) == (0L, 25000L) && r(4L) == (0L, 25000L))
+    // every connected doc strictly outranks the isolated base
+    r.filter(_._2._1 > 0).foreach { case (id, (_, rank)) =>
+      assert(rank > 25000L, s"doc $id rank $rank")
+    }
+    // rank mass ≤ 1e6 up to rounding; dangling/isolated docs leak their
+    // outgoing mass each round, so the total sits well below 1e6 here
+    val total = r.values.map(_._2).sum
+    assert(total > 400000L && total <= 1010000L, s"total $total")
+  }
+
   test("d12 kmv distinct: exact below k, s0's two identical docs count once") {
     val r = Dedup.d12KmvDistinct(spark, tmp).collect()
       .map(x => x.getAs[String]("source") -> x).toMap

@@ -128,4 +128,23 @@ class MergeOpsSpec extends AnyFunSuite {
       assert(survey.contains(s"`$id`"), s"$id missing from SURVEY.md §2")
     }
   }
+
+  test("m18 SCD2: versions contiguous, intervals chain, exactly one current per key") {
+    val rows = graft.merge.MergeQueries.m18Scd2(spark, sf).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to vs.length).toSeq, s"key $k versions")
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1, s"key $k current count")
+      assert(sorted.last.getAs[Int]("is_current") == 1 && sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"), s"key $k chain break")
+        case _ =>
+      }
+    }
+    // one Window operator over one sort: lead and row_number share the spec
+    val plan = graft.merge.MergeQueries.m18Scd2(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains(" Window [")) == 1, plan)
+  }
 }
