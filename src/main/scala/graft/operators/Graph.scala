@@ -84,4 +84,59 @@ object Graph {
       .select($"id", $"id".as("label"))
     converged.unionAll(singletons)
   }
+
+  /** Per-node triangle counts by degree-ordered edge orientation — the
+    * MapReduce triangle-enumeration scheme of Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer" (WWW 2011):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher, enumerate wedges only at each edge's LOWER-ranked
+    * endpoint, and close them against the oriented edge set. Every
+    * triangle is produced exactly once (at its minimum-rank vertex).
+    *
+    * The orientation is the whole scale story: out-degree under
+    * degree-ranking is O(√m), so the wedge shuffle is Σ outdeg² =
+    * O(m^1.5) TOTAL and — unlike naive wedge counting at every vertex —
+    * a hub with degree h generates 0 wedges instead of h² ("the curse
+    * of the last reducer"). Three equi-joins + one aggregation, all
+    * shuffles keyed on node ids; no driver-side adjacency.
+    *
+    * @param pairs undirected edges; first two columns are the
+    *              endpoints (normalized + deduped internally, self
+    *              loops dropped)
+    * @return (id, degree, triangles) for every node with ≥1 edge
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    val p = pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .filter($"a" =!= $"b").dropDuplicates("a", "b")
+    val und = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
+    val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = p
+      .join(deg.select($"id".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"id".as("b"), $"deg".as("db")), "b")
+    // (u → v) with rank(u) < rank(v), rank = (deg, id); dv carried so
+    // wedge endpoints can be rank-ordered without another deg join
+    val oriented = withDeg.select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("u"), $"b".as("v"), $"db".as("dv")))
+          .otherwise(struct($"b".as("u"), $"a".as("v"), $"da".as("dv"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.dv".as("dv"))
+    val o2 = oriented.select($"u".as("u2"), $"v".as("w"), $"dv".as("dw"))
+    val wedges = oriented.join(o2, $"u" === $"u2" &&
+        ($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w")))
+      .select($"u", $"v", $"w")
+    val tris = wedges.join(
+      oriented.select($"u".as("cv"), $"v".as("cw")),
+      $"v" === $"cv" && $"w" === $"cw")
+    val perNode = tris.select($"u".as("id"))
+      .unionAll(tris.select($"v".as("id")))
+      .unionAll(tris.select($"w".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select($"id", $"deg".as("degree"),
+        coalesce($"triangles", lit(0L)).as("triangles"))
+  }
 }

@@ -91,4 +91,62 @@ object GraphQueries {
        |FROM r${iters}t r LEFT JOIN deg g ON g.a = r.doc_id
        |ORDER BY r.doc_id""".stripMargin
   }
+
+  /** g2: per-doc triangle count + local clustering coefficient over
+    * the d2 near-dup graph ([[graft.operators.Graph.triangles]],
+    * degree-oriented Suri–Vassilvitskii enumeration). The LCC
+    * separates CLIQUE-shaped duplication (template + N mutually-similar
+    * copies → lcc ≈ 1: pick one survivor, drop the rest) from
+    * CHAIN-shaped drift (A~B~C but A≁C → lcc ≈ 0: each hop is a
+    * borderline pair a curation pass should check before d7's
+    * transitive closure merges the whole chain). lcc = 2·tri/(deg·
+    * (deg−1)) as a ×1e6 integer via halfUpDiv — exact both engines. */
+  def g2Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
+      .select($"doc_id1", $"doc_id2")
+    graft.operators.Graph.triangles(pairs)
+      .select($"id".as("doc_id"), $"degree", $"triangles",
+        when($"degree" >= 2L,
+          halfUp($"triangles" * 2000000L, $"degree" * ($"degree" - 1L)))
+          .otherwise(0L).as("lcc_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** g2 oracle: d2's pair CTEs + the same orientation/wedge/closure
+    * joins; half-up division as `(2n+d)//(2d)` (all non-negative). */
+  val g2Sql: String =
+    s"""WITH ${graft.dedup.Dedup.d2Ctes},
+       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |und AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+       |wd AS (
+       |  SELECT p.a, p.b, da.deg AS da, db.deg AS db
+       |  FROM p JOIN deg da ON da.id = p.a JOIN deg db ON db.id = p.b),
+       |ori AS (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+       |  FROM wd),
+       |wed AS (
+       |  SELECT o1.u, o1.v, o2.v AS w
+       |  FROM ori o1 JOIN ori o2 ON o2.u = o1.u
+       |    AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+       |tri AS (
+       |  SELECT wed.u, wed.v, wed.w
+       |  FROM wed JOIN ori c ON c.u = wed.v AND c.v = wed.w),
+       |pn AS (
+       |  SELECT id, count(*) AS t FROM (
+       |    SELECT u AS id FROM tri
+       |    UNION ALL SELECT v FROM tri
+       |    UNION ALL SELECT w FROM tri)
+       |  GROUP BY id)
+       |SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       |  CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN d.deg >= 2 THEN
+       |    ((2*(coalesce(pn.t, 0)*2000000) + d.deg*(d.deg-1)) // (2*(d.deg*(d.deg-1))))
+       |    ELSE 0 END AS BIGINT) AS lcc_e6
+       |FROM deg d LEFT JOIN pn ON pn.id = d.id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -509,6 +509,38 @@ class DedupTextSpec extends AnyFunSuite {
     assert(total > 400000L && total <= 1010000L, s"total $total")
   }
 
+  test("g2 triangles: planted K4 + pendant + chain counted exactly, hub emits no wedges") {
+    import graft.operators.Graph
+    // K4 on 1-4, pendant 5-1, disjoint path 6-7-8 (no triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 7L), (7L, 8L),
+      (2L, 1L), (3L, 3L) // reversed dup + self loop: must be normalized away
+    ).toDF("x", "y")
+    val r = Graph.triangles(edges).collect()
+      .map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("triangles"))).toMap
+    assert(r.size == 8)
+    assert(r(1L) == (4L, 3L)) // K4 member + pendant: 3 of K4's 4 triangles
+    assert(r(2L) == (3L, 3L) && r(3L) == (3L, 3L) && r(4L) == (3L, 3L))
+    assert(r(5L) == (1L, 0L))
+    assert(r(6L) == (1L, 0L) && r(7L) == (2L, 0L) && r(8L) == (1L, 0L))
+  }
+
+  test("g2 over the planted docs: near-dup clique closes, lcc bounded") {
+    val r = graft.queries.GraphQueries.g2Triangles(spark, tmp).collect()
+    // only connected docs appear; g1's fixture has 4 of 6 in the graph
+    assert(r.nonEmpty && r.length < 6)
+    r.foreach { row =>
+      val (deg, tri, lcc) = (row.getAs[Long]("degree"),
+        row.getAs[Long]("triangles"), row.getAs[Long]("lcc_e6"))
+      assert(deg >= 1L && lcc >= 0L && lcc <= 1000000L)
+      assert(tri <= deg * (deg - 1L) / 2L) // triangles ≤ wedges at the node
+    }
+    // docs 0,1,2,5 are mutual near-dups (one clique) → every member
+    // has a fully-closed neighborhood
+    assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
+  }
+
   test("d12 kmv distinct: exact below k, s0's two identical docs count once") {
     val r = Dedup.d12KmvDistinct(spark, tmp).collect()
       .map(x => x.getAs[String]("source") -> x).toMap
