@@ -584,4 +584,63 @@ object Events {
        |SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
        |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
   }
+
+  /** z1: quadtree-cell profile of events under the z-order curve over
+    * (user_id, epoch-hour) — the curve [[graft.sources.Layout
+    * .zorderWrite]] clusters by. Each cell (top z bits = an aligned
+    * user×time tile) reports its event/user mass and exact z extent:
+    * the planning artifact a 100 TB compaction job reads to decide
+    * tile split points, and the cross-engine proof that the
+    * [[graft.functions.ZOrder]] bit-interleave (the layout's ordering
+    * key) is deterministic down to every bit — z_min/z_max hash-match
+    * DuckDB computing the same magic-mask spread.
+    *
+    * One shuffle: (cell, user) partials map-side combine, then the
+    * tiny per-cell re-agg — distinct users without a count-DISTINCT
+    * Expand (the d12 convention). The pruning BENEFIT of the layout
+    * is measured in SourcesSpec (z-ordered vs 1-D-sorted file boxes +
+    * actual scan-materialized rows under a box predicate). */
+  def z1ZorderCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // hour index is OFFSET from the dataset's first hour: the raw
+    // epoch hour's high bits are constant over any real time range, so
+    // interleaving them would put every row in one tile — normalizing
+    // dims to dense local offsets before the curve is how z-order
+    // layouts are actually keyed. The anchor min is a scalar pre-agg
+    // (at scale: a parquet footer-stats lookup, not a second scan).
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+    val h0 = ev.agg(min($"h").as("h0"))
+    val z = graft.functions.ZOrder.zvalue($"user_id", $"h" - $"h0")
+    val perUser = ev.crossJoin(broadcast(h0))
+      .select(shiftright(z, 8).as("cell"), $"user_id", z.as("z"))
+      .groupBy($"cell", $"user_id")
+      .agg(count(lit(1)).as("n"), min($"z").as("zmin"), max($"z").as("zmax"))
+    perUser.groupBy($"cell")
+      .agg(sum($"n").as("n_events"), count(lit(1)).as("n_users"),
+        min($"zmin").as("z_min"), max($"zmax").as("z_max"))
+      .orderBy("cell")
+  }
+
+  /** z1 oracle: the identical spread chain via [[graft.functions
+    * .ZOrder.zvalueSql]]; `//` on non-negative BIGINTs matches Spark's
+    * `div`. */
+  val z1Sql: String = {
+    val zExpr = graft.functions.ZOrder.zvalueSql("b.user_id", "(b.h - h0.h0)")
+    s"""WITH b AS (
+       |  SELECT user_id,
+       |    (epoch_us(date_trunc('hour', ts)) // 3600000000) AS h
+       |  FROM events),
+       |h0 AS (SELECT min(h) AS h0 FROM b),
+       |z AS (SELECT b.user_id, $zExpr AS z FROM b, h0),
+       |pu AS (
+       |  SELECT (z >> 8) AS cell, user_id, count(*) AS n,
+       |         min(z) AS zmin, max(z) AS zmax
+       |  FROM z GROUP BY 1, 2)
+       |SELECT cell, CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(min(zmin) AS BIGINT) AS z_min, CAST(max(zmax) AS BIGINT) AS z_max
+       |FROM pu GROUP BY cell ORDER BY cell""".stripMargin
+  }
 }

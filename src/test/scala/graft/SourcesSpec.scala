@@ -138,6 +138,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("z-order layout: box query prunes on BOTH dims where a 1-D sort cannot") {
+    import graft.sources.Layout
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 64×64 grid, 16 files: the z layout's files become ~16×16 tiles
+    val grid = (0 until 64 * 64).map(i => (i / 64, i % 64, i.toLong)).toDF("x", "y", "v")
+    Layout.zorderWrite(grid, "x", "y", s"$dir/z", 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+
+    // box predicate: every x, narrow y band — the dimension the 1-D
+    // layout did NOT sort by
+    def box(path: String) = spark.read.parquet(path)
+      .filter($"y" >= 8 && $"y" <= 11)
+    assert(box(s"$dir/z").count() == 64L * 4 &&
+      box(s"$dir/linear").count() == 64L * 4) // same answer, both layouts
+
+    // layout property: how many FILES can possibly contain a match
+    // (per-file y bounding boxes, which is what parquet min/max stats
+    // expose to the reader)
+    def touchable(path: String): Long = spark.read.parquet(path)
+      .groupBy(input_file_name()).agg(min($"y").as("lo"), max($"y").as("hi"))
+      .filter($"lo" <= 11 && $"hi" >= 8).count()
+    val zFiles = touchable(s"$dir/z")
+    val linFiles = touchable(s"$dir/linear")
+    assert(linFiles == 16L, s"1-D x-sort: every file spans all y, got $linFiles")
+    assert(zFiles <= 6L, s"z layout: only tile-row files intersect, got $zFiles")
+
+    // actual effect: rows the scan materializes (row groups surviving
+    // the pushed y-filter; collect() keeps the plan non-adaptive so
+    // the FileSourceScanExec metric is reachable)
+    def scanned(path: String): Long = {
+      val q = box(path)
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val zRows = scanned(s"$dir/z")
+    val linRows = scanned(s"$dir/linear")
+    assert(linRows == 4096L, s"1-D layout materializes everything, got $linRows")
+    assert(zRows < linRows / 2, s"z layout skipped row groups: $zRows vs $linRows")
+  }
+
   test("binaryFile asset source reads raw bytes; glob prunes at the listing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets")
     val img = Array[Byte](0x50, 0x4b, 7, 9, -1, 0, 42)
