@@ -336,4 +336,101 @@ object Media {
        |  round($e0, 6) AS e0
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** mm7: PERCEPTUAL near-dup — the pass mm4's byte dedup explicitly
+    * defers to: re-encoded / slightly-edited assets whose bytes differ
+    * but whose content matches. The shape is the production pHash
+    * pipeline end to end: (1) decode each asset to a coarse
+    * luminance-style signature, (2) threshold against the asset's own
+    * mean → a 32-bit average-hash, (3) candidate generation by the
+    * PIGEONHOLE band join for Hamming space (hash split into 8×4-bit
+    * bands; dist ≤ 5 ⇒ ≥1 of any 6 disjoint bands equal, so 8 bands
+    * is a conservative cover — same LSH family as d3's simhash
+    * chunks), (4) codegen'd popcount(xor) verify ≤ 5. Never all-pairs:
+    * shuffle ∝ band collisions, the d2/d3 scale contract; at asset
+    * scale the hash widens to 64 bits with 8-bit bands — same plan.
+    *
+    * The "decode" here is the stub family's gray signature: 32 equal
+    * byte-segments of the payload, segment mean vs global mean
+    * (cross-multiplied exact integers — no division), expressed as
+    * columnar arithmetic over the char codes so DuckDB reproduces
+    * every bit. A real DCT pHash plugs in at the mapPartitions decode
+    * boundary (mm1/mm2's hook) and feeds the SAME band join. */
+  def mm7PhashNearDup(spark: SparkSession, dir: String,
+                      maxHamming: Int = 5): DataFrame = {
+    import spark.implicits._
+    val segs = 32
+    // char-code rows: ASCII payload ⇒ char code == payload byte (the
+    // mm1 oracle's documented stub scope); seg = floor(pos·32/len)
+    val ch = Tables.read(spark, dir, "documents")
+      .select($"doc_id", length($"text").as("len"),
+        posexplode(split($"text", "")).as(Seq("pos", "c")))
+      .select($"doc_id",
+        expr("pos * 32 div len").as("seg"), ascii($"c").as("code"))
+    val sg = ch.groupBy($"doc_id", $"seg")
+      .agg(sum($"code").as("s"), count(lit(1)).as("cnt"))
+    // one more map-side-combined agg to the doc level: 32 conditional
+    // segment sums + totals, then the hash bits in a single project
+    val segSums = (0 until segs).flatMap(j => Seq(
+      sum(when($"seg" === j, $"s").otherwise(0L)).as(s"s$j"),
+      sum(when($"seg" === j, $"cnt").otherwise(0L)).as(s"c$j")))
+    val agged = sg.groupBy($"doc_id")
+      .agg(sum($"s").as("ts"), (segSums :+ sum($"cnt").as("n")): _*)
+    val phash = (0 until segs).map(j =>
+      when(col(s"s$j") * $"n" > $"ts" * col(s"c$j"), lit(1L << j))
+        .otherwise(0L)).reduce(_ + _)
+    val hashes = agged.select($"doc_id", phash.as("phash"))
+    val bands = hashes.select($"doc_id", $"phash",
+      posexplode(array((0 until 8).map(b =>
+        shiftright($"phash", b * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "key")))
+    val a = bands.select($"doc_id".as("doc_id1"), $"phash".as("h1"), $"band", $"key")
+    val b = bands.select($"doc_id".as("doc_id2"), $"phash".as("h2"), $"band", $"key")
+    a.join(b, Seq("band", "key"))
+      .filter($"doc_id1" < $"doc_id2")
+      .select($"doc_id1", $"doc_id2", $"h1", $"h2").distinct()
+      .select($"doc_id1", $"doc_id2",
+        bit_count($"h1".bitwiseXOR($"h2")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** mm7 oracle: same segment sums / strict-majority bits / band join
+    * / popcount in DuckDB (`ascii(substr(…))` = char code = payload
+    * byte for the ASCII stub corpus; `bit_count` on BIGINT). */
+  val mm7Sql: String = {
+    val segCols = (0 until 32).flatMap(j => Seq(
+      s"sum(CASE WHEN seg = $j THEN s ELSE 0 END) AS s$j",
+      s"sum(CASE WHEN seg = $j THEN cnt ELSE 0 END) AS c$j")).mkString(", ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN s$j * n > ts * c$j THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandRows = (0 until 8).map(b =>
+      s"SELECT doc_id, phash, $b AS band, (phash >> ${b * 4}) & 15 AS key FROM ph")
+      .mkString(" UNION ALL ")
+    s"""WITH ix AS (
+       |  SELECT doc_id, length(text) AS len,
+       |    unnest(range(0, length(text))) AS pos
+       |  FROM documents),
+       |cc AS (
+       |  SELECT ix.doc_id, (ix.pos * 32) // ix.len AS seg,
+       |    ascii(substr(d.text, ix.pos + 1, 1)) AS code
+       |  FROM ix JOIN documents d ON d.doc_id = ix.doc_id),
+       |sg AS (
+       |  SELECT doc_id, seg, sum(code) AS s, count(*) AS cnt
+       |  FROM cc GROUP BY 1, 2),
+       |ag AS (
+       |  SELECT doc_id, sum(s) AS ts, sum(cnt) AS n, $segCols
+       |  FROM sg GROUP BY doc_id),
+       |ph AS (SELECT doc_id, $bits AS phash FROM ag),
+       |bd AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       |    a.phash AS h1, b.phash AS h2
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_id1, doc_id2,
+       |  CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 5
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+  }
 }

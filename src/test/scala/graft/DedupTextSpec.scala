@@ -541,6 +541,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
   }
 
+  test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
+    // the signature resizes to a 32-segment grid, so it is robust to
+    // SAME-LENGTH perturbations (re-encode analog) but not to length
+    // shifts (crop analog) — plant accordingly
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    val docs = Seq(
+      (0L, base, "en", "p0", base.length.toLong),
+      (1L, base, "en", "p0", base.length.toLong),
+      (2L, base.replace("tonight", "tonite!"), "en", "p1", base.length.toLong),
+      (3L, "zzz qqq xxx completely unrelated noise 000 111 222 333 444 555 666 777 888 999 aaa bbb", "en", "p2", 88L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.multimodal.Media.mm7PhashNearDup(spark, dir).collect()
+    val pairs = r.map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2"))
+      -> x.getAs[Long]("hamming")).toMap
+    // identical bytes → identical signature
+    assert(pairs.get((0L, 1L)).contains(0L), s"got $pairs")
+    // same-length 2-char edit perturbs ≤ the edited segments
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) <= 5L, s"got $pairs")
+    pairs.foreach { case ((a, b), h) =>
+      assert(a < b && h >= 0L && h <= 5L, s"($a,$b,$h)")
+      assert(!Set(a, b).contains(3L), s"unrelated doc matched: ($a,$b,$h)")
+    }
+  }
+
   test("d12 kmv distinct: exact below k, s0's two identical docs count once") {
     val r = Dedup.d12KmvDistinct(spark, tmp).collect()
       .map(x => x.getAs[String]("source") -> x).toMap
