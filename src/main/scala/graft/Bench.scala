@@ -54,6 +54,9 @@ object Bench {
         // by s3 (reports it), s8 and s9 — warm it here so all three
         // report marginal cost
         graft.similarity.Knn.lloydCentroids(spark, sfDir)
+        // PQ codebook training (8 subspace Lloyd's runs) is the s10/s11
+        // index-build artifact — same accounting as the coarse cells
+        graft.similarity.Knn.pqCodebooks(spark, sfDir)
         false
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true

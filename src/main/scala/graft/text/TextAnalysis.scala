@@ -1048,4 +1048,72 @@ object TextAnalysis {
       |  CAST((2 * coalesce(p.dup_tokens, 0) * 1000000 + greatest(n.n_tokens, 1))
       |       // (2 * greatest(n.n_tokens, 1)) AS BIGINT) AS dup_frac_e6
       |FROM nt n LEFT JOIN pd p USING (doc_id) ORDER BY n.doc_id""".stripMargin
+
+  /** t20: BPE merge training (Sennrich/Haddow/Birch ACL 2016 §3.2) —
+    * the tokenizer-construction primitive of the LLM data stack,
+    * expressed relationally: each round counts every ADJACENT symbol
+    * pair across the corpus (overlapping 2-gram window), picks the
+    * most frequent pair with a deterministic tie-break (count desc,
+    * pair asc — binary UTF-8 ordering, identical both engines), and
+    * rewrites the corpus with the merged pair as a fresh private-use
+    * sentinel symbol. Later rounds therefore see earlier merges as
+    * single symbols — the real BPE recurrence, not 5 independent
+    * bigram counts.
+    *
+    * Scale shape: one corpus scan + one map-side-combined count agg
+    * per round; the winning pair is a 1-row aggregate collected to
+    * the driver and re-broadcast as a literal (the CC-convergence
+    * pattern — aggregate-sized, never data). Round r's scan carries
+    * r chained codegen'd `replace` projections instead of a
+    * materialized intermediate: total work = rounds × scan, no
+    * shuffle of the text itself. Training normally runs on a sampled
+    * corpus anyway; the merge TABLE (the artifact a tokenizer ships)
+    * is what this emits: (round, pair, cnt). */
+  def t20BpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    var corpus = Tables.read(spark, dir, "documents").select($"text")
+    val merges = (0 until rounds).map { r =>
+      val top = corpus.filter(length($"text") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc).limit(1)
+        .collect().head
+      val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
+      corpus = corpus.select(
+        replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
+      (r.toLong, pair, cnt)
+    }
+    spark.createDataFrame(merges.map(m => (m._1, m._2, m._3)))
+      .toDF("round", "pair", "cnt")
+      .orderBy("round")
+  }
+
+  /** t20 oracle: the same rounds unrolled as a CTE chain; the winning
+    * pair re-enters each round as a scalar subquery, so the oracle
+    * derives every merge itself (nothing is inlined from the Spark
+    * run). chr(57344+r) = the same PUA sentinels. */
+  def t20Sql(rounds: Int = 5): String = {
+    val ctes = (0 until rounds).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+           |  SELECT unnest(list_transform(range(1, length(text)),
+           |    i -> substr(text, i, 2))) AS pair
+           |  FROM r$r WHERE length(text) >= 2)""".stripMargin,
+        s"""t$r AS (
+           |  SELECT pair, count(*) AS cnt FROM p$r
+           |  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin,
+        s"""r${r + 1} AS (
+           |  SELECT replace(text, (SELECT pair FROM t$r), chr(${57344 + r})) AS text
+           |  FROM r$r)""".stripMargin)
+    }
+    val out = (0 until rounds).map(r =>
+      s"SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH r0 AS (SELECT text FROM documents),
+       |${ctes.mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, pair, cnt FROM ($out)
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -541,6 +541,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
   }
 
+  test("t20 BPE: overlapping counts, later rounds merge earlier sentinels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((0L, "ababababab", "en", "b0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t20BpeMerges(spark, dir, rounds = 2).collect()
+      .map(x => x.getAs[Long]("round") ->
+        (x.getAs[String]("pair"), x.getAs[Long]("cnt"))).toMap
+    // overlapping window: "ab" appears 5×, "ba" only 4×
+    assert(r(0L) == (("ab", 5L)), s"got $r")
+    // after the left-to-right merge the text is 5 sentinels; round 1's
+    // top pair is sentinel-sentinel — the recurrence, not a fresh
+    // bigram count over the original text
+    assert(r(1L) == (("", 4L)), s"got $r")
+  }
+
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
     // the signature resizes to a 32-segment grid, so it is robust to
     // SAME-LENGTH perturbations (re-encode analog) but not to length
