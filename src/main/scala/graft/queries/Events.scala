@@ -585,6 +585,98 @@ object Events {
        |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin
   }
 
+  /** e14: sessionization via Spark's NATIVE `session_window` operator —
+    * the built-in e2 hand-rolls with explicit windows. Both exist on
+    * purpose: e2 pins the gaps-and-islands semantics relationally
+    * (lag + running sum — portable to any engine), e14 exercises the
+    * operator a Spark user should reach for first (one groupBy, merges
+    * in the aggregation layer, and the SAME API runs incrementally
+    * under Structured Streaming — EventStream's sessionize twin).
+    * Boundary semantics match e2 exactly — an event at PRECISELY
+    * last+gap still merges; only a strictly larger gap splits
+    * (spec-verified with a planted exact-30-minute pair, since the
+    * documented "[start, last+gap)" phrasing reads as if the boundary
+    * event would split — it does not).
+    *
+    * One shuffle on user_id; no window-function sort pass — the
+    * session merge happens inside the aggregation. */
+  def e14SessionWindow(spark: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("start_us"),
+        (unix_micros($"sw.end") - gapUs).as("last_us"),
+        $"n_events", $"sum_value")
+      .orderBy("user_id", "start_us")
+  }
+
+  /** e14 oracle: gaps-and-islands with e2's strict-`>` boundary. */
+  val e14Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+      |  FROM flagged)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS last_us,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM sess GROUP BY user_id, seq
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** w5: daily activity with EXACT cumulative distinct users — the
+    * growth-dashboard series. Naive count(DISTINCT) per expanding
+    * prefix is quadratic (or an Expand at best); the first-touch
+    * transform makes it linear: cumulative distinct users through day
+    * D = users whose FIRST event is ≤ D, so one (user, day) partial
+    * agg feeds daily totals, first-touch counts, and the running sum.
+    * ONE scan of the fact table (the e10 lesson); the only
+    * unpartitioned window runs over the ≤#days aggregate frame (the
+    * t12 convention). */
+  def w5CumeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pu = Tables.events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = pu.groupBy($"day").agg(sum($"n").as("n_events"))
+    val firsts = pu.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firsts, Seq("day"), "left")
+      .select($"day", $"n_events", coalesce($"new_users", lit(0L)).as("new_users"))
+      .withColumn("cume_users", sum($"new_users").over(w))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events", $"new_users", $"cume_users")
+      .orderBy("day")
+  }
+
+  val w5Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events FROM pu GROUP BY day),
+      |f AS (
+      |  SELECT day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM pu GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
+      |FROM d LEFT JOIN f USING (day) ORDER BY day""".stripMargin
+
   /** z1: quadtree-cell profile of events under the z-order curve over
     * (user_id, epoch-hour) — the curve [[graft.sources.Layout
     * .zorderWrite]] clusters by. Each cell (top z bits = an aligned

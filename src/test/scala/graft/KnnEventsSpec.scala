@@ -140,6 +140,38 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 3L)
   }
 
+  test("e14 native session_window matches e2 including the exact-gap boundary") {
+    // evDir's sessions reproduce (no exact-30-min gaps planted there)
+    val r = Events.e14SessionWindow(spark, evDir).collect()
+    val u1 = r.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2 && u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    // boundary: session_window MERGES an event at exactly last+gap
+    // (despite the "[start, last+gap)" doc phrasing) — same strict->
+    // split rule as e2; one minute past the gap splits in both
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    def ts(m: Int) = new java.sql.Timestamp(3600000L * 24 * 1000 + m * 60000L)
+    Seq((1L, ts(0), 9L, "view", 1.0, "{}"), (2L, ts(30), 9L, "click", 2.0, "{}"),
+      (3L, ts(0), 8L, "view", 1.0, "{}"), (4L, ts(31), 8L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id").count().collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("count")).toMap
+    assert(counts(Events.e14SessionWindow(spark, dir)) == Map(9L -> 1L, 8L -> 2L))
+    assert(counts(Events.e2Sessionize(spark, dir)) == Map(9L -> 1L, 8L -> 2L))
+  }
+
+  test("w5 cumulative users: monotone, ends at total distinct, firsts sum once") {
+    val r = Events.w5CumeUsers(spark, sf).collect()
+    val cume = r.map(_.getAs[Long]("cume_users"))
+    assert(cume.zip(cume.tail).forall { case (a, b) => a <= b })
+    val totalUsers = Events // cume must END at the corpus-wide distinct
+      .w5CumeUsers(spark, sf).sparkSession.read
+      .parquet(s"$sf/events.parquet").select("user_id").distinct().count()
+    assert(cume.last == totalUsers)
+    assert(r.map(_.getAs[Long]("new_users")).sum == totalUsers)
+  }
+
   test("e3 funnel honors event ordering (purchase must follow click)") {
     val r = Events.e3Funnel(spark, evDir).collect()
       .map(x => x.getAs[Long]("user_id") -> x).toMap
