@@ -646,16 +646,22 @@ object Events {
     * t12 convention). */
   def w5CumeUsers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // a naive "days ⋈ firsts" both derived from the partials would
+    // INLINE the un-materialized partial aggregate twice = two fact
+    // scans (the optimizer shares nothing across DataFrame reuse) —
+    // plan-shape-tested against. Instead: one scan → (user, day)
+    // partials → user-window tags each row with the user's first day
+    // → one day-level aggregate produces totals AND new-user counts.
     val pu = Tables.events(spark, dir)
       .groupBy($"user_id", to_date($"ts").as("day"))
       .agg(count(lit(1)).as("n"))
-    val days = pu.groupBy($"day").agg(sum($"n").as("n_events"))
-    val firsts = pu.groupBy($"user_id").agg(min($"day").as("day"))
-      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .withColumn("first_day",
+        min($"day").over(Window.partitionBy($"user_id")))
     val w = Window.orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    days.join(firsts, Seq("day"), "left")
-      .select($"day", $"n_events", coalesce($"new_users", lit(0L)).as("new_users"))
+    pu.groupBy($"day")
+      .agg(sum($"n").as("n_events"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("new_users"))
       .withColumn("cume_users", sum($"new_users").over(w))
       .select(date_format($"day", "yyyy-MM-dd").as("day"),
         $"n_events", $"new_users", $"cume_users")
@@ -666,16 +672,19 @@ object Events {
     """WITH pu AS (
       |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
       |  FROM events GROUP BY 1, 2),
-      |d AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events FROM pu GROUP BY day),
-      |f AS (
-      |  SELECT day, count(*) AS new_users FROM (
-      |    SELECT user_id, min(day) AS day FROM pu GROUP BY user_id)
-      |  GROUP BY day)
-      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
-      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
-      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+      |pw AS (
+      |  SELECT day, n,
+      |    CASE WHEN day = min(day) OVER (PARTITION BY user_id)
+      |         THEN 1 ELSE 0 END AS is_first
+      |  FROM pu),
+      |d AS (
+      |  SELECT day, CAST(sum(n) AS BIGINT) AS n_events,
+      |    CAST(sum(is_first) AS BIGINT) AS new_users
+      |  FROM pw GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
-      |FROM d LEFT JOIN f USING (day) ORDER BY day""".stripMargin
+      |FROM d ORDER BY day""".stripMargin
 
   /** z1: quadtree-cell profile of events under the z-order curve over
     * (user_id, epoch-hour) — the curve [[graft.sources.Layout

@@ -121,6 +121,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(q27.contains("LeftAnti"), q27.linesIterator.take(8).mkString("\n"))
   }
 
+  test("round-5c op plan shapes: w5 single events scan, e14 windowless, g2/mm7 product-free") {
+    def eventScans(df: org.apache.spark.sql.DataFrame): Int = df.queryExecution
+      .optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.exists(_.contains("events")) => r }
+      .length
+    // w5: daily totals, first-touch counts AND the running sum all
+    // ride ONE (user, day) partial aggregate — one fact scan
+    assert(eventScans(queries.Events.w5CumeUsers(spark, sf)) == 1)
+    // e14: the native session_window merges inside the AGGREGATION —
+    // no window-function sort pass anywhere in the plan
+    val e14 = queries.Events.e14SessionWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!e14.contains("Window"), e14.linesIterator.take(8).mkString("\n"))
+    // g2 (wedge/closure joins) and mm7 (band join) are equi-joins over
+    // the pair/band keys — never a cartesian or nested-loop shape
+    Seq(queries.GraphQueries.g2Triangles(spark, sf),
+      multimodal.Media.mm7PhashNearDup(spark, sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.linesIterator.take(8).mkString("\n"))
+    }
+  }
+
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
     val r = queries.Tpch.q26Cube(spark, sf).collect()
     val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
