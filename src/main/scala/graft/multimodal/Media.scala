@@ -359,10 +359,18 @@ object Media {
   def mm7PhashNearDup(spark: SparkSession, dir: String,
                       maxHamming: Int = 5): DataFrame = {
     import spark.implicits._
+    // the 8-band pigeonhole only GUARANTEES a shared band up to
+    // distance 7; a larger threshold would silently lose recall
+    require(maxHamming <= 7,
+      s"maxHamming=$maxHamming exceeds the 8-band pigeonhole cover (7)")
     val segs = 32
     // char-code rows: ASCII payload ⇒ char code == payload byte (the
-    // mm1 oracle's documented stub scope); seg = floor(pos·32/len)
+    // mm1 oracle's documented stub scope); seg = floor(pos·32/len).
+    // Empty payloads are skipped (split("") still yields one element,
+    // and 0 div 0 throws under ANSI — the oracle's range() skips them
+    // for free)
     val ch = Tables.read(spark, dir, "documents")
+      .filter(length($"text") > 0)
       .select($"doc_id", length($"text").as("len"),
         posexplode(split($"text", "")).as(Seq("pos", "c")))
       .select($"doc_id",
@@ -379,7 +387,12 @@ object Media {
     val phash = (0 until segs).map(j =>
       when(col(s"s$j") * $"n" > $"ts" * col(s"c$j"), lit(1L << j))
         .otherwise(0L)).reduce(_ + _)
-    val hashes = agged.select($"doc_id", phash.as("phash"))
+    // materialize the signature index: the band self-join consumes it
+    // on BOTH sides through different alias projections, which defeats
+    // ReuseExchange (the d2_sig_index lesson) — without this the
+    // per-character explode + two aggregations run twice
+    val hashes = graft.operators.Indexes.swap(s"mm7_phash_index:$dir",
+      agged.select($"doc_id", phash.as("phash")))
     val bands = hashes.select($"doc_id", $"phash",
       posexplode(array((0 until 8).map(b =>
         shiftright($"phash", b * 4).bitwiseAND(lit(15L))): _*))

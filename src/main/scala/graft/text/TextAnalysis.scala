@@ -1071,21 +1071,37 @@ object TextAnalysis {
     * is what this emits: (round, pair, cnt). */
   def t20BpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
-    var corpus = Tables.read(spark, dir, "documents").select($"text")
-    val merges = (0 until rounds).map { r =>
+    // docs already containing the PUA sentinel range would be
+    // indistinguishable from earlier merge output and silently corrupt
+    // counts — exclude them up front (oracle mirrors; real corpora do
+    // carry stray PUA codepoints)
+    val sentinelClass =
+      s"[${0xE000.toChar}-${(0xE000 + rounds - 1).toChar}]"
+    var corpus = Tables.read(spark, dir, "documents")
+      .filter(!$"text".rlike(sentinelClass)).select($"text")
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
       val top = corpus.filter(length($"text") >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
           .as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"pair".asc).limit(1)
-        .collect().head
-      val (pair, cnt) = (top.getAs[String]("pair"), top.getAs[Long]("cnt"))
-      corpus = corpus.select(
-        replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
-      (r.toLong, pair, cnt)
+        .collect()
+      if (top.isEmpty) dry = true // corpus fully merged — stop early,
+      // matching the oracle's empty t-CTEs contributing no rows
+      else {
+        val (pair, cnt) =
+          (top.head.getAs[String]("pair"), top.head.getAs[Long]("cnt"))
+        corpus = corpus.select(
+          replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
+        merges += ((r.toLong, pair, cnt))
+        r += 1
+      }
     }
-    spark.createDataFrame(merges.map(m => (m._1, m._2, m._3)))
+    spark.createDataFrame(merges.toSeq)
       .toDF("round", "pair", "cnt")
       .orderBy("round")
   }
@@ -1111,7 +1127,10 @@ object TextAnalysis {
     val out = (0 until rounds).map(r =>
       s"SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM t$r")
       .mkString(" UNION ALL ")
-    s"""WITH r0 AS (SELECT text FROM documents),
+    val hi = (0xE000 + rounds - 1).toHexString
+    s"""WITH r0 AS (
+       |  SELECT text FROM documents
+       |  WHERE NOT regexp_matches(text, '[\\x{e000}-\\x{$hi}]')),
        |${ctes.mkString(",\n")}
        |SELECT CAST(round AS BIGINT) AS round, pair, cnt FROM ($out)
        |ORDER BY round""".stripMargin

@@ -555,6 +555,11 @@ class DedupTextSpec extends AnyFunSuite {
     // top pair is sentinel-sentinel — the recurrence, not a fresh
     // bigram count over the original text
     assert(r(1L) == (("", 4L)), s"got $r")
+    // fully-merged corpus: the 10-char doc collapses to one symbol in
+    // 4 merges; round 5 finds no pair and the trainer stops early
+    // instead of crashing (emitting the same rows the oracle's empty
+    // t-CTE chain would)
+    assert(TextAnalysis.t20BpeMerges(spark, dir, rounds = 5).count() == 4L)
   }
 
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
