@@ -1071,46 +1071,76 @@ object TextAnalysis {
     * is what this emits: (round, pair, cnt). */
   def t20BpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
-    // docs already containing the PUA sentinel range would be
-    // indistinguishable from earlier merge output and silently corrupt
-    // counts — exclude them up front (oracle mirrors; real corpora do
-    // carry stray PUA codepoints)
-    val sentinelClass =
-      s"[${0xE000.toChar}-${(0xE000 + rounds - 1).toChar}]"
-    var corpus = Tables.read(spark, dir, "documents")
-      .filter(!$"text".rlike(sentinelClass)).select($"text")
-    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-    var r = 0
-    var dry = false
-    while (r < rounds && !dry) {
-      val top = corpus.filter(length($"text") >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"pair".asc).limit(1)
-        .collect()
-      if (top.isEmpty) dry = true // corpus fully merged — stop early,
-      // matching the oracle's empty t-CTEs contributing no rows
-      else {
-        val (pair, cnt) =
-          (top.head.getAs[String]("pair"), top.head.getAs[Long]("cnt"))
-        corpus = corpus.select(
-          replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
-        merges += ((r.toLong, pair, cnt))
-        r += 1
-      }
-    }
-    spark.createDataFrame(merges.toSeq)
+    spark.createDataFrame(bpeMergeTable(spark, dir, rounds))
       .toDF("round", "pair", "cnt")
       .orderBy("round")
   }
+
+  /** Docs already containing the PUA sentinel range would be
+    * indistinguishable from earlier merge output and silently corrupt
+    * counts — both the trainer and the encoder exclude them up front
+    * (oracle mirrors; real corpora do carry stray PUA codepoints). */
+  private def bpeSentinelClass(rounds: Int): String =
+    s"[${0xE000.toChar}-${(0xE000 + rounds - 1).toChar}]"
+
+  /** Driver-side memo of trained merge tables: t20 (the trainer) and
+    * t21 (the encoder) share ONE training run per (dir, rounds). The
+    * merge table is the aggregate-sized artifact a tokenizer ships —
+    * rounds rows — so a driver memo (not a persisted DataFrame) is
+    * the right cache for it, same reasoning as the CC-convergence
+    * collect: aggregate-sized, never data. */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, String, Long)]]
+
+  private def bpeMergeTable(spark: SparkSession, dir: String,
+                            rounds: Int): Seq[(Long, String, Long)] =
+    bpeMemo.getOrElseUpdate((dir, rounds), {
+      import spark.implicits._
+      var corpus = Tables.read(spark, dir, "documents")
+        .filter(!$"text".rlike(bpeSentinelClass(rounds))).select($"text")
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var r = 0
+      var dry = false
+      while (r < rounds && !dry) {
+        val top = corpus.filter(length($"text") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+            .as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair".asc).limit(1)
+          .collect()
+        if (top.isEmpty) dry = true // corpus fully merged — stop early,
+        // matching the oracle's empty t-CTEs contributing no rows
+        else {
+          val (pair, cnt) =
+            (top.head.getAs[String]("pair"), top.head.getAs[Long]("cnt"))
+          corpus = corpus.select(
+            replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
+          merges += ((r.toLong, pair, cnt))
+          r += 1
+        }
+      }
+      merges.toSeq
+    })
 
   /** t20 oracle: the same rounds unrolled as a CTE chain; the winning
     * pair re-enters each round as a scalar subquery, so the oracle
     * derives every merge itself (nothing is inlined from the Spark
     * run). chr(57344+r) = the same PUA sentinels. */
   def t20Sql(rounds: Int = 5): String = {
+    val out = (0 until rounds).map(r =>
+      s"SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeWinnerCtesSql(rounds)}
+       |SELECT CAST(round AS BIGINT) AS round, pair, cnt FROM ($out)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Shared winner-CTE chain (r0 → p$r/t$r/r${r+1}) for the t20/t21
+    * oracles: the oracle derives every merge itself via scalar
+    * subqueries — nothing is inlined from the Spark run. */
+  private def bpeWinnerCtesSql(rounds: Int): String = {
+    val hi = (0xE000 + rounds - 1).toHexString
     val ctes = (0 until rounds).flatMap { r =>
       Seq(
         s"""p$r AS (
@@ -1124,15 +1154,72 @@ object TextAnalysis {
            |  SELECT replace(text, (SELECT pair FROM t$r), chr(${57344 + r})) AS text
            |  FROM r$r)""".stripMargin)
     }
-    val out = (0 until rounds).map(r =>
-      s"SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM t$r")
-      .mkString(" UNION ALL ")
-    val hi = (0xE000 + rounds - 1).toHexString
-    s"""WITH r0 AS (
+    s"""r0 AS (
        |  SELECT text FROM documents
        |  WHERE NOT regexp_matches(text, '[\\x{e000}-\\x{$hi}]')),
-       |${ctes.mkString(",\n")}
-       |SELECT CAST(round AS BIGINT) AS round, pair, cnt FROM ($out)
-       |ORDER BY round""".stripMargin
+       |${ctes.mkString(",\n")}""".stripMargin
+  }
+
+  /** t21: BPE ENCODING — the consuming half of t20's trainer: apply
+    * the learned merge table, in training order, to every document
+    * and emit the per-doc tokenization profile (symbol count, chars
+    * absorbed by merges, compression ratio ×1e6). This is the
+    * apply-tokenizer pass a training-data pipeline runs corpus-wide
+    * after training on a sample — and the profile is the acceptance
+    * gate for the tokenizer itself (a merge table that doesn't
+    * compress the corpus is a bad vocabulary).
+    *
+    * Scale shape: training rides the memoized merge table (ONE
+    * training run per session, shared with t20); encoding is a single
+    * corpus scan through `rounds` chained codegen'd `replace`
+    * projections — zero shuffles, zero joins, the text never leaves
+    * its input partition. Compression is exact ×1e6 integer
+    * arithmetic (symbols never exceed chars, and both are plain
+    * counts — no float path). */
+  def t21BpeEncode(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMergeTable(spark, dir, rounds)
+    var enc = Tables.read(spark, dir, "documents")
+      .filter(!$"text".rlike(bpeSentinelClass(rounds)))
+      .select($"doc_id", length($"text").cast("long").as("n_chars"), $"text")
+    merges.foreach { case (r, pair, _) =>
+      enc = enc.select($"doc_id", $"n_chars",
+        replace($"text", lit(pair), lit((0xE000 + r.toInt).toChar.toString)).as("text"))
+    }
+    enc.select($"doc_id", $"n_chars", length($"text").cast("long").as("n_symbols"))
+      .withColumn("compression_e6",
+        when($"n_chars" > 0L,
+          halfUpDiv($"n_symbols" * 1000000L, $"n_chars"))
+          .otherwise(1000000L))
+      .select($"doc_id", $"n_chars", $"n_symbols",
+        ($"n_chars" - $"n_symbols").as("chars_merged"), $"compression_e6")
+      .orderBy("doc_id")
+  }
+
+  /** t21 oracle: the same winner chain as t20's (the oracle trains
+    * its own merge table), then a doc-keyed replace chain. COALESCE
+    * guards the dry-corpus case: an empty t$r makes the scalar
+    * subquery NULL and replace() NULL-propagates — identity matches
+    * the Spark side's early stop. */
+  def t21Sql(rounds: Int = 5): String = {
+    val hi = (0xE000 + rounds - 1).toHexString
+    val docCtes = (0 until rounds).map { r =>
+      s"""d${r + 1} AS (
+         |  SELECT doc_id, n_chars,
+         |    COALESCE(replace(text, (SELECT pair FROM t$r), chr(${57344 + r})), text) AS text
+         |  FROM d$r)""".stripMargin
+    }
+    s"""WITH ${bpeWinnerCtesSql(rounds)},
+       |d0 AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+       |  FROM documents
+       |  WHERE NOT regexp_matches(text, '[\\x{e000}-\\x{$hi}]')),
+       |${docCtes.mkString(",\n")}
+       |SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS n_symbols,
+       |  CAST(n_chars - length(text) AS BIGINT) AS chars_merged,
+       |  CAST(CASE WHEN n_chars > 0
+       |    THEN (2 * length(text) * 1000000 + n_chars) // (2 * n_chars)
+       |    ELSE 1000000 END AS BIGINT) AS compression_e6
+       |FROM d$rounds ORDER BY doc_id""".stripMargin
   }
 }

@@ -560,6 +560,14 @@ class DedupTextSpec extends AnyFunSuite {
     // instead of crashing (emitting the same rows the oracle's empty
     // t-CTE chain would)
     assert(TextAnalysis.t20BpeMerges(spark, dir, rounds = 5).count() == 4L)
+    // t21 encode on the same table: round 0 merges "ab" 5× into
+    // sentinels, round 1 pairs them left-to-right (2 merges, one
+    // leftover) → 3 symbols from 10 chars, compression 300000 ×1e6
+    val enc = TextAnalysis.t21BpeEncode(spark, dir, rounds = 2).collect().head
+    assert(enc.getAs[Long]("n_chars") == 10L)
+    assert(enc.getAs[Long]("n_symbols") == 3L)
+    assert(enc.getAs[Long]("chars_merged") == 7L)
+    assert(enc.getAs[Long]("compression_e6") == 300000L)
   }
 
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
