@@ -1222,4 +1222,89 @@ object TextAnalysis {
        |    ELSE 1000000 END AS BIGINT) AS compression_e6
        |FROM d$rounds ORDER BY doc_id""".stripMargin
   }
+
+  /** t22: language-model quality scoring — the perplexity-filter
+    * primitive of the LLM data stack (CCNet, Gopher: score every
+    * document under an in-distribution LM; low likelihood =
+    * garbled/boilerplate/out-of-distribution text, the strongest
+    * single quality signal after dedup). Model: add-1-smoothed
+    * character-BIGRAM LM trained on t5's stable train split, scored
+    * over ALL documents — val/test docs are scored against the train
+    * distribution exactly as a wiki-trained CCNet model scores crawl
+    * text. Score = arithmetic-mean smoothed bigram probability ×1e6
+    * rather than log-space perplexity: the mean is exact integer
+    * arithmetic end to end (cross-engine hash-checkable, the repo's
+    * ×1e6 convention), and filter thresholds are recalibrated per
+    * corpus anyway.
+    *
+    * Scale shape: the MODEL is vocab²-bounded (pair counts, context
+    * marginals, one scalar vocab size) — broadcast, never shuffled;
+    * scoring is one exploded-bigram scan through two broadcast-hash
+    * joins, then ONE shuffle on doc_id for the per-doc mean. Train
+    * extraction is a second scan + a map-side-combined count agg.
+    * Nothing anywhere is proportional to corpus × vocab. */
+  def t22LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5(normalize($"text")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val base = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+    val bigrams = base.filter(length($"text") >= 2)
+      .select($"doc_id", $"split", explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .as("pair"))
+    val model = bigrams.filter($"split" === "train")
+      .groupBy($"pair").agg(count(lit(1)).as("c"))
+    val ctx = model.groupBy(substring($"pair", 1, 1).as("c1"))
+      .agg(sum($"c").as("ctx"))
+    // greatest(v,1): an empty train slice (planted micro-corpora)
+    // must not zero the smoothing denominator — ANSI division
+    val vocab = model
+      .select(greatest(countDistinct(substring($"pair", 2, 1)), lit(1L)).as("v"))
+    val scored = bigrams
+      .join(broadcast(model), Seq("pair"), "left")
+      .join(broadcast(ctx), substring($"pair", 1, 1) === $"c1", "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        halfUpDiv((coalesce($"c", lit(0L)) + 1L) * 1000000L,
+          coalesce($"ctx", lit(0L)) + $"v").as("p_e6"))
+    val agg = scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"p_e6").as("sum_p"))
+    base.select($"doc_id", $"split")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"split",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        when($"n_bigrams".isNotNull, halfUpDiv($"sum_p", $"n_bigrams"))
+          .otherwise(0L).as("avg_p_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** t22 oracle: same split arithmetic (shared [[splitBucketSql]]),
+    * same add-1 model, same half-up integer mean. */
+  def t22Sql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, text, $splitCaseSql AS split
+       |  FROM (SELECT doc_id, text, $splitBucketSql AS bucket FROM documents) b),
+       |bg AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS pair
+       |  FROM sp WHERE length(text) >= 2),
+       |m AS (SELECT pair, count(*) AS c FROM bg WHERE split = 'train' GROUP BY pair),
+       |cx AS (SELECT substr(pair, 1, 1) AS c1, sum(c) AS ctx FROM m GROUP BY 1),
+       |vv AS (SELECT greatest(count(DISTINCT substr(pair, 2, 1)), 1) AS v FROM m),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    (2 * (coalesce(m.c, 0) + 1) * 1000000 + (coalesce(cx.ctx, 0) + vv.v))
+       |      // (2 * (coalesce(cx.ctx, 0) + vv.v)) AS p_e6
+       |  FROM bg b LEFT JOIN m USING (pair)
+       |    LEFT JOIN cx ON substr(b.pair, 1, 1) = cx.c1
+       |    CROSS JOIN vv),
+       |ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_e6) AS sum_p FROM sc GROUP BY doc_id)
+       |SELECT s.doc_id, s.split,
+       |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(CASE WHEN a.n_bigrams IS NULL THEN 0
+       |    ELSE (2 * a.sum_p + a.n_bigrams) // (2 * a.n_bigrams) END AS BIGINT) AS avg_p_e6
+       |FROM sp s LEFT JOIN ag a USING (doc_id) ORDER BY s.doc_id""".stripMargin
 }

@@ -570,6 +570,28 @@ class DedupTextSpec extends AnyFunSuite {
     assert(enc.getAs[Long]("compression_e6") == 300000L)
   }
 
+  test("t22 LM score: smoothed probabilities bounded, bigram counts consistent") {
+    val r = TextAnalysis.t22LmScore(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 500)
+    // a smoothed probability is in (0, 1]; ×1e6 and half-up it stays
+    // in [1, 1000000] for any scored doc
+    r.filter(_.getAs[Long]("n_bigrams") > 0).foreach { x =>
+      val p = x.getAs[Long]("avg_p_e6")
+      assert(p >= 1L && p <= 1000000L, s"avg_p_e6 out of range: $x")
+    }
+    r.filter(_.getAs[Long]("n_bigrams") == 0).foreach(x =>
+      assert(x.getAs[Long]("avg_p_e6") == 0L))
+    // n_bigrams is exactly length-1 per doc (overlapping window)
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", greatest(length($"text") - 1, lit(0)).cast("long").as("exp_bg"))
+    val bad = TextAnalysis.t22LmScore(spark, "/root/testdata/sf0.001")
+      .join(docs, "doc_id").filter($"n_bigrams" =!= $"exp_bg").count()
+    assert(bad == 0L)
+    // the split column is the t5 assignment (train dominates at 90%)
+    val bySplit = r.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.getOrElse("train", 0) > 400)
+  }
+
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
     // the signature resizes to a 32-segment grid, so it is robust to
     // SAME-LENGTH perturbations (re-encode analog) but not to length
