@@ -337,6 +337,79 @@ case class NearestCentE6(child: Expression, cents: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** s12's scalar-quantization (SQ8) encoder: a ×1e6 long vector →
+  * per-dimension uint8 codes, `code_i = clamp(halfUp((e_i − min_i)·255
+  * / span_i), 0, 255)` against the corpus-trained per-dim (min, span)
+  * codebook. The codebook rides the generated class as a reference
+  * object (the [[NearestCentE6]] lesson — literal-free source, one
+  * generated class for the whole session). Half-up uses
+  * `Math.floorDiv` so query values BELOW the corpus minimum (negative
+  * numerator) round identically to the oracle's positive-mod floor
+  * division before the clamp catches them. Output stays array<long>
+  * so [[SumSqI64]]/[[DotI64]] consume codes directly. */
+case class Sq8CodesE6(child: Expression, mins: Array[Long], spans: Array[Long])
+    extends UnaryExpression {
+  require(mins.length == spans.length && mins.nonEmpty, "codebook shape mismatch")
+  require(spans.forall(_ > 0), "spans must be positive (guard zero-span dims upstream)")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "sq8_codes_e6"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = mins.length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs $dim)")
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val n = (v.getLong(i) - mins(i)) * 255L
+      val q = Math.floorDiv(2L * n + spans(i), 2L * spans(i))
+      out(i) = math.min(255L, math.max(0L, q))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "long[]")
+    val spansRef = ctx.addReferenceObj("spans", spans, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = mins.length
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_codes_e6: dimension mismatch (" + $v.numElements() + " vs $dim)");
+         |}
+         |long[] $out = new long[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  long $n = ($v.getLong($i) - $minsRef[$i]) * 255L;
+         |  long $q = java.lang.Math.floorDiv(2L * $n + $spansRef[$i], 2L * $spansRef[$i]);
+         |  $out[$i] = java.lang.Math.min(255L, java.lang.Math.max(0L, $q));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8CodesE6 =
+    copy(child = newChild)
+}
+
 /** Integer sum of squares of a long array (s3's exact ×1e6 norm
   * numerator — an order-free integer sum, deterministic under any
   * partitioning). */
@@ -456,6 +529,10 @@ object VectorFunctions {
   /** Codegen'd integer dot product as a Column. */
   def dotI64(a: Column, b: Column): Column =
     Bridge.column(DotI64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd SQ8 encoding against a per-dim (min, span) codebook. */
+  def sq8CodesE6(v: Column, mins: Array[Long], spans: Array[Long]): Column =
+    Bridge.column(Sq8CodesE6(Bridge.expression(v), mins, spans))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -779,25 +779,37 @@ object Knn {
     * [[graft.functions.DotI64]] — order-free BIGINT terms, bit-equal
     * in DuckDB. The quantization-error gap PQ trades for 64× memory
     * is exactly what this audit prices, per query, per rebuild. */
-  def s11PqRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+  def s11PqRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    recallVsExactL2(spark, dir, k, s10PqAnn(spark, dir, k))
+
+  /** The exact integer-L2 top-k (s1's broadcast shape, codegen'd
+    * integer kernels) — the shared yardstick of the s11/s13 recall
+    * audits. */
+  private def exactL2TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.{dotI64, sumSqI64}
-    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
     val q = quantized(spark, dir)
     val queries = q.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"el".as("qe"), sumSqI64($"el").as("qq"))
     val corpus = q.filter($"vec_id" >= 10)
       .select($"vec_id".as("neighbor_id"), $"el".as("ce"), sumSqI64($"el").as("cc"))
     val w = Window.partitionBy($"query_id").orderBy($"l2_e12", $"neighbor_id")
-    val exact = corpus.join(broadcast(queries))
+    corpus.join(broadcast(queries))
       .select($"query_id", $"neighbor_id",
         ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("l2_e12"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id")
-    val approx = s10PqAnn(spark, dir, k)
-      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
-    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+  }
+
+  /** recall@k of `approx` against the exact integer-L2 top-k. */
+  private def recallVsExactL2(spark: SparkSession, dir: String, k: Int,
+                              approx: DataFrame): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val exact = exactL2TopK(spark, dir, k)
+    val ap = approx.select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(ap, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
       .groupBy($"query_id")
       .agg(count($"n2").as("n_hits"))
       .select($"query_id", $"n_hits",
@@ -809,6 +821,121 @@ object Knn {
     * (the s4 pattern). */
   val s11Sql: String =
     s"""WITH ap AS ($s10Sql),
+       |eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |el2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS l2_e12
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY l2_e12, neighbor_id) AS rank
+       |    FROM el2) WHERE rank <= $K)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  // ---- s12/s13: scalar quantization (SQ8) --------------------------
+
+  private val sq8Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Array[Long])]
+
+  /** The SQ8 codebook: per-dimension corpus (min, span) in the ×1e6
+    * space — Dim pairs, aggregate-sized, collected once per dir (an
+    * index-build artifact, the [[pqCodebooks]] convention). Zero-span
+    * dims (a constant dimension) get span 1: every code lands on 0
+    * and the dim contributes nothing to any distance, both engines. */
+  private def sq8Codebook(spark: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    sq8Cache.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val rows = quantized(spark, dir).filter($"vec_id" >= 10)
+        .select(posexplode($"el").as(Seq("i", "e")))
+        .groupBy($"i").agg(min($"e").as("mn"), max($"e").as("mx"))
+        .orderBy("i").collect()
+      val mins = rows.map(_.getAs[Long]("mn"))
+      val spans = rows.map(r => math.max(r.getAs[Long]("mx") - r.getAs[Long]("mn"), 1L))
+      (mins, spans)
+    })
+
+  /** s12: scalar-quantization ANN (SQ8, the FAISS `SQ8`/Milvus
+    * `IVF_SQ8` storage tier): every dimension compresses to a uint8
+    * code against the corpus-trained per-dim (min, span) codebook —
+    * 64 floats → 64 bytes, a 4× memory cut with NO codebook training
+    * loop (vs PQ's Lloyd's) — and search ranks by SYMMETRIC code-space
+    * L2 (both sides int8, the memory-bandwidth-optimal variant).
+    *
+    * Scale shape: the codebook is Dim pairs (broadcast-as-literals
+    * via the codegen reference object); encoding is one scan through
+    * the [[graft.functions.Sq8CodesE6]] kernel — no shuffle, persisted
+    * at index-build time in production; search is the s1 deliberate
+    * broadcast-queries shape with codegen'd integer kernels on the
+    * CODE arrays (‖a−b‖² = Σa²+Σb²−2a·b), and code distances are
+    * ≤ Dim·255² ≈ 4.2e6 — overflow-proof at any Dim that fits memory.
+    * Composes with s8's coarse cells (IVF_SQ8) the same way s10 does.
+    * Integer-exact end to end → hash-checked oracle. */
+  def s12Sq8Ann(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sq8CodesE6, sumSqI64}
+    val (mins, spans) = sq8Codebook(spark, dir)
+    val coded = quantized(spark, dir)
+      .select($"vec_id", sq8CodesE6($"el", mins, spans).as("codes"))
+    val queries = coded.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"codes".as("qc"), sumSqI64($"codes").as("qq"))
+    val corpus = coded.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"codes".as("nc"), sumSqI64($"codes").as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"sq_dist", $"neighbor_id")
+    corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        ($"qq" + $"nn" - lit(2L) * dotI64($"qc", $"nc")).as("sq_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s12 oracle: same codebook, same half-up+clamp encoding, same
+    * symmetric code-space L2. */
+  val s12Sql: String =
+    s"""WITH eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |cb AS (
+       |  SELECT i, min(e) AS mn, greatest(max(e) - min(e), 1) AS span
+       |  FROM eq WHERE vec_id >= 10 GROUP BY i),
+       |codes AS (
+       |  SELECT q.vec_id, q.i,
+       |    least(greatest(${halfUpSql("(q.e - cb.mn) * 255", "cb.span")}, 0), 255) AS code
+       |  FROM eq q JOIN cb ON cb.i = q.i),
+       |d AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.code - b.code)*(a.code - b.code)) AS BIGINT) AS sq_dist
+       |  FROM codes a JOIN codes b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sq_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, sq_dist, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** s13: SQ8 recall audit — recall@k of s12's symmetric code-space
+    * ranking vs the exact integer-L2 top-k (s11's yardstick): prices
+    * the 4× memory cut. SQ8's per-dim resolution keeps recall far
+    * above PQ's 16-centroid subspaces; this pair of audits is the
+    * storage-tier decision table (SQ8 vs PQ vs full precision). */
+  def s13Sq8Recall(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    recallVsExactL2(spark, dir, k, s12Sq8Ann(spark, dir, k))
+
+  /** s13 oracle: exact integer-L2 top-k composed with the s12 oracle
+    * (the s11 pattern). */
+  val s13Sql: String =
+    s"""WITH ap AS ($s12Sql),
        |eq AS (
        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
        |  FROM (SELECT vec_id, unnest(embedding) AS v,

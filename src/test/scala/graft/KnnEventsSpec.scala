@@ -475,6 +475,51 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("s12 SQ8: top-k distances match a driver-side re-encode") {
+    import graft.similarity.Knn
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray).toMap
+    val dim = q.values.head.length
+    val corpus = q.filter(_._1 >= 10)
+    // codebook from corpus rows only; zero-span guard mirrors the impl
+    val mins = (0 until dim).map(i => corpus.values.map(_(i)).min).toArray
+    val spans = (0 until dim).map(i =>
+      math.max(corpus.values.map(_(i)).max - mins(i), 1L)).toArray
+    def enc(v: Array[Long]): Array[Long] = v.zipWithIndex.map { case (e, i) =>
+      val n = (e - mins(i)) * 255L
+      math.min(255L, math.max(0L, Math.floorDiv(2 * n + spans(i), 2 * spans(i))))
+    }
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = q.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      corpus.keys.toSeq.sorted
+        .map(nid => (qid, nid, d2(enc(q(qid)), enc(q(nid)))))
+        .sortBy { case (_, nid, d) => (d, nid) }.take(5)
+    }.map { case (qid, nid, d) => (qid, nid) -> d }.toMap
+    val got = Knn.s12Sq8Ann(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(expected.get(k).contains(r.getAs[Long]("sq_dist")), s"pair $k")
+    }
+  }
+
+  test("s12/s13: deliberate broadcast-queries shape; SQ8 recall clears the tier floor") {
+    import graft.similarity.Knn
+    // the exact-search family's one sanctioned BNLJ shape: build side
+    // is the tiny broadcast query set, the coded corpus streams
+    val plan = Knn.s12Sq8Ann(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    val rec = Knn.s13Sq8Recall(spark, sf).collect()
+    assert(rec.length == 10)
+    // 255 levels/dim keeps SQ8 near-exact — far above PQ's 16-centroid
+    // subspaces; the floor pins the storage-tier ordering
+    assert(rec.forall(_.getAs[Long]("recall_e6") >= 600000L),
+      rec.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("recall_e6"))).mkString(","))
+  }
+
   test("e13 CMS estimates match a driver-side sketch and never under-count") {
     val got = Events.e13HeavyHitters(spark, sf).collect()
     assert(got.nonEmpty)
