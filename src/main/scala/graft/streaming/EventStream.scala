@@ -63,6 +63,29 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming twin of e14: the NATIVE session_window aggregation —
+    * the same declarative plan in batch and streaming, which is the
+    * point (vs [[sessionize]], whose hand-rolled state exists for
+    * custom semantics the built-in can't express). The engine merges
+    * session windows inside the aggregation layer; under streaming a
+    * session is emitted in append mode once the watermark passes its
+    * close (start + gap past the last event), with state bounded the
+    * same way. Output follows e14's convention: last_us = end − gap
+    * (the last EVENT time, not the window close). */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 minute"): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        (unix_micros(col("sw.end")) - gapUs).as("last_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming twin of e2: gap-based sessionization via
     * flatMapGroupsWithState with event-time timeout. A session closes
     * either when a later event arrives past the gap (emitted

@@ -312,6 +312,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream is EXACTLY the batch e14 on real data") {
+    // same twin claim for the BUILT-IN sessionizer: identical
+    // declarative plan both modes, so the full sf0.001 table through
+    // chronological micro-batches must reproduce batch e14 bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value", $"event_id").as[Ev]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+    val sentinel = Ev(-1L, new java.sql.Timestamp(
+      evs.last.ts.getTime + 30L * 24 * 3600 * 1000), 0.0)
+
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionWindowAgg(input.toDS().toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sw_parity")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("sw_parity").collect()
+        .filter(_.getAs[Long]("user_id") >= 0)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("last_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      val batch = graft.queries.Events.e14SessionWindow(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("last_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(streamed == batch,
+        s"streaming-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming gap fill emits explicit zero rows for silent hours") {
     import graft.streaming.EventStream.GEv
     implicit val sqlCtx = spark.sqlContext
