@@ -1281,6 +1281,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** c1: the CURATION DECISION TABLE — the flagship composition: for
+    * every document, gather the pipeline's quality signals (t1
+    * language id, t2 heuristic quality, t22 LM score, d1's exact-dup
+    * fingerprint, t11 contamination) and emit one keep/drop verdict
+    * with the FIRST failing rule as the reason, in the precedence a
+    * production pipeline applies them: duplicate → contaminated →
+    * lang_mismatch → low_quality → low_lm_score → keep. This is the
+    * query a data curator actually ships: one call, one decision per
+    * doc, auditable reasons.
+    *
+    * Scale shape: every signal is an existing scale-safe operator;
+    * the composition joins NARROW per-doc signal frames (doc_id +
+    * one value) on doc_id — co-partitioned hash joins, no wide rows,
+    * no re-derivation (each signal computes once). Thresholds are
+    * corpus-calibrated constants (the curator's dial), all integer
+    * comparisons. */
+  def c1Curation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.read(spark, dir, "documents").select($"doc_id", $"lang")
+    val lang = t1LangId(spark, dir).select($"doc_id", $"pred_lang")
+    val qual = t2QualityScore(spark, dir).select($"doc_id", $"quality_e6")
+    val lm = t22LmScore(spark, dir).select($"doc_id", $"avg_p_e6")
+    val fp = Tables.read(spark, dir, "documents")
+      .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
+    val keep = fp.groupBy($"fingerprint").agg(min($"doc_id").as("keep_id"))
+    val dup = fp.join(keep, "fingerprint").select($"doc_id", $"keep_id")
+    val contam = t11Contamination(spark, dir)
+      .select($"doc_id", $"contamination_e6".as("ct_e6"))
+    docs.join(lang, "doc_id").join(qual, "doc_id").join(lm, "doc_id")
+      .join(dup, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"pred_lang", $"quality_e6", $"avg_p_e6",
+        coalesce($"ct_e6", lit(0L)).as("contamination_e6"),
+        $"keep_id".as("dup_of"),
+        when($"keep_id" =!= $"doc_id", "duplicate")
+          .when(coalesce($"ct_e6", lit(0L)) >= 500000L, "contaminated")
+          .when($"pred_lang" =!= $"lang", "lang_mismatch")
+          .when($"quality_e6" < 300000L, "low_quality")
+          .when($"avg_p_e6" < 230000L, "low_lm_score")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** c1 oracle: the t1/t2/t22/t11 oracles composed as subqueries (the
+    * s9 pattern — each derives its signal itself), plus the d1
+    * fingerprint → keep mapping, under the same precedence CASE. */
+  def c1Sql: String =
+    s"""WITH l AS (SELECT doc_id, pred_lang FROM ($t1Sql)),
+       |q AS (SELECT doc_id, quality_e6 FROM ($t2Sql)),
+       |p AS (SELECT doc_id, avg_p_e6 FROM ($t22Sql)),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |kp AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+       |dup AS (SELECT fp.doc_id, kp.keep_id FROM fp JOIN kp USING (fingerprint)),
+       |ct AS (SELECT doc_id, contamination_e6 FROM ($t11Sql))
+       |SELECT d.doc_id, d.lang, l.pred_lang, q.quality_e6, p.avg_p_e6,
+       |  CAST(coalesce(ct.contamination_e6, 0) AS BIGINT) AS contamination_e6,
+       |  dup.keep_id AS dup_of,
+       |  CASE WHEN dup.keep_id <> d.doc_id THEN 'duplicate'
+       |       WHEN coalesce(ct.contamination_e6, 0) >= 500000 THEN 'contaminated'
+       |       WHEN l.pred_lang <> d.lang THEN 'lang_mismatch'
+       |       WHEN q.quality_e6 < 300000 THEN 'low_quality'
+       |       WHEN p.avg_p_e6 < 230000 THEN 'low_lm_score'
+       |       ELSE 'keep' END AS verdict
+       |FROM documents d
+       |JOIN l USING (doc_id) JOIN q USING (doc_id) JOIN p USING (doc_id)
+       |JOIN dup USING (doc_id) LEFT JOIN ct USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** t22 oracle: same split arithmetic (shared [[splitBucketSql]]),
     * same add-1 model, same half-up integer mean. */
   def t22Sql: String =

@@ -592,6 +592,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(bySplit.getOrElse("train", 0) > 400)
   }
 
+  test("c1 curation: duplicate rule fires first; every doc gets exactly one verdict") {
+    val r = TextAnalysis.c1Curation(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("verdict"), x.getAs[Long]("dup_of"))).toMap
+    assert(r.size == 6)
+    // doc 1 is the exact-dup loser of doc 0 — 'duplicate' takes
+    // precedence over every downstream quality rule
+    assert(r(1L)._1 == "duplicate" && r(1L)._2 == 0L, s"got ${r(1L)}")
+    // the dup winner is never dropped AS a duplicate
+    assert(r(0L)._1 != "duplicate" && r(0L)._2 == 0L)
+    val verdicts = Set("keep", "duplicate", "contaminated", "lang_mismatch",
+      "low_quality", "low_lm_score")
+    assert(r.values.forall(v => verdicts(v._1)), r.values.map(_._1).toSet.toString)
+  }
+
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
     // the signature resizes to a 32-segment grid, so it is robust to
     // SAME-LENGTH perturbations (re-encode analog) but not to length
