@@ -419,6 +419,39 @@ object Tpch {
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** q28: explicit GROUPING SETS — the general form q22's ROLLUP and
+    * q26's CUBE are special cases of, on a MIXED dimension list
+    * ((returnflag, linestatus), (ship_year), ()) that neither prefix
+    * rollup nor full cube produces: the detail breakdown, an
+    * orthogonal yearly margin, and the grand total in ONE Expand-based
+    * pass — one shuffle carries all three sets; the hand-written
+    * alternative is three scans + a union. */
+  def q28GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "lineitem")
+      .withColumn("ship_year", year($"l_shipdate"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"ship_year"), Seq()),
+        $"l_returnflag", $"l_linestatus", $"ship_year")
+      .agg(count(lit(1)).as("n_items"),
+        money(sum(dec($"l_extendedprice"))).as("sum_price"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        coalesce($"ship_year".cast("string"), lit("ALL")).as("ship_year"),
+        $"n_items", $"sum_price")
+      .orderBy("returnflag", "linestatus", "ship_year")
+  }
+
+  val q28Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  coalesce(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+      |  count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (year(l_shipdate)), ())
+      |ORDER BY returnflag, linestatus, ship_year""".stripMargin
+
   /** q23: pivot — returnflag × linestatus count matrix (Spark's
     * `pivot` with an explicit value list stays a single Expand+agg
     * pass; the explicit list is what keeps it one job at scale —
