@@ -377,4 +377,65 @@ object MergeQueries {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
+
+  /** m19: incremental (delta/CDC) merge — the scale path the
+    * reference's full re-merge lacks: only rows changed since the
+    * last merge watermark re-enter the pipeline, classified into the
+    * production action set against the already-merged destination:
+    * `insert` (natural key unseen), `update` (key matched but the
+    * compared column drifted), `noop` (key matched, nothing changed).
+    * At 100 TB a nightly OpenMRS-style sync re-merges a per-mille
+    * delta, not the corpus — work here is ∝ |delta| through exactly
+    * the m1 consolidation machinery (delta-scoped id allocation), and
+    * the destination contributes only its natural-key index and the
+    * compared columns, the frames a production dest keeps indexed
+    * anyway.
+    *
+    * Delta stand-in: `c_custkey % 5 < 2` (the `date_changed > T`
+    * slice, the m-block synthesis convention); dest drift: every 7th
+    * row's mktsegment differs, so all three action classes are
+    * non-empty on real data. */
+  def m19DeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val delta = srcCust(spark, dir).filter(col("c_custkey") % 5 < 2)
+    val dest = destCust(spark, dir).withColumn("c_mktsegment",
+      when(col("c_custkey") % 7 === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")))
+    val idMap = MergeOps.consolidate(delta, dest, Seq("c_name"), "c_custkey")
+    val destSeg = dest.select(col("c_custkey").as("dest_id"),
+      col("c_mktsegment").as("dest_segment"))
+    delta.select(col("c_custkey").as("src_id"), col("c_mktsegment"))
+      .join(idMap, "src_id")
+      .join(destSeg, Seq("dest_id"), "left")
+      .select(col("src_id"), col("dest_id"),
+        when(col("is_new") === 1, "insert")
+          .when(col("c_mktsegment") =!= col("dest_segment"), "update")
+          .otherwise("noop").as("action"))
+      .orderBy("src_id")
+  }
+
+  /** m19 oracle: m2's idmap chain scoped to the delta slice, plus the
+    * drift comparison. */
+  val m19Sql: String =
+    """WITH srcc AS (
+      |  SELECT * FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 < 2),
+      |destc AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+      |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+      |idmap AS (
+      |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+      |  FROM srcc s JOIN destk k ON s.c_name = k.c_name
+      |  UNION ALL
+      |  SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey), 1
+      |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name))
+      |SELECT i.src_id, i.dest_id,
+      |  CASE WHEN i.is_new = 1 THEN 'insert'
+      |       WHEN s.c_mktsegment <> d.c_mktsegment THEN 'update'
+      |       ELSE 'noop' END AS action
+      |FROM idmap i
+      |JOIN srcc s ON s.c_custkey = i.src_id
+      |LEFT JOIN destc d ON d.c_custkey = i.dest_id
+      |ORDER BY src_id""".stripMargin
 }

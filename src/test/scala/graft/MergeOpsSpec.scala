@@ -147,4 +147,23 @@ class MergeOpsSpec extends AnyFunSuite {
     val plan = graft.merge.MergeQueries.m18Scd2(spark, sf).queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains(" Window [")) == 1, plan)
   }
+
+  test("m19 delta merge: exhaustive classification, insert ids allocated above dest max") {
+    val rows = graft.merge.MergeQueries.m19DeltaMerge(spark, sf).collect()
+    // every delta row classified exactly once
+    val deltaCount = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") % 3 =!= 0 && col("c_custkey") % 5 < 2).count()
+    assert(rows.length.toLong == deltaCount)
+    val destMax = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") % 2 === 0).agg(max(col("c_custkey"))).head.getLong(0)
+    val byAction = rows.groupBy(_.getAs[String]("action"))
+    // inserts get fresh ids above the destination's max (the m1
+    // AUTO_INCREMENT allocation, scoped to the delta)
+    byAction.getOrElse("insert", Array.empty).foreach(r =>
+      assert(r.getAs[Long]("dest_id") > destMax, r.toString))
+    // matched rows (update/noop) map into EXISTING destination ids
+    (byAction.getOrElse("update", Array.empty) ++ byAction.getOrElse("noop", Array.empty))
+      .foreach(r => assert(r.getAs[Long]("dest_id") <= destMax
+        && r.getAs[Long]("dest_id") % 2 == 0, r.toString))
+  }
 }
