@@ -446,4 +446,62 @@ object Media {
        |FROM cand WHERE bit_count(xor(h1, h2)) <= 5
        |ORDER BY doc_id1, doc_id2""".stripMargin
   }
+
+  /** mm8: shard packing — the WebDataset/tar-shard export pass of a
+    * multimodal training pipeline: assets are laid out in a stable
+    * (source, doc_id) order and greedily packed into ~targetBytes
+    * shards (shard = exclusive-prefix-bytes ÷ target, so a shard may
+    * overrun by at most one asset — the tar-writer convention); the
+    * emitted per-shard MANIFEST (asset count, bytes, id range) is
+    * what the export job and the training loader both consume.
+    * Payload size = the ASCII stub byte length (the mm1 documented
+    * stub scope).
+    *
+    * Scale shape: t12's two-level exclusive prefix sum, keyed inside
+    * each source by doc_id DIV 64 blocks (id-range blocks tile the
+    * per-source order for ANY id distribution): the per-asset window
+    * runs inside (source, block) partitions, and the only cross-block
+    * pass is a per-source running sum over BLOCK AGGREGATES —
+    * aggregate-sized, never data. One shuffle for the local windows,
+    * one broadcast of the block offsets, one manifest re-agg. */
+  def mm8ShardPack(spark: SparkSession, dir: String,
+                   targetBytes: Long = 2048): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assets = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source", length($"text").cast("long").as("bytes"))
+      .withColumn("block", expr("doc_id DIV 64"))
+    val local = Window.partitionBy($"source", $"block").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = assets.withColumn("local_off",
+      coalesce(sum($"bytes").over(local), lit(0L)))
+    val blockOff = assets.groupBy($"source", $"block").agg(sum($"bytes").as("bb"))
+      .withColumn("block_off",
+        coalesce(sum($"bb").over(Window.partitionBy($"source").orderBy($"block")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"block", $"block_off")
+    withLocal.join(broadcast(blockOff), Seq("source", "block"))
+      .withColumn("start_byte", $"block_off" + $"local_off")
+      .withColumn("shard", expr(s"start_byte DIV $targetBytes"))
+      .groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("n_assets"), sum($"bytes").as("shard_bytes"),
+        min($"doc_id").as("first_id"), max($"doc_id").as("last_id"))
+      .orderBy("source", "shard")
+  }
+
+  /** mm8 oracle: the two-level scan equals one per-source exclusive
+    * cumsum in (doc_id) order (id-range blocks tile the order —
+    * t12's equivalence argument). */
+  val mm8Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS bytes FROM documents),
+      |o AS (
+      |  SELECT doc_id, source, bytes,
+      |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_byte
+      |  FROM a)
+      |SELECT source, start_byte // 2048 AS shard, count(*) AS n_assets,
+      |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM o GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
 }

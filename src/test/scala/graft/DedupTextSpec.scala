@@ -607,6 +607,35 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.values.forall(v => verdicts(v._1)), r.values.map(_._1).toSet.toString)
   }
 
+  test("mm8 shard pack: contiguous shards, exact byte conservation, greedy boundaries") {
+    val target = 2048L
+    val r = graft.multimodal.Media.mm8ShardPack(spark, sf).collect()
+      .groupBy(_.getAs[String]("source"))
+    val totals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").agg(sum(length($"text")).cast("long").as("tot"))
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Long]("tot")).toMap
+    assert(r.keySet == totals.keySet)
+    r.foreach { case (src, shards) =>
+      val sorted = shards.sortBy(_.getAs[Long]("shard"))
+      // shard ids contiguous from 0
+      assert(sorted.map(_.getAs[Long]("shard")).toSeq == (0L until sorted.length).toSeq, src)
+      // every asset lands in exactly one shard: bytes conserve
+      assert(sorted.map(_.getAs[Long]("shard_bytes")).sum == totals(src), src)
+      // greedy boundary: a new shard only opens once the cumulative
+      // bytes have crossed the previous shard's target line
+      sorted.map(_.getAs[Long]("shard_bytes")).scanLeft(0L)(_ + _).tail
+        .zipWithIndex.dropRight(1).foreach { case (cum, idx) =>
+          assert(cum >= (idx + 1) * target, s"$src shard $idx closed early at $cum")
+        }
+      // id ranges don't overlap between consecutive shards
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_id") < b.getAs[Long]("first_id"), src)
+        case _ =>
+      }
+    }
+  }
+
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
     // the signature resizes to a 32-segment grid, so it is robust to
     // SAME-LENGTH perturbations (re-encode analog) but not to length
