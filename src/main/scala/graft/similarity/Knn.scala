@@ -932,6 +932,73 @@ object Knn {
   def s13Sq8Recall(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     recallVsExactL2(spark, dir, k, s12Sq8Ann(spark, dir, k))
 
+  /** s14: dimension-truncation recall audit (the Matryoshka/MRL
+    * trade-off, Kusupati et al. NeurIPS 2022): rank by integer L2 on
+    * the FIRST 16 of 64 dimensions — the cheapest storage tier of all
+    * (truncate, no codebook at all, 4× cut like SQ8) — and price it
+    * against the full-dim exact top-k. With s11 (PQ) and s13 (SQ8)
+    * this completes the storage-tier decision table; unlike those,
+    * truncation recall depends entirely on how much variance the
+    * leading dims carry, which is exactly why the audit must run on
+    * the live corpus rather than be assumed.
+    *
+    * Scale shape: s1's broadcast shape on SLICED arrays — slicing
+    * happens before the join, so the streamed corpus rows carry 16
+    * longs, not 64; same codegen'd kernels. */
+  def s14MrlRecall(spark: SparkSession, dir: String, k: Int = K,
+                   prefixDims: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sumSqI64}
+    val q = quantized(spark, dir)
+      .select($"vec_id", slice($"el", 1, prefixDims).as("el"))
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"el".as("qe"), sumSqI64($"el").as("qq"))
+    val corpus = q.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"el".as("ce"), sumSqI64($"el").as("cc"))
+    val w = Window.partitionBy($"query_id").orderBy($"td", $"neighbor_id")
+    val approx = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("td"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id")
+    recallVsExactL2(spark, dir, k, approx)
+  }
+
+  /** s14 oracle: truncated-dim L2 top-k vs the full exact (the s11
+    * CTE pattern; truncation = `i <= 16` on the exploded rows). */
+  val s14Sql: String =
+    s"""WITH eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |tl2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS td
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  WHERE a.i <= 16
+       |  GROUP BY 1, 2),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY td, neighbor_id) AS rank
+       |    FROM tl2) WHERE rank <= $K),
+       |el2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS l2_e12
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY l2_e12, neighbor_id) AS rank
+       |    FROM el2) WHERE rank <= $K)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** s13 oracle: exact integer-L2 top-k composed with the s12 oracle
     * (the s11 pattern). */
   val s13Sql: String =

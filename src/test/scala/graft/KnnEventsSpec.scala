@@ -520,6 +520,22 @@ class KnnEventsSpec extends AnyFunSuite {
       rec.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("recall_e6"))).mkString(","))
   }
 
+  test("s14 MRL: truncation recall collapses on non-Matryoshka embeddings (the audit's point)") {
+    import graft.similarity.Knn
+    val mrl = Knn.s14MrlRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("recall_e6")).toMap
+    assert(mrl.size == 10)
+    assert(mrl.values.forall(v => v >= 0L && v <= 1000000L))
+    // this corpus is i.i.d. per dim — no variance concentration in the
+    // leading dims — so dropping 48/64 dims must destroy the ranking
+    // while SQ8 (all dims at 8-bit) stays near-exact: the tier ordering
+    // the decision table exists to expose
+    val sq8 = Knn.s13Sq8Recall(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("recall_e6")).toMap
+    assert(mrl.values.sum < sq8.values.sum,
+      s"mrl=${mrl.values.sum} sq8=${sq8.values.sum}")
+  }
+
   test("e13 CMS estimates match a driver-side sketch and never under-count") {
     val got = Events.e13HeavyHitters(spark, sf).collect()
     assert(got.nonEmpty)
