@@ -852,4 +852,131 @@ object Dedup {
       |       END AS BIGINT) AS err
       |FROM a ORDER BY source""".stripMargin.replace("HEXPR", h)
   }
+
+  /** d13: sketch-algebra split-overlap audit — estimated Jaccard
+    * between the train/val/test splits' SHINGLE sets from their KMV
+    * sketches alone, next to the exact Jaccard as the yardstick.
+    *
+    * This is the sketch UNION/INTERSECTION story d12's single-set
+    * cardinality doesn't cover: bottom-k sketches are closed under
+    * union (bottom-k(A∪B) = bottom-k(sketchA ∪ sketchB) — any union
+    * rank-≤k hash has rank ≤ k in its own set too), and membership of
+    * a union-bottom-k hash is decided BY THE SKETCHES (h ∈ A ⇔
+    * h ∈ sketchA for those hashes, same argument), so the standard
+    * KMV Jaccard estimator |bottom-k(A∪B) ∩ A ∩ B| / k computes from
+    * three k-long arrays. Below k the sketch IS the set and the
+    * estimate collapses to exact — handled by the shared L =
+    * min(k, |union|) in both engines.
+    *
+    * The sets are 3-word-shingle hashes ([[shingleRows]], the t11
+    * contamination unit), so this is the sketch-side twin of the
+    * t9/t11 leakage audits: train↔test shingle Jaccard = phrase-level
+    * contamination pressure across the split boundary, measured from
+    * two k-long arrays instead of a corpus×corpus shingle join.
+    * (Whole-doc fingerprints would be degenerate here — t5's
+    * content-hash split pins every exact-dup group to one split, so
+    * only sub-document overlap is informative.)
+    *
+    * Scale shape: at 100 TB the exact columns are what you'd DROP —
+    * the point of the audit is that each split's sketch is one
+    * bounded-state [[graft.functions.KmvMinsAgg]] pass (≤k longs per
+    * partition per split moved at the shuffle), and every pairwise
+    * overlap then costs array math on 3×k longs — no split×split
+    * join of corpus-sized sets per dashboard refresh. The exact side
+    * here is one distinct-hash agg + a flags re-agg (no
+    * count-DISTINCT Expand, the d12 convention) and exists to
+    * hash-pin the estimator's error columns. */
+  def d13SketchOverlap(spark: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{DetHash, SketchFunctions, IntMath}
+    val bucket = conv(substring(md5(normalize($"text")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val splits = Tables.read(spark, dir, "documents")
+      .select($"doc_id",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+    val docs = shingleRows(spark, dir).join(splits, "doc_id")
+      .select($"split", DetHash.md5Long60Col($"sh").as("h"))
+    // one bounded-state sketch pass per split (the production side)
+    val sketches = docs.groupBy($"split")
+      .agg(SketchFunctions.kmvMins($"h", k).as("mins"))
+    // exact yardstick: distinct hashes -> per-hash split flags -> one
+    // scalar row of set/intersection sizes (never a set×set join)
+    val flags = docs.groupBy($"h")
+      .agg(max(when($"split" === "train", 1).otherwise(0)).as("tr"),
+        max(when($"split" === "val", 1).otherwise(0)).as("va"),
+        max(when($"split" === "test", 1).otherwise(0)).as("te"))
+    val exact = flags.agg(
+      sum($"tr").as("n_train"), sum($"va").as("n_val"), sum($"te").as("n_test"),
+      sum($"te" * $"tr").as("i_te_tr"), sum($"te" * $"va").as("i_te_va"),
+      sum($"tr" * $"va").as("i_tr_va"))
+    // pair frame: lexicographic (a, b) names, matching the oracle
+    val pairs = spark.createDataFrame(Seq(
+      ("test|train", "test", "train"), ("test|val", "test", "val"),
+      ("train|val", "train", "val"))).toDF("pair", "sa", "sb")
+    val withSketches = pairs
+      .join(sketches.select($"split".as("sa"), $"mins".as("ma")), "sa")
+      .join(sketches.select($"split".as("sb"), $"mins".as("mb")), "sb")
+      .crossJoin(broadcast(exact)) // scalar-row broadcast (m6 convention)
+    val nA = when($"sa" === "test", $"n_test").otherwise($"n_train")
+    val nB = when($"sb" === "train", $"n_train").otherwise($"n_val")
+    val inter = when($"pair" === "test|train", $"i_te_tr")
+      .when($"pair" === "test|val", $"i_te_va").otherwise($"i_tr_va")
+    val ubot = slice(array_sort(array_union($"ma", $"mb")), 1, k)
+    val l = least(lit(k), size(ubot)).cast("long")
+    val matches = size(array_intersect(array_intersect(ubot, $"ma"), $"mb"))
+      .cast("long")
+    val exactJ = IntMath.halfUpDiv(inter * 1000000L, nA + nB - inter)
+    val kmvJ = IntMath.halfUpDiv(matches * 1000000L, l)
+    withSketches.select($"pair", nA.as("n_a"), nB.as("n_b"),
+      inter.as("n_inter"), exactJ.as("exact_jacc_e6"), kmvJ.as("kmv_jacc_e6"),
+      (kmvJ - exactJ).as("err_e6"))
+      .orderBy("pair")
+  }
+
+  /** d13 oracle: the estimator computed from the full distinct sets —
+    * equal BY THE SKETCH-CLOSURE ARGUMENT in the scaladoc (bottom-k
+    * rows of each pair's union, membership from the exact flags),
+    * so the oracle needs no list algebra, just window ranks. */
+  val d13Sql: String = {
+    val h = graft.functions.DetHash.sql60("sh")
+    val bucket = graft.text.TextAnalysis.splitBucketSql
+    val split = graft.text.TextAnalysis.splitCaseSql
+    s"""WITH $shingleCtes,
+       |sp AS (
+       |  SELECT doc_id, $split AS split FROM (
+       |    SELECT doc_id, $bucket AS bucket FROM documents) b),
+       |d AS (
+       |  SELECT DISTINCT sp.split, $h AS h
+       |  FROM sh JOIN sp USING (doc_id)),
+       |pairs AS (SELECT * FROM (VALUES
+       |  ('test|train','test','train'), ('test|val','test','val'),
+       |  ('train|val','train','val')) AS t(pair, sa, sb)),
+       |u AS (
+       |  SELECT p.pair, d.h,
+       |    max(CASE WHEN d.split = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    max(CASE WHEN d.split = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN d ON d.split = p.sa OR d.split = p.sb
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT pair, ina, inb,
+       |    row_number() OVER (PARTITION BY pair ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY pair) AS nu
+       |  FROM u),
+       |a AS (
+       |  SELECT pair, CAST(sum(ina) AS BIGINT) AS n_a,
+       |    CAST(sum(inb) AS BIGINT) AS n_b,
+       |    CAST(sum(ina * inb) AS BIGINT) AS n_inter,
+       |    least(128, max(nu)) AS l,
+       |    sum(CASE WHEN rn <= 128 AND ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS m
+       |  FROM r GROUP BY pair)
+       |SELECT pair, n_a, n_b, n_inter,
+       |  CAST((2 * n_inter * 1000000 + (n_a + n_b - n_inter))
+       |    // (2 * (n_a + n_b - n_inter)) AS BIGINT) AS exact_jacc_e6,
+       |  CAST((2 * m * 1000000 + l) // (2 * l) AS BIGINT) AS kmv_jacc_e6,
+       |  CAST((2 * m * 1000000 + l) // (2 * l)
+       |    - (2 * n_inter * 1000000 + (n_a + n_b - n_inter))
+       |      // (2 * (n_a + n_b - n_inter)) AS BIGINT) AS err_e6
+       |FROM a ORDER BY pair""".stripMargin
+  }
 }

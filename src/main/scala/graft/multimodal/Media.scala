@@ -258,11 +258,15 @@ object Media {
     * scan parallelism only), per-query top-k is one window on the
     * query key. At billions of assets the corpus side swaps to the
     * s2 bucketed index — same scoring, pruned candidates. */
-  def mm5CrossModal(spark: SparkSession, dir: String,
-                    dim: Int = 8, k: Int = 5, batchSize: Int = 64): DataFrame = {
+  /** The two CLIP-style towers, shared by mm5 (exact) and mm9
+    * (bucketed): media = mm3's batched stub encoder; text = the
+    * "txt:"-namespaced md5 stub expressed as codegen'd column
+    * arithmetic. Returns (media(media_id, c, cn), queries(query_id,
+    * q, qn)). */
+  private def xmodalTowers(spark: SparkSession, dir: String, dim: Int,
+                           batchSize: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.{dotF32, normF32}
+    import graft.functions.VectorFunctions.normF32
     val media = mediaTable(spark, dir)
       .mapPartitions(_.grouped(batchSize).flatMap(encodeStubBatch(_, dim)))
       .toDF()
@@ -277,6 +281,15 @@ object Media {
       .filter($"doc_id" % 100 === 0)
       .select($"doc_id".as("query_id"), array(dims: _*).as("q"))
       .withColumn("qn", normF32($"q"))
+    (media, queries)
+  }
+
+  def mm5CrossModal(spark: SparkSession, dir: String,
+                    dim: Int = 8, k: Int = 5, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dotF32
+    val (media, queries) = xmodalTowers(spark, dir, dim, batchSize)
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
     media.join(broadcast(queries))
       .select($"query_id", $"media_id",
@@ -292,12 +305,15 @@ object Media {
     * the dotF32/normF32 fold order. Each dim is a 16-bit dyadic
     * rational — the FLOAT cast is lossless, the double arithmetic is
     * bit-identical, round-6 compares exact. */
+  /** One tower dimension as DuckDB SQL (shared mm5/mm9): 4 hex chars
+    * / 2¹⁶ as FLOAT (dyadic → lossless), widened back to DOUBLE. */
+  private def xmodalDimSql(src: String): Seq[String] = (0 until 8).map { i =>
+    s"CAST(CAST(CAST(('0x' || substr($src, ${i * 4 + 1}, 4)) AS BIGINT) AS DOUBLE) / 65536.0 AS FLOAT)"
+  }
+
   val mm5Sql: String = {
-    def dimExprs(src: String) = (0 until 8).map { i =>
-      s"CAST(CAST(CAST(('0x' || substr($src, ${i * 4 + 1}, 4)) AS BIGINT) AS DOUBLE) / 65536.0 AS FLOAT)"
-    }
-    val qd = dimExprs("qh").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS q$i" }
-    val cd = dimExprs("ch").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS c$i" }
+    val qd = xmodalDimSql("qh").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS q$i" }
+    val cd = xmodalDimSql("ch").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS c$i" }
     val dot = (0 until 8).map(i => s"q$i * c$i").mkString(" + ")
     val qn = (0 until 8).map(i => s"q$i * q$i").mkString(" + ")
     val cn = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
@@ -317,6 +333,102 @@ object Media {
        |  FROM s)
        |SELECT query_id, media_id, cos_sim, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** mm9: the bucketed cross-modal path mm5's scaladoc promises for
+    * billions of assets, made real — the media corpus is indexed by
+    * random-hyperplane LSH bands ([[graft.similarity.Lsh]], the s2
+    * machinery in the shared 8-dim tower space), each text query
+    * scans only its band buckets, and the result is graded in the
+    * s4/s7 convention: per query, how many of mm5's exact top-k the
+    * bucketed path recovered (recall ×1e6). The audit IS the
+    * registered query, so index quality is oracle-gated, not claimed.
+    *
+    * Scale shape: candidates come from a band-key EQUI-join (the
+    * broadcast side is the tiny exploded query set), never
+    * queries×corpus; a multi-band duplicate pair is deduped AFTER the
+    * cosine projection (3 narrow columns, the s2 trick). Exact side
+    * rides mm5 unchanged. Planes are md5-derived plan-time literals,
+    * so the oracle reproduces candidate generation exactly
+    * ([[graft.similarity.Lsh.bandsSqlCtes]]) — a REAL hash-checked
+    * oracle, not a rows-only waiver. */
+  def mm9XmodalBucketed(spark: SparkSession, dir: String, dim: Int = 8,
+                        k: Int = 5, bands: Int = 8, r: Int = 4,
+                        batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dotF32
+    import graft.similarity.Lsh
+    val (media, queries) = xmodalTowers(spark, dir, dim, batchSize)
+    val mediaB = media.select($"media_id", $"c", $"cn",
+      posexplode(Lsh.bandKeys($"c", bands, r, dim)).as(Seq("band_idx", "band_key")))
+    val queriesB = queries.select($"query_id", $"q", $"qn",
+      posexplode(Lsh.bandKeys($"q", bands, r, dim)).as(Seq("band_idx", "band_key")))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
+    val approx = mediaB.join(broadcast(queriesB), Seq("band_idx", "band_key"))
+      .select($"query_id", $"media_id",
+        round(dotF32($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"media_id")
+    val exact = mm5CrossModal(spark, dir, dim, k, batchSize)
+      .select($"query_id", $"media_id")
+    exact.as("ex").join(approx.as("ap"),
+        $"ex.query_id" === $"ap.query_id" && $"ex.media_id" === $"ap.media_id",
+        "left")
+      .groupBy($"ex.query_id".as("query_id"))
+      .agg(count($"ap.media_id").as("n_hits"),
+        (count($"ap.media_id") * lit(1000000L / k)).as("recall_e6"))
+      .orderBy("query_id")
+  }
+
+  /** mm9 oracle: both towers unpivoted into one namespaced long form
+    * (media = 2·id, query = 2·id+1) so [[Lsh.bandsSqlCtes]]'s shared
+    * plane/band CTEs run once; candidates, dedup, re-rank and the
+    * recall LEFT JOIN mirror the Spark plan; exact side = mm5Sql. */
+  val mm9Sql: String = {
+    val qd = xmodalDimSql("qh").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS q$i" }
+    val cd = xmodalDimSql("ch").zipWithIndex.map { case (e, i) => s"CAST($e AS DOUBLE) AS c$i" }
+    val qList = (0 until 8).map(i => s"q$i").mkString(", ")
+    val cList = (0 until 8).map(i => s"c$i").mkString(", ")
+    val dot = (0 until 8).map(i => s"q$i * c$i").mkString(" + ")
+    val qn = (0 until 8).map(i => s"q$i * q$i").mkString(" + ")
+    val cn = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
+    s"""WITH q0 AS (
+       |  SELECT doc_id AS query_id, md5('txt:' || text) AS qh
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |c0 AS (SELECT doc_id AS media_id, md5(text) AS ch FROM documents),
+       |q AS (SELECT query_id, ${qd.mkString(", ")} FROM q0),
+       |c AS (SELECT media_id, ${cd.mkString(", ")} FROM c0),
+       |u AS (
+       |  SELECT media_id * 2 AS vec_id, unnest(list_value($cList)) AS v,
+       |         generate_subscripts(list_value($cList), 1) AS i FROM c
+       |  UNION ALL
+       |  SELECT query_id * 2 + 1, unnest(list_value($qList)),
+       |         generate_subscripts(list_value($qList), 1) FROM q),
+       |${graft.similarity.Lsh.bandsSqlCtes(nPlanes = 32, r = 4, dim = 8)},
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id // 2 AS query_id, cb.vec_id // 2 AS media_id
+       |  FROM bands qb JOIN bands cb
+       |    ON qb.band_idx = cb.band_idx AND qb.band_key = cb.band_key
+       |  WHERE qb.vec_id % 2 = 1 AND cb.vec_id % 2 = 0),
+       |sc AS (
+       |  SELECT cand.query_id, cand.media_id,
+       |    round(($dot) / (sqrt($qn) * sqrt($cn)), 6) AS cos_sim
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |    JOIN c ON c.media_id = cand.media_id),
+       |ap AS (
+       |  SELECT query_id, media_id FROM (
+       |    SELECT query_id, media_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, media_id) AS rank
+       |    FROM sc) WHERE rank <= 5),
+       |ex AS (SELECT query_id, media_id FROM ($mm5Sql))
+       |SELECT ex.query_id, count(ap.media_id) AS n_hits,
+       |  CAST(count(ap.media_id) * 200000 AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.media_id = ex.media_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
   /** Oracle: DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes —

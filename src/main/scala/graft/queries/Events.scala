@@ -744,4 +744,101 @@ object Events {
        |  CAST(min(zmin) AS BIGINT) AS z_min, CAST(max(zmax) AS BIGINT) AS z_max
        |FROM pu GROUP BY cell ORDER BY cell""".stripMargin
   }
+
+  /** e15: first-order Markov transition matrix over per-user event
+    * sequences — the behavioral-sequence statistic (next-action
+    * prediction priors, journey analysis, and the bigram counts a
+    * session-sequence language model trains on). Each user's events
+    * ordered by (ts, event_id) yield (from → to) bigrams via `lead`;
+    * transition probability = row-normalized count, ×1e6 round-half-up
+    * ([[graft.functions.IntMath.halfUpDiv]]) so the matrix is exact
+    * integer arithmetic end to end.
+    *
+    * Scale shape: ONE shuffle of the fact table on user_id for the
+    * sequence window (pre-bucketed event stores skip even that), then
+    * a map-side-combined agg collapses corpus-sized bigrams to the
+    * ≤|types|² matrix; the row-normalizing window runs over that tiny
+    * aggregate frame only (the t12 convention — never over raw rows).
+    */
+  def e15Markov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bi = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(seq))
+      .filter($"to_type".isNotNull)
+    val counts = bi.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val row = Window.partitionBy($"from_type")
+    counts
+      .withColumn("p_e6", graft.functions.IntMath.halfUpDiv(
+        $"n" * 1000000L, sum($"n").over(row)))
+      .select($"from_type", $"to_type", $"n", $"p_e6")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** e15 oracle: the same lead-bigram chain; numerators are positive
+    * so DuckDB's truncating `//` IS floor and `(2n+d)//(2d)` is the
+    * identical half-up division. */
+  val e15Sql: String =
+    """WITH bi AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM bi
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST((2 * n * 1000000 + sum(n) OVER (PARTITION BY from_type))
+      |    // (2 * sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_e6
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** e16: per-user sequence likelihood under e15's transition matrix
+    * — the model→score pairing (t20→t21's shape for behavior): each
+    * user's journey is scored by the mean and minimum transition
+    * probability of its steps. Low mean = atypical journey (bot
+    * traffic, broken instrumentation, a new flow the model hasn't
+    * seen); the min pinpoints the single most surprising hop. This is
+    * the anomaly companion to e12: e12 flags WHEN volume deviates,
+    * e16 flags WHO behaves off-pattern.
+    *
+    * Scale shape: the "model" is e15's ≤|types|² matrix → BROADCAST
+    * hash join onto the bigram stream (never a shuffle of the fact by
+    * matrix key); the fact shuffles once on user_id for the sequence
+    * window, and the per-user agg map-side combines. Users with one
+    * event have no transitions and drop out (scored elsewhere by
+    * volume, not sequence). Integer-exact: scores are half-up means
+    * of e15's ×1e6 cells. */
+  def e16SeqLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = e15Markov(spark, dir).select($"from_type", $"to_type", $"p_e6")
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bi = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(seq))
+      .filter($"to_type".isNotNull)
+    bi.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_trans"),
+        graft.functions.IntMath.halfUpDiv(sum($"p_e6"), count(lit(1)))
+          .as("mean_p_e6"),
+        min($"p_e6").as("min_p_e6"))
+      .orderBy("user_id")
+  }
+
+  /** e16 oracle: e15's oracle as the model CTE, the same bigram
+    * stream, half-up integer mean. */
+  val e16Sql: String =
+    s"""WITH m AS ($e15Sql),
+       |bi AS (
+       |  SELECT user_id, event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |j AS (
+       |  SELECT bi.user_id, m.p_e6 FROM bi
+       |  JOIN m ON m.from_type = bi.from_type AND m.to_type = bi.to_type)
+       |SELECT user_id, count(*) AS n_trans,
+       |  CAST((2 * sum(p_e6) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_p_e6,
+       |  CAST(min(p_e6) AS BIGINT) AS min_p_e6
+       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 }

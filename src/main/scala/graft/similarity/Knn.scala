@@ -259,15 +259,15 @@ object Knn {
   /** The Lloyd's TRAINING CTE chain — quantized long form `q`, seeds,
     * centroid frames c0..c{iters-1} — shared by s3Sql and the s8 IVF
     * oracle, exactly as `lloydCentroids` is shared on the Scala side. */
-  private def lloydCteParts(iters: Int): Seq[String] =
+  private def lloydCteParts(iters: Int, trainWhere: String = ""): Seq[String] =
     Seq(
-      """q AS (
+      s"""q AS (
         |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
         |  FROM (SELECT vec_id, unnest(embedding) AS v,
-        |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin,
-      """seeds AS (
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings $trainWhere))""".stripMargin,
+      s"""seeds AS (
         |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        |  FROM embeddings
+        |  FROM embeddings $trainWhere
         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8)""".stripMargin,
       """c0 AS (
         |  SELECT s.cluster, q.i, q.e AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id)""".stripMargin) ++
@@ -1022,4 +1022,79 @@ object Knn {
        |FROM ex LEFT JOIN ap
        |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** s15: incremental index maintenance — d6's ingest pattern applied
+    * to the vector index. The IVF coarse quantizer is trained ONCE on
+    * the standing corpus (vec_id % 8 ≠ 7, the "index build"); an
+    * arriving batch (% 8 = 7) is then placed by ONE assignment scan
+    * of the batch against the k×Dim broadcast centroids — retraining
+    * or re-scanning the 100 TB corpus per ingest is exactly what this
+    * avoids (FAISS's add-after-train contract). Output is the
+    * maintenance report a compaction policy reads: per cell, the
+    * standing population, the arrivals, the arrivals' mean distance
+    * to the centroid (drift — rising distance = the quantizer no
+    * longer fits the incoming distribution and a re-train is due),
+    * and the growth rate ×1e6 (skewed growth = a cell heading toward
+    * a split).
+    *
+    * Scale shape: training is s3's loop on the old corpus (driver
+    * traffic = k×Dim longs/iter, corpus never shuffles); the batch
+    * pass is one codegen'd argmin scan of the BATCH only; both
+    * summaries are map-side-combined k-row aggs joined at k rows.
+    * Integer-exact end to end (quantized coords, BIGINT distances,
+    * half-up means) → DuckDB hash-checked. */
+  def s15IncrementalAnn(spark: SparkSession, dir: String, kc: Int = 8,
+                        iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val oldQ = q.filter(pmod($"vec_id", lit(8)) =!= 7)
+    val newQ = q.filter(pmod($"vec_id", lit(8)) === 7)
+    val cents = centCache.getOrElseUpdate(s"incr:$dir:$kc:$iters",
+      lloydLoop(spark, oldQ, kc, iters, Dim))
+    val standing = assignCells(spark, oldQ, cents)
+      .groupBy($"cluster").agg(count(lit(1)).as("old_n"))
+    val arrivals = assignCells(spark, newQ, cents)
+      .select($"cluster", floor(sqrt($"dist".cast("double"))).as("dist_e6"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("new_n"),
+        halfUpDiv(sum($"dist_e6"), count(lit(1))).as("mean_new_dist_e6"))
+    standing.join(arrivals, Seq("cluster"), "left")
+      .select($"cluster".as("cell"), $"old_n",
+        coalesce($"new_n", lit(0L)).as("new_n"),
+        coalesce($"mean_new_dist_e6", lit(-1L)).as("mean_new_dist_e6"),
+        halfUpDiv(coalesce($"new_n", lit(0L)) * 1000000L, $"old_n")
+          .as("growth_e6"))
+      .orderBy("cell")
+  }
+
+  /** s15 oracle: the shared Lloyd's CTE chain with the training
+    * filter pushed into `q`/`seeds` (so the loop trains on the old
+    * corpus only), one extra assignment CTE for the arriving batch. */
+  val s15Sql: String = {
+    val iters = 4
+    val parts = lloydCteParts(iters, "WHERE vec_id % 8 <> 7") ++ Seq(
+      lloydAssignCteSql(iters, withDist = false),
+      """qn AS (
+        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings WHERE vec_id % 8 = 7))""".stripMargin,
+      s"""an AS (
+        |  SELECT vec_id, cluster, dist FROM (
+        |    SELECT qn.vec_id, c.cluster, sum((qn.e - c.c)*(qn.e - c.c)) AS dist
+        |    FROM qn JOIN c${iters - 1} c ON c.i = qn.i GROUP BY 1, 2
+        |    QUALIFY row_number() OVER (PARTITION BY qn.vec_id ORDER BY dist, cluster) = 1))""".stripMargin,
+      s"""o AS (SELECT cluster, count(*) AS old_n FROM a$iters GROUP BY 1)""",
+      s"""nn AS (
+        |  SELECT cluster, count(*) AS new_n,
+        |    CAST(${halfUpSql("sum(CAST(floor(sqrt(CAST(dist AS DOUBLE))) AS BIGINT))", "count(*)")} AS BIGINT) AS mean_new_dist_e6
+        |  FROM an GROUP BY 1)""".stripMargin)
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT o.cluster AS cell, CAST(o.old_n AS BIGINT) AS old_n,
+       |  CAST(coalesce(nn.new_n, 0) AS BIGINT) AS new_n,
+       |  CAST(coalesce(nn.mean_new_dist_e6, -1) AS BIGINT) AS mean_new_dist_e6,
+       |  CAST(${halfUpSql("coalesce(nn.new_n, 0) * 1000000", "o.old_n")} AS BIGINT) AS growth_e6
+       |FROM o LEFT JOIN nn ON nn.cluster = o.cluster
+       |ORDER BY cell""".stripMargin
+  }
 }

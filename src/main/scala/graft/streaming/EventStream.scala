@@ -568,6 +568,61 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class TEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                 event_type: String)
+
+  case class TransOut(user_id: Long, from_type: String, to_type: String,
+                      from_us: Long)
+
+  /** Per-user state: events not yet ripe (watermark hasn't passed)
+    * plus the last FLUSHED event — the bridge that pairs with the
+    * next flush's first event. */
+  case class TransState(pending: List[(Long, Long, String)],
+                        bridge: Option[(Long, Long, String)])
+
+  /** e15's streaming twin — ONLINE sequence featurization: the
+    * (from → to) transition stream a live behavior model consumes
+    * (counts-by-pair downstream reproduce e15's matrix, parity
+    * spec-pinned). `lead` doesn't exist on a stream, and a naive
+    * pair-on-arrival would mis-order late events; instead each user
+    * buffers events until the watermark passes them, then flushes in
+    * (ts, event_id) order, pairing consecutively — the last flushed
+    * event is kept as the bridge to the next flush, so transitions
+    * are emitted exactly once each, in order, despite out-of-order
+    * arrival.
+    *
+    * State per user = the ≤watermark-window pending buffer + ONE
+    * bridge tuple — bounded by event-time eviction like every
+    * stateful operator here; a quiet user's buffer is flushed by the
+    * event-time timeout when other keys advance the watermark. */
+  def transitionStream(events: Dataset[TEv], watermark: String = "1 minute")
+  : Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    val fn: (Long, Iterator[TEv], GroupState[TransState]) => Iterator[TransOut] =
+      (user, it, state) => {
+        val wmUs = state.getCurrentWatermarkMs() match {
+          case 0L => Long.MinValue // engine's "no watermark yet" sentinel
+          case ms => ms * 1000L
+        }
+        val st = state.getOption.getOrElse(TransState(Nil, None))
+        val all = st.pending ++
+          it.map(e => (usOf(e.ts), e.event_id, e.event_type))
+        val (ripe, pending) = all.partition(_._1 <= wmUs)
+        val flushed = ripe.sortBy(e => (e._1, e._2))
+        val chain = st.bridge.toList ++ flushed
+        val out = chain.zip(chain.drop(1)).map { case (a, b) =>
+          TransOut(user, a._3, b._3, a._1)
+        }
+        state.update(TransState(pending, chain.lastOption))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+        out.iterator
+      }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming→merge bridge: every micro-batch is upserted into a
     * parquet target with keep-latest semantics (the reference's
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,

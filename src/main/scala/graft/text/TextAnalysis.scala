@@ -302,9 +302,9 @@ object TextAnalysis {
     * t9Sql so a boundary change can't desynchronize the oracles.
     * (defs, not vals: t9Sql is declared earlier in the object and
     * would interpolate null from an uninitialized val.) */
-  private def splitBucketSql: String =
+  private[graft] def splitBucketSql: String =
     "CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 6)) AS BIGINT) % 100"
-  private def splitCaseSql: String =
+  private[graft] def splitCaseSql: String =
     "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"
 
   val t5Sql: String =
@@ -1378,4 +1378,54 @@ object TextAnalysis {
        |  CAST(CASE WHEN a.n_bigrams IS NULL THEN 0
        |    ELSE (2 * a.sum_p + a.n_bigrams) // (2 * a.n_bigrams) END AS BIGINT) AS avg_p_e6
        |FROM sp s LEFT JOIN ag a USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
+  /** c2: the DATASET CARD — the per-source composition summary a
+    * training run records next to the corpus it consumed: for every
+    * (source, verdict) cell of c1's curation table, the document
+    * count, the whitespace-token mass (the datasheet's "size in
+    * tokens"), and the cell's share of its source ×1e6. This is the
+    * aggregate view of c1 (what fraction of each crawl survived, and
+    * WHY the rest fell), so the two queries together give curation
+    * decisions at both grains: per-document audit + per-source
+    * datasheet.
+    *
+    * Scale shape: the signal frames are narrow (doc_id, value)
+    * projections of ops computed once per session; the rollup is one
+    * map-side-combined agg to ≤ sources×verdicts rows, and the share
+    * window runs over that tiny frame only (t12 convention). Nothing
+    * here re-scans text — token counts ride in from t3's projection.
+    */
+  def c2DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = c1Curation(spark, dir).select($"doc_id", $"verdict")
+    val tok = t3TokenCount(spark, dir).select($"doc_id", $"ws_tokens")
+    val src = Tables.read(spark, dir, "documents").select($"doc_id", $"source")
+    val cells = src.join(v, "doc_id").join(tok, "doc_id")
+      .groupBy($"source", $"verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws_tokens".cast("long")).as("tokens"))
+    val bySource = Window.partitionBy($"source")
+    cells
+      .withColumn("share_e6",
+        halfUpDiv($"n_docs" * 1000000L, sum($"n_docs").over(bySource)))
+      .select($"source", $"verdict", $"n_docs", $"tokens", $"share_e6")
+      .orderBy("source", "verdict")
+  }
+
+  /** c2 oracle: c1's and t3's oracles composed as subqueries (the c1
+    * pattern), same half-up share over the per-source window. */
+  def c2Sql: String =
+    s"""WITH v AS (SELECT doc_id, verdict FROM ($c1Sql)),
+       |tok AS (SELECT doc_id, ws_tokens FROM ($t3Sql)),
+       |cells AS (
+       |  SELECT d.source, v.verdict, count(*) AS n_docs,
+       |    sum(tok.ws_tokens) AS tokens
+       |  FROM documents d JOIN v USING (doc_id) JOIN tok USING (doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT source, verdict, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(tokens AS BIGINT) AS tokens,
+       |  CAST((2 * n_docs * 1000000 + sum(n_docs) OVER (PARTITION BY source))
+       |    // (2 * sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_e6
+       |FROM cells ORDER BY source, verdict""".stripMargin
 }

@@ -673,4 +673,83 @@ class DedupTextSpec extends AnyFunSuite {
       assert(row.getAs[Long]("kmv_kth") == -1L)
     }
   }
+
+  test("d13 sketch overlap: estimator equals the full-set bottom-k recomputation") {
+    // recompute the KMV Jaccard from the FULL distinct shingle-hash
+    // sets on the driver — the sketch-closure claim in the scaladoc
+    // says the 3×k-array version must agree exactly
+    val bucket = conv(substring(md5(TextAnalysis.normalize($"text")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val splits = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    val sets = Dedup.shingleRows(spark, sf).join(splits, "doc_id")
+      .select($"split", graft.functions.DetHash.md5Long60Col($"sh").as("h"))
+      .distinct().collect()
+      .groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("h")).toSet).toMap
+    val k = 128
+    val got = Dedup.d13SketchOverlap(spark, sf, k).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    assert(got.keySet == Set("test|train", "test|val", "train|val"))
+    got.foreach { case (pair, row) =>
+      val Array(a, b) = pair.split('|')
+      val (sa, sb) = (sets(a), sets(b))
+      val union = (sa ++ sb).toSeq.sorted
+      val l = math.min(k, union.size)
+      val matches = union.take(l).count(h => sa(h) && sb(h)).toLong
+      val inter = (sa & sb).size.toLong
+      assert(row.getAs[Long]("n_a") == sa.size && row.getAs[Long]("n_b") == sb.size)
+      assert(row.getAs[Long]("n_inter") == inter)
+      assert(row.getAs[Long]("kmv_jacc_e6") ==
+        Math.floorDiv(2 * matches * 1000000L + l, 2L * l), s"$pair estimator")
+      assert(row.getAs[Long]("exact_jacc_e6") ==
+        Math.floorDiv(2 * inter * 1000000L + (sa.size + sb.size - inter),
+          2L * (sa.size + sb.size - inter)), s"$pair exact")
+    }
+    // real shingle sets must actually overlap across splits — the
+    // audit would be degenerate otherwise (whole-doc fingerprints are)
+    assert(got("train|val").getAs[Long]("n_inter") > 0)
+  }
+
+  test("c2 dataset card: cells reconcile with c1, shares sum to one per source") {
+    val card = TextAnalysis.c2DatasetCard(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs)
+    // per-source: share_e6 sums to 1e6 within half-up rounding slack
+    card.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val s = rows.map(_.getAs[Long]("share_e6")).sum
+      assert(math.abs(s - 1000000L) <= rows.length / 2 + 1, s"$src shares sum to $s")
+    }
+    // the cells are exactly c1's verdict histogram per source
+    val c1 = TextAnalysis.c1Curation(spark, sf).select($"doc_id", $"verdict")
+    val src = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"source")
+    val expect = c1.join(src, "doc_id").groupBy($"source", $"verdict").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("verdict")) -> r.getAs[Long]("count"))
+      .toMap
+    assert(card.length == expect.size)
+    card.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("verdict"))
+      assert(expect(key) == r.getAs[Long]("n_docs"), s"$key")
+    }
+  }
+
+  test("mm9 bucketed cross-modal: audit arithmetic holds; bands join hashed, not looped") {
+    val df = graft.multimodal.Media.mm9XmodalBucketed(spark, sf)
+    val r = df.collect()
+    assert(r.length == 5) // one audit row per text query at sf0.001
+    r.foreach { x =>
+      val hits = x.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(x.getAs[Long]("recall_e6") == hits * 200000L)
+    }
+    // AQE plan strings append an "== Initial Plan ==" section that
+    // duplicates every join — count within the final plan only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the band-bucket candidate join must be an equi hash join; the
+    // ONLY nested loop is mm5's deliberate exact side (the yardstick)
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.split("BroadcastNestedLoopJoin").length == 2,
+      "expected exactly one BNLJ (mm5's exact side)")
+  }
 }

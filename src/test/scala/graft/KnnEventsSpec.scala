@@ -555,4 +555,59 @@ class KnnEventsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("overcount") >= 0L, s"user $u: CMS must never under-count")
     }
   }
+
+  test("e15 markov: bigram mass conservation and row-stochastic probabilities") {
+    val r = Events.e15Markov(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select($"user_id").distinct().count()
+    // each user contributes (events − 1) transitions: total = N − U
+    assert(r.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    // each row of the matrix is a probability distribution ×1e6
+    r.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val s = rows.map(_.getAs[Long]("p_e6")).sum
+      assert(math.abs(s - 1000000L) <= rows.length / 2 + 1, s"$ft row sums to $s")
+      rows.foreach(x => assert(x.getAs[Long]("p_e6") >= 0L))
+    }
+  }
+
+  test("s15 incremental ANN: populations reconcile, drift sentinel only on empty cells") {
+    val r = Knn.s15IncrementalAnn(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val oldTotal = emb.filter(pmod($"vec_id", lit(8)) =!= 7).count()
+    val newTotal = emb.filter(pmod($"vec_id", lit(8)) === 7).count()
+    assert(r.map(_.getAs[Long]("old_n")).sum == oldTotal)
+    assert(r.map(_.getAs[Long]("new_n")).sum == newTotal,
+      "every arriving vector must land in exactly one cell")
+    r.foreach { row =>
+      val (on, nn) = (row.getAs[Long]("old_n"), row.getAs[Long]("new_n"))
+      assert(on > 0L)
+      assert(row.getAs[Long]("growth_e6") ==
+        Math.floorDiv(2 * nn * 1000000L + on, 2 * on))
+      // −1 is the no-arrivals sentinel, never a real mean
+      assert((nn == 0L) == (row.getAs[Long]("mean_new_dist_e6") == -1L))
+    }
+  }
+
+  test("e16 sequence likelihood: every user reconciles with a driver-side rescore") {
+    val m = Events.e15Markov(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("p_e6")).toMap
+    val seqs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toList).toMap
+    val r = Events.e16SeqLikelihood(spark, sf).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    // exactly the users with ≥ 2 events are scored
+    assert(r.keySet == seqs.filter(_._2.length >= 2).keySet)
+    r.foreach { case (u, row) =>
+      val ps = seqs(u).zip(seqs(u).tail).map(m)
+      assert(row.getAs[Long]("n_trans") == ps.length)
+      assert(row.getAs[Long]("min_p_e6") == ps.min)
+      assert(row.getAs[Long]("mean_p_e6") ==
+        Math.floorDiv(2 * ps.sum + ps.length, 2L * ps.length), s"user $u")
+    }
+  }
 }

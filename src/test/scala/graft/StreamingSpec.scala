@@ -556,6 +556,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.forall(_._2 == 8))
     } finally q.stop()
   }
+
+  test("streaming transition featurization is EXACTLY e15's bigrams on real data") {
+    // e15's twin claim end-to-end: the full sf0.001 events table fed
+    // through three chronological micro-batches + a watermark-flushing
+    // sentinel must emit exactly the batch lead-bigram multiset —
+    // order-of-arrival must not matter, only (ts, event_id) order
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[EventStream.TEv]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val cuts = Seq(0.33, 0.66, 1.01)
+      .map(f => evs((evs.length * f).toInt.min(evs.length - 1)).ts.getTime)
+    val in = MemoryStream[EventStream.TEv]
+    val q = EventStream.transitionStream(in.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trans_parity")
+      .outputMode("append").start()
+    try {
+      var prevCut = Long.MinValue
+      cuts.foreach { cut =>
+        val chunk = evs.filter(e => e.ts.getTime > prevCut && e.ts.getTime <= cut)
+        if (chunk.nonEmpty) in.addData(chunk: _*)
+        q.processAllAvailable()
+        prevCut = cut
+      }
+      in.addData(EventStream.TEv(-1L,
+        new java.sql.Timestamp(prevCut + 30L * 24 * 3600 * 1000), 0L, "x"))
+      q.processAllAvailable()
+      def hist(xs: Seq[(Long, String, String, Long)]) =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val streamed = spark.table("trans_parity").as[EventStream.TransOut]
+        .collect().filter(_.user_id >= 0)
+        .map(o => (o.user_id, o.from_type, o.to_type, o.from_us))
+      // batch twin: the same lead-bigram frame e15 aggregates
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .select($"user_id", $"event_type", $"to_type", expr("unix_micros(ts)"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(hist(streamed.toSeq) == hist(batch.toSeq),
+        s"streamed ${streamed.length} vs batch ${batch.length}")
+      // and the aggregated matrix reproduces e15's counts
+      val mStream = streamed.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+      val mBatch = graft.queries.Events.e15Markov(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(mStream == mBatch)
+    } finally q.stop()
+  }
 }
 
 /** Input row for the as-of join tests (top-level for a stable
