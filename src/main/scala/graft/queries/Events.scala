@@ -841,4 +841,56 @@ object Events {
        |  CAST((2 * sum(p_e6) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_p_e6,
        |  CAST(min(p_e6) AS BIGINT) AS min_p_e6
        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** e17: complex-event-pattern matching — the MATCH_RECOGNIZE / CEP
+    * primitive (Flink CEP's core shape) expressed relationally: each
+    * user's journey, ordered by (ts, event_id), is rendered as a
+    * comma-terminated type string and scanned by regex for business
+    * patterns — the browse-to-buy journey `view (click)* purchase`
+    * and the failure streak `error error+`. Output is the per-user
+    * pattern profile (journeys completed, error streaks, total
+    * events) a CEP alert rule or cohort definition consumes; unlike
+    * e3's fixed 3-step funnel this counts EVERY non-overlapping
+    * occurrence of an arbitrary regular pattern, Kleene stars
+    * included.
+    *
+    * Scale shape: ONE fact shuffle on user_id (the e15 sequence
+    * family); the journey string is a partially-aggregated
+    * collect+sort bounded by per-user activity (in production,
+    * sessionize first — e2 — so the unit is a session, not an
+    * unbounded history). The pattern scan is a codegen'd projection
+    * over per-user strings — cost ∝ total events, zero extra
+    * shuffles. Patterns are RE2-safe (no backrefs/lookaround, the
+    * t10 convention) and ambiguity-free, so greedy leftmost
+    * non-overlapping counting agrees bit-for-bit across engines. */
+  def e17PatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val journeyRe = "view,(?:click,)*purchase,"
+    val streakRe = "error,(?:error,)+"
+    val seq = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat(array_join(transform(
+          sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          e => e("event_type")), ","), lit(",")).as("s"))
+    seq.select($"user_id", $"n_events",
+        size(regexp_extract_all($"s", lit(journeyRe), lit(0)))
+          .cast("long").as("n_journeys"),
+        size(regexp_extract_all($"s", lit(streakRe), lit(0)))
+          .cast("long").as("n_error_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** e17 oracle: ordered string_agg builds the identical journey
+    * string; DuckDB's RE2 and Spark's java.util.regex agree on these
+    * backtracking-free patterns. */
+  val e17Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    string_agg(event_type, ',' ORDER BY ts, event_id) || ',' AS s
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(s, 'view,(?:click,)*purchase,')) AS BIGINT) AS n_journeys,
+      |  CAST(len(regexp_extract_all(s, 'error,(?:error,)+')) AS BIGINT) AS n_error_streaks
+      |FROM s ORDER BY user_id""".stripMargin
 }

@@ -1428,4 +1428,63 @@ object TextAnalysis {
        |  CAST((2 * n_docs * 1000000 + sum(n_docs) OVER (PARTITION BY source))
        |    // (2 * sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_e6
        |FROM cells ORDER BY source, verdict""".stripMargin
+
+  /** c3: threshold SENSITIVITY — the what-if a curator runs before
+    * shipping a threshold change: re-apply c1's precedence ladder
+    * under a STRICT profile (contamination ≥ 0.30 vs 0.50, quality
+    * < 0.40 vs 0.30, LM score < 0.26 vs 0.23) and emit the verdict
+    * TRANSITION MATRIX — for each (baseline verdict → strict
+    * verdict) cell, the doc count and token mass that would move.
+    * The off-diagonal rows ARE the cost of tightening: how many
+    * kept tokens fall, and into which reason bucket; the diagonal
+    * is the stable core. c1 decides, c2 summarizes, c3 prices the
+    * next decision.
+    *
+    * Scale shape: ZERO new signal computation — c1's frame already
+    * carries every signal column, so the strict ladder is a pure
+    * codegen'd projection over it; token mass rides in from t3's
+    * narrow frame on a co-partitioned doc_id join; the rollup
+    * map-side combines to ≤ verdicts² cells. The corpus is scanned
+    * exactly as many times as c1 scans it, not once more. */
+  def c3ThresholdShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = c1Curation(spark, dir)
+    val strict = when($"dup_of" =!= $"doc_id", "duplicate")
+      .when($"contamination_e6" >= 300000L, "contaminated")
+      .when($"pred_lang" =!= $"lang", "lang_mismatch")
+      .when($"quality_e6" < 400000L, "low_quality")
+      .when($"avg_p_e6" < 260000L, "low_lm_score")
+      .otherwise("keep")
+    val tok = t3TokenCount(spark, dir).select($"doc_id", $"ws_tokens")
+    c.select($"doc_id", $"verdict".as("verdict_base"),
+        strict.as("verdict_strict"))
+      .join(tok, "doc_id")
+      .groupBy($"verdict_base", $"verdict_strict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws_tokens".cast("long")).as("tokens"))
+      .select($"verdict_base", $"verdict_strict", $"n_docs", $"tokens",
+        ($"verdict_base" =!= $"verdict_strict").as("moved"))
+      .orderBy("verdict_base", "verdict_strict")
+  }
+
+  /** c3 oracle: c1's oracle as the signal frame (it carries every
+    * column the ladder needs), the same strict CASE, t3's tokens. */
+  def c3Sql: String =
+    s"""WITH c AS (SELECT * FROM ($c1Sql)),
+       |tok AS (SELECT doc_id, ws_tokens FROM ($t3Sql)),
+       |v AS (
+       |  SELECT c.doc_id, c.verdict AS verdict_base,
+       |    CASE WHEN c.dup_of <> c.doc_id THEN 'duplicate'
+       |         WHEN c.contamination_e6 >= 300000 THEN 'contaminated'
+       |         WHEN c.pred_lang <> c.lang THEN 'lang_mismatch'
+       |         WHEN c.quality_e6 < 400000 THEN 'low_quality'
+       |         WHEN c.avg_p_e6 < 260000 THEN 'low_lm_score'
+       |         ELSE 'keep' END AS verdict_strict
+       |  FROM c)
+       |SELECT verdict_base, verdict_strict,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok.ws_tokens) AS BIGINT) AS tokens,
+       |  (verdict_base <> verdict_strict) AS moved
+       |FROM v JOIN tok USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -734,6 +734,36 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("c3 threshold shift: matrix reconciles with re-laddered c1; tightening only moves mass toward drops") {
+    val m = TextAnalysis.c3ThresholdShift(spark, sf).collect()
+    val c1 = TextAnalysis.c1Curation(spark, sf).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == c1.length)
+    // driver-side strict re-ladder over c1's signal columns
+    val expect = c1.groupBy { r =>
+      val strict =
+        if (r.getAs[Long]("dup_of") != r.getAs[Long]("doc_id")) "duplicate"
+        else if (r.getAs[Long]("contamination_e6") >= 300000L) "contaminated"
+        else if (r.getAs[String]("pred_lang") != r.getAs[String]("lang")) "lang_mismatch"
+        else if (r.getAs[Long]("quality_e6") < 400000L) "low_quality"
+        else if (r.getAs[Long]("avg_p_e6") < 260000L) "low_lm_score"
+        else "keep"
+      (r.getAs[String]("verdict"), strict)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(m.length == expect.size)
+    m.foreach { r =>
+      val key = (r.getAs[String]("verdict_base"), r.getAs[String]("verdict_strict"))
+      assert(expect(key) == r.getAs[Long]("n_docs"), s"$key")
+      assert(r.getAs[Boolean]("moved") == (key._1 != key._2))
+      // a STRICTER profile can never promote a non-keep doc to keep:
+      // every rule's threshold moved toward dropping
+      assert(!(key._1 != "keep" && key._2 == "keep"),
+        s"$key: strict profile resurrected a dropped doc")
+    }
+    // and the what-if must have teeth: some kept docs fall
+    assert(m.exists(r => r.getAs[String]("verdict_base") == "keep" &&
+      r.getAs[Boolean]("moved")), "strict profile moved nothing — thresholds degenerate")
+  }
+
   test("mm9 bucketed cross-modal: audit arithmetic holds; bands join hashed, not looped") {
     val df = graft.multimodal.Media.mm9XmodalBucketed(spark, sf)
     val r = df.collect()

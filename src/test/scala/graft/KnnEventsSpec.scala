@@ -589,6 +589,28 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e17 pattern match: per-user counts reconcile with a driver-side regex scan") {
+    val seqs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4)).toMap
+    val r = Events.e17PatternMatch(spark, sf).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    assert(r.keySet == seqs.keySet, "every user gets a pattern profile")
+    val journey = "view,(?:click,)*purchase,".r
+    val streak = "error,(?:error,)+".r
+    var journeys = 0L
+    r.foreach { case (u, row) =>
+      val s = seqs(u).mkString("", ",", ",")
+      assert(row.getAs[Long]("n_events") == seqs(u).length)
+      assert(row.getAs[Long]("n_journeys") == journey.findAllIn(s).length, s"user $u")
+      assert(row.getAs[Long]("n_error_streaks") == streak.findAllIn(s).length, s"user $u")
+      journeys += row.getAs[Long]("n_journeys")
+    }
+    assert(journeys > 0L, "the pattern must actually occur in the corpus")
+  }
+
   test("e16 sequence likelihood: every user reconciles with a driver-side rescore") {
     val m = Events.e15Markov(spark, sf).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
