@@ -1467,6 +1467,70 @@ object TextAnalysis {
       .orderBy("verdict_base", "verdict_strict")
   }
 
+  /** t23: perplexity PARTITION — CCNet's head/middle/tail corpus
+    * split (Wenzek et al., LREC 2020): per language, documents are
+    * terciled by LM score (t22's integer twin of perplexity; low
+    * score = high perplexity = tail) and every doc is labeled with
+    * its slice. Training recipes sample the slices at different
+    * rates — head-heavy for quality, tail included for diversity —
+    * so the label IS the sampling key the pipeline consumes.
+    *
+    * Scale shape: NO per-language global sort (CCNet itself uses
+    * approximate cutoffs): scores quantize to ≤101 histogram buckets
+    * per language (score_e6 div 10000), tercile boundaries come from
+    * a cumulative window over the ≤langs×101 aggregate frame only
+    * (t12 convention), and docs classify by a BROADCAST join against
+    * the langs-sized boundary table. Bucket-granular cutoffs are the
+    * documented approximation — deterministic and identical in both
+    * engines, unlike a percent_rank over a skewed per-lang window,
+    * which at 100 TB serializes each language into one partition. */
+  def t23PplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = t22LmScore(spark, dir).select($"doc_id", $"avg_p_e6")
+      .join(Tables.read(spark, dir, "documents").select($"doc_id", $"lang"),
+        "doc_id")
+      .withColumn("b", expr("avg_p_e6 div 10000"))
+    val hist = scored.groupBy($"lang", $"b").agg(count(lit(1)).as("n"))
+    val cum = hist
+      .withColumn("cum", sum($"n").over(
+        Window.partitionBy($"lang").orderBy($"b")))
+      .withColumn("total", sum($"n").over(Window.partitionBy($"lang")))
+    val bounds = cum.groupBy($"lang").agg(
+      min(when($"cum" * 3 >= $"total", $"b")).as("b1"),
+      min(when($"cum" * 3 >= $"total" * 2, $"b")).as("b2"))
+    scored.join(broadcast(bounds), "lang")
+      .select($"doc_id", $"lang", $"avg_p_e6",
+        when($"b" <= $"b1", "tail")
+          .when($"b" <= $"b2", "middle")
+          .otherwise("head").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** t23 oracle: t22's oracle scored frame, the same integer bucket
+    * histogram, cumulative-window terciles, boundary CASE. */
+  def t23Sql: String =
+    s"""WITH s AS (
+       |  SELECT p.doc_id, d.lang, p.avg_p_e6, p.avg_p_e6 // 10000 AS b
+       |  FROM (SELECT doc_id, avg_p_e6 FROM ($t22Sql)) p
+       |  JOIN documents d USING (doc_id)),
+       |h AS (SELECT lang, b, count(*) AS n FROM s GROUP BY 1, 2),
+       |c AS (
+       |  SELECT lang, b,
+       |    sum(n) OVER (PARTITION BY lang ORDER BY b) AS cum,
+       |    sum(n) OVER (PARTITION BY lang) AS total
+       |  FROM h),
+       |bd AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum * 3 >= total THEN b END) AS b1,
+       |    min(CASE WHEN cum * 3 >= total * 2 THEN b END) AS b2
+       |  FROM c GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.avg_p_e6,
+       |  CASE WHEN s.b <= bd.b1 THEN 'tail'
+       |       WHEN s.b <= bd.b2 THEN 'middle'
+       |       ELSE 'head' END AS ppl_bucket
+       |FROM s JOIN bd USING (lang) ORDER BY s.doc_id""".stripMargin
+
   /** c3 oracle: c1's oracle as the signal frame (it carries every
     * column the ladder needs), the same strict CASE, t3's tokens. */
   def c3Sql: String =

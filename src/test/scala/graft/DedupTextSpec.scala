@@ -734,6 +734,40 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 ppl buckets: slices are ordered by score, tercile-sized at bucket granularity") {
+    val r = TextAnalysis.t23PplBuckets(spark, sf).collect()
+    val scores = TextAnalysis.t22LmScore(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"avg_p_e6").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("lang"), x.getAs[Long]("avg_p_e6")))
+    assert(r.length == scores.length, "every scored doc gets a slice")
+    val rank = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+    r.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      // slice membership must be monotone in the score bucket
+      val byBucket = rows.map(x =>
+        (x.getAs[Long]("avg_p_e6") / 10000L, rank(x.getAs[String]("ppl_bucket"))))
+      byBucket.foreach { case (b, k) =>
+        byBucket.foreach { case (b2, k2) =>
+          assert(b >= b2 || k <= k2, s"$lang: bucket $b in slice $k above $b2 in $k2")
+        }
+      }
+      // driver tercile re-derivation at the same bucket granularity
+      val hist = byBucket.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val total = rows.length.toLong
+      val cum = hist.toSeq.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+        case ((_, c), (b, n)) => (b, c + n) }.tail
+      val b1 = cum.collectFirst { case (b, c) if c * 3 >= total => b }.get
+      val b2 = cum.collectFirst { case (b, c) if c * 3 >= 2 * total => b }.get
+      byBucket.foreach { case (b, k) =>
+        val want = if (b <= b1) 0 else if (b <= b2) 1 else 2
+        assert(k == want, s"$lang bucket $b")
+      }
+    }
+    // the dominant language must actually split three ways
+    val en = r.filter(_.getAs[String]("lang") == "en").map(_.getAs[String]("ppl_bucket"))
+    assert(en.toSet.size == 3, s"en slices: ${en.toSet}")
+  }
+
   test("c3 threshold shift: matrix reconciles with re-laddered c1; tightening only moves mass toward drops") {
     val m = TextAnalysis.c3ThresholdShift(spark, sf).collect()
     val c1 = TextAnalysis.c1Curation(spark, sf).collect()
