@@ -438,4 +438,65 @@ object MergeQueries {
       |JOIN srcc s ON s.c_custkey = i.src_id
       |LEFT JOIN destc d ON d.c_custkey = i.dest_id
       |ORDER BY src_id""".stripMargin
+
+  /** m20: SCHEMA-DRIFT consolidation — the reconciliation a real
+    * multi-instance merge hits first: instances run different schema
+    * VERSIONS of the same table (beehive assumes identical OpenMRS
+    * schemas on both sides; fleet reality is a staggered rollout).
+    * Simulated drift: the source runs v2 (has `c_mktsegment`, never
+    * had `c_acctbal`), the destination runs v1 (the reverse). The
+    * reconciled table is the union column set: rows present in BOTH
+    * instances merge column-wise (each side fills the column the
+    * other lacks), single-side rows carry nulls for the columns
+    * their schema version lacks, and every row is tagged with its
+    * origin + missing-column count — the audit the migration team
+    * reads before backfilling.
+    *
+    * Scale shape: ONE co-partitioned full-outer hash join on the
+    * primary key — the minimal possible plan for column-wise
+    * reconciliation; everything else is a codegen'd projection. No
+    * unionByName-then-dedup double scan of the overlap. */
+  def m20SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer")
+    val src = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    val dest = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    src.as("s").join(dest.as("d"),
+        col("s.c_custkey") === col("d.c_custkey"), "full_outer")
+      .select(
+        coalesce(col("d.c_custkey"), col("s.c_custkey")).as("c_custkey"),
+        coalesce(col("d.c_name"), col("s.c_name")).as("c_name"),
+        coalesce(col("d.c_nationkey"), col("s.c_nationkey")).as("c_nationkey"),
+        col("d.c_acctbal").as("c_acctbal"),
+        col("s.c_mktsegment").as("c_mktsegment"),
+        when(col("s.c_custkey").isNotNull && col("d.c_custkey").isNotNull, "both")
+          .when(col("s.c_custkey").isNotNull, "src_only")
+          .otherwise("dest_only").as("origin"),
+        (col("d.c_acctbal").isNull.cast("long") +
+          col("s.c_mktsegment").isNull.cast("long")).as("n_missing"))
+      .orderBy("c_custkey")
+  }
+
+  /** m20 oracle: the same versioned projections and full-outer
+    * column-wise coalesce. */
+  val m20Sql: String =
+    """WITH s AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |d AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT coalesce(d.c_custkey, s.c_custkey) AS c_custkey,
+      |  coalesce(d.c_name, s.c_name) AS c_name,
+      |  coalesce(d.c_nationkey, s.c_nationkey) AS c_nationkey,
+      |  d.c_acctbal AS c_acctbal,
+      |  s.c_mktsegment AS c_mktsegment,
+      |  CASE WHEN s.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL THEN 'both'
+      |       WHEN s.c_custkey IS NOT NULL THEN 'src_only'
+      |       ELSE 'dest_only' END AS origin,
+      |  CAST((CASE WHEN d.c_acctbal IS NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      |FROM s FULL OUTER JOIN d ON s.c_custkey = d.c_custkey
+      |ORDER BY c_custkey""".stripMargin
 }

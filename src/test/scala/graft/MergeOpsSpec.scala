@@ -166,4 +166,33 @@ class MergeOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("dest_id") <= destMax
         && r.getAs[Long]("dest_id") % 2 == 0, r.toString))
   }
+
+  test("m20 schema drift: key-complete reconciliation, nulls exactly where the version lacks the column") {
+    val rows = graft.merge.MergeQueries.m20SchemaDrift(spark, sf).collect()
+    val all = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectKeys = all.keySet.filter(k => k % 3 != 0 || k % 2 == 0)
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSet == expectKeys,
+      "union of both instances' key sets, nothing else")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      val inSrc = k % 3 != 0
+      val inDest = k % 2 == 0
+      val origin = r.getAs[String]("origin")
+      assert(origin == (if (inSrc && inDest) "both" else if (inSrc) "src_only" else "dest_only"), s"key $k")
+      // v1-only column present iff the dest saw the row; v2-only iff the src did
+      assert(r.isNullAt(r.fieldIndex("c_acctbal")) == !inDest, s"key $k acctbal")
+      assert(r.isNullAt(r.fieldIndex("c_mktsegment")) == !inSrc, s"key $k mktsegment")
+      assert(r.getAs[Long]("n_missing") ==
+        (if (inDest) 0L else 1L) + (if (inSrc) 0L else 1L), s"key $k")
+      // shared columns survive reconciliation regardless of origin
+      assert(r.getAs[String]("c_name") == all(k), s"key $k name")
+    }
+    // exactly one join in the plan: the full-outer reconciliation itself
+    val plan = graft.merge.MergeQueries.m20SchemaDrift(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("Join")) == 1
+      && plan.contains("FullOuter"), plan)
+  }
 }
