@@ -881,6 +881,75 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** w6: U-shaped MULTI-TOUCH attribution — e5's last-touch model
+    * generalized to the position-based (40/20/40) credit split every
+    * marketing/growth stack ships: for each purchase, the view/click
+    * touches in the 7-day lookback window share the conversion
+    * credit — first touch 40%, last touch 40%, middle touches split
+    * the remaining 20% evenly (one touch takes 100%, two split
+    * 50/50). Credit is ×1e6 half-up integer so per-touch rows sum to
+    * the conversion total exactly (±rounding), cross-engine.
+    *
+    * Scale shape: touches⋈purchases is a PER-USER range join — both
+    * sides shuffle once on user_id and the time predicate runs
+    * inside the partition (the e7 family; a user's 7-day touch
+    * window is activity-bounded). Position ranks are windows over
+    * per-conversion groups — already co-partitioned by the join key,
+    * no extra exchange. Nothing global, nothing quadratic across
+    * users. */
+  def w6MultiTouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("conv_id"), $"ts".as("conv_ts"))
+    val touch = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("touch_id"),
+        $"event_type".as("touch_type"), $"ts".as("touch_ts"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter($"touch_ts" < $"conv_ts" &&
+        $"touch_ts" >= $"conv_ts" - expr("INTERVAL 7 DAYS"))
+    val byConv = Window.partitionBy($"conv_id")
+    val pos = joined
+      .withColumn("rk", row_number().over(
+        byConv.orderBy($"touch_ts", $"touch_id")))
+      .withColumn("n", count(lit(1)).over(byConv))
+    pos.select($"user_id", $"conv_id", $"touch_id", $"touch_type",
+        when($"n" === 1, lit("only"))
+          .when($"rk" === 1, lit("first"))
+          .when($"rk" === $"n", lit("last"))
+          .otherwise(lit("middle")).as("position"),
+        when($"n" === 1, lit(1000000L))
+          .when($"n" === 2, lit(500000L))
+          .when($"rk" === 1 || $"rk" === $"n", lit(400000L))
+          .otherwise(graft.functions.IntMath.halfUpDiv(
+            lit(200000L), $"n" - 2)).as("credit_e6"))
+      .orderBy("conv_id", "touch_id")
+  }
+
+  /** w6 oracle: the same per-user range join and position windows;
+    * numerators are positive so `(2n+d)//(2d)` is half-up. */
+  val w6Sql: String =
+    """WITH conv AS (
+      |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS touch_ts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT c.user_id, c.conv_id, t.touch_id, t.touch_type,
+      |    row_number() OVER (PARTITION BY c.conv_id ORDER BY t.touch_ts, t.touch_id) AS rk,
+      |    count(*) OVER (PARTITION BY c.conv_id) AS n
+      |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+      |    AND t.touch_ts < c.conv_ts
+      |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+      |SELECT user_id, conv_id, touch_id, touch_type,
+      |  CASE WHEN n = 1 THEN 'only' WHEN rk = 1 THEN 'first'
+      |       WHEN rk = n THEN 'last' ELSE 'middle' END AS position,
+      |  CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+      |       WHEN rk = 1 OR rk = n THEN 400000
+      |       ELSE (2 * 200000 + (n - 2)) // (2 * (n - 2)) END AS BIGINT) AS credit_e6
+      |FROM j ORDER BY conv_id, touch_id""".stripMargin
+
   /** e17 oracle: ordered string_agg builds the identical journey
     * string; DuckDB's RE2 and Spark's java.util.regex agree on these
     * backtracking-free patterns. */

@@ -589,6 +589,40 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("w6 multi-touch: credits sum to the conversion, positions consistent, lookback respected") {
+    val r = Events.w6MultiTouch(spark, sf).collect()
+    assert(r.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", $"ts").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getTimestamp(3).getTime))
+    val byConv = r.groupBy(_.getAs[Long]("conv_id"))
+    val convTs = ev.filter(_._3 == "purchase").map(e => e._2 -> (e._1, e._4)).toMap
+    byConv.foreach { case (cid, rows) =>
+      val n = rows.length.toLong
+      val credits = rows.map(_.getAs[Long]("credit_e6"))
+      // half-up credits reconstruct the full conversion within rounding
+      assert(math.abs(credits.sum - 1000000L) <= n / 2 + 1, s"conv $cid sums to ${credits.sum}")
+      val pos = rows.map(_.getAs[String]("position"))
+      if (n == 1) assert(pos.sameElements(Array("only")))
+      else {
+        assert(pos.count(_ == "first") == 1 && pos.count(_ == "last") == 1, s"conv $cid")
+        assert(pos.count(_ == "middle") == n - 2)
+      }
+      val (cu, cts) = convTs(cid)
+      rows.foreach { t =>
+        assert(t.getAs[Long]("user_id") == cu, s"conv $cid crossed users")
+        val tt = ev.find(_._2 == t.getAs[Long]("touch_id")).get
+        assert(tt._4 < cts && tt._4 >= cts - 7L * 86400000L, s"conv $cid touch outside lookback")
+        assert(Set("view", "click")(tt._3))
+      }
+    }
+    // every purchase with an in-window touch is attributed
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+    val expectConvs = convTs.filter { case (_, (u, ts)) =>
+      touches.exists(t => t._1 == u && t._4 < ts && t._4 >= ts - 7L * 86400000L) }.keySet
+    assert(byConv.keySet == expectConvs)
+  }
+
   test("e17 pattern match: per-user counts reconcile with a driver-side regex scan") {
     val seqs = graft.sources.Tables.events(spark, sf)
       .select($"user_id", $"ts", $"event_id", $"event_type").collect()
