@@ -487,6 +487,118 @@ object Knn {
        |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** s16: FILTERED ANN — top-k under a metadata predicate (the
+    * pre-filter / post-filter question every vector store faces:
+    * Milvus/Qdrant/pgvector filtered search): queries retrieve only
+    * corpus vectors sharing their `label`. Two plans are priced
+    * against each other per query, s4-style — the audit IS the
+    * registered query:
+    *   - exact filtered baseline: the predicate turns s1's
+    *     broadcast-nested-loop into a broadcast HASH join on label —
+    *     filtering makes exact search CHEAPER, not harder, when the
+    *     predicate is an equi-key;
+    *   - bucketed+filtered path: s2's band candidates intersected
+    *     with the label key IN the join (label rides the band-bucket
+    *     equi-join — filter-during-traversal, not post-filter), then
+    *     exact re-rank among survivors.
+    * Low recall here is the classic filtered-ANN failure (the
+    * predicate thins each bucket below k) — the number a deployment
+    * must re-measure per index build before trusting filtered
+    * queries.
+    *
+    * Scale shape: both sides are broadcast joins against the
+    * 10-query set — the corpus never shuffles; the only wide rows
+    * are the in-partition band explode (×bands, never reshuffled);
+    * dedup happens after the 3-column cosine projection (the s2
+    * convention). Plan-asserted BNLJ-free: the label key upgrades
+    * even the exact side to a hash join. */
+  def s16FilteredAnn(spark: SparkSession, dir: String, k: Int = K,
+                     bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"label", $"embedding", vecNorm($"embedding").as("nrm"),
+        Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
+    val wq = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val exact = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"label", $"embedding".as("cv"), $"nrm".as("cn"))
+      .join(broadcast(e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"label", $"embedding".as("qv"), $"nrm".as("qn"))),
+        Seq("label"))
+      .select($"query_id", $"label", $"neighbor_id",
+        round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter($"rank" <= k)
+    val qb = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"label", $"embedding".as("qv"), $"nrm".as("qn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    val cb = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"label", $"embedding".as("cv"), $"nrm".as("cn"),
+        posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    val approx = cb.join(broadcast(qb), Seq("band_idx", "band_key", "label"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"qv", $"cv") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(wq))
+      .filter($"rank" <= k)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.select($"query_id", $"label", $"neighbor_id")
+      .join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("n_exact"), count($"n2").as("n_hits"))
+      .select($"query_id", $"label", $"n_exact", $"n_hits",
+        halfUpDiv($"n_hits" * 1000000L, $"n_exact").as("recall_e6"))
+      .orderBy("query_id")
+  }
+
+  /** s16 oracle: s1/s2's CTE chains with the label key added to both
+    * the exact pairing and the band candidate join. */
+  val s16Sql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |${Lsh.bandsSqlCtes(nPlanes = 64, r = 8, dim = 64)},
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+       |  JOIN lb lq ON lq.vec_id = q.vec_id
+       |  JOIN lb lc ON lc.vec_id = c.vec_id AND lc.label = lq.label
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM exs) WHERE rank <= 5),
+       |cand AS (
+       |  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+       |  FROM bands bq JOIN bands bc
+       |    ON bc.band_idx = bq.band_idx AND bc.band_key = bq.band_key
+       |  JOIN lb lq ON lq.vec_id = bq.vec_id
+       |  JOIN lb lc ON lc.vec_id = bc.vec_id AND lc.label = lq.label
+       |  WHERE bq.vec_id < 10 AND bc.vec_id >= 10),
+       |aps AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN u q ON q.vec_id = cd.query_id
+       |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+       |  GROUP BY 1, 2),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM aps) WHERE rank <= 5)
+       |SELECT ex.query_id, lq.label, count(*) AS n_exact,
+       |  count(ap.neighbor_id) AS n_hits,
+       |  CAST((2 * count(ap.neighbor_id) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT) AS recall_e6
+       |FROM ex
+       |JOIN lb lq ON lq.vec_id = ex.query_id
+       |LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id, lq.label ORDER BY ex.query_id""".stripMargin
+
   /** s8: IVF top-k ANN with a K-MEANS coarse quantizer — the
     * IVF-Flat shape of the billion-scale ANN literature
     * (Johnson/Douze/Jégou, IEEE Big Data '19): s3's deterministic

@@ -645,6 +645,44 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(journeys > 0L, "the pattern must actually occur in the corpus")
   }
 
+  test("s16 filtered ANN: label constraint respected, audit exact side reconciles, no BNLJ") {
+    val df = Knn.s16FilteredAnn(spark, sf)
+    val r = df.collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Float](2).toArray))
+    val qLabels = emb.filter(_._1 < 10).map(e => e._1 -> e._2).toMap
+    assert(r.map(_.getAs[Long]("query_id")).toSet == qLabels.keySet)
+    r.foreach { row =>
+      val q = row.getAs[Long]("query_id")
+      assert(row.getAs[Int]("label") == qLabels(q), s"query $q label")
+      val (ne, nh) = (row.getAs[Long]("n_exact"), row.getAs[Long]("n_hits"))
+      assert(ne == 5L, s"query $q: filtered pool is ~50 vectors, top-5 must fill")
+      assert(nh >= 0L && nh <= ne)
+      assert(row.getAs[Long]("recall_e6") ==
+        Math.floorDiv(2 * nh * 1000000L + ne, 2 * ne))
+      // exact side parity: top-5 by cosine among SAME-LABEL corpus
+      val qv = emb.find(_._1 == q).get._3.map(_.toDouble)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val pool = emb.filter(e => e._1 >= 10 && e._2 == qLabels(q))
+      assert(pool.length >= 5, s"query $q pool degenerate")
+      val top = pool.map { case (id, _, v) =>
+        val dv = v.map(_.toDouble)
+        val cos = BigDecimal(qv.zip(dv).map { case (a, b) => a * b }.sum /
+          (qn * math.sqrt(dv.map(x => x * x).sum)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (id, cos)
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      // n_hits counts bucketed results inside this exact set — so the
+      // exact set itself must be what the driver recomputes
+      assert(top.size == 5, s"query $q")
+    }
+    // the label equi-key must upgrade every join: no nested loop anywhere
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "filtered search must plan as hash joins")
+  }
+
   test("e16 sequence likelihood: every user reconciles with a driver-side rescore") {
     val m = Events.e15Markov(spark, sf).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
