@@ -881,6 +881,53 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e18: DAU / WAU / stickiness — the growth dashboard's headline
+    * ratio (DAU÷WAU, Meta's classic engagement metric), EXACT. The
+    * trap at scale is the sliding 7-day DISTINCT: per-day
+    * `count(DISTINCT user)` over a window is either a quadratic
+    * self-join or an approximate sketch. The exact linear form used
+    * here is the COVERAGE transform: each (user, active-day) pair
+    * covers days d..d+6, so WAU(D) = distinct (user, covered-day)
+    * count — turning the sliding distinct into two ordinary
+    * map-side-combinable aggregations.
+    *
+    * Scale shape: the fact table collapses to the (user, day) pair
+    * frame in one distinct (∝ active pairs, not events); the ×7
+    * coverage explode runs over that compact frame, never the raw
+    * events; both counts are plain aggs. Nothing quadratic, no
+    * sketch, no per-day re-scan. w5's first-touch transform is the
+    * cumulative cousin; this is the sliding one. */
+  def e18Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select($"user_id", explode(expr("sequence(0, 6)")).as("i"), $"day")
+      .select($"user_id", expr("date_add(day, i)").as("day")).distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+        graft.functions.IntMath.halfUpDiv($"dau" * 1000000L, $"wau")
+          .as("stickiness_e6"))
+      .orderBy("day")
+  }
+
+  /** e18 oracle: the identical coverage transform (DATE + i adds
+    * days in DuckDB); WAU rows beyond the last active day drop in
+    * the inner join exactly as in the Spark plan. */
+  val e18Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |cov AS (
+      |  SELECT DISTINCT user_id, ud.day + CAST(t.i AS INTEGER) AS day
+      |  FROM ud, range(0, 7) t(i)),
+      |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+      |  CAST((2 * d.dau * 1000000 + w.wau) // (2 * w.wau) AS BIGINT) AS stickiness_e6
+      |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
+
   /** w6: U-shaped MULTI-TOUCH attribution — e5's last-touch model
     * generalized to the position-based (40/20/40) credit split every
     * marketing/growth stack ships: for each purchase, the view/click

@@ -589,6 +589,28 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e18 stickiness: WAU is the exact 7-day sliding distinct; ratio bounded by 1") {
+    val r = Events.e18Stickiness(spark, sf).collect()
+    val pairs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct().collect()
+      .map(x => (x.getLong(0), x.getDate(1).toLocalDate))
+    val days = pairs.map(_._2).distinct
+    assert(r.length == days.length, "one row per active day")
+    r.foreach { row =>
+      val d = java.time.LocalDate.parse(row.getAs[String]("day"))
+      val dau = pairs.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = pairs.filter(p => !p._2.isAfter(d) && !p._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      assert(row.getAs[Long]("dau") == dau, s"$d dau")
+      assert(row.getAs[Long]("wau") == wau, s"$d wau (sliding distinct)")
+      val st = row.getAs[Long]("stickiness_e6")
+      assert(st == Math.floorDiv(2 * dau * 1000000L + wau, 2 * wau), s"$d ratio")
+      assert(st <= 1000000L && st > 0L, s"$d stickiness out of range")
+    }
+    // the window must actually slide: some day's WAU exceeds its DAU
+    assert(r.exists(x => x.getAs[Long]("wau") > x.getAs[Long]("dau")))
+  }
+
   test("w6 multi-touch: credits sum to the conversion, positions consistent, lookback respected") {
     val r = Events.w6MultiTouch(spark, sf).collect()
     assert(r.nonEmpty)
