@@ -38,6 +38,57 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** The registry-wide scale-discipline gate: EVERY registered query
+    * must plan without a nested-loop or cartesian join, with two
+    * argued exceptions: (a) the documented exact-search shapes that
+    * deliberately broadcast a tiny query set against the streaming
+    * corpus (whitelist below, BuildRight-asserted individually in
+    * their own specs), and (b) nested loops whose BUILD side is a
+    * provably single-row scalar aggregate (a broadcast constant —
+    * t13/t14/t22's vocab/total frames), which cost one row per
+    * partition. A new query that accidentally plans a data×data
+    * nested loop fails here by default. */
+  test("no registered query plans a data-sized nested loop, outside the exact-search whitelist") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val whitelist = Set(
+      "s1_knn_brute",     // deliberate: exact baseline, broadcast queries × corpus
+      "s5_radius_search", // deliberate: same shape, threshold instead of top-k
+      "s10_pq_ann", "s12_sq8_ann", // PQ/SQ8 codes ride the s1 broadcast contract
+      "s11_pq_recall", "s13_sq8_recall", "s14_mrl_recall", // audits over s1-shaped sides
+      "s4_ann_recall",    // composes s1's exact side
+      "s7_radius_recall", // composes s5's exact side
+      "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
+      "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
+      "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
+    )
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def scalarBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      flatten(build).exists {
+        case ag: BaseAggregateExec => ag.groupingExpressions.isEmpty
+        case _ => false
+      }
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!whitelist(name)) {
+        flatten(fn(spark, sf).queryExecution.executedPlan).foreach {
+          case c: CartesianProductExec =>
+            fail(s"$name plans a cartesian product: $c")
+          case j: BroadcastNestedLoopJoinExec =>
+            assert(scalarBuild(j), s"$name plans a data-sized nested loop:\n$j")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("round-4 op plan shapes: q25 histogram-first, t12 single tiny global window, mm5 broadcast queries") {
     // q25: the cumulative windows must consume the (group, value)
     // HISTOGRAM, not the raw fact table — the first Window sits above
