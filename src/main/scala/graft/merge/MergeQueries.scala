@@ -499,4 +499,52 @@ object MergeQueries {
       |     + (CASE WHEN s.c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM s FULL OUTER JOIN d ON s.c_custkey = d.c_custkey
       |ORDER BY c_custkey""".stripMargin
+
+  /** m21: K-ANONYMITY / l-diversity audit — the privacy gate a merged
+    * registry must pass before anyone exports it (beehive's domain is
+    * OpenMRS MEDICAL records; a merge that consolidates instances
+    * also concentrates re-identification risk — Sweeney's k-anonymity
+    * and the Machanavajjhala l-diversity refinement are the standard
+    * release criteria). Quasi-identifier = (nation, market segment);
+    * sensitive attribute = the account-balance band. Every
+    * equivalence class gets its size (k), its count of distinct
+    * sensitive values (l), and the two risk flags: k < 5 (linkage
+    * attack: the class is small enough to single someone out) and
+    * l < 2 (homogeneity attack: the class is unique-size-proof but
+    * everyone in it shares the sensitive value anyway).
+    *
+    * Scale shape: two-level aggregation — (QI, sens) partials
+    * map-side combine, then one re-agg to the ≤|QI-space| class
+    * frame; the distinct-count never goes through a count-DISTINCT
+    * Expand (the d12 convention). One shuffle, output bounded by the
+    * QI domain, not the table. */
+  def m21KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.read(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("sens"))
+    c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("sens"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("l_diversity"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"),
+        col("l_diversity"),
+        (col("n_rows") < 5).as("risky_k"), (col("l_diversity") < 2).as("risky_l"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** m21 oracle: the same two-level aggregation (floor on a double
+    * division is correctly-rounded IEEE in both engines). */
+  val m21Sql: String =
+    """WITH s AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_nationkey, c_mktsegment, sens, count(*) AS n
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS l_diversity,
+      |  (sum(n) < 5) AS risky_k, (count(*) < 2) AS risky_l
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

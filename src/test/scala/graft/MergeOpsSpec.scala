@@ -195,4 +195,30 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Join")) == 1
       && plan.contains("FullOuter"), plan)
   }
+
+  test("m21 k-anonymity: classes partition the table, l <= k, flags honest, no Expand") {
+    val df = graft.merge.MergeQueries.m21KAnonymity(spark, sf)
+    val rows = df.collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getInt(0), r.getString(1), math.floor(r.getDouble(2) / 1000.0).toLong))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == cust.length,
+      "equivalence classes must partition the registry")
+    val classes = cust.groupBy(c => (c._1, c._2))
+    assert(rows.length == classes.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val members = classes(key)
+      val k = members.length.toLong
+      val l = members.map(_._3).distinct.length.toLong
+      assert(r.getAs[Long]("n_rows") == k, s"$key k")
+      assert(r.getAs[Long]("l_diversity") == l, s"$key l")
+      assert(l <= k)
+      assert(r.getAs[Boolean]("risky_k") == (k < 5), s"$key risky_k")
+      assert(r.getAs[Boolean]("risky_l") == (l < 2), s"$key risky_l")
+    }
+    // the distinct count must be the two-level agg, not an Expand
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "count-DISTINCT Expand leaked into the plan")
+  }
 }
