@@ -149,4 +149,68 @@ object GraphQueries {
        |    ELSE 0 END AS BIGINT) AS lcc_e6
        |FROM deg d LEFT JOIN pn ON pn.id = d.id
        |ORDER BY doc_id""".stripMargin
+
+  /** g3: community detection by SYNCHRONOUS label propagation
+    * (Raghavan/Albert/Kumara 2007) over the d2 near-dup graph — the
+    * sub-structure pass between g2's local view and d7's transitive
+    * closure: where d7 merges everything reachable (one borderline
+    * edge chains two template families together), LP lets densely
+    * duplicated families keep their own label, so a curation pass
+    * can split an over-merged d7 cluster along community lines.
+    * Fixed 3 iterations, every node adopts its neighbors' majority
+    * label (ties → smallest label id), updates applied synchronously
+    * — fully deterministic, no demon of asynchronous LP's update
+    * order.
+    *
+    * Scale shape: d7's execution family — per iteration one join of
+    * the edge list against the label frame + one (node, label)
+    * map-side-combined count + an argmax window partitioned by node
+    * (never global); everything ∝ the pair artifact, the corpus
+    * never shuffles; static 3-iteration plan, no convergence action.
+    */
+  def g3Communities(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
+      .select($"doc_id1".as("a"), $"doc_id2".as("b"))
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val nodes = edges.select($"a".as("id")).distinct()
+    var lab = nodes.select($"id", $"id".as("label"))
+    val w = Window.partitionBy($"dst").orderBy($"cnt".desc, $"label")
+    for (_ <- 1 to iters) {
+      lab = edges.join(lab, edges("a") === lab("id"))
+        .select(edges("b").as("dst"), $"label")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"dst".as("id"), $"label")
+    }
+    val size = lab.groupBy($"label").agg(count(lit(1)).as("comm_size"))
+    lab.join(size, "label")
+      .select($"id".as("doc_id"), $"label".as("community"), $"comm_size")
+      .orderBy("doc_id")
+  }
+
+  /** g3 oracle: d2's pair CTEs + the same 3 synchronous rounds
+    * unrolled (argmax via QUALIFY row_number, the same tie-break). */
+  val g3Sql: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT e.b AS id, l.label, count(*) AS cnt
+         |    FROM edges e JOIN l${i - 1} l ON l.id = e.a GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) = 1)""".stripMargin
+    }
+    s"""WITH ${graft.dedup.Dedup.d2Ctes},
+       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
+       |${iterCtes.mkString(",\n")},
+       |sz AS (SELECT label, count(*) AS comm_size FROM l$iters GROUP BY label)
+       |SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS community,
+       |  CAST(s.comm_size AS BIGINT) AS comm_size
+       |FROM l$iters l JOIN sz s ON s.label = l.label
+       |ORDER BY doc_id""".stripMargin
+  }
 }

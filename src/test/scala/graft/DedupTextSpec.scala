@@ -541,6 +541,39 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
   }
 
+  test("g3 communities: synchronous LP parity with a driver recompute; sizes consistent") {
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, sf, threshold = 0.7)
+      .select($"doc_id1", $"doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lab = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.length).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val r = graft.queries.GraphQueries.g3Communities(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == lab.keySet,
+      "every node in the pair graph is labeled, nothing else")
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      assert(row.getAs[Long]("community") == lab(id), s"doc $id label")
+      assert(row.getAs[Long]("comm_size") == sizes(lab(id)), s"doc $id size")
+    }
+    // communities refine d7's connected components: two docs with
+    // different labels may share a component, but a community never
+    // spans two components
+    val comp = graft.dedup.Dedup.d7Clusters(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster_id")).toMap
+    r.groupBy(_.getAs[Long]("community")).foreach { case (c, members) =>
+      val comps = members.map(m => comp(m.getAs[Long]("doc_id"))).distinct
+      assert(comps.length == 1, s"community $c spans components $comps")
+    }
+  }
+
   test("t20 BPE: overlapping counts, later rounds merge earlier sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     Seq((0L, "ababababab", "en", "b0", 10L))
