@@ -99,6 +99,25 @@ object Dedup {
       d2PairsCompute(spark, dir, k, bands, threshold)
     }
 
+  /** The MinHash SIGNATURE INDEX — (doc_id, h0..h{k-1}) — materialized
+    * once and shared: d2's four consumers (both bucket-join sides,
+    * both verify sides) would otherwise recompute the whole
+    * shingle+signature pipeline (verified in the physical plan —
+    * AQE's broadcast conversion defeats ReuseExchange here), and d14
+    * re-bands the SAME index under alternative (bands, r) configs.
+    * Tiny relative to the corpus (k+1 longs per doc); Indexes.swap
+    * bounds cache growth across invocations. */
+  private def sigIndex(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DetHash
+    val exploded = shingleRows(spark, dir)
+      .select($"doc_id", (DetHash.md5Long60Col($"sh") % DetHash.M31).as("h0"))
+    val sigCols = (0 until k).map(j =>
+      min((lit(DetHash.slotA(j)) * $"h0" + lit(DetHash.slotB(j))) % DetHash.P61).as(s"h$j"))
+    graft.operators.Indexes.swap("d2_sig_index",
+      exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
+  }
+
   private def d2PairsCompute(spark: SparkSession, dir: String, k: Int, bands: Int,
                              threshold: Double): DataFrame = {
     import spark.implicits._
@@ -111,18 +130,7 @@ object Dedup {
     // re-mixes of that long — cheaper than k string hashes per shingle
     // row. Shingle multiplicity is irrelevant under min(), so no
     // distinct pass is needed.
-    val exploded = shingleRows(spark, dir)
-      .select($"doc_id", (DetHash.md5Long60Col($"sh") % DetHash.M31).as("h0"))
-    val sigCols = (0 until k).map(j =>
-      min((lit(DetHash.slotA(j)) * $"h0" + lit(DetHash.slotB(j))) % DetHash.P61).as(s"h$j"))
-    // materialize the signature index ONCE: four consumers below (both
-    // bucket-join sides, both verify sides) would otherwise recompute
-    // the whole shingle+signature pipeline (verified in the physical
-    // plan — AQE's broadcast conversion defeats ReuseExchange here).
-    // The index is tiny relative to the corpus (33 longs per doc);
-    // Indexes.swap bounds cache growth across invocations.
-    val sigs = graft.operators.Indexes.swap("d2_sig_index",
-      exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
+    val sigs = sigIndex(spark, dir, k)
 
     val bandCols = (0 until bands).map(b =>
       md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
@@ -204,6 +212,94 @@ object Dedup {
     s"""WITH $d2Ctes
        |SELECT doc_id1, doc_id2, est_jaccard FROM est
        |WHERE est_jaccard >= 0.7 ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** d14: LSH RETUNE sweep — the banding decision (bands × rows) made
+    * with data instead of folklore: the SAME 32-slot signature index
+    * re-banded under (16×2), (8×4), (4×8), each config priced by its
+    * candidate volume (the shuffle you pay) and its precision (the
+    * fraction of candidates the slot-agreement estimate confirms at
+    * the 0.7 bar). Steep r = fewer, cleaner candidates but recall
+    * falls off the (1-(1-j^r)^b) cliff; shallow r = recall with a
+    * candidate explosion. d10 calibrates the CURRENT config against
+    * exact Jaccard; this prices the alternatives BEFORE an index
+    * rebuild — signatures are computed once, re-banding is metadata.
+    *
+    * Scale shape: the expensive artifact (the signature index) is
+    * shared, not recomputed — each config adds only a band-key
+    * explode over the (k+1)-longs-per-doc index, the banded equi
+    * self-join (shuffle ∝ that config's candidates — the quantity
+    * being measured), and a global map-side-combined 1-row agg.
+    * Integer-exact: the confirm bar is n_eq·10 ≥ 7k (≡ est ≥ 0.7),
+    * precision is halfUpDiv ×1e6. */
+  def d14LshSweep(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val sigs = sigIndex(spark, dir, k)
+    val frames = Seq(16, 8, 4).map { bands =>
+      val r = k / bands
+      val bandCols = (0 until bands).map(b =>
+        md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
+      val buckets = sigs.select($"doc_id",
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      val cand = buckets.select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
+        .join(buckets.select($"doc_id".as("doc_id2"), $"band_idx", $"band_key"),
+          Seq("band_idx", "band_key"))
+        .filter($"doc_id1" < $"doc_id2")
+        .select($"doc_id1", $"doc_id2")
+        .dropDuplicates("doc_id1", "doc_id2")
+      val sigA = sigs.select($"doc_id".as("doc_id1") +:
+        (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sigB = sigs.select($"doc_id".as("doc_id2") +:
+        (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
+      val nEq = (0 until k).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+      cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
+        .select(nEq.as("n_eq"))
+        .agg(count(lit(1)).as("n_cands"),
+          coalesce(sum(when($"n_eq" * 10 >= 7 * k, 1L).otherwise(0L)), lit(0L))
+            .as("n_good"))
+        .select(lit(bands).as("bands"), lit(r).as("r"), $"n_cands", $"n_good",
+          when($"n_cands" === 0L, 0L)
+            .otherwise(graft.functions.IntMath.halfUpDiv(
+              $"n_good" * 1000000L, $"n_cands")).as("precision_e6"))
+    }
+    frames.reduce(_ unionAll _).orderBy($"bands".desc)
+  }
+
+  /** d14 oracle: d2's CTE chain supplies `slots` (unused band CTEs
+    * are never executed); each config re-bands with `j // r`. */
+  val d14Sql: String = {
+    val k = 32
+    val cfg = Seq(16, 8, 4).map { bands =>
+      val r = k / bands
+      (s"""bk$r AS (
+          |  SELECT doc_id, j // $r AS band_idx,
+          |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS band_key
+          |  FROM slots GROUP BY doc_id, j // $r),
+          |cd$r AS (
+          |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+          |  FROM bk$r a JOIN bk$r b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |eq$r AS (
+          |  SELECT c.doc_id1, c.doc_id2,
+          |         sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS n_eq
+          |  FROM cd$r c
+          |  JOIN slots s1 ON s1.doc_id = c.doc_id1
+          |  JOIN slots s2 ON s2.doc_id = c.doc_id2 AND s2.j = s1.j
+          |  GROUP BY 1, 2),
+          |ag$r AS (
+          |  SELECT $bands AS bands, $r AS r, count(*) AS n_cands,
+          |         coalesce(sum(CASE WHEN n_eq * 10 >= ${7 * k} THEN 1 ELSE 0 END), 0) AS n_good
+          |  FROM eq$r)""".stripMargin, s"SELECT * FROM ag$r")
+    }
+    s"""WITH $d2Ctes,
+       |${cfg.map(_._1).mkString(",\n")},
+       |allcfg AS (${cfg.map(_._2).mkString(" UNION ALL ")})
+       |SELECT bands, r, CAST(n_cands AS BIGINT) AS n_cands,
+       |  CAST(n_good AS BIGINT) AS n_good,
+       |  CAST(CASE WHEN n_cands = 0 THEN 0
+       |    ELSE (2 * n_good * 1000000 + n_cands) // (2 * n_cands) END AS BIGINT) AS precision_e6
+       |FROM allcfg ORDER BY bands DESC""".stripMargin
+  }
 
   /** d7: duplicate CLUSTERING — connected components over d2's
     * near-dup pairs, assigning every document the min doc_id of its

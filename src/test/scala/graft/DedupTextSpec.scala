@@ -541,6 +541,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
   }
 
+  test("d14 LSH sweep: nested bands give monotone candidates; the (8x4) row reconciles with d2") {
+    val r = Dedup.d14LshSweep(spark, sf).collect()
+      .map(x => x.getAs[Int]("r") -> x).toMap
+    assert(r.keySet == Set(2, 4, 8))
+    // band boundaries NEST (an r=8 agreement implies both r=4
+    // sub-agreements, etc.) so candidate sets are supersets as r
+    // shallows — deterministically, not just in expectation
+    assert(r(2).getAs[Long]("n_cands") >= r(4).getAs[Long]("n_cands"))
+    assert(r(4).getAs[Long]("n_cands") >= r(8).getAs[Long]("n_cands"))
+    assert(r(2).getAs[Long]("n_good") >= r(4).getAs[Long]("n_good"))
+    assert(r(4).getAs[Long]("n_good") >= r(8).getAs[Long]("n_good"))
+    r.values.foreach { x =>
+      val (nc, ng) = (x.getAs[Long]("n_cands"), x.getAs[Long]("n_good"))
+      assert(ng <= nc)
+      assert(x.getAs[Long]("precision_e6") ==
+        (if (nc == 0) 0L else Math.floorDiv(2 * ng * 1000000L + nc, 2 * nc)))
+    }
+    // the sweep's confirmed count at the CURRENT config must equal the
+    // production pair set (same signatures, same bar)
+    val d2n = Dedup.d2Pairs(spark, sf, threshold = 0.7).count()
+    assert(r(4).getAs[Long]("n_good") == d2n)
+    // and the sweep must actually discriminate configs on real data
+    assert(r(2).getAs[Long]("n_cands") > r(8).getAs[Long]("n_cands"))
+  }
+
   test("g3 communities: synchronous LP parity with a driver recompute; sizes consistent") {
     val pairs = graft.dedup.Dedup.d2Pairs(spark, sf, threshold = 0.7)
       .select($"doc_id1", $"doc_id2").collect()
