@@ -29,6 +29,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // count(*)-style audits read parquet row-group metadata, not rows
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")

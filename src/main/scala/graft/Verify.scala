@@ -27,6 +27,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads them as
       // long nanos with this flag (Tables.events converts back).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,16 +21,26 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` normalized to TimestampType. The file stores
-    * TIMESTAMP(NANOS), which Spark only reads as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong=true); truncate to micros —
-    * same precision DuckDB keeps, so oracles agree. */
+  /** events with `ts` normalized to TimestampType, whatever parquet
+    * annotation a given testdata generation used:
+    *  - TIMESTAMP(NANOS) → Spark reads long nanos
+    *    (spark.sql.legacy.parquet.nanosAsLong=true); truncate to
+    *    micros — same precision DuckDB keeps, so oracles agree;
+    *  - naive TIMESTAMP(MICROS) (isAdjustedToUTC=false) → Spark 4
+    *    infers TimestampNTZType by default; cast to TimestampType —
+    *    exact under the pinned UTC session timezone (the engine's
+    *    builders additionally set
+    *    spark.sql.parquet.inferTimestampNTZ.enabled=false so plain
+    *    reads get TimestampType straight from the scan). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

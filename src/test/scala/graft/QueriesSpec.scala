@@ -11,6 +11,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
@@ -195,6 +196,34 @@ class QueriesSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         p.linesIterator.take(8).mkString("\n"))
     }
+  }
+
+  test("q29 profile: exact per-column stats reconcile; ONE fact scan through a shared Expand") {
+    val df = queries.Tpch.q29Profile(spark, sf)
+    val rows = df.collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount"))
+    // driver-side reconciliation on one column of each type
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_discount").collect()
+    val ok = rows("l_orderkey")
+    assert(ok.getAs[Long]("n_rows") == li.length)
+    assert(ok.getAs[Long]("n_null") == 0L)
+    assert(ok.getAs[Long]("n_distinct") == li.map(_.getLong(0)).distinct.length)
+    assert(ok.getAs[Double]("min_v") == li.map(_.getLong(0)).min.toDouble)
+    assert(ok.getAs[Double]("max_v") == li.map(_.getLong(0)).max.toDouble)
+    val disc = rows("l_discount")
+    assert(disc.getAs[Long]("n_distinct") == li.map(_.getDouble(1)).distinct.length)
+    assert(disc.getAs[Double]("min_v") == li.map(_.getDouble(1)).min)
+    // plan: exactly ONE scan of lineitem — the 6 exact distincts share
+    // one Expand instead of 6 rescans
+    val scans = df.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.exists(_.contains("lineitem")) => r }
+      .length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
