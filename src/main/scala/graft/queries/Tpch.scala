@@ -1028,4 +1028,61 @@ object Tpch {
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** The fixed numeric column list q29 profiles — part of the query's
+    * contract (the profiler is schema-driven, not data-sniffed). */
+  private val ProfileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount")
+
+  /** q29: EXACT column profiling of the fact table — per column: row
+    * count, null count, exact distinct count, min, max. The
+    * data-quality gate every ingest runs before anything downstream
+    * trusts the table (null-rate regression, key-cardinality drift,
+    * out-of-range values).
+    *
+    * Shape: ONE scan. All 6 columns' aggregates ride a single
+    * groupBy().agg(...) — Spark plans the multiple exact
+    * count(DISTINCT)s as one Expand (×6 row multiplication, each
+    * replica carrying ONE narrow column) with partial aggregation
+    * below the exchange, which is precisely the exact-profile cost
+    * floor at 100 TB: you cannot know exact cardinalities cheaper
+    * than one deduplicating pass per column, and Expand shares the
+    * scan where per-column queries would rescan the table 6 times.
+    * (The approximate alternative — HLL sketches, no Expand — is
+    * d12's KMV territory; a PROFILE must be exact.) The long-form
+    * pivot at the end is a 1-row→6-row driver-free stack projection.
+    * min/max surface as doubles: every profiled column is int64 or
+    * double, and int64 keys here are ≪ 2^53 so the widening is
+    * exact in both engines. */
+  def q29Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, dir, "lineitem")
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"))
+    }
+    val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+    one.select(col("__n").as("n_rows"),
+        expr(s"stack(${ProfileCols.length}, $stackArgs) " +
+          "AS (column_name, n_null, n_distinct, min_v, max_v)"))
+      .select($"column_name", $"n_rows", $"n_null", $"n_distinct",
+        $"min_v", $"max_v")
+      .orderBy("column_name")
+  }
+
+  val q29Sql: String = {
+    val perCol = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$perCol\nORDER BY column_name"
+  }
 }

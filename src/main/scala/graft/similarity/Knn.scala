@@ -1209,4 +1209,80 @@ object Knn {
        |FROM o LEFT JOIN nn ON nn.cluster = o.cluster
        |ORDER BY cell""".stripMargin
   }
+
+  /** s17: whole-corpus kNN-GRAPH construction — every vector's top-k
+    * approximate neighbors in one pass, the batch primitive behind
+    * NN-descent, SemDeDup-style cluster pruning, UMAP/graph layout
+    * and label propagation. s1/s2 answer "neighbors of these 10
+    * queries"; an actual curation pipeline needs "neighbors of
+    * EVERYONE" — a different execution shape: there is no broadcast
+    * side, so candidates must come from a bucket SELF-join.
+    *
+    * Shape: one scan computes the 8×8-bit band keys (codegen'd
+    * BandKeysF32); the self-join shuffles (band_idx, band_key) —
+    * candidate volume is Σ_buckets |bucket|², the banding bound, never
+    * n²; cosines are scored per collision and deduped AFTER the
+    * 3-narrow-column projection (the s2 convention: recomputing a
+    * ≤bands-duplicated codegen'd dot beats shipping embeddings through
+    * the dedup exchange); per-source top-k is one window partitioned
+    * by src (n partitions — no global sort). Hot buckets (hub regions
+    * of embedding space) are the skew risk at 100 TB: AQE skew-join
+    * splits them, and the band width r is the structural pressure
+    * valve (each +1 bit halves expected bucket size). Directed output:
+    * (src, dst, cos, rank) — rank 1..k per src, a vector with no
+    * band collision drops out (isolated node, no edges).
+    *
+    * Oracle-checked end to end: DuckDB reproduces the same planes,
+    * band keys and candidate set (Lsh.bandsSqlCtes), so the graph
+    * matches hash-for-hash — not a rows-only waiver. */
+  def s17KnnGraph(spark: SparkSession, dir: String, k: Int = 3,
+                  bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
+    val b = e.select($"vec_id", $"embedding", $"nrm",
+      posexplode($"bkeys").as(Seq("band_idx", "band_key")))
+    val src = b.select($"vec_id".as("src_id"), $"embedding".as("sv"),
+      $"nrm".as("sn"), $"band_idx", $"band_key")
+    val dst = b.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"),
+      $"nrm".as("dn"), $"band_idx", $"band_key")
+    val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    src.join(dst, Seq("band_idx", "band_key"))
+      .filter($"src_id" =!= $"neighbor_id")
+      .select($"src_id", $"neighbor_id",
+        round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
+      .dropDuplicates("src_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("src_id", "rank")
+  }
+
+  /** s17 oracle: s2's candidate CTE with the query filter dropped —
+    * the full band self-join, ranked per source. */
+  val s17Sql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |${Lsh.bandsSqlCtes(nPlanes = 64, r = 8, dim = 64)},
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS src_id, bb.vec_id AS neighbor_id
+       |  FROM bands ba JOIN bands bb
+       |    ON bb.band_idx = ba.band_idx AND bb.band_key = ba.band_key
+       |  WHERE ba.vec_id <> bb.vec_id),
+       |s AS (
+       |  SELECT cd.src_id, cd.neighbor_id,
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN u q ON q.vec_id = cd.src_id
+       |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT src_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT src_id, neighbor_id, cos_sim, rank FROM r
+       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
 }

@@ -726,4 +726,40 @@ class KnnEventsSpec extends AnyFunSuite {
         Math.floorDiv(2 * ps.sum + ps.length, 2L * ps.length), s"user $u")
     }
   }
+
+  test("s17 knn graph: ranked per-source edges, symmetric candidates, no nested loop") {
+    val df = Knn.s17KnnGraph(spark, sf)
+    val r = df.collect()
+    assert(r.nonEmpty)
+    // ranks are 1..k contiguous per source, ordered by (cos desc, id)
+    r.groupBy(_.getAs[Long]("src_id")).foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"src $s ranks not contiguous")
+      val byScore = sorted.map(x =>
+        (-x.getAs[Double]("cos_sim"), x.getAs[Long]("neighbor_id")))
+      assert(byScore.sorted.toSeq == byScore.toSeq, s"src $s not rank-ordered")
+      assert(rows.length <= 3, s"src $s more than k edges")
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == s), s"src $s self-edge")
+    }
+    // band collision is symmetric: if (a,b) is a candidate edge, b also
+    // saw a as a candidate — so every edge's reverse pair was scored,
+    // and b's WORST kept score is >= its score of a only if a ranked out
+    val edges = r.map(x => (x.getAs[Long]("src_id"),
+      x.getAs[Long]("neighbor_id"), x.getAs[Double]("cos_sim"))).toSeq
+    val kept = edges.map { case (s, n, _) => (s, n) }.toSet
+    val worst = edges.groupBy(_._1).map { case (s, es) =>
+      s -> (es.map(_._3).min, es.length) }
+    edges.foreach { case (s, n, c) =>
+      if (!kept.contains((n, s))) {
+        val (wmin, cnt) = worst(n)
+        assert(cnt == 3 && wmin >= c,
+          s"edge $s->$n: reverse missing though $n kept a worse/shorter list")
+      }
+    }
+    // the self-join must ride the band-bucket hash keys, never a loop
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "knn graph must plan as a bucket hash self-join")
+  }
 }
