@@ -58,6 +58,9 @@ object Bench {
         // PQ codebook training (8 subspace Lloyd's runs) is the s10/s11
         // index-build artifact — same accounting as the coarse cells
         graft.similarity.Knn.pqCodebooks(spark, sfDir)
+        // the c1 curation frame (t1/t2/t22/t11 signal stack) is read
+        // by c1, c2 AND c3 — same marginal-cost accounting
+        graft.text.TextAnalysis.c1Curation(spark, sfDir).count()
         false
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true

@@ -1009,4 +1009,59 @@ object Events {
       |  CAST(len(regexp_extract_all(s, 'view,(?:click,)*purchase,')) AS BIGINT) AS n_journeys,
       |  CAST(len(regexp_extract_all(s, 'error,(?:error,)+')) AS BIGINT) AS n_error_streaks
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** e19: top event-type TRIGRAM paths — the order-2 sequence-mining
+    * companion to e15's order-1 Markov matrix: the 20 most common
+    * 3-step journeys across all users, each with its share of all
+    * trigrams ×1e6. Product analytics' "common paths" report, and the
+    * empirical check of e15's first-order assumption (a trigram far
+    * off the chained bigram product = memory the Markov model
+    * misses).
+    *
+    * Shape: ONE shuffle on user_id; both lead() steps and the
+    * per-user boundary filter ride the SAME window sort, then the
+    * trigram counts map-side-combine to ≤ |types|³ rows. The global
+    * top-20 orders that tiny aggregate (types³ ≤ a few thousand rows
+    * — metadata-sized, the t12 single-tiny-window convention), never
+    * the events. Deterministic tie-break: (n desc, path asc). */
+  def e19TopPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tri = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(seq))
+      .withColumn("t3", lead($"event_type", 2).over(seq))
+      .filter($"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+    val counts = tri.groupBy($"path").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("share_e6", graft.functions.IntMath.halfUpDiv(
+        $"n" * 1000000L, sum($"n").over(all)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy($"n".desc, $"path".asc)))
+      .filter($"rank" <= k)
+      .select($"rank", $"path", $"n", $"share_e6")
+      .orderBy("rank")
+  }
+
+  /** e19 oracle: the same double-lead trigram chain; half-up share
+    * over the global trigram total. */
+  val e19Sql: String =
+    """WITH tri AS (
+      |  SELECT event_type || '>' ||
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) || '>' ||
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS path,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM events),
+      |c AS (
+      |  SELECT path, count(*) AS n FROM tri
+      |  WHERE t3 IS NOT NULL GROUP BY 1),
+      |r AS (
+      |  SELECT path, n,
+      |    CAST((2 * n * 1000000 + sum(n) OVER ()) // (2 * sum(n) OVER ()) AS BIGINT) AS share_e6,
+      |    row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+      |  FROM c)
+      |SELECT rank, path, CAST(n AS BIGINT) AS n, share_e6
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
 }

@@ -1297,7 +1297,18 @@ object TextAnalysis {
     * no re-derivation (each signal computes once). Thresholds are
     * corpus-calibrated constants (the curator's dial), all integer
     * comparisons. */
-  def c1Curation(spark: SparkSession, dir: String): DataFrame = {
+  def c1Curation(spark: SparkSession, dir: String): DataFrame =
+    c1Frame(spark, dir).orderBy("doc_id")
+
+  /** The memoized per-doc decision frame behind c1 — c2 (dataset
+    * card) and c3 (threshold sensitivity) both consume it, so the
+    * signal stack (t1/t2/t22/t11 + the dup fingerprint) materializes
+    * ONCE per (session, dir) instead of once per consumer (the
+    * d2Pairs/d7 clusters convention; at 100 TB this frame is the
+    * narrow curation table a pipeline writes once and every
+    * downstream job reads). */
+  private def c1Frame(spark: SparkSession, dir: String): DataFrame =
+   graft.operators.Indexes.memo(s"c1_frame:$dir") {
     import spark.implicits._
     val docs = Tables.read(spark, dir, "documents").select($"doc_id", $"lang")
     val lang = t1LangId(spark, dir).select($"doc_id", $"pred_lang")
@@ -1321,8 +1332,7 @@ object TextAnalysis {
           .when($"quality_e6" < 300000L, "low_quality")
           .when($"avg_p_e6" < 230000L, "low_lm_score")
           .otherwise("keep").as("verdict"))
-      .orderBy("doc_id")
-  }
+   }
 
   /** c1 oracle: the t1/t2/t22/t11 oracles composed as subqueries (the
     * s9 pattern — each derives its signal itself), plus the d1
@@ -1398,7 +1408,7 @@ object TextAnalysis {
   def c2DatasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val v = c1Curation(spark, dir).select($"doc_id", $"verdict")
+    val v = c1Frame(spark, dir).select($"doc_id", $"verdict")
     val tok = t3TokenCount(spark, dir).select($"doc_id", $"ws_tokens")
     val src = Tables.read(spark, dir, "documents").select($"doc_id", $"source")
     val cells = src.join(v, "doc_id").join(tok, "doc_id")
@@ -1448,7 +1458,7 @@ object TextAnalysis {
     * exactly as many times as c1 scans it, not once more. */
   def c3ThresholdShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = c1Curation(spark, dir)
+    val c = c1Frame(spark, dir)
     val strict = when($"dup_of" =!= $"doc_id", "duplicate")
       .when($"contamination_e6" >= 300000L, "contaminated")
       .when($"pred_lang" =!= $"lang", "lang_mismatch")

@@ -727,6 +727,28 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e19 top paths: trigram counts reconcile with a driver-side sequence walk") {
+    val r = Events.e19TopPaths(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    // driver-side recount from the raw sequences
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val byUser = ev.groupBy(_._1).values.flatMap { es =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq
+    val counts = byUser.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val total = counts.values.sum
+    val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(r.map(x => (x.getAs[String]("path"), x.getAs[Long]("n"))).toSeq == expectTop)
+    r.foreach { row =>
+      assert(row.getAs[Long]("share_e6") ==
+        Math.floorDiv(2 * row.getAs[Long]("n") * 1000000L + total, 2 * total))
+    }
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+  }
+
   test("s17 knn graph: ranked per-source edges, symmetric candidates, no nested loop") {
     val df = Knn.s17KnnGraph(spark, sf)
     val r = df.collect()
