@@ -1285,4 +1285,64 @@ object Knn {
        |  FROM s)
        |SELECT src_id, neighbor_id, cos_sim, rank FROM r
        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
+  /** s18: HARD-NEGATIVE mining — for each query vector, the k corpus
+    * neighbors with the HIGHEST cosine but a DIFFERENT label: the
+    * contrastive-training staple (CLIP/SimCLR/DPR batches are only as
+    * good as their hard negatives — random negatives are trivially
+    * separable; the informative ones are the near-misses this emits).
+    * The mirror image of s16's filtered ANN: s16 keeps same-label
+    * neighbors, s18 keeps the best-scoring WRONG-label ones.
+    *
+    * Shape: s1's exact broadcast-queries contract (10 queries ride a
+    * broadcast hash; the corpus streams through, never shuffles), the
+    * label INEQUALITY applied as a cheap post-dot filter — an
+    * anti-predicate has no equi-key to ride, so the deliberate
+    * BNLJ-over-broadcast-queries shape is exactly right (the
+    * s1/s5-whitelisted plan); per-query top-k is one window over the
+    * query key. At scale the bucketed variant drops in as for s2 —
+    * the negative filter only thins buckets (never empties them,
+    * unlike s16's equality: every OTHER label qualifies). */
+  def s18HardNegatives(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding", vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"label".as("n_label"),
+        $"embedding".as("c"), $"nrm".as("cn"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    corpus.join(broadcast(queries))
+      .filter($"n_label" =!= $"q_label")
+      .select($"query_id", $"q_label", $"neighbor_id", $"n_label",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s18 oracle: s1's pairing chain with the label inequality. */
+  val s18Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |lb AS (SELECT vec_id, label FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, lq.label AS q_label,
+      |    c.vec_id AS neighbor_id, lc.label AS n_label,
+      |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+      |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |  JOIN lb lq ON lq.vec_id = q.vec_id
+      |  JOIN lb lc ON lc.vec_id = c.vec_id AND lc.label <> lq.label
+      |  GROUP BY 1, 2, 3, 4),
+      |r AS (
+      |  SELECT query_id, q_label, neighbor_id, n_label, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

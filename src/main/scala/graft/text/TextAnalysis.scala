@@ -1060,15 +1060,18 @@ object TextAnalysis {
     * single symbols — the real BPE recurrence, not 5 independent
     * bigram counts.
     *
-    * Scale shape: one corpus scan + one map-side-combined count agg
+    * Scale shape: one corpus pass + one map-side-combined count agg
     * per round; the winning pair is a 1-row aggregate collected to
     * the driver and re-broadcast as a literal (the CC-convergence
-    * pattern — aggregate-sized, never data). Round r's scan carries
-    * r chained codegen'd `replace` projections instead of a
-    * materialized intermediate: total work = rounds × scan, no
-    * shuffle of the text itself. Training normally runs on a sampled
-    * corpus anyway; the merge TABLE (the artifact a tokenizer ships)
-    * is what this emits: (round, pair, cnt). */
+    * pattern — aggregate-sized, never data). Each round's rewritten
+    * corpus is generation-persisted (one generation live, the d7
+    * swap convention), so round r applies ONE replace to the cached
+    * previous generation instead of replaying all r-1 earlier
+    * replaces plus the sentinel regex from the raw scan — without it
+    * total replace work is O(rounds²). The text itself never
+    * shuffles. Training normally runs on a sampled corpus anyway
+    * (the cache holds the sample); the merge TABLE (the artifact a
+    * tokenizer ships) is what this emits: (round, pair, cnt). */
   def t20BpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import spark.implicits._
     spark.createDataFrame(bpeMergeTable(spark, dir, rounds))
@@ -1096,8 +1099,17 @@ object TextAnalysis {
                             rounds: Int): Seq[(Long, String, Long)] =
     bpeMemo.getOrElseUpdate((dir, rounds), {
       import spark.implicits._
-      var corpus = Tables.read(spark, dir, "documents")
-        .filter(!$"text".rlike(bpeSentinelClass(rounds))).select($"text")
+      // each round's corpus is PERSISTED (generation-swapped, the d7
+      // CC convention): round r's count job would otherwise re-run
+      // the sentinel regex filter and all r-1 earlier replace
+      // projections from the parquet scan — O(rounds²) replace passes
+      // and rounds× regex scans of the full text. The persisted
+      // generation is the text column only; the swap bounds live
+      // cache to one generation.
+      val genKey = s"t20_corpus:$dir:$rounds"
+      var corpus = graft.operators.Indexes.swap(genKey,
+        Tables.read(spark, dir, "documents")
+          .filter(!$"text".rlike(bpeSentinelClass(rounds))).select($"text"))
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
       var r = 0
       var dry = false
@@ -1114,12 +1126,20 @@ object TextAnalysis {
         else {
           val (pair, cnt) =
             (top.head.getAs[String]("pair"), top.head.getAs[Long]("cnt"))
-          corpus = corpus.select(
-            replace($"text", lit(pair), lit((0xE000 + r).toChar.toString)).as("text"))
+          if (r < rounds - 1) {
+            // swapWith: materialize the new generation BEFORE releasing
+            // the old one (the count above already forced the current
+            // corpus, so the single replace projection runs off cache)
+            val (next, _) = graft.operators.Indexes.swapWith(genKey,
+              corpus.select(replace($"text", lit(pair),
+                lit((0xE000 + r).toChar.toString)).as("text")))(_.count())
+            corpus = next
+          }
           merges += ((r.toLong, pair, cnt))
           r += 1
         }
       }
+      graft.operators.Indexes.drop(genKey)
       merges.toSeq
     })
 

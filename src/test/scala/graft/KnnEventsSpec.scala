@@ -727,6 +727,34 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 hard negatives: every edge crosses labels and matches a driver-side re-rank") {
+    val r = Knn.s18HardNegatives(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Float](2).toArray))
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    assert(r.map(_.getAs[Long]("query_id")).distinct.length == 10)
+    r.foreach { row =>
+      val (q, n) = (row.getAs[Long]("query_id"), row.getAs[Long]("neighbor_id"))
+      assert(row.getAs[Int]("q_label") == labels(q))
+      assert(row.getAs[Int]("n_label") == labels(n))
+      assert(labels(q) != labels(n), s"$q -> $n shares label ${labels(q)}")
+    }
+    // driver-side re-rank for one query: the top-5 wrong-label cosines
+    val q0 = emb.find(_._1 == 0L).get
+    val qv = q0._3.map(_.toDouble); val qn = math.sqrt(qv.map(x => x * x).sum)
+    val expect = emb.filter(e => e._1 >= 10 && e._2 != q0._2).map { case (id, _, v) =>
+      val dv = v.map(_.toDouble)
+      val cos = BigDecimal(qv.zip(dv).map { case (a, b) => a * b }.sum /
+        (qn * math.sqrt(dv.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cos)
+    }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    val got = r.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("e19 top paths: trigram counts reconcile with a driver-side sequence walk") {
     val r = Events.e19TopPaths(spark, sf).collect()
     assert(r.nonEmpty && r.length <= 20)

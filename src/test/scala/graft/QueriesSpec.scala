@@ -63,6 +63,8 @@ class QueriesSpec extends AnyFunSuite {
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
+      "s18_hard_negatives", // s1's broadcast-queries contract; the label
+                            // INEQUALITY has no equi-key to ride
       "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
       "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
     )
@@ -88,6 +90,36 @@ class QueriesSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("every partition-less window sits over an aggregate-bounded frame (pinned whitelist)") {
+    // A Window with no partitionSpec moves its whole input to ONE
+    // task — fatal on data-sized frames at scale, fine on
+    // metadata-sized aggregates (group counts, histogram buckets,
+    // calendar bounds). This gate pins the exact set of queries that
+    // use one, so a new data-sized global window cannot land
+    // silently; every member must keep its justification below.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val whitelist = Set(
+      "e10_gap_fill",   // calendar min/max bounds over the hours×types agg
+      "e12_anomaly",    // e10's shape: prefix stats over the hourly agg
+      "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
+      "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
+      "w5_cume_users",  // running sum over the ~30-row daily agg
+      "m13_full_pipeline" // instance() FIXTURE synthesizes the customer
+                          // self-FK via a global lag — simulated-input
+                          // construction, not engine code (production
+                          // reads a stored referred_by column)
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.length
+      if (n > 0) Some(name) else None
+    }.toSet
+    assert(offenders == whitelist,
+      s"global-window set drifted: unexpected=${(offenders -- whitelist).toSeq.sorted}, " +
+        s"stale=${(whitelist -- offenders).toSeq.sorted}")
   }
 
   test("round-4 op plan shapes: q25 histogram-first, t12 single tiny global window, mm5 broadcast queries") {
