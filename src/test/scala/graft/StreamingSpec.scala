@@ -61,6 +61,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.columns.toSet == Set("hour", "event_type", "n_events", "sum_value"))
   }
 
+  test("checkpoint recovery: a restarted query resumes past committed files, end state equals batch") {
+    // The production restart contract: kill the query, more data
+    // lands, restart with the SAME checkpoint — the file source must
+    // skip every file its commit log already covers (no reprocessing,
+    // proven via numInputRows) and the idempotent upsert target must
+    // converge to exactly the batch answer over ALL data.
+    val in = java.nio.file.Files.createTempDirectory("graft-rec-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-rec-wd").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val first = ev.filter($"event_id" % 2 === 0)
+    val second = ev.filter($"event_id" % 2 === 1)
+    first.coalesce(1).write.mode("append").parquet(in)
+    val run1 = EventStream.upsertSink(
+      EventStream.readEventStream(spark, in),
+      s"$wd/target", s"$wd/ckpt",
+      keyCols = Seq("user_id"), versionCol = "ts", tieBreak = "value")
+    try { run1.processAllAvailable() } finally run1.stop()
+    val afterRun1 = spark.read.parquet(s"$wd/target")
+      .select($"user_id").distinct().count()
+    assert(afterRun1 == first.select($"user_id").distinct().count())
+    // new files land while the query is DOWN
+    second.coalesce(1).write.mode("append").parquet(in)
+    val run2 = EventStream.upsertSink(
+      EventStream.readEventStream(spark, in),
+      s"$wd/target", s"$wd/ckpt",
+      keyCols = Seq("user_id"), versionCol = "ts", tieBreak = "value")
+    val processed = try {
+      run2.processAllAvailable()
+      run2.recentProgress.map(_.numInputRows).sum
+    } finally run2.stop()
+    // the restarted query read ONLY the second half — the checkpoint's
+    // file log, not the target's content, is what prevents rework
+    assert(processed == second.count(),
+      s"restart reprocessed committed files: read $processed rows")
+    // end state = the batch keep-latest over the FULL table
+    val got = spark.read.parquet(s"$wd/target").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"))).toMap
+    val expect = graft.merge.MergeOps.upsertLatest(
+        ev, Seq("user_id"), "ts", "value").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"))).toMap
+    assert(got == expect)
+  }
+
   test("streaming funnel emits stages in order, ignores out-of-order purchases") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.FEv
