@@ -273,6 +273,43 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("re-merging the same source into the merged destination is a no-op (idempotence behind the _merge_sources guard)") {
+    // The data-level truth the reference's `_merge_sources` guard
+    // protects operationally: once a source instance is merged, every
+    // one of its rows matches the destination (consolidate: by natural
+    // key; move: by the full cross-instance identity), so a re-run
+    // inserts NOTHING. The guard exists for operator safety (partial
+    // merges, uuid regeneration changing identity), not because the
+    // matching semantics need it.
+    val srcParent = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val destParent = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    val srcChild = Seq((100L, "x", 1L), (101L, "y", 2L)).toDF("id", "label", "parent_id")
+    val destChild = Seq((500L, "x", 10L)).toDF("id", "label", "parent_id")
+    val specs = Seq(
+      TableSpec("parent", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("child", "id", Seq("label"), MergeMode.Move,
+        mappedKeys = Map("parent_id" -> "parent")))
+    val src = Map("parent" -> srcParent, "child" -> srcChild)
+    val r1 = Orchestrator.run(specs, src,
+      Map("parent" -> destParent, "child" -> destChild), "inst2")
+    val mergedParent = r1("parent").merged.select("id", "name")
+    val mergedChild = r1("child").merged.select("id", "label", "parent_id")
+    // round 2: same source, merged output as the destination
+    val dest2 = Map("parent" -> mergedParent, "child" -> mergedChild)
+    val dry2 = Orchestrator.dryRun(specs, src, dest2).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("already_in_dest"), r.getAs[Long]("would_insert"))).toMap
+    assert(dry2("parent") == ((2L, 0L)), s"parent re-merge not a no-op: $dry2")
+    assert(dry2("child") == ((2L, 0L)), s"child re-merge not a no-op: $dry2")
+    // and the actual run agrees: the merged output is set-identical
+    val r2 = Orchestrator.run(specs, src, dest2, "inst2-again")
+    assert(r2("parent").merged.select("id", "name").collect().toSet ==
+      mergedParent.collect().toSet)
+    assert(r2("child").merged.select("id", "label", "parent_id").collect().toSet ==
+      mergedChild.collect().toSet)
+    assert(r2("child").idMap.filter($"is_new" === 1).count() == 0)
+  }
+
   test("atomic publish: target always readable, crash window falls back to __prev") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pub").toString
     val target = s"$dir/snap"
