@@ -623,6 +623,57 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class TriOut(user_id: Long, t1: String, t2: String, t3: String,
+                    start_us: Long)
+
+  /** Per-user state for [[trigramStream]]: the pending buffer plus the
+    * last TWO flushed events — the window context a 3-gram needs
+    * across flush boundaries (order-k sequence mining keeps k-1
+    * bridge events; transitionStream is the k=2 case). */
+  case class Tri3State(pending: List[(Long, Long, String)],
+                       bridge: List[(Long, Long, String)])
+
+  /** e19's streaming twin — ONLINE 3-step path featurization: emits
+    * every consecutive event-type trigram per user exactly once, in
+    * (ts, event_id) order, despite out-of-order arrival (counts-by-
+    * path downstream reproduce e19's table before its top-k, parity
+    * spec-pinned). Same flush discipline as [[transitionStream]]:
+    * buffer until the watermark passes, flush sorted, slide a
+    * 3-window over bridge++flushed — a window needs ≥1 flushed event
+    * (the 2-event bridge alone can't form one), so nothing re-emits.
+    *
+    * State per user = the watermark-bounded pending buffer + TWO
+    * bridge tuples; event-time timeout flushes quiet users. */
+  def trigramStream(events: Dataset[TEv], watermark: String = "1 minute")
+  : Dataset[TriOut] = {
+    import events.sparkSession.implicits._
+    val fn: (Long, Iterator[TEv], GroupState[Tri3State]) => Iterator[TriOut] =
+      (user, it, state) => {
+        val wmUs = state.getCurrentWatermarkMs() match {
+          case 0L => Long.MinValue
+          case ms => ms * 1000L
+        }
+        val st = state.getOption.getOrElse(Tri3State(Nil, Nil))
+        val all = st.pending ++
+          it.map(e => (usOf(e.ts), e.event_id, e.event_type))
+        val (ripe, pending) = all.partition(_._1 <= wmUs)
+        val flushed = ripe.sortBy(e => (e._1, e._2))
+        val chain = st.bridge ++ flushed
+        val out =
+          if (flushed.isEmpty) Nil
+          else chain.sliding(3).filter(_.lengthCompare(3) == 0)
+            .map(w => TriOut(user, w(0)._3, w(1)._3, w(2)._3, w(0)._1))
+            .toList
+        state.update(Tri3State(pending.toList, chain.takeRight(2).toList))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+        out.iterator
+      }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming→merge bridge: every micro-batch is upserted into a
     * parquet target with keep-latest semantics (the reference's
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,

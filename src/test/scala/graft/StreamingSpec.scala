@@ -603,6 +603,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trigram featurization is EXACTLY e19's path frame on real data") {
+    // e19's twin claim: the full sf0.001 table through chronological
+    // micro-batches emits exactly the batch double-lead trigram
+    // multiset — the 2-event bridge must carry windows across flush
+    // boundaries without re-emission
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[EventStream.TEv]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val cuts = Seq(0.33, 0.66, 1.01)
+      .map(f => evs((evs.length * f).toInt.min(evs.length - 1)).ts.getTime)
+    val in = MemoryStream[EventStream.TEv]
+    val q = EventStream.trigramStream(in.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tri_parity")
+      .outputMode("append").start()
+    try {
+      var prevCut = Long.MinValue
+      cuts.foreach { cut =>
+        val chunk = evs.filter(e => e.ts.getTime > prevCut && e.ts.getTime <= cut)
+        if (chunk.nonEmpty) in.addData(chunk: _*)
+        q.processAllAvailable()
+        prevCut = cut
+      }
+      in.addData(EventStream.TEv(-1L,
+        new java.sql.Timestamp(prevCut + 30L * 24 * 3600 * 1000), 0L, "x"))
+      q.processAllAvailable()
+      def hist(xs: Seq[(Long, String, String, String, Long)]) =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val streamed = spark.table("tri_parity").as[EventStream.TriOut]
+        .collect().filter(_.user_id >= 0)
+        .map(o => (o.user_id, o.t1, o.t2, o.t3, o.start_us))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t2", lead($"event_type", 1).over(w))
+        .withColumn("t3", lead($"event_type", 2).over(w))
+        .filter($"t3".isNotNull)
+        .select($"user_id", $"event_type", $"t2", $"t3", expr("unix_micros(ts)"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(hist(streamed.toSeq) == hist(batch.toSeq),
+        s"streamed ${streamed.length} vs batch ${batch.length}")
+      // aggregated by path, the stream reproduces e19's counts (pre-top-k)
+      val pStream = streamed.groupBy(t => s"${t._2}>${t._3}>${t._4}")
+        .view.mapValues(_.size.toLong).toMap
+      val e19 = graft.queries.Events.e19TopPaths(spark, sfDir).collect()
+        .map(r => r.getAs[String]("path") -> r.getAs[Long]("n")).toMap
+      e19.foreach { case (p, n) => assert(pStream(p) == n, s"path $p") }
+    } finally q.stop()
+  }
+
   test("streaming transition featurization is EXACTLY e15's bigrams on real data") {
     // e15's twin claim end-to-end: the full sf0.001 events table fed
     // through three chronological micro-batches + a watermark-flushing
