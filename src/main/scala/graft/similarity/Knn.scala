@@ -1345,4 +1345,119 @@ object Knn {
       |  FROM s)
       |SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s19: IVF PROBE-COUNT sweep — recall AND scan cost of s8's index
+    * at nprobe = 1..4, in one query: the d14-for-IVF (d14 prices LSH
+    * re-banding; this prices the other index family's one tuning
+    * dial). Each row is (nprobe, n_cands, hits, recall_e6): the
+    * candidate count IS the scan fraction the deployment pays, recall
+    * is against s1's exact top-k — the curve a team reads before
+    * pinning nprobe in production.
+    *
+    * Shape: the sweep does NOT run s8 four times. Probes are ranked
+    * ONCE (kc literal distances per query, metadata-sized), the
+    * corpus joins the ≤maxProbe probe set ONCE through the broadcast
+    * equi-join on the cell id (a neighbor lives in exactly one cell,
+    * so each (query, neighbor) candidate carries exactly one
+    * probe_rank), cosines are computed once — and the four
+    * configurations are four windows over that one shared candidate
+    * frame (candidate-sized, never corpus-sized). Adding a probe only
+    * ADDS candidates, so recall is monotone in nprobe by
+    * construction; the sweep shows where it saturates. */
+  def s19ProbeSweep(spark: SparkSession, dir: String, k: Int = K,
+                    kc: Int = 8, iters: Int = 4, maxProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    require(1000000 % k == 0)
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        quantizeE6($"embedding").as("el"))
+    val corpus = assignCells(spark, e.filter($"vec_id" >= 10), cents)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"),
+        $"cluster".as("cell"))
+    val cellDists = cents.map { case (cid, arr) =>
+      struct(
+        aggregate(zip_with($"el", lit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("cdist"),
+        lit(cid.toLong).as("cell"))
+    }
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        posexplode(slice(array_sort(array(cellDists: _*)), 1, maxProbe))
+          .as(Seq("pr0", "probe")))
+      .select($"query_id", $"q", $"qn", ($"pr0" + 1).as("probe_rank"),
+        $"probe.cell".as("cell"))
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"neighbor_id", $"probe_rank",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+    val candP = graft.operators.Indexes.memo(s"s19_cand:$dir:$kc:$iters:$maxProbe")(cand)
+    val exact = s1Brute(spark, dir, k)
+      .select($"query_id".as("qx"), $"neighbor_id".as("nx"))
+    val rows = (1 to maxProbe).map { p =>
+      val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+      val sub = candP.filter($"probe_rank" <= p)
+      val top = sub
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+      val hits = top.join(exact,
+          $"query_id" === $"qx" && $"neighbor_id" === $"nx", "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      sub.agg(count(lit(1)).as("n_cands")).crossJoin(hits)
+        .select(lit(p).as("nprobe"), $"n_cands", $"hits",
+          halfUpDiv($"hits" * 1000000L, lit(10L * k)).as("recall_e6"))
+    }
+    rows.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** s19 oracle: the shared Lloyd's CTEs + ranked probes computed
+    * ONCE, four filtered rank/recall blocks over the one candidate
+    * frame (mirroring the Spark plan's shared-candidate shape). */
+  val s19Sql: String = {
+    val iters = 4
+    val perP = (1 to 4).map { p =>
+      s"""SELECT $p AS nprobe,
+         |  (SELECT count(*) FROM cand WHERE probe_rank <= $p) AS n_cands,
+         |  (SELECT count(*) FROM (
+         |     SELECT query_id, neighbor_id FROM (
+         |       SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |       FROM cs WHERE probe_rank <= $p) WHERE rank <= 5) t
+         |   JOIN ex ON ex.query_id = t.query_id AND ex.neighbor_id = t.neighbor_id) AS hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${lloydCteParts(iters).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |pr AS (
+       |  SELECT vec_id AS query_id, cluster AS cell, rn AS probe_rank FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY sum((q.e - c.c)*(q.e - c.c)), c.cluster) AS rn
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id < 10 GROUP BY 1, 2) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id, p.probe_rank
+       |  FROM pr p JOIN cells cl ON cl.cell = p.cell),
+       |u AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cs AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.probe_rank,
+       |    round(sum(qq.v * cc.v ORDER BY qq.i) / (sqrt(sum(qq.v * qq.v ORDER BY qq.i)) * sqrt(sum(cc.v * cc.v ORDER BY cc.i))), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN u qq ON qq.vec_id = cd.query_id
+       |  JOIN u cc ON cc.vec_id = cd.neighbor_id AND cc.i = qq.i
+       |  GROUP BY 1, 2, 3),
+       |ex AS (SELECT query_id, neighbor_id FROM ($s1Sql)),
+       |sw AS ($perP)
+       |SELECT nprobe, CAST(n_cands AS BIGINT) AS n_cands,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CAST((2 * hits * 1000000 + 50) // (2 * 50) AS BIGINT) AS recall_e6
+       |FROM sw ORDER BY nprobe""".stripMargin
+  }
 }

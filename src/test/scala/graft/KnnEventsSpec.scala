@@ -727,6 +727,27 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s19 probe sweep: candidates and recall monotone in nprobe; p=2 row matches the s9 audit") {
+    val r = Knn.s19ProbeSweep(spark, sf).collect()
+      .map(x => x.getAs[Int]("nprobe") ->
+        (x.getAs[Long]("n_cands"), x.getAs[Long]("hits"), x.getAs[Long]("recall_e6"))).toMap
+    assert(r.keySet == Set(1, 2, 3, 4))
+    // each added probe can only ADD candidates, and recall with them
+    (1 to 3).foreach { p =>
+      assert(r(p)._1 < r(p + 1)._1, s"n_cands not strictly increasing at $p")
+      assert(r(p)._2 <= r(p + 1)._2, s"hits decreased at $p")
+    }
+    r.values.foreach { case (_, hits, rec) =>
+      assert(hits <= 50L)
+      assert(rec == Math.floorDiv(2 * hits * 1000000L + 50L, 100L))
+    }
+    // the p=2 configuration IS s8's default — its hit total must equal
+    // the s9 recall audit's
+    val s9hits = Knn.s8IvfRecallAudit(spark, sf).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(r(2)._2 == s9hits, s"p=2 hits ${r(2)._2} != s9 total $s9hits")
+  }
+
   test("s18 hard negatives: every edge crosses labels and matches a driver-side re-rank") {
     val r = Knn.s18HardNegatives(spark, sf).collect()
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -64,7 +64,8 @@ class QueriesSpec extends AnyFunSuite {
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
       "s18_hard_negatives", // s1's broadcast-queries contract; the label
-                            // INEQUALITY has no equi-key to ride
+                            // INEQUALITY has no equi-key to ride,
+      "s19_probe_sweep",  // composes s1's exact side as its recall yardstick
       "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
       "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
     )
