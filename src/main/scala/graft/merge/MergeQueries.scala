@@ -547,4 +547,65 @@ object MergeQueries {
       |  CAST(count(*) AS BIGINT) AS l_diversity,
       |  (sum(n) < 5) AS risky_k, (count(*) < 2) AS risky_l
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** m22: merge CONFLICT report — natural-key matches whose NON-key
+    * attributes disagree between the instances. The reference's
+    * consolidation silently keeps the destination row
+    * (utils.js:83 — src rows with a key match simply map to the dest
+    * id); this emits what that policy hides: the review queue a data
+    * steward works through after a merge (which rows disagreed, on
+    * what fields, and what the precedence policy resolved to). The
+    * simulated drift mirrors m20's idiom: the destination carries a
+    * stale whole-unit ledger copy (`floor(c_acctbal)`), so matched
+    * pairs with a fractional source balance conflict.
+    *
+    * Shape: the dest side collapses to one row per natural key
+    * (min_by on the id — m1's deterministic min-id survivor), then
+    * ONE equi-join on the key and a codegen'd field-compare
+    * projection; conflicts only (the steward's queue, not the full
+    * match set). Resolution policy here: higher-precision-wins
+    * (source), recorded per row — a policy column, not a silent
+    * overwrite. */
+  def m22ConflictReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = srcCust(spark, dir)
+      .select(col("c_custkey").as("src_id"), col("c_name"),
+        col("c_acctbal").as("src_acctbal"), col("c_nationkey").as("src_nation"))
+    val dest = destCust(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal")).as("d_acctbal"), col("c_nationkey").as("d_nation"))
+      .groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("dest_id"),
+        min_by(col("d_acctbal"), col("c_custkey")).as("dest_acctbal"),
+        min_by(col("d_nation"), col("c_custkey")).as("dest_nation"))
+    src.join(dest, Seq("c_name"))
+      .withColumn("acctbal_conflict", col("src_acctbal") =!= col("dest_acctbal"))
+      .withColumn("nation_conflict", col("src_nation") =!= col("dest_nation"))
+      .filter(col("acctbal_conflict") || col("nation_conflict"))
+      .select(col("c_name"), col("src_id"), col("dest_id"),
+        col("src_acctbal"), col("dest_acctbal").cast("double").as("dest_acctbal"),
+        col("acctbal_conflict"), col("nation_conflict"),
+        col("src_acctbal").as("resolved_acctbal"))
+      .orderBy("src_id")
+  }
+
+  /** m22 oracle: the same min-id survivor per name and field compare. */
+  val m22Sql: String =
+    """WITH srcc AS (
+      |  SELECT c_custkey AS src_id, c_name, c_acctbal AS src_acctbal,
+      |         c_nationkey AS src_nation
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (
+      |  SELECT c_name, min(c_custkey) AS dest_id,
+      |    min_by(floor(c_acctbal), c_custkey) AS dest_acctbal,
+      |    min_by(c_nationkey, c_custkey) AS dest_nation
+      |  FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_name)
+      |SELECT s.c_name, s.src_id, d.dest_id, s.src_acctbal,
+      |  CAST(d.dest_acctbal AS DOUBLE) AS dest_acctbal,
+      |  (s.src_acctbal <> d.dest_acctbal) AS acctbal_conflict,
+      |  (s.src_nation <> d.dest_nation) AS nation_conflict,
+      |  s.src_acctbal AS resolved_acctbal
+      |FROM srcc s JOIN destc d USING (c_name)
+      |WHERE s.src_acctbal <> d.dest_acctbal OR s.src_nation <> d.dest_nation
+      |ORDER BY s.src_id""".stripMargin
 }

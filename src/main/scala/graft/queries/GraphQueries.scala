@@ -76,7 +76,7 @@ object GraphQueries {
            |  FROM base b LEFT JOIN in$i i ON i.b = b.doc_id)""".stripMargin)
     }
     s"""WITH ${graft.dedup.Dedup.d2Ctes},
-       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
        |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
        |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
        |nn AS (SELECT count(*) AS n FROM documents),
@@ -118,7 +118,7 @@ object GraphQueries {
     * joins; half-up division as `(2n+d)//(2d)` (all non-negative). */
   val g2Sql: String =
     s"""WITH ${graft.dedup.Dedup.d2Ctes},
-       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
        |und AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
        |deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
        |wd AS (
@@ -203,7 +203,7 @@ object GraphQueries {
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) = 1)""".stripMargin
     }
     s"""WITH ${graft.dedup.Dedup.d2Ctes},
-       |p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
        |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
        |l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
        |${iterCtes.mkString(",\n")},

@@ -221,4 +221,33 @@ class MergeOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "count-DISTINCT Expand leaked into the plan")
   }
+
+  test("m22 conflict report: exactly the fractional-balance matches, resolution keeps source") {
+    val df = graft.merge.MergeQueries.m22ConflictReport(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // driver-side recompute: src (key%3!=0) joined to the min-id dest
+    // survivor (key%2=0, stale floor(acctbal)) on name, conflicts only
+    val destByName = cust.filter(_._1 % 2 == 0).groupBy(_._2)
+      .map { case (n, xs) => n -> xs.minBy(_._1) }
+    val expect = cust.filter(_._1 % 3 != 0).flatMap { case (sid, n, bal, nat) =>
+      destByName.get(n).collect {
+        case (did, _, dbal, dnat) if bal != math.floor(dbal) || nat != dnat =>
+          (sid, did, bal, math.floor(dbal))
+      }
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dest_id"),
+      r.getAs[Double]("src_acctbal"), r.getAs[Double]("dest_acctbal"))).toSet == expect)
+    rows.foreach { r =>
+      // the policy column records source precedence, never a third value
+      assert(r.getAs[Double]("resolved_acctbal") == r.getAs[Double]("src_acctbal"))
+      assert(r.getAs[Boolean]("acctbal_conflict") || r.getAs[Boolean]("nation_conflict"))
+      // nation never drifts in this simulation — flag must stay honest
+      assert(!r.getAs[Boolean]("nation_conflict"))
+    }
+  }
 }
