@@ -821,12 +821,12 @@ object Dedup {
   /** d5's CTE chain through the cosine frame `p` — ONE copy of the
     * banded candidate generation + scoring, shared by d5Sql and d8Sql. */
   private[graft] val d5Ctes: String =
-    s"""u AS (
+    s"""u AS MATERIALIZED (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
        |${graft.similarity.Lsh.bandsSqlCtes(nPlanes = 128, r = 8, dim = 64)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),

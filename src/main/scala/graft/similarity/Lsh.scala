@@ -81,7 +81,7 @@ object Lsh {
        |  SELECT u.vec_id, planes.p, sum(u.v * CAST(planes.w AS DOUBLE) ORDER BY u.i) AS d
        |  FROM u JOIN planes ON u.i = planes.i
        |  GROUP BY u.vec_id, planes.p),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT vec_id, p // $r AS band_idx,
        |         CAST(sum(CASE WHEN d > 0 THEN 1 << (p % $r) ELSE 0 END) AS INTEGER) AS band_key
        |  FROM dots GROUP BY vec_id, p // $r)""".stripMargin
