@@ -1064,4 +1064,72 @@ object Events {
       |  FROM c)
       |SELECT rank, path, CAST(n AS BIGINT) AS n, share_e6
       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** e20: event-time DISORDER audit — per user: how many events
+    * arrive with an event time OLDER than something already seen, and
+    * by how much. This is the empirical input to every watermark in
+    * the streaming block: `withWatermark(delay)` silently drops
+    * events later than `delay`, so the delay must be chosen from the
+    * observed disorder distribution — max(max_disorder_us) over this
+    * result IS the smallest safe watermark for the corpus.
+    *
+    * Arrival order: the testdata's ingest sequence (`event_id`) is
+    * exactly time-ordered, which would make the audit vacuously zero,
+    * so arrival is modeled as ts + a DETERMINISTIC hash-derived
+    * ingest delay (md5(event_id) mod 6 h — offline-device buffering /
+    * batched retry, the realistic mobile-analytics arrival shape, in
+    * the m20/m22 simulated-drift idiom; a real deployment feeds its
+    * true arrival sequence, e.g. the Kafka offset, as `arr_us`).
+    * Lateness under that arrival order is exact integer microseconds.
+    *
+    * Shape: ONE shuffle on user_id — the running-max window and the
+    * per-user aggregation ride the same partitioning (w4's shape);
+    * the rowsBetween(…, -1) frame is a running max, O(1) per row, not
+    * a re-scan. */
+  def e20DisorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byArrival = Window.partitionBy($"user_id")
+      .orderBy($"arr_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("arr_us", $"ts_us" +
+        pmod(graft.functions.DetHash.md5Long60Col($"event_id".cast("string")),
+          lit(21600000000L)))
+      .withColumn("prev_max", max($"ts_us").over(byArrival))
+      .select($"user_id",
+        when($"prev_max".isNotNull && $"ts_us" < $"prev_max",
+          $"prev_max" - $"ts_us").otherwise(0L).as("disorder_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"disorder_us" > 0L, 1L).otherwise(0L)).as("n_late"),
+        max($"disorder_us").as("max_disorder_us"))
+      .select($"user_id", $"n_events", $"n_late", $"max_disorder_us",
+        graft.functions.IntMath.halfUpDiv($"n_late" * 1000000L, $"n_events")
+          .as("late_e6"))
+      .orderBy("user_id")
+  }
+
+  /** e20 oracle: identical jitter hash, running max, integer ratios. */
+  val e20Sql: String =
+    s"""WITH a AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) + ${graft.functions.DetHash.sql60("CAST(event_id AS VARCHAR)")} % 21600000000 AS arr_us
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, ts_us,
+       |    max(ts_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM a),
+       |d AS (
+       |  SELECT user_id,
+       |    CASE WHEN prev_max IS NOT NULL AND ts_us < prev_max
+       |         THEN prev_max - ts_us ELSE 0 END AS disorder_us
+       |  FROM m)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  max(disorder_us) AS max_disorder_us,
+       |  CAST((2 * sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) * 1000000 + count(*))
+       |       // (2 * count(*)) AS BIGINT) AS late_e6
+       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -213,4 +213,97 @@ object GraphQueries {
        |FROM l$iters l JOIN sz s ON s.label = l.label
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** g4: k-CORE PEELING (Seidman 1983; distributed rounds à la
+    * Montresor et al.) over the d2 near-dup graph, k = 2, 3 fixed
+    * rounds — the density layer under g2/g3: a node that survives the
+    * 2-core peel sits inside a duplication STRUCTURE (cycle/clique —
+    * template families), while peeled nodes are pendant drift (chains
+    * g2's lcc already flags edge-by-edge). Curation reading: the
+    * 2-core is where "pick one canonical copy" deletes many rows;
+    * pendant near-dups are borderline pairs to review individually.
+    * Emits, per pair-graph node, the round it was peeled (0 = still
+    * in after 3 rounds — fixed-round like g1/g3, so the plan is
+    * static; the round count is part of the query's contract) and
+    * its degree inside the surviving subgraph.
+    *
+    * Scale shape: the d7/g1/g3 execution family — per round one
+    * semi-join of the edge list against the alive set + one
+    * map-side-combined degree count, everything ∝ the pair artifact
+    * (corpus never shuffles), alive sets only shrink. */
+  def g4KCore(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3)
+  : DataFrame = {
+    import spark.implicits._
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
+      .select($"doc_id1".as("a"), $"doc_id2".as("b"))
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val nodes = edges.select($"a".as("id")).distinct()
+    var alive = nodes
+    // (id, round peeled); peeled frames are disjoint by construction
+    var peeled = spark.emptyDataFrame.withColumn("id", lit(0L))
+      .withColumn("peel_round", lit(0L)).limit(0).select($"id", $"peel_round")
+    for (r <- 1 to rounds) {
+      val sub = edges
+        .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
+        .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
+      val deg = sub.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      val out = alive.join(deg, Seq("id"), "left")
+        .filter(coalesce($"deg", lit(0L)) < k)
+        .select($"id", lit(r.toLong).as("peel_round"))
+      peeled = peeled.unionAll(out)
+      alive = deg.filter($"deg" >= k).select($"id")
+    }
+    val finalEdges = edges
+      .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
+      .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
+    val finalDeg = finalEdges.groupBy($"a".as("id")).agg(count(lit(1)).as("core_deg"))
+    val core = alive.join(finalDeg, Seq("id"), "left")
+      .select($"id", lit(0L).as("peel_round"),
+        coalesce($"core_deg", lit(0L)).as("core_deg"))
+    peeled.withColumn("core_deg", lit(0L)).unionAll(core)
+      .select($"id".as("doc_id"), $"peel_round", $"core_deg")
+      .orderBy("doc_id")
+  }
+
+  /** g4 oracle: d2's pair CTEs + the same 3 peel rounds unrolled. */
+  val g4Sql: String = {
+    val k = 2; val rounds = 3
+    val iterCtes = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""d$i AS (
+           |  SELECT e.a AS id, count(*) AS deg
+           |  FROM edges e
+           |  JOIN a${i - 1} x ON x.id = e.a
+           |  JOIN a${i - 1} y ON y.id = e.b
+           |  GROUP BY e.a)""".stripMargin,
+        s"""rm$i AS (
+           |  SELECT x.id FROM a${i - 1} x LEFT JOIN d$i d ON d.id = x.id
+           |  WHERE coalesce(d.deg, 0) < $k)""".stripMargin,
+        s"""a$i AS (SELECT id FROM d$i WHERE deg >= $k)""")
+    }
+    val rmUnion = (1 to rounds)
+      .map(i => s"SELECT id, $i AS peel_round, 0 AS core_deg FROM rm$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${graft.dedup.Dedup.d2Ctes},
+       |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |a0 AS (SELECT DISTINCT a AS id FROM edges),
+       |${iterCtes.mkString(",\n")},
+       |dfin AS (
+       |  SELECT e.a AS id, count(*) AS deg
+       |  FROM edges e
+       |  JOIN a$rounds x ON x.id = e.a
+       |  JOIN a$rounds y ON y.id = e.b
+       |  GROUP BY e.a),
+       |core AS (
+       |  SELECT a.id, 0 AS peel_round, coalesce(d.deg, 0) AS core_deg
+       |  FROM a$rounds a LEFT JOIN dfin d ON d.id = a.id)
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |  CAST(peel_round AS BIGINT) AS peel_round,
+       |  CAST(core_deg AS BIGINT) AS core_deg
+       |FROM ($rmUnion
+       |UNION ALL
+       |SELECT id, peel_round, core_deg FROM core)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

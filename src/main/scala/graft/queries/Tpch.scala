@@ -771,6 +771,57 @@ object Tpch {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** j2: JOIN-KEY SKEW AUDIT — the diagnostic j1's salted join (and
+    * `Orchestrator.saltedFks`) is tuned from: the top-10 heaviest
+    * join keys with their share of the fact table, their ratio to
+    * the mean key weight, and the salt-bucket count that would level
+    * them (`ceil(cnt / mean)` — the number of mean-sized tasks a hot
+    * key must be split into). At 100 TB this is the query a team runs
+    * BEFORE the big join: a key with ratio_mean_e6 ≫ 1e6 is a
+    * straggler task in the plain join and the argument for
+    * `saltedJoin(buckets = salt_buckets)`.
+    *
+    * Shape: one map-side-combined count per key (the only data-sized
+    * shuffle), a 1-row stats aggregate over the key frame
+    * (broadcast back via crossJoin), and a global top-k that plans as
+    * TakeOrdered — never a full sort. All ratios are exact ×1e6
+    * integers (halfUpDiv); mean key weight is the floor integer mean
+    * (≥1), so every emitted number is bit-identical across engines
+    * and long-safe at 100 TB (cnt·1e6 ≤ ~1e16). */
+  def j2SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val kc = Tables.read(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    val stats = kc.agg(sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
+      .select($"total", $"n_keys",
+        greatest(lit(1L), expr("total div n_keys")).as("mean_cnt"))
+    kc.crossJoin(broadcast(stats))
+      .orderBy($"cnt".desc, $"o_custkey")
+      .limit(10)
+      .select($"o_custkey", $"cnt", $"n_keys",
+        halfUp($"cnt" * 1000000L, $"total").as("share_e6"),
+        halfUp($"cnt" * 1000000L, $"mean_cnt").as("ratio_mean_e6"),
+        expr("(cnt + mean_cnt - 1) div mean_cnt").as("salt_buckets"))
+      .orderBy($"cnt".desc, $"o_custkey")
+  }
+
+  /** j2 oracle: same key counts, stats and top-10; half-up division
+    * spelled `(2n+d)//(2d)` (all quantities non-negative). */
+  val j2Sql: String =
+    """WITH kc AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    greatest(1, CAST(sum(cnt) AS BIGINT) // count(*)) AS mean_cnt
+      |  FROM kc)
+      |SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt, n_keys,
+      |  CAST((2*cnt*1000000 + total) // (2*total) AS BIGINT) AS share_e6,
+      |  CAST((2*cnt*1000000 + mean_cnt) // (2*mean_cnt) AS BIGINT) AS ratio_mean_e6,
+      |  CAST((cnt + mean_cnt - 1) // mean_cnt AS BIGINT) AS salt_buckets
+      |FROM kc, st
+      |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin
+
   /** Top-k per group: 3 most valuable orders per customer — single
     * shuffle on the window partition key. */
   def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -1085,4 +1136,57 @@ object Tpch {
     }.mkString("\nUNION ALL\n")
     s"$perCol\nORDER BY column_name"
   }
+
+  /** q30: EXACT equi-width histogram of `l_extendedprice` — q29's
+    * shape companion (q29 profiles bounds/cardinality; this shows the
+    * DISTRIBUTION between the bounds — the input to partition-size
+    * planning, `maxPartitionBytes` tuning and skew triage on a value
+    * column rather than j2's key column).
+    *
+    * Exactness discipline: prices are 2-decimal doubles, so rows are
+    * first mapped to integer CENTS via `floor(v·100 + 0.5)` — one
+    * IEEE multiply/add/floor, bit-identical in both engines — and ALL
+    * binning is integer arithmetic from there: bin = (c−min)·10 div
+    * (range+1), which lands max exactly in bin 9 with no clamp and
+    * never touches a double→bin boundary. Two aggregates over the
+    * scan (1-row min/max, then the binned groupBy with the stats
+    * broadcast back) — the second pass is the price of EXACT global
+    * bounds; a 100 TB deployment that tolerates approximate edges
+    * can substitute fixed domain bounds and drop to one pass.
+    * Empty bins don't emit (both engines agree). Bin edges surface as
+    * the bin's ACTUAL min/max cents — data positions, not synthetic
+    * edge arithmetic. share_e6 is an exact ×1e6 integer. */
+  def q30Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val cents = Tables.read(spark, dir, "lineitem")
+      .select(floor($"l_extendedprice" * 100d + 0.5d).cast("long").as("c"))
+    val stats = cents.agg(min($"c").as("min_c"), max($"c").as("max_c"),
+      count(lit(1)).as("n_total"))
+    cents.crossJoin(broadcast(stats))
+      .select(expr("(c - min_c) * 10 div (max_c - min_c + 1)").as("bin"),
+        $"c", $"n_total")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), min($"c").as("lo_cents"),
+        max($"c").as("hi_cents"), max($"n_total").as("n_total"))
+      .select($"bin", $"n", $"lo_cents", $"hi_cents",
+        halfUp($"n" * 1000000L, $"n_total").as("share_e6"))
+      .orderBy("bin")
+  }
+
+  /** q30 oracle: identical cents mapping and integer binning. */
+  val q30Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem),
+      |st AS (SELECT min(c) AS min_c, max(c) AS max_c,
+      |              CAST(count(*) AS BIGINT) AS n_total FROM c),
+      |b AS (
+      |  SELECT (c.c - st.min_c) * 10 // (st.max_c - st.min_c + 1) AS bin,
+      |         c.c, st.n_total
+      |  FROM c, st)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+      |  min(c) AS lo_cents, max(c) AS hi_cents,
+      |  CAST((2*count(*)*1000000 + max(n_total)) // (2*max(n_total)) AS BIGINT) AS share_e6
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 }

@@ -1581,4 +1581,147 @@ object TextAnalysis {
        |  (verdict_base <> verdict_strict) AS moved
        |FROM v JOIN tok USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** t24: DSIR-style IMPORTANCE WEIGHTS (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023) —
+    * score every raw document by how target-like it is under hashed
+    * bag-of-words models of a TARGET subcorpus (here: the `lang='en'`
+    * slice) vs the RAW corpus, the signal DSIR resamples pretraining
+    * data by. Log-free integer variant: the paper's per-token
+    * log-likelihood-ratio sum is replaced by the arithmetic mean of
+    * per-token probability RATIOS — ln() is a transcendental whose
+    * last-ulp differs across engines' libm, exactly the
+    * cross-engine divergence this repo's integer-exact convention
+    * exists to avoid (t22's LM takes the same stance); ranking
+    * changes only where the geometric/arithmetic means disagree,
+    * and the keep-gate semantics (above/below raw-average
+    * target-likeness) are identical.
+    *
+    * Exactness: token buckets are the cross-engine md5 hash
+    * ([[graft.functions.DetHash]]) mod 256; per-bucket ratio
+    * (add-1 smoothed) is computed on the 256-ROW bucket frame in
+    * DECIMAL(38,0) — (cnt_t+1)(N_r+B)·1e6 overflows a long once
+    * bucket counts pass ~1e13 at the 100 TB design point, and
+    * 128-bit integral division is exact in both engines (HUGEINT on
+    * the oracle side). Per-doc weight = half-up mean of its tokens'
+    * bucket scores — long-safe (each score ≤ ~1e12 only if the
+    * target is 1e6× denser in a bucket; realistically ≤ ~1e8).
+    *
+    * Shape: TWO scans of the corpus by design — pass 1 trains the
+    * bucket statistics (explode → 256-key map-side-combined count:
+    * the shuffle carries 256 rows per partition), pass 2 re-explodes
+    * and joins the BROADCAST 256-row score table, then one groupBy
+    * per doc. That is DSIR's own structure (train n-gram stats, then
+    * score); at 100 TB pass 1 runs on a sample — the estimator is
+    * already a hashed approximation — while pass 2 must touch every
+    * row it scores. */
+  def t24DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 256
+    def tok(d: DataFrame) = d
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .withColumn("bucket",
+        pmod(graft.functions.DetHash.md5Long60Col($"tok"), lit(B.toLong)))
+    val docs = Tables.read(spark, dir, "documents")
+    val bstats = tok(docs).groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val totals = bstats.agg(sum($"cnt_r").as("n_r"), sum($"cnt_t").as("n_t"))
+    val scored = bstats.crossJoin(broadcast(totals))
+      .select($"bucket", expr(
+        s"""(2 * CAST(cnt_t + 1 AS DECIMAL(38,0)) * 1000000 * CAST(n_r + $B AS DECIMAL(38,0))
+           |      + CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(n_t + $B AS DECIMAL(38,0)))
+           |  div (2 * CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(n_t + $B AS DECIMAL(38,0)))"""
+          .stripMargin).cast("long").as("s_e6"))
+    tok(docs).join(broadcast(scored), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"s_e6").as("sum_s"))
+      .select($"doc_id", $"n_tok", halfUpDiv($"sum_s", $"n_tok").as("w_e6"))
+      .withColumn("keep", $"w_e6" >= 1000000L)
+      .orderBy("doc_id")
+  }
+
+  /** t24 oracle: same md5 buckets, HUGEINT ratio arithmetic. */
+  val t24Sql: String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.functions.DetHash.sql60("tok")} % 256 AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+       |    FROM documents)),
+       |bs AS (
+       |  SELECT bucket, count(*) AS cnt_r,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+       |  FROM tb GROUP BY 1),
+       |tt AS (SELECT sum(cnt_r) AS n_r, sum(cnt_t) AS n_t FROM bs),
+       |sc AS (
+       |  SELECT bucket,
+       |    CAST((2 * CAST(cnt_t + 1 AS HUGEINT) * 1000000 * CAST(n_r + 256 AS HUGEINT)
+       |          + CAST(cnt_r + 1 AS HUGEINT) * CAST(n_t + 256 AS HUGEINT))
+       |      // (2 * CAST(cnt_r + 1 AS HUGEINT) * CAST(n_t + 256 AS HUGEINT)) AS BIGINT) AS s_e6
+       |  FROM bs, tt),
+       |d AS (
+       |  SELECT t.doc_id, count(*) AS n_tok, sum(s.s_e6) AS sum_s
+       |  FROM tb t JOIN sc s USING (bucket) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST((2 * sum_s + n_tok) // (2 * n_tok) AS BIGINT) AS w_e6,
+       |  ((2 * sum_s + n_tok) // (2 * n_tok) >= 1000000) AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** t25: CORPUS-ORDER NOVELTY — per doc, the fraction of its
+    * distinct 3-gram shingles that first appear (by min doc_id) in
+    * that doc. The n-gram novelty curve behind "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., ACL
+    * 2022): a corpus whose late documents contribute almost no new
+    * n-grams is saturated — additional data re-trains the same
+    * sequences (memorization risk up, marginal value down). Distinct
+    * from t16 (repetition WITHIN a doc) and t19 (shared passages
+    * BETWEEN doc pairs): this is each doc's marginal contribution
+    * against everything before it.
+    *
+    * Shape: rides d2's shingle infrastructure
+    * ([[graft.dedup.Dedup.shingleRows]]). Per-doc distinct shingles →
+    * min(doc_id) per shingle (ONE map-side-combined agg — the only
+    * data-sized shuffle key is the shingle, and the subsequent join
+    * back is on the same key, so the exchange is reused) → per-doc
+    * count/novel-count agg. Docs with < 3 tokens have no shingles
+    * and surface with novelty 0 via the left join from `documents`
+    * (never silently dropped). */
+  def t25Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.dedup.Dedup.shingleRows(spark, dir)
+      .distinct()
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    val perDoc = sh.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    Tables.read(spark, dir, "documents").select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_ngrams", lit(0L)).as("n_ngrams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+      .withColumn("novelty_e6",
+        halfUpDiv($"n_novel" * 1000000L, greatest($"n_ngrams", lit(1L))))
+      .orderBy("doc_id")
+  }
+
+  /** t25 oracle: d2's distinct-shingle CTE, the same min-doc first
+    * occurrence and integer ratio. */
+  val t25Sql: String =
+    s"""WITH ${graft.dedup.Dedup.shingleCtes},
+       |fst AS (SELECT sh AS s2, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_ngrams,
+       |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM sh JOIN fst ON fst.s2 = sh.sh GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST((2 * coalesce(pd.n_novel, 0) * 1000000 + greatest(coalesce(pd.n_ngrams, 0), 1))
+       |       // (2 * greatest(coalesce(pd.n_ngrams, 0), 1)) AS BIGINT) AS novelty_e6
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -599,6 +599,114 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("g4 k-core: driver peel recompute parity; triangle nodes never peel") {
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, sf, threshold = 0.7)
+      .select($"doc_id1", $"doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    var alive = und.map(_._1).toSet
+    var peeled = Map.empty[Long, Long]
+    for (round <- 1 to 3) {
+      val deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      val out = alive.filter(n => deg.getOrElse(n, 0) < 2)
+      peeled ++= out.map(_ -> round.toLong)
+      alive = alive.diff(out)
+    }
+    val finDeg = und.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val r = graft.queries.GraphQueries.g4KCore(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == und.map(_._1).toSet,
+      "exactly the pair-graph nodes are emitted")
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      assert(row.getAs[Long]("peel_round") == peeled.getOrElse(id, 0L), s"doc $id round")
+      val expectDeg = if (peeled.contains(id)) 0L else finDeg.getOrElse(id, 0L)
+      assert(row.getAs[Long]("core_deg") == expectDeg, s"doc $id core_deg")
+    }
+    // a triangle is its own 2-core: no round can peel its corners
+    val triNodes = graft.queries.GraphQueries.g2Triangles(spark, sf).collect()
+      .filter(_.getAs[Long]("triangles") > 0).map(_.getAs[Long]("doc_id")).toSet
+    val peeledIds = r.filter(_.getAs[Long]("peel_round") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(triNodes.intersect(peeledIds).isEmpty, "triangle corner peeled")
+    assert(triNodes.nonEmpty, "cross-check vacuous: no triangles at this sf")
+  }
+
+  test("t24 DSIR weights: BigInt driver recompute parity; en docs score higher") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).toSeq
+    val all = docs.flatMap { case (id, lang, t) =>
+      toks(t).map(w => (id, lang, graft.functions.DetHash.md5Long60(w) % 256)) }
+    val byB = all.groupBy(_._3)
+    val nR = BigInt(all.length)
+    val nT = BigInt(all.count(_._2 == "en"))
+    def huDiv(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    val score: Map[Long, BigInt] = byB.map { case (b, ts) =>
+      val cr = BigInt(ts.length); val ct = BigInt(ts.count(_._2 == "en"))
+      b -> huDiv((ct + 1) * 1000000 * (nR + 256), (cr + 1) * (nT + 256))
+    }
+    val expected = all.groupBy(_._1).map { case (id, ts) =>
+      id -> huDiv(ts.map(x => score(x._3)).sum, BigInt(ts.length)) }
+    val r = TextAnalysis.t24DsirWeights(spark, sf).collect()
+    assert(r.length == docs.length, "every doc scored")
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      assert(BigInt(row.getAs[Long]("w_e6")) == expected(id), s"doc $id weight")
+      assert(row.getAs[Boolean]("keep") == (expected(id) >= 1000000), s"doc $id keep")
+    }
+    // the signal discriminates: the target slice is more target-like
+    // on average than the rest (hashed unigram distributions differ
+    // by language even in synthetic text)
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val (en, rest) = r.partition(row => langOf(row.getAs[Long]("doc_id")) == "en")
+    def mean(xs: Array[org.apache.spark.sql.Row]): Double =
+      xs.map(_.getAs[Long]("w_e6").toDouble).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest), "en docs should be more target-like on average")
+  }
+
+  test("t25 novelty: driver recompute parity; first doc fully novel; saturation monotone on planted dups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).toSeq
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val firstDoc = byDoc.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val r = TextAnalysis.t25Novelty(spark, sf).collect()
+    assert(r.length == docs.length, "every doc emitted, including shingle-free ones")
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val ss = byDoc(id)
+      val novel = ss.count(s => firstDoc(s) == id).toLong
+      assert(row.getAs[Long]("n_ngrams") == ss.size.toLong, s"doc $id n_ngrams")
+      assert(row.getAs[Long]("n_novel") == novel, s"doc $id n_novel")
+      val d = math.max(ss.size.toLong, 1L)
+      assert(row.getAs[Long]("novelty_e6") == (2 * novel * 1000000L + d) / (2 * d))
+    }
+    // the minimum doc_id with shingles is 100% novel by construction
+    val withSh = r.filter(_.getAs[Long]("n_ngrams") > 0)
+    assert(withSh.minBy(_.getAs[Long]("doc_id")).getAs[Long]("novelty_e6") == 1000000L)
+    // planted corpus: an exact duplicate later in the corpus is 0% novel
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    Seq((1L, "alpha beta gamma delta", "en", "s", 22L),
+        (2L, "alpha beta gamma delta", "en", "s", 22L),
+        (3L, "omega beta gamma delta", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = TextAnalysis.t25Novelty(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("novelty_e6")).toMap
+    assert(p(1L) == 1000000L && p(2L) == 0L && p(3L) == 500000L, p.toString)
+  }
+
   test("t20 BPE: overlapping counts, later rounds merge earlier sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     Seq((0L, "ababababab", "en", "b0", 10L))

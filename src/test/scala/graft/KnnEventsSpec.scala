@@ -833,4 +833,36 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "knn graph must plan as a bucket hash self-join")
   }
+
+  test("e20 disorder audit: driver recompute under the planted jitter; non-vacuous") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val byArrival = es.map { case (_, id, ts) =>
+        (ts + graft.functions.DetHash.md5Long60(id.toString) % 21600000000L, id, ts)
+      }.sortBy(x => (x._1, x._2))
+      var prevMax = Long.MinValue
+      var late = 0L; var maxD = 0L
+      byArrival.foreach { case (_, _, ts) =>
+        if (prevMax != Long.MinValue && ts < prevMax) {
+          late += 1; maxD = math.max(maxD, prevMax - ts)
+        }
+        prevMax = math.max(prevMax, ts)
+      }
+      u -> ((es.length.toLong, late, maxD))
+    }
+    val r = graft.queries.Events.e20DisorderAudit(spark, sf).collect()
+    assert(r.length == expected.size)
+    r.foreach { row =>
+      val (n, late, maxD) = expected(row.getAs[Long]("user_id"))
+      assert(row.getAs[Long]("n_events") == n)
+      assert(row.getAs[Long]("n_late") == late)
+      assert(row.getAs[Long]("max_disorder_us") == maxD)
+      assert(row.getAs[Long]("late_e6") == (2 * late * 1000000L + n) / (2 * n))
+    }
+    // the planted 0-6h ingest delay must actually create disorder, or the
+    // audit (and this spec) is vacuous
+    assert(r.map(_.getAs[Long]("n_late")).sum > 0, "no disorder planted — vacuous audit")
+  }
 }

@@ -259,6 +259,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("q30 histogram: exact integer binning reconciles with a driver recompute") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val cents = li.map(v => math.floor(v * 100 + 0.5).toLong)
+    val (mn, mx) = (cents.min, cents.max)
+    val exp = cents.groupBy(c => (c - mn) * 10 / (mx - mn + 1))
+      .view.mapValues(g => (g.length.toLong, g.min, g.max)).toMap
+    val r = queries.Tpch.q30Histogram(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("bin")).forall(b => b >= 0 && b <= 9))
+    assert(r.map(_.getAs[Long]("n")).sum == cents.length)
+    r.foreach { row =>
+      val (n, lo, hi) = exp(row.getAs[Long]("bin"))
+      assert(row.getAs[Long]("n") == n)
+      assert(row.getAs[Long]("lo_cents") == lo && row.getAs[Long]("hi_cents") == hi)
+    }
+  }
+
+  test("j2 skew audit: top-10 recompute, salt arithmetic, TakeOrdered not global sort") {
+    val counts = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum; val nKeys = counts.size.toLong
+    val mean = math.max(1L, total / nKeys)
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    val df = queries.Tpch.j2SkewAudit(spark, sf)
+    val r = df.collect()
+    assert(r.map(x => (x.getAs[Long]("o_custkey"), x.getAs[Long]("cnt"))).toSeq == top)
+    r.foreach { row =>
+      val c = row.getAs[Long]("cnt")
+      assert(row.getAs[Long]("salt_buckets") == (c + mean - 1) / mean)
+      assert(row.getAs[Long]("ratio_mean_e6") == (2 * c * 1000000L + mean) / (2 * mean))
+    }
+    // the top-k must plan as TakeOrdered (bounded per-partition heaps),
+    // not a full global sort of the key-count frame
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(6).mkString("\n"))
+  }
+
   test("q26 cube: margins and grand total are consistent; one Expand pass, one shuffle") {
     val r = queries.Tpch.q26Cube(spark, sf).collect()
     val total = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
