@@ -781,18 +781,22 @@ object Tpch {
     * straggler task in the plain join and the argument for
     * `saltedJoin(buckets = salt_buckets)`.
     *
-    * Shape: one map-side-combined count per key (the only data-sized
-    * shuffle), a 1-row stats aggregate over the key frame
-    * (broadcast back via crossJoin), and a global top-k that plans as
-    * TakeOrdered — never a full sort. All ratios are exact ×1e6
-    * integers (halfUpDiv); mean key weight is the floor integer mean
-    * (≥1), so every emitted number is bit-identical across engines
-    * and long-safe at 100 TB (cnt·1e6 ≤ ~1e16). */
+    * Shape: one map-side-combined count per key — the only data-sized
+    * shuffle, and the key frame is MATERIALIZED once (Indexes.memo)
+    * so the 1-row stats aggregate and the top-k both read the cached
+    * copy rather than re-scanning the fact table (the naive
+    * formulation planned TWO full scans + two key shuffles); the
+    * top-k plans as TakeOrdered — never a full sort. All ratios are
+    * exact ×1e6 integers (halfUpDiv); mean key weight is the floor
+    * integer mean (≥1), so every emitted number is bit-identical
+    * across engines and long-safe at 100 TB (cnt·1e6 ≤ ~1e16). */
   def j2SkewAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
-    val kc = Tables.read(spark, dir, "orders")
-      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    val kc = graft.operators.Indexes.memo(s"j2_keycounts:$dir") {
+      Tables.read(spark, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    }
     val stats = kc.agg(sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
       .select($"total", $"n_keys",
         greatest(lit(1L), expr("total div n_keys")).as("mean_cnt"))

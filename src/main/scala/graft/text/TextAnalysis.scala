@@ -1681,28 +1681,30 @@ object TextAnalysis {
     * BETWEEN doc pairs): this is each doc's marginal contribution
     * against everything before it.
     *
-    * Shape: rides d2's shingle infrastructure
-    * ([[graft.dedup.Dedup.shingleRows]]). Per-doc distinct shingles →
-    * min(doc_id) per shingle (ONE map-side-combined agg — the only
-    * data-sized shuffle key is the shingle, and the subsequent join
-    * back is on the same key, so the exchange is reused) → per-doc
-    * count/novel-count agg. Docs with < 3 tokens have no shingles
-    * and surface with novelty 0 via the left join from `documents`
-    * (never silently dropped). */
+    * Shape: rides the MEMOIZED per-doc distinct-shingle index
+    * (d9/d10's `shingle_sets` artifact — one materialization per
+    * session, warmed in Bench's `_artifacts` phase; the naive
+    * formulation re-ran the explode+window shingle build in BOTH
+    * branches). n_ngrams reads straight off the index's count;
+    * min(doc_id) per shingle is one map-side-combined agg over the
+    * exploded index, and n_novel per doc is a count over THAT
+    * shingle-keyed frame — no join back to the (doc, shingle) rows
+    * at all. Docs with < 3 tokens have no shingles and surface with
+    * novelty 0 via the left join from `documents` (never silently
+    * dropped). */
   def t25Novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = graft.dedup.Dedup.shingleRows(spark, dir)
-      .distinct()
-    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-    val perDoc = sh.join(first, "sh")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    val sets = graft.dedup.Dedup.shingleSets(spark, dir)
+    val occ = sets.select($"doc_id", explode($"ss").as("sh"))
+    val novel = occ.groupBy($"sh").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("nv"))
+    val perDoc = sets.select($"doc_id", $"n")
+      .join(novel, Seq("doc_id"), "left")
     Tables.read(spark, dir, "documents").select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",
-        coalesce($"n_ngrams", lit(0L)).as("n_ngrams"),
-        coalesce($"n_novel", lit(0L)).as("n_novel"))
+        coalesce($"n", lit(0L)).as("n_ngrams"),
+        coalesce($"nv", lit(0L)).as("n_novel"))
       .withColumn("novelty_e6",
         halfUpDiv($"n_novel" * 1000000L, greatest($"n_ngrams", lit(1L))))
       .orderBy("doc_id")
