@@ -1624,9 +1624,14 @@ object TextAnalysis {
       .withColumn("bucket",
         pmod(graft.functions.DetHash.md5Long60Col($"tok"), lit(B.toLong)))
     val docs = Tables.read(spark, dir, "documents")
-    val bstats = tok(docs).groupBy($"bucket")
-      .agg(count(lit(1)).as("cnt_r"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_t"))
+    // materialized once: the totals aggregate below would otherwise
+    // recompute this 256-row frame's whole explode lineage — a third
+    // full corpus scan for a 2-long sum
+    val bstats = graft.operators.Indexes.memo(s"t24_buckets:$dir") {
+      tok(docs).groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt_r"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_t"))
+    }
     val totals = bstats.agg(sum($"cnt_r").as("n_r"), sum($"cnt_t").as("n_t"))
     val scored = bstats.crossJoin(broadcast(totals))
       .select($"bucket", expr(
