@@ -139,4 +139,63 @@ object Graph {
       .select($"id", $"deg".as("degree"),
         coalesce($"triangles", lit(0L)).as("triangles"))
   }
+
+  /** Fixed-round k-CORE PEELING (Seidman 1983; synchronous distributed
+    * rounds à la Montresor/De Pellegrini/Miorandi 2011): each round
+    * computes degrees within the surviving subgraph and drops every
+    * node with degree < k. Fixed `rounds` keeps the plan static (the
+    * g1/g3 convention — the round count is part of the result's
+    * contract; a full peel iterates to fixpoint).
+    *
+    * @param pairs undirected edges; first two columns are the
+    *              endpoints. Must be distinct pairs without
+    *              self-loops (d2Pairs' shape).
+    * @return one row per node of `pairs`: (id, peel_round, core_deg)
+    *         — peel_round = the round that dropped the node (0 =
+    *         survives all rounds), core_deg = degree within the
+    *         surviving subgraph (0 for dropped nodes).
+    *
+    * Scale shape: per round one alive-set semi-join over the edge
+    * list + one map-side-combined degree count — everything ∝ the
+    * edge list, alive sets only shrink. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = pairs.columns.take(2)
+    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    val edges = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
+    val nodes = edges.select($"a".as("id")).distinct()
+    var alive = nodes
+    // (id, round peeled); peeled frames are disjoint by construction
+    var peeled = spark.emptyDataFrame.withColumn("id", lit(0L))
+      .withColumn("peel_round", lit(0L)).limit(0).select($"id", $"peel_round")
+    for (r <- 1 to rounds) {
+      val sub = edges
+        .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
+        .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
+      // Materialize each round's degree frame (node-sized, tiny) and
+      // cut its lineage: `alive` and `out` both branch off `deg`, and
+      // `deg` references `alive` three times — left as lazy lineage
+      // the final plan re-derives every earlier round ~3× per round
+      // (measured 19 s at sf0.1 vs 0.4 s materialized). The CC
+      // engine's generation rule, applied to the peel. localCheckpoint
+      // is the session-scope pattern; a production run would persist
+      // or checkpoint reliably (connectedComponents' caveat).
+      val deg = sub.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val out = alive.join(deg, Seq("id"), "left")
+        .filter(coalesce($"deg", lit(0L)) < k)
+        .select($"id", lit(r.toLong).as("peel_round"))
+      peeled = peeled.unionAll(out)
+      alive = deg.filter($"deg" >= k).select($"id")
+    }
+    val finalEdges = edges
+      .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
+      .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
+    val finalDeg = finalEdges.groupBy($"a".as("id")).agg(count(lit(1)).as("core_deg"))
+    val core = alive.join(finalDeg, Seq("id"), "left")
+      .select($"id", lit(0L).as("peel_round"),
+        coalesce($"core_deg", lit(0L)).as("core_deg"))
+    peeled.withColumn("core_deg", lit(0L)).unionAll(core)
+  }
 }

@@ -236,31 +236,7 @@ object GraphQueries {
     import spark.implicits._
     val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
       .select($"doc_id1".as("a"), $"doc_id2".as("b"))
-    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
-    val nodes = edges.select($"a".as("id")).distinct()
-    var alive = nodes
-    // (id, round peeled); peeled frames are disjoint by construction
-    var peeled = spark.emptyDataFrame.withColumn("id", lit(0L))
-      .withColumn("peel_round", lit(0L)).limit(0).select($"id", $"peel_round")
-    for (r <- 1 to rounds) {
-      val sub = edges
-        .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
-        .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
-      val deg = sub.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
-      val out = alive.join(deg, Seq("id"), "left")
-        .filter(coalesce($"deg", lit(0L)) < k)
-        .select($"id", lit(r.toLong).as("peel_round"))
-      peeled = peeled.unionAll(out)
-      alive = deg.filter($"deg" >= k).select($"id")
-    }
-    val finalEdges = edges
-      .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
-      .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
-    val finalDeg = finalEdges.groupBy($"a".as("id")).agg(count(lit(1)).as("core_deg"))
-    val core = alive.join(finalDeg, Seq("id"), "left")
-      .select($"id", lit(0L).as("peel_round"),
-        coalesce($"core_deg", lit(0L)).as("core_deg"))
-    peeled.withColumn("core_deg", lit(0L)).unionAll(core)
+    graft.operators.Graph.kCore(pairs, k, rounds)
       .select($"id".as("doc_id"), $"peel_round", $"core_deg")
       .orderBy("doc_id")
   }

@@ -674,6 +674,52 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class DisOut(user_id: Long, n_events: Long, n_late: Long,
+                    max_disorder_us: Long)
+
+  /** Per-user state for [[disorderStream]]: O(1) — the running max
+    * event time plus three counters. */
+  case class DisState(prevMax: Long, n: Long, late: Long, maxD: Long)
+
+  /** e20's streaming twin — the ONLINE watermark-health monitor: per
+    * user, running counts of late-arriving events (event time older
+    * than one already seen) and the worst disorder, updated every
+    * micro-batch. This is the operational signal for re-validating a
+    * deployed `withWatermark` delay: once max_disorder_us grows past
+    * the configured delay, the pipeline is silently dropping events.
+    * Unlike the buffering twins there is NO watermark and no pending
+    * buffer — arrival order IS the measured subject. Events consume
+    * in the planted arrival order (e20's md5 ingest-delay model,
+    * recomputed per event via the shared DetHash; a real deployment
+    * drops the jitter and trusts its ingest order), sorted within
+    * each micro-batch and chained across batches by the O(1)
+    * running-max state. Emits one snapshot per user per batch; the
+    * last snapshot equals e20's batch row when batch boundaries
+    * respect arrival order (parity spec-pinned). */
+  def disorderStream(events: Dataset[TEv]): Dataset[DisOut] = {
+    import events.sparkSession.implicits._
+    val fn: (Long, Iterator[TEv], GroupState[DisState]) => Iterator[DisOut] =
+      (user, it, state) => {
+        val st = state.getOption.getOrElse(DisState(Long.MinValue, 0L, 0L, 0L))
+        var pm = st.prevMax; var n = st.n; var late = st.late; var maxD = st.maxD
+        val evs = it.toList.map { e =>
+          val ts = usOf(e.ts)
+          (ts + graft.functions.DetHash.md5Long60(e.event_id.toString) % 21600000000L,
+            e.event_id, ts)
+        }.sortBy(x => (x._1, x._2))
+        evs.foreach { case (_, _, ts) =>
+          n += 1
+          if (pm != Long.MinValue && ts < pm) { late += 1; maxD = math.max(maxD, pm - ts) }
+          pm = math.max(pm, ts)
+        }
+        state.update(DisState(pm, n, late, maxD))
+        if (evs.isEmpty) Iterator.empty
+        else Iterator.single(DisOut(user, n, late, maxD))
+      }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming→merge bridge: every micro-batch is upserted into a
     * parquet target with keep-latest semantics (the reference's
     * `ON DUPLICATE KEY UPDATE` loop, reference person-users.js:307,

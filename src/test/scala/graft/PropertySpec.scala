@@ -125,4 +125,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
+      val pairs = sample(edgeGen, s)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      if (pairs.nonEmpty) {
+        val und = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+        var alive = und.map(_._1).toSet
+        var peeled = Map.empty[Long, Long]
+        for (r <- 1 to rounds) {
+          val deg = und.filter(e => alive(e._1) && alive(e._2))
+            .groupBy(_._1).view.mapValues(_.length).toMap
+          val out = alive.filter(n => deg.getOrElse(n, 0) < k)
+          peeled ++= out.map(_ -> r.toLong)
+          alive = alive.diff(out)
+        }
+        val finDeg = und.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        val got = graft.operators.Graph.kCore(pairs.toDF("a", "b"), k, rounds)
+          .collect().map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("peel_round"), r.getAs[Long]("core_deg")))).toMap
+        assert(got.keySet == und.map(_._1).toSet, s"seed $s k $k rounds $rounds")
+        got.foreach { case (id, (pr, cd)) =>
+          assert(pr == peeled.getOrElse(id, 0L), s"seed $s k $k rounds $rounds node $id round")
+          val expCd = if (peeled.contains(id)) 0L else finDeg.getOrElse(id, 0L)
+          assert(cd == expCd, s"seed $s k $k rounds $rounds node $id deg")
+        }
+      }
+    }
+  }
 }

@@ -710,6 +710,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(mStream == mBatch)
     } finally q.stop()
   }
+
+  test("disorderStream: the last snapshot per user equals e20's batch audit") {
+    // the monitor's claim: fed the full table in the SAME arrival
+    // order e20 models, the O(1) running-max state converges to the
+    // batch audit exactly — across micro-batch boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // the exact us the operator computes (testdata ts has sub-ms
+    // precision — ms truncation here could flip an arrival tie)
+    def arrUs(e: EventStream.TEv): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L +
+        graft.functions.DetHash.md5Long60(e.event_id.toString) % 21600000000L
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[EventStream.TEv]
+      .collect().sortBy(e => (arrUs(e), e.event_id))
+    val in = MemoryStream[EventStream.TEv]
+    val q = EventStream.disorderStream(in.toDS())
+      .writeStream.format("memory").queryName("dis_parity")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // snapshots are monotone in n_events; the last one is the max
+      val streamed = spark.table("dis_parity").as[EventStream.DisOut]
+        .collect().groupBy(_.user_id)
+        .map { case (u, snaps) => u -> snaps.maxBy(_.n_events) }
+      val batch = graft.queries.Events.e20DisorderAudit(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+            r.getAs[Long]("max_disorder_us")))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, o) =>
+        val (n, late, maxD) = batch(u)
+        assert(o.n_events == n, s"user $u n")
+        assert(o.n_late == late, s"user $u late")
+        assert(o.max_disorder_us == maxD, s"user $u maxD")
+      }
+      // non-vacuous: lateness must actually occur in the stream
+      assert(streamed.values.map(_.n_late).sum > 0)
+    } finally q.stop()
+  }
 }
 
 /** Input row for the as-of join tests (top-level for a stable
