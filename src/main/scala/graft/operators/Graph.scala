@@ -148,8 +148,11 @@ object Graph {
     * contract; a full peel iterates to fixpoint).
     *
     * @param pairs undirected edges; first two columns are the
-    *              endpoints. Must be distinct pairs without
-    *              self-loops (d2Pairs' shape).
+    *              endpoints. Normalized defensively like
+    *              [[triangles]] (orientation canonicalized,
+    *              self-loops dropped, duplicates collapsed), so a
+    *              caller with a messier edge list than d2Pairs'
+    *              cannot silently double degrees.
     * @return one row per node of `pairs`: (id, peel_round, core_deg)
     *         — peel_round = the round that dropped the node (0 =
     *         survives all rounds), core_deg = degree within the
@@ -162,7 +165,9 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
-    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    val p = pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .filter($"a" =!= $"b").dropDuplicates("a", "b")
     val edges = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
     val nodes = edges.select($"a".as("id")).distinct()
     var alive = nodes

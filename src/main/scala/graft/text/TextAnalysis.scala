@@ -1618,17 +1618,24 @@ object TextAnalysis {
   def t24DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val B = 256
-    def tok(d: DataFrame) = d
-      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
-      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-      .withColumn("bucket",
-        pmod(graft.functions.DetHash.md5Long60Col($"tok"), lit(B.toLong)))
+    // pass 2's repartition(doc_id) does double duty (spreads the
+    // explode AND pre-partitions the per-doc groupBy); pass 1
+    // aggregates by BUCKET, where a doc_id exchange buys nothing —
+    // its tokenize parallelism comes from the scan's own splits
+    def tok(d: DataFrame, spread: Boolean) = {
+      val base = if (spread)
+        d.repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      else d
+      base.select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+        .withColumn("bucket",
+          pmod(graft.functions.DetHash.md5Long60Col($"tok"), lit(B.toLong)))
+    }
     val docs = Tables.read(spark, dir, "documents")
     // materialized once: the totals aggregate below would otherwise
     // recompute this 256-row frame's whole explode lineage — a third
     // full corpus scan for a 2-long sum
     val bstats = graft.operators.Indexes.memo(s"t24_buckets:$dir") {
-      tok(docs).groupBy($"bucket")
+      tok(docs, spread = false).groupBy($"bucket")
         .agg(count(lit(1)).as("cnt_r"),
           sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_t"))
     }
@@ -1639,7 +1646,7 @@ object TextAnalysis {
            |      + CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(n_t + $B AS DECIMAL(38,0)))
            |  div (2 * CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(n_t + $B AS DECIMAL(38,0)))"""
           .stripMargin).cast("long").as("s_e6"))
-    tok(docs).join(broadcast(scored), Seq("bucket"))
+    tok(docs, spread = true).join(broadcast(scored), Seq("bucket"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"), sum($"s_e6").as("sum_s"))
       .select($"doc_id", $"n_tok", halfUpDiv($"sum_s", $"n_tok").as("w_e6"))

@@ -129,7 +129,11 @@ class PropertySpec extends AnyFunSuite {
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
-      val pairs = sample(edgeGen, s)
+      // the operator gets the RAW messy list (self-loops, duplicates,
+      // both orientations) — its defensive normalization must make it
+      // agree with a recompute over the cleaned graph
+      val raw = sample(edgeGen, s)
+      val pairs = raw
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .filter(e => e._1 != e._2).distinct
       if (pairs.nonEmpty) {
@@ -145,7 +149,7 @@ class PropertySpec extends AnyFunSuite {
         }
         val finDeg = und.filter(e => alive(e._1) && alive(e._2))
           .groupBy(_._1).view.mapValues(_.length.toLong).toMap
-        val got = graft.operators.Graph.kCore(pairs.toDF("a", "b"), k, rounds)
+        val got = graft.operators.Graph.kCore(raw.toDF("a", "b"), k, rounds)
           .collect().map(r => r.getAs[Long]("id") ->
             ((r.getAs[Long]("peel_round"), r.getAs[Long]("core_deg")))).toMap
         assert(got.keySet == und.map(_._1).toSet, s"seed $s k $k rounds $rounds")
