@@ -313,4 +313,45 @@ object OrchestratorQueries {
       |            substring(h,17,4), substring(h,21,12)) AS final_uuid,
       |  1 AS regenerated
       |FROM remap ORDER BY src_id""".stripMargin
+
+  /** m23: the merge PROVENANCE export — every table's complete
+    * src-id → merged-id map with the decision that produced it. The
+    * reference builds exactly these maps (`beehive.personMap`,
+    * `locationMap`, `obsMap`, …, preparation.js:10) but keeps them in
+    * PROCESS MEMORY: when the CLI exits, the record of where every
+    * source row went is gone, and any post-merge reconciliation
+    * (patient lookups by old id, audit of a disputed consolidation,
+    * incremental re-merge) has to re-derive them. This makes the maps
+    * a durable, queryable artifact — one row per source row per
+    * table: (table, src_id, dest_id, decision).
+    *
+    * Shape: the maps ALREADY exist as frames inside the orchestrator
+    * run ([[Orchestrator.MergedTable]].idMap — consolidation emits
+    * matched-vs-new, move emits sequential assignments); this query
+    * is a zero-extra-shuffle projection + union of those per-table
+    * frames. At 100 TB the maps are the size of the source instance's
+    * keys — write them next to the merged output, exactly what the
+    * reference cannot do. */
+  def m23Provenance(spark: SparkSession, dir: String): DataFrame = {
+    val r = Orchestrator.run(specs,
+      instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
+    Seq("customer", "orders", "lineitem").map { t =>
+      r(t).idMap.select(lit(t).as("table_name"),
+        col("src_id"), col("dest_id"),
+        col("is_new").cast(LongType).as("is_new"),
+        when(col("is_new") === 1, "inserted")
+          .otherwise("mapped_to_existing").as("decision"))
+    }.reduce(_ unionAll _).orderBy("table_name", "src_id")
+  }
+
+  /** m23 oracle: the shared id-map CTEs, stacked and labeled. */
+  val m23Sql: String =
+    s"""WITH $mapCtes
+       |SELECT table_name, src_id, dest_id, CAST(is_new AS BIGINT) AS is_new,
+       |  CASE WHEN is_new = 1 THEN 'inserted' ELSE 'mapped_to_existing' END AS decision
+       |FROM (
+       |  SELECT 'customer' AS table_name, src_id, dest_id, is_new FROM cmap
+       |  UNION ALL SELECT 'orders', src_id, dest_id, is_new FROM omap
+       |  UNION ALL SELECT 'lineitem', src_id, dest_id, is_new FROM lmap)
+       |ORDER BY table_name, src_id""".stripMargin
 }

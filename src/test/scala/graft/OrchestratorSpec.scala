@@ -347,4 +347,30 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(regen.forall(_.getAs[Int]("regenerated") == 1))
     assert(regen.forall(r => r.getAs[String]("final_uuid") != r.getAs[String]("initial_uuid")))
   }
+
+  test("m23 provenance explains every migrated row of m13's merged output") {
+    val prov = graft.merge.OrchestratorQueries.m23Provenance(spark, TestSpark.sf).collect()
+    val provMap = prov.map(r => (r.getAs[String]("table_name"), r.getAs[Long]("src_id")) ->
+      ((r.getAs[Long]("dest_id"), r.getAs[String]("decision")))).toMap
+    assert(provMap.size == prov.length, "one provenance row per (table, src row)")
+    // every src-instance row in the merged output carries exactly the
+    // id the map records for it
+    // dest rows also carry src_id (= their own id), so select by
+    // instance, not null-ness
+    val merged = graft.merge.OrchestratorQueries.m13FullPipeline(spark, TestSpark.sf).collect()
+    val srcRows = merged.filter(_.getAs[String]("instance") != "dest")
+    assert(srcRows.nonEmpty)
+    srcRows.foreach { r =>
+      val key = (r.getAs[String]("table_name"), r.getAs[Long]("src_id"))
+      val (destId, decision) = provMap(key)
+      assert(destId == r.getAs[Long]("new_id"), s"$key mapped elsewhere")
+      // a row tagged with the source provenance label was INSERTED; a
+      // consolidated row keeps the dest tag
+      val inserted = r.getAs[String]("merge_source") != "dest"
+      assert((decision == "inserted") == inserted, s"$key decision vs merge_source")
+    }
+    // both decisions must actually occur (overlapping instances)
+    assert(prov.map(_.getAs[String]("decision")).toSet ==
+      Set("inserted", "mapped_to_existing"))
+  }
 }
