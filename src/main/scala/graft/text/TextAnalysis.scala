@@ -1682,6 +1682,68 @@ object TextAnalysis {
        |  ((2 * sum_s + n_tok) // (2 * n_tok) >= 1000000) AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** t26: TEMPERATURE-SAMPLING MIX (α = 1/2) — the per-domain token
+    * allocation table of temperature-based sampling (mT5, Xue et al.
+    * NAACL 2021; UniMax, Chung et al. ICLR 2023 is the capped
+    * refinement): domain weight ∝ n_tokens^α flattens the domain
+    * distribution so small domains aren't drowned — the standard
+    * knob between proportional (α=1) and uniform (α=0). Emits, per
+    * source domain: exact token mass, the temperature weight, the
+    * allocated share of the token budget, and the implied epoch
+    * count ×1e6 (allocation ÷ domain size — epochs > 1 is exactly
+    * how temperature sampling repeats small domains).
+    *
+    * α = 1/2 specifically because it is the one nontrivial
+    * temperature with an EXACT integer form: w = floor(√n) computed
+    * from one IEEE sqrt — correctly rounded in both engines, and
+    * floor(√n) is exactly right for every n < 2⁵⁰ (the nearest
+    * double to an irrational √n cannot cross an integer until the
+    * integer gap shrinks to an ulp at k ≈ 2²⁵ — domain token masses
+    * of 10¹² give k ≈ 10⁶, three orders inside the bound). General-α
+    * mixes need pow(), whose libm last-ulp differs across engines —
+    * the same reason t24 avoids ln().
+    *
+    * Shape: ONE corpus scan — token counting is a codegen'd
+    * projection (t3's size-of-split, no explode) feeding a
+    * per-source map-side-combined agg; everything after runs on the
+    * domains-sized frame with the 1-row Σw broadcast back. */
+  def t26TemperatureMix(spark: SparkSession, dir: String,
+                        budget: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables.read(spark, dir, "documents")
+      .select($"source", size(tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      .withColumn("weight", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+    val sumW = sizes.agg(sum($"weight").as("sum_w"))
+    sizes.crossJoin(broadcast(sumW))
+      .select($"source", $"n_docs", $"n_tokens", $"weight",
+        expr(s"weight * $budget DIV sum_w").as("alloc_tokens"))
+      .withColumn("share_e6", halfUpDiv($"alloc_tokens" * 1000000L, lit(budget)))
+      .withColumn("epochs_e6",
+        halfUpDiv($"alloc_tokens" * 1000000L, greatest($"n_tokens", lit(1L))))
+      .orderBy("source")
+  }
+
+  /** t26 oracle: the same isqrt weights and floor-div allocation. */
+  val t26Sql: String =
+    """WITH sz AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM sz),
+      |tw AS (SELECT sum(weight) AS sum_w FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+      |  CAST(weight * 50000 // sum_w AS BIGINT) AS alloc_tokens,
+      |  CAST((2 * (weight * 50000 // sum_w) * 1000000 + 50000) // (2 * 50000) AS BIGINT) AS share_e6,
+      |  CAST((2 * (weight * 50000 // sum_w) * 1000000 + greatest(n_tokens, 1))
+      |       // (2 * greatest(n_tokens, 1)) AS BIGINT) AS epochs_e6
+      |FROM w, tw ORDER BY source""".stripMargin
+
   /** t25: CORPUS-ORDER NOVELTY — per doc, the fraction of its
     * distinct 3-gram shingles that first appear (by min doc_id) in
     * that doc. The n-gram novelty curve behind "Deduplicating

@@ -707,6 +707,40 @@ class DedupTextSpec extends AnyFunSuite {
     assert(p(1L) == 1000000L && p(2L) == 0L && p(3L) == 500000L, p.toString)
   }
 
+  test("t26 temperature mix: driver recompute; flattens toward small domains") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def ntok(t: String): Long =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).length.toLong
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.length.toLong, ds.map(d => ntok(d._2)).sum)) }
+    val weights = bySrc.map { case (src, (_, nt)) =>
+      src -> math.floor(math.sqrt(nt.toDouble)).toLong }
+    val sumW = weights.values.sum
+    val r = TextAnalysis.t26TemperatureMix(spark, sf).collect()
+    assert(r.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val (nd, nt) = bySrc(src)
+      assert(row.getAs[Long]("n_docs") == nd, s"$src docs")
+      assert(row.getAs[Long]("n_tokens") == nt, s"$src tokens")
+      assert(row.getAs[Long]("weight") == weights(src), s"$src weight")
+      assert(row.getAs[Long]("alloc_tokens") == weights(src) * 50000L / sumW, s"$src alloc")
+    }
+    // allocations never exceed the budget and the temperature
+    // flattens: the smallest domain's budget share must exceed its
+    // proportional share, the largest's must shrink
+    assert(r.map(_.getAs[Long]("alloc_tokens")).sum <= 50000L)
+    val totTok = bySrc.values.map(_._2).sum
+    val smallest = r.minBy(_.getAs[Long]("n_tokens"))
+    val largest = r.maxBy(_.getAs[Long]("n_tokens"))
+    def propE6(row: org.apache.spark.sql.Row): Long =
+      row.getAs[Long]("n_tokens") * 1000000L / totTok
+    assert(smallest.getAs[Long]("share_e6") > propE6(smallest), "small domain not boosted")
+    assert(largest.getAs[Long]("share_e6") < propE6(largest), "large domain not shrunk")
+  }
+
   test("t20 BPE: overlapping counts, later rounds merge earlier sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     Seq((0L, "ababababab", "en", "b0", 10L))
