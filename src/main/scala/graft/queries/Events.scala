@@ -745,6 +745,124 @@ object Events {
        |FROM pu GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  /** z2: DATA-SKIPPING audit of the z-order layout — for three box
+    * predicates (user range × hour range), how many curve cells the
+    * engine must touch going by per-cell per-dimension min/max stats
+    * (exactly what parquet row-group pruning sees), how many rows
+    * that scans, and how many actually match: skip_e6 is the fraction
+    * of the table the layout lets a reader SKIP, false_pos_e6 the
+    * scanned-but-useless fraction (stats-box false positives). This
+    * is the audit a 100 TB lakehouse runs to decide whether an
+    * OPTIMIZE ZORDER pass paid for itself — z1 plans the tiles, this
+    * prices the read path over them. (SourcesSpec measures the same
+    * effect physically on written files; this is the queryable,
+    * oracle-checked form over the cell statistics.)
+    *
+    * Boxes derive from the data's own extent (low-user stripe,
+    * early-time stripe, center tile) so the audit is scale-free and
+    * deterministic. Shapes: the cell-stats frame is z1's one-shuffle
+    * family; boxes are a 3-row broadcast; the exact-match pass is one
+    * additional scan with the 3-row predicate frame broadcast against
+    * it. All arithmetic exact integers. */
+  def z2SkipAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+    val h0 = ev.agg(min($"h").as("h0"))
+    val base = ev.crossJoin(broadcast(h0))
+      .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
+    val z = graft.functions.ZOrder.zvalue($"u", $"ho")
+    val cells = base
+      .select(shiftright(z, 8).as("cell"), $"u", $"ho")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+        min($"ho").as("min_h"), max($"ho").as("max_h"))
+    val ext = base.agg(max($"u").as("mu"), max($"ho").as("mh"),
+      count(lit(1)).as("rows_total"))
+    val boxes = ext.select(explode(array(
+        struct(lit(1L).as("box_id"), lit(0L).as("lo_u"),
+          expr("mu DIV 10").as("hi_u"), lit(0L).as("lo_h"), $"mh".as("hi_h")),
+        struct(lit(2L).as("box_id"), lit(0L).as("lo_u"), $"mu".as("hi_u"),
+          lit(0L).as("lo_h"), expr("mh DIV 10").as("hi_h")),
+        struct(lit(3L).as("box_id"), expr("mu DIV 4").as("lo_u"),
+          expr("mu DIV 2").as("hi_u"), expr("mh DIV 4").as("lo_h"),
+          expr("mh DIV 2").as("hi_h")))).as("b"), $"rows_total")
+      .select($"b.*", $"rows_total")
+    val touched = cells.crossJoin(broadcast(boxes))
+      .groupBy($"box_id", $"lo_u", $"hi_u", $"lo_h", $"hi_h", $"rows_total")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"max_u" >= $"lo_u" && $"min_u" <= $"hi_u" &&
+          $"max_h" >= $"lo_h" && $"min_h" <= $"hi_h", 1L).otherwise(0L))
+          .as("n_cells_touched"),
+        sum(when($"max_u" >= $"lo_u" && $"min_u" <= $"hi_u" &&
+          $"max_h" >= $"lo_h" && $"min_h" <= $"hi_h", $"n").otherwise(0L))
+          .as("rows_scanned"))
+    val matched = base.crossJoin(broadcast(boxes.select($"box_id".as("bid"),
+        $"lo_u".as("blu"), $"hi_u".as("bhu"), $"lo_h".as("blh"), $"hi_h".as("bhh"))))
+      .filter($"u" >= $"blu" && $"u" <= $"bhu" && $"ho" >= $"blh" && $"ho" <= $"bhh")
+      .groupBy($"bid").agg(count(lit(1)).as("rows_matched"))
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    touched.join(matched, $"box_id" === $"bid", "left")
+      .select($"box_id", $"lo_u", $"hi_u", $"lo_h", $"hi_h",
+        $"n_cells", $"n_cells_touched", $"rows_total", $"rows_scanned",
+        coalesce($"rows_matched", lit(0L)).as("rows_matched"))
+      .withColumn("skip_e6",
+        halfUp(($"rows_total" - $"rows_scanned") * 1000000L, $"rows_total"))
+      .withColumn("false_pos_e6",
+        halfUp(($"rows_scanned" - $"rows_matched") * 1000000L,
+          greatest($"rows_scanned", lit(1L))))
+      .orderBy("box_id")
+  }
+
+  /** z2 oracle: the same spread chain, cell stats, stats-box
+    * intersection and exact-match counts. */
+  val z2Sql: String = {
+    val zExpr = graft.functions.ZOrder.zvalueSql("b.u", "b.ho")
+    s"""WITH e AS (
+       |  SELECT user_id AS u,
+       |    (epoch_us(date_trunc('hour', ts)) // 3600000000) AS h
+       |  FROM events),
+       |h0 AS (SELECT min(h) AS h0 FROM e),
+       |b AS (SELECT u, (h - h0.h0) AS ho FROM e, h0),
+       |cz AS (SELECT u, ho, ($zExpr >> 8) AS cell FROM b),
+       |cells AS (
+       |  SELECT cell, count(*) AS n, min(u) AS min_u, max(u) AS max_u,
+       |         min(ho) AS min_h, max(ho) AS max_h
+       |  FROM cz GROUP BY cell),
+       |ext AS (SELECT max(u) AS mu, max(ho) AS mh, count(*) AS rows_total FROM b),
+       |boxes AS (
+       |  SELECT 1 AS box_id, 0 AS lo_u, mu // 10 AS hi_u, 0 AS lo_h, mh AS hi_h, rows_total FROM ext
+       |  UNION ALL SELECT 2, 0, mu, 0, mh // 10, rows_total FROM ext
+       |  UNION ALL SELECT 3, mu // 4, mu // 2, mh // 4, mh // 2, rows_total FROM ext),
+       |tch AS (
+       |  SELECT box_id, lo_u, hi_u, lo_h, hi_h, rows_total,
+       |    count(*) AS n_cells,
+       |    sum(CASE WHEN c.max_u >= lo_u AND c.min_u <= hi_u
+       |              AND c.max_h >= lo_h AND c.min_h <= hi_h THEN 1 ELSE 0 END) AS n_cells_touched,
+       |    sum(CASE WHEN c.max_u >= lo_u AND c.min_u <= hi_u
+       |              AND c.max_h >= lo_h AND c.min_h <= hi_h THEN c.n ELSE 0 END) AS rows_scanned
+       |  FROM cells c, boxes GROUP BY 1, 2, 3, 4, 5, 6),
+       |mt AS (
+       |  SELECT box_id AS bid, count(*) AS rows_matched
+       |  FROM b, boxes
+       |  WHERE u >= lo_u AND u <= hi_u AND ho >= lo_h AND ho <= hi_h
+       |  GROUP BY 1)
+       |SELECT box_id, CAST(lo_u AS BIGINT) AS lo_u, CAST(hi_u AS BIGINT) AS hi_u,
+       |  CAST(lo_h AS BIGINT) AS lo_h, CAST(hi_h AS BIGINT) AS hi_h,
+       |  CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(n_cells_touched AS BIGINT) AS n_cells_touched,
+       |  CAST(rows_total AS BIGINT) AS rows_total,
+       |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       |  CAST(coalesce(mt.rows_matched, 0) AS BIGINT) AS rows_matched,
+       |  CAST((2 * (rows_total - rows_scanned) * 1000000 + rows_total)
+       |       // (2 * rows_total) AS BIGINT) AS skip_e6,
+       |  CAST((2 * (rows_scanned - coalesce(mt.rows_matched, 0)) * 1000000 + greatest(rows_scanned, 1))
+       |       // (2 * greatest(rows_scanned, 1)) AS BIGINT) AS false_pos_e6
+       |FROM tch LEFT JOIN mt ON mt.bid = tch.box_id
+       |ORDER BY box_id""".stripMargin
+  }
+
   /** e15: first-order Markov transition matrix over per-user event
     * sequences — the behavioral-sequence statistic (next-action
     * prediction priors, journey analysis, and the bigram counts a

@@ -834,6 +834,48 @@ class KnnEventsSpec extends AnyFunSuite {
       "knn graph must plan as a bucket hash self-join")
   }
 
+  test("z2 skip audit: driver recompute of cell pruning; skipping is real and sound") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS u",
+        "unix_micros(date_trunc('hour', ts)) div 3600000000 AS h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val pts = ev.map { case (u, h) => (u, h - h0) }
+    def spread(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      for ((s, m) <- Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L, 1 -> 0x5555555555555555L))
+        x = (x | (x << s)) & m
+      x
+    }
+    val byCell = pts.groupBy { case (u, ho) => (spread(u) | (spread(ho) << 1)) >> 8 }
+    val mu = pts.map(_._1).max; val mh = pts.map(_._2).max
+    val boxes = Seq((1L, 0L, mu / 10, 0L, mh), (2L, 0L, mu, 0L, mh / 10),
+      (3L, mu / 4, mu / 2, mh / 4, mh / 2))
+    val r = graft.queries.Events.z2SkipAudit(spark, sf).collect()
+      .map(x => x.getAs[Long]("box_id") -> x).toMap
+    boxes.foreach { case (id, lu, hu, lh, hh) =>
+      val touched = byCell.values.filter { cs =>
+        cs.map(_._1).max >= lu && cs.map(_._1).min <= hu &&
+          cs.map(_._2).max >= lh && cs.map(_._2).min <= hh
+      }
+      val scanned = touched.map(_.length.toLong).sum
+      val matched = pts.count { case (u, ho) =>
+        u >= lu && u <= hu && ho >= lh && ho <= hh }.toLong
+      val row = r(id)
+      assert(row.getAs[Long]("n_cells") == byCell.size.toLong, s"box $id cells")
+      assert(row.getAs[Long]("n_cells_touched") == touched.size.toLong, s"box $id touched")
+      assert(row.getAs[Long]("rows_scanned") == scanned, s"box $id scanned")
+      assert(row.getAs[Long]("rows_matched") == matched, s"box $id matched")
+      // soundness: stats pruning may over-scan but never under-scan
+      assert(scanned >= matched, s"box $id unsound")
+    }
+    // the layout must actually skip something for the stripe boxes —
+    // that is the point of z-ordering both dimensions
+    assert(r(1L).getAs[Long]("skip_e6") > 0, "user stripe skipped nothing")
+    assert(r(2L).getAs[Long]("skip_e6") > 0, "time stripe skipped nothing")
+  }
+
   test("e20 disorder audit: driver recompute under the planted jitter; non-vacuous") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us").collect()
