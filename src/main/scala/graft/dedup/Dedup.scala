@@ -993,9 +993,14 @@ object Dedup {
           .as("split"))
     val docs = shingleRows(spark, dir).join(splits, "doc_id")
       .select($"split", DetHash.md5Long60Col($"sh").as("h"))
-    // one bounded-state sketch pass per split (the production side)
-    val sketches = docs.groupBy($"split")
-      .agg(SketchFunctions.kmvMins($"h", k).as("mins"))
+    // one bounded-state sketch pass per split (the production side);
+    // the 3-row result is memoized — it is referenced TWICE below
+    // (pair sides a and b), and each lazy reference would re-derive
+    // the whole shingle+hash pipeline (a full corpus pass)
+    val sketches = graft.operators.Indexes.memo(s"d13_sketches:$dir:$k") {
+      docs.groupBy($"split")
+        .agg(SketchFunctions.kmvMins($"h", k).as("mins"))
+    }
     // exact yardstick: distinct hashes -> per-hash split flags -> one
     // scalar row of set/intersection sizes (never a set×set join)
     val flags = docs.groupBy($"h")

@@ -28,12 +28,25 @@ object Indexes {
 
   /** Persist `df` as the current index for `key`, releasing the
     * previous generation. Non-blocking unpersist: in-flight jobs on
-    * the old index finish from lineage. */
-  def swap(key: String, df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.put(key, p).foreach(_.unpersist(blocking = false))
-    p
-  }
+    * the old index finish from lineage.
+    *
+    * SAME-PLAN RE-REGISTRATION REUSES the live generation instead of
+    * re-persisting: Spark uncaches by canonical-plan match, so
+    * "persist new frame, unpersist old frame" with an IDENTICAL plan
+    * (the common case — the same operator re-invoked on the same
+    * input dir) would kill the NEW registration along with the old,
+    * leaving every consumer silently uncached. Found by the
+    * per-query scan-count gate: d14's sweep planned 12 raw corpus
+    * scans whenever any same-key swap had run before it. */
+  def swap(key: String, df: DataFrame): DataFrame =
+    live.get(key) match {
+      case Some(old)
+        if old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => old
+      case _ =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        live.put(key, p).foreach(_.unpersist(blocking = false))
+        p
+    }
 
   /** As [[swap]], but for iterative state where the NEW generation is
     * derived FROM the previous one (d7's label propagation): persist

@@ -773,13 +773,20 @@ object Events {
     val base = ev.crossJoin(broadcast(h0))
       .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
     val z = graft.functions.ZOrder.zvalue($"u", $"ho")
-    val cells = base
-      .select(shiftright(z, 8).as("cell"), $"u", $"ho")
-      .groupBy($"cell")
-      .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
-        min($"ho").as("min_h"), max($"ho").as("max_h"))
-    val ext = base.agg(max($"u").as("mu"), max($"ho").as("mh"),
-      count(lit(1)).as("rows_total"))
+    // cell-count-sized and referenced three ways (touched legs, the
+    // extent row, the boxes frame) — memoized so each reference reads
+    // one materialization instead of re-scanning the fact table
+    val cells = graft.operators.Indexes.memo(s"z2_cells:$dir") {
+      base
+        .select(shiftright(z, 8).as("cell"), $"u", $"ho")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+          min($"ho").as("min_h"), max($"ho").as("max_h"))
+    }
+    // extent/total derive from the CELL frame (sum/max over ≤cells
+    // rows), not another corpus aggregate — one fewer base-table pass
+    val ext = cells.agg(max($"max_u").as("mu"), max($"max_h").as("mh"),
+      sum($"n").as("rows_total"))
     val boxes = ext.select(explode(array(
         struct(lit(1L).as("box_id"), lit(0L).as("lo_u"),
           expr("mu DIV 10").as("hi_u"), lit(0L).as("lo_h"), $"mh".as("hi_h")),

@@ -38,10 +38,14 @@ object GraphQueries {
     val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
     val docs = Tables.read(spark, dir, "documents").select($"doc_id")
     val nFrame = docs.agg(count(lit(1)).as("n"))
-    val base = docs.crossJoin(broadcast(nFrame))
-      .select($"doc_id",
-        halfUp(lit(150000L), $"n").as("base_e6"),
-        halfUp(lit(1000000L), $"n").as("r0"))
+    // node-sized, referenced once per iteration plus the final join —
+    // memoized so the per-round lineage doesn't re-scan the corpus
+    val base = graft.operators.Indexes.memo(s"g1_base:$dir") {
+      docs.crossJoin(broadcast(nFrame))
+        .select($"doc_id",
+          halfUp(lit(150000L), $"n").as("base_e6"),
+          halfUp(lit(1000000L), $"n").as("r0"))
+    }
     var r = base.select($"doc_id", $"r0".as("r_e6"))
     for (_ <- 1 to iters) {
       val share = r.join(deg, r("doc_id") === deg("a"))

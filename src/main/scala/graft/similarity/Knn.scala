@@ -1393,8 +1393,12 @@ object Knn {
       .select($"query_id", $"neighbor_id", $"probe_rank",
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
     val candP = graft.operators.Indexes.memo(s"s19_cand:$dir:$kc:$iters:$maxProbe")(cand)
-    val exact = s1Brute(spark, dir, k)
-      .select($"query_id".as("qx"), $"neighbor_id".as("nx"))
+    // queries×k rows, referenced by all four sweep configs — memoized
+    // so the exact side's corpus pass runs once, not once per config
+    val exact = graft.operators.Indexes.memo(s"s19_exact:$dir:$k") {
+      s1Brute(spark, dir, k)
+        .select($"query_id".as("qx"), $"neighbor_id".as("nx"))
+    }
     val rows = (1 to maxProbe).map { p =>
       val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
       val sub = candP.filter($"probe_rank" <= p)

@@ -1265,6 +1265,18 @@ object TextAnalysis {
     * Nothing anywhere is proportional to corpus × vocab. */
   def t22LmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the whole per-doc score frame is memoized: t23's buckets and
+    // c1's curation stack both re-read it, and the model frames below
+    // are each referenced from several branches whose lazy lineage
+    // would re-derive the corpus scan per branch (the scan-count
+    // gate's disease class)
+    graft.operators.Indexes.memo(s"t22_scores:$dir") {
+      t22LmScoreCompute(spark, dir)
+    }
+  }
+
+  private def t22LmScoreCompute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val bucket = conv(substring(md5(normalize($"text")), 1, 6), 16, 10)
       .cast("long") % 100
     val base = Tables.read(spark, dir, "documents")
@@ -1275,8 +1287,11 @@ object TextAnalysis {
       .select($"doc_id", $"split", explode(expr(
         "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
         .as("pair"))
-    val model = bigrams.filter($"split" === "train")
-      .groupBy($"pair").agg(count(lit(1)).as("c"))
+    // vocab²-bounded — memoized so ctx/vocab/scored read one copy
+    val model = graft.operators.Indexes.memo(s"t22_model:$dir") {
+      bigrams.filter($"split" === "train")
+        .groupBy($"pair").agg(count(lit(1)).as("c"))
+    }
     val ctx = model.groupBy(substring($"pair", 1, 1).as("c1"))
       .agg(sum($"c").as("ctx"))
     // greatest(v,1): an empty train slice (planted micro-corpora)

@@ -106,11 +106,11 @@ class QueriesSpec extends AnyFunSuite {
       "e12_anomaly",    // e10's shape: prefix stats over the hourly agg
       "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
       "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
-      "w5_cume_users",  // running sum over the ~30-row daily agg
-      "m13_full_pipeline" // instance() FIXTURE synthesizes the customer
-                          // self-FK via a global lag — simulated-input
-                          // construction, not engine code (production
-                          // reads a stored referred_by column)
+      "w5_cume_users"   // running sum over the ~30-row daily agg
+      // (m13_full_pipeline left this set when its orchestrator run
+      // became a shared memoized artifact: the instance() fixture's
+      // global lag window now lives inside the cached frame's hidden
+      // lineage — fixture construction cost, paid once per session)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -121,6 +121,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(offenders == whitelist,
       s"global-window set drifted: unexpected=${(offenders -- whitelist).toSeq.sorted}, " +
         s"stale=${(whitelist -- offenders).toSeq.sorted}")
+  }
+
+  test("no registered query rescans a base table beyond its pinned bound") {
+    // The disease class the round-5 plan audits kept finding: a frame
+    // consumed by two branches whose lazy lineage re-derives the scan
+    // per branch (j2's key counts, t24's bucket stats, m23's pipeline
+    // run — all fixed via the session memo). Default bound: TWO scans
+    // of the same base table per query (an exact-bounds/stats pass +
+    // the main pass — q30's documented shape). Anything beyond two is
+    // pinned here with its reason; memoized artifacts don't count (a
+    // persisted frame plans as InMemoryRelation, exactly the point).
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val pinned: Map[String, Int] = Map(
+      // funnel stages: each leg is a pushdown-filtered DISJOINT slice
+      // of events (one event type per leg) — total bytes ≈ one scan
+      "e3_event_funnel" -> 6, "e11_funnel_latency" -> 6,
+      // sketch pass + exact yardstick + totals frame
+      "e13_heavy_hitters" -> 3,
+      // the reference's per-relation integrity loop: each declared FK
+      // audits its child and parent slices per instance
+      "m4_orphan_check" -> 3,
+      // two-instance simulation: src and dest are mod-filtered
+      // DISJOINT slices of ONE parquet file, so the match/insert/
+      // remap legs of each phase count several "scans" of the same
+      // file; production reads two databases (the JDBC path)
+      "m5_exclude_moved" -> 4, "m11_selfref_remap" -> 5, "m14_dry_run" -> 8,
+      "m16_circular_fk" -> 4, "m17_multi_source" -> 5, "m19_delta_merge" -> 4,
+      // recall audits are two-sided by definition: exact yardstick +
+      // approximate path, each reading query and corpus slices
+      "s4_ann_recall" -> 4, "s7_radius_recall" -> 4, "s9_ivfkm_recall" -> 4,
+      "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
+      // TPC-H Q11's scalar-subquery threshold: the same aggregate as
+      // threshold AND detail — the benchmark's own two-pass shape
+      "q11_important_stock" -> 4,
+      // two-sided audits / split compositions over disjoint slices
+      "t11_contamination" -> 4, "t13_tfidf" -> 3, "t14_domain_mix" -> 3,
+      "t19_passage_dedup" -> 3)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val counts = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.getName)
+          case _ => None
+        }
+      }.flatten.groupBy(identity).view.mapValues(_.size)
+      counts.collect { case (t, c) if c > pinned.getOrElse(name, 2) =>
+        s"$name scans $t $c times (bound ${pinned.getOrElse(name, 2)})"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("round-4 op plan shapes: q25 histogram-first, t12 single tiny global window, mm5 broadcast queries") {
