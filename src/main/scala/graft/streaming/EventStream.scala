@@ -695,7 +695,11 @@ object EventStream {
     * each micro-batch and chained across batches by the O(1)
     * running-max state. Emits one snapshot per user per batch; the
     * last snapshot equals e20's batch row when batch boundaries
-    * respect arrival order (parity spec-pinned). */
+    * respect arrival order (parity spec-pinned). State is O(1) per
+    * user and — deliberately — never evicted: the monitor's value is
+    * the all-time worst disorder; a deployment that must bound the
+    * key space adds a ProcessingTimeTimeout that flushes retired
+    * users' final snapshots. */
   def disorderStream(events: Dataset[TEv]): Dataset[DisOut] = {
     import events.sparkSession.implicits._
     val fn: (Long, Iterator[TEv], GroupState[DisState]) => Iterator[DisOut] =
