@@ -126,6 +126,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Indexes.swap: same-plan re-registration keeps the cache; new plans still replace") {
+    import graft.operators.Indexes
+    import org.apache.spark.storage.StorageLevel
+    val key = "swap-regression-spec"
+    try {
+      val a1 = Seq(1L, 2L, 3L).toDF("v").groupBy($"v").count()
+      val r1 = Indexes.swap(key, a1)
+      assert(r1.storageLevel != StorageLevel.NONE, "first registration persisted")
+      // the bug: re-swapping an IDENTICAL plan used to persist the new
+      // frame then unpersist the old — and Spark uncaches by
+      // canonical-plan match, so the unpersist killed the NEW
+      // registration too, leaving every consumer silently uncached
+      val a2 = Seq(1L, 2L, 3L).toDF("v").groupBy($"v").count()
+      val r2 = Indexes.swap(key, a2)
+      assert(r2 eq r1, "same-result re-registration reuses the live generation")
+      assert(r1.storageLevel != StorageLevel.NONE, "live generation still cached")
+      // a genuinely different plan still replaces the generation
+      val b = Seq(9L).toDF("v").groupBy($"v").count()
+      val r3 = Indexes.swap(key, b)
+      assert(!(r3 eq r1) && r3.storageLevel != StorageLevel.NONE)
+    } finally Indexes.drop(key)
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
