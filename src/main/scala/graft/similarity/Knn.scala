@@ -67,6 +67,61 @@ object Knn {
       |SELECT query_id, neighbor_id, cos_sim, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s20: exact MAXIMUM-INNER-PRODUCT top-k — rank by the RAW dot
+    * product, not the cosine: the retrieval objective of recommender
+    * and two-tower ranking models, where a vector's NORM carries
+    * learned popularity/confidence and must count (cosine ranking
+    * deliberately erases it; the two orders genuinely differ —
+    * spec-pinned on real data). Completes the retrieval-objective
+    * surface next to s1 (cosine top-k) and s5 (radius).
+    *
+    * Shape: s1's deliberate broadcast-queries × corpus-scan contract
+    * (whitelisted exact-search BNLJ; codegen'd dot, one per-query
+    * window over k-bounded rows). The documented scale path is the
+    * MIPS→cosine reduction (Shrivastava & Li NeurIPS 2014; Neyshabur
+    * & Srebro ICML 2015's simple-LSH): augment x→[x, √(M²−|x|²)]
+    * with M = max norm and q→[q, 0], after which dot order equals
+    * the augmented cosine order and s2's hyperplane-bucket index
+    * applies verbatim — not materialized here because the bucketing
+    * hinges on the sign of an irrational augmented coordinate,
+    * outside the integer-exact cross-engine convention the
+    * approximate block is held to; the exact path below IS the
+    * oracle-gated query. */
+  def s20MipsTopk(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val corpus = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
+    corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id", round(dot($"q", $"c"), 6).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s20 oracle: the same ordered-sum dot products and ranking. */
+  val s20Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(sum(q.v * c.v ORDER BY q.i), 6) AS dot
+      |  FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, dot,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, dot, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** s5: radius (threshold) search — ALL corpus neighbors within a
     * cosine radius of each query, the other half of the search API
     * surface next to s1/s2's top-k (retrieval gating, near-dup

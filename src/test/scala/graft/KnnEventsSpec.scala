@@ -834,6 +834,48 @@ class KnnEventsSpec extends AnyFunSuite {
       "knn graph must plan as a bucket hash self-join")
   }
 
+  test("s20 MIPS top-k: driver recompute; dot order genuinely differs from cosine order") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (queries, corpus) = vecs.partition(_._1 < 10)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      // the kernels' left-to-right double accumulation
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expected = queries.map { case (qid, q) =>
+      qid -> corpus.map { case (nid, c) =>
+        (nid, BigDecimal(dot(q, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (nid, d) => (-d, nid) }.take(5).toSeq
+    }.toMap
+    val r = Knn.s20MipsTopk(spark, sf).collect()
+    val got = r.groupBy(_.getAs[Long]("query_id")).map { case (q, rows) =>
+      q -> rows.sortBy(_.getAs[Int]("rank"))
+        .map(x => (x.getAs[Long]("neighbor_id"), x.getAs[Double]("dot"))).toSeq
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (q, rows) => assert(rows == expected(q), s"query $q") }
+    // the objective is genuinely different — planted: a high-norm
+    // "popular" item wins MIPS while the direction-matched unit item
+    // wins cosine (the testdata's synthetic embeddings are
+    // norm-uniform, so the two orders coincide there)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mips").toString
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(0.9f, 0f, 0f, 0f), 0),  // cos 1.0, dot 0.9
+      (11L, Array(3f, 3f, 0f, 0f), 0))    // cos 0.707, dot 3.0
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mipsTop = Knn.s20MipsTopk(spark, dir).collect()
+      .filter(_.getAs[Int]("rank") == 1).map(_.getAs[Long]("neighbor_id")).head
+    val cosTop1 = Knn.s1Brute(spark, dir).collect()
+      .filter(_.getAs[Int]("rank") == 1).map(_.getAs[Long]("neighbor_id")).head
+    assert(mipsTop == 11L, "MIPS must rank the high-norm item first")
+    assert(cosTop1 == 10L, "cosine must rank the direction-matched item first")
+  }
+
   test("z2 skip audit: driver recompute of cell pruning; skipping is real and sound") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("user_id AS u",

@@ -66,6 +66,7 @@ class QueriesSpec extends AnyFunSuite {
       "s18_hard_negatives", // s1's broadcast-queries contract; the label
                             // INEQUALITY has no equi-key to ride,
       "s19_probe_sweep",  // composes s1's exact side as its recall yardstick
+      "s20_mips_topk",    // deliberate: exact MIPS baseline, s1's broadcast contract
       "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
       "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
     )
