@@ -80,17 +80,24 @@ object OrchestratorQueries {
     * pay marginal projection cost only (warmed in Bench's
     * `_artifacts` — the shared-artifact accounting every memo family
     * follows). */
-  private val runCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, Orchestrator.MergedTable]]
+  private val runCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Map[String, Orchestrator.MergedTable]]
   private[graft] def sharedRun(spark: SparkSession, dir: String)
-  : Map[String, Orchestrator.MergedTable] =
-    runCache.getOrElseUpdate(dir, {
-      val r = Orchestrator.run(specs,
+  : Map[String, Orchestrator.MergedTable] = {
+    // keyed by session identity too: frames are bound to the session
+    // that built them, and a second session in the same JVM must not
+    // inherit another's (possibly stopped) lineage. The memo calls sit
+    // OUTSIDE the construction cache so an Indexes.drop/clear is
+    // healed by re-registration on the next call rather than silently
+    // bypassed forever.
+    val raw = runCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      Orchestrator.run(specs,
         instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
-      r.map { case (t, mt) => t -> Orchestrator.MergedTable(
-        graft.operators.Indexes.memo(s"m13run:$dir:$t:merged")(mt.merged),
-        graft.operators.Indexes.memo(s"m13run:$dir:$t:idmap")(mt.idMap)) }
     })
+    raw.map { case (t, mt) => t -> Orchestrator.MergedTable(
+      graft.operators.Indexes.memo(s"m13run:$dir:$t:merged")(mt.merged),
+      graft.operators.Indexes.memo(s"m13run:$dir:$t:idmap")(mt.idMap)) }
+  }
 
   def m13FullPipeline(spark: SparkSession, dir: String): DataFrame = {
     val r = sharedRun(spark, dir)

@@ -37,16 +37,37 @@ object Indexes {
     * input dir) would kill the NEW registration along with the old,
     * leaving every consumer silently uncached. Found by the
     * per-query scan-count gate: d14's sweep planned 12 raw corpus
-    * scans whenever any same-key swap had run before it. */
-  def swap(key: String, df: DataFrame): DataFrame =
+    * scans whenever any same-key swap had run before it.
+    *
+    * Reuse requires all three of: same RESULT (canonical plans),
+    * same SCHEMA (canonicalization erases alias names — without the
+    * schema check a re-registration that renamed columns would hand
+    * back a frame the caller's selects can't resolve against), and
+    * STILL CACHED (a spark.catalog.clearCache() or a plan-matching
+    * unpersist elsewhere must trigger re-persist, not hand out the
+    * deregistered frame forever). Mutations are serialized on the
+    * registry: the get/compare/put sequence is otherwise a race in
+    * which two first registrations of the same plan persist twice and
+    * the loser's unpersist deregisters the winner by plan match. */
+  def swap(key: String, df: DataFrame): DataFrame = live.synchronized {
     live.get(key) match {
       case Some(old)
-        if old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => old
+        if old.storageLevel != StorageLevel.NONE &&
+          old.schema == df.schema &&
+          old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) => old
       case _ =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        live.put(key, p).foreach(_.unpersist(blocking = false))
+        live.put(key, p).foreach { prev =>
+          // releasing a same-plan predecessor would deregister the new
+          // generation too (canonical-plan matching) — skip it; the new
+          // persist call was already a no-op re-registration of the
+          // same cache entry in that case
+          if (!prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+            prev.unpersist(blocking = false)
+        }
         p
     }
+  }
 
   /** As [[swap]], but for iterative state where the NEW generation is
     * derived FROM the previous one (d7's label propagation): persist
@@ -65,7 +86,15 @@ object Indexes {
     val a = try materialize(p) catch {
       case e: Throwable => p.unpersist(blocking = false); throw e
     }
-    live.put(key, p).foreach(_.unpersist(blocking = false))
+    live.synchronized {
+      live.put(key, p).foreach { prev =>
+        // same canonical-plan-match guard as swap (iterative
+        // generations always differ — new wraps old's cache — but a
+        // degenerate same-plan call must not deregister itself)
+        if (!prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+          prev.unpersist(blocking = false)
+      }
+    }
     (p, a)
   }
 
@@ -77,8 +106,15 @@ object Indexes {
     * by each downstream job; in one driver session the persisted frame
     * plays that role). Callers must put every input parameter that
     * changes the result INTO the key. */
-  def memo(key: String)(compute: => DataFrame): DataFrame =
-    live.getOrElse(key, swap(key, compute))
+  def memo(key: String)(compute: => DataFrame): DataFrame = live.synchronized {
+    // fast path still revalidates caching: a frame whose cache entry
+    // was invalidated externally must be re-registered, not returned
+    // uncached forever (swap's third reuse condition)
+    live.get(key) match {
+      case Some(df) if df.storageLevel != StorageLevel.NONE => df
+      case _ => swap(key, compute)
+    }
+  }
 
   /** Release one registered index (no-op if absent) — for artifacts
     * superseded mid-pipeline, e.g. CC round state once the converged

@@ -1264,7 +1264,6 @@ object TextAnalysis {
     * extraction is a second scan + a map-side-combined count agg.
     * Nothing anywhere is proportional to corpus × vocab. */
   def t22LmScore(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     // the whole per-doc score frame is memoized: t23's buckets and
     // c1's curation stack both re-read it, and the model frames below
     // are each referenced from several branches whose lazy lineage

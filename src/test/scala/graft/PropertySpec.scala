@@ -146,6 +146,17 @@ class PropertySpec extends AnyFunSuite {
       val b = Seq(9L).toDF("v").groupBy($"v").count()
       val r3 = Indexes.swap(key, b)
       assert(!(r3 eq r1) && r3.storageLevel != StorageLevel.NONE)
+      // external invalidation heals: once the live frame loses its
+      // cache entry, a same-plan re-registration must RE-persist
+      // rather than hand out the deregistered frame forever
+      r3.unpersist(blocking = true)
+      val r4 = Indexes.swap(key, Seq(9L).toDF("v").groupBy($"v").count())
+      assert(r4.storageLevel != StorageLevel.NONE, "external unpersist must heal")
+      // a column RENAME is not reuse (canonicalization erases alias
+      // names; handing back the old names would break caller selects)
+      val r5 = Indexes.swap(key,
+        Seq(9L).toDF("v").groupBy($"v").count().withColumnRenamed("count", "n"))
+      assert(r5.columns.toSeq == Seq("v", "n"), "renamed schema must replace")
     } finally Indexes.drop(key)
   }
 
