@@ -105,7 +105,13 @@ object Indexes {
     * d7's duplicate-cluster map — is written to storage once and read
     * by each downstream job; in one driver session the persisted frame
     * plays that role). Callers must put every input parameter that
-    * changes the result INTO the key. */
+    * changes the result INTO the key.
+    *
+    * The registry lock is held across `compute`. Plan CONSTRUCTION is
+    * cheap, but a few computes run driver actions while building
+    * (d7's convergence counts) — fine on a single-threaded driver; a
+    * concurrent driver design would move compute outside the lock
+    * behind a per-key latch. */
   def memo(key: String)(compute: => DataFrame): DataFrame = live.synchronized {
     // fast path still revalidates caching: a frame whose cache entry
     // was invalidated externally must be re-registered, not returned
