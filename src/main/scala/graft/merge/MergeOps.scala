@@ -128,7 +128,7 @@ object MergeOps {
     val base = idMap.select(col("src_id").as("__fk_src"), col("dest_id").as(newCol))
     val (factSide, mapSide0, saltCols) =
       if (saltBuckets > 0)
-        (child.withColumn("__salt_f", pmod(hash(child.columns.map(col): _*), lit(saltBuckets))),
+        (child.withColumn("__salt_f", pmod(hash(child.columns.toIndexedSeq.map(col): _*), lit(saltBuckets))),
           base.withColumn("__salt_d", explode(sequence(lit(0), lit(saltBuckets - 1)))),
           Seq("__salt_f", "__salt_d"))
       else (child, base, Nil)

@@ -258,17 +258,17 @@ object Orchestrator {
       }
       val dataCols = s.columns.filter(_ != spec.idCol)
       val srcOut = selfDone.select(
-        col("dest_id").as(spec.idCol) +:
+        (col("dest_id").as(spec.idCol) +:
           dataCols.map(col) :+
           col("src_id").as(s"src_${spec.idCol}") :+
           lit("src").as("instance") :+
-          lit(sourceTag).as("merge_source"): _*)
+          lit(sourceTag).as("merge_source")).toIndexedSeq: _*)
       val destOut = d.select(
-        col(spec.idCol).cast(LongType).as(spec.idCol) +:
+        (col(spec.idCol).cast(LongType).as(spec.idCol) +:
           dataCols.map(col) :+
           col(spec.idCol).cast(LongType).as(s"src_${spec.idCol}") :+
           lit("dest").as("instance") :+
-          lit("dest").as("merge_source"): _*)
+          lit("dest").as("merge_source")).toIndexedSeq: _*)
       spec.name -> MergedTable(destOut.unionByName(srcOut), idMap)
     }.toMap
 

@@ -50,11 +50,11 @@ object AsOf {
           col(rightTieBreak).as("__tie") :+ payloadStruct.as("__asof"): _*)
     val leftCols = left.columns
     val taggedLeft = left.select(
-      leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+      (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
         lit(null).cast(taggedRight.schema("__tie").dataType).as("__tie") :+
-        lit(null).cast(taggedRight.schema("__asof").dataType).as("__asof"): _*)
+        lit(null).cast(taggedRight.schema("__asof").dataType).as("__asof")).toIndexedSeq: _*)
     val unioned = taggedLeft.unionByName(
-      taggedRight.select(taggedLeft.columns.map(c =>
+      taggedRight.select(taggedLeft.columns.toIndexedSeq.map(c =>
         if (leftCols.contains(c) && !keys.contains(c))
           lit(null).cast(taggedLeft.schema(c).dataType).as(c)
         else col(c)): _*))

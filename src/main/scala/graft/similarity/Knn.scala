@@ -251,7 +251,7 @@ object Knn {
     val seedIds = q.select($"vec_id")
       .orderBy(md5($"vec_id".cast("string")), $"vec_id")
       .limit(k).as[Long].collect()
-    val seedRows = q.filter($"vec_id".isin(seedIds.map(Long.box): _*)).collect()
+    val seedRows = q.filter($"vec_id".isin(seedIds.toIndexedSeq.map(Long.box): _*)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     var cents: Seq[(Int, Array[Long])] =
       seedIds.zipWithIndex.map { case (id, cl) => (cl, seedRows(id)) }.toSeq

@@ -131,7 +131,7 @@ object Tables {
                     partitionColumn: Option[String],
                     numPartitions: Int = 8): DataFrame = {
     def lowered(df: DataFrame): DataFrame =
-      df.toDF(df.columns.map(_.toLowerCase): _*)
+      df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     val bounds = partitionColumn.flatMap { c =>
       val conn = java.sql.DriverManager.getConnection(url)
       try {
