@@ -57,6 +57,41 @@ object Tables {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Line-delimited raw text ingest — the web-crawl / dump shape
+    * (one document or record per line, no schema): each line surfaces
+    * as `value`, stamped with its source file so downstream curation
+    * can key provenance. Splittable and trivially parallel; pair
+    * with `documentsFromText` to land the corpus in the `documents`
+    * contract. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("value")
+      .withColumn("input_file", org.apache.spark.sql.functions.input_file_name())
+
+  /** Text lines → the `documents` table contract: deterministic
+    * line-content ids (md5-derived — stable across re-ingests and
+    * file orderings, unlike monotonically_increasing_id), source =
+    * the input file's basename. A real pipeline's landing step:
+    * everything downstream (dedup, quality, splits) keys off doc_id,
+    * so the id must be a pure function of content + provenance. */
+  def documentsFromText(spark: SparkSession, path: String,
+                        lang: String = "und"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    text(spark, path)
+      .select(
+        graft.functions.DetHash.md5Long60Col(
+          concat_ws("", col("input_file"), col("value"))).as("doc_id"),
+        col("value").as("text"),
+        lit(lang).as("lang"),
+        regexp_extract(col("input_file"), "([^/]+)$", 1).as("source"),
+        length(col("value")).cast("long").as("n_chars"))
+  }
+
+  /** XML ingest (Spark 4's native XML source — the export-dump shape
+    * many upstream systems emit, including OpenMRS metadata dumps):
+    * one row per `rowTag` element, schema inferred or supplied. */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
