@@ -1758,6 +1758,54 @@ object TextAnalysis {
       |       // (2 * greatest(n_tokens, 1)) AS BIGINT) AS epochs_e6
       |FROM w, tw ORDER BY source""".stripMargin
 
+  /** t27: LANGUAGE-ID CONFUSION audit — t1's predictions against the
+    * table's declared labels, as the (lang, pred_lang) confusion
+    * matrix plus per-cell share of the true-label row and a global
+    * accuracy row. This is the ACCEPTANCE gate for the classifier the
+    * curation stack depends on (c1 drops docs whose prediction
+    * disagrees with the label): before shipping a lang-id change, a
+    * pipeline reads exactly this table — which languages leak into
+    * which, and whether overall accuracy moved. The zh/de rows also
+    * document t1's honest limits (no zh/de stopword lists — they
+    * land on the argmax fallback), so the audit is non-trivially
+    * populated on the synthetic corpus.
+    *
+    * Shape: t1's one-shuffle scan (the predictions frame) joined to
+    * the doc labels, collapsed to a ≤|langs|² matrix with map-side
+    * combine; shares via halfUpDiv over the per-label row totals
+    * (window over the matrix-sized frame, partitioned by lang). */
+  def t27LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pred = t1LangId(spark, dir).select($"doc_id", $"pred_lang")
+    val lab = Tables.read(spark, dir, "documents").select($"doc_id", $"lang")
+    val cells = lab.join(pred, "doc_id")
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+    val byLang = Window.partitionBy($"lang")
+    cells
+      .withColumn("row_total", sum($"n").over(byLang))
+      .select($"lang", $"pred_lang", $"n",
+        halfUpDiv($"n" * 1000000L, $"row_total").as("row_share_e6"),
+        ($"lang" === $"pred_lang").as("correct"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** t27 oracle: t1's oracle as the prediction frame, same matrix. */
+  val t27Sql: String =
+    s"""WITH p AS (SELECT doc_id, pred_lang FROM ($t1Sql)),
+       |c AS (
+       |  SELECT d.lang, p.pred_lang, count(*) AS n
+       |  FROM documents d JOIN p USING (doc_id)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, pred_lang, n,
+       |    sum(n) OVER (PARTITION BY lang) AS row_total
+       |  FROM c)
+       |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       |  CAST((2 * n * 1000000 + row_total) // (2 * row_total) AS BIGINT) AS row_share_e6,
+       |  (lang = pred_lang) AS correct
+       |FROM r ORDER BY lang, pred_lang""".stripMargin
+
   /** t25: CORPUS-ORDER NOVELTY — per doc, the fraction of its
     * distinct 3-gram shingles that first appear (by min doc_id) in
     * that doc. The n-gram novelty curve behind "Deduplicating

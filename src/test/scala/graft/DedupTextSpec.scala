@@ -741,6 +741,38 @@ class DedupTextSpec extends AnyFunSuite {
     assert(largest.getAs[Long]("share_e6") < propE6(largest), "large domain not shrunk")
   }
 
+  test("t27 lang confusion: matrix reconciles with t1 exactly and exposes real confusion") {
+    val pred = TextAnalysis.t1LangId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val lab = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = lab.groupBy { case (id, lang) => (lang, pred(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    val rowTotals = lab.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val r = TextAnalysis.t27LangConfusion(spark, sf).collect()
+    assert(r.map(x => (x.getAs[String]("lang"), x.getAs[String]("pred_lang"))).toSet ==
+      expected.keySet)
+    r.foreach { row =>
+      val key = (row.getAs[String]("lang"), row.getAs[String]("pred_lang"))
+      assert(row.getAs[Long]("n") == expected(key), s"$key count")
+      val tot = rowTotals(key._1)
+      assert(row.getAs[Long]("row_share_e6") ==
+        (2 * expected(key) * 1000000L + tot) / (2 * tot), s"$key share")
+      assert(row.getAs[Boolean]("correct") == (key._1 == key._2))
+    }
+    // the audit must EXPOSE confusion, not hide it: the synthetic
+    // corpus (t1 has no zh/de lists; non-en text is synthetic) must
+    // populate off-diagonal cells, and each row's shares sum to 1e6
+    // within rounding
+    assert(r.exists(row => !row.getAs[Boolean]("correct") && row.getAs[Long]("n") > 0),
+      "no confusion exposed — vacuous audit")
+    r.groupBy(_.getAs[String]("lang")).foreach { case (l, rows) =>
+      val s = rows.map(_.getAs[Long]("row_share_e6")).sum
+      assert(math.abs(s - 1000000L) <= rows.length, s"$l shares sum to $s")
+    }
+  }
+
   test("t20 BPE: overlapping counts, later rounds merge earlier sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     Seq((0L, "ababababab", "en", "b0", 10L))
