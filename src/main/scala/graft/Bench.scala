@@ -44,34 +44,51 @@ object Bench {
     // consumer (d10 in round 4: 44.6 s vs its own ~1 s of work)
     // absorbs the whole shared pipeline and masks real per-query
     // regressions; with it, every per-query number is that query's own
-    // marginal cost regardless of execution order.
+    // marginal cost regardless of execution order. Each family is
+    // timed separately (the phase was 46% of BENCH_r05 and opaque —
+    // the breakdown lands in BENCH_FULL.json, keyed "_artifacts/…").
+    // The signature index is warmed BEFORE d2_pairs so each reports
+    // its own marginal cost (d2 banding/verify vs signature build) and
+    // so d14's re-banding sweep hits a live index even if an earlier
+    // consumer's swap generation was replaced.
+    val artifactSteps: Seq[(String, () => Unit)] = Seq(
+      "sig_index"    -> (() => { graft.dedup.Dedup.sigIndex(spark, sfDir).count(); () }),
+      "d2_pairs"     -> (() => { graft.dedup.Dedup.d2Pairs(spark, sfDir).count(); () }),
+      "shingle_sets" -> (() => { graft.dedup.Dedup.shingleSets(spark, sfDir).count(); () }),
+      "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () }),
+      // k-means training (quantized memo + centroid cache) is shared
+      // by s3 (reports it), s8 and s9; PQ codebooks are the s10/s11
+      // index-build artifact — same marginal-cost accounting
+      "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
+      "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
+      // the c1 curation frame (t1/t2/t22/t11 signal stack) is read
+      // by c1, c2 AND c3
+      "c1_curation"  -> (() => { graft.text.TextAnalysis.c1Curation(spark, sfDir).count(); () }),
+      // the m13-family orchestrator run (merged tables + id maps)
+      // is shared by m13 and m23 — warm both frame families
+      "m13_run"      -> (() => graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
+        .foreach { mt => mt.merged.count(); mt.idMap.count() }))
     val ta0 = System.nanoTime()
-    val artifactsFailed =
-      try {
-        graft.dedup.Dedup.d2Pairs(spark, sfDir).count()
-        graft.dedup.Dedup.shingleSets(spark, sfDir).count()
-        graft.dedup.Dedup.d7Clusters(spark, sfDir).count()
-        // k-means training (quantized memo + centroid cache) is shared
-        // by s3 (reports it), s8 and s9 — warm it here so all three
-        // report marginal cost
-        graft.similarity.Knn.lloydCentroids(spark, sfDir)
-        // PQ codebook training (8 subspace Lloyd's runs) is the s10/s11
-        // index-build artifact — same accounting as the coarse cells
-        graft.similarity.Knn.pqCodebooks(spark, sfDir)
-        // the c1 curation frame (t1/t2/t22/t11 signal stack) is read
-        // by c1, c2 AND c3 — same marginal-cost accounting
-        graft.text.TextAnalysis.c1Curation(spark, sfDir).count()
-        // the m13-family orchestrator run (merged tables + id maps)
-        // is shared by m13 and m23 — warm both frame families
-        graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
-          .foreach { mt => mt.merged.count(); mt.idMap.count() }
-        false
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] _artifacts FAILED: ${e.getMessage}"); true
+    var artifactsFailed = false
+    val artifactTimes = artifactSteps.map { case (step, run) =>
+      val t0 = System.nanoTime()
+      try run() catch { case e: Throwable =>
+        System.err.println(s"[bench] _artifacts/$step FAILED: ${e.getMessage}")
+        artifactsFailed = true
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] _artifacts/$step%-20s $sec%8.2f s")
+      step -> sec
+    }
     val artifactsSec = (System.nanoTime() - ta0) / 1e9
     System.err.println(f"[bench] ${"_artifacts"}%-22s $artifactsSec%8.2f s")
-    val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query-name filter (local iteration on a
+    // handful of queries without the full 160-query sweep); the driver
+    // passes no args → full run
+    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val perQuery = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }
@@ -102,8 +119,10 @@ object Bench {
     // the ones per-round comparison needs.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val artQs = artifactTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"artifacts":$artQs,"sf":"$sfDir"}""" + "\n")
     val budget = 1850
     // failed entries (-1.0) are pinned into the kept set — sorted by
     // "slowest" they'd rank as the fastest and be dropped FIRST,

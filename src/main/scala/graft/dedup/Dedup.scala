@@ -107,7 +107,7 @@ object Dedup {
     * re-bands the SAME index under alternative (bands, r) configs.
     * Tiny relative to the corpus (k+1 longs per doc); Indexes.swap
     * bounds cache growth across invocations. */
-  private def sigIndex(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def sigIndex(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
     import spark.implicits._
     import graft.functions.DetHash
     val exploded = shingleRows(spark, dir)

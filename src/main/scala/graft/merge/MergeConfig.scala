@@ -97,6 +97,54 @@ object MergeConfig {
       saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty))
   }
 
+  /** FK-relation AUTO-DISCOVERY from live database metadata — the
+    * reference derives its integrity-check relation list from
+    * `information_schema.key_column_usage` with no user declaration
+    * (integrity-checks.js:66-75); the JDBC-portable equivalent is
+    * `DatabaseMetaData.getImportedKeys`, which Derby, MySQL and
+    * Postgres all serve from their catalogs. A user pointing graft at
+    * an OpenMRS-sized schema should not hand-type ~80 FK edges the
+    * database already knows.
+    *
+    * Only tables that declare NO relations at all (no fks, selfFks or
+    * deferredFks) are filled in — an explicit declaration always wins,
+    * because declarations also carry intent discovery cannot see
+    * (deferred two-phase FKs for circular schemas, salted FKs).
+    * Self-references become selfFks; references to tables OUTSIDE the
+    * merge set are dropped (the merge cannot remap what it does not
+    * merge — same scoping as the reference's `table_name IN (...)`
+    * filter). Column/table names are matched case-insensitively and
+    * lowercased, the [[graft.sources.Tables.jdbcTableAuto]]
+    * convention for case-insensitive engines. */
+  def discoverFks(url: String, tables: Seq[TableSpec]): Seq[TableSpec] = {
+    val known = tables.map(t => t.name.toLowerCase -> t.name).toMap
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      def imported(name: String): Seq[(String, String)] = {
+        val rs = md.getImportedKeys(null, null, name)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (rs.next())
+          buf += ((rs.getString("FKCOLUMN_NAME"), rs.getString("PKTABLE_NAME")))
+        rs.close(); buf.toSeq
+      }
+      tables.map { t =>
+        if (t.fks.nonEmpty || t.selfFks.nonEmpty || t.deferredFks.nonEmpty) t
+        else {
+          // unquoted identifiers are stored case-normalized (upper in
+          // Derby, lower in Postgres) — probe as-declared, then folded
+          val rows = Seq(t.name, t.name.toUpperCase, t.name.toLowerCase).distinct
+            .iterator.map(imported).find(_.nonEmpty).getOrElse(Nil)
+          val (selfRefs, others) = rows.partition(_._2.equalsIgnoreCase(t.name))
+          t.copy(
+            fks = others.flatMap { case (c, pt) =>
+              known.get(pt.toLowerCase).map(c.toLowerCase -> _) }.toMap,
+            selfFks = selfRefs.map(_._1.toLowerCase).distinct)
+        }
+      }
+    } finally conn.close()
+  }
+
   /** Execute a parsed config: dry-run returns the rehearsal report
     * WITHOUT writing (orchestrator.js:26); a real run publishes every
     * merged table atomically under `output/<table>` (the COMMIT
@@ -134,7 +182,13 @@ object MergeConfig {
     // table is read through the auto-partitioned JDBC source, range-
     // split on its declared idCol so no single connection is the straw
     // the data passes through. Anything else is a parquet directory.
-    val idColOf = cfg.tables.map(t => t.name -> t.idCol).toMap
+    // A live source also feeds [[discoverFks]]: tables declaring no
+    // relations inherit the database's own FK metadata, so the
+    // zero-declaration config the reference supports works here too.
+    val tables =
+      if (cfg.source.path.startsWith("jdbc:")) discoverFks(cfg.source.path, cfg.tables)
+      else cfg.tables
+    val idColOf = tables.map(t => t.name -> t.idCol).toMap
     // memoized per (transport, table): jdbcTableAuto issues an EAGER
     // driver-side bounds query — the orchestrator, uuid-report and
     // dry-run paths each re-read tables, and without the cache every
@@ -147,7 +201,7 @@ object MergeConfig {
         else spark.read.parquet(s"$base/$name.parquet"))
     val src = reader(cfg.source.path) _
     val dest = reader(cfg.destination.path) _
-    if (dryRun) Orchestrator.dryRun(cfg.tables, src, dest)
+    if (dryRun) Orchestrator.dryRun(tables, src, dest)
     else {
       import spark.implicits._
       val jdbcOut = cfg.output.startsWith("jdbc:")
@@ -166,8 +220,8 @@ object MergeConfig {
           .map(_.as[String].collect().toSet).getOrElse(Set.empty)
       if (processed(cfg.source.location))
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
-      val results = Orchestrator.run(cfg.tables, src, dest, cfg.source.location)
-      cfg.tables.foreach { spec =>
+      val results = Orchestrator.run(tables, src, dest, cfg.source.location)
+      tables.foreach { spec =>
         // the uuid report is not just documentation: moved rows are
         // PUBLISHED with their final uuids (collision repairs in keep
         // mode, every moved row under generateNewUuids) — dest rows
@@ -204,7 +258,7 @@ object MergeConfig {
       // unrecorded and the run safely repeatable (orchestrator.js:94)
       publish(
         (processed + cfg.source.location).toSeq.sorted.toDF("location"), registryName)
-      Orchestrator.dryRun(cfg.tables, src, dest)
+      Orchestrator.dryRun(tables, src, dest)
     }
   }
 }

@@ -80,23 +80,43 @@ object OrchestratorQueries {
     * pay marginal projection cost only (warmed in Bench's
     * `_artifacts` — the shared-artifact accounting every memo family
     * follows). */
-  private val runCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Map[String, Orchestrator.MergedTable]]
+  /** Per-session run state: a session-scope token (threaded into the
+    * Indexes.memo keys so two sessions sharing a dir cannot inherit
+    * each other's frames one layer down) + the per-dir raw runs. */
+  private case class SessionRuns(token: String,
+    runs: scala.collection.concurrent.TrieMap[String, Map[String, Orchestrator.MergedTable]])
+  // WEAK keys on the session object itself: frames are bound to the
+  // session that built them, and a second session in the same JVM
+  // must not inherit another's (possibly stopped) lineage —
+  // identityHashCode-keying could collide with a GC'd session's hash,
+  // and strong keys would pin every stopped session's frames for the
+  // JVM lifetime. SparkSession doesn't override equals, so
+  // WeakHashMap's equals-based lookup IS identity here.
+  private val runCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SessionRuns]())
+  private def sessionRuns(spark: SparkSession): SessionRuns =
+    runCache.synchronized {
+      val cur = runCache.get(spark)
+      if (cur != null) cur
+      else {
+        val sr = SessionRuns(java.util.UUID.randomUUID().toString.take(8),
+          scala.collection.concurrent.TrieMap.empty)
+        runCache.put(spark, sr); sr
+      }
+    }
   private[graft] def sharedRun(spark: SparkSession, dir: String)
   : Map[String, Orchestrator.MergedTable] = {
-    // keyed by session identity too: frames are bound to the session
-    // that built them, and a second session in the same JVM must not
-    // inherit another's (possibly stopped) lineage. The memo calls sit
-    // OUTSIDE the construction cache so an Indexes.drop/clear is
-    // healed by re-registration on the next call rather than silently
-    // bypassed forever.
-    val raw = runCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    // The memo calls sit OUTSIDE the construction cache so an
+    // Indexes.drop/clear is healed by re-registration on the next
+    // call rather than silently bypassed forever.
+    val sr = sessionRuns(spark)
+    val raw = sr.runs.getOrElseUpdate(dir, {
       Orchestrator.run(specs,
         instance(spark, dir, isSrc = true), instance(spark, dir, isSrc = false), SourceTag)
     })
     raw.map { case (t, mt) => t -> Orchestrator.MergedTable(
-      graft.operators.Indexes.memo(s"m13run:$dir:$t:merged")(mt.merged),
-      graft.operators.Indexes.memo(s"m13run:$dir:$t:idmap")(mt.idMap)) }
+      graft.operators.Indexes.memo(s"m13run:${sr.token}:$dir:$t:merged")(mt.merged),
+      graft.operators.Indexes.memo(s"m13run:${sr.token}:$dir:$t:idmap")(mt.idMap)) }
   }
 
   def m13FullPipeline(spark: SparkSession, dir: String): DataFrame = {

@@ -158,9 +158,22 @@ object Graph {
     *         survives all rounds), core_deg = degree within the
     *         surviving subgraph (0 for dropped nodes).
     *
-    * Scale shape: per round one alive-set semi-join over the edge
-    * list + one map-side-combined degree count — everything ∝ the
-    * edge list, alive sets only shrink. */
+    * Scale shape — the DIED-COUNT recurrence, not per-round induced
+    * subgraphs: a survivor's degree in round r's surviving subgraph is
+    * its ORIGINAL degree minus its neighbors peeled so far,
+    *     deg_r(v) = deg_0(v) − Σ_{r'<r} |nbrs(v) ∩ died_{r'}|,
+    * so each round joins the edge list against only the JUST-DIED set
+    * (shrinking every round — the total join work over all rounds is
+    * Σ deg(died) ≤ 2m, versus re-semi-joining the FULL edge list per
+    * round), plus one node-sized state update. The whole peel state is
+    * one (id, deg, peel_round) frame updated linearly — one
+    * localCheckpoint per round cuts the self-referencing lineage (the
+    * frame is node-sized; a production run would persist or checkpoint
+    * reliably, [[connectedComponents]]' caveat). Round 5 materialized
+    * each round's induced-subgraph degree instead: correct, but 2
+    * semi-joins + a 3-branch plan per round — 3.5× slower under load
+    * (and the lazy no-materialization variant re-derives every prior
+    * round per reference, measured 80+ s at sf0.1). */
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -169,38 +182,32 @@ object Graph {
       .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
       .filter($"a" =!= $"b").dropDuplicates("a", "b")
     val edges = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
-    val nodes = edges.select($"a".as("id")).distinct()
-    var alive = nodes
-    // (id, round peeled); peeled frames are disjoint by construction
-    var peeled = spark.emptyDataFrame.withColumn("id", lit(0L))
-      .withColumn("peel_round", lit(0L)).limit(0).select($"id", $"peel_round")
-    for (r <- 1 to rounds) {
-      val sub = edges
-        .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
-        .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
-      // Materialize each round's degree frame (node-sized, tiny) and
-      // cut its lineage: `alive` and `out` both branch off `deg`, and
-      // `deg` references `alive` three times — left as lazy lineage
-      // the final plan re-derives every earlier round ~3× per round
-      // (measured 19 s at sf0.1 vs 0.4 s materialized). The CC
-      // engine's generation rule, applied to the peel. localCheckpoint
-      // is the session-scope pattern; a production run would persist
-      // or checkpoint reliably (connectedComponents' caveat).
-      val deg = sub.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val deg0 = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    // peel state: (id, deg within surviving subgraph, peel_round with
+    // 0 = still alive); round 1 peels straight off the full degrees
+    var st = deg0.withColumn("peel_round",
+      when($"deg" < k, lit(1L)).otherwise(lit(0L))).localCheckpoint(true)
+    for (r <- 2 to rounds) {
+      val died = st.filter($"peel_round" === (r - 1)).select($"id".as("dead"))
+      val lost = edges.join(died, $"b" === $"dead")
+        .groupBy($"a".as("id")).agg(count(lit(1)).as("lost"))
+      st = st.join(lost, Seq("id"), "left")
+        .select($"id", ($"deg" - coalesce($"lost", lit(0L))).as("deg"),
+          when($"peel_round" =!= 0L, $"peel_round")
+            .when($"deg" - coalesce($"lost", lit(0L)) < k, lit(r.toLong))
+            .otherwise(lit(0L)).as("peel_round"))
         .localCheckpoint(true)
-      val out = alive.join(deg, Seq("id"), "left")
-        .filter(coalesce($"deg", lit(0L)) < k)
-        .select($"id", lit(r.toLong).as("peel_round"))
-      peeled = peeled.unionAll(out)
-      alive = deg.filter($"deg" >= k).select($"id")
     }
-    val finalEdges = edges
-      .join(alive.select($"id".as("__a")), $"a" === $"__a", "left_semi")
-      .join(alive.select($"id".as("__b")), $"b" === $"__b", "left_semi")
-    val finalDeg = finalEdges.groupBy($"a".as("id")).agg(count(lit(1)).as("core_deg"))
-    val core = alive.join(finalDeg, Seq("id"), "left")
-      .select($"id", lit(0L).as("peel_round"),
-        coalesce($"core_deg", lit(0L)).as("core_deg"))
-    peeled.withColumn("core_deg", lit(0L)).unionAll(core)
+    // survivors report their degree within the FINAL surviving
+    // subgraph: the state's deg accounts for deaths through round
+    // rounds−1, so subtract neighbors peeled in the LAST round with
+    // one more died-set join; peeled nodes report 0
+    val diedLast = st.filter($"peel_round" === rounds.toLong).select($"id".as("dead"))
+    val lostLast = edges.join(diedLast, $"b" === $"dead")
+      .groupBy($"a".as("id")).agg(count(lit(1)).as("lost"))
+    st.join(lostLast, Seq("id"), "left")
+      .select($"id", $"peel_round",
+        when($"peel_round" === 0L, $"deg" - coalesce($"lost", lit(0L)))
+          .otherwise(lit(0L)).as("core_deg"))
   }
 }

@@ -98,6 +98,12 @@ object Indexes {
     (p, a)
   }
 
+  /** Per-key in-flight computes: owner thread + completion latch.
+    * (Key, value-identity)-removed on completion; waiting threads
+    * re-check the registry once the latch trips. */
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, (Thread, java.util.concurrent.CompletableFuture[DataFrame])]()
+
   /** Get-or-compute: return the live index registered under `key`, or
     * compute, [[swap]]-register, and return it. The session-scope form
     * of the production pattern "materialize a derived artifact ONCE
@@ -107,18 +113,41 @@ object Indexes {
     * plays that role). Callers must put every input parameter that
     * changes the result INTO the key.
     *
-    * The registry lock is held across `compute`. Plan CONSTRUCTION is
-    * cheap, but a few computes run driver actions while building
-    * (d7's convergence counts) — fine on a single-threaded driver; a
-    * concurrent driver design would move compute outside the lock
-    * behind a per-key latch. */
-  def memo(key: String)(compute: => DataFrame): DataFrame = live.synchronized {
+    * The registry lock is held only for map mutation (inside [[swap]]);
+    * `compute` — which may run driver actions (d7's convergence
+    * counts, the orchestrator's max-id lookups) — runs OUTSIDE it
+    * behind a per-key latch: a concurrent caller of the SAME key
+    * blocks until that one compute lands (then reuses it), callers of
+    * other keys proceed, and a compute that transitively re-enters
+    * memo on its own key (the synchronized-block reentrancy the old
+    * global lock gave for free) is preserved by the owner-thread
+    * check. A failed compute trips the latch exceptionally; waiters
+    * then attempt their own compute. */
+  def memo(key: String)(compute: => DataFrame): DataFrame = {
     // fast path still revalidates caching: a frame whose cache entry
     // was invalidated externally must be re-registered, not returned
     // uncached forever (swap's third reuse condition)
     live.get(key) match {
       case Some(df) if df.storageLevel != StorageLevel.NONE => df
-      case _ => swap(key, compute)
+      case _ =>
+        val fresh = (Thread.currentThread(),
+          new java.util.concurrent.CompletableFuture[DataFrame]())
+        inFlight.putIfAbsent(key, fresh) match {
+          case null =>
+            try {
+              val df = swap(key, compute)
+              fresh._2.complete(df)
+              df
+            } catch {
+              case e: Throwable => fresh._2.completeExceptionally(e); throw e
+            } finally inFlight.remove(key, fresh)
+          case (owner, _) if owner eq Thread.currentThread() =>
+            // reentrant re-entry from inside this thread's own compute
+            swap(key, compute)
+          case (_, latch) =>
+            try latch.join() catch { case _: Throwable => () }
+            memo(key)(compute)
+        }
     }
   }
 

@@ -387,10 +387,15 @@ object Events {
     * hours×types-sized aggregate itself: the global calendar bounds
     * ride a window over it (min(hour) over a truncated column IS the
     * truncated global min; the single-partition window holds only
-    * metadata-sized rows), the type dimension is its own key set, and
-    * each type's observed hours collapse into a map that the exploded
-    * full calendar looks up — missing hours surface as nulls →
-    * zero-fill. No second scan, no cache, no join back. */
+    * metadata-sized rows), and each type's row explodes its observed
+    * entries PLUS the zero-filled complement `array_except(calendar,
+    * observed)` in one pass. Every step is linear in the hour count —
+    * the round-5 variant looked each exploded calendar hour up in a
+    * per-type map, but GetMapValue is a SCAN of the map, so the fill
+    * was O(hours²) per type (measured 2.1 s vs 0.6 s at sf0.1's ~9k
+    * hours; at a year of seconds-grain it would be the whole query).
+    * array_except builds a hash set once. No second scan, no cache,
+    * no join back. */
   def e10GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
@@ -403,12 +408,15 @@ object Events {
       .withColumn("hi", max($"hour").over(all))
       .groupBy($"event_type")
       .agg(min($"lo").as("lo"), min($"hi").as("hi"),
-        map_from_entries(collect_list(struct($"hour", struct($"n", $"sv")))).as("m"))
-      .select($"event_type",
-        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"), $"m")
-      .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type",
-        coalesce($"m"($"hour")("n"), lit(0L)).as("n_events"),
-        coalesce($"m"($"hour")("sv"), lit(0.0)).as("sum_value"))
+        collect_list(struct($"hour", $"n", $"sv")).as("pres"))
+      .select($"event_type", explode(concat(
+          $"pres",
+          transform(
+            array_except(sequence($"lo", $"hi", expr("interval 1 hour")),
+              transform($"pres", x => x("hour"))),
+            h => struct(h.as("hour"), lit(0L).as("n"), lit(0.0).as("sv"))))).as("r"))
+      .select(date_format($"r.hour", "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type",
+        $"r.n".as("n_events"), $"r.sv".as("sum_value"))
       .orderBy("hour", "event_type")
   }
 

@@ -67,19 +67,31 @@ object Tables {
     spark.read.textFile(path).toDF("value")
       .withColumn("input_file", org.apache.spark.sql.functions.input_file_name())
 
-  /** Text lines → the `documents` table contract: deterministic
-    * line-content ids (md5-derived — stable across re-ingests and
-    * file orderings, unlike monotonically_increasing_id), source =
-    * the input file's basename. A real pipeline's landing step:
-    * everything downstream (dedup, quality, splits) keys off doc_id,
-    * so the id must be a pure function of content + provenance. */
+  /** Text lines → the `documents` table contract: deterministic ids
+    * md5-derived from the (file, line number, content) triple —
+    * stable across re-ingests, and UNIQUE even when one file repeats
+    * a line (blank lines / boilerplate are common in real crawls; a
+    * content-only hash would collapse them into one doc_id and
+    * silently break the per-doc uniqueness every downstream
+    * aggregation assumes). The separator-joined triple is
+    * unambiguous; line_no is a row_number over the file's split order
+    * (Hadoop splits are offset-ordered and
+    * monotonically_increasing_id is monotone in (partition,
+    * position), so the numbering is deterministic for a given file).
+    * The per-file window is the landing step's one shuffle; crawl
+    * shards are bounded (hundreds of MB), so one file's lines fit a
+    * partition — split unsharded multi-GB dumps upstream.
+    * source = the input file's basename. */
   def documentsFromText(spark: SparkSession, path: String,
                         lang: String = "und"): DataFrame = {
     import org.apache.spark.sql.functions._
+    val byFile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("input_file")).orderBy(monotonically_increasing_id())
     text(spark, path)
+      .withColumn("line_no", row_number().over(byFile).cast("long"))
       .select(
         graft.functions.DetHash.md5Long60Col(
-          concat_ws("", col("input_file"), col("value"))).as("doc_id"),
+          concat_ws("", col("input_file"), col("line_no"), col("value"))).as("doc_id"),
         col("value").as("text"),
         lit(lang).as("lang"),
         regexp_extract(col("input_file"), "([^/]+)$", 1).as("source"),

@@ -139,6 +139,73 @@ class JdbcMergeSpec extends AnyFunSuite {
     assert(again.getMessage.contains("already processed"))
   }
 
+  test("FK auto-discovery: zero-declaration config merges identically to the declared one") {
+    // a second pair of Derby DBs carrying REAL FK constraints — the
+    // reference never asks the user for relations, it reads them from
+    // information_schema (integrity-checks.js:66-75); here the same
+    // zero-declaration config must work via getImportedKeys
+    val (base, _, _, _, destDir0) = env
+    val srcUrl = s"jdbc:derby:$base/dbB_fk;create=true"
+    val destUrl = s"jdbc:derby:$base/dbA_fk;create=true"
+    for (url <- Seq(srcUrl, destUrl); isSrc = url == srcUrl) {
+      names.foreach { n =>
+        val df = withUuid(n, OrchestratorQueries.instance(spark, sf01, isSrc = isSrc)(n))
+        runDdl(url, ddlFor(df, n))
+        Tables.JdbcSink(url, n).save(df, "append")
+      }
+      // constraints AFTER load (Derby validates existing rows at ALTER
+      // time — insert order is then irrelevant); PK columns first
+      Seq("customer" -> "c_custkey", "orders" -> "o_orderkey", "lineitem" -> "l_lineid")
+        .foreach { case (t, id) =>
+          runDdl(url, s"ALTER TABLE $t ALTER COLUMN $id NOT NULL")
+          runDdl(url, s"ALTER TABLE $t ADD CONSTRAINT pk_$t PRIMARY KEY ($id)")
+        }
+      runDdl(url, "ALTER TABLE customer ADD CONSTRAINT fk_cust_self " +
+        "FOREIGN KEY (referred_by) REFERENCES customer (c_custkey)")
+      runDdl(url, "ALTER TABLE orders ADD CONSTRAINT fk_ord_cust " +
+        "FOREIGN KEY (o_custkey) REFERENCES customer (c_custkey)")
+      runDdl(url, "ALTER TABLE lineitem ADD CONSTRAINT fk_li_ord " +
+        "FOREIGN KEY (l_orderkey) REFERENCES orders (o_orderkey)")
+    }
+    // discovery itself surfaces exactly the declared relations
+    val bare = MergeConfig.fromJson(noFkConfigJson(srcUrl, destUrl, s"$base/x")).tables
+    val disc = MergeConfig.discoverFks(srcUrl, bare)
+    assert(disc.find(_.name == "customer").get.selfFks == Seq("referred_by"))
+    assert(disc.find(_.name == "customer").get.fks.isEmpty)
+    assert(disc.find(_.name == "orders").get.fks == Map("o_custkey" -> "customer"))
+    assert(disc.find(_.name == "lineitem").get.fks == Map("l_orderkey" -> "orders"))
+    // and the zero-declaration merge is row-identical to the declared
+    // parquet-path merge
+    val (outD, outRef) = (s"$base/out_disc", s"$base/out_declref")
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(noFkConfigJson(srcUrl, destUrl, outD)), dryRun = false)
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(s"$base/src", destDir0, outRef)), dryRun = false)
+    for (n <- names) {
+      val d = AtomicSnapshot.readCurrent(spark, s"$outD/$n").get
+      val r = AtomicSnapshot.readCurrent(spark, s"$outRef/$n").get
+      assert(d.columns.toSeq == r.columns.toSeq, n)
+      assert(rows(d) == rows(r), s"discovered-FK merge diverged on $n")
+    }
+  }
+
+  /** the declared config minus every fks/selfFks entry */
+  private def noFkConfigJson(src: String, dest: String, out: String): String =
+    s"""{
+       |  "source": {"path": "$src", "location": "instanceB"},
+       |  "destination": {"path": "$dest"},
+       |  "output": "$out",
+       |  "generateNewUuids": false,
+       |  "tables": [
+       |    {"name": "customer", "idCol": "c_custkey", "mode": "consolidate",
+       |     "naturalKey": ["c_name"], "uuidCol": "c_uuid"},
+       |    {"name": "orders", "idCol": "o_orderkey", "mode": "move",
+       |     "naturalKey": ["o_orderkey"]},
+       |    {"name": "lineitem", "idCol": "l_lineid", "mode": "move",
+       |     "naturalKey": ["l_orderkey", "l_linenumber"]}
+       |  ]
+       |}""".stripMargin
+
   test("jdbc output: full DB-to-DB merge writes live tables, registry guard, parquet parity") {
     val (base, srcUrl, destUrl, srcDir, destDir) = env
     val outUrl = s"jdbc:derby:$base/dbOut;create=true"

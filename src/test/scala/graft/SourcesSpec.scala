@@ -219,29 +219,32 @@ class SourcesSpec extends AnyFunSuite {
   test("text ingest lands the documents contract with content-stable ids; xml source reads dumps") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-text").toString
+    // crawl_a repeats a line: real crawls do (blank lines,
+    // boilerplate) — each occurrence must still land as its OWN doc
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crawl_a.txt"),
-      "the quick brown fox\nthe lazy dog sleeps\n".getBytes)
+      "the quick brown fox\nthe lazy dog sleeps\nthe quick brown fox\n".getBytes)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crawl_b.txt"),
       "une ligne en francais\n".getBytes)
     val docs = graft.sources.Tables.documentsFromText(spark, dir)
     val rows = docs.collect()
-    assert(rows.length == 3)
+    assert(rows.length == 4)
     // exactly the documents-table contract, so every text operator
     // runs on a landed crawl unchanged
     assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
     assert(rows.map(_.getAs[String]("source")).toSet == Set("crawl_a.txt", "crawl_b.txt"))
     assert(rows.forall(r => r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
-    // ids are a pure function of provenance+content: stable across
-    // re-ingest, distinct across rows
+    // ids are a pure function of provenance+position+content: stable
+    // across re-ingest, distinct across rows INCLUDING the repeated
+    // line (4 rows, 4 ids — the line number disambiguates)
     val again = graft.sources.Tables.documentsFromText(spark, dir).collect()
     assert(again.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
       rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
-    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 4)
     // and a real operator consumes the landed corpus end-to-end
     val pdir = java.nio.file.Files.createTempDirectory("graft-text-p").toString
     docs.coalesce(1).write.mode("overwrite").parquet(s"$pdir/documents.parquet")
     val t1 = graft.text.TextAnalysis.t1LangId(spark, pdir).collect()
-    assert(t1.length == 3 && t1.forall(_.getAs[String]("pred_lang").nonEmpty))
+    assert(t1.length == 4 && t1.forall(_.getAs[String]("pred_lang").nonEmpty))
     // XML: the export-dump shape through Spark 4's native source
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dump.xml"),
       ("<locations><location><location_id>1</location_id><name>clinic A</name></location>" +

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Self-enforcing bench gate: diff a bench JSON (BENCH_FULL.json or a
+driver BENCH_r{N}.json) against BASELINE.md's per-query best-knowns and
+print every query breaching the 1.5x per-query policy.
+
+Usage: tools/benchcheck.py [bench.json] [--ratio 1.5]
+
+Exit code 1 if any regression is found, so it can gate a round record.
+Queries without an explicit baseline row fall under BASELINE.md's
+"everything else < 2 s" rule: > 3 s (1.5x the 2 s ceiling) is a
+regression, 2-3 s a warning (their true best-known is unknown).
+
+BASELINE.md documents >=50% box-load variance on totals — per-query
+ratios are the only meaningful signal, and even those flap under load;
+treat this as a triage list, not a verdict (re-measure steady-state
+local[8] before acting on any single row)."""
+import json, re, sys, os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_baseline(path):
+    best = {}
+    in_table = False
+    for line in open(path):
+        if line.startswith("| query | best"):
+            in_table = True
+            continue
+        if in_table:
+            m = re.match(r"\|\s*`?([a-z0-9_]+)`?\s*\|\s*([0-9.]+)\s*\|", line)
+            if m:
+                best[m.group(1)] = float(m.group(2))
+            elif line.startswith("| ---"):
+                continue
+            elif not line.startswith("|"):
+                break
+    return best
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    bench_path = args[0] if args else os.path.join(ROOT, "BENCH_FULL.json")
+    bench = json.load(open(bench_path))
+    # driver BENCH_r{N}.json wraps the metric line under "parsed"; when
+    # the driver's output clipping truncated the line, parsed is null
+    # and the per-query pairs live inside the raw "tail" text — scrape
+    # them with a regex (pairs are flat "name":sec)
+    if "parsed" in bench:
+        if isinstance(bench["parsed"], dict):
+            bench = bench["parsed"]
+        else:
+            pairs = re.findall(r'\\?"([a-z][a-z0-9_]+)\\?":([0-9.]+)',
+                               bench.get("tail", ""))
+            bench = {"queries": {k: float(v) for k, v in pairs
+                                 if k not in ("metric", "value", "sf", "dropped")}}
+    best = parse_baseline(os.path.join(ROOT, "BASELINE.md"))
+    queries = bench.get("queries", {})
+
+    regressions, warnings = [], []
+    for name, sec in sorted(queries.items()):
+        if sec < 0:
+            regressions.append((name, sec, None, "FAILED in bench run"))
+            continue
+        if name in best:
+            if sec > best[name] * ratio:
+                regressions.append((name, sec, best[name],
+                                    f"{sec / best[name]:.1f}x best-known {best[name]}s"))
+        elif name != "_artifacts":
+            if sec > 2.0 * ratio:
+                regressions.append((name, sec, 2.0,
+                                    "no explicit baseline; above the 'everything else < 2 s' ceiling x1.5"))
+            elif sec > 2.0:
+                warnings.append((name, sec, 2.0, "no explicit baseline; above the 2 s ceiling"))
+
+    for name, sec, b, why in warnings:
+        print(f"WARN  {name}: {sec:.2f}s — {why}")
+    for name, sec, b, why in regressions:
+        print(f"REGR  {name}: {sec:.2f}s — {why}")
+    n = len(regressions)
+    print(f"RESULT: {'PASS' if n == 0 else f'{n} REGRESSIONS'} "
+          f"({len(queries)} queries checked against {len(best)} baselines, ratio {ratio}x)")
+    sys.exit(1 if n else 0)
+
+
+if __name__ == "__main__":
+    main()
