@@ -1095,8 +1095,12 @@ object TextAnalysis {
   private val bpeMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, String, Long)]]
 
-  private def bpeMergeTable(spark: SparkSession, dir: String,
-                            rounds: Int): Seq[(Long, String, Long)] =
+  /** @param onRound per-round instrumentation hook (round index,
+    *                 seconds) — the depth-cost audit (BenchBpe) reads
+    *                 the curve through it; no-op in production. */
+  private[graft] def bpeMergeTable(spark: SparkSession, dir: String, rounds: Int,
+                                   onRound: (Int, Double) => Unit = (_, _) => ())
+  : Seq[(Long, String, Long)] =
     bpeMemo.getOrElseUpdate((dir, rounds), {
       import spark.implicits._
       // each round's corpus is PERSISTED (generation-swapped, the d7
@@ -1114,6 +1118,7 @@ object TextAnalysis {
       var r = 0
       var dry = false
       while (r < rounds && !dry) {
+        val tRound = System.nanoTime()
         val top = corpus.filter(length($"text") >= 2)
           .select(explode(expr(
             "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
@@ -1136,6 +1141,7 @@ object TextAnalysis {
             corpus = next
           }
           merges += ((r.toLong, pair, cnt))
+          onRound(r, (System.nanoTime() - tRound) / 1e9)
           r += 1
         }
       }
@@ -1170,11 +1176,18 @@ object TextAnalysis {
         s"""t$r AS (
            |  SELECT pair, count(*) AS cnt FROM p$r
            |  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin,
-        s"""r${r + 1} AS (
+        // MATERIALIZED: each corpus generation is referenced twice
+        // (its pair CTE + the next replace) — DuckDB re-inlines
+        // non-materialized CTEs per reference, which is 2^rounds
+        // corpus recomputations (surfaced at depth 32 as fd
+        // exhaustion re-opening the parquet); materializing pins each
+        // generation to one computation, the Spark side's
+        // generation-persist mirrored
+        s"""r${r + 1} AS MATERIALIZED (
            |  SELECT replace(text, (SELECT pair FROM t$r), chr(${57344 + r})) AS text
            |  FROM r$r)""".stripMargin)
     }
-    s"""r0 AS (
+    s"""r0 AS MATERIALIZED (
        |  SELECT text FROM documents
        |  WHERE NOT regexp_matches(text, '[\\x{e000}-\\x{$hi}]')),
        |${ctes.mkString(",\n")}""".stripMargin
