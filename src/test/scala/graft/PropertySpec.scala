@@ -160,6 +160,51 @@ class PropertySpec extends AnyFunSuite {
     } finally Indexes.drop(key)
   }
 
+  test("Indexes.memo: per-key latch — one compute under contention, reentrant, failure heals") {
+    import graft.operators.Indexes
+    val key = "memo-latch-spec"
+    try {
+      // N threads race the same cold key: exactly ONE compute runs,
+      // every caller gets the same live frame (the round-6 latch —
+      // the old global-lock memo serialized ALL keys through one
+      // monitor and held it across driver actions)
+      val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val results = (1 to 4).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+            def call() = Indexes.memo(key) {
+              computes.incrementAndGet()
+              Thread.sleep(200) // widen the race window
+              Seq(1L, 2L).toDF("v").groupBy($"v").count()
+            }
+          })
+        }.map(_.get())
+        assert(computes.get() == 1, s"expected 1 compute, got ${computes.get()}")
+        assert(results.forall(_ eq results.head), "all callers share the live generation")
+      } finally pool.shutdown()
+      Indexes.drop(key)
+      // a failing compute trips the latch exceptionally and leaves the
+      // key computable (no wedged registration)
+      intercept[RuntimeException] {
+        Indexes.memo(key) { throw new RuntimeException("boom") }
+      }
+      val healed = Indexes.memo(key)(Seq(7L).toDF("v").groupBy($"v").count())
+      assert(healed.count() == 1L, "failed compute must not wedge the key")
+      Indexes.drop(key)
+      // reentrancy: a compute that memoizes ANOTHER key (the d7/m13
+      // nesting shape) and even re-enters its OWN key must not deadlock
+      val nested = Indexes.memo(key) {
+        val inner = Indexes.memo(s"$key:inner")(Seq(1L).toDF("v"))
+        val self = Indexes.memo(key)(Seq(2L, 3L).toDF("v"))
+        inner.unionAll(self)
+      }
+      assert(nested.count() == 3L)
+    } finally {
+      Indexes.drop(key); Indexes.drop(s"$key:inner")
+    }
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {

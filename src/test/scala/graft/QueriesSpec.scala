@@ -225,8 +225,10 @@ class QueriesSpec extends AnyFunSuite {
     val s6 = similarity.Knn.s6RadiusBucketed(spark, sf).queryExecution.executedPlan.toString
     assert(!s6.contains("BroadcastNestedLoopJoin") && !s6.contains("CartesianProduct"), s6)
     assert(s6.contains("BroadcastHashJoin"), s6)
-    // e10's rewrite: the calendar grid comes from map lookups over the
-    // aggregate — the old hours×types CrossJoin is gone entirely
+    // e10's rewrite: the calendar grid explodes each type's observed
+    // entries + the array_except complement of the aggregate — the
+    // old hours×types CrossJoin is gone entirely (and the round-5
+    // per-row map lookup was O(hours²); round 6)
     val e10 = queries.Events.e10GapFill(spark, sf).queryExecution.executedPlan.toString
     assert(!e10.contains("CartesianProduct") && !e10.contains("BroadcastNestedLoopJoin"), e10)
     // s3: the assignment kernel rides the plan as ONE expression
