@@ -20,7 +20,23 @@ object BenchS17 {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val (bands, r, dim) = (8, 8, 64)
-    val e = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    // optional xN corpus inflation (sf1-equivalent audit): N perturbed
+    // copies, noise deterministic per (copy, vec_id, dim) — additive,
+    // NOT a scale (scaling preserves hyperplane signs and would pin
+    // every clone into all 8 of its source's buckets), so clones are
+    // near-dups that co-collide in SOME bands, the near-dup-heavy
+    // regime where per-collision scoring is most duplicated
+    val x = args.headOption.map(_.toInt).getOrElse(1)
+    val base = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val maxId = base.agg(max($"vec_id")).head.getLong(0) + 1
+    val corpus =
+      if (x <= 1) base
+      else (0 until x).map { c =>
+        base.select(($"vec_id" + c * maxId).as("vec_id"),
+          expr(s"transform(embedding, (v, i) -> v + CAST(" +
+            s"(pmod(hash(vec_id, i, $c), 41) - 20) AS FLOAT) * 0.01F)").as("embedding"))
+      }.reduce(_ unionAll _)
+    val e = corpus
       .select($"vec_id", graft.similarity.Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
     val b = e.select($"vec_id", posexplode($"bkeys").as(Seq("band_idx", "band_key")))
     val coll = b.select($"vec_id".as("s"), $"band_idx", $"band_key")
@@ -28,10 +44,10 @@ object BenchS17 {
       .filter($"s" =!= $"d")
     val n = coll.count()
     val distinct = coll.select($"s", $"d").distinct().count()
-    println(f"[s17] collisions=$n distinct=$distinct dupFactor=${n.toDouble / distinct}%.3f")
-    // per-round timing of both orders at this sf for reference
-    for (_ <- 1 to 2) {
-      var t0 = System.nanoTime()
+    println(f"[s17] x$x collisions=$n distinct=$distinct dupFactor=${n.toDouble / distinct}%.3f")
+    // registered-query timing at the base sf for reference
+    if (x <= 1) for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
       graft.similarity.Knn.s17KnnGraph(spark, sfDir).count()
       println(f"[s17] current    ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
