@@ -42,20 +42,34 @@ object Graph {
     var labels = Indexes.swap(s"$cacheKey:labels",
       edges.select($"a".as("id")).distinct()
         .select($"id", $"id".as("label")))
+    // FRONTIER propagation: only nodes whose label CHANGED last round
+    // push it this round. Sound because min-propagation is monotone —
+    // an unchanged neighbor's label was already incorporated the round
+    // it last changed, so dropping it from the aggregation loses
+    // nothing, and each round's labels are IDENTICAL to the full
+    // synchronous sweep's. Per-round join work is ∝ Σ deg(frontier)
+    // (shrinking fast on small-diameter near-dup graphs) instead of a
+    // full edges×labels join every round — the last rounds, where
+    // almost nothing changes, become almost free. Round 0 starts with
+    // everyone in the frontier (= the full first sweep).
+    var frontier = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+      val nbrMin = edges.join(frontier, edges("b") === frontier("id"))
         .groupBy($"a").agg(min($"label").as("nbr_label"))
       // previous label carried through the round: convergence is one
-      // filter on the materialized frame, not an extra join
+      // filter on the materialized frame, not an extra join; nodes
+      // with no changed neighbor keep their label via the left join
       val (next, ch) = Indexes.swapWith(s"$cacheKey:labels",
-        labels.join(nbrMin, labels("id") === nbrMin("a"))
-          .select(labels("id"), least($"nbr_label", $"label").as("label"),
+        labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+          .select(labels("id"),
+            least(coalesce($"nbr_label", labels("label")), labels("label")).as("label"),
             labels("label").as("__old")))(
         _.filter($"label" =!= $"__old").count())
       changed = ch
       labels = next.select($"id", $"label")
+      frontier = next.filter($"label" =!= $"__old").select($"id", $"label")
       iter += 1
     }
     // silent non-convergence would emit non-minimal labels and desync
