@@ -189,6 +189,10 @@ object Graph {
     * (and the lazy no-materialization variant re-derives every prior
     * round per reference, measured 80+ s at sf0.1). */
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // the state recurrence bakes round 1's peel into the initial
+    // frame, so a 0-round call would mislabel low-degree nodes as
+    // peeled — and a "0-round peel" is just the degree table anyway
+    require(rounds >= 1, s"kCore needs rounds >= 1, got $rounds")
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)

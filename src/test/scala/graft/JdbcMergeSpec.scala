@@ -174,6 +174,11 @@ class JdbcMergeSpec extends AnyFunSuite {
     assert(disc.find(_.name == "customer").get.fks.isEmpty)
     assert(disc.find(_.name == "orders").get.fks == Map("o_custkey" -> "customer"))
     assert(disc.find(_.name == "lineitem").get.fks == Map("l_orderkey" -> "orders"))
+    // an explicit declaration always wins: specs that already declare
+    // relations come back untouched (intent — deferred/salted FKs —
+    // must never be overwritten by catalog metadata)
+    val declared = MergeConfig.fromJson(configJson(srcUrl, destUrl, s"$base/y")).tables
+    assert(MergeConfig.discoverFks(srcUrl, declared) == declared)
     // and the zero-declaration merge is row-identical to the declared
     // parquet-path merge
     val (outD, outRef) = (s"$base/out_disc", s"$base/out_declref")
