@@ -221,6 +221,14 @@ object MergeConfig {
       if (processed(cfg.source.location))
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
       val results = Orchestrator.run(tables, src, dest, cfg.source.location)
+      // per-table progress to stderr as each table COMMITS — the
+      // reference's display-utils/logOk surface (a long multi-table
+      // merge is otherwise silent between Spark job lines); stderr so
+      // MergeMain's stdout report lines stay machine-readable
+      // ASCII marker: the JVM's default console charset mangles
+      // non-ASCII on plain terminals
+      def logOk(msg: String): Unit = System.err.println(s"[graft-merge] OK $msg")
+      val tMergeAll = System.nanoTime()
       tables.foreach { spec =>
         // the uuid report is not just documentation: moved rows are
         // PUBLISHED with their final uuids (collision repairs in keep
@@ -250,10 +258,15 @@ object MergeConfig {
               .drop("__uuid_src", "__uuid_final")
           case None => results(spec.name).merged
         }
+        val t0 = System.nanoTime()
         publish(merged, spec.name)
         if (cfg.persist)
           publish(results(spec.name).idMap, s"${spec.name}__idmap")
+        logOk(f"${spec.name}: published${if (spec.uuidCol.isDefined) " (+uuid report)" else ""}" +
+          f"${if (cfg.persist) " (+id map)" else ""} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
+      logOk(f"${tables.size} tables from '${cfg.source.location}' merged in " +
+        f"${(System.nanoTime() - tMergeAll) / 1e9}%.1f s")
       // record provenance LAST — a crash above leaves the source
       // unrecorded and the run safely repeatable (orchestrator.js:94)
       publish(
