@@ -121,7 +121,10 @@ object Bench {
       .mkString("{", ",", "}")
     val artQs = artifactTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get("BENCH_FULL.json"),
+    // a FILTERED local-iteration run must not clobber the committed
+    // full-run record with a near-empty query map
+    Files.writeString(
+      Paths.get(if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FILTERED.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"artifacts":$artQs,"sf":"$sfDir"}""" + "\n")
     // 1850 still got the r5 line front-clipped (the harness keeps the
     // last ~2000 chars of COMBINED output and sbt's success trailer

@@ -115,17 +115,32 @@ object MergeConfig {
     * merge — same scoping as the reference's `table_name IN (...)`
     * filter). Column/table names are matched case-insensitively and
     * lowercased, the [[graft.sources.Tables.jdbcTableAuto]]
-    * convention for case-insensitive engines. */
+    * convention for case-insensitive engines.
+    *
+    * Discovery accepts only the relation shape the merge layer can
+    * remap: SINGLE-column FKs (grouped by FK_NAME/KEY_SEQ — a
+    * composite FK remapped column-by-column through an id map would
+    * corrupt silently) whose referenced column IS the parent's
+    * declared idCol (an FK onto a non-id unique column has no id map
+    * to ride). Anything else is skipped with a warning — declare it
+    * by hand. Discovered cycles (the person↔patient shape real
+    * schemas carry) are broken the way a hand-written config would:
+    * the cycle-closing edge moves to deferredFks (two-phase update),
+    * chosen deterministically (smallest table, then column). */
   def discoverFks(url: String, tables: Seq[TableSpec]): Seq[TableSpec] = {
-    val known = tables.map(t => t.name.toLowerCase -> t.name).toMap
+    val known = tables.map(t => t.name.toLowerCase -> t).toMap
     val conn = java.sql.DriverManager.getConnection(url)
-    try {
+    val filled = try {
       val md = conn.getMetaData
-      def imported(name: String): Seq[(String, String)] = {
+      // (fkName, keySeq, fkColumn, pkTable, pkColumn) rows
+      def imported(name: String): Seq[(String, Int, String, String, String)] = {
         val rs = md.getImportedKeys(null, null, name)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, String, String, String)]
         while (rs.next())
-          buf += ((rs.getString("FKCOLUMN_NAME"), rs.getString("PKTABLE_NAME")))
+          buf += ((Option(rs.getString("FK_NAME")).getOrElse(""),
+            rs.getInt("KEY_SEQ"), rs.getString("FKCOLUMN_NAME"),
+            rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
         rs.close(); buf.toSeq
       }
       tables.map { t =>
@@ -135,14 +150,80 @@ object MergeConfig {
           // Derby, lower in Postgres) — probe as-declared, then folded
           val rows = Seq(t.name, t.name.toUpperCase, t.name.toLowerCase).distinct
             .iterator.map(imported).find(_.nonEmpty).getOrElse(Nil)
-          val (selfRefs, others) = rows.partition(_._2.equalsIgnoreCase(t.name))
-          t.copy(
-            fks = others.flatMap { case (c, pt) =>
-              known.get(pt.toLowerCase).map(c.toLowerCase -> _) }.toMap,
-            selfFks = selfRefs.map(_._1.toLowerCase).distinct)
+          def skip(why: String): Unit =
+            System.err.println(s"[graft-merge] WARN ${t.name}: skipping discovered FK $why" +
+              " — declare it by hand if it must be remapped")
+          val usable = rows.groupBy(_._1).values.toSeq.flatMap {
+            case Seq((_, _, fkCol, pkTable, pkCol)) =>
+              known.get(pkTable.toLowerCase) match {
+                case None => None // parent outside the merge set
+                case Some(parent) if !pkCol.equalsIgnoreCase(parent.idCol) =>
+                  skip(s"$fkCol -> $pkTable($pkCol): references a non-idCol column"); None
+                case Some(parent) => Some((fkCol.toLowerCase, parent.name))
+              }
+            case group =>
+              skip(s"${group.head._1} (${group.map(_._3).mkString(",")}): composite"); None
+          }
+          val (selfRefs, others) = usable.partition(_._2.equalsIgnoreCase(t.name))
+          t.copy(fks = others.toMap, selfFks = selfRefs.map(_._1).distinct)
         }
       }
     } finally conn.close()
+    val discovered = tables.filter(t =>
+      t.fks.isEmpty && t.selfFks.isEmpty && t.deferredFks.isEmpty).map(_.name).toSet
+    breakDiscoveredCycles(filled, discovered)
+  }
+
+  /** Discovered FK graphs may be cyclic (live schemas carry circular
+    * references; a declared config routes one edge of each cycle
+    * through deferredFks — the two-phase mechanism built for exactly
+    * this). Mirror that choice automatically, but ONLY for edges
+    * discovery itself added: while the fks graph has a cycle whose
+    * tables include a discovery-filled one, move that table's
+    * smallest cycle-internal fk to deferredFks. A cycle purely among
+    * hand-declared specs is a config error and still fails loudly in
+    * topoOrder. */
+  private[graft] def breakDiscoveredCycles(specs0: Seq[TableSpec],
+                                           discovered: Set[String]): Seq[TableSpec] = {
+    var specs = specs0
+    val names = specs0.map(_.name).toSet
+    // true CYCLE membership (self-reachability over parent edges) —
+    // NOT the Kahn leftover, which also contains every table merely
+    // DOWNSTREAM of a cycle and must not get its edges deferred
+    def cycleCore(ss: Seq[TableSpec]): Set[String] = {
+      val parentsOf = ss.map(s => s.name -> s.parents.filter(names).toSet).toMap
+      def reach(from: String): Set[String] = {
+        var seen = Set.empty[String]
+        var frontier = parentsOf(from)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(parentsOf(_)).diff(seen)
+        }
+        seen
+      }
+      ss.map(_.name).filter(n => reach(n)(n)).toSet
+    }
+    var core = cycleCore(specs)
+    var breakable = true
+    while (core.nonEmpty && breakable) {
+      // a discovery-filled CORE table with a core-internal DISCOVERED
+      // fk; a cycle closed only by declared edges (mappedKeys,
+      // declared fks) is a config error and falls through to
+      // topoOrder's loud report
+      specs.filter(s => core(s.name) && discovered(s.name))
+        .sortBy(_.name)
+        .flatMap(t => t.fks.filter { case (_, p) => core(p) }.toSeq.sorted.headOption
+          .map(e => (t, e))).headOption match {
+        case Some((t, (c, parent))) =>
+          System.err.println(s"[graft-merge] discovered FK cycle: deferring " +
+            s"${t.name}.$c -> $parent (two-phase update)")
+          specs = specs.map(s => if (s.name == t.name)
+            s.copy(fks = s.fks - c, deferredFks = s.deferredFks + (c -> parent)) else s)
+          core = cycleCore(specs)
+        case None => breakable = false
+      }
+    }
+    specs
   }
 
   /** Execute a parsed config: dry-run returns the rehearsal report

@@ -85,17 +85,20 @@ object OrchestratorQueries {
     * each other's frames one layer down) + the per-dir raw runs. */
   private case class SessionRuns(token: String,
     runs: scala.collection.concurrent.TrieMap[String, Map[String, Orchestrator.MergedTable]])
-  // WEAK keys on the session object itself: frames are bound to the
-  // session that built them, and a second session in the same JVM
-  // must not inherit another's (possibly stopped) lineage —
-  // identityHashCode-keying could collide with a GC'd session's hash,
-  // and strong keys would pin every stopped session's frames for the
-  // JVM lifetime. SparkSession doesn't override equals, so
-  // WeakHashMap's equals-based lookup IS identity here.
+  // Keyed by the session OBJECT: frames are bound to the session that
+  // built them, and a second session in the same JVM must not inherit
+  // another's (possibly stopped) lineage — identityHashCode-keying
+  // could collide with a GC'd session's hash. SparkSession doesn't
+  // override equals, so WeakHashMap's equals-based lookup IS identity
+  // here. Weak keys alone do NOT free anything (the value's DataFrames
+  // strongly reference their session, keeping the key reachable), so
+  // every access also PURGES entries whose context has stopped — the
+  // explicit eviction; the weak map is just collision-proof identity.
   private val runCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, SessionRuns]())
   private def sessionRuns(spark: SparkSession): SessionRuns =
     runCache.synchronized {
+      runCache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       val cur = runCache.get(spark)
       if (cur != null) cur
       else {

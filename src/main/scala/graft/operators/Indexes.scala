@@ -135,7 +135,14 @@ object Indexes {
         inFlight.putIfAbsent(key, fresh) match {
           case null =>
             try {
-              val df = swap(key, compute)
+              // double-check AFTER winning ownership: a thread that
+              // missed the fast path while the previous owner was
+              // mid-compute must not re-run the (possibly seconds-
+              // long) compute the owner just registered
+              val df = live.get(key) match {
+                case Some(d) if d.storageLevel != StorageLevel.NONE => d
+                case _ => swap(key, compute)
+              }
               fresh._2.complete(df)
               df
             } catch {

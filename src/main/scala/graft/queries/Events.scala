@@ -408,7 +408,10 @@ object Events {
       .withColumn("hi", max($"hour").over(all))
       .groupBy($"event_type")
       .agg(min($"lo").as("lo"), min($"hi").as("hi"),
-        collect_list(struct($"hour", $"n", $"sv")).as("pres"))
+        // sv coalesced HERE (all-null value groups sum to null; the
+        // oracle and the r4 shape both emit 0.0 for them)
+        collect_list(struct($"hour", $"n",
+          coalesce($"sv", lit(0.0)).as("sv"))).as("pres"))
       .select($"event_type", explode(concat(
           $"pres",
           transform(

@@ -91,7 +91,7 @@ object Tables {
       .withColumn("line_no", row_number().over(byFile).cast("long"))
       .select(
         graft.functions.DetHash.md5Long60Col(
-          concat_ws("", col("input_file"), col("line_no"), col("value"))).as("doc_id"),
+          concat_ws("\u0001", col("input_file"), col("line_no"), col("value"))).as("doc_id"),
         col("value").as("text"),
         lit(lang).as("lang"),
         regexp_extract(col("input_file"), "([^/]+)$", 1).as("source"),

@@ -123,4 +123,33 @@ class MergeConfigSpec extends AnyFunSuite {
     // dry-run remains allowed (rehearsal, no writes)
     assert(MergeConfig.execute(spark, cfg, dryRun = true).count() == 2)
   }
+
+  test("breakDiscoveredCycles defers exactly the discovered cycle-closing edges") {
+    import graft.merge.{MergeConfig, Orchestrator}
+    import Orchestrator.{MergeMode, TableSpec}
+    def t(name: String, fks: Map[String, String] = Map.empty,
+          deferred: Map[String, String] = Map.empty) =
+      TableSpec(name, "id", Seq("name"), MergeMode.Move, fks = fks,
+        deferredFks = deferred)
+    // person <-> patient cycle, both filled by discovery: ONE edge
+    // (smallest table, smallest column) moves to deferredFks and the
+    // result topo-orders
+    val cyc = Seq(
+      t("person", fks = Map("patient_id" -> "patient")),
+      t("patient", fks = Map("person_id" -> "person")),
+      t("visit", fks = Map("patient_id" -> "patient")))
+    val broken = MergeConfig.breakDiscoveredCycles(cyc, Set("person", "patient", "visit"))
+    assert(broken.find(_.name == "patient").get.fks.isEmpty)
+    assert(broken.find(_.name == "patient").get.deferredFks == Map("person_id" -> "person"))
+    assert(broken.find(_.name == "person").get.fks == Map("patient_id" -> "patient"))
+    assert(broken.find(_.name == "visit").get.fks == Map("patient_id" -> "patient"))
+    Orchestrator.topoOrder(broken) // must not throw
+    // a cycle purely among DECLARED specs is untouched (falls through
+    // to topoOrder's loud failure — a config error, not discovery's)
+    val declared = MergeConfig.breakDiscoveredCycles(cyc, Set("visit"))
+    assert(declared == cyc)
+    // an acyclic graph passes through unchanged
+    val dag = Seq(t("a"), t("b", fks = Map("a_id" -> "a")))
+    assert(MergeConfig.breakDiscoveredCycles(dag, Set("a", "b")) == dag)
+  }
 }

@@ -38,11 +38,21 @@ def parse_baseline(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     ratio = 1.5
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            else:
+                ratio = float(argv[i + 1])
+                i += 1  # consume the value so it can't become the bench path
+        else:
+            args.append(a)
+        i += 1
     bench_path = args[0] if args else os.path.join(ROOT, "BENCH_FULL.json")
     bench = json.load(open(bench_path))
     # driver BENCH_r{N}.json wraps the metric line under "parsed"; when
@@ -53,7 +63,7 @@ def main():
         if isinstance(bench["parsed"], dict):
             bench = bench["parsed"]
         else:
-            pairs = re.findall(r'\\?"([a-z][a-z0-9_]+)\\?":([0-9.]+)',
+            pairs = re.findall(r'\\?"([a-z][a-z0-9_]+)\\?":(-?[0-9.]+)',
                                bench.get("tail", ""))
             bench = {"queries": {k: float(v) for k, v in pairs
                                  if k not in ("metric", "value", "sf", "dropped")}}
