@@ -51,35 +51,54 @@ object Bench {
     // its own marginal cost (d2 banding/verify vs signature build) and
     // so d14's re-banding sweep hits a live index even if an earlier
     // consumer's swap generation was replaced.
-    val artifactSteps: Seq[(String, () => Unit)] = Seq(
-      "sig_index"    -> (() => { graft.dedup.Dedup.sigIndex(spark, sfDir).count(); () }),
-      "d2_pairs"     -> (() => { graft.dedup.Dedup.d2Pairs(spark, sfDir).count(); () }),
-      "shingle_sets" -> (() => { graft.dedup.Dedup.shingleSets(spark, sfDir).count(); () }),
-      "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () }),
+    // Dependency CHAINS, warmed CONCURRENTLY (4 driver threads →
+    // overlapping Spark jobs; local[8] has headroom because each of
+    // these small-stage pipelines underutilizes the cores alone).
+    // Within a chain steps are sequential (each feeds the next);
+    // chains that touch a shared memo (quantized, shingleRows) are
+    // safe because Indexes.memo computes once behind a per-key latch.
+    // Per-step numbers under concurrency are LATENCIES (cross-chain
+    // contention included), still comparable run-to-run.
+    val artifactChains: Seq[Seq[(String, () => Unit)]] = Seq(
+      Seq(
+        "sig_index"    -> (() => { graft.dedup.Dedup.sigIndex(spark, sfDir).count(); () }),
+        "d2_pairs"     -> (() => { graft.dedup.Dedup.d2Pairs(spark, sfDir).count(); () }),
+        "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () })),
+      // the c1 curation frame (t1/t2/t22/t11 signal stack) is read by
+      // c1, c2 AND c3; its t11 leg rides the shingle family
+      Seq(
+        "shingle_sets" -> (() => { graft.dedup.Dedup.shingleSets(spark, sfDir).count(); () }),
+        "c1_curation"  -> (() => { graft.text.TextAnalysis.c1Curation(spark, sfDir).count(); () })),
       // k-means training (quantized memo + centroid cache) is shared
       // by s3 (reports it), s8 and s9; PQ codebooks are the s10/s11
       // index-build artifact — same marginal-cost accounting
-      "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
-      "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
-      // the c1 curation frame (t1/t2/t22/t11 signal stack) is read
-      // by c1, c2 AND c3
-      "c1_curation"  -> (() => { graft.text.TextAnalysis.c1Curation(spark, sfDir).count(); () }),
+      Seq(
+        "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
+        "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
-      "m13_run"      -> (() => graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
-        .foreach { mt => mt.merged.count(); mt.idMap.count() }))
+      Seq(
+        "m13_run"      -> (() => graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
+          .foreach { mt => mt.merged.count(); mt.idMap.count() })))
     val ta0 = System.nanoTime()
-    var artifactsFailed = false
-    val artifactTimes = artifactSteps.map { case (step, run) =>
-      val t0 = System.nanoTime()
-      try run() catch { case e: Throwable =>
-        System.err.println(s"[bench] _artifacts/$step FAILED: ${e.getMessage}")
-        artifactsFailed = true
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] _artifacts/$step%-20s $sec%8.2f s")
-      step -> sec
-    }
+    @volatile var artifactsFailed = false
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(artifactChains.size)
+    val artifactTimes =
+      try artifactChains.map { chain =>
+        pool.submit(new java.util.concurrent.Callable[Seq[(String, Double)]] {
+          def call(): Seq[(String, Double)] = chain.map { case (step, run) =>
+            val t0 = System.nanoTime()
+            try run() catch { case e: Throwable =>
+              System.err.println(s"[bench] _artifacts/$step FAILED: ${e.getMessage}")
+              artifactsFailed = true
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] _artifacts/$step%-20s $sec%8.2f s")
+            step -> sec
+          }
+        })
+      }.flatMap(_.get())
+      finally pool.shutdown()
     val artifactsSec = (System.nanoTime() - ta0) / 1e9
     System.err.println(f"[bench] ${"_artifacts"}%-22s $artifactsSec%8.2f s")
     // optional comma-separated query-name filter (local iteration on a
