@@ -22,6 +22,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.maxPlanStringLength", 1000000)
       .config("spark.sql.shuffle.partitions", cpus)
       // e9's optimizer rule (and the SQL function surface) live in the
       // extensions — without this line e9 times the nested loop it
@@ -74,7 +75,9 @@ object Bench {
       // index-build artifact — same marginal-cost accounting
       Seq(
         "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
-        "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () })),
+        "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
+        // the scored top-pair frame d5 and d8 share
+        "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(

@@ -20,6 +20,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.maxPlanStringLength", 1000000)
       .config("spark.sql.shuffle.partitions", cpus)
       // e9's optimizer rule + the SQL function surface
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

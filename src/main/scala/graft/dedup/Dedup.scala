@@ -771,7 +771,16 @@ object Dedup {
     * DuckDB reproduces the exact candidate set from the same
     * md5-derived planes ([[graft.similarity.Lsh.bandsSqlCtes]]). */
   def d5EmbeddingNearDup(spark: SparkSession, dir: String, topN: Int = 50,
-                         bands: Int = 16, r: Int = 8, dim: Int = 64): DataFrame = {
+                         bands: Int = 16, r: Int = 8, dim: Int = 64): DataFrame =
+    // the scored top-pair frame is topN rows and has TWO registered
+    // consumers (d5's own query, d8's component grouping) — memoized
+    // like every shared dedup artifact so d8 pays component cost only
+    graft.operators.Indexes.memo(s"d5_pairs:$dir:$topN:$bands:$r:$dim") {
+      d5PairsCompute(spark, dir, topN, bands, r, dim)
+    }
+
+  private def d5PairsCompute(spark: SparkSession, dir: String, topN: Int,
+                             bands: Int, r: Int, dim: Int): DataFrame = {
     import spark.implicits._
     import graft.similarity.Lsh
     val nPart = spark.sessionState.conf.numShufflePartitions

@@ -79,7 +79,13 @@ object Graph {
         "(component diameter too large)")
     // The converged frame's LOGICAL plan still nests every round's
     // generation (each InMemoryRelation embeds its child plan, which
-    // embeds the previous round's, …): execution hits the cache, but
+    // embeds the previous round's, …). Plan STRINGS walk that nest as
+    // a TREE (3 refs/round → 3^rounds copies of the upstream plan in
+    // one listener plan-description — OOMs the driver when the leaf
+    // plan is itself large, e.g. d8's 128-plane LSH index), so every
+    // graft entrypoint caps spark.sql.maxPlanStringLength; execution
+    // and canonicalization are DAG-shared and unaffected. Beyond the
+    // string: execution hits the cache, but
     // every downstream consumer pays O(rounds-deep tree) in plan
     // canonicalization / cache lookup — measured at seconds per query
     // for t9/d8 on a result of a few thousand rows. The artifact is

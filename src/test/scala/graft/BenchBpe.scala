@@ -16,6 +16,7 @@ object BenchBpe {
     val rounds = 32
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.maxPlanStringLength", 1000000)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

@@ -7,6 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    .config("spark.sql.maxPlanStringLength", 1000000)
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
