@@ -1108,10 +1108,16 @@ object TextAnalysis {
       // the sentinel regex filter and all r-1 earlier replace
       // projections from the parquet scan — O(rounds²) replace passes
       // and rounds× regex scans of the full text. The persisted
-      // generation is the text column only; the swap bounds live
-      // cache to one generation.
+      // generation is the text column only. TWO generations ride
+      // alternating registry keys: round r's winner-count is the job
+      // that MATERIALIZES generation r (reading r-1's cache), so
+      // registering gen r+1 under the other parity key releases only
+      // gen r-1 — already superseded and safe to drop. One job per
+      // round total; the round-5 shape paid a second eager
+      // materialization job per round (t20 8.6 → ~5 s at sf0.1).
       val genKey = s"t20_corpus:$dir:$rounds"
-      var corpus = graft.operators.Indexes.swap(genKey,
+      def gk(r: Int) = s"$genKey:${r % 2}"
+      var corpus = graft.operators.Indexes.swap(gk(0),
         Tables.read(spark, dir, "documents")
           .filter(!$"text".rlike(bpeSentinelClass(rounds))).select($"text"))
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
@@ -1132,20 +1138,20 @@ object TextAnalysis {
           val (pair, cnt) =
             (top.head.getAs[String]("pair"), top.head.getAs[Long]("cnt"))
           if (r < rounds - 1) {
-            // swapWith: materialize the new generation BEFORE releasing
-            // the old one (the count above already forced the current
-            // corpus, so the single replace projection runs off cache)
-            val (next, _) = graft.operators.Indexes.swapWith(genKey,
+            // the collect above forced gen r; swapping gen r+1 onto
+            // the other parity key releases gen r-1 (plans always
+            // differ round-to-round — no same-plan release hazard)
+            corpus = graft.operators.Indexes.swap(gk(r + 1),
               corpus.select(replace($"text", lit(pair),
-                lit((0xE000 + r).toChar.toString)).as("text")))(_.count())
-            corpus = next
+                lit((0xE000 + r).toChar.toString)).as("text")))
           }
           merges += ((r.toLong, pair, cnt))
           onRound(r, (System.nanoTime() - tRound) / 1e9)
           r += 1
         }
       }
-      graft.operators.Indexes.drop(genKey)
+      graft.operators.Indexes.drop(gk(0))
+      graft.operators.Indexes.drop(gk(1))
       merges.toSeq
     })
 
