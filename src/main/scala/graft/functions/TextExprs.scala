@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the BPE hot path (SURVEY §2 block F).
+  *
+  * [[PairCounts]] collapses a document to its adjacent-CHARACTER-pair
+  * histogram in one pass. The generic route — explode an array of
+  * `substring(text, i, 2)` slices and let the partial aggregate
+  * combine — materializes one ROW PER CHARACTER POSITION through the
+  * operator pipeline (~corpus-chars rows per BPE round); this emits
+  * one map per document (~distinct-pairs entries), so the exploded
+  * aggregation input shrinks by the per-doc repetition factor. Pair
+  * identity is Unicode CODE POINTS exactly like `substring` /
+  * `length` (UTF-8 sequence starts), so counts are bit-identical to
+  * the exploded formulation and the DuckDB oracle.
+  *
+  * Eval-only ([[CodegenFallback]]): it runs once per DOCUMENT (not
+  * per pair), which is off the per-row hot path the codegen rule
+  * guards; the per-byte loop is already tight Java. */
+case class PairCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "pair_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pair_counts needs a string column, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[UTF8String].getBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < bytes.length) {
+      val l1 = UTF8String.numBytesForFirstByte(bytes(i))
+      val j = i + l1
+      if (j < bytes.length) {
+        val l2 = UTF8String.numBytesForFirstByte(bytes(j))
+        val pair = UTF8String.fromBytes(bytes, i, l1 + l2)
+        counts.merge(pair, 1L, (x, y) => x + y)
+      }
+      i = j
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); keys(k) = e.getKey; vals(k) = e.getValue; k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCounts =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Per-document adjacent-character-pair histogram as a Column. */
+  def pairCounts(text: Column): Column =
+    Bridge.column(PairCounts(Bridge.expression(text)))
+}

@@ -557,6 +557,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormF32(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("pair_counts"),
+      new ExpressionInfo(classOf[PairCounts].getName, "pair_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"pair_counts takes 1 argument, got ${children.length}")
+        PairCounts(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_mins"),
       new ExpressionInfo(classOf[KmvMinsAgg].getName, "kmv_mins"),
       (children: Seq[Expression]) => {

@@ -1125,11 +1125,14 @@ object TextAnalysis {
       var dry = false
       while (r < rounds && !dry) {
         val tRound = System.nanoTime()
+        // pair_counts collapses each doc to its pair histogram BEFORE
+        // the aggregate (one map per doc instead of one row per
+        // character position — bit-identical counts, see
+        // [[graft.functions.PairCounts]])
         val top = corpus.filter(length($"text") >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("pair"))
-          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .select(explode(graft.functions.TextFunctions.pairCounts($"text"))
+            .as(Seq("pair", "c")))
+          .groupBy($"pair").agg(sum($"c").as("cnt"))
           .orderBy($"cnt".desc, $"pair".asc).limit(1)
           .collect()
         if (top.isEmpty) dry = true // corpus fully merged — stop early,

@@ -112,4 +112,22 @@ class VectorExprsSpec extends AnyFunSuite {
         "norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n").head()
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
   }
+
+  test("pair_counts: bit-parity with the exploded substring formulation, unicode-safe") {
+    import org.apache.spark.sql.functions._
+    // multibyte (2-, 3-, 4-byte UTF-8), repeats, singleton and empty
+    val docs = Seq("ababa", "caf\u00e9s", "\u65e5\u672c\u8a9e\u65e5\u672c",
+      "a\ud83d\ude00b\ud83d\ude00", "x", "").toDF("text")
+    val viaExpr = docs.filter(length($"text") >= 2)
+      .select(explode(graft.functions.TextFunctions.pairCounts($"text")).as(Seq("pair", "c")))
+      .groupBy($"pair").agg(sum($"c").as("cnt"))
+    val viaSubstring = docs.filter(length($"text") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+    val a = viaExpr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = viaSubstring.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a("ab") == 2L && a("ba") == 2L) // "ababa" -> ab,ba,ab,ba
+  }
 }
