@@ -1304,14 +1304,18 @@ object TextAnalysis {
       .select($"doc_id", $"text",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
           .as("split"))
+    // per-doc pair HISTOGRAM rows (pair, c0), not one row per
+    // character position — [[graft.functions.PairCounts]]; every
+    // downstream count becomes a weighted sum over c0, integer-exact
+    // identical to the occurrence-row formulation
     val bigrams = base.filter(length($"text") >= 2)
-      .select($"doc_id", $"split", explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-        .as("pair"))
+      .select($"doc_id", $"split",
+        explode(graft.functions.TextFunctions.pairCounts($"text"))
+          .as(Seq("pair", "c0")))
     // vocab²-bounded — memoized so ctx/vocab/scored read one copy
     val model = graft.operators.Indexes.memo(s"t22_model:$dir") {
       bigrams.filter($"split" === "train")
-        .groupBy($"pair").agg(count(lit(1)).as("c"))
+        .groupBy($"pair").agg(sum($"c0").as("c"))
     }
     val ctx = model.groupBy(substring($"pair", 1, 1).as("c1"))
       .agg(sum($"c").as("ctx"))
@@ -1323,11 +1327,11 @@ object TextAnalysis {
       .join(broadcast(model), Seq("pair"), "left")
       .join(broadcast(ctx), substring($"pair", 1, 1) === $"c1", "left")
       .crossJoin(broadcast(vocab))
-      .select($"doc_id",
+      .select($"doc_id", $"c0",
         halfUpDiv((coalesce($"c", lit(0L)) + 1L) * 1000000L,
           coalesce($"ctx", lit(0L)) + $"v").as("p_e6"))
     val agg = scored.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"p_e6").as("sum_p"))
+      .agg(sum($"c0").as("n_bigrams"), sum($"c0" * $"p_e6").as("sum_p"))
     base.select($"doc_id", $"split")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id", $"split",
