@@ -205,6 +205,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("breakDiscoveredCycles: any discovered FK digraph becomes a valid topo DAG, edges conserved") {
+    import graft.merge.{MergeConfig, Orchestrator}
+    import Orchestrator.{MergeMode, TableSpec}
+    val n = 6
+    val names = (0 until n).map(i => s"t$i")
+    val edgeGen = Gen.listOfN(10, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    for (s <- 1L to 30L) {
+      val fkEdges = sample(edgeGen, s)
+        .filter { case (a, b) => a != b }.distinct
+        .groupBy(_._1)
+        .map { case (a, es) =>
+          names(a) -> es.zipWithIndex.map { case ((_, b), i) => s"fk$i" -> names(b) }.toMap }
+      val specs = names.map(nm => TableSpec(nm, "id", Seq("k"), MergeMode.Move,
+        fks = fkEdges.getOrElse(nm, Map.empty)))
+      val broken = MergeConfig.breakDiscoveredCycles(specs, names.toSet)
+      // (1) topo-orderable — no surviving cycle
+      Orchestrator.topoOrder(broken)
+      // (2) edge conservation: every original edge is either still an
+      // fk or moved (same column, same parent) into deferredFks
+      specs.zip(broken).foreach { case (orig, b) =>
+        assert(orig.fks == b.fks ++ b.deferredFks, s"seed $s ${orig.name}")
+      }
+    }
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
