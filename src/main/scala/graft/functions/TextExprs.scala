@@ -44,8 +44,13 @@ case class PairCounts(child: Expression)
       val l1 = UTF8String.numBytesForFirstByte(bytes(i))
       val j = i + l1
       if (j < bytes.length) {
+        // clamp to the array: crawl ingest lands unvalidated bytes, and
+        // a TRUNCATED trailing multi-byte sequence would otherwise make
+        // the pair view read past the end (nondeterministic garbage
+        // through the unsafe copy, not a clean error)
         val l2 = UTF8String.numBytesForFirstByte(bytes(j))
-        val pair = UTF8String.fromBytes(bytes, i, l1 + l2)
+        val end = math.min(j + l2, bytes.length)
+        val pair = UTF8String.fromBytes(bytes, i, end - i)
         counts.merge(pair, 1L, (x, y) => x + y)
       }
       i = j

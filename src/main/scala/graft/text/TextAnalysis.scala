@@ -1123,7 +1123,10 @@ object TextAnalysis {
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
       var r = 0
       var dry = false
-      while (r < rounds && !dry) {
+      // drops in finally: a failed round must release BOTH live corpus
+      // generations (the registry's bounded-cache contract — the old
+      // swapWith path freed its half-born generation on failure)
+      try while (r < rounds && !dry) {
         val tRound = System.nanoTime()
         // pair_counts collapses each doc to its pair histogram BEFORE
         // the aggregate (one map per doc instead of one row per
@@ -1152,9 +1155,10 @@ object TextAnalysis {
           onRound(r, (System.nanoTime() - tRound) / 1e9)
           r += 1
         }
+      } finally {
+        graft.operators.Indexes.drop(gk(0))
+        graft.operators.Indexes.drop(gk(1))
       }
-      graft.operators.Indexes.drop(gk(0))
-      graft.operators.Indexes.drop(gk(1))
       merges.toSeq
     })
 

@@ -129,5 +129,15 @@ class VectorExprsSpec extends AnyFunSuite {
     val b = viaSubstring.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
     assert(a("ab") == 2L && a("ba") == 2L) // "ababa" -> ab,ba,ab,ba
+    // TRUNCATED multi-byte tail (raw crawl bytes are unvalidated):
+    // the pair view must clamp to the array, not read past its end
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val truncated = UTF8String.fromBytes(Array(0x61.toByte, 0xE6.toByte))
+    val m = graft.functions.PairCounts(Literal(truncated, org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    assert(m.numElements() == 1)
+    assert(m.keyArray().getUTF8String(0).getBytes.toSeq ==
+      Seq(0x61.toByte, 0xE6.toByte))
   }
 }
