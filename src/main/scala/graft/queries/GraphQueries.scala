@@ -245,6 +245,157 @@ object GraphQueries {
       .orderBy("doc_id")
   }
 
+  /** g5: multi-source BFS hop distance over the d2 near-dup graph —
+    * every pair-graph node's distance to its nearest LOCAL-MINIMUM
+    * canonical (a node whose id is smaller than all its neighbors':
+    * exactly the nodes that win the first round of d7's min-label
+    * propagation). Hop distance is the curation complement to d7's
+    * flat cluster map: hops = 1 is a direct near-dup of a canonical
+    * (safe to drop), larger hops reach a canonical only through a
+    * CHAIN of borderline pairs (the drift g2's lcc flags) — review
+    * before deleting. Fixed 4 rounds (the g1/g3/g4 static-plan
+    * convention; the round budget is part of the contract), nodes
+    * unreached within the budget report hops = -1.
+    *
+    * Scale shape: textbook frontier BFS on DataFrames — per round ONE
+    * join of the edge list against the just-reached frontier (never
+    * the full reached set, never the corpus), an anti-join against
+    * the node-sized state to keep first-touch hops, and a
+    * localCheckpoint of the linear (id, hops) state frame (the g4
+    * died-count convention — node-sized state, lineage cut per
+    * round; production would checkpoint reliably). Total join work
+    * over all rounds ≤ Σ deg(reached) ≤ 2m. */
+  def g5BfsHops(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
+      .select($"doc_id1", $"doc_id2")
+    graft.operators.Graph.bfsHops(pairs, rounds)
+      .select($"id".as("doc_id"), $"hops")
+      .orderBy("doc_id")
+  }
+
+  /** g5 oracle: d2's pair CTEs + the same 4 BFS rounds unrolled
+    * (frontier = previous round's new layer, anti-join via
+    * null-rejecting LEFT JOIN). */
+  val g5Sql: String = {
+    val rounds = 4
+    val iterCtes = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""n$i AS (
+           |  SELECT DISTINCT e.b AS id
+           |  FROM edges e JOIN s${i - 1} f ON f.id = e.a AND f.hops = ${i - 1})""".stripMargin,
+        s"""s$i AS (
+           |  SELECT id, hops FROM s${i - 1}
+           |  UNION ALL
+           |  SELECT n.id, $i AS hops
+           |  FROM n$i n LEFT JOIN s${i - 1} s ON s.id = n.id
+           |  WHERE s.id IS NULL)""".stripMargin)
+    }
+    s"""WITH ${graft.dedup.Dedup.d2Ctes},
+       |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |s0 AS (
+       |  SELECT a AS id, 0 AS hops FROM edges GROUP BY a HAVING a < min(b)),
+       |${iterCtes.mkString(",\n")}
+       |SELECT n.id AS doc_id, CAST(coalesce(s.hops, -1) AS BIGINT) AS hops
+       |FROM nodes n LEFT JOIN s$rounds s ON s.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** g6: common-neighbor LINK PREDICTION (Liben-Nowell & Kleinberg
+    * 2003, the common-neighbors / Jaccard family) over the part
+    * CO-PURCHASE graph — parts are adjacent when ≥2 distinct orders
+    * contain both (the market-basket projection of lineitem; the ≥2
+    * support floor drops one-off coincidences). The prediction read:
+    * the top non-adjacent pairs sharing co-purchase partners are the
+    * assortment's missing links — recommended bundles no order has
+    * contained YET. (The d2 near-dup graph is the wrong substrate
+    * here: LSH banding at any threshold keeps whole template families
+    * mutually connected, so it has NO non-edge wedges — measured 0 at
+    * thresholds 0.5–0.7.) Scores: common-neighbor count, ties broken
+    * by ×1e6-integer Jaccard of neighbor sets (|Γu∩Γv| / |Γu∪Γv| via
+    * halfUpDiv — exact cross-engine), then (id1, id2) for a total
+    * deterministic order; top 20.
+    *
+    * Scale shape: the co-occurrence self-join is keyed on l_orderkey
+    * and quadratic only in BASKET size (bounded per order — the
+    * market-basket convention), never in table size. Wedge
+    * enumeration at the MIDDLE node (one self-join of the edge list
+    * keyed on the wedge center + one map-side-combined count) is
+    * Σ deg(mid)² with a DEGREE CAP on wedge centers (the d9 df-cap
+    * convention: a hub co-purchased with everything predicts nothing
+    * — it's the staple product, the graph's boilerplate). Anti-join
+    * against the (small) edge artifact keeps only non-edges; the
+    * fact table is scanned once. */
+  def g6LinkPred(spark: SparkSession, dir: String, minSupport: Long = 2L,
+                 degCap: Int = 64, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    // the co-purchase edge list is THE artifact here (like d2's pair
+    // set): every downstream frame (edges, degrees, wedges, the
+    // anti-join) references it repeatedly, and without materialization
+    // the tree-shaped lineage re-derives the basket self-join per
+    // reference — 26 fact-table scans measured. Memoized = computed
+    // once, every consumer reads the cached pair rows.
+    val pairs = graft.operators.Indexes.memo(s"g6_copairs:$dir:$minSupport") {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val li2 = li.select($"l_orderkey".as("o2"), $"l_partkey".as("p2"))
+      li.join(li2, $"l_orderkey" === $"o2" && $"l_partkey" < $"p2")
+        .groupBy($"l_partkey".as("a"), $"p2".as("b"))
+        .agg(count(lit(1)).as("cooccur"))
+        .filter($"cooccur" >= minSupport)
+        .select($"a", $"b")
+    }
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val mids = deg.filter($"deg" <= degCap).select($"id".as("mid"))
+    val e1 = edges.join(mids, edges("a") === mids("mid"))
+      .select($"mid", edges("b").as("u"))
+    val e2 = e1.select($"mid".as("mid2"), $"u".as("v"))
+    val cand = e1.join(e2, $"mid" === $"mid2" && $"u" < $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("common_nbrs"))
+      .join(pairs, $"u" === pairs("a") && $"v" === pairs("b"), "left_anti")
+    cand
+      .join(deg.select($"id".as("u"), $"deg".as("du")), Seq("u"))
+      .join(deg.select($"id".as("v"), $"deg".as("dv")), Seq("v"))
+      .select($"u".as("part_id1"), $"v".as("part_id2"), $"common_nbrs",
+        halfUp($"common_nbrs" * 1000000L, $"du" + $"dv" - $"common_nbrs")
+          .as("jaccard_e6"))
+      .orderBy($"common_nbrs".desc, $"jaccard_e6".desc, $"part_id1", $"part_id2")
+      .limit(topK)
+  }
+
+  /** g6 oracle: the same basket/wedge/anti-join/score formation;
+    * half-up division as `(2n+d)//(2d)` (non-negative). */
+  val g6Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |co AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cooccur
+       |  FROM li x JOIN li y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a, b FROM co WHERE cooccur >= 2),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+       |mids AS (SELECT id AS mid FROM deg WHERE deg <= 64),
+       |e1 AS (SELECT e.a AS mid, e.b AS u FROM edges e JOIN mids m ON m.mid = e.a),
+       |wcand AS (
+       |  SELECT w1.u, w2.u AS v, count(*) AS common_nbrs
+       |  FROM e1 w1 JOIN e1 w2 ON w2.mid = w1.mid AND w1.u < w2.u
+       |  GROUP BY w1.u, w2.u),
+       |ne AS (
+       |  SELECT c.u, c.v, c.common_nbrs
+       |  FROM wcand c LEFT JOIN p ON p.a = c.u AND p.b = c.v
+       |  WHERE p.a IS NULL)
+       |SELECT ne.u AS part_id1, ne.v AS part_id2,
+       |  CAST(ne.common_nbrs AS BIGINT) AS common_nbrs,
+       |  CAST(((2*(ne.common_nbrs * 1000000) + (du.deg + dv.deg - ne.common_nbrs))
+       |        // (2*(du.deg + dv.deg - ne.common_nbrs))) AS BIGINT) AS jaccard_e6
+       |FROM ne JOIN deg du ON du.id = ne.u JOIN deg dv ON dv.id = ne.v
+       |ORDER BY common_nbrs DESC, jaccard_e6 DESC, part_id1, part_id2
+       |LIMIT 20""".stripMargin
+
   /** g4 oracle: d2's pair CTEs + the same 3 peel rounds unrolled. */
   val g4Sql: String = {
     val k = 2; val rounds = 3

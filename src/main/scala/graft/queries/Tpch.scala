@@ -826,6 +826,89 @@ object Tpch {
       |FROM kc, st
       |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin
 
+  /** j3: BLOOM-PREFILTERED JOIN — urgent-order revenue by month, with
+    * the fact table pre-filtered through an explicit Bloom filter of
+    * the qualifying order keys BEFORE the join. This is the runtime
+    * semi-join-reduction pattern (Bloom-join; what Spark's own
+    * InjectRuntimeFilter rule does when it fires) built from plain
+    * DataFrame ops, for when the optimizer's heuristics pass on it:
+    * at 100 TB the bloom (32 KB here: 2^18 bits, 3 probes) broadcasts
+    * to every executor and drops ~80% of lineitem ROWS BEFORE the
+    * join shuffle — the shuffle is the cost the filter exists to cut.
+    * False positives pass the bloom and die in the exact join, so the
+    * result is IDENTICAL to the plain join — the oracle is exactly
+    * that (the e9 convention: same answer, better plan), and the spec
+    * separately pins that the bloom actually prunes.
+    *
+    * Bits are xxhash64-derived (k=3 salted probes; no cross-engine
+    * parity needed — the bloom never changes the answer, so the hash
+    * only has to be deterministic). The bitset is built as a DENSE
+    * long array (bit_or per 64-bit word, then a range join fills
+    * empty words) because element_at on an ARRAY is O(1) while a map
+    * lookup is a linear scan — e10's GetMapValue lesson. Whole-stage
+    * codegen keeps the 3 probes inside the scan's pipeline. */
+  private def j3Urgent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+  }
+
+  /** The bloom-passed lineitem slice — exposed so the spec can pin
+    * that the filter PRUNES (pass count strictly between the exact
+    * match count and the table size) rather than silently passing
+    * everything. */
+  private[graft] def j3Prefiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mBits = 1L << 18
+    val salts = 0 until 3
+    val urgent = j3Urgent(spark, dir)
+    def probe(key: Column, j: Int): Column =
+      pmod(xxhash64(lit(s"bl$j"), key), lit(mBits))
+    val words = urgent
+      .select(explode(array(salts.map(j => probe($"o_orderkey", j)): _*)).as("pos"))
+      .groupBy(expr("pos DIV 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, int(pos % 64)))").as("v"))
+    val bloom = spark.range(mBits / 64).select($"id".as("w"))
+      .join(words, Seq("w"), "left")
+      .agg(array_sort(collect_list(struct($"w", coalesce($"v", lit(0L)).as("v")))).as("e"))
+      .select(transform($"e", x => x.getField("v")).as("bits"))
+    val li = Tables.read(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val withPos = salts.foldLeft(li.crossJoin(broadcast(bloom))) { (df, j) =>
+      df.withColumn(s"pos$j", probe($"l_orderkey", j))
+    }
+    val pass = salts.map(j => expr(
+        s"(element_at(bits, int(pos$j DIV 64) + 1) & shiftleft(1L, int(pos$j % 64))) != 0"))
+      .reduce(_ && _)
+    withPos.filter(pass)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+  }
+
+  def j3BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    j3Prefiltered(spark, dir)
+      .join(j3Urgent(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).cast("long").as("ym"))
+      .agg(money(sum(dec($"l_extendedprice") *
+          (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("ym")
+  }
+
+  /** j3 oracle: the PLAIN join — the bloom is pure plan optimization
+    * (false positives die in the exact join), so the answers must be
+    * bit-identical. */
+  val j3Sql: String =
+    """SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+      |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY ym""".stripMargin
+
   /** Top-k per group: 3 most valuable orders per customer — single
     * shuffle on the window partition key. */
   def w1TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -897,6 +980,69 @@ object Tpch {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
       |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  /** w7: PERIOD-OVER-PERIOD — per-nation monthly order revenue with
+    * the month-over-month delta and ×1e6 percent change (lag window),
+    * the standard trend report every revenue dashboard runs. First
+    * month per nation is dropped (no prior period — emitting a
+    * NULL-delta row would poison downstream alert thresholds).
+    *
+    * Scale shape: the fact table aggregates to a (nation, month)
+    * frame FIRST (one map-side-combined shuffle; nations × months is
+    * metadata-sized), so the lag window sorts only that tiny frame —
+    * never fact rows. Nation rides a broadcast; customer→orders is
+    * the one data-sized equi-join (both sides shuffle on custkey).
+    * Money stays in integer cents (one IEEE round per order, exact
+    * both engines). The signed percent is sign × halfUp(|delta|)
+    * (round half AWAY from zero): halfUpDiv's pmod form FLOORS while
+    * DuckDB's `//` TRUNCATES, so they disagree on negative numerators
+    * — routing through abs keeps every division non-negative, where
+    * the two are identical. */
+  def w7MomChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val nations = Tables.read(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    val cust = Tables.read(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val monthly = Tables.read(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice", $"o_orderdate")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", (year($"o_orderdate") * 100 + month($"o_orderdate"))
+        .cast("long").as("ym"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy($"n_name").orderBy($"ym")
+    monthly.withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+      .filter($"prev_cents".isNotNull)
+      .select($"n_name", $"ym", $"rev_cents",
+        ($"rev_cents" - $"prev_cents").as("delta_cents"),
+        (when($"rev_cents" < $"prev_cents", -1L).otherwise(1L) *
+          halfUp(abs($"rev_cents" - $"prev_cents") * 1000000L, $"prev_cents"))
+          .as("mom_pct_e6"))
+      .orderBy("n_name", "ym")
+  }
+
+  /** w7 oracle: same monthly rollup + lag; the percent routes through
+    * abs so `(2n+d)//(2d)` only ever divides non-negatives (DuckDB
+    * `//` truncates, Spark's pmod form floors — equal only there). */
+  val w7Sql: String =
+    """WITH m AS (
+      |  SELECT n.n_name, CAST(year(o.o_orderdate)*100 + month(o.o_orderdate) AS BIGINT) AS ym,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT n_name, ym, rev_cents,
+      |    lag(rev_cents) OVER (PARTITION BY n_name ORDER BY ym) AS prev_cents
+      |  FROM m)
+      |SELECT n_name, ym, rev_cents,
+      |  CAST(rev_cents - prev_cents AS BIGINT) AS delta_cents,
+      |  CAST((CASE WHEN rev_cents < prev_cents THEN -1 ELSE 1 END)
+      |    * ((2*(abs(rev_cents - prev_cents) * 1000000) + prev_cents)
+      |       // (2*prev_cents)) AS BIGINT) AS mom_pct_e6
+      |FROM lg WHERE prev_cents IS NOT NULL
+      |ORDER BY n_name, ym""".stripMargin
 
   /** q25: EXACT distributed percentiles (p50/p90/p99 of l_quantity per
     * return flag), percentile_disc semantics — smallest value whose
@@ -1193,4 +1339,93 @@ object Tpch {
       |  min(c) AS lo_cents, max(c) AS hi_cents,
       |  CAST((2*count(*)*1000000 + max(n_total)) // (2*max(n_total)) AS BIGINT) AS share_e6
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** q31: HASH-SAMPLE QUANTILE CALIBRATION — exact global price
+    * percentiles (p50/p90/p99, percentile_disc semantics like q25)
+    * against the same percentiles over a DETERMINISTIC 10% sample
+    * (md5 of the row's natural key mod 10 — the t5 stable-split
+    * convention: reproducible across runs, engines and partitionings,
+    * unlike rand()-based sampling), with the absolute error per
+    * quantile point. This is the calibration a pipeline runs ONCE to
+    * decide whether sampled quantiles are good enough to replace the
+    * exact pass in routine monitoring — the d10/s4 audit convention
+    * (the audit itself is the registered, oracle-checked query).
+    *
+    * Scale shape: both branches aggregate the fact table to a
+    * (cents, count) HISTOGRAM first (map-side-combined; bounded by
+    * the price DOMAIN, not the row count — q25's argument), then run
+    * the cumulative window + rank pick on the tiny histogram. The
+    * global totals ride 1-row broadcast crossJoins (the m6 scalar
+    * convention). The one partition-less window per branch sits over
+    * the domain-bounded histogram — whitelisted with q30, never over
+    * fact rows. Rank arithmetic is exact-integer ceil: (p·n + 99) DIV
+    * 100. */
+  def q31SampleQuant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = round($"l_extendedprice" * 100).cast("long")
+    val li = Tables.read(spark, dir, "lineitem")
+    def quant(src: DataFrame): DataFrame = {
+      val hist = src.groupBy($"c").agg(count(lit(1)).as("cnt"))
+      val cum = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, 0)
+      // the total rides the SAME window pass (unbounded frame) instead
+      // of a scalar-crossJoin branch — a second branch would re-derive
+      // the histogram from the fact scan (the j2 lazy-lineage disease)
+      val all = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist.withColumn("cum", sum($"cnt").over(cum))
+        .withColumn("n", sum($"cnt").over(all))
+        .agg(max($"n").as("n"),
+          min(when($"cum" >= expr("(50 * n + 99) DIV 100"), $"c")).as("p50"),
+          min(when($"cum" >= expr("(90 * n + 99) DIV 100"), $"c")).as("p90"),
+          min(when($"cum" >= expr("(99 * n + 99) DIV 100"), $"c")).as("p99"))
+    }
+    val full = quant(li.select(cents.as("c")))
+    val samp = quant(
+      li.filter(graft.functions.DetHash.md5Long60Col(
+          concat_ws(":", $"l_orderkey", $"l_linenumber")) % 10 === 0)
+        .select(cents.as("c")))
+      .select($"n".as("ns"), $"p50".as("s50"), $"p90".as("s90"), $"p99".as("s99"))
+    full.crossJoin(samp)
+      .select(explode(array(
+        struct(lit(50L).as("p"), $"p50".as("exact_cents"), $"s50".as("sample_cents")),
+        struct(lit(90L).as("p"), $"p90".as("exact_cents"), $"s90".as("sample_cents")),
+        struct(lit(99L).as("p"), $"p99".as("exact_cents"), $"s99".as("sample_cents"))))
+          .as("q"),
+        $"n".as("n_full"), $"ns".as("n_sample"))
+      .select($"q.p".as("p"), $"n_full", $"n_sample",
+        $"q.exact_cents".as("exact_cents"), $"q.sample_cents".as("sample_cents"),
+        abs($"q.exact_cents" - $"q.sample_cents").as("abs_err_cents"))
+      .orderBy("p")
+  }
+
+  /** q31 oracle: the same two histogram/cum/pick chains; the sample
+    * predicate is the shared md5-hex→BIGINT formation. */
+  val q31Sql: String = {
+    val key = graft.functions.DetHash.sql60(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+    def chain(tag: String, pred: String) =
+      s"""${tag}h AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c, count(*) AS cnt
+         |  FROM lineitem $pred GROUP BY 1),
+         |${tag}c AS (
+         |  SELECT c, sum(cnt) OVER (ORDER BY c) AS cum,
+         |         (SELECT sum(cnt) FROM ${tag}h) AS n
+         |  FROM ${tag}h),
+         |${tag}q AS (
+         |  SELECT max(n) AS n,
+         |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END) AS p50,
+         |    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN c END) AS p90,
+         |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END) AS p99
+         |  FROM ${tag}c)""".stripMargin
+    s"""WITH ${chain("f", "")},
+       |${chain("s", s"WHERE $key % 10 = 0")}
+       |SELECT CAST(p AS BIGINT) AS p,
+       |  CAST(f.n AS BIGINT) AS n_full, CAST(s.n AS BIGINT) AS n_sample,
+       |  CAST(CASE p WHEN 50 THEN f.p50 WHEN 90 THEN f.p90 ELSE f.p99 END AS BIGINT) AS exact_cents,
+       |  CAST(CASE p WHEN 50 THEN s.p50 WHEN 90 THEN s.p90 ELSE s.p99 END AS BIGINT) AS sample_cents,
+       |  CAST(abs((CASE p WHEN 50 THEN f.p50 WHEN 90 THEN f.p90 ELSE f.p99 END)
+       |         - (CASE p WHEN 50 THEN s.p50 WHEN 90 THEN s.p90 ELSE s.p99 END)) AS BIGINT) AS abs_err_cents
+       |FROM fq f, sq s, (SELECT unnest([50, 90, 99]) AS p) pp
+       |ORDER BY p""".stripMargin
+  }
 }

@@ -1892,4 +1892,53 @@ object TextAnalysis {
        |       // (2 * greatest(coalesce(pd.n_ngrams, 0), 1)) AS BIGINT) AS novelty_e6
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** t28: overlapping fixed-window CHUNKING — the retrieval/context
+    * splitter every RAG and long-context training pipeline runs before
+    * embedding: each document becomes ceil-spaced character windows
+    * (window 200, stride 160 → 40-char overlap so no boundary sentence
+    * is lost to a cut), one row per chunk with its 0-based chunk_no
+    * and 1-based start offset. Character windows (not token windows)
+    * keep the split exactly reproducible across engines and tokenizer
+    * versions — the t21 BPE encoder or t3 token counter run PER CHUNK
+    * downstream when token budgets matter. Empty docs still land one
+    * (empty) chunk — every doc_id survives the explode, so downstream
+    * per-doc joins never silently drop rows.
+    *
+    * Scale shape: one projection over the parquet scan — sequence +
+    * explode + substring are all codegen'd, zero shuffle, output ∝
+    * corpus × (1/stride). The explode multiplies rows BEFORE any
+    * shuffle, so a downstream per-chunk embed/dedup pass partitions on
+    * (doc_id, chunk_no) for free re-balance. */
+  def t28Chunk(spark: SparkSession, dir: String, window: Int = 200,
+               stride: Int = 160): DataFrame = {
+    import spark.implicits._
+    require(window >= stride && stride >= 1,
+      s"need window >= stride >= 1, got window=$window stride=$stride " +
+        "(a stride above the window would silently DROP text between chunks)")
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .withColumn("chunk_start",
+        explode(sequence(lit(1L), greatest($"n_chars", lit(1L)), lit(stride.toLong))))
+      .select($"doc_id",
+        (($"chunk_start" - 1L) / stride).cast("long").as("chunk_no"),
+        $"chunk_start",
+        substr($"text", $"chunk_start", lit(window)).as("chunk_text"))
+      .withColumn("chunk_chars", length($"chunk_text").cast("long"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  /** t28 oracle: DuckDB range() is stop-EXCLUSIVE (hence +1) and both
+    * engines' substr/length count Unicode code points. */
+  val t28Sql: String =
+    """WITH st AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(1, greatest(n_chars, 1) + 1, 160)) AS chunk_start
+      |  FROM documents)
+      |SELECT doc_id, CAST((chunk_start - 1) // 160 AS BIGINT) AS chunk_no,
+      |  CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  substr(text, CAST(chunk_start AS INTEGER), 200) AS chunk_text,
+      |  CAST(length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS BIGINT) AS chunk_chars
+      |FROM st
+      |ORDER BY doc_id, chunk_no""".stripMargin
 }

@@ -230,6 +230,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bfsHops matches a driver-side BFS from local minima on any graph, any round count") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    for (s <- 1L to 5L; rounds <- Seq(1, 3)) {
+      val raw = sample(edgeGen, s)
+      val pairs = raw
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      if (pairs.nonEmpty) {
+        val und = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+        val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val seeds = nbrs.collect { case (id, ns) if id < ns.min => id }.toSet
+        var hops = seeds.map(_ -> 0L).toMap
+        var frontier = seeds
+        for (r <- 1 to rounds) {
+          val next = frontier.flatMap(nbrs(_)).diff(hops.keySet)
+          hops ++= next.map(_ -> r.toLong)
+          frontier = next
+        }
+        val got = graft.operators.Graph.bfsHops(raw.toDF("a", "b"), rounds)
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("hops")).toMap
+        assert(got.keySet == nbrs.keySet, s"seed $s rounds $rounds")
+        got.foreach { case (id, h) =>
+          assert(h == hops.getOrElse(id, -1L), s"seed $s rounds $rounds node $id")
+        }
+      }
+    }
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {

@@ -108,7 +108,8 @@ class QueriesSpec extends AnyFunSuite {
       "e12_anomaly",    // e10's shape: prefix stats over the hourly agg
       "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
       "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
-      "w5_cume_users"   // running sum over the ~30-row daily agg
+      "w5_cume_users",  // running sum over the ~30-row daily agg
+      "q31_sample_quant" // cum counts over the price-DOMAIN-bounded histogram (q25's argument, global)
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
@@ -172,6 +173,25 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("j3's bloom prefilter prunes: pass count sits between exact matches and table size") {
+    import spark.implicits._
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val matched = spark.read.parquet(s"$sf/lineitem.parquet").select($"l_orderkey")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .count()
+    val passed = graft.queries.Tpch.j3Prefiltered(spark, sf).count()
+    // no false negatives (every true match passes) and real pruning:
+    // the false-positive rate among true negatives stays under the
+    // design point (2^18 bits / 3 probes → ~0.4% at sf0.1 load; the
+    // bound here is slack for the tiny sf's noise)
+    assert(passed >= matched, s"bloom dropped true matches: $passed < $matched")
+    assert(passed < total, s"bloom passed everything: $passed of $total")
+    val fpr = (passed - matched).toDouble / math.max(1L, total - matched)
+    assert(fpr < 0.05, s"false-positive rate $fpr above design point")
   }
 
   test("round-4 op plan shapes: q25 histogram-first, t12 single tiny global window, mm5 broadcast queries") {
