@@ -146,14 +146,13 @@ object Graph {
         .select(edges("b").as("id")).distinct()
         .join(state, Seq("id"), "left_anti")
         .select($"id", lit(r.toLong).as("hops"))
-      state = state.unionAll(next)
-      // lineage cut every OTHER round: each round references the last
-      // materialized generation ≤2× (frontier filter + anti-join), so
-      // one un-cut round only doubles that bounded fan-out, while each
-      // eager localCheckpoint is a synchronous job whose fixed
-      // overhead dominates at node-sized state (measured: per-round
-      // cuts 2.25 s, batched 1.2 s at sf0.1 — the g4 lesson again)
-      if (r % 2 == 0 || r == rounds) state = state.localCheckpoint(true)
+      // lineage cut EVERY round: batching the cut to every other round
+      // was measured SLOWER (3.0–3.5 s vs 2.25 s at sf0.1 full-run) —
+      // the un-cut round's anti-join and the following round both
+      // re-derive the lazy union+join, which costs more than one
+      // node-sized checkpoint job saves. Same conclusion as g4's
+      // variant audit: materialize the linear state each round.
+      state = state.unionAll(next).localCheckpoint(true)
     }
     nodes.join(state, Seq("id"), "left")
       .select($"id", coalesce($"hops", lit(-1L)).as("hops"))

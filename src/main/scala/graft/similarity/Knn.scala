@@ -1065,10 +1065,11 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
-  /** s12 oracle: same codebook, same half-up+clamp encoding, same
-    * symmetric code-space L2. */
-  val s12Sql: String =
-    s"""WITH eq AS (
+  /** The SQ8 encode + symmetric code-space ranking CTE chain (through
+    * `r`) — ONE copy of the codebook/encode/rank formation, shared by
+    * the s12 oracle and s21's shortlist stage. */
+  private def sq8RankCtes: String =
+    s"""eq AS (
        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
@@ -1087,8 +1088,71 @@ object Knn {
        |r AS (
        |  SELECT query_id, neighbor_id, sq_dist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rank
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  /** s12 oracle: same codebook, same half-up+clamp encoding, same
+    * symmetric code-space L2. */
+  val s12Sql: String =
+    s"""WITH $sq8RankCtes
        |SELECT query_id, neighbor_id, sq_dist, rank FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** s21: TWO-STAGE RETRIEVE-THEN-RERANK — the production serving
+    * shape every vector store runs (FAISS refine / Milvus
+    * `RANGE_SEARCH+rerank` / ColBERT-style candidate rerank): stage 1
+    * ranks the whole corpus in cheap SQ8 code space and keeps a
+    * 5×-over-fetched shortlist (25 per query); stage 2 fetches ONLY
+    * the shortlist's full-precision vectors and re-ranks by exact
+    * integer L2 to the final top-5. s13 prices SQ8's recall loss;
+    * this is the operator that BUYS the recall back — the top of the
+    * s11/s13/s14 storage-tier decision table.
+    *
+    * Scale shape: stage 1 streams the corpus through the codegen'd
+    * code-space kernels (s12's deliberate broadcast-queries
+    * contract); stage 2 is an EQUI-JOIN of the (queries × 25)-row
+    * shortlist against the full-precision store — the expensive
+    * vectors move only for shortlist members (at 100 TB: the
+    * full-precision table stays at rest, shortlist ids semi-join
+    * into it), never a second corpus scan in float space. */
+  def s21TwoStageRerank(spark: SparkSession, dir: String,
+                        shortlist: Int = 25, k: Int = K): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sumSqI64}
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = s12Sq8Ann(spark, dir, shortlist)
+      .select($"query_id", $"neighbor_id")
+    val q = quantized(spark, dir)
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"el".as("qe"), sumSqI64($"el").as("qq"))
+    val corpus = q.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"el".as("ce"), sumSqI64($"el").as("cc"))
+    val w = Window.partitionBy($"query_id").orderBy($"exact_dist", $"neighbor_id")
+    short.join(corpus, Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("exact_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s21 oracle: s12's shortlist CTEs + the exact-integer-L2 rerank
+    * over shortlist members only. */
+  val s21Sql: String =
+    s"""WITH $sq8RankCtes,
+       |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 25),
+       |ex AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS exact_dist
+       |  FROM short s
+       |  JOIN eq a ON a.vec_id = s.query_id
+       |  JOIN eq b ON b.vec_id = s.neighbor_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, exact_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, exact_dist, rank FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   /** s13: SQ8 recall audit — recall@k of s12's symmetric code-space

@@ -68,6 +68,7 @@ class QueriesSpec extends AnyFunSuite {
                             // INEQUALITY has no equi-key to ride,
       "s19_probe_sweep",  // composes s1's exact side as its recall yardstick
       "s20_mips_topk",    // deliberate: exact MIPS baseline, s1's broadcast contract
+      "s21_two_stage_rerank", // stage 1 IS s12's broadcast code-space scan; stage 2 is equi-join
       "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
       "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
     )
