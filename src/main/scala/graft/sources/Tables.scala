@@ -83,11 +83,21 @@ object Tables {
     * partition — split unsharded multi-GB dumps upstream.
     * source = the input file's basename. */
   def documentsFromText(spark: SparkSession, path: String,
-                        lang: String = "und"): DataFrame = {
+                        lang: String = "und"): DataFrame =
+    documentsFromLines(text(spark, path), lang)
+
+  /** The landing transform behind [[documentsFromText]], factored over
+    * an already-read (value, input_file) frame so the STREAMING ingest
+    * ([[graft.streaming.DocStream]]) can apply it per micro-batch:
+    * Spark's file source reads WHOLE files per batch, so the per-file
+    * line numbering is batch-local by construction — the window never
+    * needs to span micro-batches. */
+  private[graft] def documentsFromLines(lines: DataFrame,
+                                        lang: String = "und"): DataFrame = {
     import org.apache.spark.sql.functions._
     val byFile = org.apache.spark.sql.expressions.Window
       .partitionBy(col("input_file")).orderBy(monotonically_increasing_id())
-    text(spark, path)
+    lines
       .withColumn("line_no", row_number().over(byFile).cast("long"))
       .select(
         graft.functions.DetHash.md5Long60Col(

@@ -1911,21 +1911,28 @@ object TextAnalysis {
     * shuffle, so a downstream per-chunk embed/dedup pass partitions on
     * (doc_id, chunk_no) for free re-balance. */
   def t28Chunk(spark: SparkSession, dir: String, window: Int = 200,
-               stride: Int = 160): DataFrame = {
-    import spark.implicits._
+               stride: Int = 160): DataFrame =
+    chunk(Tables.read(spark, dir, "documents"), window, stride)
+      .orderBy("doc_id", "chunk_no")
+
+  /** The chunking transform behind [[t28Chunk]], factored over any
+    * frame in the documents contract — a pure stateless projection, so
+    * the STREAMING ingest ([[graft.streaming.DocStream]]) applies it
+    * per micro-batch unchanged. */
+  private[graft] def chunk(docs: DataFrame, window: Int = 200,
+                           stride: Int = 160): DataFrame = {
     require(window >= stride && stride >= 1,
       s"need window >= stride >= 1, got window=$window stride=$stride " +
         "(a stride above the window would silently DROP text between chunks)")
-    Tables.read(spark, dir, "documents")
-      .select($"doc_id", $"text", $"n_chars")
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"))
       .withColumn("chunk_start",
-        explode(sequence(lit(1L), greatest($"n_chars", lit(1L)), lit(stride.toLong))))
-      .select($"doc_id",
-        (($"chunk_start" - 1L) / stride).cast("long").as("chunk_no"),
-        $"chunk_start",
-        substr($"text", $"chunk_start", lit(window)).as("chunk_text"))
-      .withColumn("chunk_chars", length($"chunk_text").cast("long"))
-      .orderBy("doc_id", "chunk_no")
+        explode(sequence(lit(1L), greatest(col("n_chars"), lit(1L)), lit(stride.toLong))))
+      .select(col("doc_id"),
+        ((col("chunk_start") - 1L) / stride).cast("long").as("chunk_no"),
+        col("chunk_start"),
+        substr(col("text"), col("chunk_start"), lit(window)).as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
   }
 
   /** t28 oracle: DuckDB range() is stop-EXCLUSIVE (hence +1) and both

@@ -754,6 +754,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.map(_.n_late).sum > 0)
     } finally q.stop()
   }
+
+  test("DocStream lands crawl shards as documents + chunks, equal to the batch ingest, across a restart") {
+    import graft.streaming.DocStream
+    val in = java.nio.file.Files.createTempDirectory("graft-doc-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-doc-wd").toString
+    def writeShard(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(in, name)
+      java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+      ()
+    }
+    // shard 1 repeats a line — the doc_id-uniqueness case the batch
+    // ingest was hardened for must hold through the stream too
+    writeShard("shard1.txt", Seq("alpha beta gamma", "repeated line",
+      "repeated line", "x" * 450))
+    val run1 = DocStream.docIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/docs", s"$wd/chunks", s"$wd/ckpt")
+    try run1.processAllAvailable() finally run1.stop()
+    // a second shard lands while the query is DOWN; restart resumes
+    writeShard("shard2.txt", Seq("delta epsilon", "zeta"))
+    val run2 = DocStream.docIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/docs", s"$wd/chunks", s"$wd/ckpt")
+    val processed = try {
+      run2.processAllAvailable()
+      run2.recentProgress.map(_.numInputRows).sum
+    } finally run2.stop()
+    assert(processed == 2, s"restart reprocessed committed shards: read $processed lines")
+    // end state = the batch ingest over the whole directory, doc ids
+    // distinct even for the repeated line
+    val got = spark.read.parquet(s"$wd/docs")
+    val expect = graft.sources.Tables.documentsFromText(spark, in)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toSet
+    assert(got.count() == 6)
+    assert(key(got) == key(expect))
+    assert(got.select($"doc_id").distinct().count() == 6)
+    // chunk table equals the stateless chunk transform of those docs
+    val gotChunks = spark.read.parquet(s"$wd/chunks").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no"),
+        r.getAs[String]("chunk_text"))).toSet
+    val expectChunks = graft.text.TextAnalysis.chunk(expect).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no"),
+        r.getAs[String]("chunk_text"))).toSet
+    assert(gotChunks == expectChunks)
+    // the 450-char line must have produced >1 overlapping chunk
+    assert(gotChunks.groupBy(_._1).values.map(_.size).max > 1)
+  }
 }
 
 /** Input row for the as-of join tests (top-level for a stable
