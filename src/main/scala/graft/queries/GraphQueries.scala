@@ -220,12 +220,16 @@ object GraphQueries {
          |    FROM edges e JOIN l${i - 1} l ON l.id = e.a GROUP BY 1, 2)
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) = 1)""".stripMargin
     }
+    // `lfin` aliases the final round so consumers never hard-code a
+    // round index: bumping `iters` would otherwise leave a stale
+    // `l3` reference silently resolving to an INTERMEDIATE round
     s"""${graft.dedup.Dedup.d2Ctes},
        |p AS MATERIALIZED (SELECT doc_id1 AS a, doc_id2 AS b FROM est WHERE est_jaccard >= 0.7),
        |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
        |l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges),
        |${iterCtes.mkString(",\n")},
-       |sz AS (SELECT label, count(*) AS comm_size FROM l$iters GROUP BY label)""".stripMargin
+       |lfin AS (SELECT id, label FROM l$iters),
+       |sz AS (SELECT label, count(*) AS comm_size FROM lfin GROUP BY label)""".stripMargin
   }
 
   /** g3 oracle: d2's pair CTEs + the same 3 synchronous rounds
@@ -234,7 +238,7 @@ object GraphQueries {
     s"""WITH $g3Ctes
        |SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS community,
        |  CAST(s.comm_size AS BIGINT) AS comm_size
-       |FROM l3 l JOIN sz s ON s.label = l.label
+       |FROM lfin l JOIN sz s ON s.label = l.label
        |ORDER BY doc_id""".stripMargin
 
   /** g4: k-CORE PEELING (Seidman 1983; distributed rounds à la
@@ -477,7 +481,7 @@ object GraphQueries {
     s"""WITH $g3Ctes,
        |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
        |mm AS (SELECT count(*) AS m FROM p),
-       |lc AS (SELECT id, label AS community FROM l3),
+       |lc AS (SELECT id, label AS community FROM lfin),
        |intra AS (
        |  SELECT la.community, count(*) AS in_edges
        |  FROM p JOIN lc la ON la.id = p.a

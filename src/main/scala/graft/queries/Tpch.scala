@@ -997,10 +997,13 @@ object Tpch {
     * (round half AWAY from zero): halfUpDiv's pmod form FLOORS while
     * DuckDB's `//` TRUNCATES, so they disagree on negative numerators
     * — routing through abs keeps every division non-negative, where
-    * the two are identical. */
+    * the two are identical. The half-up itself runs in 128-bit
+    * (DECIMAL(38,0) DIV on the Spark side, HUGEINT `//` in the
+    * oracle): the long form's 2·|Δ|·1e6 numerator overflows at
+    * |Δ| > ~4.6e12 cents — reachable for a monthly national rollup
+    * at target scale (g7's overflow-class, same round). */
   def w7MomChange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val halfUp = graft.functions.IntMath.halfUpDiv _
     val nations = Tables.read(spark, dir, "nation").select($"n_nationkey", $"n_name")
     val cust = Tables.read(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
     val monthly = Tables.read(spark, dir, "orders")
@@ -1013,17 +1016,19 @@ object Tpch {
     val w = Window.partitionBy($"n_name").orderBy($"ym")
     monthly.withColumn("prev_cents", lag($"rev_cents", 1).over(w))
       .filter($"prev_cents".isNotNull)
-      .select($"n_name", $"ym", $"rev_cents",
-        ($"rev_cents" - $"prev_cents").as("delta_cents"),
-        (when($"rev_cents" < $"prev_cents", -1L).otherwise(1L) *
-          halfUp(abs($"rev_cents" - $"prev_cents") * 1000000L, $"prev_cents"))
+      .withColumn("delta_cents", $"rev_cents" - $"prev_cents")
+      .select($"n_name", $"ym", $"rev_cents", $"delta_cents",
+        (when($"delta_cents" < 0L, -1L).otherwise(1L) *
+          expr("CAST((2 * (CAST(abs(delta_cents) AS DECIMAL(38,0)) * 1000000)" +
+            " + prev_cents) DIV (2 * prev_cents) AS BIGINT)"))
           .as("mom_pct_e6"))
       .orderBy("n_name", "ym")
   }
 
   /** w7 oracle: same monthly rollup + lag; the percent routes through
     * abs so `(2n+d)//(2d)` only ever divides non-negatives (DuckDB
-    * `//` truncates, Spark's pmod form floors — equal only there). */
+    * `//` truncates, Spark's pmod form floors — equal only there),
+    * and through HUGEINT to match the Spark side's 128-bit headroom. */
   val w7Sql: String =
     """WITH m AS (
       |  SELECT n.n_name, CAST(year(o.o_orderdate)*100 + month(o.o_orderdate) AS BIGINT) AS ym,
@@ -1039,8 +1044,8 @@ object Tpch {
       |SELECT n_name, ym, rev_cents,
       |  CAST(rev_cents - prev_cents AS BIGINT) AS delta_cents,
       |  CAST((CASE WHEN rev_cents < prev_cents THEN -1 ELSE 1 END)
-      |    * ((2*(abs(rev_cents - prev_cents) * 1000000) + prev_cents)
-      |       // (2*prev_cents)) AS BIGINT) AS mom_pct_e6
+      |    * CAST(((2*(CAST(abs(rev_cents - prev_cents) AS HUGEINT) * 1000000) + prev_cents)
+      |       // (2*prev_cents)) AS BIGINT) AS BIGINT) AS mom_pct_e6
       |FROM lg WHERE prev_cents IS NOT NULL
       |ORDER BY n_name, ym""".stripMargin
 

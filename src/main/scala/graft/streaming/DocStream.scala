@@ -20,10 +20,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    spans batches, so batch-local numbering equals the batch
   *    recompute. foreachBatch makes that explicit.
   *  - Chunking is a stateless projection and rides the same batch.
-  *  - Sinks append one parquet shard-set per micro-batch — the
-  *    write-once artifact layout every downstream dedup/curation job
-  *    expects; re-delivery is prevented by the source checkpoint, not
-  *    by sink-side dedup (the file source commits file names).
+  *  - foreachBatch is AT-LEAST-ONCE (a crash after a write but before
+  *    the offset commit re-delivers the batch), so plain appends
+  *    would duplicate doc_ids on restart. Each write lands in an
+  *    `ingest_batch=<id>` partition under DYNAMIC partition
+  *    overwrite: a replayed batch rewrites exactly its own partition
+  *    — idempotent, and docs/chunks cannot diverge past one replay.
+  *    At-least-once delivery × idempotent write = effectively-once.
   *  - At scale: `maxFilesPerTrigger` bounds batch size; the per-file
   *    window shuffles one shard's lines to one task, so shard size
   *    (hundreds of MB) is the parallelism unit — split multi-GB dumps
@@ -41,22 +44,27 @@ object DocStream {
       .text(path)
       .withColumn("input_file", input_file_name())
 
-  /** Land the line stream as `documents` + chunk parquet, one shard
-    * per micro-batch. Returns the started query; callers own
-    * lifecycle (processAllAvailable/stop in tests, awaitTermination
-    * in production). */
+  /** Land the line stream as `documents` + chunk parquet, one
+    * `ingest_batch` partition per micro-batch (idempotent under
+    * batch replay — see object notes). Returns the started query;
+    * callers own lifecycle (processAllAvailable/stop in tests,
+    * awaitTermination in production). */
   def docIngestSink(lines: DataFrame, docsPath: String, chunksPath: String,
                     checkpoint: String, lang: String = "und",
                     window: Int = 200, stride: Int = 160): StreamingQuery =
     lines.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def land(df: DataFrame, path: String): Unit =
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(path)
         val docs = graft.sources.Tables.documentsFromLines(batch, lang)
           .persist()
         try {
-          docs.write.mode("append").parquet(docsPath)
-          graft.text.TextAnalysis.chunk(docs, window, stride)
-            .write.mode("append").parquet(chunksPath)
+          land(docs, docsPath)
+          land(graft.text.TextAnalysis.chunk(docs, window, stride), chunksPath)
         } finally { docs.unpersist(); () }
       }
       .start()

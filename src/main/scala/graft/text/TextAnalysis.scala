@@ -1929,7 +1929,10 @@ object TextAnalysis {
       .withColumn("chunk_start",
         explode(sequence(lit(1L), greatest(col("n_chars"), lit(1L)), lit(stride.toLong))))
       .select(col("doc_id"),
-        ((col("chunk_start") - 1L) / stride).cast("long").as("chunk_no"),
+        // integer DIV, not Column./ (a double Divide that is only
+        // incidentally exact below 2^53) — the repo's integer-exact
+        // convention, same form as the oracle's `//`
+        expr(s"(chunk_start - 1) DIV $stride").as("chunk_no"),
         col("chunk_start"),
         substr(col("text"), col("chunk_start"), lit(window)).as("chunk_text"))
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))

@@ -184,12 +184,23 @@ class QueriesSpec extends AnyFunSuite {
           .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey"),
         $"l_orderkey" === $"o_orderkey", "left_semi")
       .count()
-    val passed = graft.queries.Tpch.j3Prefiltered(spark, sf).count()
-    // no false negatives (every true match passes) and real pruning:
-    // the false-positive rate among true negatives stays under the
-    // design point (2^18 bits / 3 probes → ~0.4% at sf0.1 load; the
-    // bound here is slack for the tiny sf's noise)
-    assert(passed >= matched, s"bloom dropped true matches: $passed < $matched")
+    val pre = graft.queries.Tpch.j3Prefiltered(spark, sf)
+    val passed = pre.count()
+    // no false negatives proven by SET CONTAINMENT, not by count (a
+    // bloom dropping k true matches while admitting >= k false
+    // positives would satisfy a count bound): every urgent order key
+    // must survive the prefilter
+    val droppedTrue = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet").select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_semi") // only keys with fact rows
+      .join(pre.select($"l_orderkey").distinct(),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .count()
+    assert(droppedTrue == 0, s"bloom dropped $droppedTrue true-match keys")
+    // and real pruning: the false-positive rate among true negatives
+    // stays under the design point (2^18 bits / 3 probes → ~0.4% at
+    // sf0.1 load; the bound here is slack for the tiny sf's noise)
     assert(passed < total, s"bloom passed everything: $passed of $total")
     val fpr = (passed - matched).toDouble / math.max(1L, total - matched)
     assert(fpr < 0.05, s"false-positive rate $fpr above design point")

@@ -772,6 +772,18 @@ class StreamingSpec extends AnyFunSuite {
       DocStream.readLinesStream(spark, in),
       s"$wd/docs", s"$wd/chunks", s"$wd/ckpt")
     try run1.processAllAvailable() finally run1.stop()
+    // snapshot the post-batch-0 checkpoint — replayed later to
+    // simulate a crash that lost batch 1's offset commit
+    val stale = s"$wd/ckpt-stale"
+    locally {
+      val src = java.nio.file.Paths.get(s"$wd/ckpt")
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(stale).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+        ()
+      }
+    }
     // a second shard lands while the query is DOWN; restart resumes
     writeShard("shard2.txt", Seq("delta epsilon", "zeta"))
     val run2 = DocStream.docIngestSink(
@@ -782,8 +794,17 @@ class StreamingSpec extends AnyFunSuite {
       run2.recentProgress.map(_.numInputRows).sum
     } finally run2.stop()
     assert(processed == 2, s"restart reprocessed committed shards: read $processed lines")
+    // simulate the crash that makes foreachBatch at-least-once: run
+    // from the STALE checkpoint (batch 1's writes already landed, its
+    // offset commit "lost") — batch 1 re-delivers under the SAME id,
+    // and the dynamic ingest_batch partition overwrite must absorb
+    // the replay without duplicating doc_ids
+    val run3 = DocStream.docIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/docs", s"$wd/chunks", stale)
+    try run3.processAllAvailable() finally run3.stop()
     // end state = the batch ingest over the whole directory, doc ids
-    // distinct even for the repeated line
+    // distinct even for the repeated line and across the replay
     val got = spark.read.parquet(s"$wd/docs")
     val expect = graft.sources.Tables.documentsFromText(spark, in)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
