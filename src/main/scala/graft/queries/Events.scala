@@ -1268,4 +1268,62 @@ object Events {
        |  CAST((2 * sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) * 1000000 + count(*))
        |       // (2 * count(*)) AS BIGINT) AS late_e6
        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** e21: CHURN / RECENCY BUCKETS — every user's hours since last
+    * activity, measured against the corpus's own end of time (the
+    * max event ts — a wall-clock "now" would make the result
+    * non-reproducible), rolled into recency cohorts keyed by their
+    * lower bound (0–5 / 6–11 / 12–23 / 24–47 / 48+ hours) with
+    * per-bucket user share ×1e6. e8's retention reads cohorts
+    * forward from signup; this reads them backward from now — the
+    * re-engagement targeting / DAU-decay view. Hour granularity
+    * because recency decays on engagement timescales (day buckets
+    * collapse this corpus's 30-day window into one cell).
+    *
+    * Scale shape: one map-side-combined per-user max + the corpus
+    * end as a 1-row broadcast (re-deriving the per-user frame — the
+    * two-pass q30 shape, bound 2); idle hours are exact integer
+    * microsecond arithmetic (w4's convention); the share window sits
+    * over the ≤5-row bucket frame (whitelisted — bucket-domain-
+    * bounded). */
+  def e21Churn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(unix_micros(max($"ts")).as("last_us"))
+    val endF = perUser.agg(max($"last_us").as("end_us"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perUser.crossJoin(broadcast(endF))
+      .select($"user_id",
+        expr("(end_us - last_us) DIV 3600000000").as("hours_idle"))
+      .withColumn("idle_hours_ge",
+        when($"hours_idle" <= 5L, 0L).when($"hours_idle" <= 11L, 6L)
+          .when($"hours_idle" <= 23L, 12L).when($"hours_idle" <= 47L, 24L)
+          .otherwise(48L))
+      .groupBy($"idle_hours_ge").agg(count(lit(1)).as("n_users"))
+      .withColumn("total", sum($"n_users").over(w))
+      .select($"idle_hours_ge", $"n_users",
+        halfUp($"n_users" * 1000000L, $"total").as("share_e6"))
+      .orderBy("idle_hours_ge")
+  }
+
+  /** e21 oracle: same per-user max / corpus-end / integer-hour
+    * buckets / share arithmetic. */
+  val e21Sql: String =
+    """WITH pu AS (SELECT user_id, epoch_us(max(ts)) AS last_us FROM events GROUP BY 1),
+      |en AS (SELECT max(last_us) AS end_us FROM pu),
+      |d AS (
+      |  SELECT user_id, (en.end_us - pu.last_us) // 3600000000 AS hours_idle
+      |  FROM pu, en),
+      |b AS (
+      |  SELECT CASE WHEN hours_idle <= 5 THEN 0 WHEN hours_idle <= 11 THEN 6
+      |              WHEN hours_idle <= 23 THEN 12 WHEN hours_idle <= 47 THEN 24
+      |              ELSE 48 END AS idle_hours_ge,
+      |         count(*) AS n_users
+      |  FROM d GROUP BY 1)
+      |SELECT CAST(idle_hours_ge AS BIGINT) AS idle_hours_ge,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST((2*(n_users*1000000) + (SELECT sum(n_users) FROM b))
+      |       // (2*(SELECT sum(n_users) FROM b)) AS BIGINT) AS share_e6
+      |FROM b ORDER BY idle_hours_ge""".stripMargin
 }

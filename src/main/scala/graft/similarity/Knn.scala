@@ -1136,6 +1136,69 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
+  /** s22: IVF CELL-BALANCE AUDIT — per-cell corpus population of the
+    * s8 k-means index (all kc cells, INCLUDING empty ones — an empty
+    * or mega cell is THE operational failure of an IVF index), with
+    * share and ratio-to-mean ×1e6 (j2's skew-audit shape applied to
+    * the index): probe latency ∝ the probed cells' sizes, so a
+    * max/mean ratio ≫ 1 means the nprobe knob (s19's sweep) buys
+    * recall erratically and the index wants retraining. Completes
+    * the IVF operational story: s8 searches, s9 prices recall, s19
+    * prices nprobe, s22 prices the index's own balance.
+    *
+    * Scale shape: one pass of the corpus through the codegen'd
+    * nearest-centroid kernel (centroids are plan-time literals from
+    * the session-cached Lloyd's run — the kmeans `_artifacts`
+    * family) + one map-side-combined count to kc rows; the kc-row
+    * literal cell list makes empty cells explicit; stats ride the
+    * kc-row frame, never the corpus. */
+  def s22IvfBalance(spark: SparkSession, dir: String,
+                    kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val corpus = Tables.read(spark, dir, "embeddings")
+      .filter($"vec_id" >= 10)
+      .select($"vec_id", quantizeE6($"embedding").as("el"))
+    val sizes = assignCells(spark, corpus, cents)
+      .groupBy($"cluster".as("cell")).agg(count(lit(1)).as("n"))
+    val allCells = (0 until kc).map(_.toLong).toDF("cell")
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    allCells.join(sizes, Seq("cell"), "left")
+      .withColumn("n_vecs", coalesce($"n", lit(0L)))
+      .withColumn("total", sum($"n_vecs").over(w))
+      .select($"cell", $"n_vecs",
+        halfUp($"n_vecs" * 1000000L, $"total").as("share_e6"),
+        halfUp($"n_vecs" * 1000000L,
+          greatest(lit(1L), expr(s"total DIV $kc"))).as("ratio_mean_e6"))
+      .orderBy("cell")
+  }
+
+  /** s22 oracle: the Lloyd chain + the same assignment argmin and
+    * kc-row audit arithmetic. */
+  val s22Sql: String = {
+    val iters = 4; val kc = 8
+    s"""WITH ${lloydCteParts(iters).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+       |allc AS (SELECT unnest(range(0, $kc)) AS cell),
+       |j AS (
+       |  SELECT a.cell, coalesce(s.n, 0) AS n_vecs,
+       |         (SELECT sum(n) FROM sizes) AS total
+       |  FROM allc a LEFT JOIN sizes s ON s.cell = a.cell)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST((2*(n_vecs*1000000) + total) // (2*total) AS BIGINT) AS share_e6,
+       |  CAST((2*(n_vecs*1000000) + greatest(1, total // $kc))
+       |       // (2*greatest(1, total // $kc)) AS BIGINT) AS ratio_mean_e6
+       |FROM j ORDER BY cell""".stripMargin
+  }
+
   /** s21 oracle: s12's shortlist CTEs + the exact-integer-L2 rerank
     * over shortlist members only. */
   val s21Sql: String =

@@ -110,7 +110,9 @@ class QueriesSpec extends AnyFunSuite {
       "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
       "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
       "w5_cume_users",  // running sum over the ~30-row daily agg
-      "q31_sample_quant" // cum counts over the price-DOMAIN-bounded histogram (q25's argument, global)
+      "q31_sample_quant", // cum counts over the price-DOMAIN-bounded histogram (q25's argument, global)
+      "e21_churn",      // share over the ≤4-row recency-bucket agg
+      "s22_ivf_balance" // share/ratio over the kc-row cell-size agg
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
