@@ -258,6 +258,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: any text, window and stride reassembles losslessly with full coverage") {
+    // the invariants that make a RAG splitter safe: (1) every chunk
+    // IS the original text at its claimed offset (placement
+    // consistency — nothing reordered or corrupted), (2) chunk count
+    // is 1 + floor((n-1)/stride) at arithmetic offsets, with at least
+    // one chunk even for "", (3) coverage is complete: window ≥
+    // stride makes consecutive chunks overlap or abut, and the last
+    // chunk reaches the end of the text
+    val textGen = Gen.chooseNum(0, 700).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    for (s <- 1L to 6L; (w, st) <- Seq((200, 160), (50, 50), (10, 3))) {
+      val txt = sample(textGen, s)
+      val docs = Seq((1L, txt, txt.length.toLong)).toDF("doc_id", "text", "n_chars")
+      val rows = graft.text.TextAnalysis.chunk(docs, w, st)
+        .orderBy("chunk_no").collect()
+        .map(r => (r.getAs[Long]("chunk_no"), r.getAs[Long]("chunk_start"),
+          r.getAs[String]("chunk_text")))
+      val expected = 1 + math.max(txt.length - 1, 0) / st
+      assert(rows.length == expected, s"seed $s w=$w st=$st count")
+      rows.zipWithIndex.foreach { case ((no, start, t), i) =>
+        assert(no == i && start == 1L + i.toLong * st, s"seed $s w=$w st=$st offsets")
+        val from = (start - 1).toInt
+        assert(t == txt.substring(from, math.min(from + w, txt.length)),
+          s"seed $s w=$w st=$st placement of chunk $i")
+      }
+      val (_, lastStart, lastText) = rows.last
+      assert(lastStart - 1 + lastText.length == txt.length,
+        s"seed $s w=$w st=$st tail coverage")
+    }
+  }
+
+  test("g6's wedge/anti-join scoring matches driver brute force on any basket data") {
+    // random (order, part) baskets → the full link-prediction chain
+    // (support floor, degree cap, common neighbors, Jaccard, total
+    // order) recomputed naively on the driver
+    val rowGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 14L)))
+    for (s <- 1L to 4L) {
+      val baskets = sample(rowGen, s).distinct
+      val co = baskets.groupBy(_._1).values.toSeq
+        .flatMap(items => for {
+          a <- items.map(_._2); b <- items.map(_._2) if a < b
+        } yield (a, b))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val edges = co.filter(_._2 >= 2).keySet.toSet
+      val nbrs = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = (for {
+        (mid, ns) <- nbrs.toSeq if ns.size <= 64
+        u <- ns; v <- ns if u < v && !edges((u, v))
+      } yield (u, v)).groupBy(identity).view.mapValues(_.size).toMap
+      // stage the baskets as a lineitem-shaped parquet dir
+      val dir = java.nio.file.Files.createTempDirectory("graft-g6").toString
+      baskets.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = graft.queries.GraphQueries.g6LinkPred(spark, dir, topK = 10000)
+        .collect()
+        .map(r => (r.getAs[Long]("part_id1"), r.getAs[Long]("part_id2")) ->
+          ((r.getAs[Long]("common_nbrs"),
+            r.getAs[Long]("jaccard_e6")))).toMap
+      assert(got.keySet == expect.keySet, s"seed $s candidate set")
+      got.foreach { case (pair, (cn, jacc)) =>
+        assert(cn == expect(pair).toLong, s"seed $s $pair cn")
+        val (du, dv) = (nbrs(pair._1).size.toLong, nbrs(pair._2).size.toLong)
+        val expJacc = Math.floorDiv(2L * cn * 1000000L + (du + dv - cn), 2L * (du + dv - cn))
+        assert(jacc == expJacc, s"seed $s $pair jaccard")
+      }
+      graft.operators.Indexes.drop(s"g6_copairs:$dir:2")
+    }
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
