@@ -213,6 +213,54 @@ object Graph {
         coalesce($"triangles", lit(0L)).as("triangles"))
   }
 
+  /** Per-community MODULARITY contributions (Newman & Girvan 2004)
+    * for ANY partition of ANY undirected graph:
+    * Q_c = e_c/m − (d_c/2m)², as ×1e6 integers in the OVERFLOW-SAFE
+    * staged form — the degree share d_c/2m becomes a ≤1e6 integer
+    * BEFORE squaring, because the naive d_c²·1e6 numerator overflows
+    * long once m ≳ 10⁹ edges. Both halfUp divisions see only
+    * non-negative operands (where Spark's floor and DuckDB's
+    * truncation agree); q_e6 itself may be negative but is a pure
+    * subtraction. Nodes of `pairs` missing from `labels` are dropped
+    * from the audit (their edges still count toward m).
+    *
+    * @param pairs  undirected edges; first two columns are the
+    *               endpoints. Normalized defensively like [[kCore]].
+    * @param labels (id, community) — any partition (LP, CC, an
+    *               external clustering)
+    * @return (community, comm_size, in_edges, deg_sum, q_e6)
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val Array(ca, cb) = pairs.columns.take(2)
+    val p = pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .filter($"a" =!= $"b").dropDuplicates("a", "b")
+    val edges = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val Array(li, lc) = labels.columns.take(2)
+    val lab = labels.select(col(li).as("id"), col(lc).as("community"))
+    val mF = p.agg(count(lit(1)).as("m"))
+    val intra = p
+      .join(lab.select($"id".as("a"), $"community".as("ca")), Seq("a"))
+      .join(lab.select($"id".as("b"), $"community".as("cb")), Seq("b"))
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("in_edges"))
+    val dc = lab.join(deg, Seq("id"))
+      .groupBy($"community")
+      .agg(count(lit(1)).as("comm_size"), sum($"deg").as("deg_sum"))
+    dc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mF))
+      .select($"community", $"comm_size",
+        coalesce($"in_edges", lit(0L)).as("in_edges"), $"deg_sum",
+        (halfUp(coalesce($"in_edges", lit(0L)) * 1000000L, $"m") -
+          halfUp(halfUp($"deg_sum" * 1000000L, $"m" * 2L) *
+                 halfUp($"deg_sum" * 1000000L, $"m" * 2L), lit(1000000L)))
+          .as("q_e6"))
+  }
+
   /** Fixed-round k-CORE PEELING (Seidman 1983; synchronous distributed
     * rounds à la Montresor/De Pellegrini/Miorandi 2011): each round
     * computes degrees within the surviving subgraph and drops every

@@ -443,33 +443,14 @@ object GraphQueries {
     * combined rollups + a 1-row m broadcast. */
   def g7Modularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val halfUp = graft.functions.IntMath.halfUpDiv _
     val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
-      .select($"doc_id1".as("a"), $"doc_id2".as("b"))
-    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
-    val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      .select($"doc_id1", $"doc_id2")
     // the audit references the label frame three times (both edge
     // endpoints + the degree rollup) — it rides the shared g3Labels
     // memo, so each reference reads the cached node-sized frame
     val lab = g3Labels(spark, dir, iters = 3)
-      .select($"id".as("doc_id"), $"label".as("community"))
-    val mF = pairs.agg(count(lit(1)).as("m"))
-    val intra = pairs
-      .join(lab.select($"doc_id".as("a"), $"community".as("ca")), Seq("a"))
-      .join(lab.select($"doc_id".as("b"), $"community".as("cb")), Seq("b"))
-      .filter($"ca" === $"cb")
-      .groupBy($"ca".as("community")).agg(count(lit(1)).as("in_edges"))
-    val dc = lab.join(deg, lab("doc_id") === deg("id"))
-      .groupBy($"community")
-      .agg(count(lit(1)).as("comm_size"), sum($"deg").as("deg_sum"))
-    dc.join(intra, Seq("community"), "left")
-      .crossJoin(broadcast(mF))
-      .select($"community", $"comm_size",
-        coalesce($"in_edges", lit(0L)).as("in_edges"), $"deg_sum",
-        (halfUp(coalesce($"in_edges", lit(0L)) * 1000000L, $"m") -
-          halfUp(halfUp($"deg_sum" * 1000000L, $"m" * 2L) *
-                 halfUp($"deg_sum" * 1000000L, $"m" * 2L), lit(1000000L)))
-          .as("q_e6"))
+      .select($"id", $"label".as("community"))
+    graft.operators.Graph.modularity(pairs, lab)
       .orderBy("community")
   }
 

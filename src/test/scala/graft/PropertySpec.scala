@@ -328,6 +328,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("modularity matches driver arithmetic on any graph under any labeling, and sums like Q") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    val labGen = Gen.listOfN(15, Gen.choose(0L, 3L))
+    for (s <- 1L to 5L) {
+      val raw = sample(edgeGen, s)
+      val pairs = raw
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      if (pairs.nonEmpty) {
+        val m = pairs.length.toLong
+        val labOf = sample(labGen, s + 50).zipWithIndex
+          .map { case (c, id) => id.toLong -> c }.toMap
+        val nodes = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+        val deg = (pairs ++ pairs.map(e => (e._2, e._1)))
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        def hu(n: Long, d: Long) = Math.floorDiv(2L * n + d, 2L * d)
+        val expect = nodes.groupBy(labOf).map { case (c, ns) =>
+          val inE = pairs.count(e => labOf(e._1) == c && labOf(e._2) == c).toLong
+          val dSum = ns.map(deg).sum
+          val dsh = hu(dSum * 1000000L, 2L * m)
+          c -> ((ns.length.toLong, inE, dSum, hu(inE * 1000000L, m) - hu(dsh * dsh, 1000000L)))
+        }
+        val got = graft.operators.Graph.modularity(
+            raw.toDF("a", "b"),
+            labOf.toSeq.toDF("id", "community"))
+          .collect().map(r => r.getAs[Long]("community") ->
+            ((r.getAs[Long]("comm_size"), r.getAs[Long]("in_edges"),
+              r.getAs[Long]("deg_sum"), r.getAs[Long]("q_e6")))).toMap
+        assert(got.keySet == expect.keySet, s"seed $s communities")
+        got.foreach { case (c, v) => assert(v == expect(c), s"seed $s community $c") }
+        // the Q identity that makes the audit a partition score: when
+        // every node is labeled, Σ_c e_c = (intra-community) ≤ m and
+        // Σ_c d_c = 2m exactly
+        assert(got.values.map(_._3).sum == 2L * m, s"seed $s degree mass")
+      }
+    }
+  }
+
   test("kCore matches a driver-side synchronous peel on any graph, any k, any round count") {
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
     for (s <- 1L to 5L; k <- Seq(2, 3); rounds <- Seq(1, 3)) {
