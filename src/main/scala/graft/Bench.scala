@@ -64,7 +64,9 @@ object Bench {
       Seq(
         "sig_index"    -> (() => { graft.dedup.Dedup.sigIndex(spark, sfDir).count(); () }),
         "d2_pairs"     -> (() => { graft.dedup.Dedup.d2Pairs(spark, sfDir).count(); () }),
-        "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () })),
+        "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () }),
+        // the converged LP label frame g3 AND g7 project
+        "g3_labels"    -> (() => { graft.queries.GraphQueries.g3Labels(spark, sfDir).count(); () })),
       // the c1 curation frame (t1/t2/t22/t11 signal stack) is read by
       // c1, c2 AND c3; its t11 leg rides the shingle family
       Seq(

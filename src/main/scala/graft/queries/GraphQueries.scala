@@ -178,7 +178,7 @@ object GraphQueries {
     * expensive part, and a lazy consumer referencing it k times
     * would re-run all k·3 rounds (measured on g7: 6.7 s for three
     * references vs 3.4 for one). */
-  private def g3Labels(spark: SparkSession, dir: String, iters: Int): DataFrame =
+  private[graft] def g3Labels(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     graft.operators.Indexes.memo(s"g3_labels:$dir:$iters") {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
