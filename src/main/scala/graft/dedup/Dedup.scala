@@ -1089,4 +1089,58 @@ object Dedup {
        |      // (2 * (n_a + n_b - n_inter)) AS BIGINT) AS err_e6
        |FROM a ORDER BY pair""".stripMargin
   }
+
+  /** d15: QUALITY-AWARE SURVIVOR PICK — the step that turns dedup
+    * DETECTION into the actionable output table: every doc gets its
+    * d7 cluster, the cluster's survivor (the member with the highest
+    * t2 quality score, ties to the smallest doc_id — real pipelines
+    * keep the best copy, not the lexicographically-first: the
+    * canonical often is the cleanest page, the near-dups are
+    * boilerplate-wrapped reprints), and a keep/drop flag. Singleton
+    * docs survive themselves. c1's curation ladder uses d1's EXACT
+    * fingerprint for its duplicate rule; this is the NEAR-dup
+    * analogue a production pass applies before it.
+    *
+    * Scale shape: both inputs are shared artifacts computed once (the
+    * d7 cluster map memo; t2's one-shuffle quality frame); the pick
+    * is one cluster-partitioned row_number window over the
+    * (doc, cluster, quality) join — never a global sort — and the
+    * survivor broadcast back is a cluster-keyed equi-join. */
+  def d15SurvivorPick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = d7Clusters(spark, dir)
+    val quality = graft.text.TextAnalysis.t2QualityScore(spark, dir)
+      .select($"doc_id", $"quality_e6")
+    val joined = clusters.join(quality, Seq("doc_id"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"quality_e6".desc, $"doc_id")
+    val survivors = joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_id"))
+    joined.join(survivors, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"survivor_id",
+        when($"doc_id" === $"survivor_id", 1L).otherwise(0L).as("is_survivor"),
+        $"quality_e6")
+      .orderBy("doc_id")
+  }
+
+  /** d15 oracle: d7's transitive-closure chain + t2's quality chain
+    * (prefixed `q_` — d2Ctes already owns `tok`) + the same
+    * QUALIFY-windowed pick. */
+  val d15Sql: String =
+    s"""WITH RECURSIVE $d2Ctes,
+       |$ccCtes,
+       |${graft.text.TextAnalysis.t2Chain("q_")},
+       |jq AS (
+       |  SELECT cc.doc_id, cc.cluster_id, q_q.quality_e6
+       |  FROM cc JOIN q_q ON q_q.doc_id = cc.doc_id),
+       |surv AS (
+       |  SELECT cluster_id, doc_id AS survivor_id FROM jq
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+       |                             ORDER BY quality_e6 DESC, doc_id) = 1)
+       |SELECT jq.doc_id, jq.cluster_id, s.survivor_id,
+       |  CAST(CASE WHEN jq.doc_id = s.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor,
+       |  jq.quality_e6
+       |FROM jq JOIN surv s ON s.cluster_id = jq.cluster_id
+       |ORDER BY jq.doc_id""".stripMargin
 }

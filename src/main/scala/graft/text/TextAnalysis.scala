@@ -139,22 +139,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val t2Sql: String =
-    s"""WITH tok AS (
+  /** t2's oracle CTE chain with a caller-chosen name PREFIX, so a
+    * composing oracle (d15's survivor pick) can splice the quality
+    * formation next to chains that already define `tok` (d2Ctes
+    * does). Yields `<p>q(doc_id, …, quality_e6)`. */
+  private[graft] def t2Chain(p: String): String =
+    s"""${p}tok AS (
        |  SELECT doc_id, length(text) AS n_chars,
        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
        |  FROM documents),
-       |m AS (
+       |${p}m AS (
        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
        |    CAST((2 * list_sum(list_transform(toks, t -> length(t))) * 1000000 + greatest(len(toks), 1))
        |         // (2 * greatest(len(toks), 1)) AS BIGINT) AS avg_token_len_e6,
        |    CAST(${ratioE6Sql(enStop)} AS BIGINT) AS stop_ratio_e6
-       |  FROM tok)
-       |SELECT doc_id, n_chars, n_tokens, avg_token_len_e6, stop_ratio_e6,
-       |  CAST(least(n_tokens, 100) * 5000
-       |    + (2 * stop_ratio_e6 * 3 + 10) // 20
-       |    + (2 * least(avg_token_len_e6, 10000000) + 50) // 100 AS BIGINT) AS quality_e6
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  FROM ${p}tok),
+       |${p}q AS (
+       |  SELECT doc_id, n_chars, n_tokens, avg_token_len_e6, stop_ratio_e6,
+       |    CAST(least(n_tokens, 100) * 5000
+       |      + (2 * stop_ratio_e6 * 3 + 10) // 20
+       |      + (2 * least(avg_token_len_e6, 10000000) + 50) // 100 AS BIGINT) AS quality_e6
+       |  FROM ${p}m)""".stripMargin
+
+  val t2Sql: String =
+    s"""WITH ${t2Chain("")}
+       |SELECT doc_id, n_chars, n_tokens, avg_token_len_e6, stop_ratio_e6, quality_e6
+       |FROM q ORDER BY doc_id""".stripMargin
 
   /** t3: token counting — whitespace tokens, regex word tokens, and a
     * BPE-ish `ceil(chars/4)` subword estimate. */
