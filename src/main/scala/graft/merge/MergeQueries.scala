@@ -608,4 +608,51 @@ object MergeQueries {
       |FROM srcc s JOIN destc d USING (c_name)
       |WHERE s.src_acctbal <> d.dest_acctbal OR s.src_nation <> d.dest_nation
       |ORDER BY s.src_id""".stripMargin
+
+  /** m24: ID-SPACE DENSITY AUDIT — per fixed-size id block of the
+    * orders table, how many ids are actually present and how many of
+    * the block's slots are missing (interior gaps = deleted rows,
+    * failed inserts, or a migration that skipped ranges). The
+    * id-hygiene companion to m9's sequential allocation and the
+    * reference's max(id)-based seeding (beehive allocates past
+    * max(id) — a gappy id space silently wastes the range this audit
+    * quantifies; a DENSE map also tells m9's planner the next block
+    * is safe). Only blocks the table touches appear; the final
+    * (partial) block reports missing slots up to the observed max id,
+    * not the block edge — no phantom gaps past the end of the table.
+    *
+    * Scale shape: ONE map-side-combined aggregation to ≤ max_id/block
+    * rows — never a sort, never a window over fact rows; the
+    * max-id scalar rides the same blocks frame (1-row broadcast). */
+  def m24IdDensity(spark: SparkSession, dir: String, block: Long = 1000L)
+  : DataFrame = {
+    import spark.implicits._
+    val blocks = Tables.read(spark, dir, "orders")
+      .groupBy(expr(s"o_orderkey DIV $block").as("block_id"))
+      .agg(count(lit(1)).as("n_present"), max($"o_orderkey").as("max_in_block"))
+    val maxF = blocks.agg(max($"max_in_block").as("max_id"))
+    blocks.crossJoin(broadcast(maxF))
+      .select($"block_id",
+        ($"block_id" * block).as("id_lo"),
+        least(($"block_id" + 1L) * block - 1L, $"max_id").as("id_hi"),
+        $"n_present",
+        (least(($"block_id" + 1L) * block - 1L, $"max_id")
+          - $"block_id" * block + 1L - $"n_present").as("n_missing"))
+      .orderBy("block_id")
+  }
+
+  /** m24 oracle: same block rollup + capped-final-block arithmetic. */
+  val m24Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey // 1000 AS block_id, count(*) AS n_present,
+      |         max(o_orderkey) AS max_in_block
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(max_in_block) AS max_id FROM b)
+      |SELECT b.block_id, CAST(b.block_id * 1000 AS BIGINT) AS id_lo,
+      |  CAST(least((b.block_id + 1) * 1000 - 1, mx.max_id) AS BIGINT) AS id_hi,
+      |  CAST(b.n_present AS BIGINT) AS n_present,
+      |  CAST(least((b.block_id + 1) * 1000 - 1, mx.max_id)
+      |    - b.block_id * 1000 + 1 - b.n_present AS BIGINT) AS n_missing
+      |FROM b, mx
+      |ORDER BY b.block_id""".stripMargin
 }

@@ -1326,4 +1326,63 @@ object Events {
       |  CAST((2*(n_users*1000000) + (SELECT sum(n_users) FROM b))
       |       // (2*(SELECT sum(n_users) FROM b)) AS BIGINT) AS share_e6
       |FROM b ORDER BY idle_hours_ge""".stripMargin
+
+  /** e22: EVENT-MIX SHIFT — per (week, event_type), this week's
+    * traffic share vs last week's, with the signed ×1e6 delta: the
+    * categorical-drift monitor (did purchases' share of traffic move,
+    * or just traffic?) that complements e12's per-type volume
+    * anomalies — a mix SHIFT with flat volume is invisible to volume
+    * z-tests and is usually instrumentation drift (a client release
+    * renaming/dropping an event). Weeks are epoch-microsecond DIV
+    * 7 days (integer-exact both engines); a type absent last week
+    * reports prev share 0; the corpus's first week is dropped (no
+    * prior — w7's convention).
+    *
+    * Scale shape: ONE fact scan to the (weeks × types)-sized share
+    * frame (map-side-combined counts + a week-PARTITIONED total
+    * window), then the frame is localCheckpoint-ed — its three
+    * consumers (self, the week+1 shifted copy, the min-week scalar)
+    * would otherwise re-derive the scan each (the j2 lazy-lineage
+    * disease); everything downstream is tiny-frame joins. */
+  def e22MixShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val wt = Window.partitionBy($"week")
+    val shares = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 604800000000").as("week"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(wt))
+      .select($"week", $"event_type", $"n",
+        halfUp($"n" * 1000000L, $"total").as("share_e6"))
+      .localCheckpoint(true)
+    val prev = shares.select(($"week" + 1L).as("week"), $"event_type",
+      $"share_e6".as("prev_share_e6"))
+    val minF = shares.agg(min($"week").as("w0"))
+    shares.join(prev, Seq("week", "event_type"), "left")
+      .crossJoin(broadcast(minF))
+      .filter($"week" > $"w0")
+      .select($"week", $"event_type", $"n", $"share_e6",
+        coalesce($"prev_share_e6", lit(0L)).as("prev_share_e6"),
+        ($"share_e6" - coalesce($"prev_share_e6", lit(0L))).as("delta_e6"))
+      .orderBy("week", "event_type")
+  }
+
+  /** e22 oracle: same week bucketing, share arithmetic and
+    * previous-week self-join. */
+  val e22Sql: String =
+    """WITH wk AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS week, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT week, event_type, n,
+      |    CAST((2*(n*1000000) + sum(n) OVER (PARTITION BY week))
+      |         // (2*sum(n) OVER (PARTITION BY week)) AS BIGINT) AS share_e6
+      |  FROM wk)
+      |SELECT s.week, s.event_type, CAST(s.n AS BIGINT) AS n, s.share_e6,
+      |  CAST(coalesce(p.share_e6, 0) AS BIGINT) AS prev_share_e6,
+      |  CAST(s.share_e6 - coalesce(p.share_e6, 0) AS BIGINT) AS delta_e6
+      |FROM sh s
+      |LEFT JOIN sh p ON p.week = s.week - 1 AND p.event_type = s.event_type
+      |WHERE s.week > (SELECT min(week) FROM sh)
+      |ORDER BY s.week, s.event_type""".stripMargin
 }
