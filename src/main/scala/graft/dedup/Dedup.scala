@@ -1048,7 +1048,11 @@ object Dedup {
     * equal BY THE SKETCH-CLOSURE ARGUMENT in the scaladoc (bottom-k
     * rows of each pair's union, membership from the exact flags),
     * so the oracle needs no list algebra, just window ranks. */
-  val d13Sql: String = {
+  // `def`, NOT `val` (also d15Sql): referencing TextAnalysis from a
+  // val initializer creates a class-init cycle with TextAnalysis's
+  // t9/t11/… vals that deadlocks under concurrent first touch — see
+  // the note on TextAnalysis.t9Sql.
+  def d13Sql: String = {
     val h = graft.functions.DetHash.sql60("sh")
     val bucket = graft.text.TextAnalysis.splitBucketSql
     val split = graft.text.TextAnalysis.splitCaseSql
@@ -1127,7 +1131,7 @@ object Dedup {
   /** d15 oracle: d7's transitive-closure chain + t2's quality chain
     * (prefixed `q_` — d2Ctes already owns `tok`) + the same
     * QUALIFY-windowed pick. */
-  val d15Sql: String =
+  def d15Sql: String =
     s"""WITH RECURSIVE $d2Ctes,
        |$ccCtes,
        |${graft.text.TextAnalysis.t2Chain("q_")},

@@ -127,6 +127,28 @@ object MergeConfig {
     * schemas carry) are broken the way a hand-written config would:
     * the cycle-closing edge moves to deferredFks (two-phase update),
     * chosen deterministically (smallest table, then column). */
+  /** Group raw `getImportedKeys` rows (fkName, keySeq, fkCol, pkTable,
+    * pkCol) into one group per CONSTRAINT. Named rows group by
+    * FK_NAME. UNNAMED rows (legal in some engines, surfaced as
+    * null/empty FK_NAME) must NOT collapse into one pseudo-composite
+    * group — that silently dropped N distinct single-column relations
+    * as "composite". The JDBC contract orders the result set by
+    * KEY_SEQ within each constraint, so for unnamed rows a KEY_SEQ
+    * that does not continue the previous row's run (≤ it) starts a new
+    * constraint: two unnamed single-column FKs arrive as KEY_SEQ 1,1 →
+    * two groups; one unnamed composite arrives as 1,2 → one group. */
+  private[graft] def groupFkRows(rows: Seq[(String, Int, String, String, String)])
+  : Seq[Seq[(String, Int, String, String, String)]] = {
+    val (named, unnamed) = rows.partition(_._1.nonEmpty)
+    val namedGroups = named.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
+    val unnamedGroups = unnamed.foldLeft(
+      List.empty[List[(String, Int, String, String, String)]]) {
+      case (acc, r) if acc.isEmpty || r._2 <= acc.head.last._2 => List(r) :: acc
+      case (g :: rest, r) => (g :+ r) :: rest
+    }.reverse.map(_.toSeq)
+    namedGroups ++ unnamedGroups
+  }
+
   def discoverFks(url: String, tables: Seq[TableSpec]): Seq[TableSpec] = {
     val known = tables.map(t => t.name.toLowerCase -> t).toMap
     val conn = java.sql.DriverManager.getConnection(url)
@@ -153,7 +175,7 @@ object MergeConfig {
           def skip(why: String): Unit =
             System.err.println(s"[graft-merge] WARN ${t.name}: skipping discovered FK $why" +
               " — declare it by hand if it must be remapped")
-          val usable = rows.groupBy(_._1).values.toSeq.flatMap {
+          val usable = groupFkRows(rows).flatMap {
             case Seq((_, _, fkCol, pkTable, pkCol)) =>
               known.get(pkTable.toLowerCase) match {
                 case None => None // parent outside the merge set

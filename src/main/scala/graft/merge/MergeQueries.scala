@@ -619,7 +619,9 @@ object MergeQueries {
     * quantifies; a DENSE map also tells m9's planner the next block
     * is safe). Only blocks the table touches appear; the final
     * (partial) block reports missing slots up to the observed max id,
-    * not the block edge — no phantom gaps past the end of the table.
+    * not the block edge, and the FIRST block symmetrically starts at
+    * the observed min id — no phantom gaps past either end of the
+    * table's actual keyspace (ids below the first key are not deletes).
     *
     * Scale shape: ONE map-side-combined aggregation to ≤ max_id/block
     * rows — never a sort, never a window over fact rows; the
@@ -629,15 +631,24 @@ object MergeQueries {
     import spark.implicits._
     val blocks = Tables.read(spark, dir, "orders")
       .groupBy(expr(s"o_orderkey DIV $block").as("block_id"))
-      .agg(count(lit(1)).as("n_present"), max($"o_orderkey").as("max_in_block"))
-    val maxF = blocks.agg(max($"max_in_block").as("max_id"))
+      .agg(count(lit(1)).as("n_present"),
+        min($"o_orderkey").as("min_in_block"),
+        max($"o_orderkey").as("max_in_block"))
+    val maxF = blocks.agg(min($"min_in_block").as("min_id"),
+      max($"max_in_block").as("max_id"))
+    // the head block caps at the observed MIN id exactly as the tail
+    // block caps at the max: ids below the table's first key (e.g. a
+    // keyspace starting at 1, or an instance seeded at an offset) are
+    // not "missing" — without the mirror cap n_missing overstates
+    // front-of-range waste
     blocks.crossJoin(broadcast(maxF))
       .select($"block_id",
-        ($"block_id" * block).as("id_lo"),
+        greatest($"block_id" * block, $"min_id").as("id_lo"),
         least(($"block_id" + 1L) * block - 1L, $"max_id").as("id_hi"),
         $"n_present",
         (least(($"block_id" + 1L) * block - 1L, $"max_id")
-          - $"block_id" * block + 1L - $"n_present").as("n_missing"))
+          - greatest($"block_id" * block, $"min_id") + 1L
+          - $"n_present").as("n_missing"))
       .orderBy("block_id")
   }
 
@@ -645,14 +656,17 @@ object MergeQueries {
   val m24Sql: String =
     """WITH b AS (
       |  SELECT o_orderkey // 1000 AS block_id, count(*) AS n_present,
+      |         min(o_orderkey) AS min_in_block,
       |         max(o_orderkey) AS max_in_block
       |  FROM orders GROUP BY 1),
-      |mx AS (SELECT max(max_in_block) AS max_id FROM b)
-      |SELECT b.block_id, CAST(b.block_id * 1000 AS BIGINT) AS id_lo,
+      |mx AS (SELECT min(min_in_block) AS min_id,
+      |              max(max_in_block) AS max_id FROM b)
+      |SELECT b.block_id,
+      |  CAST(greatest(b.block_id * 1000, mx.min_id) AS BIGINT) AS id_lo,
       |  CAST(least((b.block_id + 1) * 1000 - 1, mx.max_id) AS BIGINT) AS id_hi,
       |  CAST(b.n_present AS BIGINT) AS n_present,
       |  CAST(least((b.block_id + 1) * 1000 - 1, mx.max_id)
-      |    - b.block_id * 1000 + 1 - b.n_present AS BIGINT) AS n_missing
+      |    - greatest(b.block_id * 1000, mx.min_id) + 1 - b.n_present AS BIGINT) AS n_missing
       |FROM b, mx
       |ORDER BY b.block_id""".stripMargin
 }

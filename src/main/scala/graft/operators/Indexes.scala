@@ -104,6 +104,38 @@ object Indexes {
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[
     String, (Thread, java.util.concurrent.CompletableFuture[DataFrame])]()
 
+  /** Which memo key each blocked waiter thread is parked on — the
+    * edge list of the wait-for graph [[deadlocked]] walks. Entries
+    * exist only while the thread sits in [[memo]]'s waiter branch. */
+  private val waitingOn =
+    new java.util.concurrent.ConcurrentHashMap[Thread, String]()
+
+  /** True iff waiting on `key` would close a wait cycle back to this
+    * thread: key's owner is parked on a key whose owner is parked on …
+    * ending at the current thread (A owns X and memos Y while B owns Y
+    * and memos X). The memo dependency graph is acyclic BY DESIGN —
+    * artifact layering goes signatures → pairs → clusters → labels —
+    * so a cycle is a layering bug; this check turns the silent
+    * permanent hang it would cause into a loud local-compute fallback.
+    * The walk is advisory (the maps mutate concurrently): a false
+    * negative just waits one more [[memo]] poll tick, a false positive
+    * merely duplicates one compute. */
+  private def deadlocked(key: String): Boolean = {
+    val self = Thread.currentThread()
+    var k = key
+    var steps = 0
+    while (steps < 1000) {
+      val e = inFlight.get(k)
+      if (e == null) return false
+      if (e._1 eq self) return true
+      val next = waitingOn.get(e._1)
+      if (next == null) return false
+      k = next
+      steps += 1
+    }
+    false
+  }
+
   /** Get-or-compute: return the live index registered under `key`, or
     * compute, [[swap]]-register, and return it. The session-scope form
     * of the production pattern "materialize a derived artifact ONCE
@@ -152,7 +184,36 @@ object Indexes {
             // reentrant re-entry from inside this thread's own compute
             swap(key, compute)
           case (_, latch) =>
-            try latch.join() catch { case _: Throwable => () }
+            // park until the owner lands (then reuse via the recursive
+            // re-check) — but poll in 1 s slices, re-running the
+            // wait-cycle check each tick: a transitive A⇄B key cycle
+            // would otherwise block both threads forever. On a detected
+            // cycle, compute locally (duplicate work, never a hang).
+            // The owner's failure (ExecutionException / cancellation)
+            // just falls through to the retry; an INTERRUPT of this
+            // waiter is the caller cancelling — restore the flag and
+            // propagate instead of silently re-running a possibly
+            // seconds-long compute on a cancelled thread.
+            val self = Thread.currentThread()
+            waitingOn.put(self, key)
+            try {
+              var landed = false
+              while (!landed) {
+                if (deadlocked(key)) {
+                  System.err.println(s"[graft] Indexes.memo: wait cycle detected on '$key'" +
+                    " — computing locally (memo keys must layer acyclically)")
+                  return swap(key, compute)
+                }
+                try { latch.get(1, java.util.concurrent.TimeUnit.SECONDS); landed = true }
+                catch {
+                  case _: java.util.concurrent.TimeoutException => ()
+                  case ie: InterruptedException =>
+                    Thread.currentThread().interrupt(); throw ie
+                  case _: java.util.concurrent.ExecutionException
+                       | _: java.util.concurrent.CancellationException => landed = true
+                }
+              }
+            } finally waitingOn.remove(self)
             memo(key)(compute)
         }
     }

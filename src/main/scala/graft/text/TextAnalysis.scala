@@ -238,7 +238,14 @@ object TextAnalysis {
       .orderBy("cluster_id")
   }
 
-  val t9Sql: String =
+  // `def`, NOT `val`, for every oracle string that references another
+  // graft object (here and t11/t15/t16/t17/t25): a val would run at
+  // class init and take Dedup's init lock while Dedup's own init (d13,
+  // d15) takes this class's — two threads first-touching the two
+  // objects concurrently (Bench artifact chains do) then deadlock on
+  // the JVM class-init monitors. As defs the static initializers are
+  // leaf-only and the init graph stays acyclic.
+  def t9Sql: String =
     s"""WITH RECURSIVE ${graft.dedup.Dedup.d2Ctes},
        |${graft.dedup.Dedup.ccCtes},
        |sp AS (
@@ -558,7 +565,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val t11Sql: String =
+  def t11Sql: String =
     s"""WITH ${graft.dedup.Dedup.shingleCtes},
        |sp AS (
        |  SELECT doc_id, $splitCaseSql AS split
@@ -611,7 +618,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val t15Sql: String =
+  def t15Sql: String =
     s"""WITH ${graft.dedup.Dedup.shingleCtes},
        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
        |common AS (SELECT sh FROM df WHERE df >= 4)
@@ -644,7 +651,7 @@ object TextAnalysis {
       .select($"sh".as("ngram"), $"n_occurrences", $"n_docs")
   }
 
-  val t17Sql: String =
+  def t17Sql: String =
     s"""WITH ${graft.dedup.Dedup.shingleCtes},
        |agg AS (
        |  SELECT sh AS ngram, count(*) AS n_occurrences,
@@ -675,7 +682,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val t16Sql: String =
+  def t16Sql: String =
     s"""WITH ${graft.dedup.Dedup.shingleCtes},
        |lvl1 AS (SELECT doc_id, sh, count(*) AS n FROM shu GROUP BY doc_id, sh),
        |agg AS (
@@ -1888,7 +1895,7 @@ object TextAnalysis {
 
   /** t25 oracle: d2's distinct-shingle CTE, the same min-doc first
     * occurrence and integer ratio. */
-  val t25Sql: String =
+  def t25Sql: String =
     s"""WITH ${graft.dedup.Dedup.shingleCtes},
        |fst AS (SELECT sh AS s2, min(doc_id) AS first_doc FROM sh GROUP BY sh),
        |pd AS (

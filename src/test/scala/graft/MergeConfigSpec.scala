@@ -124,6 +124,31 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(MergeConfig.execute(spark, cfg, dryRun = true).count() == 2)
   }
 
+  test("groupFkRows: unnamed FKs split per KEY_SEQ run, composites stay grouped") {
+    // (fkName, keySeq, fkCol, pkTable, pkCol) rows as getImportedKeys
+    // serves them: ordered, KEY_SEQ restarting at 1 per constraint.
+    // Two UNNAMED single-column FKs must land as two groups (the old
+    // group-by-"" collapsed them into one pseudo-composite and skipped
+    // both); an unnamed genuinely-composite FK (KEY_SEQ 1,2) must stay
+    // one group and still be rejected as composite downstream.
+    val rows = Seq(
+      ("", 1, "a_id", "parent_a", "id"),
+      ("", 1, "b_id", "parent_b", "id"),
+      ("", 1, "c1", "parent_c", "id"),
+      ("", 2, "c2", "parent_c", "id2"),
+      ("fk_x", 1, "x_id", "parent_x", "id"))
+    val groups = MergeConfig.groupFkRows(rows)
+    assert(groups.map(_.map(_._3)).toSet ==
+      Set(Seq("a_id"), Seq("b_id"), Seq("c1", "c2"), Seq("x_id")))
+    // named rows group by name regardless of adjacency
+    val named = Seq(
+      ("fk_1", 1, "p1", "pa", "id"),
+      ("fk_2", 1, "q1", "pb", "id"),
+      ("fk_1", 2, "p2", "pa", "id2"))
+    assert(MergeConfig.groupFkRows(named).map(_.map(_._3)).toSet ==
+      Set(Seq("p1", "p2"), Seq("q1")))
+  }
+
   test("breakDiscoveredCycles defers exactly the discovered cycle-closing edges") {
     import graft.merge.{MergeConfig, Orchestrator}
     import Orchestrator.{MergeMode, TableSpec}

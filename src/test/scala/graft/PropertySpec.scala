@@ -205,6 +205,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Indexes.memo: a cross-key wait cycle falls back to local compute instead of hanging") {
+    import graft.operators.Indexes
+    // A owns cyc-a and memos cyc-b while B owns cyc-b and memos cyc-a:
+    // under the plain latch both threads would park forever. The memo
+    // key graph is acyclic by design, so this is the loud-failure path
+    // for a layering bug — the wait-cycle walk must break the deadlock
+    // by computing locally on (at least) one side.
+    val (ka, kb) = ("memo-cyc-a", "memo-cyc-b")
+    val bothOwn = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def crossed(own: String, other: String, v: Long) =
+        pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = Indexes.memo(own) {
+            bothOwn.await()
+            Indexes.memo(other)(Seq(v).toDF("v")).unionAll(Seq(v + 1).toDF("v"))
+          }
+        })
+      val fa = crossed(ka, kb, 1L)
+      val fb = crossed(kb, ka, 3L)
+      // 60 s >> the 1 s poll tick; a regression to the blocking join
+      // fails here with a TimeoutException instead of wedging the suite
+      val ra = fa.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val rb = fb.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      // the invariant is LIVENESS, not a specific winner: depending on
+      // which side detects the cycle first, the inner memo returns a
+      // locally-computed 1-row frame or the other thread's completed
+      // 2-3 row union — both are valid registry states
+      assert(ra.count() >= 2L && rb.count() >= 2L)
+    } finally {
+      pool.shutdownNow(); Indexes.drop(ka); Indexes.drop(kb)
+    }
+  }
+
+  test("Indexes.memo: an interrupted waiter propagates instead of silently recomputing") {
+    import graft.operators.Indexes
+    val key = "memo-intr-spec"
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    val owning = new java.util.concurrent.CountDownLatch(1)
+    val owner = new Thread(() => Indexes.memo(key) {
+      owning.countDown(); hold.await(); Seq(1L).toDF("v")
+    })
+    @volatile var caught: Throwable = null
+    val waiter = new Thread(() =>
+      try Indexes.memo(key)(Seq(9L).toDF("v"))
+      catch { case t: Throwable => caught = t })
+    try {
+      owner.start()
+      assert(owning.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      waiter.start()
+      Thread.sleep(300) // let the waiter park on the latch
+      waiter.interrupt()
+      waiter.join(10000)
+      assert(!waiter.isAlive, "interrupted waiter must exit promptly")
+      assert(caught.isInstanceOf[InterruptedException],
+        s"expected InterruptedException, got $caught")
+    } finally {
+      hold.countDown(); owner.join(10000); Indexes.drop(key)
+    }
+  }
+
   test("breakDiscoveredCycles: any discovered FK digraph becomes a valid topo DAG, edges conserved") {
     import graft.merge.{MergeConfig, Orchestrator}
     import Orchestrator.{MergeMode, TableSpec}
