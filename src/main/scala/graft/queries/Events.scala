@@ -1385,4 +1385,90 @@ object Events {
       |LEFT JOIN sh p ON p.week = s.week - 1 AND p.event_type = s.event_type
       |WHERE s.week > (SELECT min(week) FROM sh)
       |ORDER BY s.week, s.event_type""".stripMargin
+
+  /** e23: DEBOUNCE audit — per (user, event_type), an event arriving
+    * within `gapSeconds` of the PREVIOUS same-key event is a bounce
+    * (UI double-fire, retry storm, sensor chatter); only burst-opening
+    * events are "kept". The rollup reports, per event type, how much
+    * of the stream a debouncing ingest would drop — the tuning table
+    * for the gap parameter (e2 uses the same lag-vs-gap primitive but
+    * aggregates the SESSIONS; this classifies the raw events).
+    *
+    * Scale shape: ONE shuffle on (user_id, event_type) for the lag
+    * window, then a map-side-combined global rollup to ≤|event types|
+    * rows. Tie-break (ts, event_id) makes same-microsecond bursts
+    * deterministic cross-engine. */
+  def e23Debounce(spark: SparkSession, dir: String, gapSeconds: Int = 300): DataFrame = {
+    import spark.implicits._
+    val byKey = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val gapUs = gapSeconds * 1000000L
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byKey))
+      .withColumn("kept",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > gapUs, 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"kept").as("n_kept"))
+      .select($"event_type", $"n_events", $"n_kept",
+        ($"n_events" - $"n_kept").as("n_suppressed"),
+        graft.functions.IntMath.halfUpDiv(
+          ($"n_events" - $"n_kept") * 1000000L, $"n_events").as("drop_rate_e6"))
+      .orderBy("event_type")
+  }
+
+  /** e23 oracle: the same lag + gap classification; half-up division
+    * on non-negative operands only. */
+  val e23Sql: String =
+    """WITH lg AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM (SELECT event_type, ts,
+      |          lag(ts) OVER (PARTITION BY user_id, event_type
+      |                        ORDER BY ts, event_id) AS prev_ts
+      |        FROM events))
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(kept) AS BIGINT) AS n_suppressed,
+      |  CAST((2*((count(*) - sum(kept)) * 1000000) + count(*))
+      |    // (2*count(*)) AS BIGINT) AS drop_rate_e6
+      |FROM lg GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** e24: HOPPING (sliding) window aggregation — 1-hour windows every
+    * 15 minutes, per event type: e1's tumbling twin with overlap, the
+    * smoothing shape behind rate dashboards and alerting baselines
+    * (each event lands in exactly windowLen/slide = 4 windows). Batch
+    * form of the Structured Streaming
+    * `groupBy(window($"ts", "1 hour", "15 minutes"))` aggregation —
+    * the streaming twin shares the plan modulo watermarking.
+    *
+    * Scale shape: the 4× row expansion happens INSIDE the scan
+    * projection (Spark's window() generator), then one shuffle on
+    * (window, event_type) with map-side combine — never a self-join
+    * against a calendar frame. Window starts are epoch-aligned
+    * multiples of the slide, which is what makes the DuckDB oracle
+    * expressible as integer µs arithmetic. */
+  def e24HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** e24 oracle: each event expands to its 4 member windows — start =
+    * (floor(µs/slide) − k)·slide, k ∈ 0..3 — entirely in BIGINT µs
+    * (DuckDB CAST of a fractional epoch() ROUNDS; epoch_us stays
+    * exact). */
+  val e24Sql: String =
+    """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000),
+      |         '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 }

@@ -359,25 +359,33 @@ object GraphQueries {
     * = computed once, every consumer reads the cached pair rows; also
     * warmed as its own `_artifacts` step so g6's bench number is its
     * marginal cost, not the index build. */
+  /** The deduped (basket, item) projection — the base artifact under
+    * BOTH the co-pair index and g8's popularity rollup: one fact-table
+    * scan total for the whole g6/g8 family. */
+  private[graft] def g6BasketItems(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexes.memo(s"g6_items:$dir") {
+      import spark.implicits._
+      Tables.read(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+    }
+
   private[graft] def g6CoPairs(spark: SparkSession, dir: String,
                                minSupport: Long = 2L): DataFrame =
     graft.operators.Indexes.memo(s"g6_copairs:$dir:$minSupport") {
       import spark.implicits._
-      val li = Tables.read(spark, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
+      val li = g6BasketItems(spark, dir)
       val li2 = li.select($"l_orderkey".as("o2"), $"l_partkey".as("p2"))
       li.join(li2, $"l_orderkey" === $"o2" && $"l_partkey" < $"p2")
         .groupBy($"l_partkey".as("a"), $"p2".as("b"))
         .agg(count(lit(1)).as("cooccur"))
         .filter($"cooccur" >= minSupport)
-        .select($"a", $"b")
     }
 
   def g6LinkPred(spark: SparkSession, dir: String, minSupport: Long = 2L,
                  degCap: Int = 64, topK: Int = 20): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
-    val pairs = g6CoPairs(spark, dir, minSupport)
+    val pairs = g6CoPairs(spark, dir, minSupport).select($"a", $"b")
     val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
     val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
     val mids = deg.filter($"deg" <= degCap).select($"id".as("mid"))
@@ -530,4 +538,65 @@ object GraphQueries {
        |SELECT id, peel_round, core_deg FROM core)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** g8: MARKET-BASKET LIFT — association-rule mining (Agrawal et al.
+    * 1993) over the same co-purchase pairs g6 predicts links from:
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) = cooccur·N / (cnt_a·cnt_b),
+    * the "bought together MORE than their popularities explain"
+    * score. g6 asks "which non-edges look like edges" (structure);
+    * g8 scores the OBSERVED edges for dependence — the
+    * recommendation/affinity table itself. ×1e6 integer, half-up.
+    *
+    * Overflow is the real design point: cooccur·N·1e6 passes 2⁶³ once
+    * baskets reach ~10⁹ (exactly the 100 TB regime), so the quotient
+    * is staged through DECIMAL(38,0) — Spark's DECIMAL DIV and
+    * DuckDB's HUGEINT `//` agree exactly on non-negatives (w7's
+    * convention).
+    *
+    * Scale shape: the pair artifact is the memoized g6CoPairs frame
+    * (computed once per session, basket-bounded — never n²); item
+    * popularity is ONE map-side-combined rollup of the deduped
+    * (basket, item) scan; N is a 1-row broadcast. Joins keyed on the
+    * item ids; top-k via TakeOrderedAndProject. */
+  def g8BasketLift(spark: SparkSession, dir: String, minSupport: Long = 2L,
+                   topK: Int = 25): DataFrame = {
+    import spark.implicits._
+    val co = g6CoPairs(spark, dir, minSupport) // (a, b, cooccur)
+    val li = g6BasketItems(spark, dir)
+    val itemCnt = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_baskets_item"))
+    val nBaskets = li.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    co.join(itemCnt.select($"l_partkey".as("a"), $"n_baskets_item".as("cnt_a")), Seq("a"))
+      .join(itemCnt.select($"l_partkey".as("b"), $"n_baskets_item".as("cnt_b")), Seq("b"))
+      .crossJoin(broadcast(nBaskets))
+      .select($"a".as("part_id1"), $"b".as("part_id2"),
+        $"cooccur", $"cnt_a", $"cnt_b",
+        expr("""CAST((2 * (CAST(cooccur AS DECIMAL(38,0)) * n_baskets * 1000000)
+                |      + (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b))
+                |  DIV (2 * CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""".stripMargin)
+          .as("lift_e6"))
+      .orderBy($"lift_e6".desc, $"cooccur".desc, $"part_id1", $"part_id2")
+      .limit(topK)
+  }
+
+  /** g8 oracle: the g6 basket CTEs + popularity rollup; the half-up
+    * quotient rides HUGEINT, matching Spark's DECIMAL(38,0) DIV. */
+  val g8Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cooccur
+      |  FROM li x JOIN li y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT a, b, cooccur FROM co WHERE cooccur >= 2),
+      |ic AS (SELECT l_partkey, count(*) AS n_baskets_item FROM li GROUP BY 1),
+      |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li)
+      |SELECT p.a AS part_id1, p.b AS part_id2, p.cooccur,
+      |  ca.n_baskets_item AS cnt_a, cb.n_baskets_item AS cnt_b,
+      |  CAST((2 * (CAST(p.cooccur AS HUGEINT) * nb.n_baskets * 1000000)
+      |        + (CAST(ca.n_baskets_item AS HUGEINT) * cb.n_baskets_item))
+      |    // (2 * CAST(ca.n_baskets_item AS HUGEINT) * cb.n_baskets_item) AS BIGINT) AS lift_e6
+      |FROM p JOIN ic ca ON ca.l_partkey = p.a
+      |       JOIN ic cb ON cb.l_partkey = p.b, nb
+      |ORDER BY lift_e6 DESC, cooccur DESC, part_id1, part_id2
+      |LIMIT 25""".stripMargin
 }

@@ -1049,6 +1049,57 @@ object Tpch {
       |FROM lg WHERE prev_cents IS NOT NULL
       |ORDER BY n_name, ym""".stripMargin
 
+  /** w8: SHARE OF TOTAL — each nation's slice of its year's revenue,
+    * ×1e6 half-up integer: the composition companion to w7's
+    * month-over-month delta (w7 answers "how fast is this nation
+    * moving", w8 answers "how much of the pie is it"). Shares are
+    * computed against the YEAR partition total via a window over the
+    * ALREADY-AGGREGATED (year, nation) frame — at most
+    * |years|·|nations| rows — never a windowed pass over fact rows
+    * and never an unpartitioned window. rev_cents·1e6 passes 2⁶³ at
+    * ~$92 B per nation-year, so the quotient stages through
+    * DECIMAL(38,0) / HUGEINT (w7's convention).
+    *
+    * Scale shape: one fact-table shuffle for the rollup (customer and
+    * nation broadcast), one tiny exchange for the year window. */
+  def w8ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.read(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    val cust = Tables.read(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val yearly = Tables.read(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice", $"o_orderdate")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val byYear = Window.partitionBy($"yr")
+    yearly.withColumn("yr_total_cents", sum($"rev_cents").over(byYear))
+      .select($"yr", $"n_name", $"rev_cents", $"yr_total_cents",
+        expr("""CAST((2 * (CAST(rev_cents AS DECIMAL(38,0)) * 1000000) + yr_total_cents)
+                |  DIV (2 * CAST(yr_total_cents AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("share_e6"))
+      .orderBy("yr", "n_name")
+  }
+
+  /** w8 oracle: same rollup + year-partition window; HUGEINT half-up
+    * on non-negative operands. */
+  val w8Sql: String =
+    """WITH y AS (
+      |  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT yr, n_name, rev_cents,
+      |    sum(rev_cents) OVER (PARTITION BY yr) AS yr_total_cents
+      |  FROM y)
+      |SELECT yr, n_name, rev_cents, CAST(yr_total_cents AS BIGINT) AS yr_total_cents,
+      |  CAST((2 * (CAST(rev_cents AS HUGEINT) * 1000000) + yr_total_cents)
+      |    // (2 * CAST(yr_total_cents AS HUGEINT)) AS BIGINT) AS share_e6
+      |FROM t ORDER BY yr, n_name""".stripMargin
+
   /** q25: EXACT distributed percentiles (p50/p90/p99 of l_quantity per
     * return flag), percentile_disc semantics — smallest value whose
     * cumulative count reaches ceil(p·n).

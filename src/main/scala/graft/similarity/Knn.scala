@@ -1646,4 +1646,48 @@ object Knn {
        |  CAST((2 * hits * 1000000 + 50) // (2 * 50) AS BIGINT) AS recall_e6
        |FROM sw ORDER BY nprobe""".stripMargin
   }
+
+  /** s23: DELETE maintenance for the IVF index — s15's twin on the
+    * other side of the ledger. A tombstone batch (GDPR erasure,
+    * licence takedown, recalled shard — here vec_id ≡ 3 mod 8)
+    * retires from the standing index WITHOUT retraining: per cell,
+    * survivors = members minus tombstones, plus the ×1e6 deletion
+    * share — the signal that decides when a cell has hollowed out
+    * enough that the s22 balance audit should trigger a re-train.
+    *
+    * Scale shape: centroids come from the SHARED training cache (s3 /
+    * s8's index — deletion never re-runs Lloyd's); the audit is one
+    * pass over the assigned corpus with a map-side-combined rollup to
+    * k rows. At 100 TB the tombstone list is a broadcast (or
+    * partition-local semi-join against bucketed posting lists) — the
+    * corpus is scanned once, never shuffled. KnnSpec pins the search
+    * contract: a post-delete query never returns a tombstone and
+    * ranks survivors exactly as a from-scratch index would. */
+  def s23AnnDelete(spark: SparkSession, dir: String, kc: Int = 8,
+                   iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    assignCells(spark, q, cents)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(pmod($"vec_id", lit(8)) === 3, 1L).otherwise(0L)).as("n_deleted"))
+      .select($"cluster".as("cell"), $"n_before", $"n_deleted",
+        ($"n_before" - $"n_deleted").as("n_after"),
+        halfUpDiv($"n_deleted" * 1000000L, $"n_before").as("del_share_e6"))
+      .orderBy("cell")
+  }
+
+  /** s23 oracle: the shared Lloyd's chain + final assignment, rolled
+    * up with the tombstone predicate. */
+  val s23Sql: String = {
+    val iters = 4
+    val parts = lloydCteParts(iters) :+ lloydAssignCteSql(iters, withDist = false)
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT cluster AS cell, count(*) AS n_before,
+       |  CAST(sum(CASE WHEN vec_id % 8 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       |  CAST(count(*) - sum(CASE WHEN vec_id % 8 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |  CAST(${halfUpSql("sum(CASE WHEN vec_id % 8 = 3 THEN 1 ELSE 0 END) * 1000000", "count(*)")} AS BIGINT) AS del_share_e6
+       |FROM a$iters GROUP BY cluster ORDER BY cell""".stripMargin
+  }
 }

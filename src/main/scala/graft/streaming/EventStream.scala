@@ -63,6 +63,21 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming twin of e24: HOPPING 1-hour windows every 15 minutes
+    * per event type — [[windowedAgg]] with overlap (each event lands
+    * in 4 windows). Same plan batch or streaming; under streaming a
+    * window is emitted in append mode once the watermark passes its
+    * end, state bounded to open windows × event types. */
+  def hoppingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming twin of e14: the NATIVE session_window aggregation —
     * the same declarative plan in batch and streaming, which is the
     * point (vs [[sessionize]], whose hand-rolled state exists for

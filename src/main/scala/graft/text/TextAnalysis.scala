@@ -1968,4 +1968,59 @@ object TextAnalysis {
       |  CAST(length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS BIGINT) AS chunk_chars
       |FROM st
       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** c4: DEDUP SURVIVOR-BIAS audit — does near-dup removal SKEW the
+    * corpus composition? Boilerplate-heavy sources (mirrors, template
+    * farms) lose disproportionately many rows to dedup, so the
+    * post-dedup source mix can drift far from the pre-dedup mix the
+    * curation plan was tuned on (t14's domain targets). Per source:
+    * docs before, survivors after (d7's canonical min-id keeper —
+    * the cluster label IS the min doc_id, so survivorship is the
+    * zero-join predicate doc_id = cluster_id), each side's ×1e6 share
+    * of its total, and the signed share drift. Reads the session-
+    * shared d7 cluster artifact — the audit adds one join against the
+    * doc-sized cluster map and a rollup to ≤|sources| rows; totals are
+    * a 1-row broadcast.
+    *
+    * bias_e6 is a pure subtraction of two non-negative half-up
+    * quotients (may be negative — no division of signed operands, the
+    * cross-engine trap). */
+  def c4DedupBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = graft.dedup.Dedup.d7Clusters(spark, dir)
+    val docs = Tables.read(spark, dir, "documents").select($"doc_id", $"source")
+    val perSrc = docs.join(clusters, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("n_survivors"))
+    val totals = perSrc.agg(sum($"n_docs").as("nd"), sum($"n_survivors").as("ns"))
+    perSrc.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_survivors",
+        halfUpDiv($"n_docs" * 1000000L, $"nd").as("share_before_e6"),
+        halfUpDiv($"n_survivors" * 1000000L, $"ns").as("share_after_e6"),
+        (halfUpDiv($"n_survivors" * 1000000L, $"ns")
+          - halfUpDiv($"n_docs" * 1000000L, $"nd")).as("bias_e6"))
+      .orderBy("source")
+  }
+
+  /** c4 oracle: the shared d2+CC closure, survivorship by
+    * doc_id = cluster_id, the same staged share arithmetic. (`def` —
+    * the cross-object clinit rule, see t9Sql.) */
+  def c4Sql: String = {
+    def hu(n: String, d: String) = s"CAST((2*($n) + ($d)) // (2*($d)) AS BIGINT)"
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.d2Ctes},
+       |${graft.dedup.Dedup.ccCtes},
+       |s AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS n_survivors
+       |  FROM documents d JOIN cc c ON c.doc_id = d.doc_id
+       |  GROUP BY 1),
+       |t AS (SELECT sum(n_docs) AS nd, sum(n_survivors) AS ns FROM s)
+       |SELECT s.source, s.n_docs, CAST(s.n_survivors AS BIGINT) AS n_survivors,
+       |  ${hu("s.n_docs * 1000000", "t.nd")} AS share_before_e6,
+       |  ${hu("s.n_survivors * 1000000", "t.ns")} AS share_after_e6,
+       |  CAST(${hu("s.n_survivors * 1000000", "t.ns")}
+       |    - ${hu("s.n_docs * 1000000", "t.nd")} AS BIGINT) AS bias_e6
+       |FROM s, t ORDER BY s.source""".stripMargin
+  }
 }

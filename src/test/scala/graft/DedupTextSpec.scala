@@ -1048,4 +1048,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(plan.split("BroadcastNestedLoopJoin").length == 2,
       "expected exactly one BNLJ (mm5's exact side)")
   }
+
+  test("c4 dedup bias: ledger reconciles with the cluster map; shares sum to ~1e6 each side") {
+    import TestSpark.sf
+    import org.apache.spark.sql.functions._
+    val r = graft.text.TextAnalysis.c4DedupBias(spark, sf).collect()
+    val clusters = graft.dedup.Dedup.d7Clusters(spark, sf)
+    val nDocs = clusters.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // one survivor per cluster, exactly
+    assert(r.map(_.getAs[Long]("n_survivors")).sum == nClusters)
+    assert(nClusters < nDocs, "no duplicates collapsed — vacuous audit")
+    r.foreach { row =>
+      assert(row.getAs[Long]("bias_e6") ==
+        row.getAs[Long]("share_after_e6") - row.getAs[Long]("share_before_e6"))
+      assert(row.getAs[Long]("n_survivors") <= row.getAs[Long]("n_docs"))
+    }
+    Seq("share_before_e6", "share_after_e6").foreach { c =>
+      assert(math.abs(r.map(_.getAs[Long](c)).sum - 1000000L) <= r.length / 2 + 1)
+    }
+  }
 }

@@ -949,4 +949,104 @@ class KnnEventsSpec extends AnyFunSuite {
     // audit (and this spec) is vacuous
     assert(r.map(_.getAs[Long]("n_late")).sum > 0, "no disorder planted — vacuous audit")
   }
+
+  test("s23 delete maintenance: cell ledger reconciles; post-delete search = survivor slice of full ranking") {
+    val cells = Knn.s23AnnDelete(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nTotal = emb.count()
+    val nTomb = emb.filter($"vec_id" % 8 === 3).count()
+    cells.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_deleted"))
+    }
+    assert(cells.map(_.getAs[Long]("n_before")).sum == nTotal)
+    assert(cells.map(_.getAs[Long]("n_deleted")).sum == nTomb)
+    assert(nTomb > 0, "no tombstones in the corpus — vacuous audit")
+    // the search contract: deleting from the index must be EXACTLY
+    // removing the tombstones from the ranking — the survivors' order
+    // is untouched and no tombstone surfaces
+    val full = Knn.s1Brute(spark, sf, k = 1000000).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    full.values.foreach { rows =>
+      val survivors = rows.sortBy(_.getAs[Int]("rank"))
+        .filter(_.getAs[Long]("neighbor_id") % 8 != 3).take(5)
+      assert(survivors.length == 5)
+      assert(survivors.forall(_.getAs[Long]("neighbor_id") % 8 != 3))
+      val sims = survivors.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("e23 debounce: rollup matches a driver-side gap recompute") {
+    // gap widened vs the registered default: at sf0.001 per-key
+    // inter-arrivals exceed 300 s everywhere, and a zero-suppression
+    // pass would be vacuous (the sf0.01 oracle gate exercises the
+    // default, where bounces exist)
+    val gapSeconds = 3600
+    val got = Events.e23Debounce(spark, sf, gapSeconds).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_suppressed"))).toMap
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id").collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), r.getString(1), us, r.getLong(3))
+      }
+    val expected = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.map { case (e, i) =>
+        (e._2, if (i == 0 || e._3 - sorted(i - 1)._3 > gapSeconds * 1000000L) 1L else 0L)
+      }
+    }.groupBy(_._1).map { case (t, ks) =>
+      t -> (ks.size.toLong, ks.map(_._2).sum, ks.size.toLong - ks.map(_._2).sum)
+    }
+    assert(got == expected)
+    assert(got.values.map(_._3).sum > 0, "no bounces in the data — vacuous audit")
+  }
+
+  test("e24 hopping windows: every event lands in exactly 4 windows; a window equals its direct slice") {
+    val r = Events.e24HoppingWindow(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_events")).sum == 4L * nEvents)
+    // spot-check: one window's count equals a direct range filter
+    val w = r(r.length / 2)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val startMs = fmt.parse(w.getAs[String]("w_start")).getTime
+    val direct = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === w.getAs[String]("event_type") &&
+        unix_micros($"ts") >= startMs * 1000L &&
+        unix_micros($"ts") < (startMs + 3600000L) * 1000L)
+      .count()
+    assert(direct == w.getAs[Long]("n_events"))
+  }
+
+  test("w8 share of total: shares per year sum to ~1e6 and reconcile with the year total") {
+    val r = graft.queries.Tpch.w8ShareOfTotal(spark, sf).collect()
+    r.groupBy(_.getAs[Long]("yr")).foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("yr_total_cents")
+      assert(rows.map(_.getAs[Long]("rev_cents")).sum == total)
+      val shareSum = rows.map(_.getAs[Long]("share_e6")).sum
+      // each half-up share rounds by ≤ 0.5 ulp, so the sum sits within
+      // |nations|/2 of the exact 1e6
+      assert(math.abs(shareSum - 1000000L) <= rows.length / 2 + 1)
+    }
+  }
+
+  test("g8 basket lift: scores recompute exactly from the ledger columns; order is deterministic") {
+    val r = graft.queries.GraphQueries.g8BasketLift(spark, sf).collect()
+    assert(r.nonEmpty)
+    val nBaskets = graft.sources.Tables.read(spark, sf, "lineitem")
+      .select($"l_orderkey").distinct().count()
+    r.foreach { row =>
+      val (co, ca, cb) = (row.getAs[Long]("cooccur"),
+        row.getAs[Long]("cnt_a"), row.getAs[Long]("cnt_b"))
+      val expected = ((BigInt(2) * (BigInt(co) * nBaskets * 1000000) + BigInt(ca) * cb)
+        / (BigInt(2) * ca * cb)).toLong
+      assert(row.getAs[Long]("lift_e6") == expected)
+    }
+    val lifts = r.map(_.getAs[Long]("lift_e6"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
 }

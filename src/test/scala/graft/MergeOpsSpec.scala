@@ -250,4 +250,24 @@ class MergeOpsSpec extends AnyFunSuite {
       assert(!r.getAs[Boolean]("nation_conflict"))
     }
   }
+
+  test("m25 re-merge idempotency: a second offer of the merged source moves nothing") {
+    import TestSpark.sf
+    val rows = graft.merge.MergePipeline.m25RemergeIdempotency(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSeq == Seq("customer", "orders"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") == 0L,
+        s"${r.getAs[String]("table_name")}: a re-run would insert ${r.getAs[Long]("n_new")} rows")
+      assert(r.getAs[Long]("n_offered") == r.getAs[Long]("n_matched"))
+      assert(r.getAs[Long]("n_offered") > 0L, "empty offer — vacuous audit")
+    }
+    // offered counts must be the actual source-instance sizes, or the
+    // audit quietly checks the wrong population
+    val cust = graft.sources.Tables.read(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 3 =!= 0).count()
+    val ords = graft.sources.Tables.read(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_custkey") % 3 =!= 0).count()
+    assert(rows.map(r => r.getAs[String]("table_name") -> r.getAs[Long]("n_offered")).toMap
+      == Map("customer" -> cust, "orders" -> ords))
+  }
 }

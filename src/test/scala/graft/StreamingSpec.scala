@@ -40,6 +40,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hoppingAgg matches the batch plan; 4 windows per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1L, ts(5), 10.0), Ev(1L, ts(20), 5.0),
+      Ev(2L, ts(65), 7.0), Ev(1L, ts(70), 1.0))
+    input.addData(events: _*)
+    val streamed = EventStream.hoppingAgg(
+      input.toDF().withColumn("event_type", lit("e")))
+    val q = streamed.writeStream.format("memory").queryName("hop_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) =
+        df.select($"w_start", $"n_events", $"sum_value").collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).toSet
+      val got = shape(spark.table("hop_agg"))
+      val batch = shape(EventStream.hoppingAgg(
+        events.toDF().withColumn("event_type", lit("e"))))
+      assert(got == batch)
+      assert(spark.table("hop_agg").agg(sum($"n_events")).head.getLong(0)
+        == 4L * events.size)
+    } finally q.stop()
+  }
+
   test("file-source stream → windowed agg → file sink, end to end") {
     val in = java.nio.file.Files.createTempDirectory("graft-sin").toString
     val out = java.nio.file.Files.createTempDirectory("graft-sout").toString
