@@ -225,4 +225,72 @@ object MergeOps {
     * keys. */
   def setUnionMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).dropDuplicates()
+
+  /** Transitive DELETE-IMPACT analysis through the FK DAG: given seed
+    * rows marked for deletion in one table, how many rows in every
+    * downstream table a cascading delete (or the equivalent exclusion
+    * rule) would take with them. The pre-flight for destructive merge
+    * operations — the reference hard-aborts on orphans AFTER they
+    * exist (integrity-checks.js); this prices the blast radius BEFORE
+    * anyone deletes.
+    *
+    * Walks [[Orchestrator.topoOrder]] parents-first; a table's
+    * impacted-id frame is the union of semi-joins against each
+    * impacted parent's ids through the declared fks (deferredFks are
+    * excluded on purpose: a deferred audit column nulls out, it does
+    * not cascade). Only the node-sized impacted-ID frames are
+    * materialized (eager localCheckpoint), and only for tables a
+    * child will consume — lazy lineage would re-derive the semi-join
+    * chain per consumer, while the row-sized impacted slices stay
+    * unmaterialized (fact-sized at 100 TB; a count re-derives one
+    * cheap semi-join instead).
+    *
+    * Returns (table_name, n_impacted), one row per spec, seed table
+    * included. */
+  def cascadeImpact(specs: Seq[Orchestrator.TableSpec],
+                    frames: Map[String, DataFrame],
+                    seedTable: String, seedIds: DataFrame): DataFrame = {
+    val order = Orchestrator.topoOrder(specs)
+    require(order.exists(_.name == seedTable), s"unknown seed table '$seedTable'")
+    // per table: the distinct impacted IDs (what children semi-join
+    // on — may undercount ROWS for weak entities whose idCol is not
+    // unique, which is why the reported count is over impacted ROWS,
+    // full-row identity under the multi-leg union)
+    val impactedIds = scala.collection.mutable.Map.empty[String, DataFrame]
+    val rows = order.map { spec =>
+      val df = frames(spec.name)
+      val impRows: Option[DataFrame] =
+        if (spec.name == seedTable)
+          Some(df.join(seedIds.select(col(seedIds.columns.head).as(spec.idCol)),
+            Seq(spec.idCol), "left_semi"))
+        else {
+          val legs = spec.fks.toSeq.sortBy(_._1).flatMap { case (fkCol, parent) =>
+            impactedIds.get(parent).map { pImp =>
+              val pId = specs.find(_.name == parent).get.idCol
+              df.join(pImp.select(col(pId).as(fkCol)), Seq(fkCol), "left_semi")
+            }
+          }
+          if (legs.isEmpty) None
+          // BY NAME: a Seq-keyed semi-join moves its key column to the
+          // front, so each leg's column ORDER differs per fk — a
+          // positional union would silently misalign the rows
+          else Some(legs.reduce(_ unionByName _).dropDuplicates())
+        }
+      // only the node-sized ID frame is materialized, and only when a
+      // child will consume it — the row-sized impacted slice itself is
+      // never checkpointed (at 100 TB it is fact-sized; its count re-
+      // derives one cheap semi-join instead)
+      val hasChildren = specs.exists(_.fks.values.exists(_ == spec.name))
+      val n = impRows match {
+        case Some(i) =>
+          if (hasChildren)
+            impactedIds(spec.name) =
+              i.select(col(spec.idCol)).dropDuplicates(spec.idCol).localCheckpoint()
+          i.agg(count(lit(1)).as("n_impacted"))
+        case None => df.sparkSession.range(1).select(lit(0L).as("n_impacted"))
+      }
+      n.select(lit(spec.name).as("table_name"), col("n_impacted"))
+    }
+    rows.reduce(_ unionAll _).orderBy("table_name")
+  }
 }

@@ -669,4 +669,38 @@ object MergeQueries {
       |    - greatest(b.block_id * 1000, mx.min_id) + 1 - b.n_present AS BIGINT) AS n_missing
       |FROM b, mx
       |ORDER BY b.block_id""".stripMargin
+
+  /** m26: delete-impact blast radius over the customer → orders →
+    * lineitem FK chain — [[MergeOps.cascadeImpact]] with seeds =
+    * every 97th customer (a deterministic erasure batch). See the
+    * operator scaladoc for the DAG walk and checkpoint rationale. */
+  def m26CascadeImpact(spark: SparkSession, dir: String): DataFrame = {
+    import Orchestrator.{MergeMode, TableSpec}
+    val specs = Seq(
+      TableSpec("customer", "c_custkey", Seq("c_name"), MergeMode.Consolidate),
+      TableSpec("orders", "o_orderkey", Nil, MergeMode.Move,
+        fks = Map("o_custkey" -> "customer")),
+      TableSpec("lineitem", "l_orderkey", Nil, MergeMode.Move,
+        fks = Map("l_orderkey" -> "orders")))
+    val frames = specs.map(s => s.name -> Tables.read(spark, dir, s.name)).toMap
+    val seeds = frames("customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    MergeOps.cascadeImpact(specs, frames, "customer", seeds)
+  }
+
+  /** m26 oracle: chained EXISTS semi-joins, parents first. */
+  val m26Sql: String =
+    """WITH seedc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |io AS (
+      |  SELECT o_orderkey FROM orders o
+      |  WHERE EXISTS (SELECT 1 FROM seedc s WHERE s.c_custkey = o.o_custkey)),
+      |il AS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE EXISTS (SELECT 1 FROM io WHERE io.o_orderkey = l.l_orderkey))
+      |SELECT 'customer' AS table_name, (SELECT count(*) FROM seedc) AS n_impacted
+      |UNION ALL
+      |SELECT 'lineitem', (SELECT count(*) FROM il)
+      |UNION ALL
+      |SELECT 'orders', (SELECT count(*) FROM io)
+      |ORDER BY table_name""".stripMargin
 }

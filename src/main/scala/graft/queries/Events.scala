@@ -1471,4 +1471,36 @@ object Events {
       |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
       |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** e25: SLIDING DISTINCT USERS — per hopping 1h/15min window, event
+    * volume AND distinct active users: the live-concurrency /
+    * rolling-DAU panel (e24 counts events, e25 counts people — a
+    * retry storm moves one and not the other, which is exactly the
+    * diagnostic). Exact distinct is the oracle-checked form; at
+    * 100 TB the drop-in scale path is the d12 KMV sketch aggregate
+    * per window (same plan shape, bounded state, documented there).
+    *
+    * Scale shape: the 4× window expansion inside the scan projection,
+    * then Spark's two-phase distinct aggregation — partial
+    * (window, user) dedup map-side, ONE shuffle keyed on the window;
+    * never a fact-sized self-join or a global collect. */
+  def e25SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        $"n_events", $"n_users")
+      .orderBy("w_start")
+  }
+
+  /** e25 oracle: e24's window expansion + count(DISTINCT). */
+  val e25Sql: String =
+    """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000),
+      |         '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      |GROUP BY 1 ORDER BY w_start""".stripMargin
 }

@@ -1149,6 +1149,84 @@ object Tpch {
       |  CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN q END) AS BIGINT) AS p99
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q32: MEDIAN ABSOLUTE DEVIATION of l_extendedprice (cents) per
+    * return flag — the robust dispersion companion to q25's location
+    * percentiles (stddev is hostage to the same outliers a robust
+    * pipeline is trying to find; MAD is the estimator behind
+    * robust-z outlier fences). percentile_disc semantics both
+    * passes (smallest value whose cumulative count reaches
+    * ⌈n/2⌉), exact in integer cents.
+    *
+    * Scale shape: the chained order statistic (median of |x −
+    * median|) costs ONE fact scan, not two — pass 2 re-histograms
+    * PASS 1'S HISTOGRAM (group sizes ride along), so everything past
+    * the first rollup is histogram-sized: q25's histogram-first
+    * convention applied twice. */
+  def q32Mad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the histogram is the shared base of pass 1, the deviation
+    // re-histogram AND the final join-back — materialized once
+    // (price-domain-bounded, never fact-sized) or lazy lineage
+    // re-runs the fact scan per consumer
+    val hist = Tables.read(spark, dir, "lineitem")
+      .groupBy($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def discMedian(h: DataFrame, valCol: String): DataFrame = {
+      val cum = Window.partitionBy($"flag").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy($"flag")
+      h.withColumn("cum", sum($"cnt").over(cum))
+        .withColumn("n", sum($"cnt").over(tot))
+        .groupBy($"flag")
+        .agg(max($"n").as("n_rows"),
+          min(when($"cum" >= expr("(n + 1) DIV 2"), col(valCol))).as("med"))
+    }
+    val med = discMedian(hist, "cents")
+      .select($"flag", $"n_rows", $"med".as("median_cents"))
+    val devHist = hist.join(med.select($"flag", $"median_cents"), Seq("flag"))
+      .groupBy($"flag", abs($"cents" - $"median_cents").as("dev"))
+      .agg(sum($"cnt").as("cnt"))
+    discMedian(devHist, "dev")
+      .select($"flag", $"med".as("mad_cents"))
+      .join(med, Seq("flag"))
+      .select($"flag", $"n_rows", $"median_cents", $"mad_cents")
+      .orderBy("flag")
+  }
+
+  /** q32 oracle: the same two histogram-median passes (pass 2 over
+    * pass 1's histogram). */
+  val q32Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT flag, cents,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+      |    sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM h),
+      |m1 AS (
+      |  SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+      |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS BIGINT) AS median_cents
+      |  FROM c1 GROUP BY flag),
+      |dh AS (
+      |  SELECT h.flag, abs(h.cents - m1.median_cents) AS dev, sum(h.cnt) AS cnt
+      |  FROM h JOIN m1 ON m1.flag = h.flag GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT flag, dev,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY dev) AS cum,
+      |    sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM dh),
+      |m2 AS (
+      |  SELECT flag,
+      |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS BIGINT) AS mad_cents
+      |  FROM c2 GROUP BY flag)
+      |SELECT m1.flag, m1.n_rows, m1.median_cents, m2.mad_cents
+      |FROM m1 JOIN m2 ON m2.flag = m1.flag
+      |ORDER BY m1.flag""".stripMargin
+
   /** TPC-H Q2's correlated-minimum shape over the synthetic schema
     * (no partsupp table → the observed supply cost is each supplier's
     * minimum sale price per part, from lineitem): for small parts

@@ -1022,6 +1022,46 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(direct == w.getAs[Long]("n_events"))
   }
 
+  test("e25 sliding distinct: people never exceed events; spot window matches a direct distinct") {
+    val r = Events.e25SlidingDistinct(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_events")).sum == 4L * nEvents)
+    r.foreach(row =>
+      assert(row.getAs[Long]("n_users") <= row.getAs[Long]("n_events")))
+    // the diagnostic the query exists for: somewhere volume and people
+    // genuinely diverge (repeat events inside one window)
+    assert(r.exists(row => row.getAs[Long]("n_users") < row.getAs[Long]("n_events")),
+      "every window has all-distinct users — vacuous panel")
+    val w = r(r.length / 3)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val startMs = fmt.parse(w.getAs[String]("w_start")).getTime
+    val direct = graft.sources.Tables.events(spark, sf)
+      .filter(unix_micros($"ts") >= startMs * 1000L &&
+        unix_micros($"ts") < (startMs + 3600000L) * 1000L)
+      .select($"user_id").distinct().count()
+    assert(direct == w.getAs[Long]("n_users"))
+  }
+
+  test("q32 MAD: both order statistics match a driver-side percentile_disc recompute") {
+    val got = graft.queries.Tpch.q32Mad(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("median_cents"), r.getAs[Long]("mad_cents"))).toMap
+    val cents = graft.sources.Tables.read(spark, sf, "lineitem")
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def disc(xs: Seq[Long]): Long = { // smallest value with cum ≥ ⌈n/2⌉
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val expected = cents.groupBy(_._1).map { case (f, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = disc(vs)
+      (f, (vs.size.toLong, med, disc(vs.map(v => math.abs(v - med)))))
+    }
+    assert(got == expected)
+    got.values.foreach { case (_, _, mad) => assert(mad > 0L) }
+  }
+
   test("w8 share of total: shares per year sum to ~1e6 and reconcile with the year total") {
     val r = graft.queries.Tpch.w8ShareOfTotal(spark, sf).collect()
     r.groupBy(_.getAs[Long]("yr")).foreach { case (_, rows) =>

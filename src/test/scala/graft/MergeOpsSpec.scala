@@ -270,4 +270,49 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[String]("table_name") -> r.getAs[Long]("n_offered")).toMap
       == Map("customer" -> cust, "orders" -> ords))
   }
+
+  test("cascadeImpact: diamond DAG counts rows once per identity, zero-leg tables report 0") {
+    import spark.implicits._
+    import graft.merge.Orchestrator.{MergeMode, TableSpec}
+    // p → (a, b) → c, where c references BOTH a and b (diamond): a c
+    // row reachable through both legs must count once. d has no FK —
+    // out of blast radius, reports 0.
+    val specs = Seq(
+      TableSpec("p", "pid", Nil, MergeMode.Consolidate),
+      TableSpec("a", "aid", Nil, MergeMode.Move, fks = Map("p_fk" -> "p")),
+      TableSpec("b", "bid", Nil, MergeMode.Move, fks = Map("p_fk" -> "p")),
+      TableSpec("c", "cid", Nil, MergeMode.Move,
+        fks = Map("a_fk" -> "a", "b_fk" -> "b")),
+      TableSpec("d", "did", Nil, MergeMode.Move))
+    val frames = Map(
+      "p" -> Seq(1L, 2L, 3L).toDF("pid"),
+      "a" -> Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("aid", "p_fk"),
+      "b" -> Seq((20L, 1L), (21L, 3L)).toDF("bid", "p_fk"),
+      // c row 30 reachable via BOTH impacted a=10 and impacted b=20;
+      // c row 31 via a=11 only; c row 32 hangs off untouched a=12/b=21
+      "c" -> Seq((30L, 10L, 20L), (31L, 11L, 21L), (32L, 12L, 21L))
+        .toDF("cid", "a_fk", "b_fk"),
+      "d" -> Seq(99L).toDF("did"))
+    val seeds = Seq(1L, 2L).toDF("pid") // delete p1, p2
+    val got = graft.merge.MergeOps.cascadeImpact(specs, frames, "p", seeds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 10,11 hit; b: 20 hit; c: 30 (once, despite two legs) + 31
+    assert(got == Map("p" -> 2L, "a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 0L))
+  }
+
+  test("m26 registered cascade matches direct per-table recomputes") {
+    import TestSpark.sf
+    import org.apache.spark.sql.functions.col
+    val got = graft.merge.MergeQueries.m26CascadeImpact(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = graft.sources.Tables.read(spark, sf, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+    val ords = graft.sources.Tables.read(spark, sf, "orders")
+      .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+    val li = graft.sources.Tables.read(spark, sf, "lineitem")
+      .join(ords.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+    assert(got == Map("customer" -> cust.count(), "orders" -> ords.count(),
+      "lineitem" -> li.count()))
+    assert(got("lineitem") > got("orders"), "leaf fan-out missing — vacuous cascade")
+  }
 }
