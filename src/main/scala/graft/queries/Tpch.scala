@@ -1227,6 +1227,74 @@ object Tpch {
       |FROM m1 JOIN m2 ON m2.flag = m1.flag
       |ORDER BY m1.flag""".stripMargin
 
+  /** q33: PARETO / revenue-concentration audit — how much of total
+    * revenue each customer-revenue decile holds (the "do 10% of
+    * customers carry 80% of revenue" Lorenz table behind account
+    * tiering and risk concentration). Deciles are by rank from the
+    * top: decile 0 = the top 10% of customers by revenue.
+    *
+    * Scale shape: NO global sort of customers. Customers aggregate
+    * once (one shuffle), then collapse to a (rev_cents → n_customers)
+    * HISTOGRAM; ranks, deciles and shares all derive from cumulative
+    * counts over that value-bounded histogram (q25's histogram-first
+    * convention) — a whole value-group lands in the decile of its
+    * first rank, deterministically. Share quotients stage through
+    * DECIMAL(38,0)/HUGEINT (w7's convention). */
+  def q33Pareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custRev = Tables.read(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val hist = custRev.groupBy($"rev_cents").agg(count(lit(1)).as("n_cust"))
+    val cum = Window.orderBy($"rev_cents".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.agg(sum($"n_cust").as("n"),
+      sum($"rev_cents" * $"n_cust").as("grand_cents"))
+    hist.withColumn("cum", sum($"n_cust").over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((cum - n_cust) * 10) DIV n"))
+      .groupBy($"decile")
+      .agg(sum($"n_cust").as("n_customers"),
+        sum($"rev_cents" * $"n_cust").as("rev_cents"),
+        max($"grand_cents").as("grand_cents"))
+      .select($"decile", $"n_customers", $"rev_cents",
+        expr("""CAST((2 * (CAST(rev_cents AS DECIMAL(38,0)) * 1000000) + grand_cents)
+                |  DIV (2 * CAST(grand_cents AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("share_e6"))
+      .withColumn("cum_share_e6", sum($"share_e6").over(
+        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("decile")
+  }
+
+  /** q33 oracle: the same histogram-rank formation; HUGEINT shares. */
+  val q33Sql: String =
+    """WITH cr AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT rev_cents, count(*) AS n_cust FROM cr GROUP BY 1),
+      |c AS (
+      |  SELECT rev_cents, n_cust,
+      |    sum(n_cust) OVER (ORDER BY rev_cents DESC) AS cum,
+      |    sum(n_cust) OVER () AS n,
+      |    sum(rev_cents * n_cust) OVER () AS grand_cents
+      |  FROM h),
+      |d AS (
+      |  SELECT ((cum - n_cust) * 10) // n AS decile,
+      |    sum(n_cust) AS n_customers,
+      |    sum(rev_cents * n_cust) AS rev_cents,
+      |    max(grand_cents) AS grand_cents
+      |  FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(decile AS BIGINT) AS decile,
+      |    CAST(n_customers AS BIGINT) AS n_customers,
+      |    CAST(rev_cents AS BIGINT) AS rev_cents,
+      |    CAST((2 * (CAST(rev_cents AS HUGEINT) * 1000000) + grand_cents)
+      |      // (2 * CAST(grand_cents AS HUGEINT)) AS BIGINT) AS share_e6
+      |  FROM d)
+      |SELECT decile, n_customers, rev_cents, share_e6,
+      |  CAST(sum(share_e6) OVER (ORDER BY decile) AS BIGINT) AS cum_share_e6
+      |FROM s ORDER BY decile""".stripMargin
+
   /** TPC-H Q2's correlated-minimum shape over the synthetic schema
     * (no partsupp table → the observed supply cost is each supplier's
     * minimum sale price per part, from lineitem): for small parts

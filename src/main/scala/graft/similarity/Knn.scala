@@ -1678,6 +1678,71 @@ object Knn {
       .orderBy("cell")
   }
 
+  /** s24: OOD / outlier flags — vectors whose distance to their own
+    * centroid exceeds the corpus p99 (exact percentile_disc over the
+    * distance histogram): the geometric-outlier filter a curation
+    * pipeline runs before training (mislabeled shards, corrupted
+    * embeddings, genuine novelty all surface here), and the per-cell
+    * concentration of those outliers — OOD piling into ONE cell means
+    * that region of the space is under-clustered (s22's re-train
+    * signal from the other direction).
+    *
+    * Scale shape: one corpus pass through the shared nearest-centroid
+    * kernel, checkpointed (2-column, narrow) because BOTH the fence
+    * histogram and the per-cell rollup consume it; the fence is an
+    * exact disc percentile over the value-bounded distance histogram
+    * (q25's histogram-first convention) riding a 1-row broadcast. */
+  def s24OodFlags(spark: SparkSession, dir: String, kc: Int = 8,
+                  iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val assigned = assignCells(spark, q, cents)
+      .select($"cluster", floor(sqrt($"dist".cast("double"))).cast("long").as("dist_e6"))
+      .localCheckpoint()
+    val hist = assigned.groupBy($"dist_e6").agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy($"dist_e6").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.agg(sum($"cnt").as("n"))
+    val fence = hist
+      .withColumn("cum", sum($"cnt").over(cum))
+      .crossJoin(broadcast(tot))
+      .agg(min(when($"cum" >= expr("(99 * n + 99) DIV 100"), $"dist_e6"))
+        .as("fence_e6"))
+    assigned.crossJoin(broadcast(fence))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when($"dist_e6" > $"fence_e6", 1L).otherwise(0L)).as("n_ood"),
+        max($"fence_e6").as("fence_e6"))
+      .select($"cluster".as("cell"), $"n_vectors", $"n_ood",
+        halfUpDiv($"n_ood" * 1000000L, $"n_vectors").as("ood_share_e6"),
+        $"fence_e6")
+      .orderBy("cell")
+  }
+
+  /** s24 oracle: Lloyd's chain + assignment with distance, the disc
+    * p99 over the distance histogram, per-cell rollup. */
+  val s24Sql: String = {
+    val iters = 4
+    val parts = lloydCteParts(iters) :+ lloydAssignCteSql(iters, withDist = true) :+
+      s"""ad AS (
+         |  SELECT cluster, CAST(floor(sqrt(CAST(dist AS DOUBLE))) AS BIGINT) AS dist_e6
+         |  FROM a$iters)""".stripMargin :+
+      """fh AS (
+        |  SELECT dist_e6, count(*) AS cnt,
+        |    sum(count(*)) OVER (ORDER BY dist_e6) AS cum,
+        |    sum(count(*)) OVER () AS n
+        |  FROM ad GROUP BY dist_e6)""".stripMargin :+
+      """fence AS (
+        |  SELECT min(CASE WHEN cum >= (99 * n + 99) // 100 THEN dist_e6 END) AS fence_e6
+        |  FROM fh)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT ad.cluster AS cell, count(*) AS n_vectors,
+       |  CAST(sum(CASE WHEN ad.dist_e6 > f.fence_e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+       |  CAST(${halfUpSql("sum(CASE WHEN ad.dist_e6 > f.fence_e6 THEN 1 ELSE 0 END) * 1000000", "count(*)")} AS BIGINT) AS ood_share_e6,
+       |  CAST(max(f.fence_e6) AS BIGINT) AS fence_e6
+       |FROM ad, fence f GROUP BY ad.cluster ORDER BY cell""".stripMargin
+  }
+
   /** s23 oracle: the shared Lloyd's chain + final assignment, rolled
     * up with the tombstone predicate. */
   val s23Sql: String = {

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (SURVEY §2 block F).
@@ -1968,6 +1969,95 @@ object TextAnalysis {
       |  CAST(length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS BIGINT) AS chunk_chars
       |FROM st
       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** t29: ROBUST LENGTH-OUTLIER fences per source — the standard
+    * curation length filter (C4/RefinedWeb-style) done robustly:
+    * per source, the disc median and MAD of whitespace token counts
+    * (q32's estimator pair — stddev fences are hostage to the very
+    * outliers they hunt), then every doc outside median ± 3·MAD is
+    * flagged long (concatenation / truncation-repair candidates) or
+    * short (stub/boilerplate candidates). Per source: n_docs, median,
+    * MAD, n_long, n_short.
+    *
+    * Scale shape: ONE documents scan collapses to the (source,
+    * tokens → count) histogram, checkpointed (value-bounded, never
+    * doc-sized) because THREE passes consume it (median, deviation
+    * re-histogram, flag rollup) — everything past the scan is
+    * histogram arithmetic, q25's convention with q32's chaining. */
+  def t29LengthOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.read(spark, dir, "documents")
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("toks"))
+      .groupBy($"source", $"toks").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def discMed(h: DataFrame, valCol: String): DataFrame = {
+      val cum = Window.partitionBy($"source").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy($"source")
+      h.withColumn("cum", sum($"cnt").over(cum))
+        .withColumn("n", sum($"cnt").over(tot))
+        .groupBy($"source")
+        .agg(max($"n").as("n_docs"),
+          min(when($"cum" >= expr("(n + 1) DIV 2"), col(valCol))).as("med"))
+    }
+    val med = discMed(hist, "toks")
+      .select($"source", $"n_docs", $"med".as("median_toks"))
+    val devHist = hist.join(med.select($"source", $"median_toks"), Seq("source"))
+      .groupBy($"source", abs($"toks" - $"median_toks").as("dev"))
+      .agg(sum($"cnt").as("cnt"))
+    val mad = discMed(devHist, "dev").select($"source", $"med".as("mad_toks"))
+    val fences = med.join(mad, Seq("source"))
+      .select($"source", $"n_docs", $"median_toks", $"mad_toks",
+        ($"median_toks" + $"mad_toks" * k).as("hi"),
+        greatest($"median_toks" - $"mad_toks" * k, lit(0L)).as("lo"))
+    hist.join(fences, Seq("source"))
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"),
+        max($"median_toks").as("median_toks"),
+        max($"mad_toks").as("mad_toks"),
+        sum(when($"toks" > $"hi", $"cnt").otherwise(0L)).as("n_long"),
+        sum(when($"toks" < $"lo", $"cnt").otherwise(0L)).as("n_short"))
+      .orderBy("source")
+  }
+
+  /** t29 oracle: the same source-partitioned histogram-median chain. */
+  val t29Sql: String =
+    """WITH h AS (
+      |  SELECT source, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |         count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT source, toks, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY toks) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM h),
+      |m1 AS (
+      |  SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN toks END) AS BIGINT) AS median_toks
+      |  FROM c1 GROUP BY source),
+      |dh AS (
+      |  SELECT h.source, abs(h.toks - m1.median_toks) AS dev, sum(h.cnt) AS cnt
+      |  FROM h JOIN m1 ON m1.source = h.source GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT source, dev, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY dev) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM dh),
+      |m2 AS (
+      |  SELECT source,
+      |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS BIGINT) AS mad_toks
+      |  FROM c2 GROUP BY source),
+      |f AS (
+      |  SELECT m1.source, m1.n_docs, m1.median_toks, m2.mad_toks,
+      |    m1.median_toks + 3 * m2.mad_toks AS hi,
+      |    greatest(m1.median_toks - 3 * m2.mad_toks, 0) AS lo
+      |  FROM m1 JOIN m2 ON m2.source = m1.source)
+      |SELECT f.source, f.n_docs, f.median_toks, f.mad_toks,
+      |  CAST(sum(CASE WHEN h.toks > f.hi THEN h.cnt ELSE 0 END) AS BIGINT) AS n_long,
+      |  CAST(sum(CASE WHEN h.toks < f.lo THEN h.cnt ELSE 0 END) AS BIGINT) AS n_short
+      |FROM h JOIN f ON f.source = h.source
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY f.source""".stripMargin
 
   /** c4: DEDUP SURVIVOR-BIAS audit — does near-dup removal SKEW the
     * corpus composition? Boilerplate-heavy sources (mirrors, template

@@ -1062,6 +1062,53 @@ class KnnEventsSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, mad) => assert(mad > 0L) }
   }
 
+  test("s24 OOD flags: fence is the exact disc p99; flag counts reconcile") {
+    val r = Knn.s24OodFlags(spark, sf).collect()
+    assert(r.nonEmpty)
+    val fence = r.head.getAs[Long]("fence_e6")
+    assert(r.forall(_.getAs[Long]("fence_e6") == fence), "fence must be global")
+    val nTotal = r.map(_.getAs[Long]("n_vectors")).sum
+    val nOod = r.map(_.getAs[Long]("n_ood")).sum
+    // disc p99: at most 1% of the corpus sits strictly above the fence,
+    // and on a continuous-ish distance distribution some do
+    assert(nOod <= nTotal / 100 + 1, s"$nOod OOD of $nTotal exceeds the p99 contract")
+    assert(nOod > 0, "no outliers above p99 — vacuous fence")
+  }
+
+  test("q33 pareto: deciles partition the customers; Lorenz shares are monotone and sum to ~1e6") {
+    val r = graft.queries.Tpch.q33Pareto(spark, sf).collect()
+    val nCust = graft.sources.Tables.read(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(r.map(_.getAs[Long]("n_customers")).sum == nCust)
+    val shares = r.map(_.getAs[Long]("share_e6"))
+    // decile 0 (top customers) must hold the largest share, then decay
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    assert(math.abs(shares.sum - 1000000L) <= r.length / 2 + 1)
+    assert(r.last.getAs[Long]("cum_share_e6") == shares.sum)
+    assert(shares.head > 1000000L / r.length, "top decile no richer than uniform — vacuous audit")
+  }
+
+  test("t29 length outliers: fences reconcile with a driver recompute; flags non-vacuous") {
+    val got = graft.text.TextAnalysis.t29LengthOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("median_toks"), r.getAs[Long]("mad_toks"),
+          r.getAs[Long]("n_long"), r.getAs[Long]("n_short"))).toMap
+    val docs = graft.sources.Tables.read(spark, sf, "documents")
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def disc(xs: Seq[Long]): Long = { val s = xs.sorted; s((s.length + 1) / 2 - 1) }
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = disc(vs); val mad = disc(vs.map(v => math.abs(v - med)))
+      val hi = med + 3 * mad; val lo = math.max(med - 3 * mad, 0L)
+      (src, (vs.size.toLong, med, mad,
+        vs.count(_ > hi).toLong, vs.count(_ < lo).toLong))
+    }
+    assert(got == expected)
+    assert(got.values.map(_._4).sum + got.values.map(_._5).sum > 0,
+      "no length outliers anywhere — vacuous fences")
+  }
+
   test("w8 share of total: shares per year sum to ~1e6 and reconcile with the year total") {
     val r = graft.queries.Tpch.w8ShareOfTotal(spark, sf).collect()
     r.groupBy(_.getAs[Long]("yr")).foreach { case (_, rows) =>

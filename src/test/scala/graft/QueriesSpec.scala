@@ -112,7 +112,9 @@ class QueriesSpec extends AnyFunSuite {
       "w5_cume_users",  // running sum over the ~30-row daily agg
       "q31_sample_quant", // cum counts over the price-DOMAIN-bounded histogram (q25's argument, global)
       "e21_churn",      // share over the ≤4-row recency-bucket agg
-      "s22_ivf_balance" // share/ratio over the kc-row cell-size agg
+      "s22_ivf_balance", // share/ratio over the kc-row cell-size agg
+      "q33_pareto",     // cum ranks over the revenue-DOMAIN-bounded histogram + cum share over the ≤10-row decile frame
+      "s24_ood_flags"   // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
