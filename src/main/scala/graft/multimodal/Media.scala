@@ -616,4 +616,65 @@ object Media {
       |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
       |  min(doc_id) AS first_id, max(doc_id) AS last_id
       |FROM o GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
+
+  /** Declared-metadata media row: payload + the catalog's own claim
+    * about it (here n_chars) — the mm10 audit contract. */
+  case class DeclaredMedia(doc_id: Long, source: String, n_chars: Long,
+                           payload: Array[Byte])
+
+  /** mm10: DECODE-BUDGET forecast + declared-metadata consistency —
+    * per source: object count, total payload bytes, total decoded
+    * frames (the GPU-batch budget a scheduler provisions BEFORE
+    * launching the expensive mm2/mm3 passes), mean bytes-per-declared-
+    * char ×1e6 (encoding density; > 1e6 = multi-byte content), and
+    * the count of objects whose decoded byte length CONTRADICTS the
+    * declared n_chars — catalog rot (truncated uploads, re-encoded
+    * blobs, stale metadata) caught before it skews trained models.
+    * A zero mismatch column is the PASSING state of a real audit.
+    *
+    * Scale shape: ONE scan; the decode rides the mm-block's
+    * per-partition batch boundary (the real-decoder hook — nothing
+    * collected), the rollup map-side-combines to a sources-sized
+    * frame. */
+  def mm10DecodeBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        encode($"text", "UTF-8").as("payload"))
+      .as[DeclaredMedia]
+      .mapPartitions(_.map { m =>
+        val len = m.payload.length.toLong
+        // (source, declared chars, decoded bytes, decoded frames)
+        (m.source, m.n_chars, len, len / 256L + 1L)
+      })
+      .toDF("source", "n_chars", "byte_len", "n_frames")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_objects"),
+        sum($"byte_len").as("total_bytes"),
+        sum($"n_frames").as("total_frames"),
+        sum(when($"byte_len" =!= $"n_chars", 1L).otherwise(0L)).as("n_mismatch"),
+        sum($"n_chars").as("sum_chars"))
+      .select($"source", $"n_objects", $"total_bytes", $"total_frames",
+        $"n_mismatch",
+        halfUp($"total_bytes" * 1000000L, greatest($"sum_chars", lit(1L)))
+          .as("bytes_per_char_e6"))
+      .orderBy("source")
+  }
+
+  /** mm10 oracle: octet_length(encode(text)) is the decoded byte
+    * length (mm1's convention), frames = len/256 + 1. */
+  val mm10Sql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |  FROM documents),
+      |f AS (SELECT source, n_chars, byte_len, byte_len // 256 + 1 AS n_frames FROM d)
+      |SELECT source, count(*) AS n_objects,
+      |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(sum(CASE WHEN byte_len <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  CAST((2 * (sum(byte_len) * 1000000) + greatest(sum(n_chars), 1))
+      |       // (2 * greatest(sum(n_chars), 1)) AS BIGINT) AS bytes_per_char_e6
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
 }

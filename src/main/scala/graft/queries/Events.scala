@@ -1503,4 +1503,220 @@ object Events {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
       |GROUP BY 1 ORDER BY w_start""".stripMargin
+
+  /** e26: DISCRETE CHURN-HAZARD TABLE (the life-table form of
+    * survival analysis, right-censored at the corpus's end of time):
+    * per epoch-week, how many users were under observation (first
+    * activity ≤ week ≤ last activity), how many CHURNED there (last
+    * activity that week — a real churn event only when the corpus
+    * continues past it), how many are CENSORED (still active in the
+    * final week — absence of evidence, not churn), and the hazard
+    * h(w) = churned/at_risk ×1e6. e8 reads survival forward from a
+    * cohort, e21 buckets recency at one instant; this is the
+    * per-period conditional churn RATE a retention model actually
+    * fits.
+    *
+    * Scale shape: ONE fact scan to the per-user (first_week,
+    * last_week) span (one shuffle); the week domain is a sequence-
+    * exploded calendar off a 1-row bounds aggregate (e10's
+    * convention), and at_risk(w) derives from cumulative start/end
+    * HISTOGRAM counts — never a user×week explode (at 100 TB the
+    * span frame is user-sized, the hazard table stays weeks-sized).
+    * The cumulative windows ride the weeks-bounded calendar
+    * (whitelisted global window). */
+  def e26Hazard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val spans = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(expr("unix_micros(ts) DIV 604800000000")).as("wf"),
+        max(expr("unix_micros(ts) DIV 604800000000")).as("wl"))
+      .localCheckpoint(true) // 4 consumers (starts/ends/bounds) of a user-sized frame
+    val starts = spans.groupBy($"wf".as("week")).agg(count(lit(1)).as("n_start"))
+    val ends = spans.groupBy($"wl".as("week")).agg(count(lit(1)).as("n_end"))
+    val bounds = spans.agg(min($"wf").as("w0"), max($"wl").as("w1"))
+    val cal = bounds.select(explode(sequence($"w0", $"w1")).as("week"))
+    val cum = Window.orderBy($"week").rowsBetween(Window.unboundedPreceding, 0)
+    val cumPrev = Window.orderBy($"week").rowsBetween(Window.unboundedPreceding, -1)
+    cal.join(starts, Seq("week"), "left").join(ends, Seq("week"), "left")
+      .na.fill(0L, Seq("n_start", "n_end"))
+      .withColumn("at_risk",
+        sum($"n_start").over(cum) - coalesce(sum($"n_end").over(cumPrev), lit(0L)))
+      .crossJoin(broadcast(bounds.select($"w1")))
+      .select($"week", $"at_risk",
+        when($"week" < $"w1", $"n_end").otherwise(0L).as("churned"),
+        when($"week" === $"w1", $"n_end").otherwise(0L).as("censored"))
+      .withColumn("hazard_e6",
+        when($"at_risk" > 0, halfUp($"churned" * 1000000L, $"at_risk")))
+      .orderBy("week")
+  }
+
+  /** e26 oracle: the same span/histogram/cumulative formation over a
+    * generated week series. */
+  val e26Sql: String =
+    """WITH sp AS (
+      |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS wf,
+      |         max(epoch_us(ts) // 604800000000) AS wl
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(wf) AS w0, max(wl) AS w1 FROM sp),
+      |cal AS (SELECT unnest(range(w0, w1 + 1)) AS week FROM b),
+      |st AS (SELECT wf AS week, count(*) AS n_start FROM sp GROUP BY 1),
+      |en AS (SELECT wl AS week, count(*) AS n_end FROM sp GROUP BY 1),
+      |t AS (
+      |  SELECT c.week, coalesce(st.n_start, 0) AS n_start, coalesce(en.n_end, 0) AS n_end
+      |  FROM cal c LEFT JOIN st ON st.week = c.week LEFT JOIN en ON en.week = c.week),
+      |r AS (
+      |  SELECT week, n_end,
+      |    sum(n_start) OVER (ORDER BY week)
+      |      - coalesce(sum(n_end) OVER (ORDER BY week
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+      |  FROM t)
+      |SELECT r.week, CAST(r.at_risk AS BIGINT) AS at_risk,
+      |  CAST(CASE WHEN r.week < b.w1 THEN r.n_end ELSE 0 END AS BIGINT) AS churned,
+      |  CAST(CASE WHEN r.week = b.w1 THEN r.n_end ELSE 0 END AS BIGINT) AS censored,
+      |  CAST(CASE WHEN r.at_risk > 0 THEN
+      |    (2 * (CASE WHEN r.week < b.w1 THEN r.n_end ELSE 0 END * 1000000) + r.at_risk)
+      |      // (2 * r.at_risk) END AS BIGINT) AS hazard_e6
+      |FROM r, b ORDER BY r.week""".stripMargin
+
+  /** e27: BOT-TIMING FEATURE TABLE — per user, the inter-event
+    * timing statistics a traffic-quality filter thresholds on:
+    * event count, minimum and disc-MEDIAN inter-event gap (µs;
+    * q32's robust-estimator argument — a bot's median gap is
+    * machine-small while its mean is easily padded), and the
+    * maximum number of events inside any trailing 60 s window
+    * (burst rate), plus the deterministic flag. Single-event users
+    * report NULL gaps and never flag.
+    *
+    * Scale shape: ONE shuffle on user_id; the lag, burst and
+    * median-rank windows all share that partitioning (one exchange,
+    * per-partition sorts), and the rollup is a narrow per-user
+    * aggregate — output is user-sized, the feature-table shape a
+    * downstream filter joins against. The 60 s burst is a RANGE
+    * window over integer µs, never a self-join. */
+  def e27BotFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val burstW = Window.partitionBy($"user_id").orderBy($"s")
+      .rangeBetween(-59999999L, 0L)
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("s"))
+      .withColumn("gap_us", $"s" - lag($"s", 1).over(byUser))
+      .withColumn("burst60", count(lit(1)).over(burstW))
+    // disc median of gaps: the ⌈n/2⌉-th smallest (rank over the
+    // user's gap rows only; ties share a value so row_number is safe)
+    val gapRank = Window.partitionBy($"user_id").orderBy($"gap_us")
+    val gapN = Window.partitionBy($"user_id")
+    val med = ev.filter($"gap_us".isNotNull)
+      .withColumn("rn", row_number().over(gapRank))
+      .withColumn("ng", count(lit(1)).over(gapN))
+      .filter($"rn" === expr("(ng + 1) DIV 2"))
+      .select($"user_id", $"gap_us".as("median_gap_us"))
+    ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"gap_us").as("min_gap_us"),
+        max($"burst60").as("burst60_max"))
+      .join(med, Seq("user_id"), "left")
+      .select($"user_id", $"n_events", $"min_gap_us", $"median_gap_us",
+        $"burst60_max",
+        (coalesce($"median_gap_us" < 600000000L, lit(false)) ||
+          $"burst60_max" >= 5L).cast("int").cast("long").as("is_bot"))
+      .orderBy("user_id")
+  }
+
+  /** e27 oracle: same lag/range-window/rank formation (RANGE over
+    * BIGINT µs — CAST(epoch() ...) would round, epoch_us is exact). */
+  val e27Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s FROM events),
+      |g AS (
+      |  SELECT user_id, s,
+      |    s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap_us,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY s
+      |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS burst60
+      |  FROM ev),
+      |md AS (
+      |  SELECT user_id, gap_us AS median_gap_us FROM (
+      |    SELECT user_id, gap_us,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS ng
+      |    FROM g WHERE gap_us IS NOT NULL)
+      |  WHERE rn = (ng + 1) // 2),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_events, min(gap_us) AS min_gap_us,
+      |    max(burst60) AS burst60_max
+      |  FROM g GROUP BY 1)
+      |SELECT a.user_id, a.n_events, CAST(a.min_gap_us AS BIGINT) AS min_gap_us,
+      |  CAST(md.median_gap_us AS BIGINT) AS median_gap_us,
+      |  CAST(a.burst60_max AS BIGINT) AS burst60_max,
+      |  CAST(CASE WHEN coalesce(md.median_gap_us < 600000000, false)
+      |            OR a.burst60_max >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+      |FROM a LEFT JOIN md ON md.user_id = a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  /** e28: A/B-TEST LIFT under a deterministic hash assignment — the
+    * experimentation readout: users split 50/50 by md5 of the user
+    * id (t5's stable-split convention: reproducible across engines,
+    * runs and partitionings, unlike rand()), conversion = the user
+    * ever purchased, per arm the exact user/converter counts,
+    * conversion rate ×1e6, and the treatment row carries absolute
+    * and relative lift vs control (signed ratios route sign around
+    * the floor/truncate DIV divergence — w7's convention).
+    *
+    * Scale shape: one fact scan → per-user conversion rollup (one
+    * shuffle, map-side-combined max); the arm is a projection of the
+    * user id so the 2-row arm rollup map-side-combines too; lift is
+    * a broadcast join of the 1-row control frame. */
+  def e28AbLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val arms = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit("ab:"), $"user_id".cast("string"))), 1, 6),
+          16, 10).cast("long") % 2)
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+      .withColumn("rate_e6", halfUp($"n_conv" * 1000000L, $"n_users"))
+    // grouping-less aggregate → provably 1 row (the m6 scalar-frame
+    // convention the nested-loop gate recognizes)
+    val control = arms
+      .agg(max(when($"arm" === 0L, $"rate_e6")).as("ctrl_rate_e6"))
+    arms.crossJoin(broadcast(control))
+      .select($"arm", $"n_users", $"n_conv", $"rate_e6",
+        when($"arm" === 0L, 0L)
+          .otherwise($"rate_e6" - $"ctrl_rate_e6").as("lift_abs_e6"),
+        when($"arm" === 0L, 0L).otherwise(
+          signum($"rate_e6" - $"ctrl_rate_e6").cast("long") *
+            halfUp(abs($"rate_e6" - $"ctrl_rate_e6") * 1000000L, $"ctrl_rate_e6"))
+          .as("lift_rel_e6"))
+      .orderBy("arm")
+  }
+
+  /** e28 oracle: same hash split, conversion rollup and sign-routed
+    * relative lift. */
+  val e28Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT arm, count(*) AS n_users, sum(conv) AS n_conv,
+      |    CAST((2 * (sum(conv) * 1000000) + count(*)) // (2 * count(*)) AS BIGINT) AS rate_e6
+      |  FROM u GROUP BY arm),
+      |c AS (SELECT rate_e6 AS ctrl_rate_e6 FROM a WHERE arm = 0)
+      |SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, CAST(a.n_conv AS BIGINT) AS n_conv,
+      |  a.rate_e6,
+      |  CAST(CASE WHEN a.arm = 0 THEN 0 ELSE a.rate_e6 - c.ctrl_rate_e6 END AS BIGINT)
+      |    AS lift_abs_e6,
+      |  CAST(CASE WHEN a.arm = 0 THEN 0 ELSE
+      |    CASE WHEN a.rate_e6 >= c.ctrl_rate_e6 THEN
+      |      (2 * ((a.rate_e6 - c.ctrl_rate_e6) * 1000000) + c.ctrl_rate_e6)
+      |        // (2 * c.ctrl_rate_e6)
+      |    ELSE -((2 * ((c.ctrl_rate_e6 - a.rate_e6) * 1000000) + c.ctrl_rate_e6)
+      |        // (2 * c.ctrl_rate_e6)) END
+      |  END AS BIGINT) AS lift_rel_e6
+      |FROM a, c ORDER BY arm""".stripMargin
 }

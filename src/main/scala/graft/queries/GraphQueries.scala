@@ -599,4 +599,59 @@ object GraphQueries {
       |       JOIN ic cb ON cb.l_partkey = p.b, nb
       |ORDER BY lift_e6 DESC, cooccur DESC, part_id1, part_id2
       |LIMIT 25""".stripMargin
+
+  /** g9: DEGREE DISTRIBUTION of the co-purchase graph, log₂-binned —
+    * the first diagnostic anyone runs on a large graph (is the tail
+    * power-law? where does the hub mass sit?), and the capacity-
+    * planning input for every g-family operator here: g2's wedge
+    * bound, g6's degCap and j1's salting threshold are all chosen
+    * off this histogram. Per bin [2^b, 2^(b+1)): node count, min/max
+    * degree, node share ×1e6 and DEGREE-MASS share ×1e6 (hubs carry
+    * the mass long before they dominate the count).
+    *
+    * floor(log₂ d) is computed EXACTLY as length(bin(d)) − 1 — bit
+    * length, no float log2() whose last-ulp wobble at exact powers
+    * of two flips bins between engines.
+    *
+    * Scale shape: the memoized pair artifact (never n²) → one
+    * map-side-combined degree rollup (node-sized) → bin rollup
+    * (≤64 rows); totals ride a 1-row broadcast (m6 convention). */
+  def g9DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val pairs = g6CoPairs(spark, dir).select($"a", $"b")
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val binned = deg
+      .groupBy((length(bin($"deg")) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"), min($"deg").as("min_deg"),
+        max($"deg").as("max_deg"), sum($"deg").as("deg_mass"))
+    val tot = binned.agg(sum($"n_nodes").as("tn"), sum($"deg_mass").as("tm"))
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n_nodes", $"min_deg", $"max_deg", $"deg_mass",
+        halfUp($"n_nodes" * 1000000L, $"tn").as("node_share_e6"),
+        halfUp($"deg_mass" * 1000000L, $"tm").as("mass_share_e6"))
+      .orderBy("bin")
+  }
+
+  /** g9 oracle: the g6 pair CTEs + the same bit-length binning. */
+  val g9Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cooccur
+      |  FROM li x JOIN li y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT a, b FROM co WHERE cooccur >= 2),
+      |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+      |bn AS (
+      |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin, count(*) AS n_nodes,
+      |    min(deg) AS min_deg, max(deg) AS max_deg, sum(deg) AS deg_mass
+      |  FROM deg GROUP BY 1),
+      |t AS (SELECT sum(n_nodes) AS tn, sum(deg_mass) AS tm FROM bn)
+      |SELECT bn.bin, bn.n_nodes, CAST(bn.min_deg AS BIGINT) AS min_deg,
+      |  CAST(bn.max_deg AS BIGINT) AS max_deg, CAST(bn.deg_mass AS BIGINT) AS deg_mass,
+      |  CAST((2 * (bn.n_nodes * 1000000) + t.tn) // (2 * t.tn) AS BIGINT) AS node_share_e6,
+      |  CAST((2 * (bn.deg_mass * 1000000) + t.tm) // (2 * t.tm) AS BIGINT) AS mass_share_e6
+      |FROM bn, t ORDER BY bn.bin""".stripMargin
 }

@@ -1600,6 +1600,156 @@ object Tpch {
       .orderBy("p")
   }
 
+  /** q34: SKYLINE (Pareto-front) of orders under (recent date ↑,
+    * low price ↓) — the multi-objective dominance filter behind
+    * "best trade-off" shortlists (Börzsönyi et al., ICDE 2001): an
+    * order is on the front iff no other order is at least as recent
+    * AND at least as cheap with one strict. Emits the front points
+    * with order multiplicity.
+    *
+    * Scale shape: NO pairwise dominance join (the textbook NOT
+    * EXISTS is O(n²)). The fact table collapses to the (date ×
+    * price-cents) histogram in one map-side-combined shuffle; the
+    * per-date cheapest point survives a date-partitioned window, and
+    * cross-date dominance is ONE running-min over strictly-later
+    * dates on the date-domain-bounded frame (~thousands of rows at
+    * any corpus size — q25's histogram-first convention; the global
+    * window is whitelisted on that ground). */
+  def q34Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.read(spark, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n_orders"))
+    // per-date cheapest point (same-date rows above it are dominated
+    // by strict price; equal-price orders ride along as multiplicity)
+    val mins = hist
+      .withColumn("min_cents", min($"cents").over(Window.partitionBy($"d")))
+      .filter($"cents" === $"min_cents")
+      .select($"d", $"cents", $"n_orders")
+    // a point survives iff NO strictly later date reaches a price
+    // ≤ its own (equal price later in time still dominates: date is
+    // strict); the latest date always survives (null later_min)
+    val later = Window.orderBy($"d".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mins
+      .withColumn("later_min", min($"cents").over(later))
+      .filter($"later_min".isNull || $"cents" < $"later_min")
+      .select(date_format($"d", "yyyy-MM-dd").as("o_orderdate"),
+        $"cents".as("price_cents"), $"n_orders")
+      .orderBy("o_orderdate")
+  }
+
+  /** q34 oracle: the same histogram → per-date min → strictly-later
+    * running-min formation. */
+  val q34Sql: String =
+    """WITH h AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT d, cents, n_orders, min(cents) OVER (PARTITION BY d) AS mc FROM h),
+      |mins AS (SELECT d, cents, n_orders FROM m WHERE cents = mc),
+      |s AS (
+      |  SELECT d, cents, n_orders,
+      |    min(cents) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later_min
+      |  FROM mins)
+      |SELECT strftime(d, '%Y-%m-%d') AS o_orderdate, cents AS price_cents,
+      |  CAST(n_orders AS BIGINT) AS n_orders
+      |FROM s WHERE later_min IS NULL OR cents < later_min
+      |ORDER BY o_orderdate""".stripMargin
+
+  /** q35: EXACT linear-relationship audit — per return flag, the
+    * least-squares slope (cents per unit quantity, ×1e6) and the
+    * coefficient of determination r² ×1e6 between l_quantity and
+    * l_extendedprice, entirely in integer/decimal arithmetic: the
+    * co-moments (n·Σxy − ΣxΣy etc.) stage through DECIMAL(38,0) ≡
+    * DuckDB HUGEINT, so the audit is hash-exact cross-engine — the
+    * float stddev/corr route drifts in the last ulp under different
+    * summation orders (the reason corr() can't be the oracle).
+    *
+    * Precision contract (documented, deterministic on both engines):
+    * r²_e6 = ((|cxy|÷10³)²·10³) ÷ max(1, (cxx÷10³)·(cyy÷10⁶)) with
+    * ÷ = floor division. The pre-scaling keeps every intermediate
+    * under the 38-digit cap (|cxy| ≤ √(cxx·cyy) ~ 10¹⁹ at sf1 →
+    * squared ~10³⁸ would saturate) AND — the Spark-specific trap —
+    * keeps every ÷ QUOTIENT under 2⁶³: Spark's DIV always returns
+    * LONG, so a quotient like (cxx·cyy)÷10⁶ ~ 10²⁰ silently wraps
+    * even though the decimal operands are exact (caught by the
+    * oracle in round 7). Worst-case relative error 10⁻³ on inputs —
+    * invisible at ×1e6 output grain — and identical bit-for-bit in
+    * both engines. Valid while cyy < ~10²⁵ (group rows × cents²);
+    * past that, rescale cents to dollars first. Slope is half-up
+    * with the sign routed around DIV (Spark DIV FLOORS, DuckDB //
+    * TRUNCATES — equal only on non-negatives).
+    *
+    * Scale shape: one fact scan, map-side-combined six-sum rollup to
+    * a flags-sized frame; everything after is constant arithmetic. */
+  def q35Corr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    Tables.read(spark, dir, "lineitem")
+      .select($"l_returnflag".as("flag"),
+        round($"l_quantity").cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"x".cast(d38)).as("sx"),
+        sum($"y".cast(d38)).as("sy"),
+        sum(($"x" * $"x").cast(d38)).as("sxx"),
+        // y² fits a long per-row (cents ≤ ~10⁷) but the SUM must be
+        // decimal — a long sum silently wraps at ~10⁹ rows
+        sum(($"y".cast(d38)) * $"y").as("syy"),
+        sum(($"x" * $"y").cast(d38)).as("sxy"))
+      .withColumn("cxx", expr("n * sxx - sx * sx"))
+      .withColumn("cyy", expr("n * syy - sy * sy"))
+      .withColumn("cxy", expr("n * sxy - sx * sy"))
+      .select($"flag", $"n".cast("long").as("n_rows"),
+        expr("""CAST(CASE WHEN cxx = 0 THEN NULL
+               |  WHEN cxy >= 0 THEN (2 * (cxy * 1000000) + cxx) DIV (2 * cxx)
+               |  ELSE -((2 * ((-cxy) * 1000000) + cxx) DIV (2 * cxx))
+               |END AS BIGINT)""".stripMargin).as("beta_e6"),
+        expr("""CAST(CAST(abs(cxy) DIV 1000 AS DECIMAL(38,0))
+               |      * CAST(abs(cxy) DIV 1000 AS DECIMAL(38,0)) * 1000
+               |  DIV greatest(CAST(1 AS DECIMAL(38,0)),
+               |    CAST(cxx DIV 1000 AS DECIMAL(38,0))
+               |      * CAST(cyy DIV 1000000 AS DECIMAL(38,0)))
+               |AS BIGINT)""".stripMargin).as("r2_e6"))
+      .orderBy("flag")
+  }
+
+  /** q35 oracle: the same six-sum/co-moment/scaled-quotient chain on
+    * HUGEINT. */
+  val q35Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+      |    sum(CAST(round(l_quantity) AS HUGEINT)
+      |      * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+      |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+      |      * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+      |    sum(CAST(round(l_quantity) AS HUGEINT)
+      |      * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT flag, n,
+      |    n * sxx - sx * sx AS cxx,
+      |    n * syy - sy * sy AS cyy,
+      |    n * sxy - sx * sy AS cxy
+      |  FROM a)
+      |SELECT flag, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN cxx = 0 THEN NULL
+      |    WHEN cxy >= 0 THEN (2 * (cxy * 1000000) + cxx) // (2 * cxx)
+      |    ELSE -((2 * ((-cxy) * 1000000) + cxx) // (2 * cxx))
+      |  END AS BIGINT) AS beta_e6,
+      |  CAST((abs(cxy) // 1000) * (abs(cxy) // 1000) * 1000
+      |    // greatest(CAST(1 AS HUGEINT), (cxx // 1000) * (cyy // 1000000))
+      |  AS BIGINT) AS r2_e6
+      |FROM c ORDER BY flag""".stripMargin
+
   /** q31 oracle: the same two histogram/cum/pick chains; the sample
     * predicate is the shared md5-hex→BIGINT formation. */
   val q31Sql: String = {

@@ -1755,4 +1755,64 @@ object Knn {
        |  CAST(${halfUpSql("sum(CASE WHEN vec_id % 8 = 3 THEN 1 ELSE 0 END) * 1000000", "count(*)")} AS BIGINT) AS del_share_e6
        |FROM a$iters GROUP BY cluster ORDER BY cell""".stripMargin
   }
+
+  /** s25: CENTROID-DRIFT / index-staleness audit — run ONE more
+    * Lloyd's update past the standing s8 index's training and measure
+    * how far each centroid would still move (exact integer L2 in the
+    * ×1e6 grid): near-zero drift = the index is converged and fresh;
+    * large drift in a populated cell = the corpus has shifted under
+    * the index (s15's inserts / s23's deletes accumulating) and s22's
+    * balance numbers are about to degrade — the RE-TRAIN trigger,
+    * measured rather than scheduled. Completes the IVF lifecycle:
+    * s8 searches, s9 recall, s19 nprobe, s22 balance, s23 deletes,
+    * s25 says when to rebuild.
+    *
+    * Scale shape: centroids come from the SHARED session training
+    * cache (never re-runs Lloyd's); the audit is ONE corpus pass
+    * through the codegen'd nearest-centroid kernel + a map-side-
+    * combined k×(Dim+1)-cell rollup; the update/diff arithmetic is
+    * k×Dim longs on the driver — the same documented tiny-collect
+    * boundary as the trainer itself ([[lloydLoop]]). */
+  def s25CentroidDrift(spark: SparkSession, dir: String, kc: Int = 8,
+                       iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val cents = lloydCentroids(spark, dir, kc, iters).toMap
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until Dim).map(i => sum(element_at($"el", i + 1)).as(s"s$i"))
+    val rows = assignCells(spark, q, cents.toSeq.sortBy(_._1))
+      .groupBy($"cluster")
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    val out = rows.map { r =>
+      val cl = r.getLong(0)
+      val n = r.getLong(1)
+      val old = cents(cl.toInt)
+      val driftSq = (0 until Dim).map { i =>
+        val d = halfUpDivL(r.getLong(i + 2), n) - old(i)
+        d * d
+      }.sum
+      (cl, n, driftSq, math.floor(math.sqrt(driftSq.toDouble)).toLong)
+    }.toSeq
+    out.toDF("cell", "n_vectors", "drift_sq", "drift_e6").orderBy("cell")
+  }
+
+  /** s25 oracle: the Lloyd's chain extended one update round — c3 is
+    * the standing index, c4 the would-be retrain; drift is their
+    * exact per-cell squared distance. */
+  val s25Sql: String = {
+    val iters = 4 // standing index depth; the chain below adds round 5
+    val parts = lloydCteParts(iters + 1)
+    s"""WITH ${parts.mkString(",\n")},
+       |nv AS (SELECT cluster, count(*) AS n_vectors FROM a$iters GROUP BY 1),
+       |dr AS (
+       |  SELECT n.cluster, sum((n.c - o.c) * (n.c - o.c)) AS drift_sq
+       |  FROM c$iters n JOIN c${iters - 1} o
+       |    ON o.cluster = n.cluster AND o.i = n.i
+       |  GROUP BY 1)
+       |SELECT dr.cluster AS cell, nv.n_vectors,
+       |  CAST(dr.drift_sq AS BIGINT) AS drift_sq,
+       |  CAST(floor(sqrt(CAST(dr.drift_sq AS DOUBLE))) AS BIGINT) AS drift_e6
+       |FROM dr JOIN nv ON nv.cluster = dr.cluster
+       |ORDER BY cell""".stripMargin
+  }
 }

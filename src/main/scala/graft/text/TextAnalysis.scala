@@ -2113,4 +2113,65 @@ object TextAnalysis {
        |    - ${hu("s.n_docs * 1000000", "t.nd")} AS BIGINT) AS bias_e6
        |FROM s, t ORDER BY s.source""".stripMargin
   }
+
+  /** t30: CODE-vs-PROSE detection — per source, how much of the crawl
+    * is source code: per doc, the density of code punctuation
+    * ({};=<> per char, ×1e6) and the count of 4-space-indented line
+    * starts; a doc flags as code on either signal. The mix table a
+    * pretraining curation uses to ROUTE documents (code to the code
+    * pipeline with its own dedup/quality rules, prose to t1–t27's) —
+    * misrouted code wrecks prose quality stats (t2 scores it low) and
+    * vice versa.
+    *
+    * Both signals are pure codegen'd string projections (translate /
+    * replace length deltas — no regex backtracking, no explode): ONE
+    * documents scan, map-side-combined rollup to a sources-sized
+    * frame. */
+  def t30CodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.read(spark, dir, "documents")
+      .select($"source",
+        length($"text").as("n_chars"),
+        (length($"text") - length(translate($"text", "{};=<>", ""))).cast("long")
+          .as("punct"),
+        expr("CAST((length(text) - length(replace(text, char(10) || '    ', ''))) DIV 5 AS BIGINT)")
+          .as("indent_hits"))
+      .select($"source",
+        halfUpDiv($"punct" * 1000000L, greatest($"n_chars".cast("long"), lit(1L)))
+          .as("punct_ratio_e6"),
+        $"indent_hits")
+      .select($"source", $"punct_ratio_e6",
+        ($"punct_ratio_e6" >= 20000L || $"indent_hits" >= 3L)
+          .cast("int").cast("long").as("is_code"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_code").as("n_code"),
+        sum($"punct_ratio_e6").as("sum_ratio"))
+      .select($"source", $"n_docs", $"n_code",
+        halfUpDiv($"n_code" * 1000000L, $"n_docs").as("code_share_e6"),
+        halfUpDiv($"sum_ratio", $"n_docs").as("avg_punct_e6"))
+      .orderBy("source")
+  }
+
+  /** t30 oracle: the same translate/replace length-delta signals. */
+  val t30Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    length(text) - length(translate(text, '{};=<>', '')) AS punct,
+      |    (length(text) - length(replace(text, chr(10) || '    ', ''))) // 5 AS indent_hits
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    CAST((2 * (punct * 1000000) + greatest(n_chars, 1))
+      |         // (2 * greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
+      |    indent_hits
+      |  FROM d),
+      |f AS (
+      |  SELECT source, punct_ratio_e6,
+      |    CASE WHEN punct_ratio_e6 >= 20000 OR indent_hits >= 3 THEN 1 ELSE 0 END AS is_code
+      |  FROM r)
+      |SELECT source, count(*) AS n_docs, CAST(sum(is_code) AS BIGINT) AS n_code,
+      |  CAST((2 * (sum(is_code) * 1000000) + count(*)) // (2 * count(*)) AS BIGINT) AS code_share_e6,
+      |  CAST((2 * sum(punct_ratio_e6) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_punct_e6
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1136,4 +1136,93 @@ class KnnEventsSpec extends AnyFunSuite {
     val lifts = r.map(_.getAs[Long]("lift_e6"))
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("e26 hazard: life-table reconciles with per-user spans; churned + censored = users") {
+    val r = Events.e26Hazard(spark, sf).collect()
+    assert(r.nonEmpty)
+    val spans = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts) DIV 604800000000").as("w")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).values.map(xs => (xs.map(_._2).min, xs.map(_._2).max)).toSeq
+    val w1 = spans.map(_._2).max
+    assert(r.map(_.getAs[Long]("churned")).sum + r.map(_.getAs[Long]("censored")).sum
+      == spans.size)
+    r.foreach { row =>
+      val w = row.getAs[Long]("week")
+      assert(row.getAs[Long]("at_risk") == spans.count { case (f, l) => f <= w && l >= w })
+      assert(row.getAs[Long]("churned") ==
+        (if (w < w1) spans.count(_._2 == w) else 0))
+    }
+    // hazard is a probability: 0 ≤ h ≤ 1e6 wherever defined
+    r.filter(!_.isNullAt(4)).foreach { row =>
+      val h = row.getAs[Long]("hazard_e6")
+      assert(h >= 0L && h <= 1000000L)
+    }
+  }
+
+  test("e27 bot flags: per-user stats match a driver recompute of gaps, median and burst") {
+    val r = Events.e27BotFlags(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("s"), $"event_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    assert(r.length == byUser.size)
+    r.foreach { row =>
+      val u = row.getAs[Long]("user_id")
+      val ts = byUser(u).sortBy(e => (e._2, e._3)).map(_._2)
+      assert(row.getAs[Long]("n_events") == ts.length)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      if (gaps.isEmpty) {
+        assert(row.isNullAt(row.fieldIndex("min_gap_us")))
+        assert(row.isNullAt(row.fieldIndex("median_gap_us")))
+      } else {
+        assert(row.getAs[Long]("min_gap_us") == gaps.min)
+        val sorted = gaps.sorted
+        assert(row.getAs[Long]("median_gap_us") == sorted((gaps.length + 1) / 2 - 1))
+      }
+      val burst = ts.map(t => ts.count(x => x > t - 60000000L && x <= t)).max
+      assert(row.getAs[Long]("burst60_max") == burst)
+    }
+  }
+
+  test("e28 ab lift: arms partition the users; assignment, rates and lift recompute") {
+    val r = Events.e28AbLift(spark, sf).collect()
+    assert(r.length == 2)
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 2
+    }
+    val byArm = users.groupBy(x => arm(x._1))
+    assert(r.map(_.getAs[Long]("n_users")).sum == users.length)
+    val rates = r.map(row => row.getAs[Long]("arm") -> row.getAs[Long]("rate_e6")).toMap
+    r.foreach { row =>
+      val a = row.getAs[Long]("arm")
+      assert(row.getAs[Long]("n_users") == byArm(a).length)
+      assert(row.getAs[Long]("n_conv") == byArm(a).count(_._2 == 1L))
+      val expRate = ((BigInt(2) * (BigInt(byArm(a).count(_._2 == 1L)) * 1000000)
+        + byArm(a).length) / (BigInt(2) * byArm(a).length)).toLong
+      assert(row.getAs[Long]("rate_e6") == expRate)
+      if (a == 1L)
+        assert(row.getAs[Long]("lift_abs_e6") == rates(1L) - rates(0L))
+    }
+  }
+
+  test("s25 centroid drift equals the gap between successive cached trainings") {
+    val r = Knn.s25CentroidDrift(spark, sf).collect()
+    assert(r.nonEmpty)
+    val c4 = Knn.lloydCentroids(spark, sf, 8, 4).toMap
+    val c5 = Knn.lloydCentroids(spark, sf, 8, 5).toMap
+    r.foreach { row =>
+      val cl = row.getAs[Long]("cell").toInt
+      val d = c4(cl).zip(c5(cl)).map { case (a, b) => val x = b - a; x * x }.sum
+      assert(row.getAs[Long]("drift_sq") == d, s"cell $cl")
+      assert(row.getAs[Long]("drift_e6") ==
+        math.floor(math.sqrt(d.toDouble)).toLong)
+    }
+  }
 }

@@ -114,7 +114,9 @@ class QueriesSpec extends AnyFunSuite {
       "e21_churn",      // share over the ≤4-row recency-bucket agg
       "s22_ivf_balance", // share/ratio over the kc-row cell-size agg
       "q33_pareto",     // cum ranks over the revenue-DOMAIN-bounded histogram + cum share over the ≤10-row decile frame
-      "s24_ood_flags"   // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
+      "s24_ood_flags",  // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
+      "q34_skyline",    // strictly-later running min over the date-DOMAIN-bounded front candidates
+      "e26_hazard"      // at-risk cumulative counts over the weeks-bounded calendar
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
@@ -409,5 +411,105 @@ class QueriesSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_shipdate") <= lit("1998-09-02")).count()
     assert(total === raw)
+  }
+
+  test("q34 skyline: front is undominated AND maximal against every order (driver recompute)") {
+    import org.apache.spark.sql.functions._
+    val front = queries.Tpch.q34Skyline(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderdate"), r.getAs[Long]("price_cents")))
+    assert(front.nonEmpty)
+    val pts = spark.read.parquet(s"$sf/orders.parquet")
+      .select(date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("p")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def dominates(a: (String, Long), b: (String, Long)): Boolean =
+      (a._1 >= b._1 && a._2 <= b._2) && (a._1 > b._1 || a._2 < b._2)
+    front.foreach { f =>
+      assert(!pts.exists(p => dominates(p, f)), s"front point $f is dominated")
+    }
+    pts.foreach { p =>
+      assert(front.exists(f => f == p || dominates(f, p)),
+        s"order point $p escapes the front")
+    }
+  }
+
+  test("q35 corr: co-moments and scaled quotients recompute via BigInt on the raw slice") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Tpch.q35Corr(spark, sf).collect()
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+      .groupBy(_._1)
+    assert(got.length == raw.size)
+    got.foreach { row =>
+      val xs = raw(row.getAs[String]("flag"))
+      val n = BigInt(xs.length)
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val cxx = n * xs.map(x => x._2 * x._2).sum - sx * sx
+      val cyy = n * xs.map(x => x._3 * x._3).sum - sy * sy
+      val cxy = n * xs.map(x => x._2 * x._3).sum - sx * sy
+      assert(BigInt(row.getAs[Long]("n_rows")) == n)
+      val beta = (BigInt(2) * (cxy.abs * 1000000) + cxx) / (BigInt(2) * cxx)
+      assert(row.getAs[Long]("beta_e6") == (cxy.signum * beta).toLong)
+      val r2 = (cxy.abs / 1000).pow(2) * 1000 /
+        ((cxx / 1000) * (cyy / 1000000)).max(BigInt(1))
+      assert(row.getAs[Long]("r2_e6") == r2.toLong)
+    }
+  }
+
+  test("g9 degree distribution: bin bounds, totals and mass parity reconcile") {
+    val r = queries.GraphQueries.g9DegreeDist(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val bin = row.getAs[Long]("bin")
+      assert(row.getAs[Long]("min_deg") >= (1L << bin.toInt))
+      assert(row.getAs[Long]("max_deg") < (1L << (bin.toInt + 1)))
+      assert(row.getAs[Long]("min_deg") <= row.getAs[Long]("max_deg"))
+    }
+    // undirected: total degree mass is even (each pair counted twice)
+    assert(r.map(_.getAs[Long]("deg_mass")).sum % 2 == 0)
+    val shareSum = r.map(_.getAs[Long]("node_share_e6")).sum
+    assert(math.abs(shareSum - 1000000L) <= r.length / 2 + 1)
+  }
+
+  test("t30 + mm10: per-source document audits match a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val t30 = queries2.t30(spark, sf).collect()
+    t30.foreach { row =>
+      val src = row.getAs[String]("source")
+      val slice = docs.filter(_._1 == src)
+      assert(row.getAs[Long]("n_docs") == slice.length)
+      val ratios = slice.map { case (_, text, _) =>
+        val punct = text.count("{};=<>".contains(_)).toLong
+        val nChars = math.max(text.length.toLong, 1L)
+        ((BigInt(2) * (BigInt(punct) * 1000000) + nChars) / (BigInt(2) * nChars)).toLong
+      }
+      val indents = slice.map(s => ("\n    ".r.findAllIn(s._2).length).toLong)
+      val flags = ratios.zip(indents).map { case (r6, ih) =>
+        if (r6 >= 20000L || ih >= 3L) 1L else 0L }
+      assert(row.getAs[Long]("n_code") == flags.sum)
+      assert(row.getAs[Long]("avg_punct_e6") ==
+        ((BigInt(2) * BigInt(ratios.sum) + slice.length) / (BigInt(2) * slice.length)).toLong)
+    }
+    val mm10 = queries2.mm10(spark, sf).collect()
+    mm10.foreach { row =>
+      val src = row.getAs[String]("source")
+      val slice = docs.filter(_._1 == src)
+      val bytes = slice.map(_._2.getBytes("UTF-8").length.toLong)
+      assert(row.getAs[Long]("n_objects") == slice.length)
+      assert(row.getAs[Long]("total_bytes") == bytes.sum)
+      assert(row.getAs[Long]("total_frames") == bytes.map(_ / 256L + 1L).sum)
+      assert(row.getAs[Long]("n_mismatch") ==
+        slice.zip(bytes).count { case ((_, _, nc), b) => b != nc })
+    }
+  }
+
+  private object queries2 {
+    def t30(s: SparkSession, d: String) = graft.text.TextAnalysis.t30CodeDetect(s, d)
+    def mm10(s: SparkSession, d: String) = graft.multimodal.Media.mm10DecodeBudget(s, d)
   }
 }
