@@ -1147,4 +1147,49 @@ object Dedup {
        |  jq.quality_e6
        |FROM jq JOIN surv s ON s.cluster_id = jq.cluster_id
        |ORDER BY jq.doc_id""".stripMargin
+
+  /** d16: dup-CLUSTER SIZE distribution, log₂-binned (g9's bit-length
+    * binning — no float log2) — the shape report a dedup run ships
+    * with: bin 0 = singletons (unique docs), bin 1 = pairs, a fat
+    * high bin = a template family or mirror site that d15's
+    * survivor-pick is about to collapse. Per bin: clusters, docs,
+    * REMOVABLE docs (Σ(size−1) — exactly what d1/d7 deletion saves),
+    * and doc share ×1e6. The removable column priced against the bin
+    * count is the dedup ROI table: if 95% of removable mass sits in
+    * clusters ≥ 2⁴, tightening d2's threshold below the big-cluster
+    * regime buys nothing.
+    *
+    * Scale shape: rides the memoized d7 cluster map (zero sketch/CC
+    * recompute) → cluster-sized size rollup → ≤64-bin rollup; the
+    * total is a 1-row broadcast (m6 convention). */
+  def d16ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val sizes = d7Clusters(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val binned = sizes
+      .groupBy((length(bin($"sz")) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"),
+        sum($"sz" - 1L).as("removable"))
+    val tot = binned.agg(sum($"n_docs").as("td"))
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n_clusters", $"n_docs", $"removable",
+        halfUp($"n_docs" * 1000000L, $"td").as("doc_share_e6"))
+      .orderBy("bin")
+  }
+
+  /** d16 oracle: d7's closure chain + the same bit-length binning. */
+  val d16Sql: String =
+    s"""WITH RECURSIVE $d2Ctes,
+       |$ccCtes,
+       |sz AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1),
+       |bn AS (
+       |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bin,
+       |    count(*) AS n_clusters, sum(sz) AS n_docs, sum(sz - 1) AS removable
+       |  FROM sz GROUP BY 1),
+       |t AS (SELECT sum(n_docs) AS td FROM bn)
+       |SELECT bn.bin, bn.n_clusters, CAST(bn.n_docs AS BIGINT) AS n_docs,
+       |  CAST(bn.removable AS BIGINT) AS removable,
+       |  CAST((2 * (bn.n_docs * 1000000) + t.td) // (2 * t.td) AS BIGINT) AS doc_share_e6
+       |FROM bn, t ORDER BY bn.bin""".stripMargin
 }

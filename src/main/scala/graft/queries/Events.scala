@@ -1719,4 +1719,61 @@ object Events {
       |        // (2 * c.ctrl_rate_e6)) END
       |  END AS BIGINT) AS lift_rel_e6
       |FROM a, c ORDER BY arm""".stripMargin
+
+  /** e29: SEASONALITY profile — per (event_type, day-of-week, hour-
+    * of-day): event count and share ×1e6 of the type's total. This is
+    * the load-shape baseline everything diurnal reads from: capacity
+    * plans size off the peak cells, e12's anomaly fences should be
+    * seasonal (a Monday-9am volume is not an anomaly because Sunday
+    * 3am was quiet), and a type whose profile is FLAT across hours is
+    * itself a bot signature (e27's timing features at population
+    * grain).
+    *
+    * Day-of-week and hour derive from pure epoch-µs arithmetic —
+    * day = µs DIV 86400e6, dow = (day + 4) % 7 (the epoch anchor:
+    * 1970-01-01 was a Thursday, 0 = Sunday), hour = µs DIV 3600e6
+    * % 24 — never from engine date functions whose TZ/locale
+    * defaults (WEEKDAY vs ISO dow, session zones) diverge across
+    * engines; timestamps here are non-negative so DIV's floor and
+    * truncation agree.
+    *
+    * Scale shape: ONE scan, map-side-combined rollup straight to the
+    * domain-bounded (type × 7 × 24) frame; per-type totals re-
+    * aggregate THAT frame (metadata-sized, no second scan) and come
+    * back via a broadcast join. */
+  def e29Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val us = unix_micros($"ts")
+    val cells = Tables.read(spark, dir, "events")
+      .select($"event_type",
+        pmod(us.divide(lit(86400000000L)).cast("long") + 4L, lit(7L)).as("dow"),
+        pmod(us.divide(lit(3600000000L)).cast("long"), lit(24L)).as("hour"))
+      .groupBy($"event_type", $"dow", $"hour")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = cells.groupBy($"event_type".as("et"))
+      .agg(sum($"n_events").as("type_total"))
+    cells.join(broadcast(totals), cells("event_type") === totals("et"))
+      .select($"event_type", $"dow", $"hour", $"n_events",
+        halfUp($"n_events" * 1000000L, $"type_total").as("share_e6"))
+      .orderBy("event_type", "dow", "hour")
+  }
+
+  /** e29 oracle: identical epoch-µs dow/hour arithmetic (DuckDB's
+    * `//` floors like Spark DIV on these non-negative operands). */
+  val e29Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type AS et, sum(n_events) AS type_total
+      |      FROM cells GROUP BY 1)
+      |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+      |  CAST(c.hour AS BIGINT) AS hour, CAST(c.n_events AS BIGINT) AS n_events,
+      |  CAST((2 * (c.n_events * 1000000) + t.type_total)
+      |       // (2 * t.type_total) AS BIGINT) AS share_e6
+      |FROM cells c JOIN t ON t.et = c.event_type
+      |ORDER BY c.event_type, c.dow, c.hour""".stripMargin
 }

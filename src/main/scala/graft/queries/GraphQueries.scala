@@ -654,4 +654,71 @@ object GraphQueries {
       |  CAST((2 * (bn.n_nodes * 1000000) + t.tn) // (2 * t.tn) AS BIGINT) AS node_share_e6,
       |  CAST((2 * (bn.deg_mass * 1000000) + t.tm) // (2 * t.tm) AS BIGINT) AS mass_share_e6
       |FROM bn, t ORDER BY bn.bin""".stripMargin
+
+  /** g10: degree ASSORTATIVITY of the co-purchase graph (Newman,
+    * PRL 2002) — the Pearson correlation of endpoint degrees over
+    * edges, ×1e6. Positive = hubs attach to hubs (social-network
+    * shape: dedup clusters percolate, j1-style skew compounds);
+    * negative = hubs attach to leaves (star/catalog shape: salting
+    * the few hubs fixes the whole join). g9 says where the degree
+    * MASS sits; g10 says how it WIRES — together they decide whether
+    * g6's degCap removes a fringe or the core.
+    *
+    * Exactness: over the symmetrized edge list both marginals are
+    * identical, so r = cxy/cxx with the SAME six-sum co-moment
+    * machinery as q35 (n·Σxy − ΣxΣy staged through DECIMAL(38,0) ≡
+    * HUGEINT; Spark DIV quotients kept under 2⁶³; sign routed around
+    * floor-vs-truncate DIV) — float corr() cannot be the oracle, its
+    * last ulp depends on summation order.
+    *
+    * Scale shape: memoized pair artifact → node-sized degree rollup
+    * → ONE self-equi-join pairs↔degrees (two broadcast-sized hash
+    * joins at any scale — degrees are node-sized, edges stream) →
+    * grouping-less six-sum rollup (map-side-combined to 1 row). */
+  def g10Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val pairs = g6CoPairs(spark, dir).select($"a", $"b")
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    val da = deg.select($"id".as("ia"), $"deg".as("dx"))
+    val db = deg.select($"id".as("ib"), $"deg".as("dy"))
+    edges.join(da, $"a" === $"ia").join(db, $"b" === $"ib")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"dx".cast(d38)).as("sx"),
+        sum(($"dx" * $"dx").cast(d38)).as("sxx"),
+        sum(($"dx" * $"dy").cast(d38)).as("sxy"))
+      .withColumn("cxx", expr("n * sxx - sx * sx"))
+      .withColumn("cxy", expr("n * sxy - sx * sx"))
+      .select(expr("CAST(n AS BIGINT) DIV 2").as("n_edges"),
+        expr("""CAST(CASE WHEN cxx = 0 THEN NULL
+               |  WHEN cxy >= 0 THEN (2 * (cxy * 1000000) + cxx) DIV (2 * cxx)
+               |  ELSE -((2 * ((-cxy) * 1000000) + cxx) DIV (2 * cxx))
+               |END AS BIGINT)""".stripMargin).as("assort_e6"))
+  }
+
+  /** g10 oracle: the g6 pair CTEs + the identical co-moment chain on
+    * HUGEINT (sx ≡ sy over symmetrized edges, so cxy = n·sxy − sx²). */
+  val g10Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cooccur
+      |  FROM li x JOIN li y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT a, b FROM co WHERE cooccur >= 2),
+      |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+      |s AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x.deg) AS HUGEINT) AS sx,
+      |    sum(CAST(x.deg AS HUGEINT) * CAST(x.deg AS HUGEINT)) AS sxx,
+      |    sum(CAST(x.deg AS HUGEINT) * CAST(y.deg AS HUGEINT)) AS sxy
+      |  FROM edges e JOIN deg x ON x.id = e.a JOIN deg y ON y.id = e.b),
+      |c AS (SELECT n, n * sxx - sx * sx AS cxx, n * sxy - sx * sx AS cxy FROM s)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  CAST(CASE WHEN cxx = 0 THEN NULL
+      |    WHEN cxy >= 0 THEN (2 * (cxy * 1000000) + cxx) // (2 * cxx)
+      |    ELSE -((2 * ((-cxy) * 1000000) + cxx) // (2 * cxx))
+      |  END AS BIGINT) AS assort_e6
+      |FROM c""".stripMargin
 }

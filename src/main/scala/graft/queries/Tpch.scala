@@ -1780,4 +1780,107 @@ object Tpch {
        |FROM fq f, sq s, (SELECT unnest([50, 90, 99]) AS p) pp
        |ORDER BY p""".stripMargin
   }
+
+  /** q36: RFM customer segmentation (Hughes' recency / frequency /
+    * monetary framework, the standard CRM tiering) — each customer
+    * scored 1–4 per dimension by exact quartile (1 = most recent /
+    * lowest order count / lowest spend quartile), then the 4×4×4
+    * segment grid reports customers and total spend: the "champions
+    * vs at-risk" table every lifecycle campaign is cut from. Recency
+    * is measured against the corpus's own last order day (e21's
+    * reproducible-now convention), in whole epoch days.
+    *
+    * Quartile thresholds use percentile_disc semantics — smallest
+    * value whose cumulative count reaches ceil(q·n/4) — computed
+    * q25-style from a value histogram, NEVER a global sort of
+    * customers: the only ordered pass is over the (value → count)
+    * histogram (customer-bounded worst case, q33's whitelisted
+    * shape), and ties land whole value-groups in one quartile
+    * deterministically on both engines.
+    *
+    * Scale shape: ONE orders scan → customer-sized rollup; three
+    * histogram→threshold chains re-aggregate THAT frame; thresholds
+    * come back as a 1-row broadcast (m6 convention) and the segment
+    * rollup map-side-combines to ≤64 rows. */
+  def q36Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    // memoized: seven consumers (corpus-end agg, three histogram
+    // chains, the scoring pass) would otherwise each re-derive the
+    // orders scan through lazy lineage — the scan-gate disease class
+    val per = graft.operators.Indexes.memo(s"q36_per:$dir") {
+      val per0 = Tables.read(spark, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("freq"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("mon_cents"),
+          max(expr("unix_micros(o_orderdate) DIV 86400000000")).as("last_day"))
+      val corpusEnd = per0.agg(max($"last_day").as("corpus_day"))
+      per0.crossJoin(broadcast(corpusEnd))
+        .withColumn("recency", $"corpus_day" - $"last_day")
+    }
+
+    // percentile_disc quartile thresholds of one column, as 1 row
+    def thr(c: String): DataFrame = {
+      val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+      val tot = hist.agg(sum($"cnt").as("n"))
+      hist.withColumn("cum", sum($"cnt").over(cum))
+        .crossJoin(broadcast(tot))
+        .agg(min(when($"cum" >= expr("(n + 3) DIV 4"), $"v")).as(s"${c}_t1"),
+          min(when($"cum" >= expr("(2 * n + 3) DIV 4"), $"v")).as(s"${c}_t2"),
+          min(when($"cum" >= expr("(3 * n + 3) DIV 4"), $"v")).as(s"${c}_t3"))
+    }
+    def score(v: Column, t1: Column, t2: Column, t3: Column): Column =
+      when(v <= t1, 1L).when(v <= t2, 2L).when(v <= t3, 3L).otherwise(4L)
+
+    val t = thr("recency").crossJoin(thr("freq")).crossJoin(thr("mon_cents"))
+    per.crossJoin(broadcast(t))
+      .select(score($"recency", $"recency_t1", $"recency_t2", $"recency_t3").as("r_q"),
+        score($"freq", $"freq_t1", $"freq_t2", $"freq_t3").as("f_q"),
+        score($"mon_cents", $"mon_cents_t1", $"mon_cents_t2", $"mon_cents_t3").as("m_q"),
+        $"mon_cents")
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"mon_cents").as("seg_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** q36 oracle: the same rollup, three histogram/ceil-rank threshold
+    * chains and segment grid. */
+  val q36Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, count(*) AS freq,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents,
+      |    max(epoch_us(o_orderdate) // 86400000000) AS last_day
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(last_day) AS corpus_day FROM per),
+      |p2 AS (SELECT per.*, mx.corpus_day - per.last_day AS recency FROM per, mx),
+      |rh AS (SELECT recency AS v, count(*) AS cnt FROM p2 GROUP BY 1),
+      |rc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM rh),
+      |rt AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t1,
+      |              min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS t2,
+      |              min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3 FROM rc),
+      |fh AS (SELECT freq AS v, count(*) AS cnt FROM p2 GROUP BY 1),
+      |fc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM fh),
+      |ft AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t1,
+      |              min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS t2,
+      |              min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3 FROM fc),
+      |mh AS (SELECT mon_cents AS v, count(*) AS cnt FROM p2 GROUP BY 1),
+      |mc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM mh),
+      |mt AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t1,
+      |              min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS t2,
+      |              min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3 FROM mc),
+      |sc AS (
+      |  SELECT
+      |    CASE WHEN recency <= rt.t1 THEN 1 WHEN recency <= rt.t2 THEN 2
+      |         WHEN recency <= rt.t3 THEN 3 ELSE 4 END AS r_q,
+      |    CASE WHEN freq <= ft.t1 THEN 1 WHEN freq <= ft.t2 THEN 2
+      |         WHEN freq <= ft.t3 THEN 3 ELSE 4 END AS f_q,
+      |    CASE WHEN mon_cents <= mt.t1 THEN 1 WHEN mon_cents <= mt.t2 THEN 2
+      |         WHEN mon_cents <= mt.t3 THEN 3 ELSE 4 END AS m_q,
+      |    mon_cents
+      |  FROM p2, rt, ft, mt)
+      |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_customers,
+      |  CAST(sum(mon_cents) AS BIGINT) AS seg_cents
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

@@ -116,7 +116,8 @@ class QueriesSpec extends AnyFunSuite {
       "q33_pareto",     // cum ranks over the revenue-DOMAIN-bounded histogram + cum share over the ≤10-row decile frame
       "s24_ood_flags",  // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
       "q34_skyline",    // strictly-later running min over the date-DOMAIN-bounded front candidates
-      "e26_hazard"      // at-risk cumulative counts over the weeks-bounded calendar
+      "e26_hazard",     // at-risk cumulative counts over the weeks-bounded calendar
+      "q36_rfm"         // quartile cum counts over three value histograms of the memoized customer rollup (q33's shape)
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
@@ -505,6 +506,101 @@ class QueriesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("total_frames") == bytes.map(_ / 256L + 1L).sum)
       assert(row.getAs[Long]("n_mismatch") ==
         slice.zip(bytes).count { case ((_, _, nc), b) => b != nc })
+    }
+  }
+
+  test("q36 rfm: segments partition customers; marginals obey disc-quartile bounds") {
+    import org.apache.spark.sql.functions._
+    val r = queries.Tpch.q36Rfm(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = orders.length.toLong
+    assert(r.map(_.getAs[Long]("n_customers")).sum == n)
+    assert(r.map(_.getAs[Long]("seg_cents")).sum == orders.map(_._3).sum)
+    r.foreach { row =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        assert(row.getAs[Long](c) >= 1L && row.getAs[Long](c) <= 4L) }
+    }
+    // percentile_disc marginal property on the frequency axis: the
+    // count of customers scored <= k must reach the ceil rank, and
+    // whole tie-groups may push it past — but never past the count
+    // of customers at values <= the threshold value
+    val fCounts = (1 to 4).map { k =>
+      r.filter(_.getAs[Long]("f_q") <= k).map(_.getAs[Long]("n_customers")).sum }
+    (1 to 3).foreach { k =>
+      assert(fCounts(k - 1) >= (k * n + 3) / 4, s"f quartile $k undershoots") }
+    assert(fCounts(3) == n)
+    // threshold minimality: customers at or below the k-quartile
+    // threshold value are EXACTLY the ones scored <= k (value-group
+    // atomicity — recompute thresholds in the driver)
+    val freqs = orders.map(_._2).sorted
+    val t1 = freqs(((n + 3) / 4 - 1).toInt)
+    assert(fCounts(0) == freqs.count(_ <= t1))
+  }
+
+  test("g10 assortativity matches an exact BigInt driver recompute") {
+    val row = queries.GraphQueries.g10Assortativity(spark, sf).collect().head
+    val pairs = queries.GraphQueries.g6CoPairs(spark, sf)
+      .collect().map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = edges.map { case (a, b) => (BigInt(deg(a)), BigInt(deg(b))) }
+    val nn = BigInt(xs.length)
+    val sx = xs.map(_._1).sum
+    val sxx = xs.map(x => x._1 * x._1).sum
+    val sxy = xs.map(x => x._1 * x._2).sum
+    val cxx = nn * sxx - sx * sx
+    val cxy = nn * sxy - sx * sx
+    assert(row.getAs[Long]("n_edges") == pairs.length.toLong)
+    val expect =
+      if (cxy >= 0) (2 * (cxy * 1000000) + cxx) / (2 * cxx)
+      else -((2 * (-cxy * 1000000) + cxx) / (2 * cxx))
+    assert(row.getAs[Long]("assort_e6") == expect.toLong)
+    // co-purchase graphs are hub-heavy: the sign should be defined
+    assert(cxx != 0)
+  }
+
+  test("d16 cluster sizes: bins reconcile with the d7 cluster map") {
+    val r = graft.dedup.Dedup.d16ClusterSizes(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs)
+    r.foreach { row =>
+      val bin = row.getAs[Long]("bin")
+      // removable = docs - clusters within every bin, by construction
+      assert(row.getAs[Long]("removable") ==
+        row.getAs[Long]("n_docs") - row.getAs[Long]("n_clusters"))
+      // every member cluster size sits inside [2^bin, 2^(bin+1))
+      assert(row.getAs[Long]("n_docs") >= row.getAs[Long]("n_clusters") * (1L << bin.toInt))
+      assert(row.getAs[Long]("n_docs") < row.getAs[Long]("n_clusters") * (1L << (bin.toInt + 1)))
+    }
+    // singletons bin exists (most docs are unique) and dup clusters shrink it
+    assert(r.exists(_.getAs[Long]("bin") == 0L))
+  }
+
+  test("e29 seasonality: cells recompute from epoch arithmetic; shares telescope") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.Events.e29Seasonality(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.map(_.getAs[Long]("n_events")).sum == ev.length.toLong)
+    val cells = ev.groupBy { case (t, us) =>
+      (t, (us / 86400000000L + 4) % 7, (us / 3600000000L) % 24) }
+      .view.mapValues(_.size.toLong).toMap
+    r.foreach { row =>
+      val k = (row.getAs[String]("event_type"), row.getAs[Long]("dow"), row.getAs[Long]("hour"))
+      assert(row.getAs[Long]("dow") >= 0 && row.getAs[Long]("dow") <= 6)
+      assert(row.getAs[Long]("hour") >= 0 && row.getAs[Long]("hour") <= 23)
+      assert(cells(k) == row.getAs[Long]("n_events"), s"cell $k")
+    }
+    assert(r.size == cells.size)
+    // per-type share sums land within half-up rounding of 1e6
+    r.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("share_e6")).sum
+      assert(math.abs(s - 1000000L) <= rows.size / 2 + 1)
     }
   }
 
