@@ -703,4 +703,85 @@ object MergeQueries {
       |UNION ALL
       |SELECT 'orders', (SELECT count(*) FROM io)
       |ORDER BY table_name""".stripMargin
+
+  /** m27: FK FAN-OUT audit — per parent-child relation in the star
+    * schema: referencing parents, total children, max and disc-p99
+    * fan-out, mean ×1e6. This is the merge planner's skew map: m2's
+    * remap join and m9's batched moves shuffle on exactly these keys,
+    * so the max/p99 gap tells which relation needs j1's salting
+    * (a 10⁶-child parent key is one reducer's whole day), and the
+    * reference's batch-size knob should be sized off p99, not mean.
+    * Same diagnostic family as g9 (degree view of a graph), here over
+    * the FK DAG m13's orchestrator walks.
+    *
+    * Scale shape: the (relation, parent, fanout) frame is memoized
+    * (3 child-table scans total — one per lineitem FK — would
+    * otherwise re-derive per consumer); the p99 rides a relation-
+    * PARTITIONED window over the (relation, fanout)-histogram
+    * (bounded by distinct fan-out values, never parent-sized in the
+    * window's partition count); aggregates map-side-combine to 4
+    * rows. */
+  def m27FkFanout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val fan = graft.operators.Indexes.memo(s"m27_fan:$dir") {
+      def rel(table: String, key: String, name: String): DataFrame =
+        Tables.read(spark, dir, table)
+          .groupBy(col(key).as("parent"))
+          .agg(count(lit(1)).as("fanout"))
+          .select(lit(name).as("relation"), $"parent", $"fanout")
+      rel("orders", "o_custkey", "orders->customer")
+        .unionAll(rel("lineitem", "l_orderkey", "lineitem->orders"))
+        .unionAll(rel("lineitem", "l_partkey", "lineitem->part"))
+        .unionAll(rel("lineitem", "l_suppkey", "lineitem->supplier"))
+    }
+    val hist = fan.groupBy($"relation", $"fanout").agg(count(lit(1)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"relation").orderBy($"fanout")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy($"relation".as("rel2"))
+      .agg(sum($"np").as("n_parents"), sum($"fanout" * $"np").as("n_children"),
+        max($"fanout").as("max_fanout"))
+    hist.withColumn("cum", sum($"np").over(w))
+      .join(broadcast(tot), $"relation" === $"rel2")
+      .groupBy($"relation")
+      .agg(max($"n_parents").as("n_parents"), max($"n_children").as("n_children"),
+        max($"max_fanout").as("max_fanout"),
+        min(when($"cum" >= expr("(99 * n_parents + 99) DIV 100"), $"fanout"))
+          .as("p99_fanout"))
+      .withColumn("mean_e6", halfUp($"n_children" * 1000000L, $"n_parents"))
+      .orderBy("relation")
+  }
+
+  /** m27 oracle: the same per-relation rollup, histogram cum p99 and
+    * half-up mean. */
+  val m27Sql: String =
+    """WITH fan AS (
+      |  SELECT 'orders->customer' AS relation, o_custkey AS parent, count(*) AS fanout
+      |    FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', l_orderkey, count(*) FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem->part', l_partkey, count(*) FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', l_suppkey, count(*) FROM lineitem GROUP BY 2),
+      |h AS (SELECT relation, fanout, count(*) AS np FROM fan GROUP BY 1, 2),
+      |c AS (
+      |  SELECT relation, fanout, np,
+      |    sum(np) OVER (PARTITION BY relation ORDER BY fanout) AS cum
+      |  FROM h),
+      |t AS (
+      |  SELECT relation AS rel2, sum(np) AS n_parents,
+      |    sum(fanout * np) AS n_children, max(fanout) AS max_fanout
+      |  FROM h GROUP BY 1)
+      |SELECT c.relation,
+      |  CAST(max(t.n_parents) AS BIGINT) AS n_parents,
+      |  CAST(max(t.n_children) AS BIGINT) AS n_children,
+      |  CAST(max(t.max_fanout) AS BIGINT) AS max_fanout,
+      |  CAST(min(CASE WHEN c.cum >= (99 * t.n_parents + 99) // 100
+      |               THEN c.fanout END) AS BIGINT) AS p99_fanout,
+      |  CAST((2 * (max(t.n_children) * 1000000) + max(t.n_parents))
+      |       // (2 * max(t.n_parents)) AS BIGINT) AS mean_e6
+      |FROM c JOIN t ON t.rel2 = c.relation
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1776,4 +1776,59 @@ object Events {
       |       // (2 * t.type_total) AS BIGINT) AS share_e6
       |FROM cells c JOIN t ON t.et = c.event_type
       |ORDER BY c.event_type, c.dow, c.hour""".stripMargin
+
+  /** e30: INTER-ARRIVAL time distribution — per event type, the
+    * log₂-binned histogram (g9's bit-length binning, in µs) of gaps
+    * between a user's consecutive same-type events, with share ×1e6
+    * of the type's gaps. The population-grain companion to e27's
+    * per-user timing features: humans produce a broad diurnal-tailed
+    * distribution, machines a spike at their retry period — a type
+    * whose mass concentrates in one or two bins is automated traffic,
+    * and the low-bin mass is what e23's debounce gap should be tuned
+    * to cover. Bin b spans [2^b, 2^(b+1)) µs; bin 0 holds sub-2µs
+    * bursts (same-µs duplicates land there via bin(0)/bin(1) both
+    * having bit length 1).
+    *
+    * Scale shape: ONE shuffle on (user, type) for the lag window
+    * ((ts, event_id) tie-break — e23's determinism convention), then
+    * a map-side-combined rollup straight to the type × ≤40-bin frame;
+    * per-type totals re-aggregate THAT frame and broadcast back. */
+  def e30Interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    val gaps = Tables.read(spark, dir, "events")
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"event_type", ($"us" - $"prev").as("gap"))
+    val binned = gaps
+      .groupBy($"event_type", (length(bin($"gap")) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val totals = binned.groupBy($"event_type".as("et"))
+      .agg(sum($"n_gaps").as("type_total"))
+    binned.join(broadcast(totals), binned("event_type") === totals("et"))
+      .select($"event_type", $"bin", $"n_gaps",
+        halfUp($"n_gaps" * 1000000L, $"type_total").as("share_e6"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** e30 oracle: the same lag/bit-length-bin/share formation. */
+  val e30Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bin,
+      |    count(*) AS n_gaps
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT event_type AS et, sum(n_gaps) AS type_total FROM b GROUP BY 1)
+      |SELECT b.event_type, b.bin, CAST(b.n_gaps AS BIGINT) AS n_gaps,
+      |  CAST((2 * (b.n_gaps * 1000000) + t.type_total)
+      |       // (2 * t.type_total) AS BIGINT) AS share_e6
+      |FROM b JOIN t ON t.et = b.event_type
+      |ORDER BY b.event_type, b.bin""".stripMargin
 }

@@ -1815,4 +1815,74 @@ object Knn {
        |FROM dr JOIN nv ON nv.cluster = dr.cluster
        |ORDER BY cell""".stripMargin
   }
+
+  /** s26: per-DIMENSION variance screen of the embedding space — for
+    * each coordinate: mean ×1e6, exact population variance in the
+    * (×1e6)² grid, and share ×1e6 of the summed per-dim variance.
+    * This is the embedding HEALTH check run before committing to an
+    * index family: a front-loaded variance profile is the empirical
+    * licence for s14's Matryoshka truncation depth (cut where the
+    * cumulative share flattens), near-zero-variance dims are dead
+    * weight PQ subspaces (s10) and prime OPQ-rotation candidates,
+    * and a mean far off 0 says the corpus needs centering before
+    * hyperplane LSH (s2's hyperplanes assume origin-centered data).
+    *
+    * Exactness: same co-moment form as q35 — n·Σv² − (Σv)² staged
+    * through DECIMAL(38,0)/HUGEINT on the ×1e6-quantized grid, so
+    * var_e12 = cvv DIV n² is bit-identical cross-engine (float
+    * var_pop() depends on summation order). The share is defined
+    * over the per-dim var_e12 longs (all dims share the same n, so
+    * this is cvv-proportional) with the product staged back through
+    * DECIMAL — Dim·1e12·1e6 passes 2⁶³ at 64 dims.
+    *
+    * Scale shape: ONE pass over the shared quantized memo (posexplode
+    * → map-side-combined Dim-sized rollup); everything after is
+    * arithmetic on a 64-row frame with a 1-row broadcast total. */
+  def s26DimVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val dims = quantized(spark, dir)
+      .select(posexplode($"el").as(Seq("dim", "v")))
+      .groupBy($"dim".cast("long").as("dim"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"v".cast(d38)).as("sv"),
+        sum(($"v".cast(d38)) * $"v").as("svv"))
+      .withColumn("cvv", expr("n * svv - sv * sv"))
+      .select($"dim", $"n".cast("long").as("n_vectors"),
+        expr("""CAST(CASE WHEN sv >= 0 THEN (2 * sv + n) DIV (2 * n)
+               |  ELSE -((2 * (-sv) + n) DIV (2 * n)) END AS BIGINT)""".stripMargin)
+          .as("mean_e6"),
+        expr("CAST(cvv DIV (n * n) AS BIGINT)").as("var_e12"))
+    val tot = dims.agg(sum($"var_e12").as("tv"))
+    dims.crossJoin(broadcast(tot))
+      .select($"dim", $"n_vectors", $"mean_e6", $"var_e12",
+        expr("""CAST((2 * (CAST(var_e12 AS DECIMAL(38,0)) * 1000000) + tv)
+               |  DIV (2 * CAST(tv AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("var_share_e6"))
+      .orderBy("dim")
+  }
+
+  /** s26 oracle: the same quantized-grid co-moment chain on HUGEINT. */
+  val s26Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v,
+      |         generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT dim, CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS sv,
+      |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS svv
+      |  FROM u GROUP BY 1),
+      |c AS (
+      |  SELECT dim, n, sv, n * svv - sv * sv AS cvv FROM a),
+      |d AS (
+      |  SELECT dim, CAST(n AS BIGINT) AS n_vectors,
+      |    CAST(CASE WHEN sv >= 0 THEN (2 * sv + n) // (2 * n)
+      |      ELSE -((2 * (-sv) + n) // (2 * n)) END AS BIGINT) AS mean_e6,
+      |    CAST(cvv // (n * n) AS BIGINT) AS var_e12
+      |  FROM c),
+      |t AS (SELECT CAST(sum(var_e12) AS HUGEINT) AS tv FROM d)
+      |SELECT CAST(d.dim AS BIGINT) AS dim, d.n_vectors, d.mean_e6, d.var_e12,
+      |  CAST((2 * (CAST(d.var_e12 AS HUGEINT) * 1000000) + t.tv)
+      |       // (2 * t.tv) AS BIGINT) AS var_share_e6
+      |FROM d, t ORDER BY dim""".stripMargin
 }

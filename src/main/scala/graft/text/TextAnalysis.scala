@@ -2174,4 +2174,61 @@ object TextAnalysis {
       |  CAST((2 * (sum(is_code) * 1000000) + count(*)) // (2 * count(*)) AS BIGINT) AS code_share_e6,
       |  CAST((2 * sum(punct_ratio_e6) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_punct_e6
       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** t31: READABILITY profile per source — corpus-level Automated
+    * Readability Index (Senter & Smith 1967: 4.71·chars/word +
+    * 0.5·words/sentence − 21.43, here ×1e6 over the source's summed
+    * counts) plus its two raw gears, chars-per-word and words-per-
+    * sentence ×1e6. The grade-level signal curation mixes read
+    * alongside t2's quality score: ARI needs only exact counts — no
+    * syllable dictionary — so unlike Flesch it is reproducible
+    * cross-engine to the last digit, which is what lets the oracle
+    * hash it. A source whose ARI says grade 30 is boilerplate/code
+    * sludge (t30 confirms which); grade 2 is listicle filler.
+    *
+    * Counting contracts (pinned to t3's tokenizer conventions):
+    * words = whitespace split of trimmed text, sentences = runs of
+    * [.!?] (min 1 per source), chars = alphanumerics only. One scan,
+    * three sums map-side-combined to a sources-sized frame; ratios
+    * are halfUpDiv on the SUMS (the corpus-level ARI, not a doc
+    * average — short docs shouldn't vote per-doc). */
+  def t31Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    Tables.read(spark, dir, "documents")
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("w"),
+        regexp_count($"text", lit("[.!?]+")).cast("long").as("s"),
+        length(regexp_replace($"text", "[^A-Za-z0-9]", "")).cast("long").as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("words"),
+        sum($"s").as("sentences"), sum($"c").as("alnum_chars"))
+      .withColumn("s1", greatest($"sentences", lit(1L)))
+      .select($"source", $"n_docs", $"words", $"sentences", $"alnum_chars",
+        halfUp($"alnum_chars" * 1000000L, $"words").as("cpw_e6"),
+        halfUp($"words" * 1000000L, $"s1").as("wps_e6"),
+        (halfUp($"alnum_chars" * 4710000L, $"words")
+          + halfUp($"words" * 500000L, $"s1") - 21430000L).as("ari_e6"))
+      .orderBy("source")
+  }
+
+  /** t31 oracle: identical count contracts and half-up ratio chain. */
+  val t31Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS c
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n_docs, sum(w) AS words, sum(s) AS sentences,
+      |    sum(c) AS alnum_chars, greatest(sum(s), 1) AS s1
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, CAST(words AS BIGINT) AS words,
+      |  CAST(sentences AS BIGINT) AS sentences, CAST(alnum_chars AS BIGINT) AS alnum_chars,
+      |  CAST((2 * (alnum_chars * 1000000) + words) // (2 * words) AS BIGINT) AS cpw_e6,
+      |  CAST((2 * (words * 1000000) + s1) // (2 * s1) AS BIGINT) AS wps_e6,
+      |  CAST((2 * (alnum_chars * 4710000) + words) // (2 * words)
+      |     + (2 * (words * 500000) + s1) // (2 * s1) - 21430000 AS BIGINT) AS ari_e6
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -1225,4 +1225,52 @@ class KnnEventsSpec extends AnyFunSuite {
         math.floor(math.sqrt(d.toDouble)).toLong)
     }
   }
+
+  test("s26 dim variance matches an exact BigInt co-moment recompute") {
+    val r = Knn.s26DimVariance(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(f =>
+        BigInt(math.floor(f.toDouble * 1e6).toLong)).toArray)
+    val dim = vecs.head.length
+    assert(r.length == dim)
+    val varE12 = (0 until dim).map { d =>
+      val vs = vecs.map(_(d))
+      val n = BigInt(vs.length)
+      val sv = vs.sum
+      val svv = vs.map(v => v * v).sum
+      val cvv = n * svv - sv * sv
+      val mean = if (sv >= 0) (2 * sv + n) / (2 * n) else -((2 * -sv + n) / (2 * n))
+      val row = r(d)
+      assert(row.getAs[Long]("n_vectors") == vs.length.toLong)
+      assert(row.getAs[Long]("mean_e6") == mean.toLong, s"dim $d mean")
+      assert(row.getAs[Long]("var_e12") == (cvv / (n * n)).toLong, s"dim $d var")
+      cvv / (n * n)
+    }
+    val tot = varE12.sum
+    r.zip(varE12).foreach { case (row, v) =>
+      assert(row.getAs[Long]("var_share_e6") ==
+        ((2 * v * 1000000 + tot) / (2 * tot)).toLong)
+    }
+  }
+
+  test("e30 interarrival bins recompute from per-user gap lists") {
+    val r = Events.e30Interarrival(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val gaps = ev.groupBy(x => (x._1, x._2)).toSeq.flatMap { case ((_, t), rows) =>
+      val sorted = rows.sortBy(x => (x._3, x._4)).map(_._3)
+      sorted.zip(sorted.tail).map { case (a, b) => (t, b - a) }
+    }
+    def bin(g: Long): Long = math.max(63 - java.lang.Long.numberOfLeadingZeros(g), 0).toLong
+    val cells = gaps.groupBy { case (t, g) => (t, bin(g)) }.view.mapValues(_.size.toLong).toMap
+    assert(r.map(_.getAs[Long]("n_gaps")).sum == gaps.length.toLong)
+    assert(r.length == cells.size)
+    r.foreach { row =>
+      val k = (row.getAs[String]("event_type"), row.getAs[Long]("bin"))
+      assert(cells(k) == row.getAs[Long]("n_gaps"), s"cell $k")
+    }
+  }
 }

@@ -604,6 +604,60 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t31 readability matches a driver recompute of the ARI chain") {
+    import org.apache.spark.sql.functions._
+    val r = graft.text.TextAnalysis.t31Readability(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    r.foreach { row =>
+      val slice = docs.filter(_._1 == row.getAs[String]("source")).map(_._2)
+      val w = BigInt(slice.map(_.trim.split("\\s+").length.toLong).sum)
+      val s = BigInt(slice.map(t => "[.!?]+".r.findAllIn(t).length.toLong).sum)
+      // ASCII alnum only — the operator's [A-Za-z0-9] contract, NOT
+      // Char.isLetterOrDigit (which admits Unicode letters)
+      val c = BigInt(slice.map(_.count(ch =>
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9')).toLong).sum)
+      val s1 = s.max(1)
+      assert(row.getAs[Long]("n_docs") == slice.length.toLong)
+      assert(row.getAs[Long]("words") == w.toLong)
+      assert(row.getAs[Long]("sentences") == s.toLong)
+      assert(row.getAs[Long]("alnum_chars") == c.toLong)
+      assert(row.getAs[Long]("cpw_e6") == hup(c * 1000000, w).toLong)
+      assert(row.getAs[Long]("wps_e6") == hup(w * 1000000, s1).toLong)
+      assert(row.getAs[Long]("ari_e6") ==
+        (hup(c * 4710000, w) + hup(w * 500000, s1) - 21430000).toLong)
+    }
+  }
+
+  test("m27 fk fanout: per-relation stats and disc-p99 recompute") {
+    import org.apache.spark.sql.functions._
+    val r = graft.merge.MergeQueries.m27FkFanout(spark, sf).collect()
+    assert(r.length == 4)
+    def fanouts(table: String, key: String): Array[Long] =
+      spark.read.parquet(s"$sf/$table.parquet")
+        .groupBy(col(key)).agg(count(lit(1)).as("f"))
+        .collect().map(_.getAs[Long]("f"))
+    val rels = Map(
+      "orders->customer" -> fanouts("orders", "o_custkey"),
+      "lineitem->orders" -> fanouts("lineitem", "l_orderkey"),
+      "lineitem->part" -> fanouts("lineitem", "l_partkey"),
+      "lineitem->supplier" -> fanouts("lineitem", "l_suppkey"))
+    r.foreach { row =>
+      val f = rels(row.getAs[String]("relation"))
+      val n = f.length.toLong
+      assert(row.getAs[Long]("n_parents") == n)
+      assert(row.getAs[Long]("n_children") == f.sum)
+      assert(row.getAs[Long]("max_fanout") == f.max)
+      val sorted = f.sorted
+      val p99 = sorted(((99 * n + 99) / 100 - 1).toInt)
+      assert(row.getAs[Long]("p99_fanout") == p99)
+      assert(row.getAs[Long]("p99_fanout") <= row.getAs[Long]("max_fanout"))
+    }
+  }
+
   private object queries2 {
     def t30(s: SparkSession, d: String) = graft.text.TextAnalysis.t30CodeDetect(s, d)
     def mm10(s: SparkSession, d: String) = graft.multimodal.Media.mm10DecodeBudget(s, d)
