@@ -1831,4 +1831,172 @@ object Events {
       |       // (2 * t.type_total) AS BIGINT) AS share_e6
       |FROM b JOIN t ON t.et = b.event_type
       |ORDER BY b.event_type, b.bin""".stripMargin
+
+  /** Shared zero-filled daily-count frame over the trailing ≤32-day
+    * window: (event_type, t ∈ 1..W, day, x, is_last). Both e31 (SES
+    * forecast) and e32 (CUSUM changepoint) consume it, so it is
+    * memoized — the events scan happens once per session, not per
+    * consumer. Day index = epoch-µs DIV 86400e6 (e29's pure integer
+    * calendar — no engine date functions). The window is capped at 32
+    * days because e31's α=½ EWMA weights below 2⁻³² are sub-integer
+    * noise; the cap is also what BOUNDS the exact arithmetic (2^(W−1)
+    * ≤ 2³¹) at any corpus size, making the whole family scale-free.
+    * Zero-fill matters: a silent empty day IS signal to both a
+    * forecast and a changepoint, and count-only rollups never emit
+    * it; the day spine is sequence() over a 1-row broadcast bound
+    * (m6 scalar convention), types × ≤32 days — domain-bounded. */
+  def e31Daily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"e31_daily:$dir") {
+      val daily = Tables.read(spark, dir, "events")
+        .groupBy($"event_type",
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = daily.agg(max($"day").as("hi"), min($"day").as("mn"))
+        .select($"hi", greatest($"mn", $"hi" - 31L).as("lo"))
+      daily.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type", $"lo", $"hi",
+          explode(sequence($"lo", $"hi")).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", ($"day" - $"lo" + 1L).as("t"), $"day",
+          coalesce($"x", lit(0L)).as("x"), ($"day" === $"hi").as("is_last"))
+    }
+  }
+
+  /** Oracle twin of [[e31Daily]] — the CTE chain both e31Sql and
+    * e32Sql open with (def: cross-object-safe and single-sourced so a
+    * window-bound change cannot desynchronize the two oracles). */
+  private[graft] def e31DailyCtes: String =
+    """d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |bd AS (SELECT max(day) AS hi, greatest(min(day), max(day) - 31) AS lo FROM d),
+      |sp AS (
+      |  SELECT ty.event_type, UNNEST(generate_series(bd.lo, bd.hi)) AS day
+      |  FROM (SELECT DISTINCT event_type FROM d) ty CROSS JOIN bd),
+      |f AS (
+      |  SELECT sp.event_type, sp.day - bd.lo + 1 AS t, sp.day,
+      |    coalesce(d.x, 0) AS x, sp.day = bd.hi AS is_last
+      |  FROM sp CROSS JOIN bd
+      |  LEFT JOIN d ON d.event_type = sp.event_type AND d.day = sp.day)""".stripMargin
+
+  /** e31: SES one-day-ahead FORECAST per event type — simple
+    * exponential smoothing at α = ½ over the trailing ≤32-day daily
+    * counts, exactly: with s₁ = x₁ and sₜ = (xₜ + sₜ₋₁)/2, the
+    * recurrence closes to 2^(W−1)·s_W = x₁ + Σₜ₌₂ 2^(t−2)·xₜ — a pure
+    * integer WEIGHTED SUM, so the forecast is ×1e6-exact cross-engine
+    * with one half-up division at the very end (float EWMA would
+    * accumulate rounding per step). Reported next to the same window's
+    * plain mean: diff_e6 = ses − sma is the recency signal (positive =
+    * traffic accelerating — yesterday outweighs the month; negative =
+    * decaying), which is what a capacity planner or c3-style
+    * threshold-shift reader actually wants from a forecast.
+    *
+    * Scale shape: rides the shared [[e31Daily]] memo (one events scan
+    * per session); the weighted sum map-side-combines to one row per
+    * type; all products stage through DECIMAL(38,0) (x·2³⁰·1e6 passes
+    * 2⁶³ long before 100 TB daily volumes do). */
+  def e31SesForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    e31Daily(spark, dir)
+      .select($"event_type", $"t", $"x", $"is_last",
+        when($"t" === 1L, $"x".cast(d38))
+          .otherwise($"x".cast(d38) *
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT)) AS DECIMAL(38,0))"))
+          .as("wx"))
+      .groupBy($"event_type")
+      .agg(max($"t").as("n_days"), sum($"wx").as("p"),
+        sum($"x").cast(d38).as("sx"),
+        max(when($"is_last", $"x")).as("x_last"))
+      .withColumn("den",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_days - 1 AS INT)) AS DECIMAL(38,0))"))
+      .select($"event_type", $"n_days", $"x_last",
+        expr("CAST((2 * (sx * 1000000) + n_days) DIV (2 * CAST(n_days AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sma_e6"),
+        expr("CAST((2 * (p * 1000000) + den) DIV (2 * den) AS BIGINT)").as("ses_e6"))
+      .withColumn("diff_e6", $"ses_e6" - $"sma_e6")
+      .orderBy("event_type")
+  }
+
+  /** e31 oracle: identical closed-form weighted sum on HUGEINT. */
+  def e31Sql: String =
+    s"""WITH $e31DailyCtes,
+       |a AS (
+       |  SELECT event_type, max(t) AS n_days,
+       |    sum(CASE WHEN t = 1 THEN CAST(x AS HUGEINT)
+       |        ELSE CAST(x AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2)) END) AS p,
+       |    CAST(sum(x) AS HUGEINT) AS sx,
+       |    max(CASE WHEN is_last THEN x END) AS x_last
+       |  FROM f GROUP BY 1)
+       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(x_last AS BIGINT) AS x_last,
+       |  CAST((2 * (sx * 1000000) + n_days) // (2 * CAST(n_days AS HUGEINT)) AS BIGINT) AS sma_e6,
+       |  CAST((2 * (p * 1000000) + (CAST(1 AS HUGEINT) << (n_days - 1)))
+       |       // (2 * (CAST(1 AS HUGEINT) << (n_days - 1))) AS BIGINT) AS ses_e6,
+       |  CAST((2 * (sx * 1000000) + n_days) // (2 * CAST(n_days AS HUGEINT)) AS BIGINT) * -1
+       |    + CAST((2 * (p * 1000000) + (CAST(1 AS HUGEINT) << (n_days - 1)))
+       |       // (2 * (CAST(1 AS HUGEINT) << (n_days - 1))) AS BIGINT) AS diff_e6
+       |FROM a ORDER BY event_type""".stripMargin
+
+  /** e32: CUSUM CHANGEPOINT per event type — the day where the
+    * cumulative deviation of daily counts from the window's own mean
+    * peaks (Page 1954's CUSUM statistic in its division-free integer
+    * form: C_t = n·P_t − t·S, P_t the prefix sum, S the total, n the
+    * window length; |C| maximal at the single most likely level-shift
+    * point). e12 flags WHICH hours are anomalous and e22 says the mix
+    * drifted; this names WHEN the regime changed — the day a bot
+    * fleet turned on or a release shifted traffic — plus the shift's
+    * sign and normalized magnitude ×1e6 (|C| / (n·S): scale-free, so
+    * fences transfer across event types of different volumes).
+    *
+    * Scale shape: rides the shared [[e31Daily]] memo; the prefix sum
+    * is a window over the type's ≤32-row spine (domain-bounded, never
+    * event-sized); argmax = row_number with the (|C| DESC, t ASC)
+    * tie-break — deterministic cross-engine where arg_max is not. */
+  def e32Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val byType = Window.partitionBy($"event_type")
+    val ord = Window.partitionBy($"event_type").orderBy($"t")
+    val c = e31Daily(spark, dir)
+      .select($"event_type", $"t", $"day", $"x".cast(d38).as("x"))
+      .withColumn("n", count(lit(1)).over(byType).cast(d38))
+      .withColumn("s", sum($"x").over(byType))
+      .withColumn("pt", sum($"x").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("c", expr("n * pt - t * s"))
+    c.withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"c").desc, $"t")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n".cast("long").as("n_days"),
+        $"s".cast("long").as("total"), $"t".as("cp_t"), $"day".as("cp_day"),
+        expr("CAST(sign(c) AS BIGINT)").as("shift_sign"),
+        expr("""CAST(CASE WHEN s = 0 THEN 0
+               |  ELSE (2 * (abs(c) * 1000000) + n * s) DIV (2 * n * s)
+               |END AS BIGINT)""".stripMargin).as("cusum_e6"))
+      .orderBy("event_type")
+  }
+
+  /** e32 oracle: the same division-free CUSUM + deterministic argmax. */
+  def e32Sql: String =
+    s"""WITH $e31DailyCtes,
+       |c AS (
+       |  SELECT event_type, t, day, CAST(x AS HUGEINT) AS x,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+       |    CAST(sum(x) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+       |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS pt
+       |  FROM f),
+       |k AS (
+       |  SELECT event_type, t, day, n, s, n * pt - t * s AS cu,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY abs(n * pt - t * s) DESC, t) AS rk
+       |  FROM c)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total,
+       |  CAST(t AS BIGINT) AS cp_t, CAST(day AS BIGINT) AS cp_day,
+       |  CAST(CASE WHEN cu > 0 THEN 1 WHEN cu < 0 THEN -1 ELSE 0 END AS BIGINT) AS shift_sign,
+       |  CAST(CASE WHEN s = 0 THEN 0
+       |    ELSE (2 * (abs(cu) * 1000000) + n * s) // (2 * n * s) END AS BIGINT) AS cusum_e6
+       |FROM k WHERE rk = 1 ORDER BY event_type""".stripMargin
 }

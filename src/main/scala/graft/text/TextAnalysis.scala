@@ -2231,4 +2231,102 @@ object TextAnalysis {
       |  CAST((2 * (alnum_chars * 4710000) + words) // (2 * words)
       |     + (2 * (words * 500000) + s1) // (2 * s1) - 21430000 AS BIGINT) AS ari_e6
       |FROM a ORDER BY source""".stripMargin
+
+  /** t32: ZIPF frequency-spectrum fit — does the corpus's vocabulary
+    * obey the power law natural text obeys? The frequency SPECTRUM
+    * (for each log₂ term-frequency bin b: how many distinct terms
+    * land there) falls linearly in log-log under Zipf; the fitted
+    * slope_e6 (via q35's exact co-moment regression over the ≤40
+    * (b, log₂ n_terms) bin points) is the corpus-health scalar:
+    * natural prose sits near −1 (Zipf 1949 over these coarse bins),
+    * a slope collapsing toward 0 means template/machine-generated
+    * text (too many mid-frequency terms — t16's dup-ngrams at
+    * vocabulary grain), and a cliff past −2 means shattered/OCR'd
+    * vocabulary. hapax_share_e6 (singleton terms / vocab) rides
+    * along — the spectrum's most-read single cell (≈½ under Zipf;
+    * low hapax = boilerplate corpus, extreme hapax = tokenizer
+    * garbage) — plus r2_e6 for fit quality.
+    *
+    * Scale shape: ONE documents scan → map-side-combined (token →
+    * term_freq) rollup (vocab-sized, the t6/t13 family's shape) →
+    * ≤40-bin spectrum → 1-row regression; the regression input is
+    * domain-bounded, never vocab-sized. Bit-length log₂ keeps every
+    * step integer-exact and hash-checkable where float log would
+    * drift per-engine. */
+  def t32ZipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val spectrum = Tables.read(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("tf"))
+      .groupBy((length(bin($"tf")) - 1).cast("long").as("b"))
+      .agg(count(lit(1)).as("n_terms"), sum($"tf").as("occ"))
+    spectrum
+      .select($"b", $"n_terms", $"occ",
+        (length(bin($"n_terms")) - 1).cast("long").as("l"))
+      .agg(sum($"occ").as("n_tokens"), sum($"n_terms").as("vocab"),
+        sum(when($"b" === 0L, $"n_terms")).as("hapax0"),
+        count(lit(1)).cast(d38).as("k"),
+        sum($"b".cast(d38)).as("sb"), sum($"l".cast(d38)).as("sl"),
+        sum(($"b" * $"b").cast(d38)).as("sbb"),
+        sum(($"l" * $"l").cast(d38)).as("sll"),
+        sum(($"b" * $"l").cast(d38)).as("sbl"))
+      .withColumn("hapax", coalesce($"hapax0", lit(0L)))
+      .withColumn("cbb", expr("k * sbb - sb * sb"))
+      .withColumn("cll", expr("k * sll - sl * sl"))
+      .withColumn("cbl", expr("k * sbl - sb * sl"))
+      .select($"n_tokens", $"vocab", $"k".cast("long").as("n_bins"),
+        graft.functions.IntMath.halfUpDiv($"hapax" * 1000000L, $"vocab")
+          .as("hapax_share_e6"),
+        expr("""CAST(CASE WHEN cbb = 0 THEN NULL
+               |  WHEN cbl >= 0 THEN (2 * (cbl * 1000000) + cbb) DIV (2 * cbb)
+               |  ELSE -((2 * ((-cbl) * 1000000) + cbb) DIV (2 * cbb))
+               |END AS BIGINT)""".stripMargin).as("slope_e6"),
+        expr("""CAST(CASE WHEN cbb * cll = 0 THEN NULL
+               |  ELSE (2 * (cbl * cbl * 1000000) + cbb * cll)
+               |       DIV (2 * (cbb * cll))
+               |END AS BIGINT)""".stripMargin).as("r2_e6"))
+  }
+
+  /** t32 oracle: identical tokenizer, bit-length bins and HUGEINT
+    * co-moment regression. */
+  val t32Sql: String =
+    """WITH tf AS (
+      |  SELECT token, count(*) AS tf FROM (
+      |    SELECT unnest(regexp_split_to_array(
+      |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY token),
+      |sp AS (
+      |  SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS b,
+      |    count(*) AS n_terms, sum(tf) AS occ
+      |  FROM tf GROUP BY 1),
+      |a AS (
+      |  SELECT sum(occ) AS n_tokens, sum(n_terms) AS vocab,
+      |    coalesce(sum(CASE WHEN b = 0 THEN n_terms END), 0) AS hapax,
+      |    CAST(count(*) AS HUGEINT) AS k,
+      |    CAST(sum(b) AS HUGEINT) AS sb,
+      |    CAST(sum(length(bin(n_terms)) - 1) AS HUGEINT) AS sl,
+      |    CAST(sum(b * b) AS HUGEINT) AS sbb,
+      |    sum(CAST(length(bin(n_terms)) - 1 AS HUGEINT)
+      |      * CAST(length(bin(n_terms)) - 1 AS HUGEINT)) AS sll,
+      |    sum(CAST(b AS HUGEINT) * CAST(length(bin(n_terms)) - 1 AS HUGEINT)) AS sbl
+      |  FROM sp),
+      |c AS (
+      |  SELECT n_tokens, vocab, k, hapax,
+      |    k * sbb - sb * sb AS cbb, k * sll - sl * sl AS cll,
+      |    k * sbl - sb * sl AS cbl
+      |  FROM a)
+      |SELECT CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(k AS BIGINT) AS n_bins,
+      |  CAST((2 * (hapax * 1000000) + vocab) // (2 * vocab) AS BIGINT) AS hapax_share_e6,
+      |  CAST(CASE WHEN cbb = 0 THEN NULL
+      |    WHEN cbl >= 0 THEN (2 * (cbl * 1000000) + cbb) // (2 * cbb)
+      |    ELSE -((2 * ((-cbl) * 1000000) + cbb) // (2 * cbb))
+      |  END AS BIGINT) AS slope_e6,
+      |  CAST(CASE WHEN cbb * cll = 0 THEN NULL
+      |    ELSE (2 * (cbl * cbl * 1000000) + cbb * cll) // (2 * (cbb * cll))
+      |  END AS BIGINT) AS r2_e6
+      |FROM c""".stripMargin
 }

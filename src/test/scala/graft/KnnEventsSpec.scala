@@ -1273,4 +1273,62 @@ class KnnEventsSpec extends AnyFunSuite {
       assert(cells(k) == row.getAs[Long]("n_gaps"), s"cell $k")
     }
   }
+
+  /** Shared driver recompute of the e31/e32 zero-filled trailing-32-day
+    * window: type -> (dayIndexed x vector ordered t=1..W). */
+  private def dailyWindow(): Map[String, Vector[(Long, Long)]] = {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getString(0), x.getLong(1) / 86400000000L))
+    val hi = ev.map(_._2).max
+    val lo = math.max(ev.map(_._2).min, hi - 31)
+    val counts = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    ev.map(_._1).distinct.sorted.map { t =>
+      t -> (lo to hi).map(d => (d, counts.getOrElse((t, d), 0L))).toVector
+    }.toMap
+  }
+
+  test("e31 ses forecast equals the closed-form exact EWMA recompute") {
+    val r = Events.e31SesForecast(spark, sf).collect()
+    val win = dailyWindow()
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    assert(r.map(_.getAs[String]("event_type")).toSet == win.keySet)
+    r.foreach { row =>
+      val xs = win(row.getAs[String]("event_type")).map(_._2)
+      val w = xs.length
+      // direct recurrence, exact rationals: s_t = (x_t + s_{t-1})/2
+      val p = xs.zipWithIndex.map { case (x, i) =>
+        if (i == 0) BigInt(x) else BigInt(x) << (i - 1)
+      }.sum
+      assert(row.getAs[Long]("n_days") == w.toLong)
+      assert(row.getAs[Long]("x_last") == xs.last)
+      assert(row.getAs[Long]("sma_e6") == hup(BigInt(xs.sum) * 1000000, BigInt(w)).toLong)
+      assert(row.getAs[Long]("ses_e6") == hup(p * 1000000, BigInt(1) << (w - 1)).toLong)
+      assert(row.getAs[Long]("diff_e6") ==
+        row.getAs[Long]("ses_e6") - row.getAs[Long]("sma_e6"))
+    }
+  }
+
+  test("e32 changepoint is the max-|CUSUM| day with the earliest-t tie-break") {
+    val r = Events.e32Changepoint(spark, sf).collect()
+    val win = dailyWindow()
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    r.foreach { row =>
+      val days = win(row.getAs[String]("event_type"))
+      val xs = days.map(_._2)
+      val n = BigInt(xs.length)
+      val s = BigInt(xs.sum)
+      val cus = xs.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex.map {
+        case (pt, i) => (n * pt - BigInt(i + 1) * s, i + 1)
+      }
+      val (c, t) = cus.minBy { case (cv, tv) => (-cv.abs, tv) }
+      assert(row.getAs[Long]("n_days") == xs.length.toLong)
+      assert(row.getAs[Long]("total") == xs.sum)
+      assert(row.getAs[Long]("cp_t") == t.toLong)
+      assert(row.getAs[Long]("cp_day") == days(t - 1)._1)
+      assert(row.getAs[Long]("shift_sign") == c.signum.toLong)
+      assert(row.getAs[Long]("cusum_e6") ==
+        (if (s == 0) 0L else hup(c.abs * 1000000, n * s).toLong))
+    }
+  }
 }

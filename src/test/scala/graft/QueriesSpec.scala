@@ -658,6 +658,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t32 zipf: spectrum, hapax share and regression recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val r = graft.text.TextAnalysis.t32ZipfSpectrum(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().flatMap(x =>
+        x.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ").filter(_.nonEmpty))
+    val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lg(v: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+    val spec = tf.values.groupBy(lg).view
+      .mapValues(v => (v.size.toLong, v.sum)).toMap
+    assert(row.getAs[Long]("n_tokens") == toks.length.toLong)
+    assert(row.getAs[Long]("vocab") == tf.size.toLong)
+    assert(row.getAs[Long]("n_bins") == spec.size.toLong)
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    val hapax = spec.getOrElse(0L, (0L, 0L))._1
+    assert(row.getAs[Long]("hapax_share_e6") ==
+      hup(BigInt(hapax) * 1000000, BigInt(tf.size)).toLong)
+    val pts = spec.toSeq.map { case (b, (nt, _)) => (BigInt(b), BigInt(lg(nt))) }
+    val k = BigInt(pts.length)
+    val (sb, sl) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val cbb = k * pts.map(p => p._1 * p._1).sum - sb * sb
+    val cll = k * pts.map(p => p._2 * p._2).sum - sl * sl
+    val cbl = k * pts.map(p => p._1 * p._2).sum - sb * sl
+    val slope =
+      if (cbl >= 0) hup(cbl * 1000000, cbb) else -hup(-cbl * 1000000, cbb)
+    assert(row.getAs[Long]("slope_e6") == slope.toLong)
+    assert(row.getAs[Long]("r2_e6") == hup(cbl * cbl * 1000000, cbb * cll).toLong)
+  }
+
   private object queries2 {
     def t30(s: SparkSession, d: String) = graft.text.TextAnalysis.t30CodeDetect(s, d)
     def mm10(s: SparkSession, d: String) = graft.multimodal.Media.mm10DecodeBudget(s, d)
