@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file COMPACTION for parquet datasets — the table-maintenance
+  * job every long-lived 100 TB lake runs (Delta OPTIMIZE / Iceberg
+  * rewriteDataFiles re-expressed over plain parquet directories).
+  * Streaming sinks and fine-grained incremental writes accumulate
+  * thousands of KB-sized files; each costs a scan task, a footer
+  * round-trip and a namenode entry, so at cluster scale read latency
+  * becomes file-count-bound long before it is byte-bound.
+  *
+  * Split into PLAN and EXECUTE so the decision is auditable (and
+  * testable) separately from the rewrite:
+  *
+  *  - [[plan]] lists the leaf parquet files and first-fit-decreasing
+  *    bin-packs every file below `smallBytes` into rewrite groups of
+  *    ≤ `targetBytes` — the classic 11/9·OPT bound is irrelevant at
+  *    this grain; what matters is that FFD never builds a group the
+  *    target wouldn't want and touches ONLY small files (compaction
+  *    must not rewrite the healthy bulk of the table: rewrite cost is
+  *    proportional to the damage, not the dataset).
+  *  - [[compact]] reads each group and writes it back as ONE file per
+  *    group (coalesce(1) per group — the group was sized to be one
+  *    healthy file), staging everything and publishing with the same
+  *    park-then-rename protocol as [[AtomicSnapshot]]: readers never
+  *    observe a half-compacted directory, and a crash leaves either
+  *    the old layout or the new one, never a mix.
+  *
+  * The driver-side file LISTING is metadata-sized (one entry per
+  * file, the same listing every Spark scan already performs); the
+  * data path is fully distributed. Groups rewrite independently, so
+  * a 1000-executor cluster compacts a damaged table in one wave.
+  */
+object Compaction {
+
+  /** One planned rewrite group. */
+  final case class Group(id: Int, files: Seq[String], bytes: Long)
+
+  /** The compaction decision for a directory. */
+  final case class Plan(groups: Seq[Group], skipped: Seq[String],
+                        skippedBytes: Long) {
+    def nSmallFiles: Int = groups.map(_.files.size).sum
+    def isNoop: Boolean = groups.forall(_.files.size <= 1)
+  }
+
+  /** List leaf parquet part-files under `dir` (non-recursive data
+    * files only; `_`-prefixed metadata like _SUCCESS is ignored). */
+  private def listParts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** FFD bin-packing of the sub-`smallBytes` files into ≤`targetBytes`
+    * groups. Files ≥ `smallBytes` are healthy and land in `skipped`.
+    * Deterministic: files sort by (size DESC, path) before packing. */
+  def plan(spark: SparkSession, dir: String,
+           targetBytes: Long = 128L * 1024 * 1024,
+           smallBytes: Long = 32L * 1024 * 1024): Plan = {
+    require(smallBytes <= targetBytes,
+      s"smallBytes $smallBytes must be <= targetBytes $targetBytes")
+    val parts = listParts(spark, dir)
+    val (small, healthy) = parts.partition(_._2 < smallBytes)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    for ((path, len) <- small.sortBy { case (p, l) => (-l, p) }) {
+      bins.indexWhere(_._2 + len <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(path), len))
+        case i  => val (fs, tot) = bins(i); fs += path; bins(i) = (fs, tot + len)
+      }
+    }
+    Plan(
+      bins.toSeq.zipWithIndex.map { case ((fs, tot), i) => Group(i, fs.toSeq, tot) },
+      healthy.map(_._1), healthy.map(_._2).sum)
+  }
+
+  /** Execute `plan` against `dir`: rewrite each multi-file group as one
+    * file, carry skipped (healthy) files over unchanged, and publish
+    * the new layout atomically (stage → park old → rename). Returns
+    * the published file count. Single-file groups are carried over
+    * like healthy files — rewriting them buys nothing. */
+  def compact(spark: SparkSession, dir: String, plan: Plan): Int = {
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + "__staging")
+    val prev = new Path(dir + "__prev")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    val (rewrite, carry) = plan.groups.partition(_.files.size > 1)
+    // distributed rewrite: each group is one independent read+write;
+    // groups are submitted CONCURRENTLY (Spark schedules jobs from
+    // multiple threads fine) so the wave is as wide as the cluster,
+    // not serialized on the driver loop
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(rewrite.size, 8)))
+    try {
+      val futures = rewrite.map { g =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            spark.read.parquet(g.files: _*)
+              .coalesce(1)
+              .write.mode("append").parquet(new Path(staging, s"group=${g.id}").toString)
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure loudly
+    } finally pool.shutdown()
+    // pull the group files up to the staging root so the result is a
+    // plain flat parquet dir (the group= dirs were only write scopes)
+    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath).filter(s => s.isFile
+          && !s.getPath.getName.startsWith("_")).zipWithIndex.foreach {
+        case (s, i) =>
+          if (!fs.rename(s.getPath,
+              new Path(staging, s"${d.getPath.getName}-$i-${s.getPath.getName}")))
+            sys.error(s"Compaction: failed to stage ${s.getPath}")
+      }
+      fs.delete(d.getPath, true)
+    }
+    val carryFiles = carry.flatMap(_.files) ++ plan.skipped
+    carryFiles.foreach { f =>
+      val src = new Path(f)
+      // COPY, not move: the live directory stays fully readable until
+      // the final atomic swap below
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new Path(staging, src.getName), false, spark.sparkContext.hadoopConfiguration)
+    }
+    fs.delete(prev, true)
+    if (fs.exists(dst) && !fs.rename(dst, prev))
+      sys.error(s"Compaction: failed to park $dst at $prev")
+    if (!fs.rename(staging, dst))
+      sys.error(s"Compaction: failed to publish $staging as $dst")
+    fs.delete(prev, true)
+    fs.listStatus(dst).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
+
+  /** Plan + execute with default thresholds; returns (plan, nFiles). */
+  def compactDir(spark: SparkSession, dir: String,
+                 targetBytes: Long = 128L * 1024 * 1024,
+                 smallBytes: Long = 32L * 1024 * 1024): (Plan, Int) = {
+    val p = plan(spark, dir, targetBytes, smallBytes)
+    val n = compact(spark, dir, p)
+    (p, n)
+  }
+}

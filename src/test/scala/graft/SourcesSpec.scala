@@ -83,6 +83,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == df.filter(col("n_regionkey") === 1).count())
   }
 
+  test("compaction: FFD plan touches only small files; rewrite preserves rows and shrinks file count") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/li"
+    // a deliberately shattered layout: 64 tiny files
+    val df = Tables.read(spark, sf, "lineitem")
+    df.repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(before >= 32, s"fixture should be shattered, got $before files")
+    val expected = df.count()
+
+    val plan = Compaction.plan(spark, dir,
+      targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024)
+    // every part of this fixture is tiny -> everything is planned,
+    // nothing skipped, and groups respect the target byte bound
+    assert(plan.skipped.isEmpty && plan.nSmallFiles == before)
+    assert(plan.groups.forall(_.bytes <= 10L * 1024 * 1024))
+    // determinism: same listing -> same plan
+    assert(Compaction.plan(spark, dir, 10L * 1024 * 1024, 5L * 1024 * 1024)
+      .groups == plan.groups)
+
+    val after = Compaction.compact(spark, dir, plan)
+    assert(after == plan.groups.size, s"one file per group, got $after")
+    assert(after < before)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expected)
+    // content identity, not just count: per-key checksum survives
+    val s0 = df.agg(org.apache.spark.sql.functions.sum(col("l_orderkey") * col("l_linenumber"))).head.getLong(0)
+    val s1 = back.agg(org.apache.spark.sql.functions.sum(col("l_orderkey") * col("l_linenumber"))).head.getLong(0)
+    assert(s0 == s1)
+
+    // second pass: groups are now healthy-sized relative to smallBytes
+    // ... unless they are still under it, in which case the plan must
+    // be a no-op-or-fewer-files plan, never an oscillation
+    val plan2 = Compaction.plan(spark, dir,
+      targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024)
+    assert(plan2.groups.count(_.files.size > 1) <= 1)
+  }
+
   test("csv, json and orc sources round-trip the nation table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cj").toString
     val df = Tables.read(spark, sf, "nation")
