@@ -770,4 +770,93 @@ object EventStream {
         ()
       }
       .start()
+
+  /** Typed event for the per-type daily forecast path. */
+  case class FcEv(event_type: String, ts: java.sql.Timestamp)
+
+  /** Forecast state: `nextDay` = the oldest UNCLOSED epoch-day,
+    * `window` = the trailing ≤32 CLOSED daily counts oldest→newest,
+    * `open` = counts for days the watermark hasn't passed yet. The
+    * open map is bounded by the watermark lag in days; the window by
+    * the 32-day cap — total state per event type is a few hundred
+    * bytes regardless of stream length. */
+  case class SesState(nextDay: Long, window: Seq[Long], open: Map[Long, Long])
+
+  /** One closed day's emission: the exact SES forecast as of `day`. */
+  case class SesOut(event_type: String, day: Long, n_days: Int, x: Long,
+                    ses_e6: Long)
+
+  /** e31's ONLINE twin: per event type, an exact α=½ SES forecast
+    * emitted as each epoch-day CLOSES (watermark passes its end), over
+    * the same trailing ≤32-day zero-filled window and the same
+    * closed-form integer arithmetic — 2^(n−1)·s_n = x₁ + Σ 2^(t−2)·xₜ
+    * via BigInt, so a batch replay and the live stream emit
+    * bit-identical forecasts (float EWMA state would drift with
+    * micro-batch boundaries). Silent days zero-fill exactly like the
+    * batch spine; a silent stretch LONGER than the window resets the
+    * state and resumes fresh at the next active day (gapFillStream's
+    * cap convention — one far-future event cannot zero-flood, and an
+    * all-zero window forecasts 0 anyway).
+    *
+    * Anchoring difference vs batch e31 (documented, not a bug): the
+    * batch operator anchors every type's window at the GLOBAL day
+    * range (it can see the whole corpus); the stream cannot know the
+    * global min, so each type's spine starts at its own first event
+    * day. On data where every type is active from day one — and on
+    * every closed day thereafter — the final emissions coincide with
+    * the batch answer exactly (the parity spec pins this). */
+  def sesForecastStream(events: Dataset[FcEv], watermark: String = "1 day",
+                        maxWindow: Int = 32): Dataset[SesOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    val dayMs = 86400000L
+    def sesE6(window: Seq[Long]): Long = {
+      val p = window.zipWithIndex.map { case (x, i) =>
+        if (i == 0) BigInt(x) else BigInt(x) << (i - 1)
+      }.sum
+      val den = BigInt(1) << (window.length - 1)
+      ((2 * (p * 1000000) + den) / (2 * den)).toLong
+    }
+    val fn: (String, Iterator[FcEv], GroupState[SesState]) => Iterator[SesOut] =
+      (etype, it, state) => {
+        val st = state.getOption.getOrElse(SesState(-1L, Vector.empty, Map.empty))
+        var open = st.open
+        it.foreach { e =>
+          val d = usOf(e.ts) / dayUs
+          open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+        }
+        var nextDay =
+          if (st.nextDay >= 0L) st.nextDay
+          else if (open.nonEmpty) open.keys.min
+          else -1L
+        var window = st.window
+        val out = Vector.newBuilder[SesOut]
+        if (nextDay >= 0L) {
+          val wmMs = state.getCurrentWatermarkMs()
+          while (nextDay >= 0L && (nextDay + 1L) * dayMs <= wmMs) {
+            // cap: a silent stretch longer than the window resets the
+            // state — skip straight to the next active day instead of
+            // emitting maxWindow zero rows per silent month
+            val activeAhead = open.keys.filter(_ >= nextDay)
+            if (open.getOrElse(nextDay, 0L) == 0L && window.forall(_ == 0L) &&
+                (activeAhead.isEmpty || activeAhead.min - nextDay > maxWindow)) {
+              window = Vector.empty
+              nextDay = if (activeAhead.isEmpty) -1L else activeAhead.min
+            } else {
+              val x = open.getOrElse(nextDay, 0L)
+              open = open.removed(nextDay)
+              window = (window :+ x).takeRight(maxWindow)
+              out += SesOut(etype, nextDay, window.length, x, sesE6(window))
+              nextDay += 1L
+            }
+          }
+        }
+        state.update(SesState(nextDay, window, open))
+        if (nextDay >= 0L) state.setTimeoutTimestamp((nextDay + 1L) * dayMs)
+        out.result().iterator
+      }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -780,6 +780,86 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sesForecastStream: the final per-type emission is EXACTLY batch e31 on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_type", $"ts").as[EventStream.FcEv]
+      .collect().sortBy(_.ts.getTime)
+    val lastDay = evs.map(e => e.ts.getTime / 86400000L).max
+    // sentinel 5 days past the corpus: pushes the watermark so the
+    // final real day closes for EVERY type (timeouts are global)
+    val sentinel = EventStream.FcEv("click",
+      new java.sql.Timestamp((lastDay + 5L) * 86400000L + 43200000L))
+    val in = MemoryStream[EventStream.FcEv]
+    val q = EventStream.sesForecastStream(in.toDS())
+      .writeStream.format("memory").queryName("ses_parity")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("ses_parity").as[EventStream.SesOut].collect()
+      val batch = graft.queries.Events.e31SesForecast(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_days"), r.getAs[Long]("x_last"),
+            r.getAs[Long]("ses_e6")))).toMap
+      // the final REAL day's emission per type is the batch answer
+      val finals = streamed.filter(_.day == lastDay).groupBy(_.event_type)
+      assert(finals.keySet == batch.keySet)
+      finals.foreach { case (t, rows) =>
+        assert(rows.length == 1, s"type $t emitted ${rows.length} rows for the last day")
+        val (n, xl, ses) = batch(t)
+        assert(rows.head.n_days.toLong == n, s"type $t n_days")
+        assert(rows.head.x == xl, s"type $t x_last")
+        assert(rows.head.ses_e6 == ses, s"type $t ses")
+      }
+      // the post-corpus silent days zero-fill with decaying forecasts
+      val tail = streamed.filter(s => s.day > lastDay && s.day < lastDay + 5L)
+      assert(tail.nonEmpty && tail.forall(_.x == 0L))
+      // every type emitted one row per closed day from its first day on
+      streamed.groupBy(_.event_type).foreach { case (t, rows) =>
+        val days = rows.map(_.day).sorted
+        assert(days.distinct.length == days.length, s"type $t duplicate days")
+        assert((days.head to days.last).forall(days.contains), s"type $t day gaps")
+      }
+    } finally q.stop()
+  }
+
+  test("sesForecastStream: a silent stretch past the window resets state instead of zero-flooding") {
+    implicit val sqlCtx = spark.sqlContext
+    val day0 = 20000L
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L + 3600000L)
+    val in = MemoryStream[EventStream.FcEv]
+    val q = EventStream.sesForecastStream(in.toDS())
+      .writeStream.format("memory").queryName("ses_cap")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStream.FcEv("t", at(day0)))
+      q.processAllAvailable()
+      // 100 days of silence, then life resumes — and a pusher event a
+      // safe distance later so the resumed day itself closes
+      in.addData(EventStream.FcEv("t", at(day0 + 100L)))
+      q.processAllAvailable()
+      in.addData(EventStream.FcEv("t", at(day0 + 103L)))
+      q.processAllAvailable()
+      val rows = spark.table("ses_cap").as[EventStream.SesOut].collect()
+        .sortBy(_.day)
+      // day0 emitted, ≤32 decaying zero days, NOT 100 — then the fresh
+      // restart at day0+100 with a window of 1
+      assert(rows.head.day == day0 && rows.head.x == 1L)
+      val zeros = rows.filter(r => r.day > day0 && r.day < day0 + 100L)
+      assert(zeros.nonEmpty && zeros.length <= 32, s"zero rows: ${zeros.length}")
+      assert(zeros.forall(_.x == 0L))
+      val resumed = rows.find(_.day == day0 + 100L)
+      assert(resumed.nonEmpty && resumed.get.n_days == 1 && resumed.get.x == 1L
+        && resumed.get.ses_e6 == 1000000L, s"resumed: $resumed")
+    } finally q.stop()
+  }
+
   test("DocStream lands crawl shards as documents + chunks, equal to the batch ingest, across a restart") {
     import graft.streaming.DocStream
     val in = java.nio.file.Files.createTempDirectory("graft-doc-in").toString
