@@ -210,11 +210,17 @@ object Graph {
       .join(deg.select($"id".as("b"), $"deg".as("db")), "b")
     // (u → v) with rank(u) < rank(v), rank = (deg, id); dv carried so
     // wedge endpoints can be rank-ordered without another deg join
+    // THREE consumers below (wedge left side, wedge right side, the
+    // closure probe) — materialized once so the normalize/dedup
+    // shuffle and the two degree joins don't re-run per reference
+    // (the g5 lesson); edge-sized, so the checkpoint is as cheap as
+    // one pass over the pair artifact
     val oriented = withDeg.select(
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
           struct($"a".as("u"), $"b".as("v"), $"db".as("dv")))
           .otherwise(struct($"b".as("u"), $"a".as("v"), $"da".as("dv"))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"), $"e.dv".as("dv"))
+      .localCheckpoint(true)
     val o2 = oriented.select($"u".as("u2"), $"v".as("w"), $"dv".as("dw"))
     val wedges = oriented.join(o2, $"u" === $"u2" &&
         ($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w")))
@@ -253,9 +259,14 @@ object Graph {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
     val Array(ca, cb) = pairs.columns.take(2)
+    // p has THREE consumers below (m scalar, intra join, degree sum) —
+    // materialized once so the normalize/dedup shuffle doesn't re-run
+    // per reference (the g5 lesson; ReuseExchange does not survive
+    // AQE's per-branch re-planning)
     val p = pairs
       .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
       .filter($"a" =!= $"b").dropDuplicates("a", "b")
+      .localCheckpoint(true)
     val edges = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
     val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
     val Array(li, lc) = labels.columns.take(2)
