@@ -1978,6 +1978,73 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** e33: cohort LTV curve — users cohorted by the WEEK of their first
+    * event (signup proxy), purchase revenue rolled up per (cohort,
+    * age-in-weeks) cell with the cumulative sum and cumulative
+    * revenue PER COHORT USER ×1e6: the growth table every
+    * subscription/marketplace review reads (does month-3 LTV clear
+    * CAC; are newer cohorts monetizing faster). e8 counts retained
+    * USERS per cohort-age; this prices them — same axes, money grain.
+    * Weeks are pure epoch arithmetic (day DIV 7 — e29's no-engine-
+    * date-functions convention); revenue is the exact DECIMAL(18,4)
+    * grid ×1e4 (e1's convention), so cells and cums hash cross-engine
+    * where float summation order would drift.
+    *
+    * Scale shape: two events scans (per-user first-day rollup;
+    * purchase rows), both shuffled on user_id so the cohort join is
+    * co-partitioned; cells map-side-combine to the ≤ weeks² frame;
+    * cohort sizes re-aggregate the user-sized cohort frame and ride
+    * back on a broadcast; the cum window partitions by cohort over
+    * that tiny cells frame. Ages with zero purchases are absent rows
+    * (the cum at present ages is unaffected); a reporting layer
+    * zero-fills for display, the engine doesn't ship empty cells. */
+  def e33CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val ev = Tables.read(spark, dir, "events")
+      .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"),
+        $"event_type", $"value")
+    val cohorts = ev.groupBy($"user_id")
+      .agg(expr("min(day) DIV 7").as("cohort_week"))
+    val cells = ev.filter($"event_type" === "purchase")
+      .select($"user_id", expr("day DIV 7").as("wk"), $"value")
+      .join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("age_wk"))
+      .agg((sum(dec($"value")) * 10000).cast("long").as("rev_e4"))
+    val sizes = cohorts.groupBy($"cohort_week".as("cw"))
+      .agg(count(lit(1)).as("n_users"))
+    val cum = Window.partitionBy($"cohort_week").orderBy($"age_wk")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), $"cohort_week" === $"cw")
+      .withColumn("cum_rev_e4", sum($"rev_e4").over(cum))
+      .select($"cohort_week", $"age_wk", $"n_users", $"rev_e4", $"cum_rev_e4",
+        halfUp($"cum_rev_e4" * 100L, $"n_users").as("ltv_e6"))
+      .orderBy("cohort_week", "age_wk")
+  }
+
+  /** e33 oracle: identical epoch-week cohorting and DECIMAL grid. */
+  val e33Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type, value
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) // 7 AS cohort_week FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week, ev.day // 7 - c.cohort_week AS age_wk,
+      |    CAST(sum(CAST(ev.value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      |  FROM ev JOIN c ON c.user_id = ev.user_id
+      |  WHERE ev.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |s AS (SELECT cohort_week AS cw, count(*) AS n_users FROM c GROUP BY 1),
+      |k AS (
+      |  SELECT cells.cohort_week, cells.age_wk, s.n_users, cells.rev_e4,
+      |    sum(cells.rev_e4) OVER (PARTITION BY cells.cohort_week
+      |      ORDER BY cells.age_wk ROWS UNBOUNDED PRECEDING) AS cum_rev_e4
+      |  FROM cells JOIN s ON s.cw = cells.cohort_week)
+      |SELECT cohort_week, age_wk, n_users, rev_e4,
+      |  CAST(cum_rev_e4 AS BIGINT) AS cum_rev_e4,
+      |  CAST((2 * (cum_rev_e4 * 100) + n_users) // (2 * n_users) AS BIGINT) AS ltv_e6
+      |FROM k ORDER BY cohort_week, age_wk""".stripMargin
+
   /** e32 oracle: the same division-free CUSUM + deterministic argmax. */
   def e32Sql: String =
     s"""WITH $e31DailyCtes,

@@ -1309,6 +1309,44 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e33 cohort LTV: cells, cums and per-user scaling recompute from raw events") {
+    val r = Events.e33CohortLtv(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) / 86400000000L,
+        x.getString(2), x.getDouble(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min / 7).toMap
+    // valueOf (canonical repr), NOT new BigDecimal(double) (exact
+    // binary expansion) — Spark's double→DECIMAL(18,4) cast rounds the
+    // canonical form, matching EventStream.e4Of
+    def e4(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).movePointRight(4).longValueExact()
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(x => (cohort(x._1), x._2 / 7 - cohort(x._1)))
+      .view.mapValues(_.map(x => e4(x._4)).sum).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(r.length == cells.size)
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    r.groupBy(_.getAs[Long]("cohort_week")).foreach { case (cw, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("age_wk")).foreach { row =>
+        val k = (cw, row.getAs[Long]("age_wk"))
+        cum += cells(k)
+        assert(row.getAs[Long]("rev_e4") == cells(k), s"cell $k")
+        assert(row.getAs[Long]("cum_rev_e4") == cum, s"cum $k")
+        assert(row.getAs[Long]("n_users") == sizes(cw), s"size $cw")
+        assert(row.getAs[Long]("ltv_e6") ==
+          hup(BigInt(cum) * 100, BigInt(sizes(cw))).toLong, s"ltv $k")
+      }
+    }
+    // LTV must be non-decreasing in age within a cohort
+    r.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rows) =>
+      val l = rows.sortBy(_.getAs[Long]("age_wk")).map(_.getAs[Long]("ltv_e6"))
+      assert(l.zip(l.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("e32 changepoint is the max-|CUSUM| day with the earliest-t tie-break") {
     val r = Events.e32Changepoint(spark, sf).collect()
     val win = dailyWindow()
