@@ -86,6 +86,10 @@ object Compaction {
   def compact(spark: SparkSession, dir: String, plan: Plan): Int = {
     val dst = new Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no multi-file group -> nothing to rewrite; a publish here would
+    // copy the whole directory for zero layout change
+    if (plan.isNoop)
+      return fs.listStatus(dst).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val staging = new Path(dir + "__staging")
     val prev = new Path(dir + "__prev")
     fs.delete(staging, true)

@@ -121,6 +121,18 @@ class SourcesSpec extends AnyFunSuite {
     val plan2 = Compaction.plan(spark, dir,
       targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024)
     assert(plan2.groups.count(_.files.size > 1) <= 1)
+
+    // a healthy directory (nothing under smallBytes) plans as a no-op
+    // and compact() must not rewrite or republish anything
+    val healthyPlan = Compaction.plan(spark, dir,
+      targetBytes = 10L * 1024 * 1024, smallBytes = 1L)
+    assert(healthyPlan.isNoop && healthyPlan.groups.forall(_.files.size <= 1))
+    val filesBefore = new java.io.File(dir).listFiles.filter(_.isFile)
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    Compaction.compact(spark, dir, healthyPlan)
+    val filesAfter = new java.io.File(dir).listFiles.filter(_.isFile)
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    assert(filesBefore == filesAfter, "no-op compaction must leave the dir untouched")
   }
 
   test("csv, json and orc sources round-trip the nation table") {
