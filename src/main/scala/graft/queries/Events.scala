@@ -2004,8 +2004,12 @@ object Events {
     val ev = Tables.read(spark, dir, "events")
       .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"),
         $"event_type", $"value")
+    // TWO consumers (purchase join's broadcast build, cohort sizes) —
+    // materialized once or each re-derives its own events scan (the
+    // multi-consumer lesson; would be 3 scans, past the gate's bound)
     val cohorts = ev.groupBy($"user_id")
       .agg(expr("min(day) DIV 7").as("cohort_week"))
+      .localCheckpoint(true)
     val cells = ev.filter($"event_type" === "purchase")
       .select($"user_id", expr("day DIV 7").as("wk"), $"value")
       .join(cohorts, Seq("user_id"))
