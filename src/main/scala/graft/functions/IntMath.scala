@@ -28,4 +28,31 @@ object IntMath {
     Bridge.column(IntegralDivide(
       Bridge.expression(n2 - pmod(n2, d2)), Bridge.expression(d2)))
   }
+
+  /** Per-group DISCRETE MEDIAN over a value HISTOGRAM — the exact
+    * percentile_disc(0.5) every robust-dispersion operator (q32 MAD,
+    * t29 length fences) runs: ceil(n/2)-rank over the cumulative
+    * histogram, so the window's partition row count is bounded by
+    * DISTINCT values, never group size. ONE implementation so a
+    * rank-formula change cannot silently diverge between operators.
+    *
+    * @param h       (groupCol, valCol, cnt) histogram frame
+    * @param groupCol grouping column name
+    * @param valCol   value column name
+    * @return (groupCol, n, med) — group total and disc-median value
+    */
+  def discMedianHist(h: org.apache.spark.sql.DataFrame,
+                     groupCol: String, valCol: String)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, max, min, sum, when}
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    h.withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col(valCol))).as("med"))
+  }
 }

@@ -141,11 +141,20 @@ object MergeConfig {
   : Seq[Seq[(String, Int, String, String, String)]] = {
     val (named, unnamed) = rows.partition(_._1.nonEmpty)
     val namedGroups = named.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
-    val unnamedGroups = unnamed.foldLeft(
-      List.empty[List[(String, Int, String, String, String)]]) {
-      case (acc, r) if acc.isEmpty || r._2 <= acc.head.last._2 => List(r) :: acc
-      case (g :: rest, r) => (g :+ r) :: rest
-    }.reverse.map(_.toSeq)
+    // Unnamed rows carry NO constraint identity, and getImportedKeys
+    // orders by (PKTABLE, KEY_SEQ) — two unnamed COMPOSITE FKs to the
+    // SAME parent interleave as 1,1,2,2, which no run-splitting
+    // heuristic can regroup (a stray `1` fragment is indistinguishable
+    // from a genuine single-column FK). Group by parent table first
+    // (cross-parent rows can't interleave); within one parent, only
+    // the all-KEY_SEQ=1 case is unambiguous (each row its own
+    // single-column FK) — any KEY_SEQ>1 makes that parent's unnamed
+    // set ambiguous -> one lump the caller's composite branch skips
+    // with a warning, never a mis-registered fragment.
+    val unnamedGroups = unnamed.groupBy(_._4).toSeq.sortBy(_._1).flatMap {
+      case (_, rs) if rs.forall(_._2 == 1) => rs.map(Seq(_))
+      case (_, rs)                         => Seq(rs)
+    }
     namedGroups ++ unnamedGroups
   }
 

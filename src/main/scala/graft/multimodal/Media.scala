@@ -641,7 +641,10 @@ object Media {
     val halfUp = graft.functions.IntMath.halfUpDiv _
     Tables.read(spark, dir, "documents")
       .select($"doc_id", $"source", $"n_chars",
-        encode($"text", "UTF-8").as("payload"))
+        // coalesce BEFORE encode: a null text would reach the typed
+        // map as a null payload array and NPE; zero bytes is the
+        // oracle-mirrored reading of "nothing to decode"
+        encode(coalesce($"text", lit("")), "UTF-8").as("payload"))
       .as[DeclaredMedia]
       .mapPartitions(_.map { m =>
         val len = m.payload.length.toLong
@@ -667,7 +670,7 @@ object Media {
   val mm10Sql: String =
     """WITH d AS (
       |  SELECT source, n_chars,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len
       |  FROM documents),
       |f AS (SELECT source, n_chars, byte_len, byte_len // 256 + 1 AS n_frames FROM d)
       |SELECT source, count(*) AS n_objects,

@@ -547,7 +547,7 @@ object Events {
                       w: Int = 64, d: Int = 4, meanPctE2: Long = 115L): DataFrame = {
     import spark.implicits._
     import graft.functions.DetHash
-    val events = Tables.read(spark, dir, "events")
+    val events = Tables.events(spark, dir)
     def slot(i: Int, user: org.apache.spark.sql.Column) =
       DetHash.md5Long60Col(concat(lit(s"cms:$i:"), user.cast("string"))) % w
     // the grid builder is SHARED with the streaming twin
@@ -1744,11 +1744,13 @@ object Events {
   def e29Seasonality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
-    val us = unix_micros($"ts")
-    val cells = Tables.read(spark, dir, "events")
+    // integer DIV, not Column.divide (double division + truncate):
+    // the double's 2^-53 relative error approaches the bucket-boundary
+    // distance as epoch-µs grows — e31Daily's convention
+    val cells = Tables.events(spark, dir)
       .select($"event_type",
-        pmod(us.divide(lit(86400000000L)).cast("long") + 4L, lit(7L)).as("dow"),
-        pmod(us.divide(lit(3600000000L)).cast("long"), lit(24L)).as("hour"))
+        pmod(expr("unix_micros(ts) DIV 86400000000") + 4L, lit(7L)).as("dow"),
+        pmod(expr("unix_micros(ts) DIV 3600000000"), lit(24L)).as("hour"))
       .groupBy($"event_type", $"dow", $"hour")
       .agg(count(lit(1)).as("n_events"))
     val totals = cells.groupBy($"event_type".as("et"))
@@ -1798,7 +1800,7 @@ object Events {
     val halfUp = graft.functions.IntMath.halfUpDiv _
     val w = Window.partitionBy($"user_id", $"event_type")
       .orderBy($"us", $"event_id")
-    val gaps = Tables.read(spark, dir, "events")
+    val gaps = Tables.events(spark, dir)
       .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
       .withColumn("prev", lag($"us", 1).over(w))
       .filter($"prev".isNotNull)
@@ -1848,7 +1850,7 @@ object Events {
   def e31Daily(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.Indexes.memo(s"e31_daily:$dir") {
-      val daily = Tables.read(spark, dir, "events")
+      val daily = Tables.events(spark, dir)
         .groupBy($"event_type",
           expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("x"))
@@ -2001,7 +2003,7 @@ object Events {
   def e33CohortLtv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
-    val ev = Tables.read(spark, dir, "events")
+    val ev = Tables.events(spark, dir)
       .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"),
         $"event_type", $"value")
     // TWO consumers (purchase join's broadcast build, cohort sizes) —

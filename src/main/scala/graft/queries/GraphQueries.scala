@@ -686,8 +686,10 @@ object GraphQueries {
     edges.join(da, $"a" === $"ia").join(db, $"b" === $"ib")
       .agg(count(lit(1)).cast(d38).as("n"),
         sum($"dx".cast(d38)).as("sx"),
-        sum(($"dx" * $"dx").cast(d38)).as("sxx"),
-        sum(($"dx" * $"dy").cast(d38)).as("sxy"))
+        // cast BEFORE multiplying (q35's convention): a long·long
+        // product of two >~3e9 hub degrees would wrap silently
+        sum($"dx".cast(d38) * $"dx").as("sxx"),
+        sum($"dx".cast(d38) * $"dy").as("sxy"))
       .withColumn("cxx", expr("n * sxx - sx * sx"))
       .withColumn("cxy", expr("n * sxy - sx * sx"))
       .select(expr("CAST(n AS BIGINT) DIV 2").as("n_edges"),

@@ -1173,16 +1173,11 @@ object Tpch {
         round($"l_extendedprice" * 100).cast("long").as("cents"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    def discMedian(h: DataFrame, valCol: String): DataFrame = {
-      val cum = Window.partitionBy($"flag").orderBy(col(valCol))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = Window.partitionBy($"flag")
-      h.withColumn("cum", sum($"cnt").over(cum))
-        .withColumn("n", sum($"cnt").over(tot))
-        .groupBy($"flag")
-        .agg(max($"n").as("n_rows"),
-          min(when($"cum" >= expr("(n + 1) DIV 2"), col(valCol))).as("med"))
-    }
+    // shared exact disc-median kernel (IntMath.discMedianHist — one
+    // rank formula for q32 AND t29)
+    def discMedian(h: DataFrame, valCol: String): DataFrame =
+      graft.functions.IntMath.discMedianHist(h, "flag", valCol)
+        .withColumnRenamed("n", "n_rows")
     val med = discMedian(hist, "cents")
       .select($"flag", $"n_rows", $"med".as("median_cents"))
     val devHist = hist.join(med.select($"flag", $"median_cents"), Seq("flag"))

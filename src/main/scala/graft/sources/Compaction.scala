@@ -46,12 +46,22 @@ object Compaction {
   }
 
   /** List leaf parquet part-files under `dir` (non-recursive data
-    * files only; `_`-prefixed metadata like _SUCCESS is ignored). */
+    * files only; `_`-prefixed metadata like _SUCCESS is ignored).
+    * REFUSES a directory with data subdirectories (a partitioned
+    * layout): plan/compact operate on ONE leaf directory, and a
+    * publish that only carried the top-level files would silently
+    * destroy every partition subtree at the final swap. Compact each
+    * leaf partition individually instead. */
   private def listParts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+    val all = fs.listStatus(p).toSeq
+    val subdirs = all.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"Compaction: $dir has partition subdirectories (${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each leaf partition directory individually")
+    all.filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.toString, s.getLen))
   }
@@ -86,6 +96,9 @@ object Compaction {
   def compact(spark: SparkSession, dir: String, plan: Plan): Int = {
     val dst = new Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-list defensively: fires the partitioned-layout refusal even on
+    // a hand-built Plan, and catches a layout that changed since plan()
+    listParts(spark, dir)
     // no multi-file group -> nothing to rewrite; a publish here would
     // copy the whole directory for zero layout change
     if (plan.isNoop)

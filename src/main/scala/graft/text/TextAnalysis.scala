@@ -1990,16 +1990,11 @@ object TextAnalysis {
       .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("toks"))
       .groupBy($"source", $"toks").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    def discMed(h: DataFrame, valCol: String): DataFrame = {
-      val cum = Window.partitionBy($"source").orderBy(col(valCol))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = Window.partitionBy($"source")
-      h.withColumn("cum", sum($"cnt").over(cum))
-        .withColumn("n", sum($"cnt").over(tot))
-        .groupBy($"source")
-        .agg(max($"n").as("n_docs"),
-          min(when($"cum" >= expr("(n + 1) DIV 2"), col(valCol))).as("med"))
-    }
+    // shared exact disc-median kernel (IntMath.discMedianHist — one
+    // rank formula for q32 AND t29)
+    def discMed(h: DataFrame, valCol: String): DataFrame =
+      graft.functions.IntMath.discMedianHist(h, "source", valCol)
+        .withColumnRenamed("n", "n_docs")
     val med = discMed(hist, "toks")
       .select($"source", $"n_docs", $"med".as("median_toks"))
     val devHist = hist.join(med.select($"source", $"median_toks"), Seq("source"))

@@ -147,6 +147,19 @@ class MergeConfigSpec extends AnyFunSuite {
       ("fk_1", 2, "p2", "pa", "id2"))
     assert(MergeConfig.groupFkRows(named).map(_.map(_._3)).toSet ==
       Set(Seq("p1", "p2"), Seq("q1")))
+    // TWO unnamed composite FKs to the SAME parent arrive interleaved
+    // (PKTABLE, KEY_SEQ order: 1,1,2,2) — no heuristic can split them,
+    // so the whole parent's unnamed set must stay ONE lump (skipped as
+    // composite) and NEVER leak a single-row fragment as a real FK;
+    // an unrelated unnamed single FK to another parent still passes
+    val interleaved = Seq(
+      ("", 1, "m1", "parent_m", "id"),
+      ("", 1, "n1", "parent_m", "id"),
+      ("", 2, "m2", "parent_m", "id2"),
+      ("", 2, "n2", "parent_m", "id2"),
+      ("", 1, "z_id", "parent_z", "id"))
+    val g2 = MergeConfig.groupFkRows(interleaved).map(_.map(_._3)).toSet
+    assert(g2 == Set(Seq("m1", "n1", "m2", "n2"), Seq("z_id")), g2)
   }
 
   test("breakDiscoveredCycles defers exactly the discovered cycle-closing edges") {
