@@ -1885,4 +1885,102 @@ object Knn {
       |  CAST((2 * (CAST(d.var_e12 AS HUGEINT) * 1000000) + t.tv)
       |       // (2 * t.tv) AS BIGINT) AS var_share_e6
       |FROM d, t ORDER BY dim""".stripMargin
+
+  /** s27: CORESET selection by farthest-first traversal — Gonzalez's
+    * (1985) 2-approximation to k-center: seed at the min vec_id, then
+    * k−1 times pick the point FARTHEST from everything selected (max
+    * of min-distance², ties to the smallest id) and fold it into the
+    * min-distance state. The output is the selection trace plus the
+    * final covering radius — the DIVERSITY sampler a curation pipeline
+    * runs when it wants k exemplars that SPAN the embedding space
+    * (dedup keeps one of each near-dup family; this keeps one of each
+    * REGION — coreset/active-learning seeding, s8's k-means++-style
+    * init done exactly), and the radius curve says how much space each
+    * additional exemplar buys.
+    *
+    * Exactness: all distances are integer L2 on the shared ×1e6
+    * quantized grid (the s3 convention) through the packed
+    * nearest-centroid kernel, so the trace is bit-identical
+    * cross-engine; every argmax is (dist DESC, id) deterministic.
+    *
+    * Scale shape: the min-distance state is a LINEAR (vec_id, el,
+    * mind) frame updated with ONE kernel pass per round against the
+    * single new center (the delta pattern — never re-scoring against
+    * all selected), eagerly checkpointed; each argmax is a k-row
+    * TakeOrdered, each center vector a 1-row collect (the trainer's
+    * documented tiny-collect boundary). k corpus passes total. */
+  def s27Coreset(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.nearestCentE6
+    require(k >= 1 && k <= 16, s"s27 coreset supports 1..16 centers, got $k")
+    val q = quantized(spark, dir)
+    val seedId = q.agg(min($"vec_id")).head.getLong(0)
+    val seedVec = q.filter($"vec_id" === seedId)
+      .head.getAs[scala.collection.Seq[Long]]("el").toArray
+    // initialize min-distance to the seed in one kernel pass
+    var state = q.withColumn("__p", nearestCentE6($"el", Array(seedVec)))
+      .select($"vec_id", $"el", expr("__p DIV 16").as("mind"))
+      .localCheckpoint(true)
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Long)]()
+    trace += ((0L, Some(seedId), 0L))
+    for (r <- 1 until k) {
+      val pick = state.orderBy($"mind".desc, $"vec_id").select($"vec_id", $"mind", $"el")
+        .head()
+      val (pid, pd) = (pick.getLong(0), pick.getLong(1))
+      val pvec = pick.getAs[scala.collection.Seq[Long]]("el").toArray
+      trace += ((r.toLong, Some(pid), pd))
+      state = state
+        .withColumn("__p", nearestCentE6($"el", Array(pvec)))
+        .select($"vec_id", $"el",
+          least($"mind", expr("__p DIV 16")).as("mind"))
+        .localCheckpoint(true)
+    }
+    val coverage = state.agg(max($"mind")).head.getLong(0)
+    trace += ((k.toLong, None, coverage))
+    trace.toSeq.toDF("round", "center_id", "radius_sq").orderBy("round")
+  }
+
+  /** s27 oracle: the identical unrolled farthest-first trace on the
+    * unnest long form (k = 4). */
+  val s27Sql: String = {
+    def distCte(name: String, centerSel: String): String =
+      s"""$name AS (
+         |  SELECT q.vec_id, sum((q.e - s.e) * (q.e - s.e)) AS d
+         |  FROM q JOIN (SELECT i, e FROM q WHERE vec_id = ($centerSel)) s
+         |    ON s.i = q.i
+         |  GROUP BY 1)""".stripMargin
+    val parts = Seq(
+      """q AS (
+        |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin,
+      distCte("e0", "SELECT min(vec_id) FROM embeddings"),
+      """d0 AS (SELECT vec_id, d AS mind FROM e0)""",
+      """c1 AS (SELECT vec_id, mind FROM d0 ORDER BY mind DESC, vec_id LIMIT 1)""",
+      distCte("e1", "SELECT vec_id FROM c1"),
+      """d1 AS (SELECT d0.vec_id, least(d0.mind, e1.d) AS mind
+        |       FROM d0 JOIN e1 ON e1.vec_id = d0.vec_id)""".stripMargin,
+      """c2 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1)""",
+      distCte("e2", "SELECT vec_id FROM c2"),
+      """d2 AS (SELECT d1.vec_id, least(d1.mind, e2.d) AS mind
+        |       FROM d1 JOIN e2 ON e2.vec_id = d1.vec_id)""".stripMargin,
+      """c3 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1)""",
+      distCte("e3", "SELECT vec_id FROM c3"),
+      """d3 AS (SELECT d2.vec_id, least(d2.mind, e3.d) AS mind
+        |       FROM d2 JOIN e3 ON e3.vec_id = d2.vec_id)""".stripMargin)
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS round,
+       |         (SELECT min(vec_id) FROM embeddings) AS center_id,
+       |         CAST(0 AS BIGINT) AS radius_sq
+       |  UNION ALL
+       |  SELECT 1, vec_id, CAST(mind AS BIGINT) FROM c1
+       |  UNION ALL
+       |  SELECT 2, vec_id, CAST(mind AS BIGINT) FROM c2
+       |  UNION ALL
+       |  SELECT 3, vec_id, CAST(mind AS BIGINT) FROM c3
+       |  UNION ALL
+       |  SELECT 4, NULL, CAST(max(mind) AS BIGINT) FROM d3)
+       |ORDER BY round""".stripMargin
+  }
 }

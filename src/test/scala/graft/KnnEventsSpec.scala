@@ -1254,6 +1254,38 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s27 coreset trace equals a driver farthest-first recompute") {
+    val r = Knn.s27Coreset(spark, sf, k = 4).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(x => x.getLong(0) -> x.getAs[Seq[Float]]("embedding").map(f =>
+        math.floor(f.toDouble * 1e6).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = vecs.keys.min
+    var mind = vecs.map { case (id, v) => id -> d2(v, vecs(seed)) }
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Long)](
+      (0L, Some(seed), 0L))
+    for (round <- 1 to 3) {
+      val (pid, pd) = mind.toSeq.minBy { case (id, d) => (-d, id) }
+      expect += ((round.toLong, Some(pid), pd))
+      mind = mind.map { case (id, d) => id -> math.min(d, d2(vecs(id), vecs(pid))) }
+    }
+    expect += ((4L, None, mind.values.max))
+    assert(r.length == expect.length)
+    r.zip(expect).foreach { case (row, (round, cid, rad)) =>
+      assert(row.getAs[Long]("round") == round)
+      assert(Option(row.getAs[java.lang.Long]("center_id")).map(_.toLong) == cid,
+        s"round $round center")
+      assert(row.getAs[Long]("radius_sq") == rad, s"round $round radius")
+    }
+    // the selection radius curve is non-increasing and bounds coverage
+    val picks = r.filter(x => x.getAs[Long]("round") >= 1 && x.getAs[Long]("round") <= 3)
+      .map(_.getAs[Long]("radius_sq"))
+    assert(picks.zip(picks.tail).forall { case (a, b) => a >= b })
+    assert(r.last.getAs[Long]("radius_sq") <= picks.last)
+  }
+
   test("e30 interarrival bins recompute from per-user gap lists") {
     val r = Events.e30Interarrival(spark, sf).collect()
     val ev = spark.read.parquet(s"$sf/events.parquet")
