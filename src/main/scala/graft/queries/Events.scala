@@ -2051,6 +2051,48 @@ object Events {
       |  CAST((2 * (cum_rev_e4 * 100) + n_users) // (2 * n_users) AS BIGINT) AS ltv_e6
       |FROM k ORDER BY cohort_week, age_wk""".stripMargin
 
+  /** e34: ROLLING ROBUST BASELINE — per (event type, day): the
+    * trailing-7-day discrete MEDIAN of daily counts and the residual
+    * x − median. The robust rolling twin of w3's moving average: one
+    * outage or bot spike day drags a trailing MEAN for a week (and
+    * with it every fence computed from it), while the rolling median
+    * absorbs it — this is the baseline e12-style anomaly fences
+    * should subtract before z-testing, and the denominator a
+    * day-over-day "% vs typical" dashboard wants. Disc-median over
+    * w ≤ 7 values = the ceil(w/2)-th smallest (q32's rank convention
+    * at window grain); warm-up days use the short prefix (n_win < 7),
+    * they are not dropped — day 1's baseline is itself.
+    *
+    * Scale shape: rides the shared e31Daily memo (no new events
+    * scan); the rolling window runs over the type × ≤32-row day spine
+    * — collect_list holds ≤7 longs per row, domain-bounded, never
+    * event-sized. */
+  def e34RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"t").rowsBetween(-6, 0)
+    e31Daily(spark, dir)
+      .withColumn("win", sort_array(collect_list($"x").over(w)))
+      .select($"event_type", $"day", $"x",
+        size($"win").cast("long").as("n_win"),
+        element_at($"win", ((size($"win") + 1) / 2).cast("int")).as("roll_med"))
+      .withColumn("dev", $"x" - $"roll_med")
+      .orderBy("event_type", "day")
+  }
+
+  /** e34 oracle: identical sorted-prefix-window rank formula. */
+  def e34Sql: String =
+    s"""WITH $e31DailyCtes,
+       |r AS (
+       |  SELECT event_type, day, x,
+       |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY t
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+       |  FROM f)
+       |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
+       |  CAST(len(win) AS BIGINT) AS n_win,
+       |  CAST(list_extract(win, (len(win) + 1) // 2) AS BIGINT) AS roll_med,
+       |  CAST(x - list_extract(win, (len(win) + 1) // 2) AS BIGINT) AS dev
+       |FROM r ORDER BY event_type, day""".stripMargin
+
   /** e32 oracle: the same division-free CUSUM + deterministic argmax. */
   def e32Sql: String =
     s"""WITH $e31DailyCtes,

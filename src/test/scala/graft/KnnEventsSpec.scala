@@ -1379,6 +1379,23 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e34 rolling median: trailing-7 disc-median and residual recompute") {
+    val r = Events.e34RollingMedian(spark, sf).collect()
+    val win = dailyWindow()
+    assert(r.length == win.values.map(_.size).sum)
+    r.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val xs = win(t).map(_._2)
+      rows.sortBy(_.getAs[Long]("day")).zipWithIndex.foreach { case (row, i) =>
+        val prefix = xs.slice(math.max(0, i - 6), i + 1).sorted
+        val med = prefix((prefix.length + 1) / 2 - 1)
+        assert(row.getAs[Long]("x") == xs(i), s"$t day $i x")
+        assert(row.getAs[Long]("n_win") == prefix.length.toLong, s"$t day $i n")
+        assert(row.getAs[Long]("roll_med") == med, s"$t day $i med")
+        assert(row.getAs[Long]("dev") == xs(i) - med, s"$t day $i dev")
+      }
+    }
+  }
+
   test("e32 changepoint is the max-|CUSUM| day with the earliest-t tie-break") {
     val r = Events.e32Changepoint(spark, sf).collect()
     val win = dailyWindow()
