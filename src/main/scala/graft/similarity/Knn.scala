@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.dedup.Dedup.{dot, vecNorm}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Similarity search over the `embeddings` table (SURVEY §2 block E).
   *
@@ -227,11 +228,18 @@ object Knn {
     import graft.functions.VectorFunctions.nearestCentE6
     val clusterIds = lit(cs.map(_._1).toArray)
     q.withColumn("__packed", nearestCentE6($"el", cs.map(_._2).toArray))
-      .withColumn("dist", expr("__packed DIV 16"))
+      .withColumn("dist", unpackDistE6(col("__packed")))
       .withColumn("cluster",
         element_at(clusterIds, (pmod($"__packed", lit(16)) + 1).cast("int")).cast("long"))
       .drop("__packed")
   }
+
+  /** Distance half of NearestCentE6's `sqdist·16 + idx` packing — the
+    * ONE unpack site shared by assignCells and s27, so a pack-width
+    * change cannot silently desynchronize consumers. */
+  private def unpackDistE6(packed: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(packed), Bridge.expression(lit(16L))))
 
   /** The fixed-iteration deterministic Lloyd's loop: k tiny
     * (cluster, quantized-centroid) rows on the driver — k×Dim longs
@@ -1914,12 +1922,14 @@ object Knn {
     import graft.functions.VectorFunctions.nearestCentE6
     require(k >= 1 && k <= 16, s"s27 coreset supports 1..16 centers, got $k")
     val q = quantized(spark, dir)
-    val seedId = q.agg(min($"vec_id")).head.getLong(0)
-    val seedVec = q.filter($"vec_id" === seedId)
-      .head.getAs[scala.collection.Seq[Long]]("el").toArray
+    // ONE TakeOrdered fetches the seed id AND its vector (a separate
+    // agg(min) + filter pair would cost a redundant corpus pass)
+    val seedRow = q.orderBy($"vec_id").select($"vec_id", $"el").head()
+    val seedId = seedRow.getLong(0)
+    val seedVec = seedRow.getAs[scala.collection.Seq[Long]]("el").toArray
     // initialize min-distance to the seed in one kernel pass
     var state = q.withColumn("__p", nearestCentE6($"el", Array(seedVec)))
-      .select($"vec_id", $"el", expr("__p DIV 16").as("mind"))
+      .select($"vec_id", $"el", unpackDistE6(col("__p")).as("mind"))
       .localCheckpoint(true)
     val trace = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Long)]()
     trace += ((0L, Some(seedId), 0L))
@@ -1932,7 +1942,7 @@ object Knn {
       state = state
         .withColumn("__p", nearestCentE6($"el", Array(pvec)))
         .select($"vec_id", $"el",
-          least($"mind", expr("__p DIV 16")).as("mind"))
+          least($"mind", unpackDistE6(col("__p"))).as("mind"))
         .localCheckpoint(true)
     }
     val coverage = state.agg(max($"mind")).head.getLong(0)
@@ -1940,9 +1950,12 @@ object Knn {
     trace.toSeq.toDF("round", "center_id", "radius_sq").orderBy("round")
   }
 
-  /** s27 oracle: the identical unrolled farthest-first trace on the
-    * unnest long form (k = 4). */
-  val s27Sql: String = {
+  /** s27 oracle BUILDER: the identical farthest-first trace unrolled
+    * for ANY k on the unnest long form — parameterized so the oracle
+    * can never silently diverge from a non-default `k` passed to
+    * [[s27Coreset]] (the registry pins both to the default). */
+  def s27SqlFor(k: Int): String = {
+    require(k >= 1 && k <= 16, s"s27 oracle supports 1..16 centers, got $k")
     def distCte(name: String, centerSel: String): String =
       s"""$name AS (
          |  SELECT q.vec_id, sum((q.e - s.e) * (q.e - s.e)) AS d
@@ -1955,32 +1968,26 @@ object Knn {
         |  FROM (SELECT vec_id, unnest(embedding) AS v,
         |               generate_subscripts(embedding, 1) AS i FROM embeddings))""".stripMargin,
       distCte("e0", "SELECT min(vec_id) FROM embeddings"),
-      """d0 AS (SELECT vec_id, d AS mind FROM e0)""",
-      """c1 AS (SELECT vec_id, mind FROM d0 ORDER BY mind DESC, vec_id LIMIT 1)""",
-      distCte("e1", "SELECT vec_id FROM c1"),
-      """d1 AS (SELECT d0.vec_id, least(d0.mind, e1.d) AS mind
-        |       FROM d0 JOIN e1 ON e1.vec_id = d0.vec_id)""".stripMargin,
-      """c2 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1)""",
-      distCte("e2", "SELECT vec_id FROM c2"),
-      """d2 AS (SELECT d1.vec_id, least(d1.mind, e2.d) AS mind
-        |       FROM d1 JOIN e2 ON e2.vec_id = d1.vec_id)""".stripMargin,
-      """c3 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1)""",
-      distCte("e3", "SELECT vec_id FROM c3"),
-      """d3 AS (SELECT d2.vec_id, least(d2.mind, e3.d) AS mind
-        |       FROM d2 JOIN e3 ON e3.vec_id = d2.vec_id)""".stripMargin)
+      """d0 AS (SELECT vec_id, d AS mind FROM e0)""") ++
+      (1 until k).flatMap { r =>
+        Seq(
+          s"""c$r AS (SELECT vec_id, mind FROM d${r - 1} ORDER BY mind DESC, vec_id LIMIT 1)""",
+          distCte(s"e$r", s"SELECT vec_id FROM c$r"),
+          s"""d$r AS (SELECT d${r - 1}.vec_id, least(d${r - 1}.mind, e$r.d) AS mind
+             |       FROM d${r - 1} JOIN e$r ON e$r.vec_id = d${r - 1}.vec_id)""".stripMargin)
+      }
+    val rows = Seq(
+      """SELECT CAST(0 AS BIGINT) AS round,
+        |       (SELECT min(vec_id) FROM embeddings) AS center_id,
+        |       CAST(0 AS BIGINT) AS radius_sq""".stripMargin) ++
+      (1 until k).map(r => s"SELECT $r, vec_id, CAST(mind AS BIGINT) FROM c$r") ++
+      Seq(s"SELECT $k, NULL, CAST(max(mind) AS BIGINT) FROM d${k - 1}")
     s"""WITH ${parts.mkString(",\n")}
        |SELECT * FROM (
-       |  SELECT CAST(0 AS BIGINT) AS round,
-       |         (SELECT min(vec_id) FROM embeddings) AS center_id,
-       |         CAST(0 AS BIGINT) AS radius_sq
-       |  UNION ALL
-       |  SELECT 1, vec_id, CAST(mind AS BIGINT) FROM c1
-       |  UNION ALL
-       |  SELECT 2, vec_id, CAST(mind AS BIGINT) FROM c2
-       |  UNION ALL
-       |  SELECT 3, vec_id, CAST(mind AS BIGINT) FROM c3
-       |  UNION ALL
-       |  SELECT 4, NULL, CAST(max(mind) AS BIGINT) FROM d3)
+       |  ${rows.mkString("\n  UNION ALL\n  ")})
        |ORDER BY round""".stripMargin
   }
+
+  /** s27 oracle at the registry's default depth. */
+  val s27Sql: String = s27SqlFor(4)
 }
