@@ -83,8 +83,19 @@ object Bench {
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(
-        "m13_run"      -> (() => graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values
-          .foreach { mt => mt.merged.count(); mt.idMap.count() })),
+        "m13_run"      -> (() => {
+          // per-table materializations are independent lineages (each
+          // re-derives its parents from raw plans, not through the
+          // sibling memos) — submit them concurrently; this chain is
+          // the artifacts critical path and the other chains leave
+          // local[32] half idle after ~9 s
+          val mts = graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values.toSeq
+          val p = java.util.concurrent.Executors.newFixedThreadPool(4)
+          try mts.map { mt => p.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { mt.merged.count(); mt.idMap.count(); () }
+            }) }.foreach(_.get())
+          finally p.shutdown()
+        })),
       // the BPE merge table is the t20/t21 trainer artifact (driver
       // memo — rounds sequential jobs; t20 read 11.9 s in the r6
       // driver run because the cold training landed on it), and the
