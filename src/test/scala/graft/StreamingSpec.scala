@@ -829,6 +829,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sesForecastStream: state survives a checkpoint restart across the window boundary") {
+    // kill the query mid-corpus, land the rest, restart with the SAME
+    // checkpoint: emissions must stay exactly-once per (type, day) and
+    // the final forecast must mix pre- and post-restart days through
+    // the recovered SesState — the state-store round-trip proof
+    val in = java.nio.file.Files.createTempDirectory("graft-ses-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-ses-wd").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sfDir).select($"event_type", $"ts")
+    val midDay = 19723L + 15L
+    val lastDay = 19752L
+    ev.filter(unix_micros($"ts") / 86400000000L < midDay)
+      .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(ev.schema).parquet(in).as[EventStream.FcEv]
+      val q = EventStream.sesForecastStream(src)
+        .writeStream.format("parquet")
+        .option("path", s"$wd/out").option("checkpointLocation", s"$wd/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val firstRows = spark.read.parquet(s"$wd/out").count()
+    assert(firstRows > 0, "first run must close at least one day")
+    // the rest of the corpus + a watermark pusher land while DOWN
+    val sentinel = Seq(EventStream.FcEv("click",
+      new java.sql.Timestamp((lastDay + 5L) * 86400000L + 43200000L))).toDS()
+    ev.filter(unix_micros($"ts") / 86400000000L >= midDay).as[EventStream.FcEv]
+      .unionByName(sentinel)
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val out = spark.read.parquet(s"$wd/out").as[EventStream.SesOut].collect()
+    // exactly-once per (type, day) across the restart
+    assert(out.map(s => (s.event_type, s.day)).distinct.length == out.length)
+    // contiguous day coverage through the last real day — no gap or
+    // replay at the kill point
+    out.groupBy(_.event_type).foreach { case (t, rows) =>
+      val days = rows.map(_.day).sorted
+      assert((days.head to days.last).forall(days.contains), s"$t day gaps")
+      assert(days.last >= lastDay, s"$t never closed the final day")
+    }
+    // the final real day's forecast equals batch e31 — the recovered
+    // window carried the pre-restart days
+    val batch = graft.queries.Events.e31SesForecast(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("ses_e6")).toMap
+    out.filter(_.day == lastDay).foreach { s =>
+      assert(s.ses_e6 == batch(s.event_type), s"${s.event_type} forecast")
+    }
+  }
+
   test("sesForecastStream: a silent stretch past the window resets state instead of zero-flooding") {
     implicit val sqlCtx = spark.sqlContext
     val day0 = 20000L
