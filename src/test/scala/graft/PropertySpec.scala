@@ -462,4 +462,70 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("discMedianHist equals the brute-force disc median for any histogram") {
+    for (s <- 1L to 6L) {
+      val rows = sample(Gen.nonEmptyListOf(
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-50L, 50L), Gen.choose(1L, 5L))), s)
+        .distinct
+      val h = rows.toDF("g", "v", "cnt")
+      val got = graft.functions.IntMath.discMedianHist(h, "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("med"))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        // expand the histogram and take the ceil(n/2)-th smallest
+        val expanded = rs.toSeq.flatMap { case (_, v, c) => Seq.fill(c.toInt)(v) }.sorted
+        val n = expanded.length
+        val med = expanded((n + 1) / 2 - 1)
+        assert(got(g) == ((n.toLong, med)), s"seed $s group $g")
+      }
+    }
+  }
+
+  test("compaction FFD plan: partition of small files, byte bound, determinism") {
+    import graft.sources.Compaction
+    // the packing core is exercised through plan() on synthetic dirs in
+    // SourcesSpec; here the INVARIANTS under random file-size mixes,
+    // driven through a real temp dir per seed
+    for (s <- 1L to 3L) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ffd$s")
+      val sizes = sample(Gen.listOfN(25, Gen.choose(1, 2000)), s)
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        java.nio.file.Files.write(dir.resolve(f"part-$i%05d.parquet"),
+          Array.fill[Byte](n)(1))
+      }
+      val target = 4096L
+      val small = 2048L
+      val p = Compaction.plan(spark, dir.toString, target, small)
+      val planned = p.groups.flatMap(_.files)
+      // every sub-threshold file appears in EXACTLY one group
+      assert(planned.distinct.length == planned.length, s"seed $s dup")
+      assert(planned.length == sizes.count(_ < small), s"seed $s partition")
+      // no group exceeds the target (single oversized files can't occur
+      // here since small < target)
+      assert(p.groups.forall(_.bytes <= target), s"seed $s bound")
+      // healthy files are skipped, never planned
+      assert(p.skipped.length == sizes.count(_ >= small), s"seed $s skip")
+      // same listing -> identical plan
+      assert(Compaction.plan(spark, dir.toString, target, small).groups == p.groups,
+        s"seed $s determinism")
+    }
+  }
+
+  test("the SES closed form equals the direct recurrence for any series") {
+    // e31 relies on 2^(W-1)*s_W = x_1 + sum 2^(t-2)*x_t; pin the algebra
+    // against the literal (x_t + s_{t-1})/2 recurrence in exact rationals
+    for (s <- 1L to 8L) {
+      val xs = sample(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)), s).take(32)
+      val w = xs.length
+      val p = xs.zipWithIndex.map { case (x, i) =>
+        if (i == 0) BigInt(x) else BigInt(x) << (i - 1)
+      }.sum
+      // direct recurrence in exact rationals: s_t = sn/sd with
+      // s_1 = x_1; s_t = (x_t + s_{t-1})/2 -> sn' = x_t*sd + sn, sd' = 2sd
+      var sn = BigInt(xs.head); var sd = BigInt(1)
+      for (t <- 1 until w) { sn = BigInt(xs(t)) * sd + sn; sd = sd * 2 }
+      // sn/sd == p / 2^(w-1) exactly
+      assert(sn * (BigInt(1) << (w - 1)) == p * sd, s"seed $s closed form")
+    }
+  }
 }
