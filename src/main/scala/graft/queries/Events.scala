@@ -2093,6 +2093,101 @@ object Events {
        |  CAST(x - list_extract(win, (len(win) + 1) // 2) AS BIGINT) AS dev
        |FROM r ORDER BY event_type, day""".stripMargin
 
+  /** e35: SES BACKTEST — the audit that prices e31's forecast, the
+    * same contract the s-family recall audits apply to every
+    * approximate index: for each day t ≥ 2 in the window, the
+    * one-step-ahead forecast s_{t−1} (published at ×1e6 precision,
+    * exactly as e31 would have emitted it that morning) is scored
+    * against the actual xₜ; per type: mean absolute error ×1e6, the
+    * PERSISTENCE baseline's MAE (naive "tomorrow = today" — the bar
+    * any forecast must clear, Hyndman's benchmark discipline), and
+    * the skill ratio mae/naive ×1e6 (<1e6 = the smoother earns its
+    * keep; ≥1e6 on a type = its counts are a random walk and e31's
+    * diff_e6 should be read with suspicion there).
+    *
+    * Exactness: prefix closed forms ride ONE cumulative window over
+    * the day spine (C_t = x₁ + Σ 2^(i−2)xᵢ, so s_{t−1}·1e6 =
+    * halfUp(C_{t−1}·1e6, 2^(t−2)) per row — DECIMAL(38,0) staged,
+    * no per-step float accumulation); errors and means are then pure
+    * integer arithmetic, hash-identical cross-engine.
+    *
+    * Scale shape: rides the shared e31Daily memo (no events scan);
+    * the cumulative window and lag run over the type × ≤32-row spine;
+    * the rollup map-side-combines to one row per type. */
+  def e35SesBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val ord = Window.partitionBy($"event_type").orderBy($"t")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val scored = e31Daily(spark, dir)
+      .select($"event_type", $"t", $"x")
+      .withColumn("w", when($"t" === 1L, $"x".cast(d38))
+        .otherwise($"x".cast(d38) *
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT)) AS DECIMAL(38,0))")))
+      .withColumn("c", sum($"w").over(cum))
+      .withColumn("cprev", lag($"c", 1).over(ord))
+      .withColumn("xprev", lag($"x", 1).over(ord))
+      .filter($"t" >= 2L)
+      .withColumn("sprev_e6", expr(
+        """CAST((2 * (cprev * 1000000) +
+          |  CAST(shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT)) AS DECIMAL(38,0)))
+          |  DIV (2 * CAST(shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT)) AS DECIMAL(38,0)))
+          |AS BIGINT)""".stripMargin))
+      .select($"event_type",
+        abs($"x" * 1000000L - $"sprev_e6").as("err_e6"),
+        (abs($"x" - $"xprev") * 1000000L).as("naive_e6"))
+    // sums staged through DECIMAL (31 days of ×1e6 errors at 100 TB
+    // daily volumes pass 2⁶³ long before the MAE itself does)
+    scored.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum($"err_e6".cast(d38)).as("se"), sum($"naive_e6".cast(d38)).as("sn"))
+      .select($"event_type", $"n_scored",
+        expr("CAST((2 * se + n_scored) DIV (2 * CAST(n_scored AS DECIMAL(38,0))) AS BIGINT)")
+          .as("mae_e6"),
+        expr("CAST((2 * sn + n_scored) DIV (2 * CAST(n_scored AS DECIMAL(38,0))) AS BIGINT)")
+          .as("naive_mae_e6"))
+      .withColumn("skill_e6",
+        when($"naive_mae_e6" === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((2 * (CAST(mae_e6 AS DECIMAL(38,0)) * 1000000) + naive_mae_e6)
+              |  DIV (2 * CAST(naive_mae_e6 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)))
+      .orderBy("event_type")
+  }
+
+  /** e35 oracle: identical prefix closed form and scoring on HUGEINT. */
+  def e35Sql: String =
+    s"""WITH $e31DailyCtes,
+       |cw AS (
+       |  SELECT event_type, t, x,
+       |    sum(CASE WHEN t = 1 THEN CAST(x AS HUGEINT)
+       |        ELSE CAST(x AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2)) END)
+       |      OVER (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM f),
+       |sc AS (
+       |  SELECT event_type, t, x,
+       |    lag(c) OVER (PARTITION BY event_type ORDER BY t) AS cprev,
+       |    lag(x) OVER (PARTITION BY event_type ORDER BY t) AS xprev
+       |  FROM cw),
+       |er AS (
+       |  SELECT event_type,
+       |    abs(CAST(x AS HUGEINT) * 1000000 -
+       |      (2 * (cprev * 1000000) + (CAST(1 AS HUGEINT) << (t - 2)))
+       |        // (2 * (CAST(1 AS HUGEINT) << (t - 2)))) AS err_e6,
+       |    abs(CAST(x AS HUGEINT) - xprev) * 1000000 AS naive_e6
+       |  FROM sc WHERE t >= 2),
+       |a AS (
+       |  SELECT event_type, count(*) AS n_scored,
+       |    (2 * sum(err_e6) + count(*)) // (2 * CAST(count(*) AS HUGEINT)) AS mae_e6,
+       |    (2 * sum(naive_e6) + count(*)) // (2 * CAST(count(*) AS HUGEINT)) AS naive_mae_e6
+       |  FROM er GROUP BY 1)
+       |SELECT event_type, CAST(n_scored AS BIGINT) AS n_scored,
+       |  CAST(mae_e6 AS BIGINT) AS mae_e6,
+       |  CAST(naive_mae_e6 AS BIGINT) AS naive_mae_e6,
+       |  CAST(CASE WHEN naive_mae_e6 = 0 THEN NULL
+       |    ELSE (2 * (mae_e6 * 1000000) + naive_mae_e6) // (2 * naive_mae_e6)
+       |  END AS BIGINT) AS skill_e6
+       |FROM a ORDER BY event_type""".stripMargin
+
   /** e32 oracle: the same division-free CUSUM + deterministic argmax. */
   def e32Sql: String =
     s"""WITH $e31DailyCtes,

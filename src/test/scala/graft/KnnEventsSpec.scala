@@ -1396,6 +1396,33 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e35 backtest: one-step errors, MAE and skill recompute from the recurrence") {
+    val r = Events.e35SesBacktest(spark, sf).collect()
+    val win = dailyWindow()
+    def hup(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    assert(r.map(_.getAs[String]("event_type")).toSet == win.keySet)
+    r.foreach { row =>
+      val xs = win(row.getAs[String]("event_type")).map(_._2)
+      // forecasts from the literal recurrence in exact rationals,
+      // published at x1e6 before scoring (the operator's contract)
+      var sn = BigInt(xs.head); var sd = BigInt(1)
+      val errs = xs.tail.map { x =>
+        val fc = hup(sn * 1000000, sd)
+        sn = BigInt(x) * sd + sn; sd = sd * 2
+        (BigInt(x) * 1000000 - fc).abs
+      }
+      val naive = xs.zip(xs.tail).map { case (a, b) => BigInt((b - a).abs) * 1000000 }
+      val n = BigInt(xs.length - 1)
+      assert(row.getAs[Long]("n_scored") == xs.length.toLong - 1)
+      assert(row.getAs[Long]("mae_e6") == hup(errs.sum, n).toLong)
+      assert(row.getAs[Long]("naive_mae_e6") == hup(naive.sum, n).toLong)
+      val mae = BigInt(row.getAs[Long]("mae_e6"))
+      val nm = BigInt(row.getAs[Long]("naive_mae_e6"))
+      assert(row.getAs[Long]("skill_e6") ==
+        (if (nm == 0) 0L else hup(mae * 1000000, nm).toLong))
+    }
+  }
+
   test("e32 changepoint is the max-|CUSUM| day with the earliest-t tie-break") {
     val r = Events.e32Changepoint(spark, sf).collect()
     val win = dailyWindow()
