@@ -28,11 +28,37 @@ object EventStream {
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sumE4: Long)
 
   /** Double → exact ×10⁴ long, matching Spark's cast(value AS
-    * DECIMAL(18,4)) (canonical double repr, HALF_UP at scale 4). */
+    * DECIMAL(18,4)) (canonical double repr, HALF_UP at scale 4).
+    * NaN/Infinity/out-of-range contribute 0 — the batch cast NULLs
+    * them and decimal SUM skips nulls, so mixed sessions stay
+    * identical; only an ALL-invalid session diverges (batch null vs
+    * stream 0.0), which beats one malformed record killing the
+    * whole StreamingQuery. */
   private def e4Of(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+    if (v.isNaN || v.isInfinite || math.abs(v) >= 9e14) 0L
+    else java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .movePointRight(4).longValueExact()
+
+  /** Current event-time watermark in ms, `Long.MinValue` before the
+    * engine has computed one. The raw getter returns 0 then, which
+    * would read as "watermark at the epoch" and prematurely ripen
+    * pre-epoch state — every stateful operator below goes through
+    * this ONE sentinel. */
+  private def wmMs(state: GroupState[_]): Long =
+    state.getCurrentWatermarkMs() match {
+      case 0L => Long.MinValue
+      case w  => w
+    }
+
+  /** Arm an event-time timeout safely: the engine requires a strictly
+    * positive timestamp strictly beyond the current watermark —
+    * pre-epoch event times (legal in this file, usOf is exact there)
+    * would otherwise throw and kill the query. Clamping only EARLIES
+    * the wake-up, never delays it. */
+  private def armTimeout(state: GroupState[_], atMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(atMs, math.max(1L, state.getCurrentWatermarkMs() + 1L)))
 
   /** Timestamp → epoch µs at FULL microsecond precision: getTime
     * carries only millis, the sub-millisecond part lives in getNanos.
@@ -43,6 +69,13 @@ object EventStream {
     * whole second high. Shared by every stateful operator below. */
   private def usOf(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The batch family's exact money sum (cast to DECIMAL(18,4) BEFORE
+    * summing, rounded back to a display double) — ONE definition for
+    * the three windowed aggregations, mirroring Events.dec. */
+  private def exactSumValue: org.apache.spark.sql.Column =
+    round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+      .createDecimalType(18, 4))).cast("double"), 4).as("sum_value")
 
   /** Emitted (closed) session. */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
@@ -56,9 +89,7 @@ object EventStream {
     // decimal-exact sum, same as the batch twin e1 — identical results
     // under any partitioning / trigger pattern
     in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
-          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactSumValue)
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -71,9 +102,7 @@ object EventStream {
   def hoppingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     in.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
-          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactSumValue)
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -92,59 +121,70 @@ object EventStream {
     val gapUs = gapMinutes * 60L * 1000000L
     val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     in.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
-          .createDecimalType(18, 4))).cast("double"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactSumValue)
       .select(col("user_id"),
         unix_micros(col("sw.start")).as("start_us"),
         (unix_micros(col("sw.end")) - gapUs).as("last_us"),
         col("n_events"), col("sum_value"))
   }
 
+  /** All of a user's not-yet-sealed sessions, sorted by start. A
+    * session stays here — even after a later event closes it on the
+    * timeline — until the WATERMARK passes lastUs+gap, because until
+    * then an admissible late event can still extend it or BRIDGE it
+    * into a neighbor. State is bounded by (watermark delay / gap)
+    * sessions per active key. */
+  case class SessionsState(sessions: Seq[SessionState])
+
   /** Streaming twin of e2: gap-based sessionization via
-    * flatMapGroupsWithState with event-time timeout. A session closes
-    * either when a later event arrives past the gap (emitted
-    * immediately) or when the watermark passes lastTs+gap (emitted on
-    * timeout). */
+    * flatMapGroupsWithState with event-time timeout. Sessions are
+    * EMITTED ONLY WHEN SEALED — when the watermark passes lastUs+gap —
+    * never merely because a later event arrived past the gap: an
+    * in-watermark late event may still extend a timeline-closed
+    * session or bridge two of them (emitting early would make the
+    * output depend on micro-batch slicing and diverge from batch e2;
+    * Spark's own session_window append mode holds output the same
+    * way). Each invocation treats state sessions as pre-merged
+    * intervals, folds the batch's events in as singletons, and
+    * re-runs the sorted interval-gap merge — exactly the batch
+    * definition of a session (connected components of the ≤gap chain),
+    * so a replay and the live stream agree bit-for-bit. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
                  watermark: String = "1 minute"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    val fn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
+    val fn: (Long, Iterator[Ev], GroupState[SessionsState]) => Iterator[SessionOut] =
       (userId, it, state) => {
-        if (state.hasTimedOut) {
-          val s = state.get
-          state.remove()
-          Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n,
-            java.math.BigDecimal.valueOf(s.sumE4, 4).doubleValue))
-        } else {
-          // (ts, event_id) — the batch twin's exact ordering
-          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
-          var closed = List.newBuilder[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val ts = usOf(e.ts)
-            cur match {
-              case Some(s) if ts - s.lastUs <= gapUs =>
-                // max: a late (but in-watermark) event must not move the
-                // session end backwards
-                cur = Some(SessionState(math.min(s.startUs, ts), math.max(s.lastUs, ts),
-                  s.n + 1, s.sumE4 + e4Of(e.value)))
-              case Some(s) =>
-                closed += SessionOut(userId, s.startUs, s.lastUs, s.n,
-                  java.math.BigDecimal.valueOf(s.sumE4, 4).doubleValue)
-                cur = Some(SessionState(ts, ts, 1, e4Of(e.value)))
-              case None =>
-                cur = Some(SessionState(ts, ts, 1, e4Of(e.value)))
-            }
-          }
-          cur.foreach { s =>
-            state.update(s)
-            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
-          }
-          closed.result().iterator
+        val existing = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+        // (ts, event_id) — the batch twin's exact ordering
+        val incoming = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          .map(e => { val ts = usOf(e.ts); SessionState(ts, ts, 1, e4Of(e.value)) })
+        val merged = (existing ++ incoming).sortBy(s => (s.startUs, s.lastUs))
+          .foldLeft(List.empty[SessionState]) {
+            case (h :: t, s) if s.startUs - h.lastUs <= gapUs =>
+              SessionState(h.startUs, math.max(h.lastUs, s.lastUs),
+                h.n + s.n, h.sumE4 + s.sumE4) :: t
+            case (acc, s) => s :: acc
+          }.reverse
+        // sealed = no admissible event (ts beyond the watermark) can
+        // reach it anymore; wmMs is the pre-batch watermark, which only
+        // DELAYS sealing — never emits something still reachable
+        val wmUs = wmMs(state) match {
+          case Long.MinValue => Long.MinValue
+          case w             => w * 1000L
         }
+        val (ripe, kept) = merged.partition(s =>
+          wmUs != Long.MinValue && s.lastUs + gapUs <= wmUs)
+        if (kept.isEmpty) state.remove()
+        else {
+          state.update(SessionsState(kept))
+          // wake when the earliest kept session seals (ceil to ms)
+          armTimeout(state,
+            Math.floorDiv(kept.map(_.lastUs).min + gapUs + 999L, 1000L))
+        }
+        ripe.iterator.map(s => SessionOut(userId, s.startUs, s.lastUs, s.n,
+          java.math.BigDecimal.valueOf(s.sumE4, 4).doubleValue))
       }
 
     events.withWatermark("ts", watermark)
@@ -177,7 +217,10 @@ object EventStream {
     * `done` keeps completed funnels parked (instead of removing state)
     * so a later view can't open a duplicate funnel for the user —
     * batch e3 reports exactly one funnel per user. */
-  case class FunnelState(viewUs: Long = -1L, clickUs: Long = -1L, done: Boolean = false)
+  // Long.MinValue = stage not reached (a -1/"negative" sentinel would
+  // collide with legitimate pre-epoch timestamps, which usOf keeps exact)
+  case class FunnelState(viewUs: Long = Long.MinValue,
+                         clickUs: Long = Long.MinValue, done: Boolean = false)
 
   /** One completed funnel stage. */
   case class StageOut(user_id: Long, stage: String, ts_us: Long)
@@ -201,31 +244,42 @@ object EventStream {
 
     val fn: (Long, Iterator[FEv], GroupState[FunnelState]) => Iterator[StageOut] =
       (userId, it, state) => {
-        if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else {
+        if (state.hasTimedOut) {
+          // idle PARTIAL funnels evict; a COMPLETED funnel is kept
+          // forever and never re-armed — dropping it would let the
+          // user's next view open a duplicate funnel, breaking the
+          // one-funnel-per-user contract batch e3 guarantees. The
+          // done state is 17 bytes: remembering completion is the
+          // guarantee's inherent minimum state.
+          if (!state.get.done) state.remove()
+          Iterator.empty
+        } else {
           var s = state.getOption.getOrElse(FunnelState())
           val out = List.newBuilder[StageOut]
           it.toArray.sortBy(e => (usOf(e.ts), stageOrder(e.event_type))).foreach { e =>
             val ts = usOf(e.ts)
             e.event_type match {
               case _ if s.done =>
-              case "view" if s.viewUs < 0 =>
+              case "view" if s.viewUs == Long.MinValue =>
                 s = s.copy(viewUs = ts); out += StageOut(userId, "view", ts)
-              case "click" if s.clickUs < 0 && s.viewUs >= 0 && ts >= s.viewUs =>
+              case "click" if s.clickUs == Long.MinValue &&
+                  s.viewUs != Long.MinValue && ts >= s.viewUs =>
                 s = s.copy(clickUs = ts); out += StageOut(userId, "click", ts)
-              case "purchase" if s.clickUs >= 0 && ts >= s.clickUs =>
+              case "purchase" if s.clickUs != Long.MinValue && ts >= s.clickUs =>
                 out += StageOut(userId, "purchase", ts); s = s.copy(done = true)
               case _ =>
             }
           }
           state.update(s)
-          // the anchor must never fall below the current watermark, or
-          // setTimeoutTimestamp throws and kills the query (a batch of
-          // only non-matching events for a fresh key anchors at 0)
-          val anchorMs = math.max(
-            math.max(s.viewUs, s.clickUs) / 1000L,
-            state.getCurrentWatermarkMs())
-          state.setTimeoutTimestamp(anchorMs + idleTimeoutMinutes * 60L * 1000L)
+          // idle eviction for partial funnels only; armTimeout clamps
+          // past the watermark and 0 (a fresh key's batch of only
+          // non-matching events would otherwise anchor below it)
+          if (!s.done) {
+            val anchorMs = math.max(
+              math.max(s.viewUs, s.clickUs) / 1000L,
+              state.getCurrentWatermarkMs())
+            armTimeout(state, anchorMs + idleTimeoutMinutes * 60L * 1000L)
+          }
           out.result().iterator
         }
       }
@@ -248,7 +302,13 @@ object EventStream {
 
   /** Streaming twin of e10: per event type, the COMPLETE hourly
     * series — when the watermark passes the end of an hour, that
-    * hour is emitted even if no event arrived in it (count 0). A
+    * hour is emitted even if no event arrived in it (count 0).
+    * Anchoring difference vs batch e10 (documented, not a bug — the
+    * sesForecastStream convention): e10 zero-fills every type from
+    * the GLOBAL min hour (it sees the whole corpus); the stream
+    * cannot know the global min, so each type's series starts at its
+    * own first event hour — a type that starts late emits no leading
+    * zeros. A
     * plain streaming groupBy(window) can never emit the empty slots;
     * this is the stateful-timer shape that can: state per type holds
     * the open hour buckets, and each invocation (data or event-time
@@ -299,7 +359,7 @@ object EventStream {
   private def gapFillStep(evs: Array[GEv], st0: GapState, wmUs: Long,
                           maxSilentHours: Int): (List[(Long, Long, Long)], Option[GapState]) = {
     var st = st0
-    if (st.nextHourUs < 0 && evs.nonEmpty)
+    if (st.nextHourUs == Long.MinValue && evs.nonEmpty)
       st = st.copy(nextHourUs = evs.map(e => usOf(e.ts) / HourUs * HourUs).min)
     evs.foreach { e =>
       val h = usOf(e.ts) / HourUs * HourUs
@@ -310,7 +370,8 @@ object EventStream {
     }
     val out = List.newBuilder[(Long, Long, Long)]
     var capped = false
-    while (!capped && st.nextHourUs >= 0 && st.nextHourUs + HourUs <= wmUs) {
+    while (!capped && st.nextHourUs != Long.MinValue &&
+        wmUs != Long.MinValue && st.nextHourUs + HourUs <= wmUs) {
       val h = st.nextHourUs
       val (n, sumE4) = st.pending.getOrElse(h, (0L, 0L))
       val silent = if (n == 0) st.silent + 1 else 0
@@ -331,8 +392,11 @@ object EventStream {
 
     val fn: (String, Iterator[GEv], GroupState[GapState]) => Iterator[GapOut] =
       (eventType, it, state) => {
-        val wmUs = state.getCurrentWatermarkMs() * 1000L
-        val st0 = state.getOption.getOrElse(GapState(Map.empty, -1L, 0))
+        val wmUs = wmMs(state) match {
+          case Long.MinValue => Long.MinValue
+          case w             => w * 1000L
+        }
+        val st0 = state.getOption.getOrElse(GapState(Map.empty, Long.MinValue, 0))
         val (hours, next) = gapFillStep(it.toArray, st0, wmUs, maxSilentHours)
         next match {
           case None => state.remove()
@@ -340,8 +404,8 @@ object EventStream {
             state.update(st)
             // fire when the next open hour completes (guaranteed past
             // the current watermark by the flush loop's exit condition)
-            if (st.nextHourUs >= 0)
-              state.setTimeoutTimestamp((st.nextHourUs + HourUs) / 1000L)
+            if (st.nextHourUs != Long.MinValue)
+              armTimeout(state, (st.nextHourUs + HourUs) / 1000L)
         }
         hours.iterator.map { case (h, n, sumE4) =>
           GapOut(eventType, h, n, java.math.BigDecimal.valueOf(sumE4, 4).doubleValue)
@@ -393,9 +457,12 @@ object EventStream {
 
     val fn: (String, Iterator[GEv], GroupState[AnomState]) => Iterator[AnomOut] =
       (eventType, it, state) => {
-        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val wmUs = wmMs(state) match {
+          case Long.MinValue => Long.MinValue
+          case w             => w * 1000L
+        }
         val st0 = state.getOption.getOrElse(
-          AnomState(GapState(Map.empty, -1L, 0), 0L, 0L, "0"))
+          AnomState(GapState(Map.empty, Long.MinValue, 0), 0L, 0L, "0"))
         val (hours, gapNext) = gapFillStep(it.toArray, st0.gap, wmUs, maxSilentHours)
         var n = st0.n
         var s = BigInt(st0.s)
@@ -411,8 +478,8 @@ object EventStream {
           case None => state.remove() // series ended — stats reset with it
           case Some(g) =>
             state.update(AnomState(g, n, s.toLong, q.toString))
-            if (g.nextHourUs >= 0)
-              state.setTimeoutTimestamp((g.nextHourUs + HourUs) / 1000L)
+            if (g.nextHourUs != Long.MinValue)
+              armTimeout(state, (g.nextHourUs + HourUs) / 1000L)
         }
         out.iterator
       }
@@ -570,11 +637,15 @@ object EventStream {
         }
         st = st.copy(rights = keepRights, lefts = pendingLefts)
         state.update(st)
-        // wake when the watermark passes the oldest pending left so
-        // quiet keys still flush (ms + 1: the timeout must sit
-        // strictly past the flush threshold)
-        if (pendingLefts.nonEmpty)
-          state.setTimeoutTimestamp(pendingLefts.map(_._1).min / 1000L + 1)
+        // wake when the watermark passes the oldest pending left (so
+        // quiet keys still flush) OR the newest buffered right (so a
+        // key that then goes silent still compacts its rights list to
+        // the O(1) best instead of holding a window's worth forever);
+        // armTimeout clamps past the watermark and 0 — a pre-epoch
+        // timestamp would otherwise throw and kill the query
+        val wake = (pendingLefts.map(_._1 / 1000L + 1) ++
+          (if (keepRights.nonEmpty) Seq(keepRights.map(_._1).max / 1000L + 1) else Nil))
+        if (wake.nonEmpty) armTimeout(state, wake.min)
         out.iterator
       }
 
@@ -630,7 +701,7 @@ object EventStream {
         }
         state.update(TransState(pending, chain.lastOption))
         if (pending.nonEmpty)
-          state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+          armTimeout(state, pending.map(_._1).min / 1000L + 1)
         out.iterator
       }
     events.withWatermark("ts", watermark)
@@ -681,7 +752,7 @@ object EventStream {
             .toList
         state.update(Tri3State(pending.toList, chain.takeRight(2).toList))
         if (pending.nonEmpty)
-          state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1)
+          armTimeout(state, pending.map(_._1).min / 1000L + 1)
         out.iterator
       }
     events.withWatermark("ts", watermark)
@@ -823,7 +894,13 @@ object EventStream {
         var open = st.open
         it.foreach { e =>
           val d = usOf(e.ts) / dayUs
-          open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          // no back-fill past the frontier (gapFillStep's guard): a
+          // straggler for an already-closed/skipped day would sit in
+          // `open` forever (emission removes exactly nextDay) and,
+          // after a cap reset, re-seed the series BEHIND days already
+          // emitted — out-of-order duplicate-era rows
+          if (st.nextDay < 0L || d >= st.nextDay)
+            open = open.updated(d, open.getOrElse(d, 0L) + 1L)
         }
         var nextDay =
           if (st.nextDay >= 0L) st.nextDay
@@ -852,7 +929,7 @@ object EventStream {
           }
         }
         state.update(SesState(nextDay, window, open))
-        if (nextDay >= 0L) state.setTimeoutTimestamp((nextDay + 1L) * dayMs)
+        if (nextDay >= 0L) armTimeout(state, (nextDay + 1L) * dayMs)
         out.result().iterator
       }
     events.withWatermark("ts", watermark)

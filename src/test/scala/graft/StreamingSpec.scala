@@ -230,6 +230,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a completed funnel is never reopened, even after the idle timeout passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FEv]
+    val q = EventStream.funnelStream(input.toDS(), idleTimeoutMinutes = 60)
+      .writeStream.format("memory").queryName("funnel_done")
+      .outputMode("append").start()
+    try {
+      // user 1 completes the funnel
+      input.addData(EventStream.FEv(1L, ts(0), "view"),
+        EventStream.FEv(1L, ts(1), "click"), EventStream.FEv(1L, ts(2), "purchase"))
+      q.processAllAvailable()
+      // push the watermark far past the idle timeout while user 1 is quiet
+      input.addData(EventStream.FEv(2L, ts(500), "view"))
+      q.processAllAvailable()
+      // user 1 comes back: these must NOT open a second funnel
+      input.addData(EventStream.FEv(1L, ts(600), "view"),
+        EventStream.FEv(1L, ts(601), "click"), EventStream.FEv(1L, ts(602), "purchase"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_done").as[EventStream.StageOut]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 3, s"duplicate funnel stages: ${u1.toSeq}")
+      assert(u1.map(_.stage).sorted.toSeq == Seq("click", "purchase", "view"))
+      // user 2's PARTIAL funnel does evict on idle: a fresh view after
+      // the timeout re-emits (first-completion semantics restart)
+      input.addData(EventStream.FEv(3L, ts(2000), "view"))
+      q.processAllAvailable()
+      input.addData(EventStream.FEv(2L, ts(2100), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_done").as[EventStream.StageOut]
+        .collect().count(_.user_id == 2L) == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize merges an in-watermark late event into a timeline-closed session") {
+    // the append-mode divergence case: event A, then B past the gap
+    // (A "closes" on the timeline), then a LATE event between them
+    // still inside the watermark that bridges A and B — batch e2 sees
+    // ONE session, and so must the stream (hold-until-sealed)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts(0), 1.0, 1L))
+      q.processAllAvailable()
+      input.addData(Ev(1L, ts(45), 2.0, 2L)) // 45 min > gap: A closes on the timeline
+      q.processAllAvailable()
+      input.addData(Ev(1L, ts(20), 4.0, 3L)) // late bridge, inside the 2h watermark
+      q.processAllAvailable()
+      input.addData(Ev(2L, ts(10000), 0.0, 4L)) // seal everything
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").as[EventStream.SessionOut]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length == 1, s"bridged session split: ${u1.toSeq}")
+      assert(u1.head.n_events == 3 && u1.head.sum_value == 7.0)
+      assert(u1.head.start_us == ts(0).getTime * 1000 &&
+        u1.head.end_us == ts(45).getTime * 1000)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch plan; late right rows are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
