@@ -316,22 +316,62 @@ object MergeConfig {
     if (dryRun) Orchestrator.dryRun(tables, src, dest)
     else {
       import spark.implicits._
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
       val jdbcOut = cfg.output.startsWith("jdbc:")
+      // when the output IS the destination store (the reference's
+      // in-place deployment; the sequential multi-source mode merges
+      // each source INTO the previous merge's output), publishing
+      // table A mutates data that table B's still-lazy plan reads —
+      // drop-and-recreate on JDBC, rename-swap on parquet. Under
+      // sameStore every output frame is eagerly pinned below before
+      // the first publish runs.
+      val sameStore = cfg.output == cfg.destination.path
+      def pin(df: DataFrame): DataFrame = if (sameStore) df.localCheckpoint(true) else df
       def publish(df: DataFrame, name: String): Unit =
         if (jdbcOut) graft.sources.Tables.JdbcSink(cfg.output, name).save(df, "overwrite")
-        else AtomicSnapshot.publish(df, s"${cfg.output}/$name")
+        // `.parquet` suffix = the instance READER's naming, so a
+        // published output dir is directly usable as the next merge's
+        // destination (the reference's sequential multi-source mode)
+        else AtomicSnapshot.publish(df, s"${cfg.output}/$name.parquet")
       val registryName = if (jdbcOut) "graft_merge_sources" else "_merge_sources"
       val processed =
         if (jdbcOut)
-          // a missing registry table = first-ever merge into this DB
           try spark.read.format("jdbc").option("url", cfg.output)
             .option("dbtable", registryName).load()
             .select("location").as[String].collect().toSet
-          catch { case _: Exception => Set.empty[String] }
-        else AtomicSnapshot.readCurrent(spark, s"${cfg.output}/$registryName")
+          catch { case e: Exception =>
+            // only a MISSING registry table means first-ever merge; an
+            // unreachable database must ABORT — treating it as empty
+            // would lapse the source-once guard and the rewritten
+            // registry would erase prior provenance. Probe: if the DB
+            // answers a fresh connection, the failure was the table.
+            try java.sql.DriverManager.getConnection(cfg.output).close()
+            catch { case _: Exception => throw e }
+            Set.empty[String]
+          }
+        else AtomicSnapshot.readCurrent(spark, s"${cfg.output}/$registryName.parquet")
           .map(_.as[String].collect().toSet).getOrElse(Set.empty)
       if (processed(cfg.source.location))
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")
+      // integrity gate BEFORE any mover — the reference's
+      // integrity-checks.js precedes every mover and hard-aborts;
+      // without it the inner_or_null FK remap silently DROPS src rows
+      // whose non-null FK dangles. Every declared relation class is
+      // checked (fks, mappedKeys, self and deferred FKs — orphanCheck
+      // only counts NON-NULL broken references, so nullable classes
+      // gate their genuinely-dangling values and nothing else).
+      val relations = tables.flatMap { t =>
+        (t.fks.toSeq ++ t.mappedKeys.toSeq ++ t.deferredFks.toSeq ++
+          t.selfFks.map(_ -> t.name)).map { case (fk, parent) =>
+          (s"${t.name}.$fk->$parent", src(t.name), fk, src(parent), idColOf(parent))
+        }
+      }
+      if (relations.nonEmpty) {
+        val orphans = MergeOps.orphanCheck(relations)
+          .filter(col("orphan_count") > 0).collect()
+          .map(r => (r.getAs[String]("relation"), r.getAs[Long]("orphan_count")))
+        if (orphans.nonEmpty) throw MergePipeline.IntegrityViolation(orphans.toSeq)
+      }
       val results = Orchestrator.run(tables, src, dest, cfg.source.location)
       // per-table progress to stderr as each table COMMITS — the
       // reference's display-utils/logOk surface (a long multi-table
@@ -341,19 +381,22 @@ object MergeConfig {
       // non-ASCII on plain terminals
       def logOk(msg: String): Unit = System.err.println(s"[graft-merge] OK $msg")
       val tMergeAll = System.nanoTime()
-      tables.foreach { spec =>
+      // BUILD (and under sameDb eagerly pin) every output frame before
+      // the FIRST publish: frames lazily re-read live destination
+      // tables, and a drop-and-recreate of table A must not corrupt
+      // table B's not-yet-materialized plan
+      val outputs = tables.map { spec =>
         // the uuid report is not just documentation: moved rows are
         // PUBLISHED with their final uuids (collision repairs in keep
         // mode, every moved row under generateNewUuids) — dest rows
         // keep theirs. Join on the lineage id; rows without a report
         // entry (none in practice — the report covers all src rows)
         // keep their uuid via coalesce.
-        val merged = spec.uuidCol match {
+        val (merged, uuidReport) = spec.uuidCol match {
           case Some(u) =>
-            val report = Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
-              spec.idCol, u, cfg.generateNewUuids)
-            publish(report, s"${spec.name}__uuid_report")
-            import org.apache.spark.sql.functions.{coalesce, col, when}
+            val report = pin(Orchestrator.uuidRemapReport(src(spec.name), dest(spec.name),
+              spec.idCol, u, cfg.generateNewUuids))
+            import org.apache.spark.sql.functions.coalesce
             // unique aliases: the report's src_id would otherwise
             // collide with the lineage column src_<idCol> when
             // idCol == "id", and drop() removes ALL same-named columns.
@@ -363,17 +406,38 @@ object MergeConfig {
             val finals = report.select(col("src_id").as("__uuid_src"),
               col("final_uuid").as("__uuid_final"))
             val m = results(spec.name).merged
-            m.join(finals,
+            (m.join(finals,
                 m(s"src_${spec.idCol}") === finals("__uuid_src") && m("instance") === "src", "left")
               .withColumn(u, when(col("instance") === "src",
                 coalesce(col("__uuid_final"), col(u))).otherwise(col(u)))
-              .drop("__uuid_src", "__uuid_final")
-          case None => results(spec.name).merged
+              .drop("__uuid_src", "__uuid_final"), Some(report))
+          case None => (results(spec.name).merged, None)
         }
+        (spec, pin(merged), uuidReport,
+          if (cfg.persist) Some(pin(results(spec.name).idMap)) else None)
+      }
+      // the final report rides the id maps the run JUST BUILT — no
+      // second pass over src/dest for the counts (the old terminal
+      // dryRun re-ran the whole matching workload, and under sameDb
+      // would have read post-overwrite tables); the dry-run-equals-
+      // actual spec pins these counts to dryRun's
+      val report = pin(Orchestrator.topoOrder(tables).map { spec =>
+        results(spec.name).idMap.agg(
+            count(lit(1)).as("src_rows"),
+            sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
+            sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
+          .select(lit(spec.name).as("table_name"),
+            lit(spec.mode match {
+              case MergeMode.Consolidate => "consolidate"
+              case MergeMode.Move        => "move"
+            }).as("mode"),
+            col("src_rows"), col("already_in_dest"), col("would_insert"))
+      }.reduce(_ unionAll _))
+      outputs.foreach { case (spec, merged, uuidReport, idMap) =>
         val t0 = System.nanoTime()
+        uuidReport.foreach(publish(_, s"${spec.name}__uuid_report"))
         publish(merged, spec.name)
-        if (cfg.persist)
-          publish(results(spec.name).idMap, s"${spec.name}__idmap")
+        idMap.foreach(publish(_, s"${spec.name}__idmap"))
         logOk(f"${spec.name}: published${if (spec.uuidCol.isDefined) " (+uuid report)" else ""}" +
           f"${if (cfg.persist) " (+id map)" else ""} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
@@ -383,7 +447,7 @@ object MergeConfig {
       // unrecorded and the run safely repeatable (orchestrator.js:94)
       publish(
         (processed + cfg.source.location).toSeq.sorted.toDF("location"), registryName)
-      Orchestrator.dryRun(tables, src, dest)
+      report
     }
   }
 }

@@ -180,8 +180,13 @@ object MergeOps {
     */
   def orphanCheck(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     relations.map { case (name, child, fk, parent, pk) =>
+      // alias the parent key: with the standard same-named-FK shape
+      // (users.person_id -> person.person_id) an unqualified col(pk)
+      // is AMBIGUOUS against the joined schema (the remapFk/
+      // cascadeImpact aliasing convention)
+      val keys = parent.select(col(pk).as("__parent_pk"))
       child.filter(col(fk).isNotNull)
-        .join(parent.select(col(pk)), child(fk) === col(pk), "left_anti")
+        .join(keys, child(fk) === keys("__parent_pk"), "left_anti")
         .agg(count(lit(1)).as("orphan_count"))
         .select(lit(name).as("relation"), col("orphan_count"))
     }.reduce(_ unionAll _)

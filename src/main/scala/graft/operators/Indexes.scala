@@ -50,6 +50,12 @@ object Indexes {
     * which two first registrations of the same plan persist twice and
     * the loser's unpersist deregisters the winner by plan match. */
   def swap(key: String, df: DataFrame): DataFrame = live.synchronized {
+    // a predecessor bound to a STOPPED session is purged outright —
+    // its storageLevel read and unpersist would touch the dead
+    // session's state (there is nothing to release; the context took
+    // the cache with it)
+    if (live.get(key).exists(_.sparkSession.sparkContext.isStopped))
+      live.remove(key)
     live.get(key) match {
       case Some(old)
         if old.storageLevel != StorageLevel.NONE &&
@@ -158,9 +164,17 @@ object Indexes {
   def memo(key: String)(compute: => DataFrame): DataFrame = {
     // fast path still revalidates caching: a frame whose cache entry
     // was invalidated externally must be re-registered, not returned
-    // uncached forever (swap's third reuse condition)
+    // uncached forever (swap's third reuse condition). A hit bound to
+    // a STOPPED session is also stale: the registry is string-keyed
+    // and outlives sessions, so a second SparkSession in the same JVM
+    // (test harnesses, notebook restarts) would otherwise inherit a
+    // frame whose every action throws "SparkContext has been shut
+    // down" — drop and recompute on the caller's own session instead.
+    def usable(df: DataFrame): Boolean =
+      !df.sparkSession.sparkContext.isStopped &&
+        df.storageLevel != StorageLevel.NONE
     live.get(key) match {
-      case Some(df) if df.storageLevel != StorageLevel.NONE => df
+      case Some(df) if usable(df) => df
       case _ =>
         val fresh = (Thread.currentThread(),
           new java.util.concurrent.CompletableFuture[DataFrame]())
@@ -172,7 +186,7 @@ object Indexes {
               // mid-compute must not re-run the (possibly seconds-
               // long) compute the owner just registered
               val df = live.get(key) match {
-                case Some(d) if d.storageLevel != StorageLevel.NONE => d
+                case Some(d) if usable(d) => d
                 case _ => swap(key, compute)
               }
               fresh._2.complete(df)

@@ -119,16 +119,16 @@ class JdbcMergeSpec extends AnyFunSuite {
       MergeConfig.fromJson(configJson(srcDir, destDir, outP)), dryRun = false)
     assert(rows(repJ) == rows(repP))
     for (n <- names) {
-      val j = AtomicSnapshot.readCurrent(spark, s"$outJ/$n")
+      val j = AtomicSnapshot.readCurrent(spark, s"$outJ/$n.parquet")
         .getOrElse(fail(s"no published $n via jdbc"))
-      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n")
+      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n.parquet")
         .getOrElse(fail(s"no published $n via parquet"))
       assert(j.columns.toSeq == p.columns.toSeq, n)
       assert(rows(j) == rows(p), s"merged $n diverged between transports")
     }
     // the uuid report published on both transports, identically
-    val uj = AtomicSnapshot.readCurrent(spark, s"$outJ/customer__uuid_report").get
-    val up = AtomicSnapshot.readCurrent(spark, s"$outP/customer__uuid_report").get
+    val uj = AtomicSnapshot.readCurrent(spark, s"$outJ/customer__uuid_report.parquet").get
+    val up = AtomicSnapshot.readCurrent(spark, s"$outP/customer__uuid_report.parquet").get
     assert(rows(uj) == rows(up))
 
     // source-once guard holds on the JDBC transport too
@@ -187,8 +187,8 @@ class JdbcMergeSpec extends AnyFunSuite {
     MergeConfig.execute(spark,
       MergeConfig.fromJson(configJson(s"$base/src", destDir0, outRef)), dryRun = false)
     for (n <- names) {
-      val d = AtomicSnapshot.readCurrent(spark, s"$outD/$n").get
-      val r = AtomicSnapshot.readCurrent(spark, s"$outRef/$n").get
+      val d = AtomicSnapshot.readCurrent(spark, s"$outD/$n.parquet").get
+      val r = AtomicSnapshot.readCurrent(spark, s"$outRef/$n.parquet").get
       assert(d.columns.toSeq == r.columns.toSeq, n)
       assert(rows(d) == rows(r), s"discovered-FK merge diverged on $n")
     }
@@ -226,7 +226,7 @@ class JdbcMergeSpec extends AnyFunSuite {
       .option("url", outUrl).option("dbtable", name).load()
     for (n <- names) {
       val j = readOut(n)
-      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n").get
+      val p = AtomicSnapshot.readCurrent(spark, s"$outP/$n.parquet").get
       assert(j.columns.map(_.toLowerCase).toSeq == p.columns.toSeq, n)
       assert(rows(j) == rows(p), s"live-DB merged $n diverged from the parquet transport")
     }
@@ -266,7 +266,7 @@ class JdbcMergeSpec extends AnyFunSuite {
     val out = s"$base/out_sink"
     MergeConfig.execute(spark,
       MergeConfig.fromJson(configJson(srcDir, destDir, out)), dryRun = false)
-    val merged = AtomicSnapshot.readCurrent(spark, s"$out/customer").get
+    val merged = AtomicSnapshot.readCurrent(spark, s"$out/customer.parquet").get
       // CLOB-safe narrow projection with the lineage columns included
       .select(col("c_custkey").cast(LongType), col("c_name"), col("c_uuid"),
         col("instance"), col("merge_source"))

@@ -78,19 +78,19 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(!new java.io.File(outDir).exists())
 
     MergeConfig.execute(spark, cfg, dryRun = false)
-    val parent = spark.read.parquet(s"$outDir/parent").collect()
+    val parent = spark.read.parquet(s"$outDir/parent.parquet").collect()
     assert(parent.length == 3) // 2 dest + 1 new (beta → id 12)
     val beta = parent.find(_.getAs[String]("name") == "beta").get
     assert(beta.getAs[Long]("id") == 12L)
     assert(beta.getAs[String]("merge_source") == "instanceB")
-    val child = spark.read.parquet(s"$outDir/child").collect()
+    val child = spark.read.parquet(s"$outDir/child.parquet").collect()
     // "x" child already in dest; "y" child moved with parent_id 2→12
     assert(child.length == 2)
     val y = child.find(_.getAs[String]("payload") == "y").get
     assert(y.getAs[Long]("parent_id") == 12L && y.getAs[Long]("id") == 501L)
     // uuid report exists for parent (declared uuidCol), collision mode:
     // only u1 (shared with dest) regenerated
-    val rep = spark.read.parquet(s"$outDir/parent__uuid_report").collect()
+    val rep = spark.read.parquet(s"$outDir/parent__uuid_report.parquet").collect()
       .map(r => r.getAs[String]("initial_uuid") -> r.getAs[Int]("regenerated")).toMap
     assert(rep == Map("u1" -> 1, "u2" -> 0))
   }
@@ -101,14 +101,14 @@ class MergeConfigSpec extends AnyFunSuite {
       configJson(srcDir, destDir, outDir, genUuids = true, persist = true))
     MergeConfig.execute(spark, cfg, dryRun = false)
     // persist=true → durable id maps (the reference's beehive_merge_* tables)
-    val pmap = spark.read.parquet(s"$outDir/parent__idmap").collect()
+    val pmap = spark.read.parquet(s"$outDir/parent__idmap.parquet").collect()
       .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dest_id")).toMap
     assert(pmap == Map(1L -> 10L, 2L -> 12L))
     // generateNewUuids=true: the PUBLISHED moved row carries the
     // regenerated uuid from the report, not its original
-    val parentOut = spark.read.parquet(s"$outDir/parent").collect()
+    val parentOut = spark.read.parquet(s"$outDir/parent.parquet").collect()
     val movedBeta = parentOut.find(_.getAs[String]("instance") == "src").get
-    val reported = spark.read.parquet(s"$outDir/parent__uuid_report").collect()
+    val reported = spark.read.parquet(s"$outDir/parent__uuid_report.parquet").collect()
       .find(_.getAs[Long]("src_id") == 2L).get.getAs[String]("final_uuid")
     assert(movedBeta.getAs[String]("uuid") == reported)
     assert(movedBeta.getAs[String]("uuid") != "u2")
@@ -122,6 +122,50 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("instanceB already processed"))
     // dry-run remains allowed (rehearsal, no writes)
     assert(MergeConfig.execute(spark, cfg, dryRun = true).count() == 2)
+  }
+
+  test("execute refuses to merge a source with orphaned FKs (the reference's integrity gate)") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    // corrupt the source: a child referencing a parent id that does
+    // not exist in the source instance
+    Seq((102L, 99L, "z")).toDF("id", "parent_id", "payload")
+      .write.mode("append").parquet(s"$srcDir/child.parquet")
+    val cfg = MergeConfig.fromJson(configJson(srcDir, destDir, outDir, genUuids = false))
+    val ex = intercept[graft.merge.MergePipeline.IntegrityViolation] {
+      MergeConfig.execute(spark, cfg, dryRun = false)
+    }
+    assert(ex.getMessage.contains("child.parent_id->parent"))
+    // hard abort means NOTHING was published
+    assert(!new java.io.File(outDir).exists())
+  }
+
+  test("a published output dir is directly usable as the next merge's destination (sequential mode)") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, outDir, genUuids = false)),
+      dryRun = false)
+    // a SECOND source merges INTO the published output — the
+    // reference's sequential multi-source deployment
+    val src2 = s"${java.nio.file.Files.createTempDirectory("graft-cfg2")}/src2"
+    Seq((7L, "delta", "u7")).toDF("id", "name", "uuid")
+      .write.parquet(s"$src2/parent.parquet")
+    Seq((700L, 7L, "w")).toDF("id", "parent_id", "payload")
+      .write.parquet(s"$src2/child.parquet")
+    val cfg2 = MergeConfig.fromJson(
+      configJson(src2, outDir, outDir, genUuids = false)
+        .replace(""""location": "instanceB"""", """"location": "instanceC""""))
+    val rep = MergeConfig.execute(spark, cfg2, dryRun = false).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("would_insert")).toMap
+    assert(rep == Map("parent" -> 1L, "child" -> 1L))
+    val parents = spark.read.parquet(s"$outDir/parent.parquet").collect()
+    // run 1 published 3 parents; run 2 adds delta
+    assert(parents.length == 4)
+    assert(parents.map(_.getAs[String]("merge_source")).count(_ == "instanceC") == 1)
+    // the registry accumulated BOTH sources
+    val reg = graft.sources.AtomicSnapshot
+      .readCurrent(spark, s"$outDir/_merge_sources.parquet").get
+      .collect().map(_.getString(0)).toSet
+    assert(reg == Set("instanceB", "instanceC"))
   }
 
   test("groupFkRows: unnamed FKs split per KEY_SEQ run, composites stay grouped") {

@@ -53,6 +53,14 @@ class SourcesSpec extends AnyFunSuite {
     // clean relations → the merge actually runs
     val ok = Seq(("child->parent", child.filter($"fk" === 10L), "fk", parent, "pk"))
     assert(graft.merge.MergePipeline.m7MergeGated(spark, sf, ok).count() > 0)
+    // the standard OpenMRS shape: the FK column carries the SAME name
+    // as the parent pk (users.person_id -> person.person_id) — an
+    // unaliased parent key here was AMBIGUOUS_REFERENCE
+    val users = Seq((1L, 10L), (2L, 99L)).toDF("user_id", "person_id")
+    val person = Seq((10L, "p")).toDF("person_id", "name")
+    val sameName = graft.merge.MergeOps.orphanCheck(
+      Seq(("users->person", users, "person_id", person, "person_id"))).collect()
+    assert(sameName.head.getAs[Long]("orphan_count") == 1L)
   }
 
   test("all star-schema tables read with expected keys present") {
