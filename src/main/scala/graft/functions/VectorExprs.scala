@@ -459,7 +459,7 @@ case class SumSqI64(child: Expression) extends UnaryExpression {
   * scale: ‖q−c‖² = Σq² + Σc² − 2·q·c with [[SumSqI64]] norms, every
   * term an order-free BIGINT (deterministic under any partitioning,
   * reproducible in DuckDB). Lengths must match (the embeddings-table
-  * contract); evaluation reads min(len) defensively like zip_with. */
+  * contract); a mismatch throws at evaluation like [[DotProductF32]]. */
 case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "dot_i64"
@@ -474,10 +474,16 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
           s"$prettyName requires two array<bigint> arguments, got $other")
     }
 
+  // dimension mismatch is a RUNTIME ERROR, matching DotProductF32: a
+  // truncated partial dot returns a plausible-but-wrong distance that
+  // silently reorders kNN results — fail loudly instead
   override def nullSafeEval(a: Any, b: Any): Any = {
     val u = a.asInstanceOf[ArrayData]
     val v = b.asInstanceOf[ArrayData]
-    val n = Math.min(u.numElements(), v.numElements())
+    if (u.numElements() != v.numElements())
+      throw new IllegalArgumentException(
+        s"dot_i64: dimension mismatch ${u.numElements()} vs ${v.numElements()}")
+    val n = u.numElements()
     var acc = 0L
     var i = 0
     while (i < n) { acc += u.getLong(i) * v.getLong(i); i += 1 }
@@ -489,7 +495,10 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($u.numElements(), $v.numElements());
+         |if ($u.numElements() != $v.numElements())
+         |  throw new IllegalArgumentException("dot_i64: dimension mismatch "
+         |    + $u.numElements() + " vs " + $v.numElements());
+         |int $n = $u.numElements();
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $u.getLong($i) * $v.getLong($i);

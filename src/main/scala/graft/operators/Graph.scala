@@ -58,7 +58,14 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(ca, cb) = pairs.columns.take(2)
-    val p = pairs.select(col(ca).as("a"), col(cb).as("b"))
+    // normalized defensively like every sibling operator (kCore/
+    // bfsHops/triangles): duplicated or pre-mirrored input pairs would
+    // otherwise inflate EVERY propagation round's join — labels stay
+    // identical (min-propagation tolerates multi-edges), only the cost
+    // wouldn't
+    val p = pairs
+      .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
+      .filter($"a" =!= $"b").dropDuplicates("a", "b")
     val edges = Indexes.swap(s"$cacheKey:edges",
       p.unionAll(p.select($"b".as("a"), $"a".as("b"))))
     var labels = Indexes.swap(s"$cacheKey:labels",
@@ -204,7 +211,10 @@ object Graph {
       .select(least(col(ca), col(cb)).as("a"), greatest(col(ca), col(cb)).as("b"))
       .filter($"a" =!= $"b").dropDuplicates("a", "b")
     val und = p.unionAll(p.select($"b".as("a"), $"a".as("b")))
+    // THREE consumers (both withDeg joins, the final output join) —
+    // node-sized, checkpointed once per the multi-consumer rule
     val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val withDeg = p
       .join(deg.select($"id".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"id".as("b"), $"deg".as("db")), "b")

@@ -22,8 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AtomicSnapshot {
 
-  private def paths(target: String): (Path, Path, Path) =
+  private def paths(rawTarget: String): (Path, Path, Path) = {
+    // trailing slashes would make __prev/__staging CHILDREN of the
+    // target — parking would then swallow staging and the final
+    // rename fail with the live dir already parked (Compaction's
+    // normalization, shared hazard)
+    val target = rawTarget.reverse.dropWhile(_ == '/').reverse
     (new Path(target), new Path(target + "__prev"), new Path(target + "__staging"))
+  }
 
   /** Current readable snapshot: the target, else the parked previous
     * (crash between renames), else None. */
@@ -31,8 +37,8 @@ object AtomicSnapshot {
     val (dst, prev, _) = paths(target)
     // the target's OWN filesystem, not the cluster default FS
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) Some(spark.read.parquet(target))
-    else if (fs.exists(prev)) Some(spark.read.parquet(target + "__prev"))
+    if (fs.exists(dst)) Some(spark.read.parquet(dst.toString))
+    else if (fs.exists(prev)) Some(spark.read.parquet(prev.toString))
     else None
   }
 

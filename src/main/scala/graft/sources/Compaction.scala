@@ -93,16 +93,31 @@ object Compaction {
     * the new layout atomically (stage → park old → rename). Returns
     * the published file count. Single-file groups are carried over
     * like healthy files — rewriting them buys nothing. */
-  def compact(spark: SparkSession, dir: String, plan: Plan): Int = {
+  def compact(spark: SparkSession, rawDir: String, plan: Plan): Int = {
+    // trailing slashes would make __staging/__prev CHILDREN of the
+    // target: parking the target would swallow staging and the final
+    // rename would fail with the live directory already gone
+    val dir = rawDir.reverse.dropWhile(_ == '/').reverse
     val dst = new Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // re-list defensively: fires the partitioned-layout refusal even on
-    // a hand-built Plan, and catches a layout that changed since plan()
-    listParts(spark, dir)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(s => s.isFile
+        && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    // re-list and DIFF against the plan: fires the partitioned-layout
+    // refusal even on a hand-built Plan, and refuses when the file set
+    // changed since plan() — a streaming sink's file committed in the
+    // window would be absent from staging and silently destroyed by
+    // the final swap; a planned file that vanished means the plan is
+    // stale either way
+    val now = listParts(spark, dir).map(_._1).toSet
+    val planned = (plan.groups.flatMap(_.files) ++ plan.skipped).toSet
+    require(now == planned,
+      s"Compaction: $dir changed since plan() (" +
+        s"new: ${(now -- planned).take(3).mkString(", ")}; " +
+        s"gone: ${(planned -- now).take(3).mkString(", ")}) — re-plan")
     // no multi-file group -> nothing to rewrite; a publish here would
     // copy the whole directory for zero layout change
-    if (plan.isNoop)
-      return fs.listStatus(dst).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (plan.isNoop) return dataFiles(dst).size
     val staging = new Path(dir + "__staging")
     val prev = new Path(dir + "__prev")
     fs.delete(staging, true)
@@ -118,7 +133,11 @@ object Compaction {
       val futures = rewrite.map { g =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit =
-            spark.read.parquet(g.files: _*)
+            // mergeSchema: a group mixing files written before and
+            // after a column was added must keep the union schema —
+            // single-file inference would silently DROP the column
+            // for the whole group
+            spark.read.option("mergeSchema", "true").parquet(g.files: _*)
               .coalesce(1)
               .write.mode("append").parquet(new Path(staging, s"group=${g.id}").toString)
         })
@@ -151,7 +170,7 @@ object Compaction {
     if (!fs.rename(staging, dst))
       sys.error(s"Compaction: failed to publish $staging as $dst")
     fs.delete(prev, true)
-    fs.listStatus(dst).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    dataFiles(dst).size
   }
 
   /** Plan + execute with default thresholds; returns (plan, nFiles). */

@@ -36,8 +36,12 @@ object Tables {
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // FLOOR, not `div` (truncate-toward-zero): a pre-epoch
+        // nanosecond timestamp would otherwise land one microsecond
+        // LATE, flipping boundary comparisons — IntMath's pmod-floor
+        // convention
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
           org.apache.spark.sql.types.TimestampType))

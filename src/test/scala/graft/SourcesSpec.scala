@@ -130,6 +130,18 @@ class SourcesSpec extends AnyFunSuite {
       targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024)
     assert(plan2.groups.count(_.files.size > 1) <= 1)
 
+    // a file landing AFTER plan() (the streaming-sink race) must make
+    // compact() refuse — staging is built from the plan, and the swap
+    // would silently destroy the unplanned file
+    val stale = Compaction.plan(spark, dir, 10L * 1024 * 1024, 5L * 1024 * 1024)
+    val lateFile = java.nio.file.Paths.get(dir, "part-late.parquet")
+    java.nio.file.Files.write(lateFile, Array.fill[Byte](64)(1))
+    val drift = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, stale)
+    }
+    assert(drift.getMessage.contains("changed since plan()"))
+    java.nio.file.Files.delete(lateFile)
+
     // a healthy directory (nothing under smallBytes) plans as a no-op
     // and compact() must not rewrite or republish anything
     val healthyPlan = Compaction.plan(spark, dir,
