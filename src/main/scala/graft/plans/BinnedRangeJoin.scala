@@ -44,7 +44,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    so `lo <= t <= hi` implies `lo div W <= t div W <= hi div W`:
   *    every qualifying pair meets in the point's bin — for negative
   *    values too (trunc ≠ floor only shifts WHICH bin holds a value,
-  *    identically on both sides).
+  *    identically on both sides; the one fan-out nuance is that
+  *    trunc's bin 0 spans 2W−1 values — twice floor's width — so
+  *    zero-straddling data sees a slightly hotter middle bucket,
+  *    never a wrong result. [[graft.operators.RangeJoin]] bins with
+  *    floor; the two paths' bin IDS differ on negatives while both
+  *    join correctly).
   *  - a pair meets in EXACTLY one bin (a point has one bin), so the
   *    rewrite needs no dedup.
   *  - inverted intervals (lo > hi) are filtered BEFORE sequence(),
@@ -57,26 +62,51 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * construction: the rewritten join HAS an equi-conjunct, so it can
   * never match again within the fixed-point batch.
   */
-object BinnedRangeJoinRule extends Rule[LogicalPlan] {
+object BinnedRangeJoinRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
-    val binWidth = conf.getConfString(BinWidthKey, "3600").toLong
-    require(binWidth > 0, s"$BinWidthKey must be positive, got $binWidth")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         extractRange(j, cond) match {
           case None => j
           case Some((t, lo, hi, pointsOnLeft)) =>
+        // conf parsed only when a rewrite actually fires — a typo'd
+        // value must fail THIS join's optimization with the key named,
+        // not every SELECT 1 in the session
+        def confLong(key: String, dflt: String): Long = {
+          val raw = conf.getConfString(key, dflt)
+          try raw.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"$key must be a long, got '$raw'")
+          }
+        }
+        val binWidth = confLong(BinWidthKey, "3600")
+        require(binWidth > 0, s"$BinWidthKey must be positive, got $binWidth")
+        // bins-per-interval cap: a mis-unitted binWidth (seconds conf
+        // on microsecond data) or a far-future sentinel hi would
+        // explode each interval into millions of bins and die as an
+        // opaque executor OOM / sequence-length error — fail loudly
+        // with the knob named instead
+        val maxBins = confLong(MaxBinsKey, "65536")
         val w = Literal(binWidth, LongType)
         val (points, intervals) = if (pointsOnLeft) (left, right) else (right, left)
 
         val binP = Alias(div(t, w), "__graft_bin_p")()
         val binnedPoints = Project(points.output :+ binP, points)
 
-        val liveIntervals = Filter(LessThanOrEqual(lo, hi), intervals)
+        val binCount = Add(Subtract(div(hi, w), div(lo, w)), Literal(1L, LongType))
+        val capOk = If(LessThanOrEqual(binCount, Literal(maxBins, LongType)),
+          Literal(true),
+          Cast(RaiseError(Literal(
+            s"graft range join: an interval spans more than $maxBins bins of width " +
+              s"$binWidth — check $BinWidthKey against the column's unit, or raise " +
+              s"$MaxBinsKey")), org.apache.spark.sql.types.BooleanType))
+        val liveIntervals = Filter(And(LessThanOrEqual(lo, hi), capOk), intervals)
         // constructed AFTER analysis, so the time-zone-aware Sequence
         // must be given its zone explicitly or the plan goes unresolved
         val seq = new Sequence(div(lo, w), div(hi, w), Some(Literal(1L, LongType)))
@@ -123,10 +153,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     // (EqualNullSafe plans to a hash key just like EqualTo — rewriting
     // such a join would only add a redundant Generate + second key)
     val hasEquiKey = conjuncts.exists {
-      case EqualTo(a, b) =>
-        (fromOnly(a, j.left) && fromOnly(b, j.right)) ||
-          (fromOnly(a, j.right) && fromOnly(b, j.left))
-      case EqualNullSafe(a, b) =>
+      // Equality matches EqualTo AND EqualNullSafe — both plan to a
+      // hash key
+      case Equality(a, b) =>
         (fromOnly(a, j.left) && fromOnly(b, j.right)) ||
           (fromOnly(a, j.right) && fromOnly(b, j.left))
       case _ => false
@@ -146,8 +175,6 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       .orElse(find(j.right, j.left, pointsOnLeft = false))
   }
 
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
-    case other => Seq(other)
-  }
+  // splitConjunctivePredicates comes from PredicateHelper — Catalyst's
+  // own And-splitter, not a private re-implementation
 }

@@ -110,4 +110,27 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(viaRule == viaOperator)
     }
   }
+
+  test("an interval spanning more bins than the cap fails loudly, naming the knob") {
+    // the mis-unitted-binWidth disease (seconds conf on microsecond
+    // data): each interval explodes into millions of bins and dies as
+    // an opaque OOM — the cap converts that into an actionable error
+    withRule(binWidth = 10L) {
+      spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, "3")
+      try {
+        val wide = Seq((1L, 0L, 1000L)).toDF("iid", "lo", "hi") // 101 bins > 3
+        val ex = intercept[Exception] {
+          points.join(wide, $"t" >= $"lo" && $"t" <= $"hi").collect()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(ex).exists(_.contains("maxBinsPerInterval")), ex.getMessage)
+        // narrow intervals under the same cap still work
+        assert(naive.collect().length == withRule(10L) {
+          spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, "1000")
+          points.join(intervals, $"t" >= $"lo" && $"t" <= $"hi").count().toInt
+        })
+      } finally spark.conf.unset(BinnedRangeJoinRule.MaxBinsKey)
+    }
+  }
 }
