@@ -288,6 +288,17 @@ object MergeConfig {
     * provenance is recorded LAST, so a mid-run crash leaves the
     * source unrecorded and the rerun's overwrites repair every
     * partially-written table. */
+  /** Canonical form of a store path for identity comparison: JDBC
+    * URLs compare verbatim; filesystem paths are stripped of trailing
+    * slashes and URI-normalized (dot segments, duplicate separators)
+    * so every spelling of the same directory triggers the sameStore
+    * pinning in [[execute]]. */
+  private[graft] def canonicalStore(p: String): String =
+    if (p.startsWith("jdbc:")) p
+    else new org.apache.hadoop.fs.Path(
+      p.reverse.dropWhile(_ == '/').reverse match { case "" => "/"; case s => s }
+    ).toUri.normalize.toString
+
   def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
     // an instance path starting with "jdbc:" is a LIVE database (the
     // reference's whole I/O surface is MySQL — connection.js:1): each
@@ -324,8 +335,12 @@ object MergeConfig {
       // table A mutates data that table B's still-lazy plan reads —
       // drop-and-recreate on JDBC, rename-swap on parquet. Under
       // sameStore every output frame is eagerly pinned below before
-      // the first publish runs.
-      val sameStore = cfg.output == cfg.destination.path
+      // the first publish runs. Compare NORMALIZED forms, not raw
+      // strings — a trailing slash or dot-segment spelling of the
+      // same directory would silently disable the pinning and let a
+      // rename-swap publish corrupt a sibling table's lazy plan
+      // (AtomicSnapshot/Compaction normalize the same hazard class).
+      val sameStore = canonicalStore(cfg.output) == canonicalStore(cfg.destination.path)
       def pin(df: DataFrame): DataFrame = if (sameStore) df.localCheckpoint(true) else df
       def publish(df: DataFrame, name: String): Unit =
         if (jdbcOut) graft.sources.Tables.JdbcSink(cfg.output, name).save(df, "overwrite")
@@ -350,6 +365,11 @@ object MergeConfig {
             Set.empty[String]
           }
         else AtomicSnapshot.readCurrent(spark, s"${cfg.output}/$registryName.parquet")
+          // pre-`.parquet`-suffix layouts wrote the registry at the
+          // bare name; ignoring it would lapse the source-once guard
+          // (a re-run would re-merge an already-processed source) and
+          // overwrite its provenance — fall back to the legacy path
+          .orElse(AtomicSnapshot.readCurrent(spark, s"${cfg.output}/$registryName"))
           .map(_.as[String].collect().toSet).getOrElse(Set.empty)
       if (processed(cfg.source.location))
         throw new IllegalStateException(s"Location ${cfg.source.location} already processed")

@@ -35,7 +35,11 @@ object EventStream {
     * stream 0.0), which beats one malformed record killing the
     * whole StreamingQuery. */
   private def e4Of(v: Double): Long =
-    if (v.isNaN || v.isInfinite || math.abs(v) >= 9e14) 0L
+    // 1e14 = the DECIMAL(18,4) integer-digit bound (14 digits): the
+    // batch cast NULLs |v| >= 1e14, so the stream must zero exactly
+    // there too — the wider longValueExact bound (9e14) would let
+    // [1e14, 9e14) values into sum_value that batch e1/e2 drop
+    if (v.isNaN || v.isInfinite || math.abs(v) >= 1e14) 0L
     else java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .movePointRight(4).longValueExact()

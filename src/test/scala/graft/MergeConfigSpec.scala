@@ -168,6 +168,64 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(reg == Set("instanceB", "instanceC"))
   }
 
+  test("sameStore detection survives non-canonical spellings (trailing slash, dot segments)") {
+    import graft.merge.MergeConfig.canonicalStore
+    // every spelling of the same directory must canonicalize equal —
+    // a miss silently disables the eager pinning that protects an
+    // in-place merge from reading its own rename-swapped outputs
+    assert(canonicalStore("/tmp/out/") == canonicalStore("/tmp/out"))
+    assert(canonicalStore("/tmp/out///") == canonicalStore("/tmp/out"))
+    assert(canonicalStore("/tmp//out") == canonicalStore("/tmp/out"))
+    assert(canonicalStore("/tmp/./out") == canonicalStore("/tmp/out"))
+    assert(canonicalStore("/tmp/x/../out") == canonicalStore("/tmp/out"))
+    // distinct directories stay distinct
+    assert(canonicalStore("/tmp/out2") != canonicalStore("/tmp/out"))
+    // JDBC URLs compare verbatim (no filesystem semantics)
+    assert(canonicalStore("jdbc:derby:memory:a") == "jdbc:derby:memory:a")
+    // and the in-place sequential merge WORKS when spelled with a
+    // trailing slash (exercises the pinning path end-to-end)
+    val (srcDir, destDir, outDir) = writeInstances()
+    MergeConfig.execute(spark,
+      MergeConfig.fromJson(configJson(srcDir, destDir, outDir, genUuids = false)),
+      dryRun = false)
+    val src2 = s"${java.nio.file.Files.createTempDirectory("graft-cfg-slash")}/src2"
+    Seq((7L, "delta", "u7")).toDF("id", "name", "uuid")
+      .write.parquet(s"$src2/parent.parquet")
+    Seq((700L, 7L, "w")).toDF("id", "parent_id", "payload")
+      .write.parquet(s"$src2/child.parquet")
+    val cfg2 = MergeConfig.fromJson(
+      configJson(src2, outDir, s"$outDir/", genUuids = false) // output spelled with "/"
+        .replace(""""location": "instanceB"""", """"location": "instanceC""""))
+    MergeConfig.execute(spark, cfg2, dryRun = false)
+    assert(spark.read.parquet(s"$outDir/parent.parquet").count() == 4)
+  }
+
+  test("registry read falls back to a legacy unsuffixed _merge_sources layout") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    // a previous-build output dir: registry at the BARE name (no
+    // .parquet suffix) already records instanceB
+    Seq("instanceB").toDF("location")
+      .write.parquet(s"$outDir/_merge_sources")
+    val cfg = MergeConfig.fromJson(configJson(srcDir, destDir, outDir, genUuids = false))
+    // without the fallback this re-run would silently re-merge
+    val ex = intercept[IllegalStateException] {
+      MergeConfig.execute(spark, cfg, dryRun = false)
+    }
+    assert(ex.getMessage.contains("instanceB already processed"))
+    // a location NOT in the legacy registry still merges fine; the
+    // write-back MIGRATES legacy provenance into the suffixed
+    // registry (union of prior processed + new location), which then
+    // takes precedence on the next read
+    val cfgC = MergeConfig.fromJson(
+      configJson(srcDir, destDir, outDir, genUuids = false)
+        .replace(""""location": "instanceB"""", """"location": "instanceC""""))
+    MergeConfig.execute(spark, cfgC, dryRun = false)
+    val reg = graft.sources.AtomicSnapshot
+      .readCurrent(spark, s"$outDir/_merge_sources.parquet").get
+      .collect().map(_.getString(0)).toSet
+    assert(reg == Set("instanceB", "instanceC"))
+  }
+
   test("groupFkRows: unnamed FKs split per KEY_SEQ run, composites stay grouped") {
     // (fkName, keySeq, fkCol, pkTable, pkCol) rows as getImportedKeys
     // serves them: ordered, KEY_SEQ restarting at 1 per constraint.

@@ -263,6 +263,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize value guard matches the batch DECIMAL(18,4) range exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_guard")
+      .outputMode("append").start()
+    try {
+      // 5e14 is inside the old longValueExact bound (9e14) but OUTSIDE
+      // DECIMAL(18,4)'s 14 integer digits — the batch cast NULLs it,
+      // so the stream must contribute 0, not 5e14; 9.9e13 is in range
+      // on both sides and must survive
+      input.addData(Ev(1L, ts(0), 5e14), Ev(1L, ts(1), 2.5),
+        Ev(2L, ts(0), 9.9e13))
+      q.processAllAvailable()
+      input.addData(Ev(3L, ts(5000), 0.0)) // watermark seal
+      q.processAllAvailable()
+      val got = spark.table("sessions_guard").as[EventStream.SessionOut]
+        .collect().map(s => s.user_id -> s.sum_value).toMap
+      assert(got(1L) == 2.5)
+      assert(got(2L) == 9.9e13)
+    } finally q.stop()
+  }
+
   test("sessionize merges an in-watermark late event into a timeline-closed session") {
     // the append-mode divergence case: event A, then B past the gap
     // (A "closes" on the timeline), then a LATE event between them
