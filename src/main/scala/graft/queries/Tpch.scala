@@ -1230,22 +1230,28 @@ object Tpch {
     *
     * Scale shape: NO global sort of customers. Customers aggregate
     * once (one shuffle), then collapse to a (rev_cents → n_customers)
-    * HISTOGRAM; ranks, deciles and shares all derive from cumulative
-    * counts over that value-bounded histogram (q25's histogram-first
-    * convention) — a whole value-group lands in the decile of its
-    * first rank, deterministically. Share quotients stage through
-    * DECIMAL(38,0)/HUGEINT (w7's convention). */
+    * HISTOGRAM — but rev_cents is a per-customer SUM, so the histogram
+    * is customer-cardinality, not domain-bounded: cumulative ranks go
+    * through [[graft.operators.PrefixSum.blockCum]]'s two-level
+    * exclusive prefix sum (t12's shape) instead of one global window —
+    * the only unpartitioned windows left are the ≤#blocks offset frame
+    * and the ≤10-row decile share. A whole value-group lands in the
+    * decile of its first rank, deterministically. Share quotients
+    * stage through DECIMAL(38,0)/HUGEINT (w7's convention). */
   def q33Pareto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val custRev = Tables.read(spark, dir, "orders")
-      .groupBy($"o_custkey")
-      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
-    val hist = custRev.groupBy($"rev_cents").agg(count(lit(1)).as("n_cust"))
-    val cum = Window.orderBy($"rev_cents".desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // memoized: blockCum's two consumers + the totals frame would
+    // otherwise each re-derive the two-level orders aggregation
+    val hist = graft.operators.Indexes.memo(s"q33_hist:$dir") {
+      Tables.read(spark, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+        .groupBy($"rev_cents").agg(count(lit(1)).as("n_cust"))
+    }
     val tot = hist.agg(sum($"n_cust").as("n"),
       sum($"rev_cents" * $"n_cust").as("grand_cents"))
-    hist.withColumn("cum", sum($"n_cust").over(cum))
+    graft.operators.PrefixSum.blockCum(hist, "rev_cents", "n_cust", "cum",
+        descending = true)
       .crossJoin(broadcast(tot))
       .withColumn("decile", expr("((cum - n_cust) * 10) DIV n"))
       .groupBy($"decile")
@@ -1788,15 +1794,17 @@ object Tpch {
     * Quartile thresholds use percentile_disc semantics — smallest
     * value whose cumulative count reaches ceil(q·n/4) — computed
     * q25-style from a value histogram, NEVER a global sort of
-    * customers: the only ordered pass is over the (value → count)
-    * histogram (customer-bounded worst case, q33's whitelisted
-    * shape), and ties land whole value-groups in one quartile
+    * customers; ties land whole value-groups in one quartile
     * deterministically on both engines.
     *
     * Scale shape: ONE orders scan → customer-sized rollup; three
     * histogram→threshold chains re-aggregate THAT frame; thresholds
     * come back as a 1-row broadcast (m6 convention) and the segment
-    * rollup map-side-combines to ≤64 rows. */
+    * rollup map-side-combines to ≤64 rows. The mon_cents histogram is
+    * customer-cardinality (per-customer sums), so each chain's
+    * cumulative counts run through
+    * [[graft.operators.PrefixSum.blockCum]] — the only unpartitioned
+    * windows are the ≤#blocks offset frames. */
   def q36Rfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
@@ -1814,12 +1822,15 @@ object Tpch {
         .withColumn("recency", $"corpus_day" - $"last_day")
     }
 
-    // percentile_disc quartile thresholds of one column, as 1 row
+    // percentile_disc quartile thresholds of one column, as 1 row.
+    // mon_cents is a per-customer SUM (customer-cardinality histogram,
+    // q33's hazard), so cumulative counts go through blockCum's
+    // two-level prefix sum — recency/freq are domain-bounded and just
+    // collapse to one (still partitioned) block under the same plan
     def thr(c: String): DataFrame = {
       val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      val cum = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
       val tot = hist.agg(sum($"cnt").as("n"))
-      hist.withColumn("cum", sum($"cnt").over(cum))
+      graft.operators.PrefixSum.blockCum(hist, "v", "cnt", "cum")
         .crossJoin(broadcast(tot))
         .agg(min(when($"cum" >= expr("(n + 3) DIV 4"), $"v")).as(s"${c}_t1"),
           min(when($"cum" >= expr("(2 * n + 3) DIV 4"), $"v")).as(s"${c}_t2"),

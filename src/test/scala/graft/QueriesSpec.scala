@@ -113,11 +113,11 @@ class QueriesSpec extends AnyFunSuite {
       "q31_sample_quant", // cum counts over the price-DOMAIN-bounded histogram (q25's argument, global)
       "e21_churn",      // share over the ≤4-row recency-bucket agg
       "s22_ivf_balance", // share/ratio over the kc-row cell-size agg
-      "q33_pareto",     // cum ranks over the revenue-DOMAIN-bounded histogram + cum share over the ≤10-row decile frame
+      "q33_pareto",     // blockCum level-2 offsets (≤#blocks) + cum share over the ≤10-row decile frame
       "s24_ood_flags",  // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
       "q34_skyline",    // strictly-later running min over the date-DOMAIN-bounded front candidates
       "e26_hazard",     // at-risk cumulative counts over the weeks-bounded calendar
-      "q36_rfm"         // quartile cum counts over three value histograms of the memoized customer rollup (q33's shape)
+      "q36_rfm"         // three blockCum level-2 offset frames (≤#blocks aggregate rows each)
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
@@ -132,6 +132,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(offenders == whitelist,
       s"global-window set drifted: unexpected=${(offenders -- whitelist).toSeq.sorted}, " +
         s"stale=${(whitelist -- offenders).toSeq.sorted}")
+  }
+
+  test("q33/q36 never feed an entity-derived sum through an unpartitioned window") {
+    // the round-7 weak-plan class: rev_cents/mon_cents are per-CUSTOMER
+    // sums, so a histogram keyed by them is customer-cardinality and a
+    // global Window.orderBy over it serializes customers through one
+    // task. After the blockCum rewrite the only unpartitioned windows
+    // left may order by the block id (≤#blocks aggregate rows) or the
+    // ≤10-row decile key — pin that exact set so the hazard cannot
+    // come back under any column spelling.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    for (name <- Seq("q33_pareto", "q36_rfm")) {
+      val orderCols = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            w.orderSpec.flatMap(_.child.collect { case a: Attribute => a.name })
+        }.flatten.toSet
+      assert(orderCols.subsetOf(Set("__blk", "decile")),
+        s"$name global-window order keys drifted: $orderCols")
+    }
+  }
+
+  test("blockCum equals the single global window, asc and desc, negatives included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{sum => fsum, col}
+    // distinct values spanning negatives and several 2^8 blocks
+    val hist = Seq((-700L, 3L), (-2L, 1L), (0L, 5L), (255L, 2L),
+      (256L, 7L), (999L, 4L), (100000L, 6L)).toDF("v", "cnt")
+      .localCheckpoint(true) // blockCum consumes it twice
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("v").desc else col("v").asc
+      val want = hist.withColumn("cum", fsum(col("cnt")).over(
+          Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, 0)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val got = operators.PrefixSum.blockCum(hist, "v", "cnt", "cum",
+          descending = desc, blockShift = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"desc=$desc")
+    }
   }
 
   test("no registered query rescans a base table beyond its pinned bound") {
