@@ -50,8 +50,9 @@ object Compaction {
     * REFUSES a directory with data subdirectories (a partitioned
     * layout): plan/compact operate on ONE leaf directory, and a
     * publish that only carried the top-level files would silently
-    * destroy every partition subtree at the final swap. Compact each
-    * leaf partition individually instead. */
+    * destroy every partition subtree at the final swap. Partitioned
+    * tables go through [[planPartitioned]]/[[compactPartitioned]],
+    * which walk the layout and run this per leaf. */
   private def listParts(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -180,5 +181,108 @@ object Compaction {
     val p = plan(spark, dir, targetBytes, smallBytes)
     val n = compact(spark, dir, p)
     (p, n)
+  }
+
+  // ---------------------------------------------------------------
+  // Partitioned (Hive `key=value` directory) layouts
+  // ---------------------------------------------------------------
+
+  /** One partition's compaction decision; `partition` is the
+    * root-relative spec path (`dt=2024-01-01/hr=3`, "" for an
+    * unpartitioned root). */
+  final case class PartPlan(partition: String, plan: Plan)
+
+  /** Whole-table decision: one [[Plan]] per leaf partition directory.
+    * Partitions whose plan is a no-op are left physically untouched by
+    * [[compactPartitioned]] — rewrite cost stays proportional to the
+    * damage, never the table. */
+  final case class PartitionedPlan(parts: Seq[PartPlan]) {
+    def damaged: Seq[PartPlan] = parts.filterNot(_.plan.isNoop)
+    def isNoop: Boolean = damaged.isEmpty
+  }
+
+  /** Leaf data directories of a (possibly nested) Hive-partitioned
+    * table, as root-relative paths. Descends ONLY `key=value`-named
+    * subdirectories — any other subdirectory is an unknown layout and
+    * refuses loudly, as does a directory mixing data files with
+    * partition subdirs, or a `__staging`/`__prev` leftover (a crashed
+    * compaction to recover by hand before planning anew). An
+    * unpartitioned root is its own single leaf (""). */
+  private def leafDirs(spark: SparkSession, root: String): Seq[String] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path, rel: String): Seq[String] = {
+      val all = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      val leftovers = all.filter(s => s.getPath.getName.endsWith("__staging")
+        || s.getPath.getName.endsWith("__prev"))
+      require(leftovers.isEmpty,
+        s"Compaction: crashed-compaction leftover under $p " +
+          s"(${leftovers.map(_.getPath.getName).mkString(", ")}) — recover before re-planning")
+      val (dirs, files) = all.partition(_.isDirectory)
+      if (dirs.isEmpty) { if (files.nonEmpty) Seq(rel) else Seq.empty }
+      else {
+        require(files.isEmpty,
+          s"Compaction: $p mixes data files with subdirectories — not a partitioned layout")
+        val odd = dirs.filterNot(_.getPath.getName.contains("="))
+        require(odd.isEmpty,
+          s"Compaction: $p has non-partition subdirectories " +
+            s"(${odd.take(3).map(_.getPath.getName).mkString(", ")}) — unknown layout")
+        dirs.sortBy(_.getPath.getName).flatMap(d =>
+          walk(d.getPath, if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}"))
+      }
+    }
+    walk(rp, "")
+  }
+
+  /** FFD-plan every leaf partition of a Hive layout (or the bare root
+    * when unpartitioned). The listing is one metadata pass per leaf —
+    * the same work any partition-pruned scan performs. */
+  def planPartitioned(spark: SparkSession, rawDir: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      smallBytes: Long = 32L * 1024 * 1024): PartitionedPlan = {
+    val dir = rawDir.reverse.dropWhile(_ == '/').reverse
+    PartitionedPlan(leafDirs(spark, dir).map { rel =>
+      val leaf = if (rel.isEmpty) dir else s"$dir/$rel"
+      PartPlan(rel, plan(spark, leaf, targetBytes, smallBytes))
+    })
+  }
+
+  /** Execute a [[PartitionedPlan]]: each damaged leaf partition runs
+    * the full single-directory protocol — drift re-list guard, FFD
+    * groups rewritten concurrently, park-then-rename atomic publish —
+    * against ITS OWN directory, so readers of any partition see either
+    * its old layout or its new one, never a mix, and healthy
+    * partitions are never touched (their directories keep their
+    * mtimes). Cross-partition atomicity is deliberately NOT promised:
+    * partition directories are independent publish units in every
+    * lakehouse layout, and holding the whole table for one swap would
+    * serialize the wave. A partition that changed since planning fails
+    * ITS swap loudly (stale-plan guard) without blocking the rest —
+    * failures are collected and rethrown after the wave. Returns
+    * per-partition published file counts for the compacted set. */
+  def compactPartitioned(spark: SparkSession, rawDir: String,
+                         pplan: PartitionedPlan): Map[String, Int] = {
+    val dir = rawDir.reverse.dropWhile(_ == '/').reverse
+    val results = pplan.damaged.map { pp =>
+      val leaf = if (pp.partition.isEmpty) dir else s"$dir/${pp.partition}"
+      pp.partition -> scala.util.Try(compact(spark, leaf, pp.plan))
+    }
+    val failures = results.collect { case (part, scala.util.Failure(e)) => (part, e) }
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"Compaction: ${failures.size}/${results.size} partitions failed " +
+          s"(first: ${failures.head._1}: ${failures.head._2.getMessage})",
+        failures.head._2)
+    results.collect { case (part, scala.util.Success(n)) => part -> n }.toMap
+  }
+
+  /** Plan + execute a partitioned (or flat) table with default
+    * thresholds; returns the plan and per-partition file counts. */
+  def compactTree(spark: SparkSession, dir: String,
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  smallBytes: Long = 32L * 1024 * 1024): (PartitionedPlan, Map[String, Int]) = {
+    val p = planPartitioned(spark, dir, targetBytes, smallBytes)
+    (p, compactPartitioned(spark, dir, p))
   }
 }

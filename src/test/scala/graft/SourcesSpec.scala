@@ -155,6 +155,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(filesBefore == filesAfter, "no-op compaction must leave the dir untouched")
   }
 
+  test("compaction: partitioned layout compacts per leaf; healthy partitions untouched") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/li"
+    // a dt=-partitioned table where SOME partitions are shattered:
+    // flag R shatters into 32 tiny files, A and N stay one healthy
+    // file each (per-partition damage, the real lakehouse shape)
+    val li = Tables.read(spark, sf, "lineitem")
+    li.filter(col("l_returnflag") === "R").repartition(32)
+      .write.parquet(s"$dir/dt=R")
+    li.filter(col("l_returnflag") === "A").coalesce(1).write.parquet(s"$dir/dt=A")
+    li.filter(col("l_returnflag") === "N").coalesce(1).write.parquet(s"$dir/dt=N")
+    val expectRows = li.count()
+    val checksum = li.agg(fsum(col("l_orderkey") * col("l_linenumber"))).head.getLong(0)
+
+    // the single-directory surface still refuses the root loudly
+    val refuse = intercept[IllegalArgumentException] {
+      Compaction.plan(spark, dir, 10L * 1024 * 1024, 5L * 1024 * 1024)
+    }
+    assert(refuse.getMessage.contains("partition subdirectories"))
+
+    val pplan = Compaction.planPartitioned(spark, dir,
+      targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024)
+    assert(pplan.parts.map(_.partition).sorted == Seq("dt=A", "dt=N", "dt=R"))
+    // only the shattered partition is damaged
+    assert(pplan.damaged.map(_.partition) == Seq("dt=R"))
+
+    val healthyBefore = Seq("dt=A", "dt=N").map { p =>
+      p -> new java.io.File(s"$dir/$p").listFiles.filter(_.isFile)
+        .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val counts = Compaction.compactPartitioned(spark, dir, pplan)
+    assert(counts.keySet == Set("dt=R") && counts("dt=R") < 32)
+    // healthy partitions byte-for-byte untouched (names + mtimes)
+    healthyBefore.foreach { case (p, before) =>
+      val after = new java.io.File(s"$dir/$p").listFiles.filter(_.isFile)
+        .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+      assert(after == before, s"$p was touched")
+    }
+    // whole-table identity through the partition-aware reader
+    val back = spark.read.option("basePath", dir).parquet(s"$dir/dt=A", s"$dir/dt=N", s"$dir/dt=R")
+    assert(back.count() == expectRows)
+    assert(back.agg(fsum(col("l_orderkey") * col("l_linenumber"))).head.getLong(0) == checksum)
+
+    // a second planning pass over the compacted tree is a no-op
+    assert(Compaction.planPartitioned(spark, dir,
+      targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024).isNoop)
+
+    // non-partition subdirectory → unknown layout, loud refusal
+    val odd = new java.io.File(s"$dir/not_a_partition")
+    odd.mkdirs()
+    java.nio.file.Files.write(odd.toPath.resolve("x.parquet"), Array.fill[Byte](8)(1))
+    val unknown = intercept[IllegalArgumentException] {
+      Compaction.planPartitioned(spark, dir, 10L * 1024 * 1024, 5L * 1024 * 1024)
+    }
+    assert(unknown.getMessage.contains("non-partition subdirectories"))
+  }
+
   test("csv, json and orc sources round-trip the nation table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cj").toString
     val df = Tables.read(spark, sf, "nation")
