@@ -551,6 +551,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // conf-gated interval-join rewrite (see graft.plans.BinnedRangeJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // conf-gated naive-as-of rewrite (see graft.plans.AsofJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinRule)
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

@@ -272,6 +272,49 @@ object Events {
   /** e9 oracle: the same naive BETWEEN join DuckDB plans natively. */
   val e9Sql: String = e7Sql
 
+  /** e36: e6's as-of workload written the way a USER writes it — the
+    * exploded history join winnowed by `row_number() = 1` — made
+    * scale-safe by the OPTIMIZER ([[graft.plans.AsofJoinRule]] via
+    * `GraftExtensions`), e9's pattern for the temporal operator: the
+    * Σ|clicks ≤ purchase| blowup becomes the union+window plan with
+    * no operator-API call in sight. Scoped `newSession()` for the
+    * same reason as e9 (lazy planning; no conf leak). The naive
+    * inner idiom drops clickless purchases, so the oracle is DuckDB's
+    * native INNER `ASOF JOIN` (e6 is the LEFT variant). */
+  def e36AutoAsof(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set(graft.plans.AsofJoinRule.EnabledKey, "true")
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id".as("c_user"), $"ts".as("click_ts"))
+      .agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    purchases.join(clicks, $"user_id" === $"c_user" && $"click_ts" <= $"ts")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy($"click_ts".desc, $"click_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("purchase_ts_us"),
+        $"click_id".as("asof_click_id"),
+        unix_micros($"click_ts").as("click_ts_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** e36 oracle: the inner native as-of join. */
+  val e36Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+      |  c.click_id AS asof_click_id, epoch_us(c.ts) AS click_ts_us
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   /** e8: cohort retention — users grouped into daily cohorts by their
     * first activity date; the matrix counts how many of each cohort
     * were active again k days later (the product-analytics retention
