@@ -112,4 +112,29 @@ object SketchFunctions {
     * the KMV sketch state, as an aggregate Column. */
   def kmvMins(c: Column, k: Int): Column =
     Bridge.column(KmvMinsAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Codegen'd membership probe of a driver-built
+    * `org.apache.spark.util.sketch.BloomFilter` — Spark's own
+    * `BloomFilterMightContain` (the expression behind injected runtime
+    * filters) over the serialized bits as a binary literal, probing
+    * `xxhash64(value)`. The filter MUST therefore have been built over
+    * `xxhash64(value)` longs (`putLong`/`mightContainLong` are the
+    * consistent pair); the extra 64-bit hash layer can only turn a
+    * miss into a spurious hit — the same one-sided error as the
+    * filter itself. Replaces the per-row Scala-UDF probe: the whole
+    * predicate stays inside WholeStageCodegen, and the filter is
+    * deserialized once per task, not boxed per row. NULL values
+    * probe as false (a null never matched the old join either). */
+  def bloomMightContainHashed(bf: org.apache.spark.util.sketch.BloomFilter,
+                              value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val probe = Bridge.column(BloomFilterMightContain(
+      // seed 42 = the xxhash64() SQL function's default, which the
+      // build side uses
+      Literal(os.toByteArray), XxHash64(Seq(Bridge.expression(value)), 42L)))
+    org.apache.spark.sql.functions.when(value.isNotNull, probe)
+      .otherwise(org.apache.spark.sql.functions.lit(false))
+  }
 }

@@ -534,12 +534,15 @@ object TextAnalysis {
     *
     * Deterministic for a fixed train set + sizing (Spark's Bloom
     * hashing is seedless), so the parity spec is exact-repeatable.
-    * The probe is a broadcast-bitset lookup behind a scala UDF — the
-    * documented external-object boundary (like the mm decode): the
-    * avoided train-shingle shuffle dwarfs the codegen loss, and no
-    * built-in expression can address a driver-built sketch.
-    * `expectedItems < 0` sizes the filter from a train-side distinct
-    * count (one aggregate job, part of the index build). */
+    * The filter is built over `xxhash64(sh)` longs and probed by the
+    * codegen'd [[graft.functions.SketchFunctions.bloomMightContainHashed]]
+    * (Spark's own `BloomFilterMightContain`, the runtime-filter
+    * expression) — no per-row UDF, the whole predicate stays inside
+    * WholeStageCodegen; the extra 64-bit hash layer only ever turns a
+    * miss into a spurious hit, the same one-sided error direction as
+    * the filter. `expectedItems < 0` sizes the filter from a
+    * train-side distinct count (one aggregate job, part of the index
+    * build). */
   def t11ContaminationBloom(spark: SparkSession, dir: String,
                             fpp: Double = 0.01,
                             expectedItems: Long = -1L): DataFrame = {
@@ -553,14 +556,13 @@ object TextAnalysis {
     // that dominates the index build runs once, then release
     if (expectedItems <= 0) trainSh.persist()
     val items = if (expectedItems > 0) expectedItems else math.max(trainSh.count(), 1L)
-    val bf = trainSh.stat.bloomFilter("sh", items, fpp)
+    val bf = trainSh.select(xxhash64($"sh").as("h")).stat.bloomFilter("h", items, fpp)
     if (expectedItems <= 0) trainSh.unpersist(blocking = false)
-    val bc = spark.sparkContext.broadcast(bf)
-    val hit = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val hit = graft.functions.SketchFunctions.bloomMightContainHashed(bf, $"sh")
     withSplit.filter($"split" === "test")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(hit($"sh"), 1L).otherwise(0L)).as("n_contaminated"))
+        sum(when(hit, 1L).otherwise(0L)).as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
         halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
       .orderBy("doc_id")

@@ -415,6 +415,12 @@ class DedupTextSpec extends AnyFunSuite {
         .count(l => l.contains("Join") && !l.contains("ReusedExchange"))
     assert(joins(TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp)) == 1)
     assert(joins(TextAnalysis.t11Contamination(spark, sf)) >= 2)
+    // the probe is Spark's codegen'd BloomFilterMightContain, not a
+    // per-row Scala UDF — the predicate stays in WholeStageCodegen
+    val bloomPlan = TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp)
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("UDF"), "bloom probe regressed to a UDF")
+    assert(bloomPlan.contains("might_contain"), bloomPlan.take(2000))
     // deterministic: same train set + sizing → bit-identical filter
     val again = TextAnalysis.t11ContaminationBloom(spark, sf, fpp = fpp).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_contaminated"))).toMap
