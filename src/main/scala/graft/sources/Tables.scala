@@ -150,12 +150,23 @@ object Tables {
     * which 100 TB must pass). The spec is a plain value so the option
     * set is unit-testable without a live database — no MySQL exists in
     * this environment; `load` is exercised only against real DBs. */
+  /** Identifier quoting for hand-built SQL and `dbtable` strings,
+    * routed through Spark's own per-URL dialect registry
+    * (`JdbcDialects.get`): backticks on `jdbc:mysql:` (the
+    * reference's engine), ANSI double quotes on Derby and everything
+    * else — the same resolution Spark's JDBC connector applies to
+    * column identifiers and type mapping at read/write time, so the
+    * graft surface never hard-codes one engine's spelling. */
+  def quoteIdent(url: String, ident: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(ident)
+
   final case class JdbcSource(url: String, table: String, partitionColumn: String,
                               lowerBound: Long, upperBound: Long, numPartitions: Int,
-                              extraOptions: Map[String, String] = Map.empty) {
+                              extraOptions: Map[String, String] = Map.empty,
+                              quoted: Boolean = false) {
     def options: Map[String, String] = Map(
       "url" -> url,
-      "dbtable" -> table,
+      "dbtable" -> (if (quoted) quoteIdent(url, table) else table),
       "partitionColumn" -> partitionColumn,
       "lowerBound" -> lowerBound.toString,
       "upperBound" -> upperBound.toString,
@@ -193,26 +204,48 @@ object Tables {
                     numPartitions: Int = 8): DataFrame = {
     def lowered(df: DataFrame): DataFrame =
       df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
-    val bounds = partitionColumn.flatMap { c =>
+    // identifiers go into the SQL unquoted FIRST (the reference's
+    // spelling: case-insensitive resolution on Derby/MySQL — quoting
+    // would pin the config's case against the engine's stored case),
+    // and fall back to the url-dialect's quoting when the engine
+    // rejects that (reserved-word table names like `order`, quoted
+    // mixed-case DDL)
+    def bounds(t: String, c: String): Option[(Long, Long)] = {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         val rs = conn.createStatement()
-          .executeQuery(s"SELECT min($c), max($c) FROM $table")
+          .executeQuery(s"SELECT min($c), max($c) FROM $t")
         rs.next()
         val (lo, hi) = (rs.getLong(1), rs.getLong(2))
-        if (rs.wasNull()) None else Some((c, lo, hi))
-      } catch {
-        // a non-numeric partition column (uuid/varchar key) must take
-        // the documented single-partition fallback, not abort the read
-        case _: java.sql.SQLException => None
+        if (rs.wasNull()) None else Some((lo, hi))
       } finally conn.close()
     }
-    bounds match {
-      case Some((c, lo, hi)) =>
-        lowered(JdbcSource(url, table, c, lo, math.max(hi, lo + 1), numPartitions).load(spark))
+    val resolved = partitionColumn.flatMap { c =>
+      // the partitionColumn stays PLAIN either way: Spark resolves it
+      // against the schema by name and applies the dialect's quoting
+      // itself when building the range predicates
+      try bounds(table, c).map(b => (table, c, b))
+      catch {
+        case _: java.sql.SQLException =>
+          try bounds(quoteIdent(url, table), quoteIdent(url, c))
+            .map(b => (quoteIdent(url, table), c, b))
+          catch {
+            // a non-numeric partition column (uuid/varchar key) must
+            // take the documented single-partition fallback, not
+            // abort the read
+            case _: java.sql.SQLException => None
+          }
+      }
+    }
+    resolved match {
+      case Some((t, c, (lo, hi))) =>
+        lowered(JdbcSource(url, t, c, lo, math.max(hi, lo + 1), numPartitions).load(spark))
       case None =>
-        lowered(spark.read.format("jdbc")
-          .option("url", url).option("dbtable", table).load())
+        def plain(t: String) = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", t).load()
+        lowered(
+          try plain(table)
+          catch { case _: Exception => plain(quoteIdent(url, table)) })
     }
   }
 
@@ -225,10 +258,11 @@ object Tables {
   final case class JdbcSink(url: String, table: String,
                             batchSize: Int = 500, isolationLevel: String = "READ_COMMITTED",
                             truncate: Boolean = false,
-                            extraOptions: Map[String, String] = Map.empty) {
+                            extraOptions: Map[String, String] = Map.empty,
+                            quoted: Boolean = false) {
     def options: Map[String, String] = Map(
       "url" -> url,
-      "dbtable" -> table,
+      "dbtable" -> (if (quoted) quoteIdent(url, table) else table),
       "batchsize" -> batchSize.toString,
       "isolationLevel" -> isolationLevel,
       "truncate" -> truncate.toString

@@ -275,4 +275,49 @@ class JdbcMergeSpec extends AnyFunSuite {
     val back = Tables.jdbcTableAuto(spark, destUrl, "customer_merged", Some("c_custkey"))
     assert(rows(back) == rows(merged))
   }
+
+  test("dialect quoting: per-URL resolution and the MySQL spellings, no live server needed") {
+    // identifier quoting and type mapping ride Spark's own JdbcDialects
+    // registry — the graft surface must pick the URL's dialect, never
+    // hard-code one engine's spelling. MySQL (the reference's engine,
+    // connection.js:1) backticks; Derby and the default dialect use
+    // ANSI double quotes.
+    assert(Tables.quoteIdent("jdbc:mysql://host/db", "order") == "`order`")
+    assert(Tables.quoteIdent("jdbc:derby:memory:x", "order") == "\"order\"")
+    // quoted=true embeds the dialect-quoted name in the dbtable option
+    assert(Tables.JdbcSource("jdbc:mysql://h/db", "order", "id", 0, 10, 4,
+      quoted = true).options("dbtable") == "`order`")
+    assert(Tables.JdbcSink("jdbc:mysql://h/db", "order", quoted = true)
+      .options("dbtable") == "`order`")
+    assert(Tables.JdbcSink("jdbc:derby:memory:x", "order", quoted = true)
+      .options("dbtable") == "\"order\"")
+    // type mapping is the dialect's too (the sink never hand-maps):
+    // spot-pin MySQL's divergent definitions so a regression to the
+    // generic mapping cannot land silently
+    val mysql = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://h/db")
+    import org.apache.spark.sql.types.{BooleanType, StringType => SStr}
+    assert(mysql.getJDBCType(SStr).map(_.databaseTypeDefinition).contains("LONGTEXT"))
+    assert(mysql.getJDBCType(BooleanType).map(_.databaseTypeDefinition).contains("BIT(1)"))
+  }
+
+  test("reserved-word table survives end to end: quoted sink DDL + auto-reader quoting fallback") {
+    import spark.implicits._
+    val (base, _, _, _, _) = env
+    val url = s"jdbc:derby:$base/dbQuoted;create=true"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    // `order` is reserved in Derby (and MySQL): the unquoted spelling
+    // is a syntax error, so the sink must pass the dialect-quoted name
+    // and Spark's writer creates it with quoted (case-exact) columns
+    Tables.JdbcSink(url, "order", quoted = true).save(df, "overwrite")
+    // the auto reader gets the LOGICAL name; its unquoted bounds query
+    // fails (reserved word AND case-exact columns), so the documented
+    // fallback re-issues it dialect-quoted and still range-partitions
+    val back = Tables.jdbcTableAuto(spark, url, "order", Some("id"), numPartitions = 3)
+    // >1 proves the range-partitioned path (the no-bounds fallback is
+    // single-partition); Spark clamps the count on a tiny id range
+    assert(back.rdd.getNumPartitions > 1, "quoting fallback lost the parallel read")
+    assert(back.columns.toSeq == Seq("id", "payload"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
