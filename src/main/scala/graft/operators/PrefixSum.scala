@@ -48,6 +48,32 @@ object PrefixSum {
     * order counts) collapse to one block, which is the small case the
     * global window was already fine for — still partitioned, so the
     * plan gate sees no unpartitioned data-sized window either way. */
+  /** The histogram-first DOMAIN CONTRACT, and its escape hatch.
+    *
+    * Every histogram-first operator (q25/q30/q31/q32's convention:
+    * collapse the fact table to a `(group, value) → count` histogram,
+    * then rank/quantile over the histogram) is sound ONLY while the
+    * histogram is value-DOMAIN-bounded — discrete quantities, prices
+    * in cents, day counts. A high-cardinality value column (raw
+    * doubles, per-entity sums, micro-timestamps) silently degrades
+    * the "histogram" back to fact-cardinality: the first aggregation
+    * buys nothing and the ordered pass inherits the full data size.
+    *
+    * `quantize` is the documented knob for that case: floor the value
+    * to multiples of `quantum` BEFORE the histogram groupBy, bounding
+    * the histogram at domain/quantum rows per group. percentile_disc
+    * over the quantized histogram returns the true percentile's
+    * bucket floor — within `quantum` below-or-equal the exact answer
+    * (the standard accuracy/size trade every t-digest/bucketed
+    * quantile makes, here with a deterministic, oracle-reproducible
+    * rule). Negative-safe: `v − pmod(v, quantum)` floors toward −∞ on
+    * both engines, unlike a truncating DIV. */
+  def quantize(value: Column, quantum: Long): Column = {
+    require(quantum >= 1, s"quantum must be >= 1, got $quantum")
+    if (quantum == 1L) value
+    else value - pmod(value, lit(quantum))
+  }
+
   def blockCum(df: DataFrame, v: String, cnt: String, cumName: String,
                descending: Boolean = false, blockShift: Int = 22): DataFrame = {
     require(blockShift > 0 && blockShift < 63, s"blockShift out of range: $blockShift")

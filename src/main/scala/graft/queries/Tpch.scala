@@ -1112,13 +1112,22 @@ object Tpch {
     * bucketed metrics), then run the cumulative window and rank
     * selection on the tiny histogram. Rank arithmetic stays in exact
     * integers (ceil(p·n) = (p_num·n + p_den − 1) DIV p_den — no
-    * double p·n at the boundary). Continuous metrics bucket/quantize
-    * first; approx_percentile is the sketch alternative when exactness
-    * can yield. */
-  def q25Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    * double p·n at the boundary).
+    *
+    * DOMAIN CONTRACT ([[graft.operators.PrefixSum.quantize]]): the
+    * histogram must be value-domain-bounded. l_quantity (1..50) is;
+    * for a high-cardinality metric pass `valueQuantum > 1` to floor
+    * values into domain/quantum buckets first — the result is then
+    * the true percentile's bucket floor, within `quantum` of exact
+    * (spec-pinned on price cents). Default 1 = exact, the oracle-
+    * checked path. approx_percentile is the sketch alternative when
+    * a rank-exact rule can yield. */
+  def q25Quantiles(spark: SparkSession, dir: String,
+                   valueQuantum: Long = 1L): DataFrame = {
     import spark.implicits._
     val hist = Tables.read(spark, dir, "lineitem")
-      .groupBy($"l_returnflag".as("flag"), $"l_quantity".as("q"))
+      .groupBy($"l_returnflag".as("flag"),
+        graft.operators.PrefixSum.quantize($"l_quantity", valueQuantum).as("q"))
       .agg(count(lit(1)).as("cnt"))
     val cum = Window.partitionBy($"flag").orderBy($"q")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1161,7 +1170,9 @@ object Tpch {
     * median|) costs ONE fact scan, not two — pass 2 re-histograms
     * PASS 1'S HISTOGRAM (group sizes ride along), so everything past
     * the first rollup is histogram-sized: q25's histogram-first
-    * convention applied twice. */
+    * convention applied twice, under q25's DOMAIN CONTRACT (cents are
+    * domain-bounded; an unbounded metric quantizes first —
+    * [[graft.operators.PrefixSum.quantize]]). */
   def q32Mad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // the histogram is the shared base of pass 1, the deviation
@@ -1503,7 +1514,9 @@ object Tpch {
     * (range+1), which lands max exactly in bin 9 with no clamp and
     * never touches a double→bin boundary. Two aggregates over the
     * scan (1-row min/max, then the binned groupBy with the stats
-    * broadcast back) — the second pass is the price of EXACT global
+    * broadcast back; binning to 10 bins IS the quantization, so this
+    * operator meets q25's DOMAIN CONTRACT by construction) — the
+    * second pass is the price of EXACT global
     * bounds; a 100 TB deployment that tolerates approximate edges
     * can substitute fixed domain bounds and drop to one pass.
     * Empty bins don't emit (both engines agree). Bin edges surface as
@@ -1561,8 +1574,9 @@ object Tpch {
     * global totals ride 1-row broadcast crossJoins (the m6 scalar
     * convention). The one partition-less window per branch sits over
     * the domain-bounded histogram — whitelisted with q30, never over
-    * fact rows. Rank arithmetic is exact-integer ceil: (p·n + 99) DIV
-    * 100. */
+    * fact rows (q25's DOMAIN CONTRACT; unbounded metrics quantize
+    * first, [[graft.operators.PrefixSum.quantize]]). Rank arithmetic
+    * is exact-integer ceil: (p·n + 99) DIV 100. */
   def q31SampleQuant(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = round($"l_extendedprice" * 100).cast("long")
