@@ -60,12 +60,23 @@ object Bench {
     // safe because Indexes.memo computes once behind a per-key latch.
     // Per-step numbers under concurrency are LATENCIES (cross-chain
     // contention included), still comparable run-to-run.
+    // g3_labels and d7_clusters both consume the d2 pair graph but
+    // not each other — fork them after d2 lands instead of chaining
+    // (chain 1 was the local critical path with all four serial)
+    val d2Done = new java.util.concurrent.CountDownLatch(1)
     val artifactChains: Seq[Seq[(String, () => Unit)]] = Seq(
       Seq(
         "sig_index"    -> (() => { graft.dedup.Dedup.sigIndex(spark, sfDir).count(); () }),
-        "d2_pairs"     -> (() => { graft.dedup.Dedup.d2Pairs(spark, sfDir).count(); () }),
-        "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () }),
-        // the converged LP label frame g3 AND g7 project
+        "d2_pairs"     -> (() => {
+          try graft.dedup.Dedup.d2Pairs(spark, sfDir).count()
+          finally d2Done.countDown(); () }),
+        "d7_clusters"  -> (() => { graft.dedup.Dedup.d7Clusters(spark, sfDir).count(); () })),
+      Seq(
+        // the converged LP label frame g3 AND g7 project; the gate
+        // (timed separately so g3's own cost stays comparable) waits
+        // for the pair graph so this fork never races chain 1 into
+        // computing the d2 memo without its warmed signature index
+        "g3_gate"      -> (() => { d2Done.await(); () }),
         "g3_labels"    -> (() => { graft.queries.GraphQueries.g3Labels(spark, sfDir).count(); () })),
       // the c1 curation frame (t1/t2/t22/t11 signal stack) is read by
       // c1, c2 AND c3; its t11 leg rides the shingle family

@@ -214,7 +214,7 @@ object Orchestrator {
     */
   def run(specs: Seq[TableSpec],
           src: String => DataFrame, dest: String => DataFrame,
-          sourceTag: String): Map[String, MergedTable] = {
+          sourceTag: String, pinIdMaps: Boolean = false): Map[String, MergedTable] = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
     val firstPass = topoOrder(specs).map { spec =>
       // mappedKeys rewritten once, used for BOTH matching and output —
@@ -222,13 +222,21 @@ object Orchestrator {
       val s = withMappedKeys(src(spec.name), spec, maps)
       val d = dest(spec.name)
       // the id map has 3+ consumers (this table's movers join and
-      // self-FK remap, every child's FK remap); each re-derives it
-      // from lineage, which is SAFE (assignSequentialIds is a
-      // deterministic range-sort + numbering) and measured faster than
-      // a persist() round-trip at bench scale. At 100 TB the map for a
+      // self-FK remap, every child's FK remap); by default each
+      // re-derives it from lineage, which is SAFE
+      // (assignSequentialIds is a deterministic range-sort +
+      // numbering) and measured faster than a persist() round-trip
+      // when the run has the machine to itself. `pinIdMaps` eagerly
+      // cuts each map once instead (localCheckpoint) so every
+      // consumer reads the materialized frame — the wall is similar
+      // in isolation (the deepest chain dominates either way, the r7
+      // measurement) but TOTAL CPU drops ~3×, which is what matters
+      // when the run shares the machine with concurrent pipelines
+      // (the bench's artifact phase) . At 100 TB the map for a
       // fact-sized table should instead be WRITTEN once (a parquet id
       // table, the reference's durable mapping) and read by consumers.
-      val idMap = idMapMapped(s, d, spec)
+      val idMap0 = idMapMapped(s, d, spec)
+      val idMap = if (pinIdMaps) idMap0.localCheckpoint(true) else idMap0
       maps(spec.name) = idMap
 
       // src rows that produce NEW dest rows; their id becomes dest_id
