@@ -780,7 +780,18 @@ object Dedup {
     }
 
   private def d5PairsCompute(spark: SparkSession, dir: String, topN: Int,
-                             bands: Int, r: Int, dim: Int): DataFrame = {
+                             bands: Int, r: Int, dim: Int): DataFrame =
+    scoredCandidatePairs(spark, dir, bands, r, dim)
+      .orderBy(col("cos_sim").desc, col("vec_id1"), col("vec_id2"))
+      .limit(topN)
+
+  /** ALL banded candidate pairs with their exact cosine (vec_id1 <
+    * vec_id2, score rounded to 6): the shared front half of d5 (which
+    * takes the global top-N) and s28's DBSCAN ε-graph (which
+    * thresholds). Shuffle ∝ candidates, never n². */
+  private[graft] def scoredCandidatePairs(spark: SparkSession, dir: String,
+                                          bands: Int = 16, r: Int = 8,
+                                          dim: Int = 64): DataFrame = {
     import spark.implicits._
     import graft.similarity.Lsh
     val nPart = spark.sessionState.conf.numShufflePartitions
@@ -806,8 +817,6 @@ object Dedup {
     cand.join(a, Seq("vec_id1")).join(b, Seq("vec_id2"))
       .select($"vec_id1", $"vec_id2",
         round(dot($"e1", $"e2") / ($"n1" * $"n2"), 6).as("cos_sim"))
-      .orderBy($"cos_sim".desc, $"vec_id1", $"vec_id2")
-      .limit(topN)
   }
 
   /** Exact brute-force variant — quadratic, kept ONLY as the spec-level

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * Propagation runs over the EDGE SUBGRAPH only — isolated nodes can
   * never change label, so at corpus scale the per-round joins touch
   * the (tiny) pair graph, not the whole corpus; singletons union back
-  * in at the end with label = self. Round state rides [[Indexes]]
-  * under `cacheKey`: each round's persist releases the previous
-  * round's, and [[Indexes.swapWith]] materializes the new generation
-  * BEFORE releasing the old (a plain swap would recompute all prior
-  * rounds from lineage — O(rounds²)).
+  * in at the end with label = self. Round state is node-sized and
+  * eagerly lineage-cut once per round (`localCheckpoint(true)`, the
+  * round-7 iterative-state lesson): each round references the
+  * previous frame twice, so lazily persisted generations nest into a
+  * 2^rounds plan tree that driver-side stringification walks — fatal
+  * on long-diameter components even though execution itself is
+  * cache-shared.
   *
   * Shared by d7 (text near-dup clusters) and d8 (embedding semantic
   * dedup).
@@ -68,9 +70,17 @@ object Graph {
       .filter($"a" =!= $"b").dropDuplicates("a", "b")
     val edges = Indexes.swap(s"$cacheKey:edges",
       p.unionAll(p.select($"b".as("a"), $"a".as("b"))))
-    var labels = Indexes.swap(s"$cacheKey:labels",
-      edges.select($"a".as("id")).distinct()
-        .select($"id", $"id".as("label")))
+    // round state is eagerly lineage-CUT per round (localCheckpoint),
+    // not lazily persisted: each round references the previous frame
+    // TWICE (the carry join + the frontier filter), so lazy nested
+    // generations make every listener plan-description walk a
+    // 2^rounds tree — fatal exactly when a component's diameter is
+    // long (observed on s28's near-threshold ε-graph: 2 GB plan
+    // strings and ~25 s/round of stringification by round 17, for a
+    // 55-node subgraph). The eager cut is the round-7 iterative-state
+    // lesson; node-sized frames make the per-round job cheap.
+    var labels = edges.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("label")).localCheckpoint(true)
     // FRONTIER propagation: only nodes whose label CHANGED last round
     // push it this round. Sound because min-propagation is monotone —
     // an unchanged neighbor's label was already incorporated the round
@@ -88,15 +98,14 @@ object Graph {
       val nbrMin = edges.join(frontier, edges("b") === frontier("id"))
         .groupBy($"a").agg(min($"label").as("nbr_label"))
       // previous label carried through the round: convergence is one
-      // filter on the materialized frame, not an extra join; nodes
+      // filter on the checkpointed frame, not an extra join; nodes
       // with no changed neighbor keep their label via the left join
-      val (next, ch) = Indexes.swapWith(s"$cacheKey:labels",
-        labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
-          .select(labels("id"),
-            least(coalesce($"nbr_label", labels("label")), labels("label")).as("label"),
-            labels("label").as("__old")))(
-        _.filter($"label" =!= $"__old").count())
-      changed = ch
+      val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(labels("id"),
+          least(coalesce($"nbr_label", labels("label")), labels("label")).as("label"),
+          labels("label").as("__old"))
+        .localCheckpoint(true)
+      changed = next.filter($"label" =!= $"__old").count()
       labels = next.select($"id", $"label")
       frontier = next.filter($"label" =!= $"__old").select($"id", $"label")
       iter += 1
@@ -106,27 +115,13 @@ object Graph {
     require(changed == 0,
       s"connectedComponents($cacheKey) did not converge in $maxIters rounds " +
         "(component diameter too large)")
-    // The converged frame's LOGICAL plan still nests every round's
-    // generation (each InMemoryRelation embeds its child plan, which
-    // embeds the previous round's, …). Plan STRINGS walk that nest as
-    // a TREE (3 refs/round → 3^rounds copies of the upstream plan in
-    // one listener plan-description — OOMs the driver when the leaf
-    // plan is itself large, e.g. d8's 128-plane LSH index), so every
-    // graft entrypoint caps spark.sql.maxPlanStringLength; execution
-    // and canonicalization are DAG-shared and unaffected. Beyond the
-    // string: execution hits the cache, but
-    // every downstream consumer pays O(rounds-deep tree) in plan
-    // canonicalization / cache lookup — measured at seconds per query
-    // for t9/d8 on a result of a few thousand rows. The artifact is
-    // FINAL here, so cut the lineage: localCheckpoint materializes the
-    // rows and replaces the plan with a flat LogicalRDD (the
-    // session-scope analogue of the production pattern — write the
-    // cluster map to storage once, read it back shallow; on a real
-    // cluster use a reliable checkpoint dir, since localCheckpoint
-    // blocks don't survive executor loss). Round-state cache entries
-    // are released right after: the checkpoint holds the data now.
-    val converged = labels.localCheckpoint(true)
-    Indexes.drop(s"$cacheKey:labels")
+    // labels is already a flat LogicalRDD (the per-round eager cut),
+    // so downstream consumers pay O(1) plan depth; on a real cluster
+    // use a reliable checkpoint dir for the round state, since
+    // localCheckpoint blocks don't survive executor loss — the
+    // production pattern writes the cluster map to storage once and
+    // reads it back shallow.
+    val converged = labels
     val idCol = nodes.columns.head
     val singletons = nodes.select(col(idCol).as("id"))
       .join(edges.select($"a".as("id")).distinct(), Seq("id"), "left_anti")

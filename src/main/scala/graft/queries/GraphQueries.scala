@@ -723,4 +723,107 @@ object GraphQueries {
       |    ELSE -((2 * ((-cxy) * 1000000) + cxx) // (2 * cxx))
       |  END AS BIGINT) AS assort_e6
       |FROM c""".stripMargin
+
+  /** g11: PERSONALIZED PageRank / random walk with restart (Jeh &
+    * Widom 2003; Tong et al. 2006) over the co-purchase graph,
+    * seeded from one product cohort (the lexicographically-min
+    * p_brand — self-contained and deterministic): every part ranked
+    * by walk-proximity to the cohort. This is the lookalike-expansion
+    * primitive — grow a labeled seed set into "similar by behavior"
+    * candidates (audience expansion, semi-supervised selection of
+    * training examples near a trusted core) — where g1 ranks GLOBAL
+    * centrality, the restart pins the walk to the cohort.
+    *
+    * Same execution family as g1: per iteration two joins + one agg
+    * over the EDGE SUBGRAPH only (g6's memoized co-pair artifact;
+    * the part table never re-shuffles), 3 fixed iterations, all
+    * arithmetic ×1e6-integer half-up — restart mass 0.15 splits over
+    * the |S| seeds instead of all N nodes, spread mass damps by 0.85
+    * on the inflow; non-seed isolated parts stay at exactly 0.
+    * Bit-identical cross-engine (the s3/g1 convention). */
+  def g11Ppr(spark: SparkSession, dir: String, iters: Int = 3,
+             minSupport: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val pairs = g6CoPairs(spark, dir, minSupport).select($"a", $"b")
+    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    val parts = Tables.read(spark, dir, "part")
+    val minBrand = parts.agg(min($"p_brand").as("seed_brand"))
+    val nSeedsF = parts.crossJoin(broadcast(minBrand))
+      .agg(sum(($"p_brand" === $"seed_brand").cast("long")).as("ns"))
+    // node-sized, consumed once per iteration plus twice at the end —
+    // memoized like g1's base (the scan-gate convention)
+    val base = graft.operators.Indexes.memo(s"g11_base:$dir") {
+      parts.crossJoin(broadcast(minBrand)).crossJoin(broadcast(nSeedsF))
+        .select($"p_partkey",
+          ($"p_brand" === $"seed_brand").cast("long").as("is_seed"),
+          when($"p_brand" === $"seed_brand", halfUp(lit(150000L), $"ns"))
+            .otherwise(0L).as("base_e6"),
+          when($"p_brand" === $"seed_brand", halfUp(lit(1000000L), $"ns"))
+            .otherwise(0L).as("r0"))
+    }
+    var r = base.select($"p_partkey", $"r0".as("r_e6"))
+    for (_ <- 1 to iters) {
+      val share = r.join(deg, r("p_partkey") === deg("a"))
+        .select(r("p_partkey").as("u"), halfUp($"r_e6", $"deg").as("share"))
+      val inSum = edges.join(share, edges("a") === share("u"))
+        .groupBy(edges("b")).agg(sum($"share").as("s"))
+      r = base.join(inSum, base("p_partkey") === inSum("b"), "left")
+        .select(base("p_partkey"),
+          ($"base_e6" + halfUp(coalesce($"s", lit(0L)) * 85L, lit(100L))).as("r_e6"))
+    }
+    r.join(deg.select($"a".as("p_partkey"), $"deg"), Seq("p_partkey"), "left")
+      .join(base.select($"p_partkey", $"is_seed"), Seq("p_partkey"))
+      .select($"p_partkey", $"is_seed",
+        coalesce($"deg", lit(0L)).as("degree"), $"r_e6".as("rank_e6"))
+      .orderBy("p_partkey")
+  }
+
+  /** g11 oracle: g6's co-pair CTEs + the same 3 restart iterations
+    * unrolled (g1's generated-chain pattern); all quantities
+    * non-negative so half-up is `(2n+d)//(2d)`. */
+  val g11Sql: String = {
+    val iters = 3
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    val iterCtes = (1 to iters).flatMap { i =>
+      Seq(
+        s"""sh$i AS (
+           |  SELECT r.p_partkey AS u, ${hu("r.r", "g.deg")} AS share
+           |  FROM r${i - 1}t r JOIN deg g ON g.a = r.p_partkey)""".stripMargin,
+        s"""in$i AS (
+           |  SELECT e.b, CAST(sum(sh.share) AS BIGINT) AS s
+           |  FROM edges e JOIN sh$i sh ON sh.u = e.a GROUP BY e.b)""".stripMargin,
+        s"""r${i}t AS (
+           |  SELECT b.p_partkey, b.base_e6 + ${hu("coalesce(i.s, 0) * 85", "100")} AS r
+           |  FROM base b LEFT JOIN in$i i ON i.b = b.p_partkey)""".stripMargin)
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |co AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cooccur
+       |  FROM li x JOIN li y ON y.l_orderkey = x.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a, b FROM co WHERE cooccur >= 2),
+       |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       |sb AS (SELECT min(p_brand) AS sbrand FROM part),
+       |ns AS (SELECT count(*) AS n FROM part, sb WHERE p_brand = sbrand),
+       |base AS (
+       |  SELECT p_partkey,
+       |    CASE WHEN p_brand = (SELECT sbrand FROM sb) THEN 1 ELSE 0 END AS is_seed,
+       |    CASE WHEN p_brand = (SELECT sbrand FROM sb)
+       |         THEN ${hu("150000", "(SELECT n FROM ns)")} ELSE 0 END AS base_e6,
+       |    CASE WHEN p_brand = (SELECT sbrand FROM sb)
+       |         THEN ${hu("1000000", "(SELECT n FROM ns)")} ELSE 0 END AS r0
+       |  FROM part),
+       |r0t AS (SELECT p_partkey, r0 AS r FROM base),
+       |${iterCtes.mkString(",\n")}
+       |SELECT b.p_partkey, CAST(b.is_seed AS BIGINT) AS is_seed,
+       |  CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+       |  CAST(r.r AS BIGINT) AS rank_e6
+       |FROM base b
+       |JOIN r${iters}t r ON r.p_partkey = b.p_partkey
+       |LEFT JOIN deg d ON d.a = b.p_partkey
+       |ORDER BY b.p_partkey""".stripMargin
+  }
 }

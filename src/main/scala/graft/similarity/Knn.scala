@@ -1990,4 +1990,117 @@ object Knn {
 
   /** s27 oracle at the registry's default depth. */
   val s27Sql: String = s27SqlFor(4)
+
+  /** s28: DBSCAN density clustering over the embedding corpus
+    * (Ester et al. 1996), on the banded-LSH ε-graph — the density
+    * companion to s3/s8's centroid clustering and d8's transitive
+    * dedup: clusters are density-connected regions (no k chosen up
+    * front), borders attach to a neighboring core, low-density
+    * vectors surface as NOISE — the outlier sieve a curation pipeline
+    * runs beside the dedup pass (s24 flags distance outliers against
+    * centroids; this finds them structurally). Semantics on the
+    * candidate graph: neighbor = banded candidate pair with cosine ≥
+    * `eps` (SELF excluded from the count); core ⟺ ≥ `minPts`
+    * neighbors; clusters = connected components over CORE–CORE edges
+    * (label = min member id, the d7/d8 convention); border = non-core
+    * with ≥1 core neighbor, attached to its min core-neighbor label
+    * (classic DBSCAN leaves border assignment scan-order-dependent;
+    * min is the deterministic, oracle-reproducible choice).
+    *
+    * Scale shape: the ε-graph is [[graft.dedup.Dedup.scoredCandidatePairs]]'
+    * bucketed self-join (shuffle ∝ band collisions, never n² — pairs
+    * missed by banding are missed deterministically on both engines,
+    * the s6 recall trade); degrees and border labels are
+    * map-side-combined aggs over edge-sized frames; CC runs on the
+    * core–core subgraph only. */
+  def s28Dbscan(spark: SparkSession, dir: String, eps: Double = 0.30,
+                minPts: Int = 3): DataFrame = {
+    import spark.implicits._
+    // edge-sized and consumed by three branches (degrees, core-core
+    // subgraph, border labels) — memoized like every shared artifact,
+    // and lineage-CUT eagerly: the upstream plan carries the 128
+    // literal LSH planes, and the CC loop's nested generations would
+    // otherwise stringify it exponentially in every round's listener
+    // plan description (the round-6 explainString disease — observed
+    // here as ~70 s/round of 2 GB plan-string truncation)
+    val edges = graft.operators.Indexes.memo(s"s28_edges:$dir:$eps") {
+      graft.dedup.Dedup.scoredCandidatePairs(spark, dir)
+        .filter($"cos_sim" >= eps)
+        .select($"vec_id1".as("a"), $"vec_id2".as("b"))
+        .localCheckpoint(true)
+    }
+    val sym = edges.unionAll(edges.select($"b".as("a"), $"a".as("b")))
+    // node-sized, consumed by three branches (output spine, core-id
+    // filter, the singleton side of CC) — memoized so each doesn't
+    // re-derive the corpus scan (the scan-gate convention)
+    val deg = graft.operators.Indexes.memo(s"s28_deg:$dir:$eps:$minPts") {
+      Tables.read(spark, dir, "embeddings").select($"vec_id")
+        .join(sym.groupBy($"a".as("vec_id")).agg(count(lit(1)).as("nn")),
+          Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"nn", lit(0L)).as("n_neighbors"))
+        .withColumn("is_core", ($"n_neighbors" >= minPts).cast("long"))
+    }
+    val coreIds = deg.filter($"is_core" === 1L).select($"vec_id")
+    val coreEdges = edges
+      .join(coreIds.select($"vec_id".as("a")), Seq("a"), "left_semi")
+      .join(coreIds.select($"vec_id".as("b")), Seq("b"), "left_semi")
+      .select($"a", $"b")
+    val cc = graft.operators.Graph.connectedComponents(coreEdges, coreIds, "s28")
+      .select($"id".as("vec_id"), $"label")
+    val borderLabel = sym.select($"a".as("vec_id"), $"b".as("nbr"))
+      .join(cc.select($"vec_id".as("nbr"), $"label".as("nl")), Seq("nbr"))
+      .groupBy($"vec_id").agg(min($"nl").as("border_label"))
+    deg
+      .join(cc.withColumnRenamed("label", "core_label"), Seq("vec_id"), "left")
+      .join(borderLabel, Seq("vec_id"), "left")
+      .select($"vec_id", $"n_neighbors", $"is_core",
+        coalesce($"core_label", $"border_label").as("cluster"),
+        when($"is_core" === 1L, lit("core"))
+          .when($"border_label".isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"))
+      .orderBy("vec_id")
+  }
+
+  /** s28 oracle: d5's banded candidate CTEs + ε filter, degree count,
+    * recursive min-label closure over core–core edges, min-label
+    * border attach. `def`, not `val`: it references Dedup's CTE
+    * string and an object-level val would run at class init — the
+    * cross-object clinit-deadlock footgun under Bench's concurrent
+    * artifact chains. */
+  def s28Sql: String = s28SqlFor(0.3, 3)
+
+  def s28SqlFor(eps: Double, minPts: Int): String =
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.d5Ctes},
+       |ee AS MATERIALIZED (
+       |  SELECT vec_id1, vec_id2 FROM p WHERE round(c, 6) >= $eps),
+       |sym AS (SELECT vec_id1 AS a, vec_id2 AS b FROM ee
+       |        UNION ALL SELECT vec_id2, vec_id1 FROM ee),
+       |deg AS (
+       |  SELECT e.vec_id, coalesce(d.n, 0) AS n_neighbors
+       |  FROM embeddings e LEFT JOIN
+       |    (SELECT a AS vec_id, count(*) AS n FROM sym GROUP BY 1) d USING (vec_id)),
+       |core AS (SELECT vec_id FROM deg WHERE n_neighbors >= $minPts),
+       |ce AS MATERIALIZED (
+       |  SELECT e.vec_id1 AS a, e.vec_id2 AS b FROM ee e
+       |  JOIN core c1 ON c1.vec_id = e.vec_id1
+       |  JOIN core c2 ON c2.vec_id = e.vec_id2),
+       |ces AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+       |reach AS (
+       |  SELECT vec_id AS a, vec_id AS b FROM core
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN ces e ON r.b = e.a),
+       |cc AS (SELECT a AS vec_id, min(b) AS label FROM reach GROUP BY a),
+       |blab AS (
+       |  SELECT s.a AS vec_id, min(c.label) AS border_label
+       |  FROM sym s JOIN cc c ON c.vec_id = s.b GROUP BY s.a)
+       |SELECT d.vec_id, CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+       |  CAST(CASE WHEN d.n_neighbors >= $minPts THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+       |  CAST(coalesce(cc.label, blab.border_label) AS BIGINT) AS cluster,
+       |  CASE WHEN d.n_neighbors >= $minPts THEN 'core'
+       |       WHEN blab.border_label IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role
+       |FROM deg d
+       |LEFT JOIN cc ON cc.vec_id = d.vec_id
+       |LEFT JOIN blab ON blab.vec_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
 }

@@ -1789,6 +1789,117 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** floor(n^(a/3)) for a ∈ {1, 2}, EXACT despite the float seed:
+    * cbrt() seeds a candidate (libm, possibly a ulp off and
+    * different per engine), then an integer correction window of ±2
+    * fixes it against n^a computed in DECIMAL(38,0) — the final
+    * weight depends only on integer comparisons, so any in-window
+    * seed yields the same answer on both engines (the isqrt argument
+    * generalized to cube roots; ±2 covers seeds for n ≤ 10¹⁵). */
+  private def cubeRootWeight(n: Column, a: Int): Column = {
+    require(a == 1 || a == 2, s"cubeRootWeight exponent must be 1 or 2, got $a")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val na = if (a == 1) n.cast(dec) else n.cast(dec) * n.cast(dec)
+    val seed = if (a == 1) cbrt(n.cast("double"))
+               else cbrt(n.cast("double") * n.cast("double"))
+    val c0 = floor(seed).cast("long")
+    def cube(c: Column) = { val d = c.cast(dec); d * d * d }
+    val cu = c0 + when(cube(c0 + 2) <= na, 2L).when(cube(c0 + 1) <= na, 1L).otherwise(0L)
+    cu - when(cube(cu) > na, when(cube(cu - 1) > na, 2L).otherwise(1L)).otherwise(0L)
+  }
+
+  /** t33: TEMPERATURE CURVE — t26's mix swept across the exact
+    * rational temperatures α ∈ {1/3, 1/2, 2/3} (mT5's published
+    * sweet spot is α ≈ 0.3; 1/3 is its nearest integer-exact
+    * neighbor): per (α, source), weight ∝ n_tokens^α, allocation,
+    * share and implied epochs — the table a curation owner reads to
+    * CHOOSE the temperature, where t26 reports one operating point.
+    * Closes t26's documented α = 1/2-only limitation: cube-root
+    * temperatures are computed exactly via [[cubeRootWeight]]'s
+    * seed-plus-integer-correction (pow()'s cross-engine last-ulp
+    * problem never touches the result).
+    *
+    * Shape: ONE corpus scan into the memoized sources-sized size
+    * frame; the three α legs are projections of that frame, and
+    * per-α totals ride a window PARTITIONED by α over the 3×sources
+    * rows — nothing fact-sized past the first aggregation. */
+  def t33TemperatureCurve(spark: SparkSession, dir: String,
+                          budget: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sizes = graft.operators.Indexes.memo(s"t33_sizes:$dir") {
+      Tables.read(spark, dir, "documents")
+        .select($"source", size(tokens($"text")).cast("long").as("nt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    }
+    val legs = Seq(
+      (333333L, cubeRootWeight($"n_tokens", 1)),
+      (500000L, floor(sqrt($"n_tokens".cast("double"))).cast("long")),
+      (666666L, cubeRootWeight($"n_tokens", 2))
+    ).map { case (alphaE6, w) =>
+      sizes.select(lit(alphaE6).as("alpha_e6"), $"source", $"n_docs",
+        $"n_tokens", w.as("weight"))
+    }
+    legs.reduce(_ unionAll _)
+      .withColumn("sum_w", sum($"weight").over(Window.partitionBy($"alpha_e6")))
+      .select($"alpha_e6", $"source", $"n_docs", $"n_tokens", $"weight",
+        expr(s"weight * $budget DIV sum_w").as("alloc_tokens"))
+      .withColumn("share_e6", halfUpDiv($"alloc_tokens" * 1000000L, lit(budget)))
+      .withColumn("epochs_e6",
+        halfUpDiv($"alloc_tokens" * 1000000L, greatest($"n_tokens", lit(1L))))
+      .orderBy("alpha_e6", "source")
+  }
+
+  /** t33 oracle: same size frame, per-α weight legs (cube roots via
+    * the identical seed-plus-HUGEINT-correction), window totals. */
+  val t33Sql: String = {
+    def cubeLeg(alphaE6: Long, a: Int): String = {
+      val naSql = if (a == 1) "CAST(n_tokens AS HUGEINT)"
+                  else "CAST(n_tokens AS HUGEINT) * n_tokens"
+      val seedSql = if (a == 1) "cbrt(CAST(n_tokens AS DOUBLE))"
+                    else "cbrt(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+      s"""SELECT $alphaE6 AS alpha_e6, source, n_docs, n_tokens,
+         |  cu - (CASE WHEN CAST(cu AS HUGEINT)*cu*cu > na
+         |             THEN (CASE WHEN CAST(cu-1 AS HUGEINT)*(cu-1)*(cu-1) > na
+         |                        THEN 2 ELSE 1 END)
+         |             ELSE 0 END) AS weight
+         |FROM (
+         |  SELECT source, n_docs, n_tokens, na,
+         |    c0 + (CASE WHEN CAST(c0+2 AS HUGEINT)*(c0+2)*(c0+2) <= na THEN 2
+         |               WHEN CAST(c0+1 AS HUGEINT)*(c0+1)*(c0+1) <= na THEN 1
+         |               ELSE 0 END) AS cu
+         |  FROM (
+         |    SELECT source, n_docs, n_tokens,
+         |      CAST(floor($seedSql) AS BIGINT) AS c0, $naSql AS na
+         |    FROM sz))""".stripMargin
+    }
+    val sqrtLeg =
+      """SELECT 500000 AS alpha_e6, source, n_docs, n_tokens,
+        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        |FROM sz""".stripMargin
+    s"""WITH sz AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |legs AS (
+       |  ${cubeLeg(333333L, 1)}
+       |  UNION ALL
+       |  $sqrtLeg
+       |  UNION ALL
+       |  ${cubeLeg(666666L, 2)}),
+       |tot AS (
+       |  SELECT *, sum(weight) OVER (PARTITION BY alpha_e6) AS sum_w FROM legs)
+       |SELECT CAST(alpha_e6 AS BIGINT) AS alpha_e6, source,
+       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(weight AS BIGINT) AS weight,
+       |  CAST(weight * 50000 // sum_w AS BIGINT) AS alloc_tokens,
+       |  CAST((2 * (weight * 50000 // sum_w) * 1000000 + 50000) // (2 * 50000) AS BIGINT) AS share_e6,
+       |  CAST((2 * (weight * 50000 // sum_w) * 1000000 + greatest(n_tokens, 1))
+       |       // (2 * greatest(n_tokens, 1)) AS BIGINT) AS epochs_e6
+       |FROM tot ORDER BY alpha_e6, source""".stripMargin
+  }
+
   /** t26 oracle: the same isqrt weights and floor-div allocation. */
   val t26Sql: String =
     """WITH sz AS (

@@ -1445,4 +1445,52 @@ class KnnEventsSpec extends AnyFunSuite {
         (if (s == 0) 0L else hup(c.abs * 1000000, n * s).toLong))
     }
   }
+
+  test("s28 DBSCAN invariants: roles partition, clusters are consistent, noise is isolated") {
+    import graft.similarity.Knn
+    val eps = 0.30
+    val minPts = 3
+    val rows = Knn.s28Dbscan(spark, sf, eps, minPts).collect()
+    assert(rows.nonEmpty)
+    // rebuild the ε-graph independently for the checks
+    val edges = graft.dedup.Dedup
+      .scoredCandidatePairs(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("cos_sim") >= eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val core = rows.filter(_.getAs[Long]("is_core") == 1L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    rows.foreach { r =>
+      val (id, nn, isCore, role) = (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[Long]("is_core"), r.getAs[String]("role"))
+      val myNbrs = nbrs.getOrElse(id, Set.empty)
+      assert(nn == myNbrs.size.toLong, s"degree mismatch for $id")
+      assert((isCore == 1L) == (nn >= minPts))
+      val coreNbrs = myNbrs.intersect(core)
+      role match {
+        case "core" =>
+          assert(isCore == 1L && !r.isNullAt(r.fieldIndex("cluster")))
+          // cluster label is a member of the same component: it must
+          // be a core id ≤ id (min-label convention)
+          assert(r.getAs[Long]("cluster") <= id && core(r.getAs[Long]("cluster")))
+        case "border" =>
+          assert(isCore == 0L && coreNbrs.nonEmpty)
+          // attached to the min label among adjacent cores
+          val want = coreNbrs.map(c => byId(c).getAs[Long]("cluster")).min
+          assert(r.getAs[Long]("cluster") == want, s"border $id")
+        case "noise" =>
+          assert(isCore == 0L && coreNbrs.isEmpty && r.isNullAt(r.fieldIndex("cluster")))
+        case other => fail(s"unknown role $other")
+      }
+    }
+    // core clusters are real components: two adjacent cores share a label
+    edges.foreach { case (a, b) =>
+      if (core(a) && core(b))
+        assert(byId(a).getAs[Long]("cluster") == byId(b).getAs[Long]("cluster"))
+    }
+    // all three roles actually occur at this (eps, minPts) on sf0.001
+    assert(rows.map(_.getAs[String]("role")).toSet == Set("core", "border", "noise"))
+  }
 }
