@@ -784,4 +784,92 @@ object MergeQueries {
       |       // (2 * max(t.n_parents)) AS BIGINT) AS mean_e6
       |FROM c JOIN t ON t.rel2 = c.relation
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** m28: FIELD-LEVEL SURVIVORSHIP — the master-data-management
+    * record-merge step the reference's consolidation skips entirely
+    * (utils.js:83 keeps the destination row verbatim; m22 reports
+    * what that hides). Here matched records MERGE per field under
+    * declared per-column rules — the survivorship matrix of MDM
+    * (Talend/Informatica's "survivorship rules", Bleiholder &
+    * Naumann's fusion functions): balance takes MAX (recency proxy),
+    * segment takes the first NON-NULL with source priority, nation is
+    * MUST-AGREE (disagreement keeps dest and raises a conflict, never
+    * silently overwrites an identity field). Per matched key the
+    * output carries each survivor AND its provenance
+    * ('src'/'dest'/'equal') — the audit trail that makes a field
+    * merge reviewable.
+    *
+    * Simulated drift (fixture, m20/m22's idiom): dest holds a stale
+    * whole-unit ledger copy and an 'UNKNOWN' segment for keys
+    * ≡ 0 (mod 11); src lost its segment for keys ≡ 0 (mod 5) and
+    * drifted nation for keys ≡ 0 (mod 7).
+    *
+    * Shape: dest collapses to one row per natural key (min-id
+    * survivor, m1's convention) in ONE map-side-combined agg; one
+    * equi-join on the key; every rule is a codegen'd projection —
+    * integer cents and string compares only, so the whole matrix is
+    * hash-checkable. */
+  def m28FieldSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = srcCust(spark, dir).select(
+      col("c_custkey").as("src_id"), col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("s_bal_cents"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("s_seg"),
+      (col("c_nationkey") + when(col("c_custkey") % 7 === 0, 1).otherwise(0))
+        .cast("long").as("s_nation"))
+    val dest = destCust(spark, dir).select(
+      col("c_custkey"), col("c_name"),
+      (floor(col("c_acctbal")).cast("long") * 100L).as("d_bal"),
+      when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("d_seg0"),
+      col("c_nationkey").cast("long").as("d_nat0"))
+      .groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("dest_id"),
+        min_by(col("d_bal"), col("c_custkey")).as("d_bal_cents"),
+        min_by(col("d_seg0"), col("c_custkey")).as("d_seg"),
+        min_by(col("d_nat0"), col("c_custkey")).as("d_nation"))
+    def from(s: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+             winner: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(s <=> d, "equal").when(winner <=> s, "src").otherwise("dest")
+    val balWin = greatest(col("s_bal_cents"), col("d_bal_cents"))
+    val segWin = coalesce(col("s_seg"), col("d_seg"))
+    src.join(dest, Seq("c_name"))
+      .select(col("c_name"), col("src_id"), col("dest_id"),
+        balWin.as("bal_cents"), from(col("s_bal_cents"), col("d_bal_cents"), balWin).as("bal_from"),
+        segWin.as("segment"), from(col("s_seg"), col("d_seg"), segWin).as("seg_from"),
+        col("d_nation").as("nation"),
+        (col("s_nation") =!= col("d_nation")).cast("long").as("nation_conflict"))
+      .orderBy("dest_id")
+  }
+
+  /** m28 oracle: same drift fixture, min-id dest survivor, rule
+    * projections (null-safe equality spelled IS NOT DISTINCT FROM). */
+  val m28Sql: String =
+    """WITH srcc AS (
+      |  SELECT c_custkey AS src_id, c_name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS s_bal_cents,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS s_seg,
+      |    CAST(c_nationkey + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS s_nation
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |destc AS (
+      |  SELECT c_name, min(c_custkey) AS dest_id,
+      |    min_by(CAST(floor(c_acctbal) AS BIGINT) * 100, c_custkey) AS d_bal_cents,
+      |    min_by(CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END,
+      |           c_custkey) AS d_seg,
+      |    min_by(CAST(c_nationkey AS BIGINT), c_custkey) AS d_nation
+      |  FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_name)
+      |SELECT s.c_name, s.src_id, d.dest_id,
+      |  greatest(s.s_bal_cents, d.d_bal_cents) AS bal_cents,
+      |  CASE WHEN s.s_bal_cents IS NOT DISTINCT FROM d.d_bal_cents THEN 'equal'
+      |       WHEN greatest(s.s_bal_cents, d.d_bal_cents) IS NOT DISTINCT FROM s.s_bal_cents THEN 'src'
+      |       ELSE 'dest' END AS bal_from,
+      |  coalesce(s.s_seg, d.d_seg) AS segment,
+      |  CASE WHEN s.s_seg IS NOT DISTINCT FROM d.d_seg THEN 'equal'
+      |       WHEN coalesce(s.s_seg, d.d_seg) IS NOT DISTINCT FROM s.s_seg THEN 'src'
+      |       ELSE 'dest' END AS seg_from,
+      |  d.d_nation AS nation,
+      |  CAST(CASE WHEN s.s_nation <> d.d_nation THEN 1 ELSE 0 END AS BIGINT) AS nation_conflict
+      |FROM srcc s JOIN destc d ON d.c_name = s.c_name
+      |ORDER BY d.dest_id""".stripMargin
 }

@@ -120,93 +120,108 @@ object AsofJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, partSpec: Seq[Expression],
                       orderSpec: Seq[SortOrder]): Option[LogicalPlan] = j match {
-    case Join(l, r, Inner, Some(cond), _) =>
-      def fromOnly(e: Expression, side: LogicalPlan): Boolean =
-        e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
-      // the kept window's groups must be left-row groups
-      if (!partSpec.forall(e => e.references.subsetOf(l.outputSet) && e.deterministic))
-        return None
-      val conjuncts = splitConjunctivePredicates(cond)
-      val equis = conjuncts.collect {
-        case EqualTo(a, b) if fromOnly(a, l) && fromOnly(b, r) => (a, b)
-        case EqualTo(a, b) if fromOnly(a, r) && fromOnly(b, l) => (b, a)
-      }
-      if (equis.isEmpty || equis.exists { case (a, b) => !sameType(a.dataType, b.dataType) })
-        return None
-      // exactly one r.ts ≤/< l.ts bound; nothing else in the condition
-      val bounds = conjuncts.collect {
-        case LessThanOrEqual(rt, lt) if fromOnly(rt, r) && fromOnly(lt, l) => (rt, lt, false)
-        case GreaterThanOrEqual(lt, rt) if fromOnly(rt, r) && fromOnly(lt, l) => (rt, lt, false)
-        case LessThan(rt, lt) if fromOnly(rt, r) && fromOnly(lt, l) => (rt, lt, true)
-        case GreaterThan(lt, rt) if fromOnly(rt, r) && fromOnly(lt, l) => (rt, lt, true)
-      }
-      if (bounds.length != 1 || conjuncts.length != equis.length + 1) return None
-      val (rt, lt, strict) = bounds.head
-      if (!sameType(rt.dataType, lt.dataType) ||
-        !RowOrdering.isOrderable(rt.dataType)) return None
-      // window order: r.ts DESC first, optional right-side tie DESC
-      val tie: Option[Expression] = orderSpec match {
-        case Seq(SortOrder(t, Descending, _, _)) if t.semanticEquals(rt) => None
-        case Seq(SortOrder(t, Descending, _, _), SortOrder(tb, Descending, _, _))
-            if t.semanticEquals(rt) && fromOnly(tb, r) &&
-              RowOrdering.isOrderable(tb.dataType) => Some(tb)
-        case _ => return None
-      }
-
-      // ≤: right rows sort BEFORE the left row at equal times so the
-      // running last() includes them; <: after, so they don't
-      val (sideR, sideL) = if (strict) (1, 0) else (0, 1)
-      val tieExpr = tie.getOrElse(rt)
-      val payload = CreateStruct(r.output)
-
-      val kL = equis.map(_._1).zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() }
-      val leftProj = Project(
-        l.output ++ (kL :+
-          Alias(lt, "__t")() :+
-          Alias(Literal(sideL, IntegerType), "__side")() :+
-          Alias(Literal.create(null, tieExpr.dataType), "__tie")() :+
-          Alias(Literal.create(null, payload.dataType), "__asof")()),
-        l)
-      // null-keyed right rows can match nothing; dropping them keeps
-      // the window's null-key group from "matching" null-keyed lefts
-      val rightFiltered = Filter(
-        equis.map(e => IsNotNull(e._2): Expression).reduce(And), r)
-      val rightProj = Project(
-        l.output.map(a => Alias(Literal.create(null, a.dataType), a.name)()) ++
-          (equis.map(_._2).zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() } :+
-            Alias(rt, "__t")() :+
-            Alias(Literal(sideR, IntegerType), "__side")() :+
-            Alias(tieExpr, "__tie")() :+
-            Alias(payload, "__asof")()),
-        rightFiltered)
-      val union = Union(Seq(leftProj, rightProj))
-
-      val uOut = union.output
-      val nLeft = l.output.length
-      val kAttrs: Seq[Expression] = uOut.slice(nLeft, nLeft + equis.length)
-      val Seq(tAttr, sideAttr, tieAttr, asofAttr) = uOut.takeRight(4)
-      val sort = Seq(
-        SortOrder(tAttr, Ascending),
-        SortOrder(sideAttr, Ascending),
-        SortOrder(tieAttr, Ascending, NullsFirst, Seq.empty))
-      val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
-      val carried = Alias(
-        WindowExpression(
-          AggregateExpression(Last(asofAttr, ignoreNulls = true), Complete, isDistinct = false),
-          WindowSpecDefinition(kAttrs, sort, frame)),
-        "__asof_carried")()
-      val win = Window(Seq(carried), kAttrs, sort, union)
-      val keep = Filter(
-        And(EqualTo(sideAttr, Literal(sideL, IntegerType)), IsNotNull(carried.toAttribute)),
-        win)
-      // restore the join's exact output attributes: left columns pass
-      // through (same exprIds through Union's first child); right
-      // columns re-emerge from the carried struct UNDER THEIR ORIGINAL
-      // exprIds so the untouched Filter/Window above resolve unchanged
-      val restored = uOut.take(nLeft) ++ r.output.zipWithIndex.map { case (a, i) =>
-        Alias(GetStructField(carried.toAttribute, i, Some(a.name)), a.name)(exprId = a.exprId)
-      }
-      Some(Project(restored, keep))
+    // the preserved (probe) side may be EITHER join child — the
+    // window's partition spec names it; try both orientations
+    case Join(jl, jr, Inner, Some(cond), _) =>
+      rewriteOriented(jl, jr, cond, partSpec, orderSpec, j.output)
+        .orElse(rewriteOriented(jr, jl, cond, partSpec, orderSpec, j.output))
     case _ => None
+  }
+
+  /** The union+window build for one orientation: `probe` rows are
+    * preserved, `hist` supplies the latest-at-or-before match. */
+  private def rewriteOriented(probe: LogicalPlan, hist: LogicalPlan, cond: Expression,
+                              partSpec: Seq[Expression], orderSpec: Seq[SortOrder],
+                              jOutput: Seq[Attribute]): Option[LogicalPlan] = {
+    def fromOnly(e: Expression, side: LogicalPlan): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
+    // the kept window's groups must be probe-row groups
+    if (!partSpec.forall(e => e.references.subsetOf(probe.outputSet) && e.deterministic))
+      return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    val equis = conjuncts.collect {
+      case EqualTo(a, b) if fromOnly(a, probe) && fromOnly(b, hist) => (a, b)
+      case EqualTo(a, b) if fromOnly(a, hist) && fromOnly(b, probe) => (b, a)
+    }
+    if (equis.isEmpty || equis.exists { case (a, b) => !sameType(a.dataType, b.dataType) })
+      return None
+    // exactly one hist.ts ≤/< probe.ts bound; nothing else in the condition
+    val bounds = conjuncts.collect {
+      case LessThanOrEqual(ht, pt) if fromOnly(ht, hist) && fromOnly(pt, probe) => (ht, pt, false)
+      case GreaterThanOrEqual(pt, ht) if fromOnly(ht, hist) && fromOnly(pt, probe) => (ht, pt, false)
+      case LessThan(ht, pt) if fromOnly(ht, hist) && fromOnly(pt, probe) => (ht, pt, true)
+      case GreaterThan(pt, ht) if fromOnly(ht, hist) && fromOnly(pt, probe) => (ht, pt, true)
+    }
+    if (bounds.length != 1 || conjuncts.length != equis.length + 1) return None
+    val (ht, pt, strict) = bounds.head
+    if (!sameType(ht.dataType, pt.dataType) ||
+      !RowOrdering.isOrderable(ht.dataType)) return None
+    // window order: hist.ts DESC first, optional hist-side tie DESC
+    val tie: Option[Expression] = orderSpec match {
+      case Seq(SortOrder(t, Descending, _, _)) if t.semanticEquals(ht) => None
+      case Seq(SortOrder(t, Descending, _, _), SortOrder(tb, Descending, _, _))
+          if t.semanticEquals(ht) && fromOnly(tb, hist) &&
+            RowOrdering.isOrderable(tb.dataType) => Some(tb)
+      case _ => return None
+    }
+
+    // ≤: hist rows sort BEFORE the probe row at equal times so the
+    // running last() includes them; <: after, so they don't
+    val (sideH, sideP) = if (strict) (1, 0) else (0, 1)
+    val tieExpr = tie.getOrElse(ht)
+    val payload = CreateStruct(hist.output)
+
+    val kP = equis.map(_._1).zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() }
+    val probeProj = Project(
+      probe.output ++ (kP :+
+        Alias(pt, "__t")() :+
+        Alias(Literal(sideP, IntegerType), "__side")() :+
+        Alias(Literal.create(null, tieExpr.dataType), "__tie")() :+
+        Alias(Literal.create(null, payload.dataType), "__asof")()),
+      probe)
+    // null-keyed hist rows can match nothing; dropping them keeps
+    // the window's null-key group from "matching" null-keyed probes
+    val histFiltered = Filter(
+      equis.map(e => IsNotNull(e._2): Expression).reduce(And), hist)
+    val histProj = Project(
+      probe.output.map(a => Alias(Literal.create(null, a.dataType), a.name)()) ++
+        (equis.map(_._2).zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() } :+
+          Alias(ht, "__t")() :+
+          Alias(Literal(sideH, IntegerType), "__side")() :+
+          Alias(tieExpr, "__tie")() :+
+          Alias(payload, "__asof")()),
+      histFiltered)
+    val union = Union(Seq(probeProj, histProj))
+
+    val uOut = union.output
+    val nProbe = probe.output.length
+    val kAttrs: Seq[Expression] = uOut.slice(nProbe, nProbe + equis.length)
+    val Seq(tAttr, sideAttr, tieAttr, asofAttr) = uOut.takeRight(4)
+    val sort = Seq(
+      SortOrder(tAttr, Ascending),
+      SortOrder(sideAttr, Ascending),
+      SortOrder(tieAttr, Ascending, NullsFirst, Seq.empty))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val carried = Alias(
+      WindowExpression(
+        AggregateExpression(Last(asofAttr, ignoreNulls = true), Complete, isDistinct = false),
+        WindowSpecDefinition(kAttrs, sort, frame)),
+      "__asof_carried")()
+    val win = Window(Seq(carried), kAttrs, sort, union)
+    val keep = Filter(
+      And(EqualTo(sideAttr, Literal(sideP, IntegerType)), IsNotNull(carried.toAttribute)),
+      win)
+    // restore the join's exact output attributes IN ITS OUTPUT ORDER:
+    // probe columns pass through (same exprIds through Union's first
+    // child); hist columns re-emerge from the carried struct UNDER
+    // THEIR ORIGINAL exprIds so the untouched Filter/Window above
+    // resolve unchanged whichever child the history side was
+    val probeById = uOut.take(nProbe).map(a => a.exprId -> (a: NamedExpression)).toMap
+    val histById = hist.output.zipWithIndex.map { case (a, i) =>
+      a.exprId -> (Alias(GetStructField(carried.toAttribute, i, Some(a.name)),
+        a.name)(exprId = a.exprId): NamedExpression)
+    }.toMap
+    val restored = jOutput.map(a => probeById.getOrElse(a.exprId, histById(a.exprId)))
+    Some(Project(restored, keep))
   }
 }

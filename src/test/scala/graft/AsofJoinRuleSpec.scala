@@ -79,6 +79,26 @@ class AsofJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("history on the LEFT join side rewrites too (orientation from the partition spec)") {
+    spark.conf.set(AsofJoinRule.EnabledKey, "false")
+    def flipped = quotes.join(trades, $"tk" === $"qk" && $"qt" <= $"tt")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tid").orderBy($"qt".desc, $"qid".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .select($"tid", $"tt", $"qid", $"price").orderBy("tid")
+    val baseline = flipped.collect().toSeq
+    // same matches as the probe-left spelling
+    assert(baseline.map(r => (r.getLong(0), r.getLong(2))) ==
+      Seq((11L, 102L), (12L, 102L), (21L, 200L)))
+    withRule {
+      val df = flipped
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "flipped orientation must also plan join-free")
+      assert(df.collect().toSeq == baseline)
+    }
+  }
+
   test("rewrite is idempotent: a second pass leaves the plan unchanged") {
     withRule {
       val once = naive().queryExecution.optimizedPlan
