@@ -302,6 +302,58 @@ object Events {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** e37: as-of join WITH A STALENESS BOUND — the production form of
+    * e6 (kdb's `aj` plus a max-age guard; Flink's temporal join TTL):
+    * a purchase pairs with the user's latest click at-or-before it
+    * ONLY if that click is within `tolMinutes`; older context is
+    * noise, not attribution. Composition, not a new operator (build
+    * rule (a)): the unbounded as-of already returns the LATEST match,
+    * and if the latest is stale every earlier one is staler — so
+    * "latest within the window" ≡ "latest overall, masked when
+    * stale". One `when()` over e6's plan; staleness rides along for
+    * threshold tuning. Same union+window scale shape as e6. */
+  def e37AsofTolerance(spark: SparkSession, dir: String,
+                       tolMinutes: Long = 60L): DataFrame = {
+    import spark.implicits._
+    val tolUs = tolMinutes * 60000000L
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .withColumn("click_ts", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val stale = unix_micros($"ts") - unix_micros($"asof_click_ts") > tolUs
+    graft.operators.AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = "click_id")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("purchase_ts_us"),
+        when(stale, lit(null).cast("long")).otherwise($"asof_click_id").as("click_id"),
+        when(stale || $"asof_click_ts".isNull, lit(null).cast("long"))
+          .otherwise(unix_micros($"ts") - unix_micros($"asof_click_ts"))
+          .as("staleness_us"),
+        ($"asof_click_ts".isNotNull && stale).cast("long").as("dropped_stale"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** e37 oracle: the native as-of join with the same staleness mask. */
+  val e37Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+      |    c.click_id, epoch_us(p.ts) - epoch_us(c.ts) AS age_us
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+      |SELECT user_id, purchase_id, purchase_ts_us,
+      |  CASE WHEN age_us > 3600000000 THEN NULL ELSE click_id END AS click_id,
+      |  CASE WHEN age_us > 3600000000 THEN NULL ELSE age_us END AS staleness_us,
+      |  CAST(CASE WHEN age_us > 3600000000 THEN 1 ELSE 0 END AS BIGINT) AS dropped_stale
+      |FROM m ORDER BY user_id, purchase_id""".stripMargin
+
   /** e36 oracle: the inner native as-of join. */
   val e36Sql: String =
     """WITH clicks AS (
