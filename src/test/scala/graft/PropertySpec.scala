@@ -266,6 +266,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents converges in O(log diameter): a 64-node chain within maxIters=20") {
+    import spark.implicits._
+    // a path graph of diameter 63 — plain min-label propagation needs
+    // 63 rounds (> maxIters) to carry node 0's label to the far end;
+    // pointer jumping must land it in ~log2(63) ≈ 6. Ids descend so
+    // the min sits at one END of the chain (the worst case).
+    val n = 64
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val cc = graft.operators.Graph.connectedComponents(chain, nodes, "ptr_chain")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n)
+    assert(cc.values.toSet == Set(0L), "whole chain must collapse to label 0")
+    // two chains + isolates: labels stay component-local
+    val two = ((0 until 31).map(i => (i.toLong, i + 1L)) ++
+      (40 until 62).map(i => (i.toLong, i + 1L))).toDF("a", "b")
+    val nodes2 = (0 until 70).map(_.toLong).toDF("id")
+    val cc2 = graft.operators.Graph.connectedComponents(two, nodes2, "ptr_chain2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 31).forall(i => cc2(i.toLong) == 0L))
+    assert((40 to 62).forall(i => cc2(i.toLong) == 40L))
+    assert((32 to 39).forall(i => cc2(i.toLong) == i.toLong), "isolates are singletons")
+  }
+
   test("breakDiscoveredCycles: any discovered FK digraph becomes a valid topo DAG, edges conserved") {
     import graft.merge.{MergeConfig, Orchestrator}
     import Orchestrator.{MergeMode, TableSpec}
