@@ -99,6 +99,28 @@ class AsofJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("pure SQL-text spelling rewrites too (the literal naive-user-SQL claim)") {
+    quotes.createOrReplaceTempView("quotes_v")
+    trades.createOrReplaceTempView("trades_v")
+    val sql =
+      """SELECT tid, tt, qid, price FROM (
+        |  SELECT t.tid, t.tt, q.qid, q.price,
+        |         ROW_NUMBER() OVER (PARTITION BY t.tid
+        |                            ORDER BY q.qt DESC, q.qid DESC) AS rn
+        |  FROM trades_v t JOIN quotes_v q
+        |    ON t.tk = q.qk AND q.qt <= t.tt)
+        |WHERE rn = 1 ORDER BY tid""".stripMargin
+    spark.conf.set(AsofJoinRule.EnabledKey, "false")
+    val baseline = spark.sql(sql).collect().toSeq
+    withRule {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "SQL-text spelling must plan join-free")
+      assert(df.collect().toSeq == baseline)
+    }
+  }
+
   test("rewrite is idempotent: a second pass leaves the plan unchanged") {
     withRule {
       val once = naive().queryExecution.optimizedPlan
