@@ -203,6 +203,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(Compaction.planPartitioned(spark, dir,
       targetBytes = 10L * 1024 * 1024, smallBytes = 5L * 1024 * 1024).isNoop)
 
+    // a crashed-compaction leftover (__prev would ALSO match the
+    // key=value name test — it contains '=') must refuse loudly, not
+    // be planned as a partition
+    val leftover = new java.io.File(s"$dir/dt=R__prev")
+    leftover.mkdirs()
+    java.nio.file.Files.write(leftover.toPath.resolve("part-old.parquet"),
+      Array.fill[Byte](8)(1))
+    val crashed = intercept[IllegalArgumentException] {
+      Compaction.planPartitioned(spark, dir, 10L * 1024 * 1024, 5L * 1024 * 1024)
+    }
+    assert(crashed.getMessage.contains("crashed-compaction leftover"))
+    assert(leftover.toPath.resolve("part-old.parquet").toFile.delete()
+      && leftover.delete())
+
     // non-partition subdirectory → unknown layout, loud refusal
     val odd = new java.io.File(s"$dir/not_a_partition")
     odd.mkdirs()
