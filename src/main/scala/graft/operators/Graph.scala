@@ -79,8 +79,8 @@ object Graph {
     // strings and ~25 s/round of stringification by round 17, for a
     // 55-node subgraph). The eager cut is the round-7 iterative-state
     // lesson; node-sized frames make the per-round job cheap.
-    var labels = edges.select($"a".as("id")).distinct()
-      .select($"id", $"id".as("label")).localCheckpoint(true)
+    var labels = State.cut(edges.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("label")))
     // FRONTIER propagation: only nodes whose label CHANGED last round
     // push it this round. Sound because min-propagation is monotone —
     // an unchanged neighbor's label was already incorporated the round
@@ -115,11 +115,13 @@ object Graph {
       // so diameter-limited convergence is the real scale hazard the
       // maxIters guard was tripping on.
       val ptr = viaNbr.select($"id".as("__pid"), $"label".as("__plabel"))
-      val next = viaNbr.join(ptr, viaNbr("label") === $"__pid")
+      val next = State.cut(viaNbr.join(ptr, viaNbr("label") === $"__pid")
         .select(viaNbr("id"), least(viaNbr("label"), $"__plabel").as("label"),
-          viaNbr("__old"))
-        .localCheckpoint(true)
+          viaNbr("__old")))
       changed = next.filter($"label" =!= $"__old").count()
+      // round r is materialized — free round r−1's storage blocks now
+      // instead of waiting for the ContextCleaner's GC cycle
+      State.release(labels)
       labels = next.select($"id", $"label")
       frontier = next.filter($"label" =!= $"__old").select($"id", $"label")
       iter += 1
@@ -131,10 +133,9 @@ object Graph {
         "(component diameter too large)")
     // labels is already a flat LogicalRDD (the per-round eager cut),
     // so downstream consumers pay O(1) plan depth; on a real cluster
-    // use a reliable checkpoint dir for the round state, since
-    // localCheckpoint blocks don't survive executor loss — the
-    // production pattern writes the cluster map to storage once and
-    // reads it back shallow.
+    // set spark.graft.checkpointDir ([[State.CheckpointDirKey]]) and
+    // every round cut becomes a RELIABLE checkpoint that survives
+    // executor loss.
     val converged = labels
     val idCol = nodes.columns.head
     val singletons = nodes.select(col(idCol).as("id"))
@@ -173,7 +174,7 @@ object Graph {
     val nodes = edges.select($"a".as("id")).distinct()
     val seeds = edges.groupBy($"a".as("id")).agg(min($"b").as("mn"))
       .filter($"id" < $"mn").select($"id", lit(0L).as("hops"))
-    var state = seeds.localCheckpoint(true)
+    var state = State.cut(seeds)
     for (r <- 1 to rounds) {
       val frontier = state.filter($"hops" === (r - 1).toLong)
       val next = edges.join(frontier, edges("a") === frontier("id"))
@@ -186,7 +187,9 @@ object Graph {
       // re-derive the lazy union+join, which costs more than one
       // node-sized checkpoint job saves. Same conclusion as g4's
       // variant audit: materialize the linear state each round.
-      state = state.unionAll(next).localCheckpoint(true)
+      val prev = state
+      state = State.cut(state.unionAll(next))
+      State.release(prev)
     }
     nodes.join(state, Seq("id"), "left")
       .select($"id", coalesce($"hops", lit(-1L)).as("hops"))
@@ -354,18 +357,19 @@ object Graph {
     val deg0 = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
     // peel state: (id, deg within surviving subgraph, peel_round with
     // 0 = still alive); round 1 peels straight off the full degrees
-    var st = deg0.withColumn("peel_round",
-      when($"deg" < k, lit(1L)).otherwise(lit(0L))).localCheckpoint(true)
+    var st = State.cut(deg0.withColumn("peel_round",
+      when($"deg" < k, lit(1L)).otherwise(lit(0L))))
     for (r <- 2 to rounds) {
       val died = st.filter($"peel_round" === (r - 1)).select($"id".as("dead"))
       val lost = edges.join(died, $"b" === $"dead")
         .groupBy($"a".as("id")).agg(count(lit(1)).as("lost"))
-      st = st.join(lost, Seq("id"), "left")
+      val prev = st
+      st = State.cut(st.join(lost, Seq("id"), "left")
         .select($"id", ($"deg" - coalesce($"lost", lit(0L))).as("deg"),
           when($"peel_round" =!= 0L, $"peel_round")
             .when($"deg" - coalesce($"lost", lit(0L)) < k, lit(r.toLong))
-            .otherwise(lit(0L)).as("peel_round"))
-        .localCheckpoint(true)
+            .otherwise(lit(0L)).as("peel_round")))
+      State.release(prev)
     }
     // survivors report their degree within the FINAL surviving
     // subgraph: the state's deg accounts for deaths through round

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Round-state materialization for iterative operators (connected
+  * components, k-core, BFS, farthest-first/Lloyd's): one EAGER lineage
+  * cut per round, with a conf-gated choice of durability.
+  *
+  * Default (`spark.graft.checkpointDir` unset): `localCheckpoint(true)`
+  * — blocks live in executor storage, cheap, but lost with an executor.
+  * Fine for local mode and restartable queries.
+  *
+  * Reliable mode (`spark.graft.checkpointDir = <fault-tolerant path>`):
+  * `checkpoint(eager = true)` to that directory — on a 1000-executor
+  * run a lost executor no longer kills a long iterative query
+  * mid-flight, because round state re-reads from storage instead of
+  * recomputing a lineage that no longer exists. The reference engine is
+  * a single process and has no equivalent; at 100 TB this is the
+  * difference between "restart the whole 40-round CC" and "lose one
+  * task". Checkpoint files are cleaned by Spark when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
+  * deleting the directory after the session.
+  */
+object State {
+
+  /** Session conf key: set to a fault-tolerant directory (HDFS/object
+    * store on a cluster; any path locally) to make every iterative
+    * operator's round cuts RELIABLE checkpoints instead of
+    * executor-local ones. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  /** Eagerly materializes `df` and cuts its lineage — reliable
+    * checkpoint when [[CheckpointDirKey]] is set, localCheckpoint
+    * otherwise. The SparkContext checkpoint dir is initialized from
+    * the conf on first use and left alone if already set (each
+    * `setCheckpointDir` call mints a fresh UUID subdirectory). */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+  }
+
+  /** Frees a PREVIOUS round generation's storage once the next one is
+    * materialized. localCheckpoint state is cached RDD blocks that the
+    * ContextCleaner frees only at GC time, so a long session running
+    * many iterative queries otherwise accumulates node-sized block sets
+    * per round. Walks to the generation's `LogicalRDD` leaves and
+    * unpersists their RDDs (non-blocking); a reliable-checkpoint
+    * generation's RDD isn't cached, so this is a harmless no-op there.
+    * NEVER call it on a generation that still has downstream consumers
+    * — unlike CacheManager unpersist, the blocks don't recompute (the
+    * original lineage is gone), they're simply missing. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -180,9 +180,13 @@ object AsofJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Alias(Literal.create(null, payload.dataType), "__asof")()),
       probe)
     // null-keyed hist rows can match nothing; dropping them keeps
-    // the window's null-key group from "matching" null-keyed probes
+    // the window's null-key group from "matching" null-keyed probes.
+    // A null hist TIME must go too: the original inner join's
+    // `ht <= pt` is NULL for it, but in the union window it would
+    // sort NULLS FIRST ahead of every probe row and get carried.
     val histFiltered = Filter(
-      equis.map(e => IsNotNull(e._2): Expression).reduce(And), hist)
+      (equis.map(e => IsNotNull(e._2): Expression) :+ (IsNotNull(ht): Expression))
+        .reduce(And), hist)
     val histProj = Project(
       probe.output.map(a => Alias(Literal.create(null, a.dataType), a.name)()) ++
         (equis.map(_._2).zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() } :+

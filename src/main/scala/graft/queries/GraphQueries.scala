@@ -34,8 +34,20 @@ object GraphQueries {
     val halfUp = graft.functions.IntMath.halfUpDiv _
     val pairs = graft.dedup.Dedup.d2Pairs(spark, dir, threshold = 0.7)
       .select($"doc_id1".as("a"), $"doc_id2".as("b"))
-    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
-    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    // edge-sized, referenced once per iteration (inSum) plus deg's
+    // build: memoized hash-partitioned on `a` so each round's share
+    // join reuses one exchange instead of re-deriving the pair
+    // artifact's union+shuffle (AQE defeats ReuseExchange — the
+    // Dedup.scala:106 position)
+    val edges = graft.operators.Indexes.memo(s"g1_edges:$dir") {
+      pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b"))).repartition($"a")
+    }
+    // node-sized, referenced once per iteration plus the final join —
+    // memoized like base; lazy it is up to iters+1 edge-scale
+    // aggregations where one suffices
+    val deg = graft.operators.Indexes.memo(s"g1_deg:$dir") {
+      edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    }
     val docs = Tables.read(spark, dir, "documents").select($"doc_id")
     val nFrame = docs.agg(count(lit(1)).as("n"))
     // node-sized, referenced once per iteration plus the final join —
@@ -746,8 +758,13 @@ object GraphQueries {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
     val pairs = g6CoPairs(spark, dir, minSupport).select($"a", $"b")
-    val edges = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
-    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    // memoized exactly like g1's edge/degree artifacts (see g1PageRank)
+    val edges = graft.operators.Indexes.memo(s"g11_edges:$dir:$minSupport") {
+      pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b"))).repartition($"a")
+    }
+    val deg = graft.operators.Indexes.memo(s"g11_deg:$dir:$minSupport") {
+      edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+    }
     val parts = Tables.read(spark, dir, "part")
     val minBrand = parts.agg(min($"p_brand").as("seed_brand"))
     val nSeedsF = parts.crossJoin(broadcast(minBrand))

@@ -1842,7 +1842,12 @@ object Tpch {
     // two-level prefix sum — recency/freq are domain-bounded and just
     // collapse to one (still partitioned) block under the same plan
     def thr(c: String): DataFrame = {
-      val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      // blockCum consumes its input TWICE (local sums + block totals)
+      // and tot is a third consumer — memoized per its documented
+      // contract so the groupBy over `per` runs once per column
+      val hist = graft.operators.Indexes.memo(s"q36_hist:$c:$dir") {
+        per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      }
       val tot = hist.agg(sum($"cnt").as("n"))
       graft.operators.PrefixSum.blockCum(hist, "v", "cnt", "cum")
         .crossJoin(broadcast(tot))

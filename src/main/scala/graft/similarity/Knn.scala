@@ -1928,9 +1928,9 @@ object Knn {
     val seedId = seedRow.getLong(0)
     val seedVec = seedRow.getAs[scala.collection.Seq[Long]]("el").toArray
     // initialize min-distance to the seed in one kernel pass
-    var state = q.withColumn("__p", nearestCentE6($"el", Array(seedVec)))
-      .select($"vec_id", $"el", unpackDistE6(col("__p")).as("mind"))
-      .localCheckpoint(true)
+    var state = graft.operators.State.cut(
+      q.withColumn("__p", nearestCentE6($"el", Array(seedVec)))
+        .select($"vec_id", $"el", unpackDistE6(col("__p")).as("mind")))
     val trace = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Long)]()
     trace += ((0L, Some(seedId), 0L))
     for (r <- 1 until k) {
@@ -1939,11 +1939,12 @@ object Knn {
       val (pid, pd) = (pick.getLong(0), pick.getLong(1))
       val pvec = pick.getAs[scala.collection.Seq[Long]]("el").toArray
       trace += ((r.toLong, Some(pid), pd))
-      state = state
+      val prev = state
+      state = graft.operators.State.cut(state
         .withColumn("__p", nearestCentE6($"el", Array(pvec)))
         .select($"vec_id", $"el",
-          least($"mind", unpackDistE6(col("__p"))).as("mind"))
-        .localCheckpoint(true)
+          least($"mind", unpackDistE6(col("__p"))).as("mind")))
+      graft.operators.State.release(prev)
     }
     val coverage = state.agg(max($"mind")).head.getLong(0)
     trace += ((k.toLong, None, coverage))

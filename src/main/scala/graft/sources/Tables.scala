@@ -244,8 +244,11 @@ object Tables {
         def plain(t: String) = spark.read.format("jdbc")
           .option("url", url).option("dbtable", t).load()
         lowered(
+          // only SQL failures (e.g. a reserved-word table name) earn
+          // the quoted retry — driver/auth/network errors propagate
+          // with their original cause instead of the quoted attempt's
           try plain(table)
-          catch { case _: Exception => plain(quoteIdent(url, table)) })
+          catch { case _: java.sql.SQLException => plain(quoteIdent(url, table)) })
     }
   }
 

@@ -121,6 +121,36 @@ class AsofJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("null history timestamps never match (inner join drops them; so must the rewrite)") {
+    // k=1 has a NULL-ts quote that would sort NULLS FIRST in the union
+    // window and get carried to EVERY k=1 trade if not filtered out;
+    // k=4's ONLY quote is null-ts, so its trade must vanish entirely
+    val nullQuotes = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Double)](
+      (1L, null, 104L, 9.9), (1L, 10L, 100L, 1.0),
+      (4L, null, 400L, 4.4)
+    ).toDF("qk", "qt", "qid", "price")
+    val nullTrades = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 20L, 11L), (1L, 5L, 13L), (4L, 50L, 41L),
+      (1L, null, 14L) // null PROBE time matches nothing either
+    ).toDF("tk", "tt", "tid")
+    def q: DataFrame = nullTrades.join(nullQuotes, $"tk" === $"qk" && $"qt" <= $"tt")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tid").orderBy($"qt".desc, $"qid".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .select($"tid", $"qid", $"price").orderBy("tid")
+    spark.conf.set(AsofJoinRule.EnabledKey, "false")
+    val baseline = q.collect().toSeq
+    assert(baseline.map(r => (r.getLong(0), r.getLong(1))) == Seq((11L, 100L)),
+      "inner join must drop null-ts quotes and null-ts/unmatched trades")
+    withRule {
+      val df = q
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "null-ts fixture must still rewrite join-free")
+      assert(df.collect().toSeq == baseline)
+    }
+  }
+
   test("rewrite is idempotent: a second pass leaves the plan unchanged") {
     withRule {
       val once = naive().queryExecution.optimizedPlan

@@ -270,6 +270,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("g1/g11 pagerank plans: edge/degree artifacts memoized — only per-iteration aggregates remain") {
+    // the r8 finding: a LAZY deg (edge-scale groupBy) is re-derived in
+    // every iteration's share join plus the final join — up to 4 extra
+    // edge-scale shuffle+aggregations at iters=3. Memoized artifacts
+    // plan as InMemoryRelation, so the optimized plan must carry
+    // EXACTLY the 3 per-iteration inSum aggregates and zero raw scans.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    for ((name, df) <- Seq(
+        "g1_pagerank" -> queries.GraphQueries.g1PageRank(spark, sf),
+        "g11_ppr" -> queries.GraphQueries.g11Ppr(spark, sf))) {
+      val plan = df.queryExecution.optimizedPlan
+      val aggs = plan.collect { case a: Aggregate => a }
+      assert(aggs.length == 3,
+        s"$name plans ${aggs.length} aggregates, expected the 3 per-iteration inSums")
+      val raw = plan.collect { case r: LogicalRelation => r }
+      assert(raw.isEmpty,
+        s"$name still scans a base table ${raw.length}x — an artifact escaped the memo")
+    }
+  }
+
   test("j3's bloom prefilter prunes: pass count sits between exact matches and table size") {
     import spark.implicits._
     val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
