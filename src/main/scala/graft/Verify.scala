@@ -33,10 +33,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ORACLE-ORDERING CONTRACT: registered operators return UNORDERED
+    // frames (a 100 TB caller must not pay a corpus-wide sort for
+    // determinism only this harness needs); the deterministic total
+    // order for the driver's hash compare is imposed HERE, once, on
+    // every orderable column. Non-orderable columns (maps) are left
+    // out of the key — the compare itself is row-sorted as well, so
+    // ties are safe.
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val keys = df.schema.fields.filter(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)).map(f => org.apache.spark.sql.functions.col(f.name))
+        val ordered = if (keys.isEmpty) df else df.orderBy(keys.toIndexedSeq: _*)
+        ordered.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

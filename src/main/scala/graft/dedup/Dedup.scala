@@ -27,7 +27,6 @@ object Dedup {
       .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
       .groupBy($"fingerprint")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
   }
 
   val d1Sql: String =
@@ -392,7 +391,6 @@ object Dedup {
       .filter($"doc_id1" < $"doc_id2")
       .select($"doc_id1", $"doc_id2", round(inter / union, 6).as("jaccard"))
       .filter($"jaccard" >= threshold)
-      .orderBy("doc_id1", "doc_id2")
   }
 
   val d4Sql: String =
@@ -470,7 +468,6 @@ object Dedup {
         least($"n1", $"n2").cast("long").as("n_min"))
       .withColumn("overlap_e6", expr("n_shared * 1000000 DIV n_min"))
       .filter($"overlap_e6" >= minOverlapE6)
-      .orderBy("doc_id1", "doc_id2")
   }
 
   val d9Sql: String =
@@ -520,7 +517,6 @@ object Dedup {
         min($"corpus_id").as("min_match_id"),
         max($"est_jaccard").as("max_est"))
       .select($"batch_id".as("doc_id"), $"n_corpus_matches", $"min_match_id", $"max_est")
-      .orderBy("doc_id")
   }
 
   val d11Sql: String =
@@ -569,7 +565,6 @@ object Dedup {
       .select($"doc_id1", $"doc_id2", $"est_jaccard", $"exact_jaccard_e6",
         ($"est_e6" - $"exact_jaccard_e6").as("err_e6"),
         ($"exact_jaccard_e6" < 500000L).cast("int").as("is_false_pos"))
-      .orderBy("doc_id1", "doc_id2")
   }
 
   val d10Sql: String =
@@ -661,7 +656,6 @@ object Dedup {
     cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
       .select($"doc_id1", $"doc_id2", hamming.as("hamming"))
       .filter($"hamming" <= maxHamming)
-      .orderBy("doc_id1", "doc_id2")
   }
 
   /** d3 oracle: DuckDB reproduces the md5-derived token hashes, the
@@ -720,7 +714,6 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"doc_id", $"fingerprint")
-      .orderBy("doc_id")
   }
 
   val d6Sql: String =
@@ -886,7 +879,6 @@ object Dedup {
     graft.operators.Graph.connectedComponents(pairs, nodes, "d8")
       .select($"id".as("vec_id"), $"label".as("rep_id"),
         when($"id" === $"label", 1L).otherwise(0L).as("is_kept"))
-      .orderBy("vec_id")
   }
 
   /** d8 oracle: d5's pair CTEs + the recursive closure over the top-N
@@ -1134,7 +1126,6 @@ object Dedup {
       .select($"doc_id", $"cluster_id", $"survivor_id",
         when($"doc_id" === $"survivor_id", 1L).otherwise(0L).as("is_survivor"),
         $"quality_e6")
-      .orderBy("doc_id")
   }
 
   /** d15 oracle: d7's transitive-closure chain + t2's quality chain

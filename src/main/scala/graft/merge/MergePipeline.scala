@@ -74,7 +74,7 @@ object MergePipeline {
     * (partitioned, unsorted); a global total sort of the merged fact
     * table would be pure waste at scale. */
   def m7Merge(spark: SparkSession, dir: String): DataFrame =
-    m7MergeCore(spark, dir).orderBy("instance", "new_orderkey")
+    m7MergeCore(spark, dir)
 
   /** Integrity-gated merge (reference orchestrator.js: the pipeline
     * REFUSES to run when any FK relation has orphans — "integrity

@@ -26,7 +26,6 @@ object MergeQueries {
   /** m1: metadata dedup-merge by natural key → id map. */
   def m1Consolidate(spark: SparkSession, dir: String): DataFrame =
     MergeOps.consolidate(srcCust(spark, dir), destCust(spark, dir), Seq("c_name"), "c_custkey")
-      .orderBy("src_id")
 
   val m1Sql: String =
     """WITH srcc AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
@@ -46,7 +45,6 @@ object MergeQueries {
     val srcOrders = Tables.read(spark, dir, "orders").filter(col("o_custkey") % 3 =!= 0)
     MergeOps.remapFk(srcOrders, "o_custkey", idMap, "new_custkey")
       .select(col("o_orderkey"), col("o_custkey").as("old_custkey"), col("new_custkey"))
-      .orderBy("o_orderkey")
   }
 
   val m2Sql: String =
@@ -68,7 +66,7 @@ object MergeQueries {
   def m3UuidCollision(spark: SparkSession, dir: String): DataFrame = {
     val s = srcCust(spark, dir).withColumn("uuid", md5(col("c_name")))
     val d = destCust(spark, dir).withColumn("uuid", md5(col("c_name")))
-    MergeOps.uuidCollisions(s, d, "c_custkey", "uuid").orderBy("src_id")
+    MergeOps.uuidCollisions(s, d, "c_custkey", "uuid")
   }
 
   val m3Sql: String =
@@ -128,7 +126,6 @@ object MergeQueries {
       uuidCol = Some("uuid"))
     Orchestrator.excludedIds(s, d, spec)
       .withColumnRenamed("c_custkey", "excluded_id")
-      .orderBy("excluded_id")
   }
 
   val m5Sql: String =
@@ -155,7 +152,6 @@ object MergeQueries {
     MergeOps.upsertLatest(ev, Seq("user_id", "event_type"), "ts", "event_id")
       .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"),
         unix_micros(col("ts")).as("ts_us"), round(col("value"), 4).as("value"))
-      .orderBy("user_id", "event_type")
   }
 
   val m8Sql: String =
@@ -171,7 +167,6 @@ object MergeQueries {
   def m9SeqAssign(spark: SparkSession, dir: String): DataFrame =
     MergeOps.assignSequentialIds(
       cust(spark, dir).select(col("c_custkey")), "c_custkey", "new_id", 1000000L)
-      .orderBy("c_custkey")
 
   val m9Sql: String =
     """SELECT c_custkey, 1000000 + row_number() OVER (ORDER BY c_custkey) AS new_id
@@ -198,7 +193,6 @@ object MergeQueries {
     MergeOps.remapFk(phase1, "referred_by", idMap, "new_referred_by", joinType = "left")
       .select(col("c_custkey").as("src_id"), col("new_id"),
         col("referred_by"), col("new_referred_by"))
-      .orderBy("src_id")
   }
 
   val m11Sql: String =
@@ -236,7 +230,6 @@ object MergeQueries {
       .withColumn("c_nationkey", col("c_nationkey") + 100)
     MergeOps.consolidateMapped(srcCust(spark, dir), dest,
         Seq("c_name"), "c_nationkey", nationMap, "c_custkey")
-      .orderBy("src_id")
   }
 
   val m12Sql: String =
@@ -304,7 +297,6 @@ object MergeQueries {
     mapA.withColumn("merge_source", lit("srcA"))
       .unionAll(mapB.withColumn("merge_source", lit("srcB")))
       .select(col("merge_source"), col("src_id"), col("dest_id"), col("is_new"))
-      .orderBy("merge_source", "src_id")
   }
 
   val m17Sql: String =
@@ -365,7 +357,6 @@ object MergeQueries {
         fmt($"o_orderdate").as("valid_from"),
         fmt($"valid_to_ts").as("valid_to"),
         $"valid_to_ts".isNull.cast("int").as("is_current"))
-      .orderBy($"o_custkey", $"version")
   }
 
   val m18Sql: String =
@@ -410,7 +401,6 @@ object MergeQueries {
         when(col("is_new") === 1, "insert")
           .when(col("c_mktsegment") =!= col("dest_segment"), "update")
           .otherwise("noop").as("action"))
-      .orderBy("src_id")
   }
 
   /** m19 oracle: m2's idmap chain scoped to the delta slice, plus the
@@ -475,7 +465,6 @@ object MergeQueries {
           .otherwise("dest_only").as("origin"),
         (col("d.c_acctbal").isNull.cast("long") +
           col("s.c_mktsegment").isNull.cast("long")).as("n_missing"))
-      .orderBy("c_custkey")
   }
 
   /** m20 oracle: the same versioned projections and full-outer
@@ -586,7 +575,6 @@ object MergeQueries {
         col("src_acctbal"), col("dest_acctbal").cast("double").as("dest_acctbal"),
         col("acctbal_conflict"), col("nation_conflict"),
         col("src_acctbal").as("resolved_acctbal"))
-      .orderBy("src_id")
   }
 
   /** m22 oracle: the same min-id survivor per name and field compare. */
@@ -649,7 +637,6 @@ object MergeQueries {
         (least(($"block_id" + 1L) * block - 1L, $"max_id")
           - greatest($"block_id" * block, $"min_id") + 1L
           - $"n_present").as("n_missing"))
-      .orderBy("block_id")
   }
 
   /** m24 oracle: same block rollup + capped-final-block arithmetic. */
@@ -840,7 +827,6 @@ object MergeQueries {
         segWin.as("segment"), from(col("s_seg"), col("d_seg"), segWin).as("seg_from"),
         col("d_nation").as("nation"),
         (col("s_nation") =!= col("d_nation")).cast("long").as("nation_conflict"))
-      .orderBy("dest_id")
   }
 
   /** m28 oracle: same drift fixture, min-id dest survivor, rule

@@ -144,7 +144,7 @@ object OrchestratorQueries {
       col("l_lineid").cast(LongType).as("new_id"),
       col("src_l_lineid").cast(LongType).as("src_id"),
       col("l_orderkey").cast(LongType).as("new_fk"), nullFk.as("new_selffk"))
-    c.unionAll(o).unionAll(l).orderBy("table_name", "instance", "new_id")
+    c.unionAll(o).unionAll(l)
   }
 
   /** Shared oracle CTEs: both instances of all three tables plus the
@@ -297,7 +297,6 @@ object OrchestratorQueries {
         col("c_custkey").cast(LongType).as("new_id"),
         col("src_c_custkey").cast(LongType).as("src_id"),
         col("first_order").cast(LongType).as("new_first_order"))
-      .orderBy("instance", "new_id")
   }
 
   // The deferred-FK CASE mirrors the engine's STRICT semantics: a
@@ -355,7 +354,6 @@ object OrchestratorQueries {
     val d = Tables.read(spark, dir, "customer").filter(col("c_custkey") % 2 === 0)
       .withColumn("uuid", md5(col("c_name")))
     Orchestrator.uuidRemapReport(s, d, "c_custkey", "uuid", generateNewUuids = true)
-      .orderBy("src_id")
   }
 
   val m15Sql: String =
@@ -393,7 +391,7 @@ object OrchestratorQueries {
         col("is_new").cast(LongType).as("is_new"),
         when(col("is_new") === 1, "inserted")
           .otherwise("mapped_to_existing").as("decision"))
-    }.reduce(_ unionAll _).orderBy("table_name", "src_id")
+    }.reduce(_ unionAll _)
   }
 
   /** m23 oracle: the shared id-map CTEs, stacked and labeled. */

@@ -29,8 +29,42 @@ object Media {
   case class MediaStats(doc_id: Long, source: String, byte_len: Long,
                         first_byte: Int, width: Int, height: Int, n_frames: Long)
 
-  /** STUB decoder: deterministic fake standing in for e.g. JPEG
-    * dimension parsing / video frame counting. Reads real bytes. */
+  /** THE injectable codec boundary — the one seam between "opaque
+    * bytes in a DataFrame" and "decoded media". Every mm operator
+    * calls a [[MediaDecoder]] through a batched `Seq → Seq` hook at
+    * the `mapPartitions` boundary: partitions stream through the
+    * worker in fixed-size batches, one decoder call per BATCH (where a
+    * JNI image lib / ffmpeg bridge / ONNX session amortizes its
+    * per-call + GPU-transfer cost), nothing collected to the driver.
+    * A production codec drops in by passing a different impl to the
+    * operator — the Spark plumbing (schema, partition parallelism,
+    * batch shape, output contract) doesn't change.
+    *
+    * CONTRACTS (spec-pinned in MediaSpec): outputs align 1:1 and
+    * IN ORDER with the input batch; results depend only on each row's
+    * bytes (never on batch boundaries), so any partitioning/batch size
+    * yields identical frames; impls must be Serializable (they ship to
+    * executors). */
+  trait MediaDecoder extends Serializable {
+    /** Decode one batch: per-object stats (dimensions, frame count). */
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaStats]
+    /** Embed one batch: one `dim`-float embedding per object. */
+    def embedBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding]
+  }
+
+  /** Default [[MediaDecoder]]: the deterministic STUB standing in for
+    * real codecs (no media libs in this environment). Derives every
+    * "decoded" property from the payload bytes, so the DuckDB oracle
+    * reproduces it arithmetically and the whole mm block stays
+    * hash-gated. */
+  object StubDecoder extends MediaDecoder {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaStats] = batch.map(decodeStub)
+    def embedBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] =
+      encodeStubBatch(batch, dim)
+  }
+
+  /** STUB decode of one object: deterministic fake standing in for e.g.
+    * JPEG dimension parsing / video frame counting. Reads real bytes. */
   def decodeStub(m: MediaRow): MediaStats = {
     val len = m.payload.length.toLong
     val first = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
@@ -70,14 +104,16 @@ object Media {
   }
 
   /** mm1: decode-and-extract over every media object. mapPartitions =
-    * the batch-decode hook; partition parallelism is preserved, no
-    * shuffle until the final presentation sort. */
-  def mm1MediaStats(spark: SparkSession, dir: String): DataFrame = {
+    * the batched [[MediaDecoder]] hook; partition parallelism is
+    * preserved, no shuffle at all — stats land wherever the bytes
+    * were read. */
+  def mm1MediaStats(spark: SparkSession, dir: String,
+                    decoder: MediaDecoder = StubDecoder,
+                    batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.decodeBatch))
       .toDF()
-      .orderBy("doc_id")
   }
 
   /** Oracle reproduces the stub arithmetically. byte_len (and the
@@ -107,12 +143,14 @@ object Media {
     * Shape: typed mapPartitions decode → one map-side-combined
     * shuffle on source (conditional aggregates, no second pass). */
   def mm6MediaFilter(spark: SparkSession, dir: String, minWidth: Int = 128,
-                     minHeight: Int = 80, minFrames: Long = 2L): DataFrame = {
+                     minHeight: Int = 80, minFrames: Long = 2L,
+                     decoder: MediaDecoder = StubDecoder,
+                     batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     val resOk = col("width") >= minWidth && col("height") >= minHeight
     val lenOk = col("n_frames") >= minFrames
     mediaTable(spark, dir)
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.decodeBatch))
       .toDF()
       .groupBy($"source")
       .agg(count(lit(1)).as("n_assets"),
@@ -154,19 +192,18 @@ object Media {
     * Output is independent of batch boundaries, so the op is
     * deterministic under any partitioning. */
   def mm2FrameSample(spark: SparkSession, dir: String,
-                     every: Int = 4, batchSize: Int = 64): DataFrame = {
+                     every: Int = 4, batchSize: Int = 64,
+                     decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions(_.grouped(batchSize).flatMap { batch =>
-        // batched decode hook: one call per batch, not per row
-        val decoded = batch.map(decodeStub)
-        decoded.iterator.flatMap { s =>
+        // batched decode hook: one decoder call per batch, not per row
+        decoder.decodeBatch(batch).iterator.flatMap { s =>
           (0L until s.n_frames by every.toLong)
             .map(i => FrameRow(s.doc_id, i, s.byte_len))
         }
       })
       .toDF()
-      .orderBy("doc_id", "frame_idx")
   }
 
   val mm2Sql: String =
@@ -210,15 +247,15 @@ object Media {
     * projection (norm per object, codegen'd) proves the bridge output
     * feeds the vector kernels directly. */
   def mm3EmbedMedia(spark: SparkSession, dir: String,
-                    dim: Int = 8, batchSize: Int = 64): DataFrame = {
+                    dim: Int = 8, batchSize: Int = 64,
+                    decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.normF32
     mediaTable(spark, dir)
-      .mapPartitions(_.grouped(batchSize).flatMap(encodeStubBatch(_, dim)))
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.embedBatch(_, dim)))
       .toDF()
       .select($"doc_id", round(normF32($"embedding"), 6).as("emb_norm"),
         round(element_at($"embedding", 1).cast("double"), 6).as("e0"))
-      .orderBy("doc_id")
   }
 
   /** mm4: byte-level media dedup — the FIRST pass of any multimodal
@@ -236,7 +273,6 @@ object Media {
       .select($"doc_id", md5($"payload").as("payload_fp"))
       .groupBy($"payload_fp")
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
-      .orderBy("payload_fp")
   }
 
   /** mm4 oracle: DuckDB md5(VARCHAR) hashes UTF-8 bytes = the Spark
@@ -264,11 +300,12 @@ object Media {
     * arithmetic. Returns (media(media_id, c, cn), queries(query_id,
     * q, qn)). */
   private def xmodalTowers(spark: SparkSession, dir: String, dim: Int,
-                           batchSize: Int): (DataFrame, DataFrame) = {
+                           batchSize: Int,
+                           decoder: MediaDecoder = StubDecoder): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.VectorFunctions.normF32
     val media = mediaTable(spark, dir)
-      .mapPartitions(_.grouped(batchSize).flatMap(encodeStubBatch(_, dim)))
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.embedBatch(_, dim)))
       .toDF()
       .select($"doc_id".as("media_id"), $"embedding".as("c"))
       .withColumn("cn", normF32($"c"))
@@ -285,18 +322,18 @@ object Media {
   }
 
   def mm5CrossModal(spark: SparkSession, dir: String,
-                    dim: Int = 8, k: Int = 5, batchSize: Int = 64): DataFrame = {
+                    dim: Int = 8, k: Int = 5, batchSize: Int = 64,
+                    decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.dotF32
-    val (media, queries) = xmodalTowers(spark, dir, dim, batchSize)
+    val (media, queries) = xmodalTowers(spark, dir, dim, batchSize, decoder)
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"media_id")
     media.join(broadcast(queries))
       .select($"query_id", $"media_id",
         round(dotF32($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** mm5 oracle: both towers' dimensions re-derived arithmetically
@@ -380,7 +417,6 @@ object Media {
       .groupBy($"ex.query_id".as("query_id"))
       .agg(count($"ap.media_id").as("n_hits"),
         (count($"ap.media_id") * lit(1000000L / k)).as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** mm9 oracle: both towers unpivoted into one namespaced long form
@@ -517,7 +553,6 @@ object Media {
       .select($"doc_id1", $"doc_id2",
         bit_count($"h1".bitwiseXOR($"h2")).cast("long").as("hamming"))
       .filter($"hamming" <= maxHamming)
-      .orderBy("doc_id1", "doc_id2")
   }
 
   /** mm7 oracle: same segment sums / strict-majority bits / band join
@@ -636,7 +671,9 @@ object Media {
     * per-partition batch boundary (the real-decoder hook — nothing
     * collected), the rollup map-side-combines to a sources-sized
     * frame. */
-  def mm10DecodeBudget(spark: SparkSession, dir: String): DataFrame = {
+  def mm10DecodeBudget(spark: SparkSession, dir: String,
+                       decoder: MediaDecoder = StubDecoder,
+                       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
     Tables.read(spark, dir, "documents")
@@ -646,10 +683,13 @@ object Media {
         // oracle-mirrored reading of "nothing to decode"
         encode(coalesce($"text", lit("")), "UTF-8").as("payload"))
       .as[DeclaredMedia]
-      .mapPartitions(_.map { m =>
-        val len = m.payload.length.toLong
-        // (source, declared chars, decoded bytes, decoded frames)
-        (m.source, m.n_chars, len, len / 256L + 1L)
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // decoder outputs align 1:1 in order (the MediaDecoder
+        // contract), so the declared n_chars zips back on
+        val rows = batch.map(m => MediaRow(m.doc_id, m.source, m.payload))
+        decoder.decodeBatch(rows).iterator.zip(batch.iterator).map {
+          case (s, m) => (s.source, m.n_chars, s.byte_len, s.n_frames)
+        }
       })
       .toDF("source", "n_chars", "byte_len", "n_frames")
       .groupBy($"source")

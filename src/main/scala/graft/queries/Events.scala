@@ -29,7 +29,6 @@ object Events {
         round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
       .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type", $"n_events", $"sum_value")
-      .orderBy("hour", "event_type")
   }
 
   val e1Sql: String =
@@ -57,7 +56,6 @@ object Events {
         unix_micros(min($"ts")).as("start_us"),
         unix_micros(max($"ts")).as("end_us"),
         round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
-      .orderBy("user_id", "session_seq")
   }
 
   val e2Sql: String =
@@ -92,7 +90,6 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         round(avg($"k"), 6).as("avg_k"),
         max($"k").as("max_k"))
-      .orderBy("user_id")
   }
 
   val e4Sql: String =
@@ -115,7 +112,6 @@ object Events {
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"),
         unix_micros($"ts").as("ts_us"), $"prior_touch")
-      .orderBy("user_id", "purchase_id")
   }
 
   val e5Sql: String =
@@ -148,7 +144,6 @@ object Events {
         unix_micros($"view_ts").as("view_us"),
         unix_micros($"click_ts").as("click_us"),
         unix_micros($"purchase_ts").as("purchase_us"))
-      .orderBy("user_id")
   }
 
   val e3Sql: String =
@@ -189,7 +184,6 @@ object Events {
       .select($"user_id", $"event_id".as("purchase_id"),
         unix_micros($"ts").as("purchase_ts_us"),
         $"asof_click_id", unix_micros($"asof_click_ts").as("click_ts_us"))
-      .orderBy("user_id", "purchase_id")
   }
 
   /** e7: range join — per maintenance window ([hh:10, hh:40] of every
@@ -210,7 +204,6 @@ object Events {
       .groupBy($"lo_us", $"hi_us")
       .agg(count(lit(1)).as("n_events"),
         round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
-      .orderBy("lo_us")
   }
 
   val e7Sql: String =
@@ -266,7 +259,6 @@ object Events {
       .groupBy($"lo_us", $"hi_us")
       .agg(count(lit(1)).as("n_events"),
         round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
-      .orderBy("lo_us")
   }
 
   /** e9 oracle: the same naive BETWEEN join DuckDB plans natively. */
@@ -299,7 +291,6 @@ object Events {
         unix_micros($"ts").as("purchase_ts_us"),
         $"click_id".as("asof_click_id"),
         unix_micros($"click_ts").as("click_ts_us"))
-      .orderBy("user_id", "purchase_id")
   }
 
   /** e37: as-of join WITH A STALENESS BOUND — the production form of
@@ -333,7 +324,6 @@ object Events {
           .otherwise(unix_micros($"ts") - unix_micros($"asof_click_ts"))
           .as("staleness_us"),
         ($"asof_click_ts".isNotNull && stale).cast("long").as("dropped_stale"))
-      .orderBy("user_id", "purchase_id")
   }
 
   /** e37 oracle: the native as-of join with the same staleness mask. */
@@ -390,7 +380,6 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
       .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_date"),
         $"day_offset", $"active_users")
-      .orderBy("cohort_date", "day_offset")
   }
 
   val e8Sql: String =
@@ -515,7 +504,6 @@ object Events {
             h => struct(h.as("hour"), lit(0L).as("n"), lit(0.0).as("sv"))))).as("r"))
       .select(date_format($"r.hour", "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type",
         $"r.n".as("n_events"), $"r.sv".as("sum_value"))
-      .orderBy("hour", "event_type")
   }
 
   val e10Sql: String =
@@ -551,7 +539,6 @@ object Events {
         sum($"gap_us").as("sum_gap_us"),
         max($"gap_us").as("max_gap_us"))
       .withColumn("avg_gap_us", expr("sum_gap_us DIV n_gaps"))
-      .orderBy("user_id")
   }
 
   val w4Sql: String =
@@ -599,7 +586,6 @@ object Events {
       .select($"hour", $"event_type", $"n_events",
         ($"dev" * $"dev" > lit(4).cast(d38) * ($"n" * $"q" - $"s" * $"s"))
           .cast("int").as("is_anomaly"))
-      .orderBy("hour", "event_type")
   }
 
   /** e12 oracle: e10's oracle composed as a CTE + the same
@@ -718,7 +704,6 @@ object Events {
         unix_micros($"sw.start").as("start_us"),
         (unix_micros($"sw.end") - gapUs).as("last_us"),
         $"n_events", $"sum_value")
-      .orderBy("user_id", "start_us")
   }
 
   /** e14 oracle: gaps-and-islands with e2's strict-`>` boundary. */
@@ -771,7 +756,6 @@ object Events {
       .withColumn("cume_users", sum($"new_users").over(w))
       .select(date_format($"day", "yyyy-MM-dd").as("day"),
         $"n_events", $"new_users", $"cume_users")
-      .orderBy("day")
   }
 
   val w5Sql: String =
@@ -827,7 +811,6 @@ object Events {
     perUser.groupBy($"cell")
       .agg(sum($"n").as("n_events"), count(lit(1)).as("n_users"),
         min($"zmin").as("z_min"), max($"zmax").as("z_max"))
-      .orderBy("cell")
   }
 
   /** z1 oracle: the identical spread chain via [[graft.functions
@@ -1054,7 +1037,6 @@ object Events {
         graft.functions.IntMath.halfUpDiv(sum($"p_e6"), count(lit(1)))
           .as("mean_p_e6"),
         min($"p_e6").as("min_p_e6"))
-      .orderBy("user_id")
   }
 
   /** e16 oracle: e15's oracle as the model CTE, the same bigram
@@ -1109,7 +1091,6 @@ object Events {
           .cast("long").as("n_journeys"),
         size(regexp_extract_all($"s", lit(streakRe), lit(0)))
           .cast("long").as("n_error_streaks"))
-      .orderBy("user_id")
   }
 
   /** e18: DAU / WAU / stickiness — the growth dashboard's headline
@@ -1141,7 +1122,6 @@ object Events {
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
         graft.functions.IntMath.halfUpDiv($"dau" * 1000000L, $"wau")
           .as("stickiness_e6"))
-      .orderBy("day")
   }
 
   /** e18 oracle: the identical coverage transform (DATE + i adds
@@ -1201,7 +1181,6 @@ object Events {
           .when($"rk" === 1 || $"rk" === $"n", lit(400000L))
           .otherwise(graft.functions.IntMath.halfUpDiv(
             lit(200000L), $"n" - 2)).as("credit_e6"))
-      .orderBy("conv_id", "touch_id")
   }
 
   /** w6 oracle: the same per-user range join and position windows;
@@ -1338,7 +1317,6 @@ object Events {
       .select($"user_id", $"n_events", $"n_late", $"max_disorder_us",
         graft.functions.IntMath.halfUpDiv($"n_late" * 1000000L, $"n_events")
           .as("late_e6"))
-      .orderBy("user_id")
   }
 
   /** e20 oracle: identical jitter hash, running max, integer ratios. */
@@ -1459,7 +1437,6 @@ object Events {
       .select($"week", $"event_type", $"n", $"share_e6",
         coalesce($"prev_share_e6", lit(0L)).as("prev_share_e6"),
         ($"share_e6" - coalesce($"prev_share_e6", lit(0L))).as("delta_e6"))
-      .orderBy("week", "event_type")
   }
 
   /** e22 oracle: same week bucketing, share arithmetic and
@@ -1552,7 +1529,6 @@ object Events {
         round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
         $"event_type", $"n_events", $"sum_value")
-      .orderBy("w_start", "event_type")
   }
 
   /** e24 oracle: each event expands to its 4 member windows — start =
@@ -1587,7 +1563,6 @@ object Events {
         countDistinct($"user_id").as("n_users"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
         $"n_events", $"n_users")
-      .orderBy("w_start")
   }
 
   /** e25 oracle: e24's window expansion + count(DISTINCT). */
@@ -1643,7 +1618,6 @@ object Events {
         when($"week" === $"w1", $"n_end").otherwise(0L).as("censored"))
       .withColumn("hazard_e6",
         when($"at_risk" > 0, halfUp($"churned" * 1000000L, $"at_risk")))
-      .orderBy("week")
   }
 
   /** e26 oracle: the same span/histogram/cumulative formation over a
@@ -1716,7 +1690,6 @@ object Events {
         $"burst60_max",
         (coalesce($"median_gap_us" < 600000000L, lit(false)) ||
           $"burst60_max" >= 5L).cast("int").cast("long").as("is_bot"))
-      .orderBy("user_id")
   }
 
   /** e27 oracle: same lag/range-window/rank formation (RANGE over
@@ -2120,7 +2093,6 @@ object Events {
       .withColumn("cum_rev_e4", sum($"rev_e4").over(cum))
       .select($"cohort_week", $"age_wk", $"n_users", $"rev_e4", $"cum_rev_e4",
         halfUp($"cum_rev_e4" * 100L, $"n_users").as("ltv_e6"))
-      .orderBy("cohort_week", "age_wk")
   }
 
   /** e33 oracle: identical epoch-week cohorting and DECIMAL grid. */
@@ -2171,7 +2143,6 @@ object Events {
         size($"win").cast("long").as("n_win"),
         element_at($"win", ((size($"win") + 1) / 2).cast("int")).as("roll_med"))
       .withColumn("dev", $"x" - $"roll_med")
-      .orderBy("event_type", "day")
   }
 
   /** e34 oracle: identical sorted-prefix-window rank formula. */

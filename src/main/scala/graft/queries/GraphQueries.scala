@@ -70,7 +70,6 @@ object GraphQueries {
     }
     r.join(deg.select($"a".as("doc_id"), $"deg"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"deg", lit(0L)).as("degree"), $"r_e6".as("rank_e6"))
-      .orderBy("doc_id")
   }
 
   /** g1 oracle: d2's pair CTEs + the same 3 iterations unrolled
@@ -127,7 +126,6 @@ object GraphQueries {
         when($"degree" >= 2L,
           halfUp($"triangles" * 2000000L, $"degree" * ($"degree" - 1L)))
           .otherwise(0L).as("lcc_e6"))
-      .orderBy("doc_id")
   }
 
   /** g2 oracle: d2's pair CTEs + the same orientation/wedge/closure
@@ -217,7 +215,6 @@ object GraphQueries {
     val size = lab.groupBy($"label").agg(count(lit(1)).as("comm_size"))
     lab.join(size, "label")
       .select($"id".as("doc_id"), $"label".as("community"), $"comm_size")
-      .orderBy("doc_id")
   }
 
   /** The label-propagation CTE chain (d2 pairs → edges → 3 LP rounds
@@ -277,7 +274,6 @@ object GraphQueries {
       .select($"doc_id1".as("a"), $"doc_id2".as("b"))
     graft.operators.Graph.kCore(pairs, k, rounds)
       .select($"id".as("doc_id"), $"peel_round", $"core_deg")
-      .orderBy("doc_id")
   }
 
   /** g5: multi-source BFS hop distance over the d2 near-dup graph —
@@ -306,7 +302,6 @@ object GraphQueries {
       .select($"doc_id1", $"doc_id2")
     graft.operators.Graph.bfsHops(pairs, rounds)
       .select($"id".as("doc_id"), $"hops")
-      .orderBy("doc_id")
   }
 
   /** g5 oracle: d2's pair CTEs + the same 4 BFS rounds unrolled
@@ -478,7 +473,6 @@ object GraphQueries {
     val lab = g3Labels(spark, dir, iters = 3)
       .select($"id", $"label".as("community"))
     graft.operators.Graph.modularity(pairs, lab)
-      .orderBy("community")
   }
 
   /** g7 oracle: the shared g3 CTE chain + the same staged
@@ -794,7 +788,6 @@ object GraphQueries {
       .join(base.select($"p_partkey", $"is_seed"), Seq("p_partkey"))
       .select($"p_partkey", $"is_seed",
         coalesce($"deg", lit(0L)).as("degree"), $"r_e6".as("rank_e6"))
-      .orderBy("p_partkey")
   }
 
   /** g11 oracle: g6's co-pair CTEs + the same 3 restart iterations

@@ -495,7 +495,6 @@ object Tpch {
       // legitimately disagree in the last digit
       .select($"o_orderkey", $"o_custkey", money($"o_totalprice").as("o_totalprice"),
         money($"total_price").as("cust_total"), $"n_orders")
-      .orderBy("o_orderkey")
   }
 
   val q24Sql: String =
@@ -554,7 +553,6 @@ object Tpch {
       .join(rev, $"s_suppkey" === $"l_suppkey")
       .join(broadcast(mx), $"total_revenue" === $"max_revenue")
       .select($"s_suppkey", $"s_name", $"total_revenue")
-      .orderBy("s_suppkey")
   }
 
   val q15Sql: String =
@@ -918,7 +916,6 @@ object Tpch {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"o_custkey", $"o_orderkey", money($"o_totalprice").as("o_totalprice"), $"rk")
-      .orderBy($"o_custkey", $"rk")
   }
 
   val w1Sql: String =
@@ -941,7 +938,6 @@ object Tpch {
       .withColumn("running_total", money(sum(dec($"o_totalprice")).over(w)))
       .select($"o_custkey", $"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"running_total")
-      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
   val w2Sql: String =
@@ -968,7 +964,6 @@ object Tpch {
         sum(dec($"o_totalprice")).over(w).cast("double") /
           count(lit(1)).over(w), 6))
       .select($"o_custkey", $"o_orderkey", $"day", $"avg7")
-      .orderBy("o_custkey", "day", "o_orderkey")
   }
 
   val w3Sql: String =
@@ -1336,7 +1331,6 @@ object Tpch {
       .join(broadcast(suppliers), $"l_suppkey" === $"s_suppkey")
       .select($"p_partkey", $"p_brand", $"p_type", $"s_name", $"n_name",
         round($"supply_cost".cast("double"), 2).as("supply_cost"))
-      .orderBy("p_partkey", "s_name")
   }
 
   val q2Sql: String =
@@ -1652,7 +1646,6 @@ object Tpch {
       .filter($"later_min".isNull || $"cents" < $"later_min")
       .select(date_format($"d", "yyyy-MM-dd").as("o_orderdate"),
         $"cents".as("price_cents"), $"n_orders")
-      .orderBy("o_orderdate")
   }
 
   /** q34 oracle: the same histogram → per-date min → strictly-later

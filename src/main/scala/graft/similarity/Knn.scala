@@ -48,7 +48,6 @@ object Knn {
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   val s1Sql: String =
@@ -102,7 +101,6 @@ object Knn {
       .select($"query_id", $"neighbor_id", round(dot($"q", $"c"), 6).as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** s20 oracle: the same ordered-sum dot products and ranking. */
@@ -146,7 +144,6 @@ object Knn {
       .select($"query_id", $"neighbor_id",
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .filter($"cos_sim" >= minCos)
-      .orderBy("query_id", "neighbor_id")
   }
 
   val s5Sql: String =
@@ -397,7 +394,6 @@ object Knn {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** s2 oracle: DuckDB reproduces the band assignment from the same
@@ -458,7 +454,6 @@ object Knn {
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
       .filter($"cos_sim" >= minCos)
-      .orderBy("query_id", "neighbor_id")
   }
 
   /** s6 oracle: s2's band CTEs + the radius HAVING. */
@@ -500,7 +495,6 @@ object Knn {
       .agg(count(lit(1)).as("n_exact"), count($"n2").as("n_found"))
       .select($"query_id", $"n_exact", $"n_found",
         halfUpDiv($"n_found" * 1000000L, $"n_exact").as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** s7 oracle: the s5 and s6 oracles composed as CTEs (the s4
@@ -536,7 +530,6 @@ object Knn {
       .agg(count($"n2").as("n_hits"))
       .select($"query_id", $"n_hits",
         ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** s4 oracle: the s1 and s2 oracles composed verbatim as nested
@@ -611,7 +604,6 @@ object Knn {
       .agg(count(lit(1)).as("n_exact"), count($"n2").as("n_hits"))
       .select($"query_id", $"label", $"n_exact", $"n_hits",
         halfUpDiv($"n_hits" * 1000000L, $"n_exact").as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** s16 oracle: s1/s2's CTE chains with the label key added to both
@@ -720,7 +712,6 @@ object Knn {
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** s8 oracle: the shared Lloyd's training CTEs (c3 = the final
@@ -779,7 +770,6 @@ object Knn {
       .agg(count($"n2").as("n_hits"))
       .select($"query_id", $"n_hits",
         ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** s9 oracle: s1 and s8 oracles composed as CTEs (the s4 pattern). */
@@ -872,7 +862,6 @@ object Knn {
       .agg(sum($"qdist").as("adist_e12"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** The PQ training CTE chain — subspace slices q0..q3, shared
@@ -989,7 +978,6 @@ object Knn {
       .agg(count($"n2").as("n_hits"))
       .select($"query_id", $"n_hits",
         ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
-      .orderBy("query_id")
   }
 
   /** s11 oracle: exact integer-L2 top-k composed with the s10 oracle
@@ -1070,7 +1058,6 @@ object Knn {
         ($"qq" + $"nn" - lit(2L) * dotI64($"qc", $"nc")).as("sq_dist"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** The SQ8 encode + symmetric code-space ranking CTE chain (through
@@ -1141,7 +1128,6 @@ object Knn {
         ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("exact_dist"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** s22: IVF CELL-BALANCE AUDIT — per-cell corpus population of the
@@ -1446,7 +1432,6 @@ object Knn {
       .dropDuplicates("src_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("src_id", "rank")
   }
 
   /** s17 oracle: s2's candidate CTE with the query filter dropped —
@@ -1511,7 +1496,6 @@ object Knn {
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .orderBy("query_id", "rank")
   }
 
   /** s18 oracle: s1's pairing chain with the label inequality. */
@@ -2059,7 +2043,6 @@ object Knn {
         when($"is_core" === 1L, lit("core"))
           .when($"border_label".isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"))
-      .orderBy("vec_id")
   }
 
   /** s28 oracle: d5's banded candidate CTEs + ε filter, degree count,

@@ -83,7 +83,6 @@ object TextAnalysis {
         when($"en_ratio_e6" >= $"fr_ratio_e6" && $"en_ratio_e6" >= $"es_ratio_e6", "en")
           .when($"fr_ratio_e6" >= $"es_ratio_e6", "fr")
           .otherwise("es"))
-      .orderBy("doc_id")
   }
 
   private def stopListSql(words: Seq[String]): String =
@@ -137,7 +136,6 @@ object TextAnalysis {
         least($"n_tokens".cast("long"), lit(100L)) * 5000L +
           halfUpDiv($"stop_ratio_e6" * 3L, lit(10L)) +
           halfUpDiv(least($"avg_token_len_e6", lit(10000000L)), lit(50L)))
-      .orderBy("doc_id")
   }
 
   /** t2's oracle CTE chain with a caller-chosen name PREFIX, so a
@@ -176,7 +174,6 @@ object TextAnalysis {
         size(split(trim($"text"), "\\s+")).as("ws_tokens"),
         size(regexp_extract_all($"text", lit("[A-Za-z0-9]+"), lit(0))).as("re_tokens"),
         ceil(length($"text") / 4.0).cast("long").as("bpe_est"))
-      .orderBy("doc_id")
   }
 
   val t3Sql: String =
@@ -192,7 +189,6 @@ object TextAnalysis {
     import spark.implicits._
     Tables.read(spark, dir, "documents")
       .select($"doc_id", md5(normalize($"text")).as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   val t4Sql: String =
@@ -214,7 +210,6 @@ object TextAnalysis {
       .select($"doc_id", bucket.as("bucket"))
       .withColumn("split",
         when($"bucket" < 90, "train").when($"bucket" < 95, "val").otherwise("test"))
-      .orderBy("doc_id")
   }
 
   /** t9: split-leakage audit — eval contamination detection. t5's
@@ -236,7 +231,6 @@ object TextAnalysis {
         countDistinct($"split").as("n_splits"),
         concat_ws(",", sort_array(collect_set($"split"))).as("splits"))
       .filter($"n_splits" > 1)
-      .orderBy("cluster_id")
   }
 
   // `def`, NOT `val`, for every oracle string that references another
@@ -275,7 +269,6 @@ object TextAnalysis {
       .select($"doc_id", $"n_tokens", $"n_distinct",
         halfUpDiv($"n_distinct" * 1000000L, $"n_tokens").as("distinct_ratio_e6"),
         halfUpDiv($"max_cnt" * 1000000L, $"n_tokens").as("top_token_share_e6"))
-      .orderBy("doc_id")
   }
 
   val t7Sql: String =
@@ -459,7 +452,6 @@ object TextAnalysis {
       .withColumn("t3", regexp_replace($"t2", ipRe, "<IP>"))
       .select($"doc_id", $"n_emails", $"n_urls", $"n_ips",
         md5($"t3").as("scrubbed_fp"))
-      .orderBy("doc_id")
   }
 
   val t10Sql: String =
@@ -518,7 +510,6 @@ object TextAnalysis {
         sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
         halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
-      .orderBy("doc_id")
   }
 
   /** t11's 100 TB path: the contamination audit with the train-side
@@ -565,7 +556,6 @@ object TextAnalysis {
         sum(when(hit, 1L).otherwise(0L)).as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
         halfUpDiv($"n_contaminated" * 1000000L, $"n_shingles").as("contamination_e6"))
-      .orderBy("doc_id")
   }
 
   def t11Sql: String =
@@ -618,7 +608,6 @@ object TextAnalysis {
         sum(when($"__common".isNotNull, 1L).otherwise(0L)).as("n_common"))
       .select($"doc_id", $"n_shingles", $"n_common",
         halfUpDiv($"n_common" * 1000000L, $"n_shingles").as("boilerplate_e6"))
-      .orderBy("doc_id")
   }
 
   def t15Sql: String =
@@ -682,7 +671,6 @@ object TextAnalysis {
       .select($"doc_id", $"n_shingles", $"n_distinct",
         halfUpDiv(($"n_shingles" - $"n_distinct") * 1000000L, $"n_shingles")
           .as("dup_ngram_e6"))
-      .orderBy("doc_id")
   }
 
   def t16Sql: String =
@@ -806,7 +794,6 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"doc_id", $"token", $"tf", $"df", $"score_e6", $"rank")
-      .orderBy("doc_id", "rank")
   }
 
   val t13Sql: String =
@@ -881,7 +868,6 @@ object TextAnalysis {
         expr("start_tok DIV " + windowTokens).as("first_win"),
         expr("(start_tok + n_tok - 1) DIV " + windowTokens).as("last_win"))
       .withColumn("n_wins", $"last_win" - $"first_win" + 1L)
-      .orderBy("doc_id")
   }
 
   /** t12 oracle: the bucketed two-level scan equals one global
@@ -934,7 +920,6 @@ object TextAnalysis {
       .select($"doc_id", $"n_tokens",
         halfUpDiv($"sw", $"n_tokens").as("score_e6"),
         (halfUpDiv($"sw", $"n_tokens") >= 0L).cast("int").as("keep"))
-      .orderBy("doc_id")
   }
 
   /** t18 oracle: same tokenization, same md5-derived weights
@@ -1019,7 +1004,6 @@ object TextAnalysis {
         coalesce($"max_span_len", lit(0L)).as("max_span_len"),
         halfUpDiv(coalesce($"dup_tokens", lit(0L)) * 1000000L,
           greatest($"n_tokens", lit(1L))).as("dup_frac_e6"))
-      .orderBy("doc_id")
   }
 
   /** t19 oracle: the proven tok CTE (d2's), positioned 5-grams via
@@ -1259,7 +1243,6 @@ object TextAnalysis {
           .otherwise(1000000L))
       .select($"doc_id", $"n_chars", $"n_symbols",
         ($"n_chars" - $"n_symbols").as("chars_merged"), $"compression_e6")
-      .orderBy("doc_id")
   }
 
   /** t21 oracle: the same winner chain as t20's (the oracle trains
@@ -1362,7 +1345,6 @@ object TextAnalysis {
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
         when($"n_bigrams".isNotNull, halfUpDiv($"sum_p", $"n_bigrams"))
           .otherwise(0L).as("avg_p_e6"))
-      .orderBy("doc_id")
   }
 
   /** c1: the CURATION DECISION TABLE — the flagship composition: for
@@ -1382,7 +1364,7 @@ object TextAnalysis {
     * corpus-calibrated constants (the curator's dial), all integer
     * comparisons. */
   def c1Curation(spark: SparkSession, dir: String): DataFrame =
-    c1Frame(spark, dir).orderBy("doc_id")
+    c1Frame(spark, dir)
 
   /** The memoized per-doc decision frame behind c1 — c2 (dataset
     * card) and c3 (threshold sensitivity) both consume it, so the
@@ -1598,7 +1580,6 @@ object TextAnalysis {
         when($"b" <= $"b1", "tail")
           .when($"b" <= $"b2", "middle")
           .otherwise("head").as("ppl_bucket"))
-      .orderBy("doc_id")
   }
 
   /** t23 oracle: t22's oracle scored frame, the same integer bucket
@@ -1715,7 +1696,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum($"s_e6").as("sum_s"))
       .select($"doc_id", $"n_tok", halfUpDiv($"sum_s", $"n_tok").as("w_e6"))
       .withColumn("keep", $"w_e6" >= 1000000L)
-      .orderBy("doc_id")
   }
 
   /** t24 oracle: same md5 buckets, HUGEINT ratio arithmetic. */
@@ -2004,7 +1984,6 @@ object TextAnalysis {
         coalesce($"nv", lit(0L)).as("n_novel"))
       .withColumn("novelty_e6",
         halfUpDiv($"n_novel" * 1000000L, greatest($"n_ngrams", lit(1L))))
-      .orderBy("doc_id")
   }
 
   /** t25 oracle: d2's distinct-shingle CTE, the same min-doc first
@@ -2044,7 +2023,6 @@ object TextAnalysis {
   def t28Chunk(spark: SparkSession, dir: String, window: Int = 200,
                stride: Int = 160): DataFrame =
     chunk(Tables.read(spark, dir, "documents"), window, stride)
-      .orderBy("doc_id", "chunk_no")
 
   /** The chunking transform behind [[t28Chunk]], factored over any
     * frame in the documents contract — a pure stateless projection, so

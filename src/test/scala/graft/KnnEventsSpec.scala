@@ -63,7 +63,8 @@ class KnnEventsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val hits = exact.intersect(approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val r = Knn.s4AnnRecall(spark, sf).collect()
-    assert(r.map(_.getAs[Long]("query_id")).toSeq == (0L to 9L)) // one row per query, ordered
+    // one row per query (operators return UNORDERED — the r9 contract)
+    assert(r.map(_.getAs[Long]("query_id")).toSeq.sorted == (0L to 9L))
     r.foreach { x =>
       val q = x.getAs[Long]("query_id")
       assert(x.getAs[Long]("n_hits") == hits.getOrElse(q, 0L), s"query $q hit count")
@@ -398,7 +399,7 @@ class KnnEventsSpec extends AnyFunSuite {
     val hits = exactRows.keySet.intersect(approx)
       .groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val audit = Knn.s8IvfRecallAudit(spark, sf).collect()
-    assert(audit.map(_.getAs[Long]("query_id")).toSeq == (0L to 9L))
+    assert(audit.map(_.getAs[Long]("query_id")).toSeq.sorted == (0L to 9L))
     audit.foreach { x =>
       val q = x.getAs[Long]("query_id")
       assert(x.getAs[Long]("n_hits") == hits.getOrElse(q, 0L), s"query $q hit count")
@@ -406,7 +407,7 @@ class KnnEventsSpec extends AnyFunSuite {
     }
     // deterministic across invocations (plan-time centroids, no RNG)
     val r8b = Knn.s8IvfKm(spark, sf).collect()
-    assert(r8.map(_.toString).toSeq == r8b.map(_.toString).toSeq)
+    assert(r8.map(_.toString).toSeq.sorted == r8b.map(_.toString).toSeq.sorted)
   }
 
   test("s8 plan: codegen'd argmin kernel, hash joins only — the corpus never nested-loops") {

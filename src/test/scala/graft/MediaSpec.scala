@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Media
+import graft.multimodal.Media.{MediaDecoder, MediaEmbedding, MediaRow, MediaStats, StubDecoder}
+
+/** Pins the [[Media.MediaDecoder]] injection contract: every mm
+  * operator crosses the codec boundary through batched decoder calls
+  * (one call per ≤batchSize rows, outputs 1:1 in order), results are
+  * independent of batch boundaries, and a custom codec drops in
+  * without touching the operators. */
+class MediaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("decode batch shape: one call per ≤batchSize rows, never per row") {
+    MediaSpec.batchSizes.clear()
+    val n = Media.mm1MediaStats(spark, sf, decoder = MediaSpec.Counting,
+      batchSize = 64).count()
+    val sizes = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(MediaSpec.batchSizes).asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 64))
+    assert(sizes.sum == n, "decoder must see every row exactly once")
+    // genuinely batched: far fewer calls than rows
+    assert(sizes.length < n, s"${sizes.length} calls for $n rows — per-row decode")
+  }
+
+  test("results are batch-boundary independent") {
+    def rows(bs: Int) = Media.mm1MediaStats(spark, sf, batchSize = bs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(7) == rows(64))
+    def frames(bs: Int) = Media.mm2FrameSample(spark, sf, batchSize = bs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(frames(5) == frames(64))
+  }
+
+  test("a custom codec drops in without touching the operators") {
+    // a "real decoder" stand-in: fixed 512×512, one frame per KiB
+    object FixedDims extends MediaDecoder {
+      def decodeBatch(batch: Seq[MediaRow]): Seq[MediaStats] = batch.map { m =>
+        MediaStats(m.doc_id, m.source, m.payload.length.toLong,
+          if (m.payload.nonEmpty) m.payload(0) & 0xff else 0,
+          width = 512, height = 512,
+          n_frames = m.payload.length.toLong / 1024L + 1L)
+      }
+      def embedBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] =
+        batch.map(m => MediaEmbedding(m.doc_id,
+          Array.fill(dim)(m.payload.length.toFloat)))
+    }
+    val stats = Media.mm1MediaStats(spark, sf, decoder = FixedDims).collect()
+    assert(stats.nonEmpty && stats.forall(r =>
+      r.getAs[Int]("width") == 512 && r.getAs[Int]("height") == 512))
+    // mm6 consumes the injected dims: everything passes a 512-floor gate
+    val f = Media.mm6MediaFilter(spark, sf, minWidth = 512, minHeight = 512,
+      minFrames = 1L, decoder = FixedDims).collect()
+    assert(f.nonEmpty && f.forall(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_assets")))
+    // mm3 rides embedBatch: norm of a constant-len vector is len·√dim
+    val e = Media.mm3EmbedMedia(spark, sf, dim = 4, decoder = FixedDims).collect()
+    e.take(20).foreach { r =>
+      val norm = r.getAs[Double]("emb_norm")
+      val e0 = r.getAs[Double]("e0")
+      assert(math.abs(norm - e0 * 2.0) < 1e-3, s"norm $norm vs e0 $e0")
+    }
+    // mm10's declared-metadata zip survives a custom decoder (1:1
+    // in-order outputs are the contract it leans on)
+    val b = Media.mm10DecodeBudget(spark, sf, decoder = FixedDims, batchSize = 9)
+      .collect()
+    val base = Media.mm10DecodeBudget(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_objects"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("n_mismatch"))).toMap
+    b.foreach { r =>
+      val (n, tb, mm) = base(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_objects") == n)
+      assert(r.getAs[Long]("total_bytes") == tb) // byte_len comes from real bytes both ways
+      assert(r.getAs[Long]("n_mismatch") == mm)
+      // frames DID change under the 1-per-KiB codec
+      assert(r.getAs[Long]("total_frames") <= tb / 1024L + n)
+    }
+  }
+}
+
+/** JVM-static recorder: task closures are (de)serialized even in local
+  * mode, so per-instance buffers would vanish — object fields are the
+  * one store every deserialized copy shares in-process. */
+object MediaSpec {
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  object Counting extends MediaDecoder {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaStats] = {
+      batchSizes.add(batch.size); StubDecoder.decodeBatch(batch)
+    }
+    def embedBatch(batch: Seq[MediaRow], dim: Int): Seq[MediaEmbedding] = {
+      batchSizes.add(batch.size); StubDecoder.embedBatch(batch, dim)
+    }
+  }
+}
