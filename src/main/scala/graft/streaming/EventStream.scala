@@ -846,6 +846,32 @@ object EventStream {
       }
       .start()
 
+  /** Streaming merge into a LIVE JDBC DESTINATION — the reference's
+    * actual deployment target (it merges into a running MySQL;
+    * [[upsertSink]] publishes parquet snapshots instead). Each
+    * micro-batch runs [[graft.sources.JdbcUpsert]]: keep-latest
+    * collapse, then per-partition transactional probe/update/insert
+    * batches against the destination table (keys = its primary key).
+    * Restart contract: the upsert only replaces on newer-or-equal
+    * (version, tieBreak), so a replayed micro-batch after a crash
+    * re-writes identical values and the table CONVERGES to the batch
+    * answer — idempotence stands in for a transactional sink log
+    * exactly as in upsertSink's snapshot path (kill/replay
+    * spec-pinned on live Derby in StreamingSpec). */
+  def jdbcUpsertSink(events: DataFrame, url: String, table: String,
+                     checkpoint: String, keyCols: Seq[String],
+                     versionCol: String, tieBreak: String,
+                     batchSize: Int = 500)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.JdbcUpsert.upsert(
+          batch, url, table, keyCols, versionCol, tieBreak, batchSize)
+        ()
+      }
+      .start()
+
   /** Typed event for the per-type daily forecast path. */
   case class FcEv(event_type: String, ts: java.sql.Timestamp)
 

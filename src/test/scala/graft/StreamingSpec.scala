@@ -132,6 +132,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("jdbcUpsertSink: live-Derby merge converges to batch; crash-replay is idempotent") {
+    // the reference's real deployment shape: streaming merge into a
+    // RUNNING database. Three acts: (1) normal run equals the batch
+    // keep-latest; (2) restart with more data reads only new files;
+    // (3) a crash-REPLAY (restart from a stale checkpoint copy — the
+    // sanctioned way to force foreachBatch redelivery in Spark 4)
+    // re-applies a committed micro-batch and the table STILL equals
+    // the batch answer: newer-or-equal replacement = idempotence.
+    val base = java.nio.file.Files.createTempDirectory("graft-jdbc-sink").toString
+    System.setProperty("derby.system.home", base)
+    val url = s"jdbc:derby:$base/sinkdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE latest_ev (
+        |  user_id BIGINT NOT NULL PRIMARY KEY,
+        |  ts TIMESTAMP, value DOUBLE, event_id BIGINT)""".stripMargin)
+    conn.close()
+    val in = java.nio.file.Files.createTempDirectory("graft-jdbc-in").toString
+    val ckpt = s"$base/ckpt"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val first = ev.filter($"event_id" % 2 === 0)
+    val second = ev.filter($"event_id" % 2 === 1)
+    def table(): Map[Long, (Long, Double, Long)] = {
+      val raw = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "latest_ev").load()
+      raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Double]("value"),
+            r.getAs[Long]("event_id"))).toMap
+    }
+    def expect(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, Long)] =
+      graft.merge.MergeOps.upsertLatest(df, Seq("user_id"), "ts", "event_id")
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Double]("value"),
+            r.getAs[Long]("event_id"))).toMap
+    def run() = EventStream.jdbcUpsertSink(
+      spark.readStream.schema(ev.schema).parquet(in),
+      url, "latest_ev", ckpt,
+      keyCols = Seq("user_id"), versionCol = "ts", tieBreak = "event_id")
+    // act 1: first half lands, table = batch keep-latest of it
+    first.coalesce(1).write.mode("append").parquet(in)
+    val q1 = run(); try q1.processAllAvailable() finally q1.stop()
+    assert(table() == expect(first))
+    // stale checkpoint copy taken at the committed point (act 3's fuel)
+    val stale = s"$base/ckpt-stale"
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles.foreach(f => cp(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    cp(new java.io.File(ckpt), new java.io.File(stale))
+    // act 2: second half lands while the query is down; restart reads
+    // ONLY the new files and the table converges to the full answer
+    second.coalesce(1).write.mode("append").parquet(in)
+    val q2 = run()
+    val processed = try { q2.processAllAvailable(); q2.recentProgress.map(_.numInputRows).sum }
+      finally q2.stop()
+    assert(processed == second.count(), s"restart reprocessed committed files: $processed")
+    assert(table() == expect(ev))
+    // act 3: crash-replay — restart from the STALE checkpoint so the
+    // second half is REDELIVERED into the already-merged table
+    val q3 = EventStream.jdbcUpsertSink(
+      spark.readStream.schema(ev.schema).parquet(in),
+      url, "latest_ev", stale,
+      keyCols = Seq("user_id"), versionCol = "ts", tieBreak = "event_id")
+    val replayed = try { q3.processAllAvailable(); q3.recentProgress.map(_.numInputRows).sum }
+      finally q3.stop()
+    assert(replayed == second.count(), s"stale checkpoint should redeliver: $replayed")
+    assert(table() == expect(ev), "replay must be idempotent — table diverged")
+  }
+
   test("streaming funnel emits stages in order, ignores out-of-order purchases") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.FEv
