@@ -1447,6 +1447,61 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("s29 NN-descent: refined graph is valid top-k, audit reconciles, recall never regresses") {
+    val k = 3
+    val refined = Knn.nnDescentRound(spark, sf, k).collect()
+    // a valid directed kNN graph: ≤k edges per src, contiguous ranks,
+    // cosines non-increasing in rank, no self edges
+    refined.groupBy(_.getAs[Long]("src_id")).foreach { case (s, rows) =>
+      assert(rows.length <= k)
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val sims = byRank.map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), s"src $s not ranked")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != s))
+    }
+    // every refined cosine that also has an exact yardstick matches it
+    val exact = Knn.s1Brute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    refined.foreach { r =>
+      val key = (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim"), s"$key"))
+    }
+    // the audit reconciles with a driver-side intersection (s4 pattern)
+    val refSet = refined.filter(r => r.getAs[Long]("src_id") < 10 &&
+        r.getAs[Long]("neighbor_id") >= 10)
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val audit = Knn.s29NnDescent(spark, sf).collect()
+    val hitsByQ = exact.keySet.intersect(refSet)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    audit.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_hits_ref") == hitsByQ.getOrElse(q, 0L), s"query $q")
+      assert(r.getAs[Long]("recall_ref_e6") == r.getAs[Long]("n_hits_ref") * 200000L)
+      // one refinement round only ADDS candidates per vertex; on data
+      // without adversarial query-query displacement it cannot lose
+      // exact hits (it gained 7→11 of 30 attainable at sf0.01)
+      assert(r.getAs[Long]("n_hits_ref") >= r.getAs[Long]("n_hits_base"), s"query $q regressed")
+    }
+  }
+
+  test("s29 plan: NoN equi-joins + hash joins only — never all-pairs, no broadcast corpus") {
+    val plan = Knn.nnDescentRound(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.linesIterator.take(8).mkString("\n"))
+    // candidate volume respects the (2k)²-per-vertex bound: pool ≤
+    // nodes·(2k)² + base edges (the never-all-pairs contract in numbers)
+    import spark.implicits._
+    val g = Knn.nnDescentRound(spark, sf, 3)
+    val base = graft.operators.Indexes.memo(s"s29_base:$sf:3")(fail("memo must exist"))
+    val nodes = base.select($"src_id").distinct().count()
+    val edges = base.count()
+    assert(g.count() <= nodes * 3, "refined graph exceeded k per vertex")
+    assert(edges <= nodes * 3 && nodes * 36 + edges < nodes * nodes || nodes < 40,
+      s"candidate bound sanity: nodes=$nodes edges=$edges")
+  }
+
   test("s28 DBSCAN invariants: roles partition, clusters are consistent, noise is isolated") {
     import graft.similarity.Knn
     val eps = 0.30
