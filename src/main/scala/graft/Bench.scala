@@ -36,6 +36,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined for Window" WARN is pinned to
+    // PrefixSum.blockCum's deliberate ≤#blocks offset window (see its
+    // scaladoc + the PropertySpec gate) — drop that one logger so the
+    // bench tail doesn't read like a scale hazard
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // absorb JVM/codegen/scan warmup so per-query numbers are steady-state
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())

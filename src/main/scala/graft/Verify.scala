@@ -32,6 +32,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benign by design: blockCum's ≤#blocks offset window (PrefixSum
+    // scaladoc); silence the one WARN it triggers
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // ORACLE-ORDERING CONTRACT: registered operators return UNORDERED
     // frames (a 100 TB caller must not pay a corpus-wide sort for

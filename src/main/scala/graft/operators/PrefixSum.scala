@@ -84,7 +84,12 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = withBlk.withColumn("__local", sum(col(cnt)).over(perBlock))
     // per-block totals → exclusive running offsets: the ONLY
-    // unpartitioned window, over #blocks aggregate rows
+    // unpartitioned window, over #blocks aggregate rows. This line is
+    // what Spark's "No Partition Defined for Window" WARN points at in
+    // bench logs — it is the deliberate two-level-prefix-sum design
+    // (single-partition work bounded at domain/2^blockShift rows,
+    // gate-pinned in PropertySpec), not an accident; the graft
+    // entrypoints drop WindowExec's logger to ERROR for this reason.
     val offsets = withBlk.groupBy(col("__blk")).agg(sum(col(cnt)).as("__btot"))
       .withColumn("__boff", coalesce(sum(col("__btot")).over(
         Window.orderBy(ord(col("__blk"))).rowsBetween(Window.unboundedPreceding, -1)),
