@@ -489,6 +489,87 @@ object Dedup {
        |FROM scored WHERE n_shared * 1000000 // n_min >= 800000
        |ORDER BY doc_id1, doc_id2""".stripMargin
 
+  /** d17: asymmetric CONTAINMENT dedup — the pair class
+    * Jaccard-thresholded dedup (d2/d4) SYSTEMATICALLY misses: a short
+    * doc contained in a long one (quote, excerpt, concatenation) has
+    * near-1.0 containment of its own shingles but a Jaccard dragged
+    * toward |short|/|long| — below any sane near-dup threshold. The
+    * motivation behind LSH Ensemble (Zhu et al., VLDB 2016:
+    * containment search needs size-partitioned indexes, not one
+    * Jaccard-tuned banding). Per candidate pair this emits BOTH
+    * directed containments (share of each side's shingles present in
+    * the other), the Jaccard, which doc is the CONTAINED side, and
+    * the `is_excerpt` verdict — high containment while the Jaccard
+    * sits under the near-dup bar, i.e. exactly the pairs d2 would
+    * skip. Training-data use: drop the excerpt (it contributes no new
+    * text) or keep it and down-weight the container.
+    *
+    * Scale shape: d9's rare-shingle candidate generation (an excerpt
+    * shares its rare shingles with its container by construction, so
+    * the recall argument carries over; shuffle = Σ df² over rare
+    * shingles, never all-pairs) and the shared materialized
+    * shingle-set index for exact scoring. At 100 TB the LSH-Ensemble
+    * refinement drops in at candidate generation only — band the
+    * corpus PARTITIONED BY SET SIZE so each partition's banding is
+    * tuned to its containment-to-Jaccard conversion — scoring and
+    * output contracts unchanged. */
+  def d17Containment(spark: SparkSession, dir: String, dfCap: Int = 4,
+                     minContainE6: Long = 800000L,
+                     maxExcerptJacE6: Long = 600000L): DataFrame = {
+    import spark.implicits._
+    val sets = shingleSets(spark, dir)
+    val occ = sets.select($"doc_id", explode($"ss").as("sh"))
+    val rare = occ.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, dfCap)).select($"sh")
+    val rareOcc = occ.join(rare, Seq("sh"))
+    val cand = rareOcc.select($"sh", $"doc_id".as("doc_id1"))
+      .join(rareOcc.select($"sh", $"doc_id".as("doc_id2")), Seq("sh"))
+      .filter($"doc_id1" < $"doc_id2")
+      .select($"doc_id1", $"doc_id2").distinct()
+    cand
+      .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
+      .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")), Seq("doc_id2"))
+      .select($"doc_id1", $"doc_id2",
+        size(array_intersect($"ss1", $"ss2")).cast("long").as("n_shared"),
+        $"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"))
+      .withColumn("contain1_e6", expr("n_shared * 1000000 DIV n1"))
+      .withColumn("contain2_e6", expr("n_shared * 1000000 DIV n2"))
+      .withColumn("jaccard_e6", expr("n_shared * 1000000 DIV (n1 + n2 - n_shared)"))
+      .filter(greatest($"contain1_e6", $"contain2_e6") >= minContainE6)
+      .withColumn("contained_id",
+        when($"contain1_e6" >= $"contain2_e6", $"doc_id1").otherwise($"doc_id2"))
+      .withColumn("is_excerpt",
+        ($"jaccard_e6" <= maxExcerptJacE6).cast("long"))
+  }
+
+  /** d17 oracle: d9's rare-shingle chain with directed containments. */
+  def d17Sql: String =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |rare AS (SELECT sh FROM df WHERE df BETWEEN 2 AND 4),
+       |ro AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+       |  FROM ro a JOIN ro b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(sh) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id1, doc_id2,
+       |    CAST(len(list_filter(x.ss, s -> list_contains(y.ss, s))) AS BIGINT) AS n_shared,
+       |    CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2
+       |  FROM cand JOIN sets x ON x.doc_id = doc_id1 JOIN sets y ON y.doc_id = doc_id2),
+       |c AS (
+       |  SELECT doc_id1, doc_id2, n_shared, n1, n2,
+       |    CAST(n_shared * 1000000 // n1 AS BIGINT) AS contain1_e6,
+       |    CAST(n_shared * 1000000 // n2 AS BIGINT) AS contain2_e6,
+       |    CAST(n_shared * 1000000 // (n1 + n2 - n_shared) AS BIGINT) AS jaccard_e6
+       |  FROM scored)
+       |SELECT doc_id1, doc_id2, n_shared, n1, n2, contain1_e6, contain2_e6,
+       |  jaccard_e6,
+       |  CASE WHEN contain1_e6 >= contain2_e6 THEN doc_id1 ELSE doc_id2 END AS contained_id,
+       |  CAST(CASE WHEN jaccard_e6 <= 600000 THEN 1 ELSE 0 END AS BIGINT) AS is_excerpt
+       |FROM c WHERE greatest(contain1_e6, contain2_e6) >= 800000
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+
   /** d11: incremental NEAR-dup dedup — d6's ingestion shape lifted
     * from exact fingerprints to the d2 sketch: which docs of the
     * incoming batch (doc_id % 5 = 0, d6's convention) are near-dups

@@ -815,6 +815,89 @@ object TextAnalysis {
       |SELECT doc_id, token, tf, df, CAST(score_e6 AS BIGINT) AS score_e6, rank
       |FROM s WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** t34: BM25 retrieval scoring (Robertson & Walker's Okapi BM25,
+    * k1 = 1.2, b = 0.75) — the lexical-retrieval staple a curation /
+    * RAG pipeline runs beside embedding search (s-block): for the
+    * corpus's top-`nTerms` highest-DF terms, the top-`k` documents by
+    * BM25. t13 ranks terms per doc (keyword extraction); this ranks
+    * DOCS per term (retrieval) with the real length normalization —
+    * tf saturates at k1 and long documents are discounted by
+    * b·dl/avgdl, the two things raw TF-IDF gets wrong.
+    *
+    * Integer-exact cross-engine: idf_e6 keeps t13's raw-ratio
+    * convention (N·10⁶ DIV df — no libm log in a ranking comparator);
+    * the tf normalization is cleared of fractions by ×10·sdl
+    * (sdl = Σ doc lengths, so avgdl = sdl/N never divides):
+    *   score_e6 = halfUp(idf_e6 · 22·tf·sdl,
+    *                     10·tf·sdl + 3·sdl + 9·dl·N)
+    * staged through DECIMAL(38,0)/HUGEINT (w7's 128-bit convention —
+    * idf_e6·22·tf·sdl passes 2⁶³ already at sf0.1 corpus sizes).
+    *
+    * Scale shape: the (doc, token, tf) frame is memoized (three
+    * consumers: df, doc lengths, scoring — the scan-gate convention;
+    * at 100 TB it is THE inverted-index artifact, written once);
+    * terms = one orderBy+limit (TakeOrdered, nTerms rows) broadcast;
+    * scoring touches only the nTerms posting lists; per-term top-k is
+    * one window over nTerms partitions. */
+  def t34Bm25(spark: SparkSession, dir: String, k: Int = 10,
+              nTerms: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.operators.Indexes.memo(s"t34_tf:$dir") {
+      Tables.read(spark, dir, "documents")
+        .select($"doc_id", explode(tokens($"text")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    }
+    val terms = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"token").limit(nTerms)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("sdl"))
+    val w = Window.partitionBy($"token").orderBy($"score_e6".desc, $"doc_id")
+    tf.join(broadcast(terms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_e6", expr("nd * 1000000 DIV df"))
+      .withColumn("score_e6", expr(
+        """CAST((2 * (CAST(idf_e6 AS DECIMAL(38,0)) * 22 * tf * sdl)
+          |       + (CAST(10 AS DECIMAL(38,0)) * tf * sdl + 3 * sdl + 9 * dl * nd))
+          |  DIV (2 * (CAST(10 AS DECIMAL(38,0)) * tf * sdl + 3 * sdl + 9 * dl * nd))
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"token", $"doc_id", $"tf", $"dl", $"df", $"score_e6", $"rank")
+  }
+
+  /** t34 oracle: the same tokenizer chain, HUGEINT-staged halfUp. */
+  def t34Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |terms AS (
+      |  SELECT token, count(*) AS df FROM tf GROUP BY token
+      |  ORDER BY df DESC, token LIMIT 4),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |corpus AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+      |s AS (
+      |  SELECT tf.token, tf.doc_id, tf.tf, dl.dl, terms.df,
+      |    (corpus.nd * 1000000 // terms.df) AS idf_e6,
+      |    corpus.sdl AS sdl, corpus.nd AS nd
+      |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus),
+      |sc AS (
+      |  SELECT token, doc_id, tf, dl, df,
+      |    CAST((2 * (CAST(idf_e6 AS HUGEINT) * 22 * tf * sdl)
+      |      + (CAST(10 AS HUGEINT) * tf * sdl + 3 * sdl + 9 * dl * nd))
+      |      // (2 * (CAST(10 AS HUGEINT) * tf * sdl + 3 * sdl + 9 * dl * nd))
+      |      AS BIGINT) AS score_e6
+      |  FROM s)
+      |SELECT token, doc_id, tf, CAST(dl AS BIGINT) AS dl, df, score_e6,
+      |  row_number() OVER (PARTITION BY token ORDER BY score_e6 DESC, doc_id) AS rank
+      |FROM sc QUALIFY rank <= 10 ORDER BY token, rank""".stripMargin
+
   // ---------------------------------------------------------------
   // t12: sequence packing (concat-and-chunk for training windows)
   // ---------------------------------------------------------------

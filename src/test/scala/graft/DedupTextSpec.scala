@@ -547,6 +547,79 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("lcc_e6") == 1000000L))
   }
 
+  test("d17 containment: a quote-excerpt pair Jaccard dedup misses is flagged, with direction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17").toString
+    val container = (1 to 40).map(i => s"w$i").mkString(" ") // 38 shingles
+    val excerpt = (11 to 20).map(i => s"w$i").mkString(" ")  // 8, all ⊆ container
+    Seq(
+      (10L, container, "en", "s0", container.length.toLong),
+      (11L, excerpt, "en", "s1", excerpt.length.toLong),
+      (12L, "totally unrelated corpus text about training data pipelines at large scale today",
+        "en", "s2", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.d17Containment(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("doc_id1"), row.getAs[Long]("doc_id2")) == (10L, 11L))
+    // full containment of the excerpt side, named as the CONTAINED doc
+    assert(row.getAs[Long]("contain2_e6") == 1000000L)
+    assert(row.getAs[Long]("contained_id") == 11L)
+    // the Jaccard this pair shows a near-dup pass: 8/38 — far below
+    // d2/d4's thresholds (the operator's reason to exist)
+    assert(row.getAs[Long]("jaccard_e6") == 8L * 1000000L / 38L)
+    assert(row.getAs[Long]("is_excerpt") == 1L)
+    assert(Dedup.d4NgramJaccard(spark, dir).collect()
+      .forall(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2")) != (10L, 11L)),
+      "d4's Jaccard threshold should miss the excerpt pair")
+    // on the real corpus every emitted pair respects the filter and
+    // the direction invariant (contained side = the higher containment)
+    Dedup.d17Containment(spark, sf).collect().foreach { x =>
+      val (c1, c2) = (x.getAs[Long]("contain1_e6"), x.getAs[Long]("contain2_e6"))
+      assert(math.max(c1, c2) >= 800000L)
+      val expect = if (c1 >= c2) x.getAs[Long]("doc_id1") else x.getAs[Long]("doc_id2")
+      assert(x.getAs[Long]("contained_id") == expect)
+      assert(x.getAs[Long]("jaccard_e6") <= math.min(c1, c2)) // jaccard ≤ both containments
+    }
+  }
+
+  test("t34 BM25: scores recompute exactly; tf saturates; length normalization bites") {
+    import graft.text.TextAnalysis
+    val r = TextAnalysis.t34Bm25(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("token")).foreach { case (tok, rows) =>
+      assert(rows.length <= 10, s"token $tok overflow")
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val scores = byRank.map(_.getAs[Long]("score_e6"))
+      assert(scores.sameElements(scores.sorted.reverse), s"token $tok not ranked")
+    }
+    // driver-side exact recompute of the integer BM25 (k1=1.2, b=0.75)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+    def toks(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").filter(_.nonEmpty).toSeq
+    val tfs = docs.map(toks(_).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val nd = BigInt(tfs.length)
+    val sdl = BigInt(tfs.map(_.values.sum).sum)
+    def hu(n: BigInt, d: BigInt) = (2 * n + d) / (2 * d)
+    r.foreach { x =>
+      val (tf, dl, df) = (BigInt(x.getAs[Long]("tf")), BigInt(x.getAs[Long]("dl")),
+        BigInt(x.getAs[Long]("df")))
+      val idf = nd * 1000000 / df
+      val den = 10 * tf * sdl + 3 * sdl + 9 * dl * nd
+      assert(BigInt(x.getAs[Long]("score_e6")) == hu(idf * 22 * tf * sdl, den),
+        s"token ${x.getAs[String]("token")} doc ${x.getAs[Long]("doc_id")}")
+    }
+    // length normalization: same tf, longer doc → never a higher score
+    r.groupBy(_.getAs[String]("token")).values.foreach { rows =>
+      for (a <- rows; b <- rows
+           if a.getAs[Long]("tf") == b.getAs[Long]("tf") &&
+             a.getAs[Long]("dl") < b.getAs[Long]("dl"))
+        assert(a.getAs[Long]("score_e6") >= b.getAs[Long]("score_e6"))
+    }
+  }
+
   test("d14 LSH sweep: nested bands give monotone candidates; the (8x4) row reconciles with d2") {
     val r = Dedup.d14LshSweep(spark, sf).collect()
       .map(x => x.getAs[Int]("r") -> x).toMap

@@ -70,7 +70,9 @@ class QueriesSpec extends AnyFunSuite {
       "s20_mips_topk",    // deliberate: exact MIPS baseline, s1's broadcast contract
       "s21_two_stage_rerank", // stage 1 IS s12's broadcast code-space scan; stage 2 is equi-join
       "mm5_xmodal",       // cross-modal exact side, BuildRight-asserted
-      "mm9_xmodal_bucketed" // audit carries mm5's exact yardstick
+      "mm9_xmodal_bucketed", // audit carries mm5's exact yardstick
+      "s29_nn_descent"    // audit carries s1's exact yardstick; the
+                          // refinement itself is equi-join-only
     )
     def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: flatten(a.inputPlan)
@@ -250,6 +252,9 @@ class QueriesSpec extends AnyFunSuite {
       // approximate path, each reading query and corpus slices
       "s4_ann_recall" -> 4, "s7_radius_recall" -> 4, "s9_ivfkm_recall" -> 4,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
+      // s1's two query/corpus slices + the refinement's two e-store legs
+      // (the base graph itself is the memoized s29 artifact)
+      "s29_nn_descent" -> 4,
       // TPC-H Q11's scalar-subquery threshold: the same aggregate as
       // threshold AND detail — the benchmark's own two-pass shape
       "q11_important_stock" -> 4,
