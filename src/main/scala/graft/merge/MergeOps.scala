@@ -213,6 +213,54 @@ object MergeOps {
       df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
     }.reduce(_ unionAll _)
 
+  /** CDC APPLY — materializes an ORDERED change log (op ∈
+    * {upsert, delete} with a per-key sequence) onto a base snapshot:
+    * the Debezium/Hudi-style compaction step that [[upsertLatest]]
+    * (no deletes) and m19's delta classifier (no ordering, no
+    * tombstones) both stop short of. Per key, only the LAST log entry
+    * by `seqCols` matters:
+    *   - no log entry            → `unchanged` (base row passes through)
+    *   - last op = delete, in base → `deleted` (emitted for the audit
+    *     with its last base values; the snapshot is outcome ≠ deleted)
+    *   - last op = delete, NOT in base → dropped (a tombstone for a
+    *     key this snapshot never held — Debezium's no-op case)
+    *   - last op = upsert, in base → `updated` (log values win)
+    *   - last op = upsert, not in base → `inserted`
+    *
+    * Scale shape: one key-partitioned window over the LOG (work ∝
+    * |changes|, the whole point of CDC — the base is touched only by
+    * the final key-equi full-outer join), map-side nothing collected.
+    * Value columns are matched by NAME between base and log; `seqCols`
+    * break intra-key ties deterministically (give the log a total
+    * per-key order or the result is undefined, as in any CDC apply). */
+  def cdcApply(base: DataFrame, log: DataFrame, keyCols: Seq[String],
+               seqCols: Seq[String], opCol: String,
+               deleteOp: String = "d"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valCols = base.columns.filterNot(keyCols.contains)
+      .filter(log.columns.contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    val last = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) ++ (col(opCol).as("__op") +:
+        valCols.map(c => col(c).as(s"__l_$c"))): _*)
+    val b = base.select((keyCols.map(col) :+ lit(1).as("__inb")) ++
+      valCols.map(col): _*)
+    b.join(last, keyCols, "full_outer")
+      .withColumn("outcome",
+        when(col("__op").isNull, "unchanged")
+          .when(col("__op") === deleteOp && col("__inb").isNotNull, "deleted")
+          .when(col("__op") === deleteOp, "noop")
+          .when(col("__inb").isNull, "inserted")
+          .otherwise("updated"))
+      .filter(col("outcome") =!= "noop")
+      .select(keyCols.map(col) ++ (col("outcome") +:
+        valCols.map(c =>
+          when(col("outcome").isin("updated", "inserted"), col(s"__l_$c"))
+            .otherwise(col(c)).as(c))): _*)
+  }
+
   /** Keep-latest upsert (reference person-users.js:307 two-phase
     * `ON DUPLICATE KEY UPDATE` audit pass): latest version per key via
     * one window over the key partition — single shuffle. */

@@ -858,4 +858,73 @@ object MergeQueries {
       |  CAST(CASE WHEN s.s_nation <> d.d_nation THEN 1 ELSE 0 END AS BIGINT) AS nation_conflict
       |FROM srcc s JOIN destc d ON d.c_name = s.c_name
       |ORDER BY d.dest_id""".stripMargin
+
+  /** m29: CDC APPLY over an ordered change stream with DELETES —
+    * the modern sync the reference's nightly full re-merge (and m19's
+    * delete-free delta) stops short of: a Debezium-style log of
+    * upserts and tombstones materialized onto a base snapshot
+    * ([[MergeOps.cdcApply]]). Synthesized per the m-block convention
+    * from events: the base snapshot is each EVEN user's first event
+    * ("the table as of the sync watermark; odd users registered
+    * later"), the change log is everything after — `error` events are
+    * deletions (account closed), everything else an upsert of the
+    * profile value; users ≡ 0 (mod 3) have no post-watermark changes
+    * (the m-block mod-slice convention), so every outcome class is
+    * non-empty on real data: `unchanged` (no log entries), `updated`,
+    * `deleted` (last op is a tombstone), `inserted` (odd users, never
+    * in base); deleted keys keep their last base value for the audit
+    * trail.
+    *
+    * Scale: one (ts, event_id)-ordered window over the log partitioned
+    * by user (work ∝ |changes|) + one key-equi full-outer join with
+    * the base — the log-compaction shape, never a full re-merge. */
+  def m29CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+    val w0 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seqd = ev.withColumn("__rn", row_number().over(w0))
+    val base = seqd.filter(col("__rn") === 1 && col("user_id") % 2 === 0)
+      .select(col("user_id"), col("value"))
+    val log = seqd.filter(!(col("__rn") === 1 && col("user_id") % 2 === 0))
+      .filter(col("user_id") % 3 =!= 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        col("value"))
+    MergeOps.cdcApply(base, log, Seq("user_id"), Seq("ts", "event_id"), "op")
+  }
+
+  /** m29 oracle: the same first-event base / later-log split, last op
+    * per key, full-join outcome matrix. */
+  val m29Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, round(value, 4) AS value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |base AS (SELECT user_id, value FROM ev WHERE rn = 1 AND user_id % 2 = 0),
+      |lg AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, value
+      |  FROM ev WHERE NOT (rn = 1 AND user_id % 2 = 0) AND user_id % 3 <> 0),
+      |last AS (
+      |  SELECT user_id, op, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS r FROM lg) WHERE r = 1),
+      |j AS (
+      |  SELECT coalesce(b.user_id, l.user_id) AS user_id,
+      |    b.user_id IS NOT NULL AS inb, l.op, b.value AS bv, l.value AS lv
+      |  FROM base b FULL JOIN last l ON l.user_id = b.user_id),
+      |o AS (
+      |  SELECT user_id,
+      |    CASE WHEN op IS NULL THEN 'unchanged'
+      |         WHEN op = 'd' AND inb THEN 'deleted'
+      |         WHEN op = 'd' THEN 'noop'
+      |         WHEN NOT inb THEN 'inserted'
+      |         ELSE 'updated' END AS outcome,
+      |    CASE WHEN op = 'u' THEN lv ELSE bv END AS value
+      |  FROM j)
+      |SELECT user_id, outcome, value FROM o
+      |WHERE outcome <> 'noop' ORDER BY user_id""".stripMargin
 }

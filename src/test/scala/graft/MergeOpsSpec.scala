@@ -315,4 +315,28 @@ class MergeOpsSpec extends AnyFunSuite {
       "lineitem" -> li.count()))
     assert(got("lineitem") > got("orders"), "leaf fan-out missing — vacuous cascade")
   }
+
+  test("cdcApply: outcome matrix, last-op-wins ordering, tombstone for unseen key dropped") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val log = Seq(
+      (1L, 1L, "u", 11.0), (1L, 2L, "u", 12.0),            // updated: last wins → 12
+      (2L, 1L, "u", 21.0), (2L, 2L, "d", 0.0),             // deleted (keeps BASE value)
+      (4L, 1L, "d", 0.0), (4L, 2L, "u", 40.0),             // inserted (delete then re-create)
+      (5L, 1L, "u", 50.0), (5L, 2L, "d", 0.0)              // tombstone, never in base → dropped
+    ).toDF("k", "seq", "op", "v")
+    val r = MergeOps.cdcApply(base, log, Seq("k"), Seq("seq"), "op").collect()
+      .map(x => x.getAs[Long]("k") ->
+        (x.getAs[String]("outcome"), x.getAs[Double]("v"))).toMap
+    assert(r == Map(
+      1L -> ("updated", 12.0),
+      2L -> ("deleted", 20.0), // audit row carries the last base value
+      3L -> ("unchanged", 30.0),
+      4L -> ("inserted", 40.0)))
+    // on real data every class appears and the snapshot identity holds:
+    // base keys = unchanged + updated + deleted
+    val m29 = graft.merge.MergeQueries.m29CdcApply(spark, sf).collect()
+    val byOutcome = m29.groupBy(_.getAs[String]("outcome")).view.mapValues(_.length)
+    assert(Set("unchanged", "updated", "deleted", "inserted").subsetOf(byOutcome.keySet.toSet),
+      s"missing outcome classes: $byOutcome")
+  }
 }
