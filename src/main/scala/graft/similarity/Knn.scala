@@ -1550,14 +1550,18 @@ object Knn {
 
   /** s29 oracle: the shared s17 CTE chain, the same symmetrize/NoN/
     * re-rank refinement, s1's exact side composed verbatim (nested
-    * WITH scopes per the s4 convention). */
+    * WITH scopes per the s4 convention). The multi-referenced graph
+    * CTEs are AS MATERIALIZED — plain CTEs re-inline PER REFERENCE in
+    * DuckDB (the BPE-chain lesson), and `pool`'s five transitive
+    * references to the banded scoring chain exhausted the process's
+    * memory maps at sf0.1. */
   def s29Sql: String =
     s"""WITH $s17Ctes,
-       |g AS (SELECT src_id, neighbor_id FROM s17r WHERE rank <= 3),
-       |und AS (
+       |g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= 3),
+       |und AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM g
        |  UNION ALL SELECT neighbor_id, src_id FROM g),
-       |pool AS (
+       |pool AS MATERIALIZED (
        |  SELECT DISTINCT a.src_id, b.neighbor_id
        |  FROM und a JOIN und b ON b.src_id = a.neighbor_id
        |  WHERE a.src_id <> b.neighbor_id
