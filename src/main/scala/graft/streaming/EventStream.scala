@@ -846,6 +846,44 @@ object EventStream {
       }
       .start()
 
+  /** Streaming CDC APPLY — [[upsertSink]]'s missing half: a change
+    * stream carrying DELETES (op column, tombstone rows) continuously
+    * materialized onto the parquet snapshot via the SAME
+    * [[graft.merge.MergeOps.cdcApply]] as batch m29 — one code path,
+    * and the one thing a keep-latest sink can never do (a deleted
+    * key must LEAVE the snapshot, not keep its last version).
+    *
+    * Replay-idempotent without a sink log, by cdcApply's own
+    * semantics: re-applying a committed batch upserts identical
+    * values, and a replayed tombstone meets a snapshot that no longer
+    * holds the key — the dropped unseen-key case — so the snapshot
+    * converges (spec-pinned with a stale-checkpoint replay). The
+    * snapshot publish is [[graft.sources.AtomicSnapshot]], same
+    * crash-safety notes as upsertSink. The `outcome` audit column is
+    * not persisted — the snapshot holds live rows only. */
+  def cdcSink(changes: DataFrame, targetPath: String, checkpoint: String,
+              keyCols: Seq[String], seqCols: Seq[String], opCol: String,
+              deleteOp: String = "d")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val snapCols = batch.columns.filterNot(seqCols.contains)
+          .filterNot(_ == opCol).toSeq
+        val base = graft.sources.AtomicSnapshot
+          .readCurrent(spark, targetPath)
+          .getOrElse(batch.select(snapCols.map(org.apache.spark.sql.functions.col): _*)
+            .limit(0))
+        val next = graft.merge.MergeOps
+          .cdcApply(base, batch, keyCols, seqCols, opCol, deleteOp)
+          .filter(org.apache.spark.sql.functions.col("outcome") =!= "deleted")
+          .drop("outcome")
+        graft.sources.AtomicSnapshot.publish(next, targetPath)
+        ()
+      }
+      .start()
+
   /** Streaming merge into a LIVE JDBC DESTINATION — the reference's
     * actual deployment target (it merges into a running MySQL;
     * [[upsertSink]] publishes parquet snapshots instead). Each

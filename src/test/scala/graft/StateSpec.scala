@@ -60,6 +60,26 @@ class StateSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable mode: s27 farthest-first trace is bit-identical too") {
+    // the non-graph iterative operator routed through State.cut — its
+    // round state is corpus-sized (vec_id, vec, mind), so the durable
+    // path must not perturb the argmax trace
+    spark.conf.unset(State.CheckpointDirKey)
+    val local = graft.similarity.Knn.s27Coreset(spark, sf).collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-s27").toFile
+    spark.conf.set(State.CheckpointDirKey, dir.getAbsolutePath)
+    try {
+      val rel = graft.similarity.Knn.s27Coreset(spark, sf).collect().map(_.toString).toSeq
+      assert(rel == local)
+    } finally {
+      spark.conf.unset(State.CheckpointDirKey)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("release frees a dead generation's blocks; live generations keep theirs") {
     spark.conf.unset(State.CheckpointDirKey)
     val gen0 = State.cut(Seq(1L, 2L, 3L).toDF("v"))

@@ -132,6 +132,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("cdcSink: tombstones leave the snapshot; batch parity; stale-checkpoint replay converges") {
+    val in = java.nio.file.Files.createTempDirectory("graft-cdc-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-cdc-wd").toString
+    val target = s"$wd/target"
+    def changes(rows: (Long, Long, String, Double)*) =
+      rows.toSeq.toDF("user_id", "seq", "op", "value")
+    val b1 = changes((1L, 1L, "u", 10.0), (2L, 1L, "u", 20.0), (3L, 1L, "u", 30.0))
+    val b2 = changes((2L, 2L, "d", 0.0), (3L, 2L, "u", 31.0),
+      (4L, 1L, "u", 40.0), (5L, 1L, "d", 0.0)) // 5 = tombstone for a key never held
+    def run() = EventStream.cdcSink(
+      spark.readStream.schema(b1.schema).parquet(in),
+      target, s"$wd/ckpt", Seq("user_id"), Seq("seq"), "op")
+    def snapshot(): Map[Long, Double] =
+      graft.sources.AtomicSnapshot.readCurrent(spark, target).get.collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val q1 = run(); try q1.processAllAvailable() finally q1.stop()
+    assert(snapshot() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // stale checkpoint for the replay act
+    def cp(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) { d.mkdirs(); s.listFiles.foreach(f => cp(f, new java.io.File(d, f.getName))) }
+      else { java.nio.file.Files.copy(s.toPath, d.toPath); () }
+    cp(new java.io.File(s"$wd/ckpt"), new java.io.File(s"$wd/ckpt-stale"))
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = run()
+    val processed = try { q2.processAllAvailable(); q2.recentProgress.map(_.numInputRows).sum }
+      finally q2.stop()
+    assert(processed == 4, s"restart reprocessed committed files: $processed")
+    // user 2 DELETED (gone, not kept-at-last-version), 3 updated, 4
+    // inserted, 5's tombstone for an unseen key is a no-op
+    val expect = Map(1L -> 10.0, 3L -> 31.0, 4L -> 40.0)
+    assert(snapshot() == expect)
+    // batch parity: one cdcApply over the full log from an empty base
+    val batchAll = graft.merge.MergeOps.cdcApply(
+        b1.limit(0).drop("seq", "op"), b1.unionByName(b2),
+        Seq("user_id"), Seq("seq"), "op")
+      .filter($"outcome" =!= "deleted").drop("outcome").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(batchAll == expect)
+    // replay act: restart from the STALE checkpoint — batch 2 is
+    // redelivered onto the post-apply snapshot and must change nothing
+    val q3 = EventStream.cdcSink(
+      spark.readStream.schema(b1.schema).parquet(in),
+      target, s"$wd/ckpt-stale", Seq("user_id"), Seq("seq"), "op")
+    val replayed = try { q3.processAllAvailable(); q3.recentProgress.map(_.numInputRows).sum }
+      finally q3.stop()
+    assert(replayed == 4, s"stale checkpoint should redeliver: $replayed")
+    assert(snapshot() == expect, "replayed tombstones/upserts must be no-ops")
+  }
+
   test("jdbcUpsertSink: live-Derby merge converges to batch; crash-replay is idempotent") {
     // the reference's real deployment shape: streaming merge into a
     // RUNNING database. Three acts: (1) normal run equals the batch
