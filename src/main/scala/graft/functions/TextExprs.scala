@@ -69,8 +69,63 @@ case class PairCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document SEGMENT code-point sums — the mm7 pHash gray
+  * signature in one pass: the document's code points are tiled into
+  * `segs` equal position-ranges (seg = ⌊pos·segs/n⌋, exactly the
+  * exploded formulation's bucketing) and each segment's code points
+  * are summed. The generic route — posexplode(split(text, "")) +
+  * TWO hash aggregations — pushes one ROW PER CHARACTER through an
+  * exchange (Θ(corpus chars), ×10 the document volume); this emits
+  * one `segs`-long array per document, deleting the Generate and both
+  * aggregations from the plan. Values are bit-identical: `split`'s
+  * chars are code points (Java regex splits on code-point
+  * boundaries) and `ascii()` is the code point, which is what this
+  * walk sums; segment COUNTS are recovered arithmetically from the
+  * length (c_j = ⌈(j+1)n/segs⌉ − ⌈jn/segs⌉ — the bucket sizes of the
+  * floor rule).
+  *
+  * Eval-only ([[CodegenFallback]]) by the [[PairCounts]] argument:
+  * one call per DOCUMENT, tight per-char Java inside. */
+case class SegCodeSums(child: Expression, segs: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(segs >= 1, s"segs must be >= 1, got $segs")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "seg_code_sums"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"seg_code_sums needs a string column, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val u = a.asInstanceOf[UTF8String]
+    val s = u.toString
+    val n = u.numChars().toLong // = length(text): code-point count
+    val sums = new Array[Long](segs)
+    var i = 0
+    var pos = 0L
+    while (i < s.length && n > 0) {
+      val cp = s.codePointAt(i)
+      sums(((pos * segs) / n).toInt) += cp
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(sums)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SegCodeSums =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-document adjacent-character-pair histogram as a Column. */
   def pairCounts(text: Column): Column =
     Bridge.column(PairCounts(Bridge.expression(text)))
+
+  /** Per-document segment code-point sums as a Column (mm7's decode). */
+  def segCodeSums(text: Column, segs: Int): Column =
+    Bridge.column(SegCodeSums(Bridge.expression(text), segs))
 }

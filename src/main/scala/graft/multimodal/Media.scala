@@ -512,29 +512,29 @@ object Media {
     require(maxHamming <= 7,
       s"maxHamming=$maxHamming exceeds the 8-band pigeonhole cover (7)")
     val segs = 32
-    // char-code rows: ASCII payload ⇒ char code == payload byte (the
-    // mm1 oracle's documented stub scope); seg = floor(pos·32/len).
-    // Empty payloads are skipped (split("") still yields one element,
-    // and 0 div 0 throws under ANSI — the oracle's range() skips them
-    // for free)
-    val ch = Tables.read(spark, dir, "documents")
+    // the "decode": 32 segment code-point sums per doc in ONE pass
+    // (graft.functions.SegCodeSums — ASCII payload ⇒ code == byte,
+    // the mm1 oracle's documented stub scope). The r9 rewrite: the
+    // previous posexplode(split) route pushed one row PER CHARACTER
+    // through two hash aggregations (Θ(corpus chars) — sf1 measured
+    // it at ~4× the doc-volume cost); this is a zero-shuffle
+    // projection, segment COUNTS recovered arithmetically from the
+    // length (c_j = ⌈(j+1)n/32⌉ − ⌈jn/32⌉, the floor rule's bucket
+    // sizes). Empty payloads are skipped as before.
+    val agged = Tables.read(spark, dir, "documents")
       .filter(length($"text") > 0)
-      .select($"doc_id", length($"text").as("len"),
-        posexplode(split($"text", "")).as(Seq("pos", "c")))
-      .select($"doc_id",
-        expr("pos * 32 div len").as("seg"), ascii($"c").as("code"))
-    val sg = ch.groupBy($"doc_id", $"seg")
-      .agg(sum($"code").as("s"), count(lit(1)).as("cnt"))
-    // one more map-side-combined agg to the doc level: 32 conditional
-    // segment sums + totals, then the hash bits in a single project
-    val segSums = (0 until segs).flatMap(j => Seq(
-      sum(when($"seg" === j, $"s").otherwise(0L)).as(s"s$j"),
-      sum(when($"seg" === j, $"cnt").otherwise(0L)).as(s"c$j")))
-    val agged = sg.groupBy($"doc_id")
-      .agg(sum($"s").as("ts"), (segSums :+ sum($"cnt").as("n")): _*)
-    val phash = (0 until segs).map(j =>
-      when(col(s"s$j") * $"n" > $"ts" * col(s"c$j"), lit(1L << j))
-        .otherwise(0L)).reduce(_ + _)
+      // heavy per-row compute after a narrow scan parallelizes only as
+      // far as the file's splits — the §5(c) rule; one explicit
+      // repartition (docs are narrow here) buys 32-way decode
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select($"doc_id", length($"text").cast("long").as("n"),
+        graft.functions.TextFunctions.segCodeSums($"text", segs).as("ss"))
+      .withColumn("ts", expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val phash = (0 until segs).map { j =>
+      val sj = element_at($"ss", j + 1)
+      val cj = expr(s"((${j + 1} * n + 31) DIV 32) - (($j * n + 31) DIV 32)")
+      when(sj * $"n" > $"ts" * cj, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
     // materialize the signature index: the band self-join consumes it
     // on BOTH sides through different alias projections, which defeats
     // ReuseExchange (the d2_sig_index lesson) — without this the
