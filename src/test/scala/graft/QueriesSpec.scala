@@ -434,6 +434,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         p.linesIterator.take(8).mkString("\n"))
     }
+    // r9: mm7's decode is the one-pass SegCodeSums projection — the
+    // per-CHARACTER Generate over the raw parquet (and its two hash
+    // aggregations) must never creep back. The band posexplode reads
+    // the swap-cached 1-row-per-doc index, so the discriminator is a
+    // Generate with a RAW file scan underneath.
+    val mm7Plan = multimodal.Media.mm7PhashNearDup(spark, sf)
+      .queryExecution.optimizedPlan
+    val rawGens = mm7Plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.child.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.nonEmpty => g }
+    assert(rawGens.isEmpty,
+      s"mm7 plans ${rawGens.length} raw-scan Generates — per-char explode is back")
+    val rawAggs = mm7Plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.child.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.nonEmpty => a }
+    assert(rawAggs.isEmpty, // the candidate dedup over the cached index is the only agg
+      s"mm7 plans ${rawAggs.length} raw-scan aggregates — the segment rollup is back")
   }
 
   test("q29 profile: exact per-column stats reconcile; ONE fact scan through a shared Expand") {
