@@ -570,6 +570,193 @@ object Dedup {
        |FROM c WHERE greatest(contain1_e6, contain2_e6) >= 800000
        |ORDER BY doc_id1, doc_id2""".stripMargin
 
+  /** d18: LSH ENSEMBLE containment search (Zhu, Nargesian, Pu &
+    * Miller, "LSH Ensemble: Internet-Scale Domain Search", VLDB 2016)
+    * — d17's documented scale path, made real. One Jaccard-tuned
+    * banding cannot serve containment: the containment-to-Jaccard
+    * conversion J = t·q/(q + x − t·q) depends on the CONTAINER's size
+    * x, so the paper partitions the index by set size and tunes the
+    * banding per partition; a query probes each partition at the
+    * width its own adjusted threshold demands.
+    *
+    * Here: geometric size partitions p = ⌊log₂ n⌋ (bit-length, the
+    * t32 integer-exact convention; x_hi(p) = 2^(p+1)−1), the ONE
+    * shared 32-slot MinHash re-banded at (16×2)/(8×4)/(4×8) — d14's
+    * point that re-banding is metadata — and per (query, partition)
+    * the steepest config whose nominal threshold (1/b)^(1/r) the
+    * adjusted J* still clears (≥0.84 → r=8, ≥0.59 → r=4, else r=2;
+    * J* compared by exact integer cross-multiplication:
+    * J*(q,p) ≥ c/100 ⟺ 800·n_q ≥ c·(2·n_q + 10·x_hi)). Candidates
+    * come from the (partition, config, band) EQUI-join — probes fan
+    * out via an explode over the partition range, never a non-equi
+    * join — and are verified by exact containment on the shared
+    * shingle-set artifact.
+    *
+    * The registered query is the AUDIT (the s4 convention): per size
+    * partition, index size, candidate volume, verified pairs, and
+    * recall against d17's rare-shingle reference set — the number
+    * that tells a deployment whether the ensemble's banding catches
+    * what the exact-ish reference generator catches, BEFORE anyone
+    * swaps candidate generators at 100 TB. */
+  def d18EnsembleContainment(spark: SparkSession, dir: String,
+                             k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val sigs = sigIndex(spark, dir, k)
+    val sets = shingleSets(spark, dir)
+    // node-sized (doc, n, p) + signature, three consumers
+    val sized = graft.operators.Indexes.memo(s"d18_sized:$dir") {
+      sigs.join(sets.select($"doc_id", $"n"), Seq("doc_id"))
+        .withColumn("p", (length(bin($"n")) - 1).cast("long"))
+    }
+    def bandCols(r: Int) = (0 until k / r).map(b =>
+      md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
+    // every doc banded at ALL configs once (28 rows/doc); probe and
+    // index sides both consume it — swap-cached like d2's signature
+    val bands = graft.operators.Indexes.swap(s"d18_bands:$dir",
+      Seq(2, 4, 8).map { r =>
+        sized.select($"doc_id", lit(r).as("cfg"),
+          posexplode(array(bandCols(r): _*)).as(Seq("band_idx", "band_key")))
+      }.reduce(_ unionAll _))
+    val index = bands
+      .join(sized.select($"doc_id", $"n".as("n2"), $"p"), Seq("doc_id"))
+      .select($"doc_id".as("doc_id2"), $"n2", $"p", $"cfg", $"band_idx", $"band_key")
+    val maxP = sized.agg(max($"p").as("maxp"))
+    val probeCfg = sized.select($"doc_id", $"n".as("nq"), $"p".as("qp"))
+      .crossJoin(broadcast(maxP))
+      .select($"doc_id", $"nq", explode(sequence($"qp", $"maxp")).as("p"))
+      .withColumn("xhi", expr("shiftleft(CAST(1 AS BIGINT), CAST(p + 1 AS INT)) - 1"))
+      .withColumn("cfg",
+        when(lit(800L) * $"nq" >= lit(84L) * ($"nq" * 2L + $"xhi" * 10L), 8)
+          .when(lit(800L) * $"nq" >= lit(59L) * ($"nq" * 2L + $"xhi" * 10L), 4)
+          .otherwise(2))
+    val probes = probeCfg.join(bands, Seq("doc_id", "cfg"))
+      .select($"doc_id".as("doc_id1"), $"nq", $"p", $"cfg", $"band_idx", $"band_key")
+    val cand = probes.join(index, Seq("p", "cfg", "band_idx", "band_key"))
+      .filter($"doc_id1" =!= $"doc_id2" && $"nq" <= $"n2")
+      .select($"doc_id1", $"doc_id2", $"p")
+      .dropDuplicates("doc_id1", "doc_id2", "p")
+    val verified = cand
+      .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")), Seq("doc_id1"))
+      .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2")), Seq("doc_id2"))
+      .withColumn("contain_e6",
+        expr("CAST(size(array_intersect(ss1, ss2)) AS BIGINT) * 1000000 DIV n1"))
+      .filter($"contain_e6" >= 800000L)
+      .select($"doc_id1", $"doc_id2", $"p")
+    // reference: d17's exact rare-shingle containment pairs, directed
+    // smaller→larger, keyed by the CONTAINER's partition
+    val ref = d17Containment(spark, dir)
+      .select(
+        when($"n1" <= $"n2", $"doc_id1").otherwise($"doc_id2").as("doc_id1"),
+        when($"n1" <= $"n2", $"doc_id2").otherwise($"doc_id1").as("doc_id2"),
+        (length(bin(greatest($"n1", $"n2"))) - 1).cast("long").as("p"))
+    val idxStats = sized.groupBy($"p").agg(count(lit(1)).as("n_docs"))
+    val candStats = cand.groupBy($"p").agg(count(lit(1)).as("n_cands"))
+    val verStats = verified.groupBy($"p").agg(count(lit(1)).as("n_pairs"))
+    val refJ = ref.join(verified.select($"doc_id1", $"doc_id2", lit(1L).as("__hit"))
+        .dropDuplicates("doc_id1", "doc_id2"),
+      Seq("doc_id1", "doc_id2"), "left")
+    val refStats = refJ.groupBy($"p")
+      .agg(count(lit(1)).as("n_ref"), coalesce(sum($"__hit"), lit(0L)).as("n_hit"))
+    idxStats
+      .join(candStats, Seq("p"), "left")
+      .join(verStats, Seq("p"), "left")
+      .join(refStats, Seq("p"), "left")
+      .select($"p", expr("shiftleft(CAST(1 AS BIGINT), CAST(p + 1 AS INT)) - 1").as("x_hi"),
+        $"n_docs",
+        coalesce($"n_cands", lit(0L)).as("n_cands"),
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_ref", lit(0L)).as("n_ref"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 DIV greatest(coalesce(n_ref, 0), 1)")
+          .as("recall_e6"))
+  }
+
+  /** d18 oracle: the d2 slot CTEs re-banded at the three widths,
+    * the same partition/threshold arithmetic, exact containment and
+    * the d17 reference chain — multi-referenced CTEs MATERIALIZED
+    * (the s29 lesson). */
+  def d18Sql: String =
+    s"""WITH $d2Ctes,
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n,
+       |         CAST(length(bin(count(*))) - 1 AS BIGINT) AS p
+       |  FROM sh GROUP BY doc_id),
+       |allbk AS MATERIALIZED (
+       |  SELECT doc_id, 2 AS cfg, j // 2 AS band_idx,
+       |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS band_key
+       |  FROM slots GROUP BY doc_id, j // 2
+       |  UNION ALL
+       |  SELECT doc_id, 4, j // 4,
+       |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j))
+       |  FROM slots GROUP BY doc_id, j // 4
+       |  UNION ALL
+       |  SELECT doc_id, 8, j // 8,
+       |         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j))
+       |  FROM slots GROUP BY doc_id, j // 8),
+       |mxp AS (SELECT max(p) AS maxp FROM sz),
+       |probecfg AS MATERIALIZED (
+       |  SELECT doc_id, nq, p,
+       |    CASE WHEN 800 * nq >= 84 * (2 * nq + 10 * ((1 << (p + 1)) - 1)) THEN 8
+       |         WHEN 800 * nq >= 59 * (2 * nq + 10 * ((1 << (p + 1)) - 1)) THEN 4
+       |         ELSE 2 END AS cfg
+       |  FROM (
+       |    SELECT s.doc_id, s.n AS nq, unnest(range(s.p, mxp.maxp + 1)) AS p
+       |    FROM sz s CROSS JOIN mxp)),
+       |cand18 AS MATERIALIZED (
+       |  SELECT DISTINCT pc.doc_id AS doc_id1, ix.doc_id AS doc_id2, pc.p
+       |  FROM probecfg pc
+       |  JOIN allbk qb ON qb.doc_id = pc.doc_id AND qb.cfg = pc.cfg
+       |  JOIN allbk ib ON ib.cfg = qb.cfg AND ib.band_idx = qb.band_idx
+       |    AND ib.band_key = qb.band_key
+       |  JOIN sz ix ON ix.doc_id = ib.doc_id AND ix.p = pc.p
+       |  WHERE pc.doc_id <> ix.doc_id AND pc.nq <= ix.n),
+       |sets AS MATERIALIZED (SELECT doc_id, list(sh) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+       |ver AS MATERIALIZED (
+       |  SELECT c.doc_id1, c.doc_id2, c.p
+       |  FROM cand18 c
+       |  JOIN sets x ON x.doc_id = c.doc_id1
+       |  JOIN sets y ON y.doc_id = c.doc_id2
+       |  WHERE CAST(len(list_filter(x.ss, s -> list_contains(y.ss, s))) AS BIGINT)
+       |        * 1000000 // x.n >= 800000),
+       |df17 AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df BETWEEN 2 AND 4),
+       |ro17 AS (SELECT s.doc_id, s.sh FROM sh s JOIN df17 r ON r.sh = s.sh),
+       |cd17 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+       |  FROM ro17 a JOIN ro17 b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sc17 AS (
+       |  SELECT doc_id1, doc_id2,
+       |    CAST(len(list_filter(x.ss, s -> list_contains(y.ss, s))) AS BIGINT) AS n_shared,
+       |    CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2
+       |  FROM cd17 JOIN sets x ON x.doc_id = doc_id1 JOIN sets y ON y.doc_id = doc_id2),
+       |ref AS MATERIALIZED (
+       |  SELECT CASE WHEN n1 <= n2 THEN doc_id1 ELSE doc_id2 END AS doc_id1,
+       |         CASE WHEN n1 <= n2 THEN doc_id2 ELSE doc_id1 END AS doc_id2,
+       |         CAST(length(bin(greatest(n1, n2))) - 1 AS BIGINT) AS p
+       |  FROM sc17
+       |  WHERE greatest(n_shared * 1000000 // n1, n_shared * 1000000 // n2) >= 800000),
+       |vdist AS (SELECT DISTINCT doc_id1, doc_id2 FROM ver),
+       |ixs AS (SELECT p, count(*) AS n_docs FROM sz GROUP BY p),
+       |cds AS (SELECT p, count(*) AS n_cands FROM cand18 GROUP BY p),
+       |vrs AS (SELECT p, count(*) AS n_pairs FROM ver GROUP BY p),
+       |rfs AS (
+       |  SELECT r.p, count(*) AS n_ref,
+       |    coalesce(sum(CASE WHEN v.doc_id1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hit
+       |  FROM ref r LEFT JOIN vdist v
+       |    ON v.doc_id1 = r.doc_id1 AND v.doc_id2 = r.doc_id2
+       |  GROUP BY r.p)
+       |SELECT i.p, CAST((1 << (i.p + 1)) - 1 AS BIGINT) AS x_hi,
+       |  i.n_docs,
+       |  CAST(coalesce(c.n_cands, 0) AS BIGINT) AS n_cands,
+       |  CAST(coalesce(v.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+       |  CAST(coalesce(r.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(coalesce(r.n_hit, 0) * 1000000 // greatest(coalesce(r.n_ref, 0), 1) AS BIGINT) AS recall_e6
+       |FROM ixs i
+       |LEFT JOIN cds c ON c.p = i.p
+       |LEFT JOIN vrs v ON v.p = i.p
+       |LEFT JOIN rfs r ON r.p = i.p
+       |ORDER BY i.p""".stripMargin
+
   /** d11: incremental NEAR-dup dedup — d6's ingestion shape lifted
     * from exact fingerprints to the d2 sketch: which docs of the
     * incoming batch (doc_id % 5 = 0, d6's convention) are near-dups

@@ -583,6 +583,35 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 LSH ensemble: audit reconciles with a driver-side reference; recall priced per partition") {
+    val r = Dedup.d18EnsembleContainment(spark, sf).collect()
+      .map(x => x.getAs[Long]("p") -> x).toMap
+    assert(r.nonEmpty)
+    r.foreach { case (p, x) =>
+      assert(x.getAs[Long]("x_hi") == (1L << (p + 1)) - 1L)
+      assert(x.getAs[Long]("n_pairs") <= x.getAs[Long]("n_cands"))
+      assert(x.getAs[Long]("n_hit") <= math.min(x.getAs[Long]("n_ref"), x.getAs[Long]("n_pairs")))
+    }
+    // the reference column IS d17's exact pair set bucketed by the
+    // container's partition — reconcile against a driver-side recount
+    val refByP = Dedup.d17Containment(spark, sf).collect()
+      .map { x =>
+        val nBig = math.max(x.getAs[Long]("n1"), x.getAs[Long]("n2"))
+        63 - java.lang.Long.numberOfLeadingZeros(nBig) // floor(log2)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    refByP.foreach { case (p, n) =>
+      assert(r(p.toLong).getAs[Long]("n_ref") == n, s"partition $p ref count")
+    }
+    // deterministic banding (fixed seeds): on this corpus the ensemble
+    // recovers 24 of 28 reference pairs — the misses sit in the SMALL
+    // partitions where x_hi over-bounds the container and the adjusted
+    // threshold under-tunes the banding (the paper's own finer-
+    // partition motivation); larger partitions recall in full
+    assert(r.values.map(_.getAs[Long]("n_ref")).sum == 28L)
+    assert(r.values.map(_.getAs[Long]("n_hit")).sum == 24L)
+    assert(r(6L).getAs[Long]("recall_e6") == 1000000L)
+  }
+
   test("t34 BM25: scores recompute exactly; tf saturates; length normalization bites") {
     import graft.text.TextAnalysis
     val r = TextAnalysis.t34Bm25(spark, sf).collect()
