@@ -109,7 +109,11 @@ case class SegCodeSums(child: Expression, segs: Int)
     var pos = 0L
     while (i < s.length && n > 0) {
       val cp = s.codePointAt(i)
-      sums(((pos * segs) / n).toInt) += cp
+      // clamp: on MALFORMED UTF-8, toString substitutes replacement
+      // chars and its code-point walk can disagree with numChars —
+      // crawl bytes must degrade to a skewed last segment, not an
+      // ArrayIndexOutOfBounds (the PairCounts truncated-sequence rule)
+      sums(math.min(((pos * segs) / n).toInt, segs - 1)) += cp
       pos += 1
       i += Character.charCount(cp)
     }
