@@ -41,6 +41,19 @@ object JdbcUpsert {
         s"version/tie values must be Comparable: ${x.getClass} vs ${y.getClass}")
   }
 
+  /** NULL-safe bind: `setObject(i, null)` is dialect-fragile (Derby
+    * rejects untyped nulls), so nulls go through `setNull` with the
+    * statement's own declared parameter type — fetched once per
+    * prepared statement, not per row. */
+  private final class Binder(ps: java.sql.PreparedStatement) {
+    private lazy val types: Array[Int] = {
+      val md = ps.getParameterMetaData
+      Array.tabulate(md.getParameterCount)(i => md.getParameterType(i + 1))
+    }
+    def set(i: Int, v: Any): Unit =
+      if (v == null) ps.setNull(i, types(i - 1)) else ps.setObject(i, v)
+  }
+
   /** Upserts `df` (one transaction per partition). Collapses the frame
     * to one row per key first — a micro-batch may carry several
     * versions of one key and per-row upserts of those would race
@@ -68,10 +81,11 @@ object JdbcUpsert {
           val sel = conn.prepareStatement(selectSql)
           val ins = conn.prepareStatement(insertSql)
           val upd = conn.prepareStatement(updateSql)
+          val (selB, insB, updB) = (new Binder(sel), new Binder(ins), new Binder(upd))
           var pending = 0
           def flush(): Unit = { ins.executeBatch(); upd.executeBatch(); pending = 0 }
           rows.foreach { r =>
-            keyCols.zipWithIndex.foreach { case (k, i) => sel.setObject(i + 1, r.getAs[Any](k)) }
+            keyCols.zipWithIndex.foreach { case (k, i) => selB.set(i + 1, r.getAs[Any](k)) }
             val rs = sel.executeQuery()
             val action =
               if (!rs.next()) 'i'
@@ -85,12 +99,12 @@ object JdbcUpsert {
             rs.close()
             action match {
               case 'i' =>
-                cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+                cols.zipWithIndex.foreach { case (c, i) => insB.set(i + 1, r.getAs[Any](c)) }
                 ins.addBatch(); pending += 1
               case 'u' =>
-                nonKeys.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.getAs[Any](c)) }
+                nonKeys.zipWithIndex.foreach { case (c, i) => updB.set(i + 1, r.getAs[Any](c)) }
                 keyCols.zipWithIndex.foreach { case (k, i) =>
-                  upd.setObject(nonKeys.length + i + 1, r.getAs[Any](k))
+                  updB.set(nonKeys.length + i + 1, r.getAs[Any](k))
                 }
                 upd.addBatch(); pending += 1
               case _ => ()

@@ -254,6 +254,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(table() == expect(ev), "replay must be idempotent — table diverged")
   }
 
+  test("JdbcUpsert binds NULL values through the statement's declared types") {
+    val base = java.nio.file.Files.createTempDirectory("graft-jdbc-null").toString
+    System.setProperty("derby.system.home", base)
+    val url = s"jdbc:derby:$base/nulldb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE kv (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE, note VARCHAR(20), ver BIGINT, tie BIGINT)")
+    c.close()
+    val df = Seq[(Long, Option[Double], Option[String], Long, Long)](
+      (1L, Some(1.5), None, 1L, 1L),       // insert with a NULL string
+      (2L, None, Some("x"), 1L, 1L),       // insert with a NULL double
+      (1L, None, Some("upd"), 2L, 1L)      // update key 1 TO a null double
+    ).toDF("k", "v", "note", "ver", "tie")
+    graft.sources.JdbcUpsert.upsert(df, url, "kv", Seq("k"), "ver", "tie")
+    val got = {
+      val raw = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "kv").load()
+      raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*).collect()
+        .map(r => r.getAs[Long]("k") ->
+          (Option(r.getAs[java.lang.Double]("v")), Option(r.getAs[String]("note")))).toMap
+    }
+    assert(got == Map(1L -> (None, Some("upd")), 2L -> (None, Some("x"))))
+  }
+
   test("streaming funnel emits stages in order, ignores out-of-order purchases") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.FEv
