@@ -1355,6 +1355,86 @@ object TextAnalysis {
        |FROM d$rounds ORDER BY doc_id""".stripMargin
   }
 
+  /** t35: TOKENIZER FERTILITY per source — the tokenizer-efficiency
+    * audit multilingual curation reads before fixing a vocabulary
+    * (Rust et al., ACL 2021 "How Good is Your Tokenizer?": fertility
+    * = subword tokens per word; a source whose fertility is far above
+    * the corpus norm is being FRAGMENTED by the tokenizer — its
+    * effective context shrinks and its per-byte training cost
+    * inflates — the signal that the vocab under-represents that
+    * domain/language). Tokens come from the SAME relational BPE
+    * encode as t21 (one code path; the trained merge-table artifact
+    * is shared), words from t3's whitespace convention. Per source:
+    * doc/char/symbol/word totals, fertility ×1e6 (symbols per word)
+    * and chars-per-symbol ×1e6 (the compression gear).
+    *
+    * Scale shape: t21's encode chain (replace-chain projection over
+    * one scan — the merge table is rounds-sized driver state) + one
+    * narrow word-count projection, joined doc-keyed and rolled up
+    * map-side to a sources-sized frame. */
+  def t35Fertility(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val enc = t21BpeEncode(spark, dir, rounds)
+      .select($"doc_id", $"n_chars", $"n_symbols")
+    val words = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(filter(tokens($"text"), t => length(t) > 0)).cast("long").as("n_words"))
+    enc.join(words, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"n_symbols").as("sum_symbols"), sum($"n_words").as("sum_words"))
+      .select($"source", $"n_docs", $"sum_chars", $"sum_symbols", $"sum_words",
+        halfUpDiv($"sum_symbols" * 1000000L, greatest($"sum_words", lit(1L)))
+          .as("fertility_e6"),
+        halfUpDiv($"sum_chars" * 1000000L, greatest($"sum_symbols", lit(1L)))
+          .as("chars_per_symbol_e6"))
+      .orderBy("source")
+  }
+
+  /** t35 oracle: t21's winner + doc-replace chain, t13's tokenizer
+    * for word counts (LEFT join — an all-punctuation doc has no tok
+    * rows but still encodes), per-source rollup. */
+  def t35Sql(rounds: Int = 5): String = {
+    val hi = (0xE000 + rounds - 1).toHexString
+    val docCtes = (0 until rounds).map { r =>
+      s"""d${r + 1} AS (
+         |  SELECT doc_id, n_chars,
+         |    COALESCE(replace(text, (SELECT pair FROM t$r), chr(${57344 + r})), text) AS text
+         |  FROM d$r)""".stripMargin
+    }
+    s"""WITH ${bpeWinnerCtesSql(rounds)},
+       |d0 AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+       |  FROM documents
+       |  WHERE NOT regexp_matches(text, '[\\x{e000}-\\x{$hi}]')),
+       |${docCtes.mkString(",\n")},
+       |enc AS (
+       |  SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS n_symbols
+       |  FROM d$rounds),
+       |tokf AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |  FROM documents),
+       |wc AS (
+       |  SELECT doc_id, count(*) AS n_words FROM tokf
+       |  WHERE token <> '' GROUP BY doc_id),
+       |per AS (
+       |  SELECT d.source, e.n_chars, e.n_symbols,
+       |    coalesce(w.n_words, 0) AS n_words
+       |  FROM enc e
+       |  JOIN documents d ON d.doc_id = e.doc_id
+       |  LEFT JOIN wc w ON w.doc_id = e.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_symbols) AS BIGINT) AS sum_symbols,
+       |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |  CAST((2 * sum(n_symbols) * 1000000 + greatest(sum(n_words), 1))
+       |       // (2 * greatest(sum(n_words), 1)) AS BIGINT) AS fertility_e6,
+       |  CAST((2 * sum(n_chars) * 1000000 + greatest(sum(n_symbols), 1))
+       |       // (2 * greatest(sum(n_symbols), 1)) AS BIGINT) AS chars_per_symbol_e6
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** t22: language-model quality scoring — the perplexity-filter
     * primitive of the LLM data stack (CCNet, Gopher: score every
     * document under an in-distribution LM; low likelihood =

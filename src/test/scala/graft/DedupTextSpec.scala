@@ -649,6 +649,38 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("t35 fertility reconciles with t21's encode and the t3 word counts") {
+    import graft.text.TextAnalysis
+    val r = TextAnalysis.t35Fertility(spark, sf).collect()
+    assert(r.nonEmpty)
+    // driver-side recompute from the shared encode + word tokenizer
+    val enc = TextAnalysis.t21BpeEncode(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chars"), x.getAs[Long]("n_symbols"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+    val bySrc = docs.filter(d => enc.contains(d.getAs[Long]("doc_id")))
+      .groupBy(_.getAs[String]("source"))
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val ds = bySrc(src)
+      val (chars, syms) = ds.map(d => enc(d.getAs[Long]("doc_id")))
+        .foldLeft((0L, 0L)) { case ((c, s), (c2, s2)) => (c + c2, s + s2) }
+      val words = ds.map(_.getAs[String]("text").toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ").count(_.nonEmpty).toLong).sum
+      assert(row.getAs[Long]("n_docs") == ds.length)
+      assert(row.getAs[Long]("sum_chars") == chars && row.getAs[Long]("sum_symbols") == syms)
+      assert(row.getAs[Long]("sum_words") == words)
+      def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+      assert(row.getAs[Long]("fertility_e6") == hu(syms * 1000000L, math.max(words, 1L)))
+      // 5 merge rounds: still several symbols per word, and every merge
+      // strictly shortens — the two ratios bracket sanely
+      assert(row.getAs[Long]("fertility_e6") > 1000000L)
+      val cps = row.getAs[Long]("chars_per_symbol_e6")
+      assert(cps >= 1000000L && cps < 2000000L, s"$src chars/symbol $cps")
+    }
+  }
+
   test("d14 LSH sweep: nested bands give monotone candidates; the (8x4) row reconciles with d2") {
     val r = Dedup.d14LshSweep(spark, sf).collect()
       .map(x => x.getAs[Int]("r") -> x).toMap
