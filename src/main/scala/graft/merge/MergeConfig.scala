@@ -76,24 +76,67 @@ object MergeConfig {
     val name = (t \ "name").extractOpt[String].getOrElse {
       errors += "Error: table without a name"; "?"
     }
-    val idCol = (t \ "idCol").extractOpt[String].getOrElse {
-      errors += s"Error: table '$name': idCol missing"; "?"
-    }
     val mode = (t \ "mode").extractOpt[String] match {
       case Some("consolidate") => MergeMode.Consolidate
       case Some("move")        => MergeMode.Move
+      case Some("shared_pk") => (t \ "sharedPkParent").extractOpt[String] match {
+        case Some(p) => MergeMode.SharedPk(p)
+        case None =>
+          errors += s"Error: table '$name': mode shared_pk requires sharedPkParent"
+          MergeMode.Move
+      }
+      case Some("keyless")     => MergeMode.Keyless
       case other =>
-        errors += s"Error: table '$name': mode must be 'consolidate' or 'move', got $other"
+        errors += s"Error: table '$name': mode must be one of " +
+          s"'consolidate', 'move', 'shared_pk', 'keyless', got $other"
         MergeMode.Move
     }
+    val idCol = mode match {
+      case MergeMode.Keyless =>
+        // keyless tables HAVE no own id (gaac.js:100, the INSERT
+        // carries none) — a declared idCol is a config contradiction
+        (t \ "idCol").extractOpt[String].foreach { _ =>
+          errors += s"Error: table '$name': keyless tables have no idCol"
+        }
+        ""
+      case _ => (t \ "idCol").extractOpt[String].getOrElse {
+        errors += s"Error: table '$name': idCol missing"; "?"
+      }
+    }
     val naturalKey = (t \ "naturalKey").extractOpt[Seq[String]].getOrElse(Nil)
-    if (naturalKey.isEmpty) errors += s"Error: table '$name': naturalKey missing"
-    TableSpec(name, idCol, naturalKey, mode,
+    // consolidate/move match on it; shared_pk's identity is the
+    // parent's and keyless's is optional (empty = append-all)
+    if (naturalKey.isEmpty && (mode == MergeMode.Consolidate || mode == MergeMode.Move))
+      errors += s"Error: table '$name': naturalKey missing"
+    val selfFks = (t \ "selfFks").extractOpt[Seq[String]].getOrElse(Nil)
+    val uuidCol = (t \ "uuidCol").extractOpt[String]
+    val mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    val deferredFks = (t \ "deferredFks").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    // surface mode-incompatible fields as CONFIG errors (aggregated),
+    // not as a TableSpec constructor throw mid-parse
+    val broken = mode match {
+      case MergeMode.Keyless if selfFks.nonEmpty || uuidCol.nonEmpty ||
+          mappedKeys.nonEmpty || deferredFks.nonEmpty =>
+        errors += s"Error: table '$name': keyless tables cannot declare " +
+          "selfFks/uuidCol/mappedKeys/deferredFks"
+        true
+      case MergeMode.SharedPk(_) if uuidCol.nonEmpty || mappedKeys.nonEmpty =>
+        errors += s"Error: table '$name': shared_pk identity is the parent's — " +
+          "uuidCol/mappedKeys not allowed"
+        true
+      case _ => false
+    }
+    // fall back to a constructible placeholder when this table's
+    // fields contradict its mode: fromJson aggregates every error and
+    // fails before the spec is ever run, so the placeholder only needs
+    // to satisfy TableSpec's invariants, not mean anything
+    TableSpec(name, if (broken && idCol.isEmpty) "?" else idCol, naturalKey,
+      if (broken) MergeMode.Move else mode,
       fks = (t \ "fks").extractOpt[Map[String, String]].getOrElse(Map.empty),
-      selfFks = (t \ "selfFks").extractOpt[Seq[String]].getOrElse(Nil),
-      uuidCol = (t \ "uuidCol").extractOpt[String],
-      mappedKeys = (t \ "mappedKeys").extractOpt[Map[String, String]].getOrElse(Map.empty),
-      deferredFks = (t \ "deferredFks").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      selfFks = selfFks,
+      uuidCol = uuidCol,
+      mappedKeys = mappedKeys,
+      deferredFks = deferredFks,
       saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty))
   }
 
@@ -442,15 +485,23 @@ object MergeConfig {
       // would have read post-overwrite tables); the dry-run-equals-
       // actual spec pins these counts to dryRun's
       val report = pin(Orchestrator.topoOrder(tables).map { spec =>
-        results(spec.name).idMap.agg(
-            count(lit(1)).as("src_rows"),
-            sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
-            sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
-          .select(lit(spec.name).as("table_name"),
-            lit(spec.mode match {
-              case MergeMode.Consolidate => "consolidate"
-              case MergeMode.Move        => "move"
-            }).as("mode"),
+        val counts = spec.mode match {
+          case MergeMode.Keyless =>
+            // keyless tables emit no id map — count from the merged
+            // output (src-instance rows ARE the appended set; the gap
+            // to the raw src count is INSERT IGNORE's affectedRows gap)
+            results(spec.name).merged.agg(
+              sum(when(col("instance") === "src", 1L).otherwise(0L)).as("src_rows"),
+              lit(0L).as("already_in_dest"),
+              sum(when(col("instance") === "src", 1L).otherwise(0L)).as("would_insert"))
+          case _ =>
+            results(spec.name).idMap.agg(
+              count(lit(1)).as("src_rows"),
+              sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
+              sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
+        }
+        counts.select(lit(spec.name).as("table_name"),
+            lit(Orchestrator.modeLabel(spec.mode)).as("mode"),
             col("src_rows"), col("already_in_dest"), col("would_insert"))
       }.reduce(_ unionAll _))
       outputs.foreach { case (spec, merged, uuidReport, idMap) =>

@@ -43,6 +43,28 @@ object Orchestrator {
       * map to their dest counterpart and are not re-inserted
       * (preparation.js "not moved if already in destination"). */
     case object Move extends MergeMode
+    /** PK-is-FK semantics (reference patient.js:9
+      * `preparePatientInsert`: `beehive.personMap.get(row['patient_id'])`
+      * — the patient's primary key IS the person FK): the row's id is
+      * REWRITTEN THROUGH THE PARENT's completed map, never allocated
+      * from this table's own sequence. A row moves iff its parent row
+      * moved (parent is_new=1); rows whose parent was already in the
+      * destination are excluded, like the reference's patient loop over
+      * only-moved persons. Identity is entirely the parent's —
+      * naturalKey/uuidCol/mappedKeys play no part. */
+    final case class SharedPk(parent: String) extends MergeMode
+    /** No-own-id association semantics (reference gaac.js:100
+      * `prepareGaacMemberInsert` — the INSERT carries no gaac_member_id
+      * — and person-users.js:359 `INSERT IGNORE role_privilege`):
+      * every column is either FK or payload. Rows move by FK rewrite
+      * alone; when `naturalKey` is declared (the composite PK of an
+      * INSERT IGNORE table) incoming rows are set-union-deduped against
+      * the destination AND within the batch; with an empty naturalKey
+      * every FK-rewritten row is appended (the auto-id gaac_member
+      * shape — the destination DB mints row ids, the merge never sees
+      * them). Emits NO id map, so a Keyless table cannot be any other
+      * table's parent. `idCol` must be empty. */
+    case object Keyless extends MergeMode
   }
 
   /** Declarative per-table merge config — the reference's table-config
@@ -99,9 +121,26 @@ object Orchestrator {
       mappedKeys: Map[String, String] = Map.empty,
       deferredFks: Map[String, String] = Map.empty,
       saltedFks: Map[String, Int] = Map.empty) {
+    require(mode == MergeMode.Keyless || idCol.nonEmpty,
+      s"table '$name': idCol required for non-keyless modes")
+    mode match {
+      case MergeMode.Keyless =>
+        require(idCol.isEmpty && selfFks.isEmpty && uuidCol.isEmpty
+            && mappedKeys.isEmpty && deferredFks.isEmpty,
+          s"table '$name': Keyless tables have no own id — idCol, selfFks, " +
+            "uuidCol, mappedKeys and deferredFks must all be empty")
+      case MergeMode.SharedPk(_) =>
+        require(uuidCol.isEmpty && mappedKeys.isEmpty,
+          s"table '$name': SharedPk identity is the parent's — " +
+            "uuidCol/mappedKeys must be empty")
+      case _ => ()
+    }
     /** Tables that must be merged before this one (deferredFks are
       * deliberately absent — they are what BREAKS cycles). */
-    def parents: Iterable[String] = fks.values ++ mappedKeys.values
+    def parents: Iterable[String] = fks.values ++ mappedKeys.values ++ (mode match {
+      case MergeMode.SharedPk(p) => Seq(p)
+      case _                     => Nil
+    })
   }
 
   /** One merged table: the output rows plus the src→dest id map the
@@ -122,6 +161,9 @@ object Orchestrator {
     specs.foreach { s =>
       (s.parents ++ s.deferredFks.values).foreach { p =>
         require(byName.contains(p), s"table '${s.name}' references unknown parent '$p'")
+        require(byName(p).mode != MergeMode.Keyless,
+          s"table '${s.name}' references keyless table '$p' as a parent — " +
+            "Keyless tables emit no id map")
       }
     }
     val ordered = scala.collection.mutable.ArrayBuffer.empty[TableSpec]
@@ -194,16 +236,78 @@ object Orchestrator {
 
   def idMapFor(src: DataFrame, dest: DataFrame, spec: TableSpec,
                parentMaps: String => DataFrame): DataFrame =
-    idMapMapped(withMappedKeys(src, spec, parentMaps), dest, spec)
+    idMapMapped(withMappedKeys(src, spec, parentMaps), dest, spec, parentMaps)
+
+  /** SharedPk id map: the child's id joined through the PARENT's
+    * completed map (patient.js:25 `personMap.get(row['patient_id'])`) —
+    * dest_id AND the move decision (is_new) are both the parent's; no
+    * id is allocated. Inner join: a child id absent from the parent
+    * map (no such parent row in src) drops — the strict
+    * post-integrity-check path, same contract as remapFk "inner". */
+  private def sharedPkIdMap(src: DataFrame, spec: TableSpec, parentMap: DataFrame): DataFrame =
+    src.select(col(spec.idCol).cast(LongType).as("src_id"))
+      .join(parentMap.select(col("src_id"), col("dest_id"), col("is_new")), Seq("src_id"))
+
+  /** Schema-correct EMPTY id map (Keyless tables emit no map but
+    * [[MergedTable]] carries one for API uniformity). */
+  private def emptyIdMap(src: DataFrame): DataFrame =
+    src.sparkSession.range(0).select(
+      col("id").as("src_id"), col("id").as("dest_id"), lit(1).as("is_new"))
 
   /** As [[idMapFor]], but `srcMapped` already has mappedKeys in dest
     * id space. */
-  private def idMapMapped(srcMapped: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame =
+  private def idMapMapped(srcMapped: DataFrame, dest: DataFrame, spec: TableSpec,
+                          parentMaps: String => DataFrame): DataFrame =
     spec.mode match {
       case MergeMode.Consolidate =>
         MergeOps.consolidate(srcMapped, dest, effectiveKey(spec), spec.idCol)
-      case MergeMode.Move => moveIdMap(srcMapped, dest, spec)
+      case MergeMode.Move        => moveIdMap(srcMapped, dest, spec)
+      case MergeMode.SharedPk(p) => sharedPkIdMap(srcMapped, spec, parentMaps(p))
+      case MergeMode.Keyless     => emptyIdMap(srcMapped)
     }
+
+  /** Keyless association-table merge (MergeMode.Keyless): FK rewrite
+    * through the parents' completed maps (inner_or_null — the strict
+    * nullable-FK contract every declared FK rides), then either
+    *   - naturalKey declared → INSERT IGNORE semantics
+    *     (person-users.js:359): set-union dedup against dest on the
+    *     composite key AND within the incoming batch. With payload
+    *     columns outside the key, the in-batch survivor is the MINIMUM
+    *     payload tuple — deterministic where MySQL's first-arriving-row
+    *     is scheduler luck;
+    *   - naturalKey empty → append-all (gaac.js:100: the destination
+    *     mints auto ids the merge never sees).
+    * Emits an empty id map — nothing can FK-reference these rows.
+    * Scale: one shuffle per fk map join + (keyed form) one dedup
+    * aggregate on the composite key; never a window, never a sort. */
+  private def keylessMerge(src: DataFrame, dest: DataFrame, spec: TableSpec,
+                           maps: String => DataFrame, sourceTag: String): MergedTable = {
+    val fkDone0 = spec.fks.foldLeft(src) { case (df, (fkCol, parent)) =>
+      MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", joinType = "inner_or_null",
+          saltBuckets = spec.saltedFks.getOrElse(fkCol, 0))
+        .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
+    }
+    val cols = src.columns.toSeq
+    val fkDone = fkDone0.select(cols.map(col): _*)
+    val incoming =
+      if (spec.naturalKey.isEmpty) fkDone
+      else {
+        val payload = cols.filterNot(spec.naturalKey.contains)
+        val batchDeduped =
+          if (payload.isEmpty) fkDone.dropDuplicates(spec.naturalKey)
+          else fkDone.groupBy(spec.naturalKey.map(col): _*)
+            .agg(min(struct(payload.map(col): _*)).as("__p"))
+            .select(cols.map(c =>
+              if (spec.naturalKey.contains(c)) col(c) else col(s"__p.$c").as(c)): _*)
+        batchDeduped.join(
+          dest.select(spec.naturalKey.map(col): _*).distinct(), spec.naturalKey, "left_anti")
+      }
+    val srcOut = incoming.select((cols.map(col) :+
+      lit("src").as("instance") :+ lit(sourceTag).as("merge_source")): _*)
+    val destOut = dest.select((cols.map(col) :+
+      lit("dest").as("instance") :+ lit("dest").as("merge_source")): _*)
+    MergedTable(destOut.unionByName(srcOut), emptyIdMap(src))
+  }
 
   /** Run the full pipeline: topological order, id maps threaded
     * parents→children, merged output per table.
@@ -217,6 +321,9 @@ object Orchestrator {
           sourceTag: String, pinIdMaps: Boolean = false): Map[String, MergedTable] = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
     val firstPass = topoOrder(specs).map { spec =>
+      if (spec.mode == MergeMode.Keyless) {
+        spec.name -> keylessMerge(src(spec.name), dest(spec.name), spec, maps, sourceTag)
+      } else {
       // mappedKeys rewritten once, used for BOTH matching and output —
       // new rows must land in dest with dest-space key values
       val s = withMappedKeys(src(spec.name), spec, maps)
@@ -235,7 +342,7 @@ object Orchestrator {
       // (the bench's artifact phase) . At 100 TB the map for a
       // fact-sized table should instead be WRITTEN once (a parquet id
       // table, the reference's durable mapping) and read by consumers.
-      val idMap0 = idMapMapped(s, d, spec)
+      val idMap0 = idMapMapped(s, d, spec, maps)
       val idMap = if (pinIdMaps) idMap0.localCheckpoint(true) else idMap0
       maps(spec.name) = idMap
 
@@ -278,6 +385,7 @@ object Orchestrator {
           lit("dest").as("instance") :+
           lit("dest").as("merge_source")).toIndexedSeq: _*)
       spec.name -> MergedTable(destOut.unionByName(srcOut), idMap)
+      }
     }.toMap
 
     // second pass: deferred FKs, now that EVERY table's map is
@@ -325,35 +433,63 @@ object Orchestrator {
   def dryRun(specs: Seq[TableSpec],
              src: String => DataFrame, dest: String => DataFrame): DataFrame = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
-    // only parents consumed by some child's mappedKeys need a REAL id
-    // map (its construction runs the dest-max scalar action); every
-    // other table's dry count is pure semi/anti-join shape
-    val mapConsumers = specs.flatMap(_.mappedKeys.values).toSet
+    // only parents whose map another table's DECISION depends on need a
+    // REAL id map (its construction runs the dest-max scalar action):
+    // mappedKeys parents, SharedPk parents (the decision IS the
+    // parent's is_new) and Keyless tables' fk parents (the set-union
+    // key matches in dest id space). Transitive: a needed SharedPk
+    // parent's own map needs ITS parent's map. Every other table's dry
+    // count is pure semi/anti-join shape.
+    val byName = specs.map(s => s.name -> s).toMap
+    val mapConsumers = scala.collection.mutable.Set.empty[String]
+    def needMap(n: String): Unit = if (mapConsumers.add(n)) byName(n).mode match {
+      case MergeMode.SharedPk(p) => needMap(p)
+      case _                     => ()
+    }
+    specs.foreach { s =>
+      s.mappedKeys.values.foreach(needMap)
+      s.mode match {
+        case MergeMode.SharedPk(p) => needMap(p)
+        case MergeMode.Keyless     => s.fks.values.foreach(needMap)
+        case _                     => ()
+      }
+    }
     topoOrder(specs).map { spec =>
+      if (spec.mode == MergeMode.Keyless) keylessDryRow(src(spec.name), dest(spec.name), spec, maps)
+      else {
       val s = withMappedKeys(src(spec.name), spec, maps)
       val d = dest(spec.name)
       // children's dry shapes still thread the REAL parent maps (their
       // mappedKeys must land in dest id space before matching)
-      if (mapConsumers(spec.name)) maps(spec.name) = idMapMapped(s, d, spec)
+      if (mapConsumers(spec.name)) maps(spec.name) = idMapMapped(s, d, spec, maps)
       // counts need only the match DECISION per src row, not ids —
       // semi/anti joins replicate idMapMapped's matching (the SAME
       // effective key: naturalKey + mappedKeys, then uuid for the Move
       // remainder) with no range sort, no zipWithIndex jobs, no
       // dest-max action. The OrchestratorSpec dry-run-equals-actual
       // test pins this equivalence.
-      val key = effectiveKey(spec)
-      val destKeys = d.select(key.map(col): _*).distinct()
-      val matchedKey = s.join(destKeys, key, "left_semi")
-        .select(lit(0).as("is_new"))
-      val rest = s.join(destKeys, key, "left_anti")
-      val shape = spec.uuidCol.filter(_ => spec.mode == MergeMode.Move) match {
-        case Some(u) =>
-          val destU = d.select(col(u)).distinct()
-          matchedKey
-            .unionAll(rest.join(destU, Seq(u), "left_semi").select(lit(0).as("is_new")))
-            .unionAll(rest.join(destU, Seq(u), "left_anti").select(lit(1).as("is_new")))
-        case None =>
-          matchedKey.unionAll(rest.select(lit(1).as("is_new")))
+      val shape = spec.mode match {
+        case MergeMode.SharedPk(p) =>
+          // the decision IS the parent's: join src ids through the
+          // parent's real map (ids absent from it drop, as in the run)
+          s.select(col(spec.idCol).cast(LongType).as("src_id"))
+            .join(maps(p).select(col("src_id"), col("is_new")), Seq("src_id"))
+            .select(col("is_new"))
+        case _ =>
+          val key = effectiveKey(spec)
+          val destKeys = d.select(key.map(col): _*).distinct()
+          val matchedKey = s.join(destKeys, key, "left_semi")
+            .select(lit(0).as("is_new"))
+          val rest = s.join(destKeys, key, "left_anti")
+          spec.uuidCol.filter(_ => spec.mode == MergeMode.Move) match {
+            case Some(u) =>
+              val destU = d.select(col(u)).distinct()
+              matchedKey
+                .unionAll(rest.join(destU, Seq(u), "left_semi").select(lit(0).as("is_new")))
+                .unionAll(rest.join(destU, Seq(u), "left_anti").select(lit(1).as("is_new")))
+            case None =>
+              matchedKey.unionAll(rest.select(lit(1).as("is_new")))
+          }
       }
       shape.agg(
           count(lit(1)).as("src_rows"),
@@ -361,12 +497,50 @@ object Orchestrator {
           sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
         .select(
           lit(spec.name).as("table_name"),
-          lit(spec.mode match {
-            case MergeMode.Consolidate => "consolidate"
-            case MergeMode.Move        => "move"
-          }).as("mode"),
+          lit(modeLabel(spec.mode)).as("mode"),
           col("src_rows"), col("already_in_dest"), col("would_insert"))
+      }
     }.reduce(_ unionAll _)
+  }
+
+  private[merge] def modeLabel(mode: MergeMode): String = mode match {
+    case MergeMode.Consolidate => "consolidate"
+    case MergeMode.Move        => "move"
+    case MergeMode.SharedPk(_) => "shared_pk"
+    case MergeMode.Keyless     => "keyless"
+  }
+
+  /** Keyless dry-run row: src_rows counts the RAW src table (what the
+    * reference's getCount reports); already_in_dest / would_insert
+    * replicate [[keylessMerge]] exactly (FK rewrite through the real
+    * parent maps, batch dedup, key match against dest), so
+    * `would_insert` equals the rows the actual run appends. With
+    * internal batch duplicates src_rows > already + would — the same
+    * gap INSERT IGNORE's affectedRows shows. */
+  private def keylessDryRow(s: DataFrame, d: DataFrame, spec: TableSpec,
+                            maps: String => DataFrame): DataFrame = {
+    val fkDone0 = spec.fks.foldLeft(s) { case (df, (fkCol, parent)) =>
+      MergeOps.remapFk(df, fkCol, maps(parent), s"__new_$fkCol", joinType = "inner_or_null")
+        .drop(fkCol).withColumnRenamed(s"__new_$fkCol", fkCol)
+    }
+    val srcRows = s.agg(count(lit(1)).as("src_rows"))
+    val decided =
+      if (spec.naturalKey.isEmpty)
+        fkDone0.agg(lit(0L).as("already_in_dest"), count(lit(1)).as("would_insert"))
+      else {
+        val batch = fkDone0.dropDuplicates(spec.naturalKey)
+        val destKeys = d.select(spec.naturalKey.map(col): _*).distinct()
+        batch.join(destKeys, spec.naturalKey, "left_semi").select(lit(0).as("is_new"))
+          .unionAll(batch.join(destKeys, spec.naturalKey, "left_anti").select(lit(1).as("is_new")))
+          .agg(
+            sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("already_in_dest"),
+            sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("would_insert"))
+      }
+    srcRows.crossJoin(decided).select(
+      lit(spec.name).as("table_name"), lit(modeLabel(spec.mode)).as("mode"),
+      col("src_rows"),
+      coalesce(col("already_in_dest"), lit(0L)).as("already_in_dest"),
+      coalesce(col("would_insert"), lit(0L)).as("would_insert"))
   }
 
   /** Declarative exclusion set for one table (preparation.js:134): the
@@ -379,13 +553,24 @@ object Orchestrator {
                   parentMaps: String => DataFrame =
                     name => sys.error(s"excludedIds: parent map for '$name' required by mappedKeys"))
   : DataFrame = {
-    val s = withMappedKeys(src, spec, parentMaps)
-    val key = effectiveKey(spec)
-    spec.uuidCol match {
-      case Some(u) => MergeOps.excludeMoved(s, dest, key, u, spec.idCol)
-      case None =>
-        s.join(dest.select(key.map(col): _*).distinct(), key, "left_semi")
-          .select(col(spec.idCol)).distinct()
+    spec.mode match {
+      case MergeMode.Keyless =>
+        sys.error(s"excludedIds: keyless table '${spec.name}' has no ids to exclude")
+      case MergeMode.SharedPk(p) =>
+        // excluded iff the parent row did not move (patient loop shape)
+        src.select(col(spec.idCol).cast(LongType).as("__id"))
+          .join(parentMaps(p).filter(col("is_new") === 0).select(col("src_id").as("__id")),
+            Seq("__id"), "left_semi")
+          .select(col("__id").as(spec.idCol)).distinct()
+      case _ =>
+        val s = withMappedKeys(src, spec, parentMaps)
+        val key = effectiveKey(spec)
+        spec.uuidCol match {
+          case Some(u) => MergeOps.excludeMoved(s, dest, key, u, spec.idCol)
+          case None =>
+            s.join(dest.select(key.map(col): _*).distinct(), key, "left_semi")
+              .select(col(spec.idCol)).distinct()
+        }
     }
   }
 

@@ -394,6 +394,117 @@ object OrchestratorQueries {
     }.reduce(_ unionAll _)
   }
 
+  /** m30: SHARED-PK (PK-is-FK) table through the pipeline — the
+    * reference's person→patient shape (patient.js:9
+    * `preparePatientInsert`: the patient's primary key IS the person
+    * FK, rewritten through `beehive.personMap`, never allocated;
+    * patients of persons already in the destination are excluded).
+    * Simulated: person = the customer instances (Consolidate on
+    * c_name), patient = the %7<3 subset of each instance's customers
+    * with a payload column (tribe := c_mktsegment, the reference
+    * patient table's own column). Output = the merged patient table:
+    * dest patients verbatim, src patients of MOVED persons under the
+    * person map's new ids. */
+  def m30SharedPk(spark: SparkSession, dir: String): DataFrame = {
+    def inst(isSrc: Boolean)(name: String): DataFrame = {
+      val keep = keepPred(isSrc)
+      val cust = Tables.read(spark, dir, "customer").filter(keep(col("c_custkey")))
+      name match {
+        case "person" => cust.select(col("c_custkey"), col("c_name"))
+        case "patient" => cust.filter(col("c_custkey") % 7 < 3)
+          .select(col("c_custkey").as("patient_id"), col("c_mktsegment").as("tribe"))
+      }
+    }
+    val specs = Seq(
+      TableSpec("person", "c_custkey", Seq("c_name"), MergeMode.Consolidate),
+      TableSpec("patient", "patient_id", Nil, MergeMode.SharedPk("person")))
+    val r = Orchestrator.run(specs, inst(isSrc = true), inst(isSrc = false), SourceTag)
+    r("patient").merged.select(
+      col("instance"), col("merge_source"),
+      col("patient_id").cast(LongType).as("new_id"),
+      col("src_patient_id").cast(LongType).as("src_id"),
+      col("tribe"))
+  }
+
+  val m30Sql: String =
+    s"""WITH srcp AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+       |destp AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+       |destk AS (SELECT c_name, min(c_custkey) AS dest_id FROM destp GROUP BY c_name),
+       |mx AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destp),
+       |pmap AS (
+       |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+       |  FROM srcp s JOIN destk k ON s.c_name = k.c_name
+       |  UNION ALL
+       |  SELECT s.c_custkey, (SELECT m FROM mx) + row_number() OVER (ORDER BY s.c_custkey), 1
+       |  FROM srcp s WHERE NOT EXISTS (SELECT 1 FROM destk k WHERE k.c_name = s.c_name)),
+       |srcpat AS (SELECT c_custkey AS patient_id, c_mktsegment AS tribe FROM customer
+       |           WHERE c_custkey % 3 <> 0 AND c_custkey % 7 < 3),
+       |destpat AS (SELECT c_custkey AS patient_id, c_mktsegment AS tribe FROM customer
+       |            WHERE c_custkey % 2 = 0 AND c_custkey % 7 < 3)
+       |SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |       CAST(patient_id AS BIGINT) AS new_id, CAST(patient_id AS BIGINT) AS src_id, tribe
+       |FROM destpat
+       |UNION ALL
+       |SELECT 'src', '$SourceTag', m.dest_id, p.patient_id, p.tribe
+       |FROM srcpat p JOIN pmap m ON m.src_id = p.patient_id AND m.is_new = 1
+       |ORDER BY instance, new_id""".stripMargin
+
+  /** m31: KEYLESS association table carried INSIDE a pipeline — the
+    * reference's no-own-id shapes (person-users.js:359 `INSERT IGNORE
+    * role_privilege(role, privilege)`: composite PK, every column FK
+    * or key; gaac.js:100 gaac_member: the INSERT carries no id at
+    * all). Simulated: customer consolidates; cust_pri — the distinct
+    * (o_custkey, o_orderpriority) association of each instance — is a
+    * Keyless table whose FK rides the customer map and whose full-row
+    * composite key set-union-dedups against the destination. Output =
+    * the merged association. */
+  def m31AssocMove(spark: SparkSession, dir: String): DataFrame = {
+    def inst(isSrc: Boolean)(name: String): DataFrame = {
+      val keep = keepPred(isSrc)
+      name match {
+        case "customer" => Tables.read(spark, dir, "customer")
+          .filter(keep(col("c_custkey"))).select(col("c_custkey"), col("c_name"))
+        case "cust_pri" => Tables.read(spark, dir, "orders")
+          .filter(keep(col("o_custkey")))
+          .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      }
+    }
+    val specs = Seq(
+      TableSpec("customer", "c_custkey", Seq("c_name"), MergeMode.Consolidate),
+      TableSpec("cust_pri", "", Seq("o_custkey", "o_orderpriority"), MergeMode.Keyless,
+        fks = Map("o_custkey" -> "customer")))
+    val r = Orchestrator.run(specs, inst(isSrc = true), inst(isSrc = false), SourceTag)
+    r("cust_pri").merged.select(
+      col("instance"), col("merge_source"),
+      col("o_custkey").cast(LongType).as("new_cust"),
+      col("o_orderpriority"))
+  }
+
+  val m31Sql: String =
+    s"""WITH srcc AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+       |destc AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+       |destck AS (SELECT c_name, min(c_custkey) AS dest_id FROM destc GROUP BY c_name),
+       |mxc AS (SELECT coalesce(max(c_custkey), 0) AS m FROM destc),
+       |cmap AS (
+       |  SELECT s.c_custkey AS src_id, k.dest_id, 0 AS is_new
+       |  FROM srcc s JOIN destck k ON s.c_name = k.c_name
+       |  UNION ALL
+       |  SELECT s.c_custkey, (SELECT m FROM mxc) + row_number() OVER (ORDER BY s.c_custkey), 1
+       |  FROM srcc s WHERE NOT EXISTS (SELECT 1 FROM destck k WHERE k.c_name = s.c_name)),
+       |srca AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 3 <> 0),
+       |desta AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders WHERE o_custkey % 2 = 0),
+       |mapped AS (SELECT m.dest_id AS o_custkey, s.o_orderpriority
+       |           FROM srca s JOIN cmap m ON m.src_id = s.o_custkey),
+       |ins AS (SELECT DISTINCT o_custkey, o_orderpriority FROM mapped m
+       |        WHERE NOT EXISTS (SELECT 1 FROM desta d
+       |          WHERE d.o_custkey = m.o_custkey AND d.o_orderpriority = m.o_orderpriority))
+       |SELECT 'dest' AS instance, 'dest' AS merge_source,
+       |       CAST(o_custkey AS BIGINT) AS new_cust, o_orderpriority
+       |FROM desta
+       |UNION ALL
+       |SELECT 'src', '$SourceTag', o_custkey, o_orderpriority FROM ins
+       |ORDER BY instance, new_cust, o_orderpriority""".stripMargin
+
   /** m23 oracle: the shared id-map CTEs, stacked and labeled. */
   val m23Sql: String =
     s"""WITH $mapCtes

@@ -57,6 +57,41 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(cyc.tables.find(_.name == "parent").get.deferredFks == Map("fav_child" -> "child"))
   }
 
+  test("fromJson parses shared_pk and keyless modes; mode-contradicting fields are config errors") {
+    val cfg = MergeConfig.fromJson(
+      """{"source": {"path": "/s", "location": "inst"}, "destination": {"path": "/d"},
+        | "output": "/o", "generateNewUuids": false,
+        | "tables": [
+        |  {"name": "person", "idCol": "person_id", "mode": "consolidate", "naturalKey": ["name"]},
+        |  {"name": "patient", "idCol": "patient_id", "mode": "shared_pk",
+        |   "sharedPkParent": "person"},
+        |  {"name": "user_role", "mode": "keyless", "naturalKey": ["user_id", "role"],
+        |   "fks": {"user_id": "person"}},
+        |  {"name": "gaac_member", "mode": "keyless", "fks": {"member_id": "person"}}
+        | ]}""".stripMargin)
+    val byName = cfg.tables.map(t => t.name -> t).toMap
+    assert(byName("patient").mode == MergeMode.SharedPk("person"))
+    assert(byName("patient").naturalKey.isEmpty)
+    assert(byName("user_role").mode == MergeMode.Keyless)
+    assert(byName("user_role").idCol.isEmpty)
+    assert(byName("gaac_member").naturalKey.isEmpty) // append-all shape
+
+    def errs(tables: String): String =
+      intercept[IllegalArgumentException](MergeConfig.fromJson(
+        s"""{"source": {"path": "/s", "location": "i"}, "destination": {"path": "/d"},
+           | "output": "/o", "generateNewUuids": false, "tables": [$tables]}""".stripMargin))
+        .getMessage
+    assert(errs("""{"name": "p", "idCol": "id", "mode": "shared_pk", "naturalKey": ["n"]}""")
+      .contains("requires sharedPkParent"))
+    assert(errs("""{"name": "ur", "idCol": "id", "mode": "keyless"}""")
+      .contains("keyless tables have no idCol"))
+    assert(errs("""{"name": "ur", "mode": "keyless", "selfFks": ["x"]}""")
+      .contains("cannot declare"))
+    assert(errs("""{"name": "p", "idCol": "id", "mode": "shared_pk",
+                   | "sharedPkParent": "q", "uuidCol": "u"}""".stripMargin)
+      .contains("identity is the parent's"))
+  }
+
   test("validation aggregates every error like the reference's initialErrors") {
     val ex = intercept[IllegalArgumentException] {
       MergeConfig.fromJson("""{"tables": [{"name": "t"}]}""")

@@ -373,4 +373,122 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(prov.map(_.getAs[String]("decision")).toSet ==
       Set("inserted", "mapped_to_existing"))
   }
+
+  test("SharedPk: patient id rewrites through the person map, no allocation; parent-matched rows excluded; dry-run equals actual") {
+    // person 1 matches dest by name (→10); person 2 moves (→12)
+    val srcPerson = Seq((1L, "alpha"), (2L, "beta"), (3L, "delta")).toDF("id", "name")
+    val destPerson = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    // patients of persons 1 and 2 (person 3 has none — patients are a
+    // SUBSET of persons, the reference's patient⊂person shape)
+    val srcPat = Seq((1L, "t1"), (2L, "t2")).toDF("pid", "tribe")
+    val destPat = Seq((10L, "t0")).toDF("pid", "tribe")
+    val specs = Seq(
+      TableSpec("person", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("patient", "pid", Nil, MergeMode.SharedPk("person")))
+    val src = Map("person" -> srcPerson, "patient" -> srcPat)
+    val dst = Map("person" -> destPerson, "patient" -> destPat)
+    val r = Orchestrator.run(specs, src, dst, "inst2")
+
+    // the patient map is COMPLETE over all src patients and carries the
+    // parent's ids and decisions — ids never allocated from patient
+    val pmap = r("patient").idMap.collect().map(x =>
+      (x.getAs[Long]("src_id"), x.getAs[Long]("dest_id"), x.getAs[Int]("is_new"))).toSet
+    assert(pmap == Set((1L, 10L, 0), (2L, 12L, 1)))
+    val merged = r("patient").merged.collect()
+    assert(merged.length == 2) // dest patient + patient of MOVED person only
+    val moved = merged.find(_.getAs[String]("instance") == "src").get
+    assert(moved.getAs[Long]("pid") == 12L)     // the PERSON map's new id
+    assert(moved.getAs[Long]("src_pid") == 2L)
+    assert(moved.getAs[String]("tribe") == "t2")
+
+    val dry = Orchestrator.dryRun(specs, src, dst).collect()
+      .map(x => x.getAs[String]("table_name") ->
+        ((x.getAs[String]("mode"), x.getAs[Long]("src_rows"),
+          x.getAs[Long]("already_in_dest"), x.getAs[Long]("would_insert")))).toMap
+    assert(dry("patient") == (("shared_pk", 2L, 1L, 1L)))
+    assert(dry("patient")._4 == r("patient").merged.filter($"instance" === "src").count())
+
+    // excludedIds: exactly the patients whose person did not move
+    val excl = Orchestrator.excludedIds(srcPat, destPat, specs(1),
+      Map("person" -> r("person").idMap)).collect().map(_.getLong(0)).toSet
+    assert(excl == Set(1L))
+  }
+
+  test("SharedPk table as a parent: grandchild FKs ride the shared-pk map (patient_identifier shape)") {
+    val srcPerson = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val destPerson = Seq((10L, "alpha")).toDF("id", "name")
+    val srcPat = Seq((1L, "t1"), (2L, "t2")).toDF("pid", "tribe")
+    val destPat = Seq((10L, "t0")).toDF("pid", "tribe")
+    // identifiers of BOTH patients — the one whose person matched dest
+    // must still move, with its fk rewritten to the DEST person id
+    // (patient.js:90: patient_identifier rides personMap for all rows)
+    val srcIdent = Seq((100L, 1L, "idA"), (101L, 2L, "idB")).toDF("iid", "pid", "ident")
+    val destIdent = Seq((900L, 10L, "idZ")).toDF("iid", "pid", "ident")
+    val specs = Seq(
+      TableSpec("person", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("patient", "pid", Nil, MergeMode.SharedPk("person")),
+      TableSpec("ident", "iid", Seq("ident"), MergeMode.Move, fks = Map("pid" -> "patient")))
+    val r = Orchestrator.run(specs,
+      Map("person" -> srcPerson, "patient" -> srcPat, "ident" -> srcIdent),
+      Map("person" -> destPerson, "patient" -> destPat, "ident" -> destIdent), "inst2")
+    val idents = r("ident").merged.filter($"instance" === "src")
+      .collect().map(x => (x.getAs[Long]("src_iid"), x.getAs[Long]("iid"), x.getAs[Long]("pid"))).toSet
+    // both moved past dest max 900, fks in dest person space (1→10 matched, 2→11 new)
+    assert(idents == Set((100L, 901L, 10L), (101L, 902L, 11L)))
+  }
+
+  test("Keyless: INSERT IGNORE set-union through the pipeline; min-payload batch survivor; append-all when no key") {
+    val srcCust = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val destCust = Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "name")
+    // (cust, role) composite key + a payload column OUTSIDE the key:
+    //  - two src rows duplicate key (1,"r1") → min-payload "aa" survives
+    //  - (1,"r1") lands as (10,"r1") which dest already has → IGNOREd
+    //  - (2,"r2") lands as (12,"r2") → inserted
+    val srcRole = Seq((1L, "r1", "zz"), (1L, "r1", "aa"), (2L, "r2", "pp"))
+      .toDF("cust", "role", "note")
+    val destRole = Seq((10L, "r1", "keep")).toDF("cust", "role", "note")
+    val specs = Seq(
+      TableSpec("customer", "id", Seq("name"), MergeMode.Consolidate),
+      TableSpec("user_role", "", Seq("cust", "role"), MergeMode.Keyless,
+        fks = Map("cust" -> "customer")))
+    val src = Map("customer" -> srcCust, "user_role" -> srcRole)
+    val dst = Map("customer" -> destCust, "user_role" -> destRole)
+    val r = Orchestrator.run(specs, src, dst, "inst2")
+    assert(r("user_role").idMap.count() == 0) // keyless emits no map
+    val out = r("user_role").merged.collect()
+      .map(x => (x.getAs[Long]("cust"), x.getAs[String]("role"),
+        x.getAs[String]("note"), x.getAs[String]("instance"))).toSet
+    assert(out == Set((10L, "r1", "keep", "dest"), (12L, "r2", "pp", "src")))
+
+    val dry = Orchestrator.dryRun(specs, src, dst).collect()
+      .map(x => x.getAs[String]("table_name") ->
+        ((x.getAs[String]("mode"), x.getAs[Long]("src_rows"),
+          x.getAs[Long]("already_in_dest"), x.getAs[Long]("would_insert")))).toMap
+    // src_rows counts the RAW table; already/would count POST-dedup keys
+    assert(dry("user_role") == (("keyless", 3L, 1L, 1L)))
+
+    // append-all (empty naturalKey — the gaac_member auto-id shape):
+    // every fk-rewritten row lands, duplicates included
+    val gaacSpecs = Seq(specs.head,
+      TableSpec("gaac_member", "", Nil, MergeMode.Keyless, fks = Map("cust" -> "customer")))
+    val g = Orchestrator.run(gaacSpecs,
+      Map("customer" -> srcCust, "gaac_member" -> srcRole),
+      Map("customer" -> destCust, "gaac_member" -> destRole), "inst2")
+    assert(g("gaac_member").merged.filter($"instance" === "src").count() == 3)
+
+    // a keyless table can never be a parent
+    val bad = Seq(specs.head,
+      TableSpec("user_role", "", Seq("cust", "role"), MergeMode.Keyless),
+      TableSpec("child", "cid", Seq("k"), MergeMode.Move, fks = Map("ur" -> "user_role")))
+    assertThrows[IllegalArgumentException](Orchestrator.topoOrder(bad))
+    // mode invariants are constructor-enforced
+    assertThrows[IllegalArgumentException](
+      TableSpec("x", "id", Nil, MergeMode.Keyless))            // keyless with idCol
+    assertThrows[IllegalArgumentException](
+      TableSpec("x", "", Nil, MergeMode.Move))                 // move without idCol
+    assertThrows[IllegalArgumentException](
+      TableSpec("x", "", Nil, MergeMode.Keyless, selfFks = Seq("s")))
+    assertThrows[IllegalArgumentException](
+      TableSpec("x", "id", Nil, MergeMode.SharedPk("p"), uuidCol = Some("u")))
+  }
 }
