@@ -230,21 +230,25 @@ object MergeOps {
     * Scale shape: one key-partitioned window over the LOG (work ∝
     * |changes|, the whole point of CDC — the base is touched only by
     * the final key-equi full-outer join), map-side nothing collected.
-    * Value columns are matched by NAME between base and log; `seqCols`
-    * break intra-key ties deterministically (give the log a total
-    * per-key order or the result is undefined, as in any CDC apply). */
+    * Value columns are matched by NAME between base and log; base
+    * columns the log does not carry PASS THROUGH unchanged (they have
+    * no log counterpart to overwrite — silently intersecting them away
+    * would lose the column's data on every apply; inserted keys get
+    * null there, the only value the log can justify). `seqCols` break
+    * intra-key ties deterministically (give the log a total per-key
+    * order or the result is undefined, as in any CDC apply). */
   def cdcApply(base: DataFrame, log: DataFrame, keyCols: Seq[String],
                seqCols: Seq[String], opCol: String,
                deleteOp: String = "d"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val valCols = base.columns.filterNot(keyCols.contains)
-      .filter(log.columns.contains).toSeq
+    val valCols = base.columns.filterNot(keyCols.contains).toSeq
+    val shared = valCols.filter(log.columns.contains).toSet
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(seqCols.map(col(_).desc): _*)
     val last = log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(keyCols.map(col) ++ (col(opCol).as("__op") +:
-        valCols.map(c => col(c).as(s"__l_$c"))): _*)
+        valCols.filter(shared).map(c => col(c).as(s"__l_$c"))): _*)
     val b = base.select((keyCols.map(col) :+ lit(1).as("__inb")) ++
       valCols.map(col): _*)
     b.join(last, keyCols, "full_outer")
@@ -257,8 +261,10 @@ object MergeOps {
       .filter(col("outcome") =!= "noop")
       .select(keyCols.map(col) ++ (col("outcome") +:
         valCols.map(c =>
-          when(col("outcome").isin("updated", "inserted"), col(s"__l_$c"))
-            .otherwise(col(c)).as(c))): _*)
+          if (shared(c))
+            when(col("outcome").isin("updated", "inserted"), col(s"__l_$c"))
+              .otherwise(col(c)).as(c)
+          else col(c))): _*)
   }
 
   /** Keep-latest upsert (reference person-users.js:307 two-phase

@@ -521,12 +521,19 @@ object Media {
     // projection, segment COUNTS recovered arithmetically from the
     // length (c_j = ⌈(j+1)n/32⌉ − ⌈jn/32⌉, the floor rule's bucket
     // sizes). Empty payloads are skipped as before.
-    val agged = Tables.read(spark, dir, "documents")
+    val docs0 = Tables.read(spark, dir, "documents")
       .filter(length($"text") > 0)
-      // heavy per-row compute after a narrow scan parallelizes only as
-      // far as the file's splits — the §5(c) rule; one explicit
-      // repartition (docs are narrow here) buys 32-way decode
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // heavy per-row compute after a narrow scan parallelizes only as
+    // far as the file's splits — the §5(c) rule; repartition (docs are
+    // narrow here) buys 32-way decode, but ONLY when the scan is
+    // actually under-split: at scale a many-file corpus already yields
+    // enough splits and an unconditional repartition re-shuffles the
+    // whole corpus text for nothing
+    val target = spark.sessionState.conf.numShufflePartitions
+    val docs =
+      if (docs0.rdd.getNumPartitions >= target) docs0
+      else docs0.repartition(target)
+    val agged = docs
       .select($"doc_id", length($"text").cast("long").as("n"),
         graft.functions.TextFunctions.segCodeSums($"text", segs).as("ss"))
       .withColumn("ts", expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x)"))

@@ -18,9 +18,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * recomputing a lineage that no longer exists. The reference engine is
   * a single process and has no equivalent; at 100 TB this is the
   * difference between "restart the whole 40-round CC" and "lose one
-  * task". Checkpoint files are cleaned by Spark when
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
-  * deleting the directory after the session.
+  * task". The round plan is persisted across the checkpoint write (the
+  * classic persist-before-checkpoint contract — an unpersisted plan
+  * computes TWICE, once for the eager action and once writing the
+  * files) and [[release]] deletes a superseded generation's checkpoint
+  * directory, so per-round files do not accumulate for the session.
   */
 object State {
 
@@ -41,7 +43,12 @@ object State {
       case Some(dir) =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // persist-before-checkpoint: the eager action fills the cache
+        // and the checkpoint file write re-reads it, instead of
+        // recomputing the round's whole lineage a second time
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case None => df.localCheckpoint(true)
     }
   }
@@ -51,14 +58,24 @@ object State {
     * ContextCleaner frees only at GC time, so a long session running
     * many iterative queries otherwise accumulates node-sized block sets
     * per round. Walks to the generation's `LogicalRDD` leaves and
-    * unpersists their RDDs (non-blocking); a reliable-checkpoint
-    * generation's RDD isn't cached, so this is a harmless no-op there.
-    * NEVER call it on a generation that still has downstream consumers
-    * — unlike CacheManager unpersist, the blocks don't recompute (the
-    * original lineage is gone), they're simply missing. */
+    * unpersists their RDDs (non-blocking); a RELIABLE-checkpoint
+    * generation instead has its checkpoint directory DELETED
+    * (best-effort — `getCheckpointFile` is Some only for reliable
+    * checkpoints), so a 40-round query leaves one live generation of
+    * files, not 40. NEVER call it on a generation that still has
+    * downstream consumers — unlike CacheManager unpersist, the blocks
+    * don't recompute (the original lineage is gone), they're simply
+    * missing. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort cleanup
+        }
       case _ => ()
     }
 }

@@ -339,4 +339,18 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(Set("unchanged", "updated", "deleted", "inserted").subsetOf(byOutcome.keySet.toSet),
       s"missing outcome classes: $byOutcome")
   }
+
+  test("cdcApply: base columns absent from the log pass through unchanged, never dropped") {
+    // `tag` exists only in the base — a log without it must not erase
+    // the column (or its data) from the snapshot
+    val base = Seq((1L, 10.0, "keep1"), (2L, 20.0, "keep2")).toDF("k", "v", "tag")
+    val log = Seq((1L, 1L, "u", 11.0), (3L, 1L, "u", 30.0)).toDF("k", "seq", "op", "v")
+    val r = MergeOps.cdcApply(base, log, Seq("k"), Seq("seq"), "op").collect()
+      .map(x => x.getAs[Long]("k") ->
+        ((x.getAs[String]("outcome"), x.getAs[Double]("v"), x.getAs[String]("tag")))).toMap
+    assert(r == Map(
+      1L -> (("updated", 11.0, "keep1")),   // log value wins, base-only col survives
+      2L -> (("unchanged", 20.0, "keep2")),
+      3L -> (("inserted", 30.0, null))))    // no log counterpart → null, the only honest value
+  }
 }

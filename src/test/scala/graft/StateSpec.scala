@@ -99,4 +99,34 @@ class StateSpec extends AnyFunSuite {
     // the LIVE generation is untouched and still answers
     assert(gen1.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
   }
+
+  test("release deletes a superseded RELIABLE generation's checkpoint directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-rel").toFile
+    def rddDirs(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map { c =>
+        (if (c.isDirectory && c.getName.startsWith("rdd-")) 1 else 0) +
+          (if (c.isDirectory) rddDirs(c) else 0)
+      }.sum
+    spark.conf.set(State.CheckpointDirKey, dir.getAbsolutePath)
+    try {
+      val gen0 = State.cut(Seq(1L, 2L, 3L).toDF("v"))
+      val before = rddDirs(dir)
+      assert(before > 0, "reliable cut wrote no checkpoint files")
+      val gen1 = State.cut(gen0.select(($"v" + 1L).as("v")))
+      assert(rddDirs(dir) > before)
+      State.release(gen0)
+      // superseded generation's files are GONE (a 40-round query keeps
+      // one live generation of files, not 40)...
+      assert(rddDirs(dir) == before,
+        "released reliable generation's checkpoint files linger")
+      // ...and the live generation still answers from its own files
+      assert(gen1.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+    } finally {
+      spark.conf.unset(State.CheckpointDirKey)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -278,6 +278,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> (None, Some("upd")), 2L -> (None, Some("x"))))
   }
 
+  test("JdbcUpsert compares across driver/Spark boxing differences (INTEGER column vs Long version)") {
+    // the probe reads back java.lang.Integer where Spark holds Long —
+    // raw Comparable.compareTo would throw ClassCastException; the
+    // normalized comparison must instead decide newer/older correctly.
+    // Also exercises the BATCHED probe across chunks (batchSize=2 over
+    // 5 keys → 3 probe round trips) and timestamp tie-breaks.
+    val base = java.nio.file.Files.createTempDirectory("graft-jdbc-mixed").toString
+    System.setProperty("derby.system.home", base)
+    val url = s"jdbc:derby:$base/mixeddb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE mx (k INTEGER NOT NULL PRIMARY KEY, v VARCHAR(10), ver INTEGER, tie TIMESTAMP)")
+    c.createStatement().executeUpdate(
+      "INSERT INTO mx VALUES (1, 'old', 1, TIMESTAMP('2024-01-01 00:00:00'))")
+    c.createStatement().executeUpdate(
+      "INSERT INTO mx VALUES (2, 'new', 9, TIMESTAMP('2024-01-01 00:00:00'))")
+    c.close()
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val df = Seq(
+      (1L, "upd", 2L, t0),   // newer version → replaces despite Integer-vs-Long boxing
+      (2L, "los", 3L, t0),   // older than stored 9 → skipped
+      (3L, "in3", 1L, t0), (4L, "in4", 1L, t0), (5L, "in5", 1L, t0) // chunked inserts
+    ).toDF("k", "v", "ver", "tie")
+    graft.sources.JdbcUpsert.upsert(df, url, "mx", Seq("k"), "ver", "tie", batchSize = 2)
+    val got = {
+      val raw = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "mx").load()
+      raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*).collect()
+        .map(r => r.getAs[Int]("k").toLong -> r.getAs[String]("v")).toMap
+    }
+    assert(got == Map(1L -> "upd", 2L -> "new", 3L -> "in3", 4L -> "in4", 5L -> "in5"))
+  }
+
   test("streaming funnel emits stages in order, ignores out-of-order purchases") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.FEv
