@@ -20,10 +20,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def parse_baseline(path):
+    # collects from EVERY `| query | ... |` table in the file (the
+    # headline table plus per-round gate-row additions); a later row
+    # for the same query overrides an earlier one
     best = {}
     in_table = False
     for line in open(path):
-        if line.startswith("| query | best"):
+        if re.match(r"\|\s*query\s*\|", line):
             in_table = True
             continue
         if in_table:
@@ -33,7 +36,7 @@ def parse_baseline(path):
             elif line.startswith("| ---"):
                 continue
             elif not line.startswith("|"):
-                break
+                in_table = False
     return best
 
 
