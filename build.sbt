@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second live JDBC dialect for the merge E2E matrix (JdbcMergeSpec):
+// the DuckDB driver jar is picked up from the local coursier cache IF
+// present — located by glob, never resolved over the network, and the
+// spec cancels itself gracefully when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get().headOption.map(Attributed.blank).toSeq
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -157,8 +157,10 @@ object Tables {
     * else — the same resolution Spark's JDBC connector applies to
     * column identifiers and type mapping at read/write time, so the
     * graft surface never hard-codes one engine's spelling. */
-  def quoteIdent(url: String, ident: String): String =
+  def quoteIdent(url: String, ident: String): String = {
+    DuckDbDialect.ensureRegistered()
     org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(ident)
+  }
 
   final case class JdbcSource(url: String, table: String, partitionColumn: String,
                               lowerBound: Long, upperBound: Long, numPartitions: Int,
@@ -176,8 +178,10 @@ object Tables {
       "pushDownPredicate" -> "true"
     ) ++ extraOptions
 
-    def load(spark: SparkSession): DataFrame =
+    def load(spark: SparkSession): DataFrame = {
+      DuckDbDialect.ensureRegistered()
       spark.read.format("jdbc").options(options).load()
+    }
   }
 
   def jdbc(spark: SparkSession, url: String, table: String,
@@ -202,6 +206,7 @@ object Tables {
   def jdbcTableAuto(spark: SparkSession, url: String, table: String,
                     partitionColumn: Option[String],
                     numPartitions: Int = 8): DataFrame = {
+    DuckDbDialect.ensureRegistered()
     def lowered(df: DataFrame): DataFrame =
       df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     // identifiers go into the SQL unquoted FIRST (the reference's
@@ -271,8 +276,10 @@ object Tables {
       "truncate" -> truncate.toString
     ) ++ extraOptions
 
-    def save(df: DataFrame, mode: String = "append"): Unit =
+    def save(df: DataFrame, mode: String = "append"): Unit = {
+      DuckDbDialect.ensureRegistered()
       df.write.format("jdbc").mode(mode).options(options).save()
+    }
   }
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
