@@ -41,10 +41,18 @@ object Dedup {
     * interpreted and measured ~20× slower at sf0.1. The window sorts
     * within the doc_id partition — one shuffle, no global sort. Docs
     * with < 3 tokens produce no rows. */
-  def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.read(spark, dir, "documents"))
+
+  /** As [[shingleRows]], over an ARBITRARY (doc_id, text, …) frame —
+    * the streaming ingest signs fresh micro-batches with exactly the
+    * batch side of d2's pipeline ([[graft.streaming.DocStream]]'s
+    * near-dup sink). */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables.read(spark, dir, "documents")
+    docs
       .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
       .select($"doc_id", posexplode(tokens($"text"))).toDF("doc_id", "pos", "tok")
       .select($"doc_id",
@@ -106,15 +114,51 @@ object Dedup {
     * re-bands the SAME index under alternative (bands, r) configs.
     * Tiny relative to the corpus (k+1 longs per doc); Indexes.swap
     * bounds cache growth across invocations. */
-  private[graft] def sigIndex(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+  private[graft] def sigIndex(spark: SparkSession, dir: String, k: Int = 32): DataFrame =
+    graft.operators.Indexes.swap("d2_sig_index",
+      signaturesOf(Tables.read(spark, dir, "documents"), k))
+
+  /** MinHash signatures (doc_id, h0..h{k-1}) of an arbitrary documents
+    * frame — the reusable signing kernel behind [[sigIndex]] and the
+    * streaming near-dup ingest (docs with <3 tokens produce NO row:
+    * they have no shingles to match on). */
+  private[graft] def signaturesOf(docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.DetHash
-    val exploded = shingleRows(spark, dir)
+    val exploded = shingleRowsOf(docs)
       .select($"doc_id", (DetHash.md5Long60Col($"sh") % DetHash.M31).as("h0"))
     val sigCols = (0 until k).map(j =>
       min((lit(DetHash.slotA(j)) * $"h0" + lit(DetHash.slotB(j))) % DetHash.P61).as(s"h$j"))
-    graft.operators.Indexes.swap("d2_sig_index",
-      exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
+    exploded.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_key) band rows of a signature frame —
+    * the LSH bucket keys (k/bands adjacent slots md5'd per band),
+    * factored out so the streaming ingest band-joins fresh batches
+    * against a PERSISTED corpus index with the same key formation. */
+  private[graft] def bandRowsOf(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** MinHash slot-agreement estimate for a candidate pair frame
+    * (doc_id1, doc_id2) against two signature frames — d2's verify
+    * step as a reusable kernel. */
+  private[graft] def slotAgreement(cand: DataFrame, sigs1: DataFrame,
+                                   sigs2: DataFrame, k: Int): DataFrame = {
+    val sigA = sigs1.select(col("doc_id").as("doc_id1") +:
+      (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sigB = sigs2.select(col("doc_id").as("doc_id2") +:
+      (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
+    val est = (0 until k).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1.0).otherwise(0.0)).reduce(_ + _) / k
+    cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
+      .select(col("doc_id1"), col("doc_id2"), round(est, 6).as("est_jaccard"))
   }
 
   private def d2PairsCompute(spark: SparkSession, dir: String, k: Int, bands: Int,
@@ -123,7 +167,6 @@ object Dedup {
     import graft.functions.DetHash
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands " +
       "(integer truncation would silently drop signature slots from banding)")
-    val r = k / bands
     // hash each shingle string ONCE (codegen'd md5+conv), reduce to the
     // 31-bit domain; the k slot hashes are k literal multiply-add-mod
     // re-mixes of that long — cheaper than k string hashes per shingle
@@ -131,11 +174,7 @@ object Dedup {
     // distinct pass is needed.
     val sigs = sigIndex(spark, dir, k)
 
-    val bandCols = (0 until bands).map(b =>
-      md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)))
-    val buckets = sigs.select($"doc_id",
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-
+    val buckets = bandRowsOf(sigs, k, bands)
     val a = buckets.select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
     val b = buckets.select($"doc_id".as("doc_id2"), $"band_idx", $"band_key")
     val cand = a.join(b, Seq("band_idx", "band_key"))
@@ -148,12 +187,7 @@ object Dedup {
     // pair join carries 32 longs per doc instead of the full shingle
     // sets, and the whole verify stays codegen'd. Exact Jaccard on a
     // candidate set is d4's (oracle-checked) job.
-    val sigA = sigs.select($"doc_id".as("doc_id1") +: (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
-    val sigB = sigs.select($"doc_id".as("doc_id2") +: (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
-    val est = (0 until k).map(j =>
-      when(col(s"a$j") === col(s"b$j"), 1.0).otherwise(0.0)).reduce(_ + _) / k
-    cand.join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
-      .select($"doc_id1", $"doc_id2", round(est, 6).as("est_jaccard"))
+    slotAgreement(cand, sigs, sigs, k)
       .filter($"est_jaccard" >= threshold)
   }
 

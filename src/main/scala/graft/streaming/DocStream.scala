@@ -68,4 +68,100 @@ object DocStream {
         } finally { docs.unpersist(); () }
       }
       .start()
+
+  /** STREAMING NEAR-DUP INGEST — d11's batch-vs-corpus shape as a
+    * continuous pipeline (the dedup family's missing streaming half:
+    * `EventStream.dedupStream` catches exact re-crawls; this catches
+    * re-renders). Each micro-batch of fresh documents is MinHash-signed
+    * (the d2 kernel, [[graft.dedup.Dedup.signaturesOf]]) and
+    * band-joined against the PERSISTED corpus signature index; docs
+    * with a corpus near-match ≥ `threshold` are verdicted `drop`, the
+    * rest `keep`, and the KEPT docs' signatures are appended to the
+    * index so later batches dedup against them too.
+    *
+    * Scale shape: work per batch ∝ batch size + band collisions
+    * (the d11 contract) — the corpus side is a narrow (k+1)-long-per-
+    * doc signature table, never the corpus text; candidates come from
+    * the band equi-join, never batch × corpus. At 100 TB the index
+    * would additionally bucket its band rows by band_key so the probe
+    * join prunes files; here bands are derived per batch from the
+    * signature scan (k cheap md5s per corpus doc).
+    *
+    * Exactly-once: foreachBatch is at-least-once, so BOTH outputs land
+    * in `ingest_batch=<id>` partitions under dynamic partition
+    * overwrite (the [[docIngestSink]] idempotency pattern), and the
+    * corpus index is read with `ingest_batch < batchId` — a replayed
+    * batch sees exactly the index view its first run saw (its own
+    * half-written partition, or a later batch's, cannot leak in), so
+    * replay rewrites identical partitions and the stream converges. */
+  def nearDupIngestSink(docs: DataFrame, indexPath: String, decisionsPath: String,
+                        checkpoint: String, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.dedup.Dedup
+        def land(df: DataFrame, path: String): Unit =
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(path)
+        val sigs = Dedup.signaturesOf(batch, k).persist()
+        try {
+          val corpusSigs = readSigIndex(spark, indexPath, k)
+            .filter($"ingest_batch" < batchId)
+            .drop("ingest_batch")
+          val cand = Dedup.bandRowsOf(sigs, k, bands)
+            .select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
+            .join(Dedup.bandRowsOf(corpusSigs, k, bands)
+                .select($"doc_id".as("doc_id2"), $"band_idx", $"band_key"),
+              Seq("band_idx", "band_key"))
+            .select($"doc_id1", $"doc_id2")
+            .dropDuplicates("doc_id1", "doc_id2")
+          val matches = Dedup.slotAgreement(cand, sigs, corpusSigs, k)
+            .filter($"est_jaccard" >= threshold)
+            .groupBy($"doc_id1")
+            .agg(count(lit(1)).as("n_corpus_matches"),
+              min($"doc_id2").as("min_match_id"),
+              max($"est_jaccard").as("max_est"))
+            .withColumnRenamed("doc_id1", "doc_id")
+          // every batch doc gets a verdict row — docs with <3 tokens
+          // have no signature (nothing to match on) and keep
+          val report = batch.select($"doc_id").dropDuplicates("doc_id")
+            .join(matches, Seq("doc_id"), "left")
+            .select($"doc_id",
+              coalesce($"n_corpus_matches", lit(0L)).as("n_corpus_matches"),
+              $"min_match_id", $"max_est",
+              when(coalesce($"n_corpus_matches", lit(0L)) > 0, "drop")
+                .otherwise("keep").as("verdict"))
+            // lineage reads indexPath (through `matches`); the index
+            // append below writes it — cut the lineage so Spark's
+            // self-overwrite check cannot trip and the verdicts are
+            // computed exactly once
+            .localCheckpoint(true)
+          land(report, decisionsPath)
+          val kept = sigs.join(
+              report.filter($"verdict" === "keep").select($"doc_id"), Seq("doc_id"), "left_semi")
+          land(kept, indexPath)
+        } finally { sigs.unpersist(); () }
+      }
+      .start()
+
+  /** Corpus signature index reader; empty-with-schema before the first
+    * batch lands. */
+  private def readSigIndex(spark: SparkSession, path: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val empty = spark.range(0).select(
+      ($"id".as("doc_id") +: (0 until k).map(j => $"id".as(s"h$j")) :+
+        $"id".as("ingest_batch")): _*)
+    try {
+      val df = spark.read.parquet(path)
+      // a crash between the two landings can leave a decisions
+      // partition without its index twin (or vice versa) — schema is
+      // what matters; replay rewrites both
+      if (df.columns.contains("doc_id")) df else empty
+    } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
 }

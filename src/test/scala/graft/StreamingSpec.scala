@@ -278,6 +278,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> (None, Some("upd")), 2L -> (None, Some("x"))))
   }
 
+  test("streaming near-dup ingest: batch-parity with d11, cross-batch dedup, replay converges") {
+    import graft.streaming.DocStream
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val (in, idx, dec, ckpt) = (s"$base/in", s"$base/index", s"$base/decisions", s"$base/ckpt")
+    val docs = graft.sources.Tables.read(spark, TestSpark.sf, "documents")
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val fresh = docs.filter($"doc_id" % 5 === 0)
+    // one file per micro-batch: replay from a stale checkpoint must
+    // re-deliver the SAME batch boundaries (ids 1, 2), not coalesce
+    // both pending files into one batch
+    def run(cp: String = ckpt) = DocStream.nearDupIngestSink(
+      spark.readStream.option("maxFilesPerTrigger", 1).schema(docs.schema).parquet(in),
+      idx, dec, cp)
+    def decisions(b: Long) = spark.read.parquet(dec).filter($"ingest_batch" === b)
+
+    // batch 0: the corpus lands against an EMPTY index — everything keeps
+    corpus.coalesce(1).write.mode("append").parquet(in)
+    val q0 = run(); try q0.processAllAvailable() finally q0.stop()
+    assert(decisions(0).filter($"verdict" === "drop").count() == 0)
+    assert(decisions(0).count() == corpus.count())
+
+    // stale checkpoint copy (the pre-batch-1 crash point, cdcSink's pattern)
+    val stale = s"$base/ckpt-stale"
+    def cpDir(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles.foreach(f => cpDir(f, new java.io.File(dst, f.getName))) }
+      else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
+    }
+    cpDir(new java.io.File(ckpt), new java.io.File(stale))
+
+    // batch 1: the %5=0 docs against the corpus index — EXACTLY d11
+    fresh.coalesce(1).write.mode("append").parquet(in)
+    val q1 = run(); try q1.processAllAvailable() finally q1.stop()
+    assert(decisions(1).count() == fresh.count(), "every fresh doc gets a verdict")
+    val got = decisions(1).filter($"verdict" === "drop")
+      .select($"doc_id", $"n_corpus_matches", $"min_match_id", $"max_est")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val want = graft.dedup.Dedup.d11IncrementalNearDup(spark, TestSpark.sf)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(want.nonEmpty, "fixture must contain batch-vs-corpus near-dups")
+    assert(got == want, "streaming verdicts diverged from batch d11")
+    // the index holds exactly the kept signable docs of both batches
+    val idxIds = spark.read.parquet(idx).select("doc_id", "ingest_batch")
+    val keptSignable = spark.read.parquet(dec).filter($"verdict" === "keep")
+      .join(graft.dedup.Dedup.signaturesOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(idxIds.count() == keptSignable.count())
+
+    // batch 2: a near-copy of a KEPT batch-1 doc — cross-batch dedup
+    // (the doc matches batch 1's index appends, not just batch 0's)
+    val keptB1 = decisions(1).filter($"verdict" === "keep")
+      .join(spark.read.parquet(idx).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").orderBy("doc_id").limit(1)
+      .collect().headOption.map(_.getLong(0))
+    assume(keptB1.nonEmpty, "need a kept signable batch-1 doc for the cross-batch case")
+    docs.filter($"doc_id" === keptB1.get)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    val b2 = decisions(2).collect()
+    assert(b2.length == 1 && b2.head.getAs[String]("verdict") == "drop",
+      s"verbatim copy of a kept cross-batch doc must drop: ${b2.toSeq}")
+
+    // replay: restart from the STALE checkpoint — batches 1 and 2 are
+    // REDELIVERED; idempotent partition overwrites converge to the
+    // same decisions and the same index
+    val preDec = spark.read.parquet(dec).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val preIdx = spark.read.parquet(idx).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val qr = run(stale); try qr.processAllAvailable() finally qr.stop()
+    val postDec = spark.read.parquet(dec).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val postIdx = spark.read.parquet(idx).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(postDec == preDec, "replay changed the decisions table")
+    assert(postIdx == preIdx, "replay changed the corpus index")
+  }
+
   test("JdbcUpsert compares across driver/Spark boxing differences (INTEGER column vs Long version)") {
     // the probe reads back java.lang.Integer where Spark holds Long —
     // raw Comparable.compareTo would throw ClassCastException; the
