@@ -403,7 +403,17 @@ object Dedup {
   /** d4: exact n-gram Jaccard on blocked candidate pairs. Blocking key
     * = first 30 chars of normalized text (cheap, SQL-expressible, so
     * this one IS oracle-checked; d2 is the production candidate
-    * generator). Join key is the block — never all-pairs. */
+    * generator). Join key is the block — never all-pairs.
+    *
+    * Verbatim-duplicate fast path (r10): candidate pairs with EQUAL
+    * shingle-set fingerprints (md5 over the sorted distinct set) have
+    * Jaccard exactly 1.0 and skip the O(|A|·|B|) `array_intersect`
+    * entirely — a CaseWhen branch, so codegen prunes the heavy arm
+    * per row. A clone-heavy corpus (template families, the sf1
+    * stress: 10 verbatim copies per family → 45 exact scorings per
+    * clique) collapses its clique cost to fingerprint equality with
+    * ZERO recall or value change — identical sets score 1.0 either
+    * way, and non-identical pairs still take the exact path. */
   def d4NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     // distinct shingle sets assembled relationally (see shingleRows),
@@ -414,16 +424,20 @@ object Dedup {
     val blocks = Tables.read(spark, dir, "documents")
       .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"))
     // materialize the shingle-set index once — both self-join branches
-    // consume it (see d2 for rationale; swap bounds the cache)
+    // consume it (see d2 for rationale; swap bounds the cache).
+    // Shingles are [a-z0-9 ]+, a \u0001 joiner is unambiguous
+    // (bare concatenation could alias two different sets).
     val docs = graft.operators.Indexes.swap("d4_shingle_index",
-      sets.join(blocks, Seq("doc_id")))
-    val a = docs.select($"doc_id".as("doc_id1"), $"block", $"sh".as("sh1"))
-    val b = docs.select($"doc_id".as("doc_id2"), $"block", $"sh".as("sh2"))
+      sets.join(blocks, Seq("doc_id"))
+        .withColumn("fp", md5(concat_ws("\u0001", sort_array($"sh")))))
+    val a = docs.select($"doc_id".as("doc_id1"), $"block", $"sh".as("sh1"), $"fp".as("fp1"))
+    val b = docs.select($"doc_id".as("doc_id2"), $"block", $"sh".as("sh2"), $"fp".as("fp2"))
     val inter = size(array_intersect($"sh1", $"sh2")).cast("double")
     val union = (size($"sh1") + size($"sh2")).cast("double") - inter
+    val jac = when($"fp1" === $"fp2", lit(1.0)).otherwise(round(inter / union, 6))
     a.join(b, Seq("block"))
       .filter($"doc_id1" < $"doc_id2")
-      .select($"doc_id1", $"doc_id2", round(inter / union, 6).as("jaccard"))
+      .select($"doc_id1", $"doc_id2", jac.as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
 
