@@ -1508,4 +1508,101 @@ object Dedup {
        |  CAST(bn.removable AS BIGINT) AS removable,
        |  CAST((2 * (bn.n_docs * 1000000) + t.td) // (2 * t.td) AS BIGINT) AS doc_share_e6
        |FROM bn, t ORDER BY bn.bin""".stripMargin
+
+  /** d19 gram width: a repeated run shorter than this is never
+    * reported; every repeated run ≥ K chars is found EXACTLY (the
+    * k-gram cover of a length-L dup contains L−K+1 consecutive
+    * positions). Lee et al. use 50 BPE tokens; 20 chars (~4 words of
+    * this corpus) keeps the synthetic tables' output non-trivial. */
+  private val SubstrK = 20
+
+  /** d19: EXACT repeated-substring spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr dedup their suffix array computes, re-expressed
+    * relationally). A char K-gram occurring ≥ 2 times ANYWHERE in the
+    * corpus (across docs or within one) marks its K positions as
+    * duplicated; per doc, overlapping/adjacent repeated grams merge
+    * into maximal spans — exactly the regions ExactSubstr would cut.
+    * Output: per doc with ≥1 span: span count, union chars, longest
+    * span, dup ratio ×1e6 (vs n_chars).
+    *
+    * Scale shape (the suffix-array analogue priced for a cluster):
+    *   - work ∝ total corpus chars: ONE explode of char positions
+    *     (never materializing per-doc suffix arrays), each row
+    *     carrying only (doc_id, pos, K-char gram);
+    *   - repetition test = count window partitioned by the gram — ONE
+    *     shuffle on the gram bytes (at 100 TB hash the gram to 128
+    *     bits first: same shuffle shape, narrower rows; md5 here so
+    *     the oracle reproduces it verbatim... the gram itself IS the
+    *     key below because at K=20 the string is narrower than its
+    *     hex hash);
+    *   - island merge = two window functions over ONE doc-partitioned
+    *     sort (gaps-and-islands: a break opens where the previous
+    *     repeated gram is > K behind — overlap AND adjacency merge,
+    *     so islands are disjoint and union length is max−min+K);
+    *   - output ∝ docs. No join anywhere, no driver state. */
+  def d19RepeatedSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val k = SubstrK
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
+    val wCum = wD.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grams = Tables.read(spark, dir, "documents")
+      .filter(length($"text") >= k)
+      .select($"doc_id", $"n_chars", $"text",
+        explode(sequence(lit(1), length($"text") - (k - 1))).as("pos"))
+      .select($"doc_id", $"n_chars", $"pos".cast("long").as("pos"),
+        $"text".substr($"pos", lit(k)).as("g"))
+    val rep = grams
+      .withColumn("cnt", count(lit(1)).over(wG))
+      .filter($"cnt" >= 2).drop("cnt", "g")
+    val islands = rep
+      .withColumn("brk", when($"pos" - lag($"pos", 1).over(wD) > k, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(wCum))
+      .groupBy($"doc_id", $"island")
+      .agg(first($"n_chars").as("n_chars"),
+        min($"pos").as("s"), (max($"pos") + (k - 1)).as("e"))
+    islands.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1).as("dup_chars"),
+        max($"e" - $"s" + 1).as("max_span"),
+        first($"n_chars").as("nc"))
+      .select($"doc_id", $"n_spans", $"dup_chars", $"max_span",
+        halfUp($"dup_chars" * 1000000L, $"nc").as("dup_ratio_e6"))
+  }
+
+  /** d19 oracle: the same positions → gram-count → gaps-and-islands
+    * chain; `range` is exclusive-end so len−K+2 caps the positions. */
+  val d19Sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, n_chars, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $SubstrK) AS g
+       |  FROM (SELECT doc_id, n_chars, text,
+       |          unnest(range(1, length(text) - ${SubstrK - 2})) AS pos
+       |        FROM documents)),
+       |rep AS (
+       |  SELECT doc_id, n_chars, pos
+       |  FROM grams
+       |  QUALIFY count(*) OVER (PARTITION BY g) >= 2),
+       |brks AS (
+       |  SELECT doc_id, n_chars, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SubstrK
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM rep),
+       |isl AS (
+       |  SELECT doc_id, n_chars, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brks),
+       |spans AS (
+       |  SELECT doc_id, any_value(n_chars) AS n_chars,
+       |    min(pos) AS s, max(pos) + ${SubstrK - 1} AS e
+       |  FROM isl GROUP BY doc_id, island)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span,
+       |  CAST((2 * (sum(e - s + 1) * 1000000) + any_value(n_chars))
+       |       // (2 * any_value(n_chars)) AS BIGINT) AS dup_ratio_e6
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

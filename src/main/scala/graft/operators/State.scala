@@ -41,7 +41,16 @@ object State {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        // re-point when the CONFIGURED dir changed, not only when the
+        // context has none: setCheckpointDir mints a UUID subdirectory
+        // under the configured path, so a context still pointing into
+        // a previously-configured (possibly deleted) path would write
+        // every later session's cuts there while the conf claims
+        // otherwise. The conf is the source of truth.
+        val cur = spark.sparkContext.getCheckpointDir
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        if (cur.isEmpty ||
+            !new org.apache.hadoop.fs.Path(cur.get).toUri.getPath.startsWith(want))
           spark.sparkContext.setCheckpointDir(dir)
         // persist-before-checkpoint: the eager action fills the cache
         // and the checkpoint file write re-reads it, instead of

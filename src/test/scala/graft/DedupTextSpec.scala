@@ -1209,4 +1209,46 @@ class DedupTextSpec extends AnyFunSuite {
       assert(math.abs(r.map(_.getAs[Long](c)).sum - 1000000L) <= r.length / 2 + 1)
     }
   }
+
+  test("d19 repeated substrings: planted dup spans; driver-side recount on the tiny corpus") {
+    val K = 20
+    // the tmp corpus: 0≡1 verbatim, 2/5 share long runs with 0, 3 unique, 4 < K chars
+    val r = Dedup.d19RepeatedSubstrings(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // exact driver-side reference: gram counts → positions → islands
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val cnt = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t, _) <- docs; p <- 0 to t.length - K) cnt(t.substring(p, p + K)) =
+      cnt.getOrElse(t.substring(p, p + K), 0) + 1
+    val expect = docs.flatMap { case (id, t, nc) =>
+      val pos = (0 to t.length - K).filter(p => cnt(t.substring(p, p + K)) >= 2)
+      if (pos.isEmpty) None else {
+        val spans = pos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p - (e - K + 1) <= K => (s, p + K - 1) :: rest
+          case (acc, p) => (p, p + K - 1) :: acc
+        }.reverse
+        val dup = spans.map { case (s, e) => e - s + 1 }.sum.toLong
+        Some(id -> (spans.length.toLong, dup, spans.map { case (s, e) => e - s + 1 }.max.toLong,
+          (2 * dup * 1000000L + nc) / (2 * nc)))
+      }
+    }.toMap
+    assert(r.keySet == expect.keySet)
+    expect.foreach { case (id, (nSpans, dup, mx, ratio)) =>
+      val row = r(id)
+      assert(row.getAs[Long]("n_spans") == nSpans, s"doc $id n_spans")
+      assert(row.getAs[Long]("dup_chars") == dup, s"doc $id dup_chars")
+      assert(row.getAs[Long]("max_span") == mx, s"doc $id max_span")
+      assert(row.getAs[Long]("dup_ratio_e6") == ratio, s"doc $id ratio")
+    }
+    // the planted shapes actually exercised: verbatim pair = one full-doc span
+    assert(r(0L).getAs[Long]("dup_ratio_e6") == 1000000L)
+    assert(r(0L).getAs[Long]("n_spans") == 1L)
+    assert(r.contains(2L) && !r.contains(3L) && !r.contains(4L))
+    // never-all-pairs: no join of any kind in the plan
+    val plan = Dedup.d19RepeatedSubstrings(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "d19 must be join-free (windows only)")
+  }
 }

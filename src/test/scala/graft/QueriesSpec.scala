@@ -248,6 +248,9 @@ class QueriesSpec extends AnyFunSuite {
       // file; production reads two databases (the JDBC path)
       "m5_exclude_moved" -> 4, "m11_selfref_remap" -> 5, "m14_dry_run" -> 8,
       "m16_circular_fk" -> 4, "m17_multi_source" -> 5, "m19_delta_merge" -> 4,
+      // same class: person AND patient (resp. the assoc child + its
+      // parents) are each simulated from the one base file per instance
+      "m30_shared_pk" -> 3, "m31_assoc_move" -> 3,
       // recall audits are two-sided by definition: exact yardstick +
       // approximate path, each reading query and corpus slices
       "s4_ann_recall" -> 4, "s7_radius_recall" -> 4, "s9_ivfkm_recall" -> 4,
