@@ -96,6 +96,7 @@ object Bench {
       Seq(
         "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
         "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
+        "ivfpq_books"  -> (() => { graft.similarity.Knn.ivfpqBooks(spark, sfDir); () }),
         // the scored top-pair frame d5 and d8 share
         "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)

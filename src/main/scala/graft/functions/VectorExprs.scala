@@ -510,6 +510,103 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** s30's residual kernel: el − cents[argmin ‖el − c‖²] in ONE pass —
+  * the IVF-PQ encode/train path needs the residual against the
+  * vector's nearest coarse centroid, and recomputing the (≤16-way,
+  * Dim-long) argmin inline is cheaper than materializing an index
+  * column and joining the centroid back. Argmin semantics are
+  * IDENTICAL to [[NearestCentE6]] (strict `<` keeps the FIRST =
+  * lowest-position = lowest-cluster-id centroid on ties — the
+  * oracle's ORDER BY dist, cluster), so the cell a vector is assigned
+  * to and the centroid its residual subtracts can never disagree. */
+case class ResidualE6(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.length <= 16,
+    s"residual_e6 supports 1..16 centroids, got ${cents.length}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "residual_e6"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+    }
+
+  private def bestOf(v: ArrayData): Int = {
+    val dim = cents(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${v.numElements()} vs $dim)")
+    var best = Long.MaxValue
+    var bestIdx = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var acc = 0L
+      var i = 0
+      while (i < dim && acc < best) {
+        val d = v.getLong(i) - cent(i); acc += d * d; i += 1
+      }
+      if (acc < best) { best = acc; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cent = cents(bestOf(v))
+    val out = new Array[Long](cent.length)
+    var i = 0
+    while (i < cent.length) { out(i) = v.getLong(i) - cent(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = cents(0).length
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val cent = ctx.freshName("cent")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "residual_e6: dimension mismatch (" + $v.numElements() + " vs $dim)");
+         |}
+         |long $best = Long.MAX_VALUE;
+         |int $bestIdx = 0;
+         |for (int $c = 0; $c < ${cents.length}; $c++) {
+         |  long[] $cent = $centsRef[$c];
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $dim && $acc < $best; $i++) {
+         |    long $d = $v.getLong($i) - $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bestIdx = $c; }
+         |}
+         |long[] $out = new long[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $out[$i] = $v.getLong($i) - $centsRef[$bestIdx][$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ResidualE6 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product as a Column. */
   def dotF32(a: Column, b: Column): Column =
@@ -542,6 +639,10 @@ object VectorFunctions {
   /** Codegen'd SQ8 encoding against a per-dim (min, span) codebook. */
   def sq8CodesE6(v: Column, mins: Array[Long], spans: Array[Long]): Column =
     Bridge.column(Sq8CodesE6(Bridge.expression(v), mins, spans))
+
+  /** Codegen'd nearest-coarse-centroid residual (IVF-PQ encode). */
+  def residualE6(v: Column, cents: Array[Array[Long]]): Column =
+    Bridge.column(ResidualE6(Bridge.expression(v), cents))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

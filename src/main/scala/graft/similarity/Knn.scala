@@ -1311,6 +1311,259 @@ object Knn {
        |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  // ---- s30/s31: IVF-PQ (coarse cells + residual product quantization)
+
+  /** The IVF-PQ residual frame: every vector's ×1e6 residual against
+    * its nearest s8 coarse centroid, computed by the one-pass
+    * [[graft.functions.ResidualE6]] kernel (argmin semantics identical
+    * to the cell assignment, so cell and residual can never disagree).
+    * Memoized — the 8 per-subspace training loops, the corpus encode
+    * and the audits all read one materialization (an index-build
+    * artifact in production). */
+  private def ivfpqResiduals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.residualE6
+    val cents = lloydCentroids(spark, dir)
+    graft.operators.Indexes.memo(s"s30_resid:$dir") {
+      assignCells(spark, quantized(spark, dir), cents)
+        .select($"vec_id", $"cluster".as("cell"),
+          residualE6($"el", cents.map(_._2).toArray).as("rel"))
+    }
+  }
+
+  /** IVF-PQ codebooks: [[pqCodebooks]]' per-subspace Lloyd's, trained
+    * on RESIDUALS — the Jégou et al. §IV-A refinement that makes PQ
+    * codes spend their 4 bits on the within-cell geometry instead of
+    * re-encoding the coarse centroid the cell id already names. */
+  private[graft] def ivfpqBooks(spark: SparkSession, dir: String, iters: Int = 3)
+  : Seq[(Int, Seq[(Int, Array[Long])])] =
+    (0 until SubM).map { s =>
+      s -> centCache.getOrElseUpdate(s"$dir:ivfpq:$s:$KCode:$iters", {
+        import spark.implicits._
+        lloydLoop(spark,
+          ivfpqResiduals(spark, dir)
+            .select($"vec_id", slice($"rel", s * SubDim + 1, SubDim).as("el")),
+          KCode, iters, SubDim)
+      })
+    }
+
+  /** s30: IVF-PQ ANN (Jégou/Douze/Schmid, TPAMI 2011, §V "IVFADC") —
+    * the FAISS `IVFx,PQy` shape that carries billion-scale search:
+    * s8's coarse cells prune the SCAN (only nprobe cells' codes are
+    * touched) while s10's product quantization compresses the STORAGE
+    * (each vector in a cell's posting list is m=8 codebook ids over
+    * its residual), and the query ranks candidates by asymmetric
+    * distance computed per probed cell against the query's OWN
+    * residual there.
+    *
+    * Scale shape: the corpus contributes only its (cell, s, code)
+    * posting rows — never vectors; the per-query ADC tables
+    * (queries × nprobe × m × 16 small ints) BROADCAST onto them; one
+    * hash agg sums m narrow ints per candidate and a per-query top-k
+    * window finishes. Training and encode are index-build artifacts
+    * (memoized residual frame + cached codebooks). Integer-exact end
+    * to end → hash-checked oracle (every CTE materialized — the s29
+    * lesson: DuckDB re-inlines plain CTEs per reference, and this
+    * oracle's residual frame feeds 8 training chains). */
+  def s30IvfPqAnn(spark: SparkSession, dir: String, k: Int = K, nprobe: Int = 2,
+                  iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.nearestCentE6
+    val cents = lloydCentroids(spark, dir)
+    val books = ivfpqBooks(spark, dir, iters)
+    val resid = ivfpqResiduals(spark, dir)
+    def codeCol(s: Int, cs: Seq[(Int, Array[Long])]): Column = {
+      val ids = lit(cs.map(_._1).toArray)
+      element_at(ids,
+        (pmod(nearestCentE6(slice($"rel", s * SubDim + 1, SubDim),
+          cs.map(_._2).toArray), lit(16)) + 1).cast("int")).cast("long")
+    }
+    val codes = resid.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"cell",
+        explode(array(books.map { case (s, cs) =>
+          struct(lit(s).as("s"), codeCol(s, cs).as("code")) }: _*)).as("sc"))
+      .select($"neighbor_id", $"cell", $"sc.s".as("s"), $"sc.code".as("code"))
+    // probe selection + per-(query, cell) residual ADC tables: pure
+    // projections on the QUERY rows only (interpreted HOF arithmetic
+    // is fine there — s8/s10's corpus/query split); the nprobe
+    // smallest cells fall out of one array_sort, the query's residual
+    // in each probed cell subtracts that cell's centroid looked up in
+    // the nested literal, and the m×16 codeword distances explode to
+    // the broadcastable table.
+    val q = quantized(spark, dir)
+    val cellDists = cents.map { case (c, arr) =>
+      struct(
+        aggregate(zip_with($"el", lit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("cdist"),
+        lit(c.toLong).as("cell"))
+    }
+    val centArrs = array(cents.map(c => lit(c._2)): _*)
+    val cellIds = lit(cents.map(_._1.toLong).toArray)
+    val qres = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"el",
+        explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)).as("probe"))
+      .select($"query_id", $"probe.cell".as("cell"),
+        zip_with($"el",
+          element_at(centArrs, array_position(cellIds, $"probe.cell").cast("int")),
+          (a, b) => a - b).as("qrel"))
+    val dcols = books.flatMap { case (s, cs) =>
+      cs.map { case (cid, arr) =>
+        struct(lit(s).as("s"), lit(cid.toLong).as("code"),
+          aggregate(zip_with(slice($"qrel", s * SubDim + 1, SubDim), lit(arr),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("qdist"))
+      }
+    }
+    val dtab = qres
+      .select($"query_id", $"cell", explode(array(dcols: _*)).as("d"))
+      .select($"query_id", $"cell", $"d.s".as("s"), $"d.code".as("code"),
+        $"d.qdist".as("qdist"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist_e12", $"neighbor_id")
+    codes.join(broadcast(dtab), Seq("cell", "s", "code"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"qdist").as("adist_e12"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** s30 oracle: coarse Lloyd's chain + residual frame + 8 residual
+    * PQ training chains + encode, probe, ADC — every CTE MATERIALIZED
+    * (plain CTEs re-inline per reference; the residual frame alone is
+    * referenced ~40× through the subspace chains). */
+  val s30Sql: String = {
+    val cIters = 4
+    val pIters = 3
+    val fin = pIters - 1
+    val coarse = (1 until cIters).flatMap { it =>
+      Seq(
+        s"""a$it AS MATERIALIZED (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+           |    FROM q JOIN c${it - 1} c ON c.i = q.i GROUP BY 1, 2
+           |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin,
+        s"""c$it AS MATERIALIZED (
+           |  SELECT a.cluster, q.i,
+           |    CAST(${halfUpSql("sum(q.e)", "count(*)")} AS BIGINT) AS c
+           |  FROM a$it a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+    }
+    val per = (0 until SubM).flatMap { s =>
+      val lo = s * SubDim
+      val hi = (s + 1) * SubDim
+      val head = Seq(
+        s"rq$s AS MATERIALIZED (SELECT vec_id, cell, i, e FROM r WHERE i > $lo AND i <= $hi)",
+        s"""v${s}c0 AS MATERIALIZED (
+           |  SELECT ps.cluster, q.i, q.e AS c FROM vseeds ps JOIN rq$s q ON q.vec_id = ps.vec_id)""".stripMargin)
+      val its = (1 until pIters).flatMap { it =>
+        Seq(
+          s"""v${s}a$it AS MATERIALIZED (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+             |    FROM rq$s q JOIN v${s}c${it - 1} c ON c.i = q.i GROUP BY 1, 2
+             |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin,
+          s"""v${s}c$it AS MATERIALIZED (
+             |  SELECT a.cluster, q.i,
+             |    CAST(${halfUpSql("sum(q.e)", "count(*)")} AS BIGINT) AS c
+             |  FROM v${s}a$it a JOIN rq$s q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin)
+      }
+      head ++ its
+    }
+    val codes = (0 until SubM).map(s =>
+      s"""SELECT vec_id, cell, $s AS s, cluster AS code FROM (
+         |    SELECT q.vec_id, q.cell, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+         |    FROM rq$s q JOIN v${s}c$fin c ON c.i = q.i
+         |    WHERE q.vec_id >= 10 GROUP BY 1, 2, 3
+         |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val dtab = (0 until SubM).map(s =>
+      s"""SELECT q.vec_id AS query_id, q.cell, $s AS s, c.cluster AS code,
+         |    CAST(sum((q.e - c.c)*(q.e - c.c)) AS BIGINT) AS qdist
+         |    FROM qr q JOIN v${s}c$fin c ON c.i = q.i
+         |    GROUP BY 1, 2, 3, 4""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.cluster, q.i, q.e AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+       |${coarse.mkString(",\n")},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${cIters - 1} c ON c.i = q.i GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |r AS MATERIALIZED (
+       |  SELECT q.vec_id, a.cell, q.i, q.e - c.c AS e
+       |  FROM q JOIN asg a ON a.vec_id = q.vec_id
+       |  JOIN c${cIters - 1} c ON c.cluster = a.cell AND c.i = q.i),
+       |vseeds AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $KCode),
+       |${per.mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  $codes),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${cIters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id < 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) <= 2)),
+       |qr AS MATERIALIZED (
+       |  SELECT q.vec_id, p.cell, q.i, q.e - c.c AS e
+       |  FROM q JOIN probes p ON p.query_id = q.vec_id
+       |  JOIN c${cIters - 1} c ON c.cluster = p.cell AND c.i = q.i),
+       |dtab AS MATERIALIZED (
+       |  $dtab),
+       |adc AS MATERIALIZED (
+       |  SELECT d.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(sum(d.qdist) AS BIGINT) AS adist_e12
+       |  FROM codes cd JOIN dtab d ON d.cell = cd.cell AND d.s = cd.s AND d.code = cd.code
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, adist_e12,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e12, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adist_e12, rank FROM rk
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s31: IVF-PQ recall audit vs the exact integer-L2 top-k — prices
+    * BOTH approximations at once (nprobe's pruning misses + the
+    * residual codes' quantization error) against the same yardstick
+    * s11/s13 use, completing the storage×scan decision table: full
+    * precision (s1), scan-pruned (s9), compressed (s11/s13), and now
+    * the composed production shape. */
+  def s31IvfPqRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    recallVsExactL2(spark, dir, k, s30IvfPqAnn(spark, dir, k))
+
+  /** s31 oracle: exact integer-L2 top-k vs the s30 oracle (the s11
+    * pattern). */
+  val s31Sql: String =
+    s"""WITH ap AS ($s30Sql),
+       |eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |el2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS l2_e12
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY l2_e12, neighbor_id) AS rank
+       |    FROM el2) WHERE rank <= $K)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** s15: incremental index maintenance — d6's ingest pattern applied
     * to the vector index. The IVF coarse quantizer is trained ONCE on
     * the standing corpus (vec_id % 8 ≠ 7, the "index build"); an

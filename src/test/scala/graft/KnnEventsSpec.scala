@@ -1549,4 +1549,71 @@ class KnnEventsSpec extends AnyFunSuite {
     // all three roles actually occur at this (eps, minPts) on sf0.001
     assert(rows.map(_.getAs[String]("role")).toSet == Set("core", "border", "noise"))
   }
+
+  test("s30 IVF-PQ: cells, residual codes and ADC ranking match a driver-side recomputation") {
+    import graft.similarity.Knn
+    val cents = Knn.lloydCentroids(spark, sf)
+    val books = Knn.ivfpqBooks(spark, sf)
+    assert(books.length == 8 && books.forall(_._2.nonEmpty))
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sub(v: Array[Long], s: Int) = v.slice(s * 8, s * 8 + 8)
+    def cellOf(v: Array[Long]): Int = cents.minBy { case (cid, c) => (d2(v, c), cid) }._1
+    val centById = cents.toMap
+    def resid(v: Array[Long]): Array[Long] = {
+      val c = centById(cellOf(v)); v.zip(c).map { case (x, y) => x - y }
+    }
+    def code(rv: Array[Long], s: Int): Int =
+      books(s)._2.minBy { case (cid, c) => (d2(sub(rv, s), c), cid) }._1
+    val queries = q.keys.filter(_ < 10).toSeq.sorted
+    val corpus = q.keys.filter(_ >= 10).toSeq.sorted
+    val expected = queries.flatMap { qid =>
+      val probed = cents.map { case (cid, c) => (d2(q(qid), c), cid) }.sorted.take(2).map(_._2)
+      val cand = probed.flatMap { cell =>
+        val qres = q(qid).zip(centById(cell)).map { case (x, y) => x - y }
+        val dt = books.map { case (s, cs) =>
+          s -> cs.map { case (cid, c) => cid -> d2(sub(qres, s), c) }.toMap }.toMap
+        corpus.filter(nid => cellOf(q(nid)) == cell).map { nid =>
+          (qid, nid, (0 until 8).map(s => dt(s)(code(resid(q(nid)), s))).sum)
+        }
+      }
+      cand.sortBy { case (_, nid, d) => (d, nid) }.take(5)
+    }.map { case (qid, nid, d) => (qid, nid) -> d }.toMap
+    val got = Knn.s30IvfPqAnn(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(expected.get(k).contains(r.getAs[Long]("adist_e12")), s"pair $k")
+    }
+    // ranks are a clean 1..n per query
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
+  test("s31 IVF-PQ recall: audit arithmetic holds and both approximations actually bite") {
+    val rows = graft.similarity.Knn.s31IvfPqRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Long]("recall_e6") == hits * 200000L)
+    }
+    // the audit exists because the composed index is lossy: on this
+    // corpus it must neither be vacuously perfect nor collapse to zero
+    val total = rows.map(_.getAs[Long]("n_hits")).sum
+    assert(total > 0, "IVF-PQ found nothing — index broken")
+    assert(total < 50, "IVF-PQ perfect at nprobe=2/4-bit codes — audit vacuous")
+  }
+
+  test("s30 plan: ADC table broadcasts onto the posting rows, never a nested loop") {
+    val plan = graft.similarity.Knn.s30IvfPqAnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -61,6 +61,7 @@ class QueriesSpec extends AnyFunSuite {
       "s5_radius_search", // deliberate: same shape, threshold instead of top-k
       "s10_pq_ann", "s12_sq8_ann", // PQ/SQ8 codes ride the s1 broadcast contract
       "s11_pq_recall", "s13_sq8_recall", "s14_mrl_recall", // audits over s1-shaped sides
+      "s31_ivfpq_recall", // same: exact-L2 yardstick rides the s1 broadcast contract
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
