@@ -727,4 +727,83 @@ object Media {
       |  CAST((2 * (sum(byte_len) * 1000000) + greatest(sum(n_chars), 1))
       |       // (2 * greatest(sum(n_chars), 1)) AS BIGINT) AS bytes_per_char_e6
       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** mm11: SCENE-CHANGE detection over sampled frames — the shot
+    * segmentation step a video curation pipeline runs right after
+    * mm2's frame sampling (dedup per scene, caption per scene, budget
+    * decode per scene — all need the cut table first). Each asset's
+    * payload is sliced into consecutive 256-byte frames; a frame's
+    * signature is its mean code point (the stub family's gray level,
+    * mm7's decode scope: ASCII payload ⇒ code == byte), and a CUT
+    * falls where consecutive frames' means differ by more than τ=2
+    * code points — compared CROSS-MULTIPLIED in exact integers (the
+    * mm7 convention, no division). Output per asset: frame count,
+    * cuts, scenes (= cuts+1), and the largest inter-frame jump ×1e6
+    * (null for single-frame assets). A real decoder (histogram diff,
+    * SSIM, embedding delta) plugs in at the same per-frame signature
+    * boundary and feeds the SAME lag-window plan.
+    *
+    * Scale shape: frame explode ∝ payload bytes / 256 (rows carry
+    * only (asset, frame idx, 256-byte slice) and the slice collapses
+    * to (sum, len) in the SAME projection via the one-pass
+    * [[graft.functions.SegCodeSums]] kernel — the corpus text never
+    * shuffles); ONE asset-partitioned lag window; output ∝ assets.
+    * Join-free. */
+  def mm11SceneCuts(spark: SparkSession, dir: String, tau: Int = 2): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val docs0 = Tables.read(spark, dir, "documents").filter(length($"text") > 0)
+    // the mm7 narrow-scan rule: decode-heavy projection after a thin
+    // scan parallelizes only as far as the file's splits
+    val target = spark.sessionState.conf.numShufflePartitions
+    val docs = if (docs0.rdd.getNumPartitions >= target) docs0
+               else docs0.repartition(target)
+    val frames = docs
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), expr("(length(text) + 255) div 256") - 1)).as("f"))
+      .select($"doc_id", $"f".cast("long").as("f"),
+        $"text".substr(($"f" * 256 + 1).cast("int"), lit(256)).as("frame"))
+      .select($"doc_id", $"f", length($"frame").cast("long").as("l"),
+        element_at(graft.functions.TextFunctions.segCodeSums($"frame", 1), 1).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"f")
+    val num = abs($"s" * $"pl" - $"ps" * $"l")
+    val den = $"l" * $"pl"
+    frames
+      .withColumn("ps", lag($"s", 1).over(w))
+      .withColumn("pl", lag($"l", 1).over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when($"ps".isNotNull && num > lit(tau.toLong) * den, 1L)), lit(0L))
+          .as("n_cuts"),
+        max(when($"ps".isNotNull, halfUp(num * 1000000L, den))).as("max_jump_e6"))
+      .select($"doc_id", $"n_frames", $"n_cuts", ($"n_cuts" + 1L).as("n_scenes"),
+        $"max_jump_e6")
+  }
+
+  /** mm11 oracle: per-char long form -> 256-byte frame rollup -> lag
+    * window -> the same cross-multiplied cut test. */
+  val mm11Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, (pos - 1) // 256 AS f,
+      |         ascii(substr(text, CAST(pos AS INT), 1)) AS code
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |        FROM documents WHERE length(text) > 0)),
+      |fr AS (
+      |  SELECT doc_id, CAST(f AS BIGINT) AS f, CAST(sum(code) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS l
+      |  FROM chars GROUP BY 1, 2),
+      |j AS (
+      |  SELECT doc_id, f, s, l,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps,
+      |    lag(l) OVER (PARTITION BY doc_id ORDER BY f) AS pl
+      |  FROM fr)
+      |SELECT doc_id, count(*) AS n_frames,
+      |  CAST(coalesce(sum(CASE WHEN ps IS NOT NULL
+      |      AND abs(s*pl - ps*l) > 2*l*pl THEN 1 END), 0) AS BIGINT) AS n_cuts,
+      |  CAST(coalesce(sum(CASE WHEN ps IS NOT NULL
+      |      AND abs(s*pl - ps*l) > 2*l*pl THEN 1 END), 0) + 1 AS BIGINT) AS n_scenes,
+      |  CAST(max(CASE WHEN ps IS NOT NULL
+      |      THEN (2 * (abs(s*pl - ps*l) * 1000000) + l*pl) // (2 * l*pl) END)
+      |    AS BIGINT) AS max_jump_e6
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -2578,4 +2578,106 @@ object TextAnalysis {
       |    ELSE (2 * (cbl * cbl * 1000000) + cbb * cll) // (2 * (cbb * cll))
       |  END AS BIGINT) AS r2_e6
       |FROM c""".stripMargin
+
+  /** t36: TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004)
+    * — per source, the top-5 keywords by weighted PageRank over the
+    * word co-occurrence graph (adjacent-token edges, symmetrized,
+    * weight = co-occurrence count). The unsupervised keyword layer a
+    * curation pass reads next to t13's TF-IDF: TF-IDF scores words by
+    * contrast against other docs, TextRank by centrality WITHIN the
+    * source's own usage graph — a word that glues many frequent
+    * contexts together ranks even when it is corpus-common.
+    *
+    * g1's execution family, per source: edges from ONE doc-partitioned
+    * lead window over the token explode (no self-join for adjacency),
+    * edge/strength frames memoized, 3 fixed weighted-PageRank rounds
+    * (per-edge share = halfUp(r·w, strength) — Mihalcea's flat (1−d)
+    * base, no /N), each round ONE edge⋈rank join + one (source, word)
+    * map-side-combined aggregation. Work ∝ corpus tokens for the edge
+    * build, ∝ VOCAB² bound (co-occurrence pairs) afterwards — the
+    * corpus never re-shuffles across rounds. All ×1e6 integer
+    * (halfUpDiv) → bit-identical DuckDB oracle, iterations unrolled. */
+  def t36Textrank(spark: SparkSession, dir: String, iters: Int = 3,
+                  topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val adj = Tables.read(spark, dir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+      .select($"source", $"doc_id", posexplode(tokens($"text"))).toDF("source", "doc_id", "pos", "tok")
+      .select($"source", $"tok".as("a"), lead($"tok", 1).over(w).as("b"))
+      .filter($"b".isNotNull && $"a" =!= $"b")
+    val edges = graft.operators.Indexes.memo(s"t36_edges:$dir") {
+      adj.unionAll(adj.select($"source", $"b".as("a"), $"a".as("b")))
+        .groupBy($"source", $"a", $"b").agg(count(lit(1)).as("w"))
+        .repartition($"source", $"a")
+    }
+    val strength = graft.operators.Indexes.memo(s"t36_strength:$dir") {
+      edges.groupBy($"source", $"a").agg(sum($"w").as("outw"))
+    }
+    var r = strength.select($"source", $"a".as("word"), lit(1000000L).as("r_e6"))
+    for (_ <- 1 to iters) {
+      val share = edges
+        .join(r.join(strength, r("source") === strength("source") && r("word") === strength("a"))
+                .select(r("source").as("rs"), $"word", $"r_e6", $"outw"),
+              edges("source") === $"rs" && edges("a") === $"word")
+        .select(edges("source").as("source"), edges("b").as("b"),
+          halfUp($"r_e6" * $"w", $"outw").as("share"))
+      val inSum = share.groupBy($"source", $"b").agg(sum($"share").as("s"))
+      r = strength.select($"source", $"a".as("word"))
+        .join(inSum, strength("source") === inSum("source") && $"word" === inSum("b"), "left")
+        .select(strength("source").as("source"), $"word",
+          (lit(150000L) + halfUp(coalesce($"s", lit(0L)) * 85L, lit(100L))).as("r_e6"))
+    }
+    val rk = Window.partitionBy($"source").orderBy($"r_e6".desc, $"word")
+    r.join(strength.select($"source", $"a".as("word"), $"outw"), Seq("source", "word"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"source", $"word", $"rk", $"r_e6".as("rank_e6"), $"outw".as("strength"))
+  }
+
+  /** t36 oracle: token lead window -> symmetrized weighted edges ->
+    * 3 unrolled weighted-PageRank rounds (g1's generated-CTE pattern),
+    * per-source top-5. */
+  val t36Sql: String = {
+    val iters = 3
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    val iterCtes = (1 to iters).flatMap { i =>
+      Seq(
+        s"""sh$i AS (
+           |  SELECT e.source, e.b, CAST(sum(${hu("r.r * e.w", "st.outw")}) AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN r${i - 1}t r ON r.source = e.source AND r.word = e.a
+           |  JOIN strength st ON st.source = e.source AND st.a = e.a
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""r${i}t AS (
+           |  SELECT n.source, n.a AS word,
+           |    150000 + ${hu("coalesce(sh.s, 0) * 85", "100")} AS r
+           |  FROM strength n LEFT JOIN sh$i sh ON sh.source = n.source AND sh.b = n.a)""".stripMargin)
+    }
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, doc_id, pos, w FROM (
+       |    SELECT source, doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+       |    FROM (SELECT source, doc_id,
+       |            regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+       |          FROM documents))),
+       |adj AS MATERIALIZED (
+       |  SELECT source, a, b FROM (
+       |    SELECT source, w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       |    FROM tok) WHERE b IS NOT NULL AND a <> b),
+       |edges AS MATERIALIZED (
+       |  SELECT source, a, b, count(*) AS w FROM (
+       |    SELECT source, a, b FROM adj UNION ALL SELECT source, b, a FROM adj)
+       |  GROUP BY 1, 2, 3),
+       |strength AS MATERIALIZED (
+       |  SELECT source, a, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1, 2),
+       |r0t AS (SELECT source, a AS word, 1000000 AS r FROM strength),
+       |${iterCtes.mkString(",\n")}
+       |SELECT source, word, rk, rank_e6, strength FROM (
+       |  SELECT r.source, r.word,
+       |    CAST(row_number() OVER (PARTITION BY r.source ORDER BY r.r DESC, r.word) AS BIGINT) AS rk,
+       |    CAST(r.r AS BIGINT) AS rank_e6, st.outw AS strength
+       |  FROM r${iters}t r JOIN strength st ON st.source = r.source AND st.a = r.word)
+       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  }
 }

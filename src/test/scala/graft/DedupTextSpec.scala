@@ -1251,4 +1251,43 @@ class DedupTextSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "d19 must be join-free (windows only)")
   }
+
+  test("t36 TextRank: weighted-pagerank keywords match a driver-side recompute") {
+    def hu(n: Long, d: Long): Long = (2 * n + d) / (2 * d)
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val adj = docs.flatMap { case (src, t) =>
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+      toks.sliding(2).filter(p => p.length == 2 && p(0) != p(1))
+        .flatMap(p => Seq((src, p(0), p(1)), (src, p(1), p(0)))).toSeq
+    }
+    val edges = adj.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val strength = edges.toSeq.groupBy { case ((s, a, _), _) => (s, a) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    var r: Map[(String, String), Long] = strength.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inSum = edges.toSeq.groupBy { case ((s, _, b), _) => (s, b) }
+        .view.mapValues(_.map { case ((s, a, _), w) =>
+          hu(r((s, a)) * w, strength((s, a))) }.sum).toMap
+      r = strength.keys.map(k => k -> (150000L + hu(inSum.getOrElse(k, 0L) * 85, 100))).toMap
+    }
+    val expect = r.toSeq.groupBy(_._1._1).flatMap { case (src, rs) =>
+      rs.sortBy { case ((_, w), rank) => (-rank, w) }.take(5).zipWithIndex
+        .map { case (((s, w), rank), i) => (s, w) -> (i + 1L, rank) }
+    }
+    val got = graft.text.TextAnalysis.t36Textrank(spark, tmp).collect()
+    assert(got.length == expect.size)
+    got.foreach { row =>
+      val k = (row.getAs[String]("source"), row.getAs[String]("word"))
+      val (rk, rank) = expect(k)
+      assert(row.getAs[Long]("rk") == rk, s"$k rk")
+      assert(row.getAs[Long]("rank_e6") == rank, s"$k rank")
+      assert(row.getAs[Long]("strength") == strength(k), s"$k strength")
+    }
+    // never a corpus-sized nested loop; adjacency rides a window
+    val plan = graft.text.TextAnalysis.t36Textrank(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }

@@ -78,6 +78,36 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getAs[Long]("total_frames") <= tb / 1024L + n)
     }
   }
+
+  test("mm11 scene cuts: planted sharp jump is the one cut; uniform and single-frame assets are quiet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm11").toString
+    val jumpy = "a" * 256 + "z" * 256        // two frames, mean 97 -> 122
+    val flat = "m" * 600                     // three frames, identical means
+    val shorty = "hello"                     // one frame: no transitions
+    val drift = "a" * 256 + "a" * 200 + "c" * 56 // frame2 mean 97.44 - under tau=2
+    Seq(
+      (0L, jumpy, "en", "s0", jumpy.length.toLong),
+      (1L, flat, "en", "s0", flat.length.toLong),
+      (2L, shorty, "en", "s1", shorty.length.toLong),
+      (3L, drift, "en", "s1", drift.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Media.mm11SceneCuts(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_frames") == 2 && r(0L).getAs[Long]("n_cuts") == 1
+      && r(0L).getAs[Long]("n_scenes") == 2)
+    assert(r(0L).getAs[Long]("max_jump_e6") == 25000000L) // |122-97| exactly
+    assert(r(1L).getAs[Long]("n_frames") == 3 && r(1L).getAs[Long]("n_cuts") == 0)
+    assert(r(1L).getAs[Long]("max_jump_e6") == 0L)
+    assert(r(2L).getAs[Long]("n_frames") == 1 && r(2L).getAs[Long]("n_scenes") == 1)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("max_jump_e6"))) // no transition to measure
+    // sub-threshold drift: measured but not cut
+    assert(r(3L).getAs[Long]("n_cuts") == 0 && r(3L).getAs[Long]("max_jump_e6") > 0L)
+    // join-free plan: explode + one lag window + one agg
+    val plan = Media.mm11SceneCuts(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "mm11 must be join-free")
+  }
 }
 
 /** JVM-static recorder: task closures are (de)serialized even in local
