@@ -2474,4 +2474,63 @@ object Knn {
        |LEFT JOIN cc ON cc.vec_id = d.vec_id
        |LEFT JOIN blab ON blab.vec_id = d.vec_id
        |ORDER BY d.vec_id""".stripMargin
+
+  // ---- s32: the ANN storage-tier decision table ---------------------
+
+  /** s32: the STORAGE×SCAN DECISION TABLE — every approximate tier's
+    * recall audit collapsed to one comparable row: (tier, queries,
+    * mean/min recall@5 ×1e6, bytes per vector). This is the table an
+    * index-capacity plan actually reads: s9 prices scan pruning at
+    * full precision, s11/s13/s14 price the three compression
+    * families, s31 prices the composed production shape — and memory
+    * is the axis that decides which fits a 100 TB corpus in RAM.
+    * Bytes/vector are the tiers' storage formulas as plan-time
+    * constants (Dim=64, float32, m=8 subspaces × 4-bit codes, 1-byte
+    * cell tag): ivf_km 64·4+8=264 (full vectors, cell-tagged), pq
+    * m·log₂k/8=4, sq8 Dim·1=64, mrl16 16·4=64, ivfpq 4+1=5.
+    *
+    * Scale shape: each audit is its own registered, plan-audited
+    * operator riding memoized index artifacts; s32 adds only five
+    * query-set-sized aggregations and a 5-row union. halfUp means →
+    * hash-exact oracle composing the five audit oracles as CTEs. */
+  def s32TierTable(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val tiers: Seq[(String, DataFrame, Long)] = Seq(
+      ("ivf_km", s8IvfRecallAudit(spark, dir, k), 264L),
+      ("pq", s11PqRecall(spark, dir, k), 4L),
+      ("sq8", s13Sq8Recall(spark, dir, k), 64L),
+      ("mrl16", s14MrlRecall(spark, dir, k), 64L),
+      ("ivfpq", s31IvfPqRecall(spark, dir, k), 5L))
+    tiers.map { case (t, df, bytes) =>
+      df.agg(count(lit(1)).as("n_queries"),
+          halfUp(sum($"recall_e6"), count(lit(1))).as("mean_recall_e6"),
+          min($"recall_e6").as("min_recall_e6"))
+        .select(lit(t).as("tier"), $"n_queries", $"mean_recall_e6",
+          $"min_recall_e6", lit(bytes).as("bytes_per_vec"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** s32 oracle: the five audit oracles as CTEs + the same halfUp
+    * rollups (each nested WITH is subquery-scoped, so their CTE names
+    * cannot collide). */
+  val s32Sql: String = {
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    def row(tier: String, cte: String, bytes: Long) =
+      s"""SELECT '$tier' AS tier, count(*) AS n_queries,
+         |  CAST(${hu("sum(recall_e6)", "count(*)")} AS BIGINT) AS mean_recall_e6,
+         |  CAST(min(recall_e6) AS BIGINT) AS min_recall_e6,
+         |  CAST($bytes AS BIGINT) AS bytes_per_vec FROM $cte""".stripMargin
+    s"""WITH tivf AS ($s9Sql),
+       |tpq AS ($s11Sql),
+       |tsq8 AS ($s13Sql),
+       |tmrl AS ($s14Sql),
+       |tivfpq AS ($s31Sql)
+       |${row("ivf_km", "tivf", 264L)}
+       |UNION ALL ${row("pq", "tpq", 4L)}
+       |UNION ALL ${row("sq8", "tsq8", 64L)}
+       |UNION ALL ${row("mrl16", "tmrl", 64L)}
+       |UNION ALL ${row("ivfpq", "tivfpq", 5L)}
+       |ORDER BY tier""".stripMargin
+  }
 }

@@ -1610,6 +1610,29 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(total < 50, "IVF-PQ perfect at nprobe=2/4-bit codes — audit vacuous")
   }
 
+  test("s32 tier table: every row reconciles with its own audit; memory axis constant") {
+    import graft.similarity.Knn
+    val r = Knn.s32TierTable(spark, sf).collect()
+      .map(x => x.getAs[String]("tier") -> x).toMap
+    assert(r.keySet == Set("ivf_km", "pq", "sq8", "mrl16", "ivfpq"))
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val audits = Map(
+      "ivf_km" -> Knn.s8IvfRecallAudit(spark, sf),
+      "pq" -> Knn.s11PqRecall(spark, sf),
+      "sq8" -> Knn.s13Sq8Recall(spark, sf),
+      "mrl16" -> Knn.s14MrlRecall(spark, sf),
+      "ivfpq" -> Knn.s31IvfPqRecall(spark, sf))
+    val bytes = Map("ivf_km" -> 264L, "pq" -> 4L, "sq8" -> 64L, "mrl16" -> 64L, "ivfpq" -> 5L)
+    audits.foreach { case (tier, df) =>
+      val rec = df.collect().map(_.getAs[Long]("recall_e6"))
+      val row = r(tier)
+      assert(row.getAs[Long]("n_queries") == rec.length, s"$tier n")
+      assert(row.getAs[Long]("mean_recall_e6") == hu(rec.sum, rec.length), s"$tier mean")
+      assert(row.getAs[Long]("min_recall_e6") == rec.min, s"$tier min")
+      assert(row.getAs[Long]("bytes_per_vec") == bytes(tier), s"$tier bytes")
+    }
+  }
+
   test("s30 plan: ADC table broadcasts onto the posting rows, never a nested loop") {
     val plan = graft.similarity.Knn.s30IvfPqAnn(spark, sf)
       .queryExecution.executedPlan.toString

@@ -62,6 +62,7 @@ class QueriesSpec extends AnyFunSuite {
       "s10_pq_ann", "s12_sq8_ann", // PQ/SQ8 codes ride the s1 broadcast contract
       "s11_pq_recall", "s13_sq8_recall", "s14_mrl_recall", // audits over s1-shaped sides
       "s31_ivfpq_recall", // same: exact-L2 yardstick rides the s1 broadcast contract
+      "s32_tier_table",   // composes the five audits above — their exact sides ride along
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -255,6 +256,8 @@ class QueriesSpec extends AnyFunSuite {
       // recall audits are two-sided by definition: exact yardstick +
       // approximate path, each reading query and corpus slices
       "s4_ann_recall" -> 4, "s7_radius_recall" -> 4, "s9_ivfkm_recall" -> 4,
+      // five two-sided audits composed: each contributes its exact+approx slices
+      "s32_tier_table" -> 8,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
       // s1's two query/corpus slices + the refinement's two e-store legs
       // (the base graph itself is the memoized s29 artifact)
