@@ -2275,4 +2275,67 @@ object Events {
        |  CAST(CASE WHEN s = 0 THEN 0
        |    ELSE (2 * (abs(cu) * 1000000) + n * s) // (2 * n * s) END AS BIGINT) AS cusum_e6
        |FROM k WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** e38: SUSTAINED BURST RUNS (a practical single-pass cousin of
+    * Kleinberg's burst states, KDD 2002) — e12's dual: e12 flags
+    * single hours against the GLOBAL mean, e38 finds EPISODES where
+    * the rate holds above 1.5× its own TRAILING 24-hour mean, grouped
+    * into maximal consecutive-hour runs with per-run shape (start,
+    * end, length, peak, volume). The alerting/capacity view: a
+    * 1-hour spike and a 4-hour sustained surge are different
+    * operational events, and only the run table tells them apart.
+    * Rides e10's gap-filled hourly frame, so silent hours both break
+    * runs and correctly depress the trailing mean.
+    *
+    * Scale shape: hourly frame is the shared e10 plan (hours×types
+    * sized); trailing test = two window functions on ONE
+    * type-partitioned sort; episode grouping = the gaps-and-islands
+    * rank trick on the epoch hour (d19's pattern) over the FLAGGED
+    * subset only; all comparisons cross-multiplied exact integers.
+    * minPrev guards cold starts (first hours have no trailing
+    * baseline). */
+  def e38BurstRuns(spark: SparkSession, dir: String, factorE2: Long = 150L,
+                   minPrev: Int = 6, minRun: Int = 1): DataFrame = {
+    import spark.implicits._
+    val pw = Window.partitionBy($"event_type").orderBy($"eh").rowsBetween(-24, -1)
+    val rw = Window.partitionBy($"event_type").orderBy($"eh")
+    e10GapFill(spark, dir)
+      .withColumn("eh", expr("unix_timestamp(hour) div 3600"))
+      .withColumn("pn", count(lit(1)).over(pw))
+      .withColumn("ps", sum($"n_events").over(pw))
+      .filter($"n_events" * $"pn" * 100L > lit(factorE2) * $"ps" && $"pn" >= minPrev)
+      .withColumn("grp", $"eh" - row_number().over(rw))
+      .groupBy($"event_type", $"grp")
+      .agg(min($"hour").as("run_start"), max($"hour").as("run_end"),
+        count(lit(1)).as("n_hours"), max($"n_events").as("peak"),
+        sum($"n_events").as("total"))
+      .filter($"n_hours" >= minRun)
+      .select($"event_type", $"run_start", $"run_end", $"n_hours", $"peak", $"total")
+  }
+
+  /** e38 oracle: e10's gap-fill CTE + the same trailing window,
+    * cross-multiplied flag, and rank-difference islands. */
+  val e38Sql: String =
+    s"""WITH gf AS ($e10Sql),
+       |eh AS (
+       |  SELECT event_type, hour, n_events,
+       |    CAST(epoch(CAST(hour AS TIMESTAMP)) AS BIGINT) // 3600 AS eh
+       |  FROM gf),
+       |w AS (
+       |  SELECT event_type, hour, n_events, eh,
+       |    count(*) OVER pw AS pn, sum(n_events) OVER pw AS ps
+       |  FROM eh
+       |  WINDOW pw AS (PARTITION BY event_type ORDER BY eh
+       |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       |f AS (
+       |  SELECT event_type, hour, n_events, eh FROM w
+       |  WHERE n_events * pn * 100 > 150 * ps AND pn >= 6),
+       |r AS (
+       |  SELECT event_type, hour, n_events,
+       |    eh - row_number() OVER (PARTITION BY event_type ORDER BY eh) AS grp
+       |  FROM f)
+       |SELECT event_type, min(hour) AS run_start, max(hour) AS run_end,
+       |  count(*) AS n_hours, CAST(max(n_events) AS BIGINT) AS peak,
+       |  CAST(sum(n_events) AS BIGINT) AS total
+       |FROM r GROUP BY event_type, grp ORDER BY event_type, run_start""".stripMargin
 }

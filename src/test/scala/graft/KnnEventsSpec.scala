@@ -439,6 +439,53 @@ class KnnEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e38 burst runs match a driver-side trailing-window recomputation, single events scan") {
+    // the gap-filled grid is complete and hourly, so within a type
+    // consecutive index == consecutive hour: recompute the trailing
+    // test and the island grouping positionally (no tz parsing)
+    val byType = Events.e10GapFill(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("hour"),
+        r.getAs[Long]("n_events")))
+      .groupBy(_._1)
+    val expected = byType.flatMap { case (t, rows) =>
+      val xs = rows.sortBy(_._2).toVector
+      val flagged = xs.zipWithIndex.filter { case ((_, _, x), i) =>
+        val prev = xs.slice(math.max(0, i - 24), i).map(_._3)
+        prev.length >= 6 && x * prev.length * 100L > 150L * prev.sum
+      }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[((String, String, Long), Int)]]
+      flagged.foreach { f =>
+        if (runs.nonEmpty && runs.last.last._2 + 1 == f._2)
+          runs(runs.length - 1) = runs.last :+ f
+        else runs += Vector(f)
+      }
+      runs.map { run =>
+        val hs = run.map(_._1)
+        (t, hs.head._2) ->
+          ((hs.last._2, run.length.toLong, hs.map(_._3).max, hs.map(_._3).sum))
+      }
+    }
+    val q = Events.e38BurstRuns(spark, sf)
+    val got = q.collect()
+    assert(got.length == expected.size, s"run count ${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("run_start"))
+      val (end, nh, peak, total) = expected(k)
+      assert(r.getAs[String]("run_end") == end, s"$k end")
+      assert(r.getAs[Long]("n_hours") == nh, s"$k n_hours")
+      assert(r.getAs[Long]("peak") == peak, s"$k peak")
+      assert(r.getAs[Long]("total") == total, s"$k total")
+    }
+    // plan gate: rides e10's single-scan frame — the trailing windows
+    // and island grouping must not re-read the fact table
+    val scans = q.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.exists(_.contains("events")) => r }
+      .length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans")
+  }
+
   test("s10 PQ: codes and ADC ranking match a driver-side recomputation") {
     import graft.similarity.Knn
     val books = Knn.pqCodebooks(spark, sf)
