@@ -2680,4 +2680,76 @@ object TextAnalysis {
        |  FROM r${iters}t r JOIN strength st ON st.source = r.source AND st.a = r.word)
        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
   }
+
+  /** Per-source encoding/char-class census of a (source, text) frame —
+    * t37's kernel, exposed separately so specs can run it over planted
+    * mojibake rows (the live corpus is clean ASCII, which exercises
+    * the census arms but not the detectors). */
+  def encodingCensus(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    def cls(pat: String): Column =
+      (length($"text") - length(regexp_replace($"text", pat, ""))).cast("long")
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    df
+      .select($"source", length($"text").cast("long").as("len"),
+        cls("[A-Za-z]").as("letters"), cls("[0-9]").as("digits"),
+        cls("[ \\t\\n\\r]").as("ws"),
+        flag($"text".contains("�")).as("fffd"),
+        flag($"text".rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).as("ctrl"),
+        flag($"text".rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]")).as("moji"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("total_chars"),
+        sum($"letters").as("letter_chars"), sum($"digits").as("digit_chars"),
+        sum($"ws").as("ws_chars"),
+        (sum($"len") - sum($"letters") - sum($"digits") - sum($"ws")).as("other_chars"),
+        sum($"fffd").as("fffd_docs"), sum($"ctrl").as("ctrl_docs"),
+        sum($"moji").as("moji_docs"),
+        sum(greatest($"fffd", $"ctrl", $"moji")).as("flagged_docs"))
+      .withColumn("clean_ratio_e6",
+        halfUpDiv(($"n_docs" - $"flagged_docs") * 1000000L, $"n_docs"))
+  }
+
+  /** t37: ENCODING / MOJIBAKE AUDIT — corpus byte-hygiene census per
+    * source, the gate BEFORE language id or quality scoring: is the
+    * text even decoded right? Three detector classes every web-crawl
+    * ingest carries: U+FFFD replacement chars (the decoder already
+    * gave up), C0 control chars outside \t\n\r (binary junk inside
+    * "text"), and the Latin-1-misread-UTF-8 signature (U+00C2/U+00C3
+    * followed by a continuation-range codepoint — the "Ã©" class).
+    * Alongside, an exact char-class census (letters/digits/ws/other):
+    * per-source drift in these is the cheap canary that an upstream
+    * extractor changed behavior.
+    *
+    * Scale shape: ONE documents scan; every count is a per-row
+    * map-side expression (regexp_replace length-diff — codegen'd, no
+    * UDF); one map-side-combinable groupBy(source) with
+    * |sources|-sized output. Integer-exact; ratio half-up ×1e6. */
+  def t37EncodingAudit(spark: SparkSession, dir: String): DataFrame =
+    encodingCensus(Tables.read(spark, dir, "documents"))
+
+  /** t37 oracle: same length-diff census and detector flags; RE2 hex
+    * escapes mirror the JVM \\uXXXX classes codepoint-for-codepoint. */
+  val t37Sql: String =
+    """WITH d AS (
+      |  SELECT source, length(text) AS len,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS letters,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+      |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS ws,
+      |    CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS fffd,
+      |    CASE WHEN regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]') THEN 1 ELSE 0 END AS ctrl,
+      |    CASE WHEN regexp_matches(text, '[\xc2\xc3][\x80-\xbf]') THEN 1 ELSE 0 END AS moji
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS total_chars,
+      |  CAST(sum(letters) AS BIGINT) AS letter_chars,
+      |  CAST(sum(digits) AS BIGINT) AS digit_chars,
+      |  CAST(sum(ws) AS BIGINT) AS ws_chars,
+      |  CAST(sum(len) - sum(letters) - sum(digits) - sum(ws) AS BIGINT) AS other_chars,
+      |  CAST(sum(fffd) AS BIGINT) AS fffd_docs,
+      |  CAST(sum(ctrl) AS BIGINT) AS ctrl_docs,
+      |  CAST(sum(moji) AS BIGINT) AS moji_docs,
+      |  CAST(sum(greatest(fffd, ctrl, moji)) AS BIGINT) AS flagged_docs,
+      |  CAST((2 * ((count(*) - sum(greatest(fffd, ctrl, moji))) * 1000000) + count(*))
+      |    // (2 * count(*)) AS BIGINT) AS clean_ratio_e6
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1290,4 +1290,54 @@ class DedupTextSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("t37 encoding audit: census matches a driver recount; planted mojibake fires each detector") {
+    import spark.implicits._
+    // census arms against a driver-side per-char recount on the corpus
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val ts = rows.map(_._2)
+      def n(p: Char => Boolean) = ts.map(_.count(p)).sum.toLong
+      src -> (ts.length.toLong, ts.map(_.length.toLong).sum,
+        n(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')),
+        n(c => c >= '0' && c <= '9'), n(c => " \t\n\r".contains(c)))
+    }
+    val got = graft.text.TextAnalysis.t37EncodingAudit(spark, tmp).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nd, tc, lt, dg, ws) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("total_chars") == tc)
+      assert(r.getAs[Long]("letter_chars") == lt)
+      assert(r.getAs[Long]("digit_chars") == dg)
+      assert(r.getAs[Long]("ws_chars") == ws)
+      assert(r.getAs[Long]("other_chars") == tc - lt - dg - ws)
+      assert(r.getAs[Long]("flagged_docs") == 0L, "tmp corpus is clean ASCII")
+      assert(r.getAs[Long]("clean_ratio_e6") == 1000000L)
+    }
+    // planted detector rows: each class fires exactly its own flag
+    val planted = Seq(
+      ("bad", "lost � bytes here"),            // U+FFFD replacement
+      ("bad", "binary\u0001junk\u0007inside"),      // C0 controls (not \t\n\r)
+      ("bad", "cafÃ© latte"),             // Latin-1-misread-UTF-8 ("Ã©")
+      ("bad", "tabs\tand\nnewlines are fine"),
+      ("ok",  "plain clean text 123")
+    ).toDF("source", "text")
+    val c = graft.text.TextAnalysis.encodingCensus(planted).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(c("bad").getAs[Long]("fffd_docs") == 1L)
+    assert(c("bad").getAs[Long]("ctrl_docs") == 1L)
+    assert(c("bad").getAs[Long]("moji_docs") == 1L)
+    assert(c("bad").getAs[Long]("flagged_docs") == 3L)
+    assert(c("bad").getAs[Long]("clean_ratio_e6") == 250000L)
+    assert(c("ok").getAs[Long]("flagged_docs") == 0L)
+    assert(c("ok").getAs[Long]("clean_ratio_e6") == 1000000L)
+    // one scan, no join, no explode: pure map-side census + one agg
+    val plan37 = graft.text.TextAnalysis.t37EncodingAudit(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan37.contains("Join") && !plan37.contains("Generate"),
+      "t37 must be scan -> project -> partial agg only")
+  }
 }
