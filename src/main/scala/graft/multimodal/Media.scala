@@ -806,4 +806,96 @@ object Media {
       |      THEN (2 * (abs(s*pl - ps*l) * 1000000) + l*pl) // (2 * l*pl) END)
       |    AS BIGINT) AS max_jump_e6
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** mm12: AUDIO SILENCE / ACTIVITY SEGMENTATION (energy-gated VAD —
+    * the webrtcvad/librosa curation shape): per clip, 64-byte windows
+    * stand in for fixed-duration audio frames (stub decode, mm11's
+    * contract at audio granularity); a window is SILENT when its
+    * per-byte energy falls below thetaE2% of the clip's OWN mean
+    * per-byte energy (self-normalizing — no global gain assumption);
+    * activity segments are maximal runs of non-silent windows. Output
+    * per clip: window/silence counts, segment count, longest segment,
+    * activity ratio — the keep/trim signals an audio corpus curates
+    * on (drop dead clips, trim silence-padded ones).
+    *
+    * Scale shape: mm7's narrow-scan rule (decode repartition gated on
+    * the scan's actual splits), windows explode map-side with
+    * SegCodeSums in the projection, then ONE shuffle on doc_id: clip
+    * totals ride an unordered doc window, the silence test is a
+    * cross-multiplied exact integer comparison, islands use the
+    * cumulative-activity-count rank trick, and both rollups (run
+    * level, clip level) stay doc_id-local. */
+  def mm12AudioSegments(spark: SparkSession, dir: String, thetaE2: Int = 97,
+                        win: Int = 64): DataFrame = {
+    import spark.implicits._
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val docs0 = Tables.read(spark, dir, "documents").filter(length($"text") > 0)
+    val target = spark.sessionState.conf.numShufflePartitions
+    val docs = if (docs0.rdd.getNumPartitions >= target) docs0
+               else docs0.repartition(target)
+    val frames = docs
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), expr(s"(length(text) + ${win - 1}) div $win") - 1)).as("w"))
+      .select($"doc_id", $"w".cast("long").as("w"),
+        $"text".substr(($"w" * win + 1).cast("int"), lit(win)).as("fr"))
+      .select($"doc_id", $"w", length($"fr").cast("long").as("l"),
+        element_at(graft.functions.TextFunctions.segCodeSums($"fr", 1), 1).as("s"))
+    val dw = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val ow = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"w")
+    frames
+      .withColumn("ts", sum($"s").over(dw))
+      .withColumn("tl", sum($"l").over(dw))
+      .withColumn("sil",
+        when($"s" * $"tl" * 100L < lit(thetaE2.toLong) * $"ts" * $"l", 1L).otherwise(0L))
+      .withColumn("srn", sum(lit(1L) - $"sil").over(ow))
+      .withColumn("grp", when($"sil" === 0L, $"w" - $"srn"))
+      .groupBy($"doc_id", $"grp")
+      .agg(count(lit(1)).as("cnt"), sum($"sil").as("nsil"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_windows"),
+        sum($"nsil").as("silent_windows"),
+        count(when($"grp".isNotNull, 1)).as("n_segments"),
+        coalesce(max(when($"grp".isNotNull, $"cnt")), lit(0L)).as("longest_seg"))
+      .select($"doc_id", $"n_windows", $"silent_windows", $"n_segments", $"longest_seg",
+        halfUp(($"n_windows" - $"silent_windows") * 1000000L, $"n_windows")
+          .as("activity_ratio_e6"))
+  }
+
+  /** mm12 oracle: per-char long form -> 64-byte window rollup -> clip
+    * totals -> cross-multiplied silence flag -> island rank trick ->
+    * the same two rollups. */
+  val mm12Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, (pos - 1) // 64 AS w,
+      |         ascii(substr(text, CAST(pos AS INT), 1)) AS code
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |        FROM documents WHERE length(text) > 0)),
+      |fr AS (
+      |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(sum(code) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS l
+      |  FROM chars GROUP BY 1, 2),
+      |t AS (
+      |  SELECT doc_id, w, s, l,
+      |    sum(s) OVER (PARTITION BY doc_id) AS ts,
+      |    sum(l) OVER (PARTITION BY doc_id) AS tl
+      |  FROM fr),
+      |f AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN s * tl * 100 < 97 * ts * l THEN 1 ELSE 0 END AS sil
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, w, sil,
+      |    CASE WHEN sil = 0
+      |      THEN w - sum(1 - sil) OVER (PARTITION BY doc_id ORDER BY w) END AS grp
+      |  FROM f),
+      |runs AS (
+      |  SELECT doc_id, grp, count(*) AS cnt, sum(sil) AS nsil
+      |  FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows,
+      |  CAST(sum(nsil) AS BIGINT) AS silent_windows,
+      |  CAST(count(CASE WHEN grp IS NOT NULL THEN 1 END) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(max(CASE WHEN grp IS NOT NULL THEN cnt END), 0) AS BIGINT) AS longest_seg,
+      |  CAST((2 * ((sum(cnt) - sum(nsil)) * 1000000) + sum(cnt)) // (2 * sum(cnt))
+      |    AS BIGINT) AS activity_ratio_e6
+      |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -108,6 +108,51 @@ class MediaSpec extends AnyFunSuite {
     val plan = Media.mm11SceneCuts(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "mm11 must be join-free")
   }
+
+  test("mm12 audio segments: planted silence gaps segment correctly; driver recompute agrees") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm12").toString
+    val gap = "z" * 64 + " " * 64 + "z" * 64   // speech | silence | speech
+    val flat = "m" * 192                       // uniform: nothing below own mean
+    val shorty = "hi"                          // one partial window
+    val padded = "z" * 64 + " " * 32           // trailing silence pad (partial window)
+    val deadish = "~" * 64 + " " * 320         // one live window, five dead
+    val docs = Seq((0L, gap), (1L, flat), (2L, shorty), (3L, padded), (4L, deadish))
+    docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Media.mm12AudioSegments(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // full driver recompute of the contract: 64-byte windows, silence =
+    // per-byte energy below 97% of the clip's own mean, islands of activity
+    docs.foreach { case (id, t) =>
+      val wins = t.grouped(64).toVector.map(w => (w.map(_.toLong).sum, w.length.toLong))
+      val ts = wins.map(_._1).sum; val tl = wins.map(_._2).sum
+      val sil = wins.map { case (s, l) => s * tl * 100 < 97 * ts * l }
+      // run-lengths of activity (head of the list = current run)
+      val runs = sil.foldLeft(List.empty[(Boolean, Long)]) {
+        case ((s, n) :: rest, v) if s && !v => (true, n + 1) :: rest
+        case (acc, v) => (!v, 1L) :: acc
+      }.filter(_._1).map(_._2)
+      val row = r(id)
+      assert(row.getAs[Long]("n_windows") == wins.length.toLong, s"clip $id windows")
+      assert(row.getAs[Long]("silent_windows") == sil.count(identity).toLong, s"clip $id silent")
+      assert(row.getAs[Long]("n_segments") == runs.length.toLong, s"clip $id segments")
+      assert(row.getAs[Long]("longest_seg") == (if (runs.isEmpty) 0L else runs.max), s"clip $id longest")
+      val act = wins.length.toLong - sil.count(identity)
+      assert(row.getAs[Long]("activity_ratio_e6") ==
+        (2 * act * 1000000L + wins.length) / (2 * wins.length), s"clip $id ratio")
+    }
+    // the planted shapes actually exercised
+    assert(r(0L).getAs[Long]("n_segments") == 2 && r(0L).getAs[Long]("silent_windows") == 1)
+    assert(r(1L).getAs[Long]("n_segments") == 1 && r(1L).getAs[Long]("silent_windows") == 0)
+    assert(r(2L).getAs[Long]("n_windows") == 1 && r(2L).getAs[Long]("activity_ratio_e6") == 1000000L)
+    assert(r(3L).getAs[Long]("silent_windows") == 1 && r(3L).getAs[Long]("longest_seg") == 1)
+    assert(r(4L).getAs[Long]("silent_windows") == 5 && r(4L).getAs[Long]("n_segments") == 1)
+    // join-free: explode + windows + two doc-local rollups
+    val plan = Media.mm12AudioSegments(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "mm12 must be join-free")
+  }
 }
 
 /** JVM-static recorder: task closures are (de)serialized even in local
