@@ -493,6 +493,83 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Closed burst run emitted by [[burstStream]] (e38's unit). */
+  case class BurstOut(event_type: String, run_start_us: Long, run_end_us: Long,
+                      n_hours: Long, peak: Long, total: Long)
+
+  /** Per-type burst state: the gap-fill buckets + the trailing window
+    * of the last ≤24 emitted hourly counts (oldest first) + the open
+    * run (runStartUs = Long.MinValue when none). Bounded by
+    * construction: 24 longs + 4 run fields per type. */
+  case class BurstState(gap: GapState, window: List[Long], runStartUs: Long,
+                        runEndUs: Long, peak: Long, total: Long)
+
+  /** Streaming twin of e38: ONLINE sustained-burst monitoring over the
+    * gap-filled hourly series. Each completed hour (zeros included —
+    * a silent hour must BREAK a run and depress the trailing mean,
+    * which a plain streaming groupBy(window) cannot express) is
+    * tested against the trailing ≤24 emitted hours of its type:
+    *     x · pn · 100 > factorE2 · Σprev   (pn ≥ minPrev)
+    * — exactly batch e38's cross-multiplied integer test (batch's
+    * ROWS BETWEEN -24 AND -1 over the complete grid IS this window,
+    * because the gap-filled grid has one row per hour). Consecutive
+    * flagged hours accumulate into an open run (start/end/peak/
+    * volume); the first non-flagged hour CLOSES the run and emits it
+    * — so a run is published one hour after it ends, the earliest a
+    * correct episode boundary can be known. A capped-silence series
+    * drop closes and emits any open run (the series ended; the
+    * episode is over by definition).
+    *
+    * Gap semantics shared with [[gapFillStream]] (same
+    * [[gapFillStep]]); fill, trailing test and run accounting advance
+    * in ONE state update (stacked flatMapGroupsWithState is
+    * unsupported). State is bounded: gap buckets + 24 counts + one
+    * open run per type. */
+  def burstStream(events: Dataset[GEv], watermark: String = "1 minute",
+                  maxSilentHours: Int = 48, factorE2: Long = 150L,
+                  minPrev: Int = 6): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+
+    val fn: (String, Iterator[GEv], GroupState[BurstState]) => Iterator[BurstOut] =
+      (eventType, it, state) => {
+        val wmUs = wmMs(state) match {
+          case Long.MinValue => Long.MinValue
+          case w             => w * 1000L
+        }
+        val st0 = state.getOption.getOrElse(BurstState(
+          GapState(Map.empty, Long.MinValue, 0), Nil, Long.MinValue, 0L, 0L, 0L))
+        val (hours, gapNext) = gapFillStep(it.toArray, st0.gap, wmUs, maxSilentHours)
+        var window = st0.window
+        var (rs, re, pk, tot) = (st0.runStartUs, st0.runEndUs, st0.peak, st0.total)
+        val out = List.newBuilder[BurstOut]
+        def close(): Unit = if (rs != Long.MinValue) {
+          out += BurstOut(eventType, rs, re, (re - rs) / HourUs + 1, pk, tot)
+          rs = Long.MinValue; re = 0L; pk = 0L; tot = 0L
+        }
+        hours.foreach { case (h, x, _) =>
+          val pn = window.length.toLong
+          val flagged = pn >= minPrev && x * pn * 100L > factorE2 * window.sum
+          if (flagged) {
+            if (rs == Long.MinValue) rs = h
+            re = h; pk = math.max(pk, x); tot += x
+          } else close()
+          window = (window :+ x).takeRight(24)
+        }
+        gapNext match {
+          case None => close(); state.remove() // series ended — episode over
+          case Some(g) =>
+            state.update(BurstState(g, window, rs, re, pk, tot))
+            if (g.nextHourUs != Long.MinValue)
+              armTimeout(state, (g.nextHourUs + HourUs) / 1000L)
+        }
+        out.result().iterator
+      }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Count–min-sketch counter grid — ONE plan for batch and stream
     * (the windowedAgg principle): per event, d (row, slot) pairs
     * explode and aggregate to the d×w grid. On a stream this is a

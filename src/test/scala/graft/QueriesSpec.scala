@@ -111,6 +111,7 @@ class QueriesSpec extends AnyFunSuite {
     val whitelist = Set(
       "e10_gap_fill",   // calendar min/max bounds over the hours×types agg
       "e12_anomaly",    // e10's shape: prefix stats over the hourly agg
+      "e38_burst_runs", // rides e10's frame: the bound is e10's calendar min/max
       "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
       "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
       "w5_cume_users",  // running sum over the ~30-row daily agg

@@ -398,4 +398,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(x.select("name").collect().map(_.getString(0)).toSet ==
       Set("clinic A", "clinic B"))
   }
+
+  test("jsonl ingest: every line lands in exactly one of good/quarantine with the right reason") {
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",        // good
+      """{"doc_id": 2, "text": "bonjour", "lang": null}""",            // good (lang optional)
+      """{"doc_id": 3, "text": "no lang field at all"}""",             // good (lang optional)
+      """{"doc_id": null, "text": "key missing"}""",                   // missing_required
+      """{"text": "no id", "lang": "en"}""",                           // missing_required
+      """{"doc_id": 6, "text": "truncated mid-str""",                  // malformed (unterminated)
+      """not json at all""",                                           // malformed
+      """{"doc_id": 8 "text": "no comma"}""",                          // malformed
+      """{}"""                                                         // missing_required (parses)
+    )
+    java.nio.file.Files.write(dir.resolve("part-000.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val split = Ingest.jsonl(spark, dir.toString, schema, required = Seq("doc_id", "text"))
+    val good = split.good.collect()
+    val quar = split.quarantine.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // reconciliation: nothing dropped, nothing duplicated
+    assert(good.length + quar.size == lines.length)
+    assert(good.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(split.good.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+      "good carries exactly the declared schema (no corrupt channel leak)")
+    // reasons are exact
+    assert(quar.count(_._2 == "malformed_json") == 3)
+    assert(quar.count(_._2 == "missing_required") == 3)
+    assert(quar("""not json at all""") == "malformed_json")
+    assert(quar("""{}""") == "missing_required")
+    // optional-field semantics: lang may be null in good
+    assert(good.count(_.isNullAt(2)) == 2)
+    // drift report: null rates per field, half-up e6
+    val drift = Ingest.driftReport(split.good).collect()
+      .map(r => r.getAs[String]("field") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("null_rate_e6"))).toMap
+    assert(drift("doc_id") == ((3L, 0L, 0L)))
+    assert(drift("lang") == ((3L, 2L, 666667L)))
+  }
 }

@@ -922,6 +922,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("burst stream closes and emits exactly e38's trailing-window runs over the gap-filled series") {
+    import graft.streaming.EventStream.GEv
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def hourUs(k: Long) = (base + k * 3600000L) * 1000L
+    val input = MemoryStream[GEv]
+    val q = EventStream.burstStream(input.toDS())
+      .writeStream.format("memory").queryName("burst_stream")
+      .outputMode("append").start()
+    try {
+      // hourly counts for "e": six warm-up hours (below minPrev no
+      // flag is possible), a two-hour sustained burst, then cool-down
+      // hours that close the run and get flushed by the advancer
+      val series = Seq(2L, 2L, 2L, 2L, 2L, 2L, 10L, 12L, 1L, 2L, 2L)
+      val evs = series.zipWithIndex.flatMap { case (n, h) =>
+        (0L until n).map(i => GEv("e", ts(60 * h + i.toInt % 50), 1.0))
+      }
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(60 * 12 + 5), 1.0))
+      q.processAllAvailable()
+      input.addData(GEv("adv", ts(60 * 12 + 15), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("burst_stream").filter($"event_type" === "e").collect()
+        .map(r => (r.getAs[Long]("run_start_us"), r.getAs[Long]("run_end_us"),
+          r.getAs[Long]("n_hours"), r.getAs[Long]("peak"), r.getAs[Long]("total")))
+        .sortBy(_._1)
+      // driver recompute of e38's contract: trailing ≤24-hour window,
+      // cross-multiplied 1.5× test, minPrev 6, maximal flagged runs
+      val flagged = series.zipWithIndex.map { case (x, i) =>
+        val prev = series.slice(math.max(0, i - 24), i)
+        prev.length >= 6 && x * prev.length * 100L > 150L * prev.sum
+      }
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var run = List.empty[Int]
+      (flagged.zipWithIndex :+ (false, series.length)).foreach {
+        case (true, i)  => run = i :: run
+        case (false, _) if run.nonEmpty =>
+          val hs = run.reverse
+          expected += ((hourUs(hs.head), hourUs(hs.last), hs.length.toLong,
+            hs.map(series).max, hs.map(series).sum))
+          run = Nil
+        case _ =>
+      }
+      assert(expected.nonEmpty, "fixture must contain a burst")
+      assert(got.toSeq == expected.toSeq, s"got ${got.toSeq} want $expected")
+      // the planted burst: hours 6-7, peak 12, volume 22
+      assert(got.head == ((hourUs(6), hourUs(7), 2L, 12L, 22L)))
+    } finally q.stop()
+  }
+
   test("streaming CMS grid equals the batch grid on the same data (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
