@@ -836,4 +836,51 @@ object GraphQueries {
        |LEFT JOIN deg d ON d.a = b.p_partkey
        |ORDER BY b.p_partkey""".stripMargin
   }
+
+  /** g12: CONNECTED COMPONENTS of the part co-purchase graph —
+    * assortment islands (products that transitively co-sell), the
+    * graph-shape summary next to g9's degree view: the component size
+    * distribution tells whether the catalog co-sells as one giant
+    * island (cross-sell everywhere) or fragmented clusters (isolated
+    * assortments), and singleton count = parts with no qualifying
+    * co-purchase at all.
+    *
+    * Scale shape: edges = the memoized g6/g8 co-pair index (ONE
+    * lineitem scan for the whole g6/g8/g12 family); labels via
+    * [[graft.operators.Graph.connectedComponents]] — pointer-jumping
+    * min-label propagation, O(log diameter) rounds, per-round state
+    * lineage-cut; the two rollups (label sizes, size histogram) are
+    * component-count-sized. Oracle = recursive transitive closure +
+    * min-label (tractable at gate scale; the operator itself never
+    * materializes closures). */
+  def g12Components(spark: SparkSession, dir: String, minSupport: Long = 2L,
+                    maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = g6CoPairs(spark, dir, minSupport).select($"a", $"b")
+    val parts = Tables.read(spark, dir, "part").select($"p_partkey".as("id"))
+    graft.operators.Graph
+      .connectedComponents(pairs, parts, s"g12:$dir:$minSupport", maxIters)
+      .groupBy($"label").agg(count(lit(1)).as("comp_size"))
+      .groupBy($"comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy($"comp_size")
+  }
+
+  /** g12 oracle: same co-pair formation, recursive reach closure,
+    * min-label components, size histogram. */
+  val g12Sql: String =
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |co AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b FROM li x JOIN li y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT a, b FROM co UNION SELECT b, a FROM co),
+      |reach AS (
+      |  SELECT p_partkey AS a, p_partkey AS b FROM part
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |cc AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY a),
+      |sizes AS (SELECT label, count(*) AS comp_size FROM cc GROUP BY label)
+      |SELECT CAST(comp_size AS BIGINT) AS comp_size,
+      |  CAST(count(*) AS BIGINT) AS n_components
+      |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 }

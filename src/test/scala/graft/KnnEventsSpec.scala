@@ -1185,6 +1185,29 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("g12 components: size histogram matches a driver union-find over the co-pair index") {
+    val r = graft.queries.GraphQueries.g12Components(spark, sf).collect()
+      .map(x => x.getAs[Long]("comp_size") -> x.getAs[Long]("n_components")).toMap
+    val edges = graft.queries.GraphQueries.g6CoPairs(spark, sf).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+    val parts = graft.sources.Tables.read(spark, sf, "part")
+      .select($"p_partkey").collect().map(_.getLong(0))
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r0 = x
+      while (par.getOrElse(r0, r0) != r0) { par(r0) = par.getOrElse(par(r0), par(r0)); r0 = par(r0) }
+      r0
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) par(ra) = rb
+    }
+    val sizes = parts.groupBy(find).map(_._2.length.toLong)
+    val expect = sizes.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(r == expect, s"got $r want $expect")
+    // every part is accounted for exactly once
+    assert(r.map { case (s, n) => s * n }.sum == parts.length.toLong)
+  }
+
   test("e26 hazard: life-table reconciles with per-user spans; churned + censored = users") {
     val r = Events.e26Hazard(spark, sf).collect()
     assert(r.nonEmpty)
