@@ -2752,4 +2752,47 @@ object TextAnalysis {
       |  CAST((2 * ((count(*) - sum(greatest(fffd, ctrl, moji))) * 1000000) + count(*))
       |    // (2 * count(*)) AS BIGINT) AS clean_ratio_e6
       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** t38: DETERMINISTIC CORPUS SHUFFLE → SHARD ASSIGNMENT — the last
+    * step before training shards are written (the Dolma/RedPajama
+    * "global shuffle"): every document gets a seeded pseudorandom
+    * position so epoch order is reproducible bit-for-bit from
+    * (corpus, seed), adjacent documents come from mixed sources (no
+    * source runs — the locality a straight source-ordered write bakes
+    * in and SGD then sees as curriculum), and output shards are
+    * hash-balanced. A new seed is a fresh permutation; the same seed
+    * re-derives the exact order after any failure — shuffle state is
+    * never stored, only re-computed.
+    *
+    * Scale shape: one md5 per doc (codegen'd), shard = independent
+    * hex slice of the same digest, position = row_number per SHARD
+    * partition — a partitioned sort of |docs|/shards rows each, never
+    * a global sort (at 100 TB the shard count scales with the
+    * cluster, so the per-partition sort stays memory-sized). Global
+    * interleave order is (pos, shard) lexicographic by construction. */
+  def t38CorpusShuffle(spark: SparkSession, dir: String, seed: String = "graft",
+                       shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"hk", $"doc_id")
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id",
+        md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))).as("h"))
+      .select($"doc_id", substring($"h", 1, 12).as("hk"),
+        (conv(substring($"h", 13, 4), 16, 10).cast("long") % shards).as("shard"))
+      .select($"doc_id", $"shard", row_number().over(w).cast("long").as("pos"))
+  }
+
+  /** t38 oracle: same digest slices; hex→int via the '0x' cast idiom
+    * (t5's engine-parity convention). */
+  val t38Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 12) AS hk,
+      |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 13, 4))
+      |      AS BIGINT) % 16 AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin
 }

@@ -1340,4 +1340,43 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!plan37.contains("Join") && !plan37.contains("Generate"),
       "t37 must be scan -> project -> partial agg only")
   }
+
+  test("t38 corpus shuffle: seeded permutation recomputes driver-side; new seed = new order; no global sort") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def expect(seed: String, shards: Int): Map[Long, (Long, Long)] = {
+      val keyed = ids.map { id =>
+        val h = md5hex(s"$seed:$id")
+        (id, h.substring(0, 12), java.lang.Long.parseLong(h.substring(12, 16), 16) % shards)
+      }
+      keyed.groupBy(_._3).flatMap { case (sh, xs) =>
+        xs.sortBy(x => (x._2, x._1)).zipWithIndex
+          .map { case ((id, _, _), i) => id -> (sh.toLong, i + 1L) }
+      }
+    }
+    val got = graft.text.TextAnalysis.t38CorpusShuffle(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(got == expect("graft", 16), "default-seed permutation must recompute exactly")
+    // a run is a pure function of (corpus, seed): rerun is identical
+    val rerun = graft.text.TextAnalysis.t38CorpusShuffle(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(rerun == got)
+    // a different seed is a genuinely different permutation
+    val reseeded = graft.text.TextAnalysis.t38CorpusShuffle(spark, tmp, seed = "other")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(reseeded == expect("other", 16))
+    assert(reseeded != got, "seed must change the permutation")
+    // scale pin: position windows are SHARD-partitioned, never global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = graft.text.TextAnalysis.t38CorpusShuffle(spark, tmp)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    assert(globals.isEmpty, "t38 must not contain a global window")
+  }
 }
