@@ -959,6 +959,126 @@ object Events {
        |ORDER BY box_id""".stripMargin
   }
 
+  /** z3: LAYOUT DECISION TABLE — z2 prices ONE layout (z-order);
+    * this prices the CHOICE: for the same three probe boxes, how many
+    * files does each candidate layout let the reader skip?
+    *   by_user — rows bucketed by user range (a linear sort on the
+    *             entity key: perfect for user probes, blind to time);
+    *   by_time — bucketed by hour range (ingestion order: perfect for
+    *             time probes, blind to users);
+    *   zorder  — z2's interleaved cells (balanced on both).
+    * The (layout × box) skip grid is the artifact a table owner
+    * reads before choosing a sort spec — the s32 pattern (collapse
+    * the priced alternatives into one decision table) applied to
+    * data layout.
+    *
+    * Scale shape: one corpus pass per layout (3 total, each a
+    * map-side-combinable rollup to a files-count-sized frame — the
+    * z cells frame is the SAME memoized artifact z2 reads); boxes
+    * derive from the cell frame's extents (no extra corpus pass);
+    * intersection = files × 3-row broadcast. Integer-exact. */
+  def z3LayoutTable(spark: SparkSession, dir: String, targetFiles: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+    val h0 = ev.agg(min($"h").as("h0"))
+    val base = ev.crossJoin(broadcast(h0))
+      .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
+    val z = graft.functions.ZOrder.zvalue($"u", $"ho")
+    val cells = graft.operators.Indexes.memo(s"z2_cells:$dir") {
+      base
+        .select(shiftright(z, 8).as("cell"), $"u", $"ho")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+          min($"ho").as("min_h"), max($"ho").as("max_h"))
+    }
+    val ext = cells.agg(max($"max_u").as("mu"), max($"max_h").as("mh"),
+      sum($"n").as("rows_total"))
+    def bucketed(key: String, tag: String): DataFrame =
+      graft.operators.Indexes.memo(s"z3_${tag}_files:$dir:$targetFiles") {
+        base.crossJoin(broadcast(ext.select($"mu", $"mh")))
+          .select(expr(s"$key DIV (${if (key == "u") "mu" else "mh"} DIV $targetFiles + 1)")
+            .as("f"), $"u", $"ho")
+          .groupBy($"f")
+          .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+            min($"ho").as("min_h"), max($"ho").as("max_h"))
+      }
+    val frames = Seq(
+      ("by_user", bucketed("u", "u")),
+      ("by_time", bucketed("ho", "h")),
+      ("zorder", cells)
+    ).map { case (tag, df) =>
+      df.select(lit(tag).as("layout"), $"n", $"min_u", $"max_u", $"min_h", $"max_h")
+    }.reduce(_ unionAll _)
+    val boxes = ext.select(explode(array(
+        struct(lit(1L).as("box_id"), lit(0L).as("lo_u"),
+          expr("mu DIV 10").as("hi_u"), lit(0L).as("lo_h"), $"mh".as("hi_h")),
+        struct(lit(2L).as("box_id"), lit(0L).as("lo_u"), $"mu".as("hi_u"),
+          lit(0L).as("lo_h"), expr("mh DIV 10").as("hi_h")),
+        struct(lit(3L).as("box_id"), expr("mu DIV 4").as("lo_u"),
+          expr("mu DIV 2").as("hi_u"), expr("mh DIV 4").as("lo_h"),
+          expr("mh DIV 2").as("hi_h")))).as("b"), $"rows_total")
+      .select($"b.*", $"rows_total")
+    val hit = $"max_u" >= $"lo_u" && $"min_u" <= $"hi_u" &&
+      $"max_h" >= $"lo_h" && $"min_h" <= $"hi_h"
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    frames.crossJoin(broadcast(boxes))
+      .groupBy($"layout", $"box_id", $"rows_total")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_touched"),
+        sum(when(hit, $"n").otherwise(0L)).as("rows_scanned"))
+      .select($"layout", $"box_id", $"n_files", $"files_touched", $"rows_scanned",
+        halfUp(($"rows_total" - $"rows_scanned") * 1000000L, $"rows_total")
+          .as("skip_e6"))
+      .orderBy($"layout", $"box_id")
+  }
+
+  /** z3 oracle: z2's spread/cell/box chain + the two range-bucket
+    * file frames + the same intersection rollup per layout. */
+  val z3Sql: String = {
+    val zExpr = graft.functions.ZOrder.zvalueSql("b.u", "b.ho")
+    s"""WITH e AS (
+       |  SELECT user_id AS u,
+       |    (epoch_us(date_trunc('hour', ts)) // 3600000000) AS h
+       |  FROM events),
+       |h0 AS (SELECT min(h) AS h0 FROM e),
+       |b AS (SELECT u, (h - h0.h0) AS ho FROM e, h0),
+       |cz AS (SELECT u, ho, ($zExpr >> 8) AS cell FROM b),
+       |cells AS (
+       |  SELECT cell, count(*) AS n, min(u) AS min_u, max(u) AS max_u,
+       |         min(ho) AS min_h, max(ho) AS max_h
+       |  FROM cz GROUP BY cell),
+       |ext AS (SELECT max(max_u) AS mu, max(max_h) AS mh, sum(n) AS rows_total FROM cells),
+       |fu AS (
+       |  SELECT u // (mu // 64 + 1) AS f, count(*) AS n, min(u) AS min_u,
+       |         max(u) AS max_u, min(ho) AS min_h, max(ho) AS max_h
+       |  FROM b, ext GROUP BY 1),
+       |fh AS (
+       |  SELECT ho // (mh // 64 + 1) AS f, count(*) AS n, min(u) AS min_u,
+       |         max(u) AS max_u, min(ho) AS min_h, max(ho) AS max_h
+       |  FROM b, ext GROUP BY 1),
+       |frames AS (
+       |  SELECT 'by_user' AS layout, n, min_u, max_u, min_h, max_h FROM fu
+       |  UNION ALL SELECT 'by_time', n, min_u, max_u, min_h, max_h FROM fh
+       |  UNION ALL SELECT 'zorder', n, min_u, max_u, min_h, max_h FROM cells),
+       |boxes AS (
+       |  SELECT 1 AS box_id, 0 AS lo_u, mu // 10 AS hi_u, 0 AS lo_h, mh AS hi_h, rows_total FROM ext
+       |  UNION ALL SELECT 2, 0, mu, 0, mh // 10, rows_total FROM ext
+       |  UNION ALL SELECT 3, mu // 4, mu // 2, mh // 4, mh // 2, rows_total FROM ext)
+       |SELECT layout, CAST(box_id AS BIGINT) AS box_id,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN max_u >= lo_u AND min_u <= hi_u
+       |           AND max_h >= lo_h AND min_h <= hi_h THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       |  CAST(sum(CASE WHEN max_u >= lo_u AND min_u <= hi_u
+       |           AND max_h >= lo_h AND min_h <= hi_h THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST((2 * (rows_total - sum(CASE WHEN max_u >= lo_u AND min_u <= hi_u
+       |           AND max_h >= lo_h AND min_h <= hi_h THEN n ELSE 0 END)) * 1000000 + rows_total)
+       |       // (2 * rows_total) AS BIGINT) AS skip_e6
+       |FROM frames, boxes GROUP BY layout, box_id, rows_total
+       |ORDER BY layout, box_id""".stripMargin
+  }
+
   /** e15: first-order Markov transition matrix over per-user event
     * sequences — the behavioral-sequence statistic (next-action
     * prediction priors, journey analysis, and the bigram counts a

@@ -966,6 +966,54 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(r(2L).getAs[Long]("skip_e6") > 0, "time stripe skipped nothing")
   }
 
+  test("z3 layout table: all three layouts recompute driver-side; each 1-D sort wins its own probe") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS u",
+        "unix_micros(date_trunc('hour', ts)) div 3600000000 AS h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val pts = ev.map { case (u, h) => (u, h - h0) }
+    def spread(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      for ((s, m) <- Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L, 1 -> 0x5555555555555555L))
+        x = (x | (x << s)) & m
+      x
+    }
+    val mu = pts.map(_._1).max; val mh = pts.map(_._2).max
+    val layouts: Map[String, Iterable[Array[(Long, Long)]]] = Map(
+      "by_user" -> pts.groupBy(p => p._1 / (mu / 64 + 1)).values,
+      "by_time" -> pts.groupBy(p => p._2 / (mh / 64 + 1)).values,
+      "zorder" -> pts.groupBy(p => (spread(p._1) | (spread(p._2) << 1)) >> 8).values)
+    val boxes = Seq((1L, 0L, mu / 10, 0L, mh), (2L, 0L, mu, 0L, mh / 10),
+      (3L, mu / 4, mu / 2, mh / 4, mh / 2))
+    val r = graft.queries.Events.z3LayoutTable(spark, sf).collect()
+      .map(x => (x.getAs[String]("layout"), x.getAs[Long]("box_id")) -> x).toMap
+    layouts.foreach { case (tag, files) =>
+      boxes.foreach { case (id, lu, hu, lh, hh) =>
+        val touched = files.filter { cs =>
+          cs.map(_._1).max >= lu && cs.map(_._1).min <= hu &&
+            cs.map(_._2).max >= lh && cs.map(_._2).min <= hh
+        }
+        val scanned = touched.map(_.length.toLong).sum
+        val row = r((tag, id))
+        assert(row.getAs[Long]("n_files") == files.size.toLong, s"$tag/$id files")
+        assert(row.getAs[Long]("files_touched") == touched.size.toLong, s"$tag/$id touched")
+        assert(row.getAs[Long]("rows_scanned") == scanned, s"$tag/$id scanned")
+        assert(row.getAs[Long]("skip_e6") ==
+          (2 * (pts.length - scanned) * 1000000L + pts.length) / (2L * pts.length),
+          s"$tag/$id skip")
+      }
+    }
+    // the decision content: each 1-D sort dominates its own probe and
+    // is blind to the orthogonal one; z-order skips on BOTH stripes
+    def skip(tag: String, id: Long) = r((tag, id)).getAs[Long]("skip_e6")
+    assert(skip("by_user", 1) > skip("by_time", 1), "by_user must win the user stripe")
+    assert(skip("by_time", 2) > skip("by_user", 2), "by_time must win the time stripe")
+    assert(skip("zorder", 1) > 0 && skip("zorder", 2) > 0,
+      "zorder must skip on both stripes")
+  }
+
   test("e20 disorder audit: driver recompute under the planted jitter; non-vacuous") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us").collect()
