@@ -1901,4 +1901,76 @@ object Tpch {
       |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_customers,
       |  CAST(sum(mon_cents) AS BIGINT) AS seg_cents
       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q37: CUSTOMER DECILE TRANSITION MATRIX — spend-mobility between
+    * consecutive order years (the churn/upsell movement view next to
+    * q36's static RFM segments): per year customers land in spend
+    * deciles (1 = lowest, 10 = top); the matrix counts, for every
+    * year with a successor, how many customers moved from decile i to
+    * decile j — with j = 0 for customers who placed NO orders the
+    * next year (churned). The diagonal is stability, below-diagonal
+    * decay, the 0-column churn by prior value tier.
+    *
+    * Decile assignment is t23's bucket-granularity pattern: the cum
+    * distribution runs over the per-year $100-BUCKET histogram
+    * (domain-bounded — price range / $100 buckets, NOT a per-customer
+    * rank), decile = 1 + (10·cum_below) DIV n, so the windows sort
+    * thousands of buckets, never millions of customers. One orders
+    * scan → (year, cust) rollup; assignment = histogram join back on
+    * (year, bucket); the transition pair join shuffles on (year,
+    * cust) once each side; output ≤ years × 10 × 11 rows. */
+  def q37DecileTransition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cy = Tables.read(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("long").as("yr"), $"o_custkey".as("c"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val bk = cy.select($"yr", $"c", expr("cents DIV 10000").as("b"))
+    val hist = bk.groupBy($"yr", $"b").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy($"yr").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = hist
+      .withColumn("cum", coalesce(sum($"n").over(wCum), lit(0L)))
+      .withColumn("ntot", sum($"n").over(Window.partitionBy($"yr")))
+      .select($"yr", $"b",
+        least(lit(10L), expr("(cum * 10) DIV ntot") + 1L).as("decile"))
+    val asg = bk.join(dec, Seq("yr", "b")).select($"yr", $"c", $"decile")
+    val yrs = cy.select($"yr").distinct()
+    val nxt = asg.select(($"yr" - 1L).as("yr"), $"c", $"decile".as("decile_to"))
+    asg
+      .join(broadcast(yrs.select(($"yr" - 1L).as("yr"))), Seq("yr"), "left_semi")
+      .join(nxt, Seq("yr", "c"), "left")
+      .groupBy($"yr", $"decile".as("decile_from"),
+        coalesce($"decile_to", lit(0L)).as("decile_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"yr", $"decile_from", $"decile_to")
+  }
+
+  /** q37 oracle: same rollup, $100-bucket cum deciles, successor-year
+    * pairing with decile 0 for churn. */
+  val q37Sql: String =
+    """WITH cy AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey AS c,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |bk AS (SELECT yr, c, cents // 10000 AS b FROM cy),
+      |hist AS (SELECT yr, b, count(*) AS n FROM bk GROUP BY 1, 2),
+      |dec AS (
+      |  SELECT yr, b,
+      |    least(10, 1 + (coalesce(sum(n) OVER (PARTITION BY yr ORDER BY b
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+      |      // (sum(n) OVER (PARTITION BY yr))) AS decile
+      |  FROM hist),
+      |asg AS (
+      |  SELECT bk.yr, bk.c, dec.decile
+      |  FROM bk JOIN dec ON dec.yr = bk.yr AND dec.b = bk.b),
+      |yrs AS (SELECT DISTINCT yr FROM cy),
+      |pairs AS (
+      |  SELECT a.yr, a.decile AS decile_from, coalesce(n.decile, 0) AS decile_to
+      |  FROM asg a
+      |  JOIN yrs y2 ON y2.yr = a.yr + 1
+      |  LEFT JOIN asg n ON n.yr = a.yr + 1 AND n.c = a.c)
+      |SELECT yr, CAST(decile_from AS BIGINT) AS decile_from,
+      |  CAST(decile_to AS BIGINT) AS decile_to,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM pairs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

@@ -683,6 +683,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(fCounts(0) == freqs.count(_ <= t1))
   }
 
+  test("q37 decile transitions match a driver recompute; matrix partitions each year's customers") {
+    import org.apache.spark.sql.functions._
+    val cy = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(expr("CAST(year(o_orderdate) AS LONG)").as("yr"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // bucket-granularity deciles, recomputed exactly
+    val byYear = cy.groupBy(_._1)
+    val decileOf: Map[(Long, Long), Long] = byYear.flatMap { case (yr, rows) =>
+      val hist = rows.groupBy(_._3 / 10000).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val ntot = rows.length.toLong
+      val cums = hist.scanLeft(0L)(_ + _._2)
+      hist.zip(cums).flatMap { case ((b, _), cum) =>
+        val d = math.min(10L, cum * 10L / ntot + 1L)
+        rows.filter(_._3 / 10000 == b).map(r => (yr, r._2) -> d)
+      }
+    }.toMap
+    val years = byYear.keySet
+    val expect = cy.filter(r => years.contains(r._1 + 1)).groupBy { r =>
+      (r._1, decileOf((r._1, r._2)), decileOf.getOrElse((r._1 + 1, r._2), 0L))
+    }.view.mapValues(_.length.toLong).toMap
+    val got = queries.Tpch.q37DecileTransition(spark, sf).collect()
+      .map(r => (r.getAs[Long]("yr"), r.getAs[Long]("decile_from"),
+        r.getAs[Long]("decile_to")) -> r.getAs[Long]("n_customers")).toMap
+    assert(got == expect, s"matrix mismatch: extra=${(got.keySet -- expect.keySet).take(3)}")
+    // each transition year partitions exactly that year's customers
+    years.filter(y => years.contains(y + 1)).foreach { y =>
+      assert(got.collect { case ((`y`, _, _), n) => n }.sum == byYear(y).length.toLong)
+    }
+  }
+
   test("g10 assortativity matches an exact BigInt driver recompute") {
     val row = queries.GraphQueries.g10Assortativity(spark, sf).collect().head
     val pairs = queries.GraphQueries.g6CoPairs(spark, sf)
