@@ -2753,6 +2753,70 @@ object TextAnalysis {
       |    // (2 * count(*)) AS BIGINT) AS clean_ratio_e6
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** c5: PER-SOURCE HEALTH CARD — the one-row-per-source triage table
+    * an ingest owner reads every batch: volume (docs, tokens, mean
+    * tokens/doc), duplication pressure (docs whose exact fingerprint
+    * repeats anywhere in the corpus), curation survival (c1 keep
+    * rate) and byte hygiene (t37 clean ratio), side by side. c2
+    * breaks one source into verdict cells; c5 collapses every source
+    * to one comparable row — the frame a "pause this source's crawl"
+    * decision actually reads.
+    *
+    * Scale shape: pure composition (build rule a): the c1 verdict
+    * frame is the session-memoized artifact, fingerprint copies are
+    * d1's rollup, t3/t37 are per-row projections; everything meets in
+    * doc_id-keyed joins then ONE map-side-combinable groupBy(source);
+    * the t37 join adds a |sources|-row broadcast. Integer-exact. */
+  def c5SourceHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source", md5(normalize($"text")).as("fingerprint"))
+    val copies = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_copies"))
+    val v = c1Frame(spark, dir).select($"doc_id", $"verdict")
+    val tok = t3TokenCount(spark, dir).select($"doc_id", $"ws_tokens")
+    val enc = t37EncodingAudit(spark, dir).select($"source", $"clean_ratio_e6")
+    fp.join(copies, "fingerprint").join(v, "doc_id").join(tok, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws_tokens".cast("long")).as("tokens"),
+        sum(when($"n_copies" > 1L, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when($"verdict" === "keep", 1L).otherwise(0L)).as("kept_docs"))
+      .join(broadcast(enc), "source")
+      .select($"source", $"n_docs", $"tokens", $"dup_docs", $"kept_docs",
+        $"clean_ratio_e6",
+        halfUpDiv($"dup_docs" * 1000000L, $"n_docs").as("dup_ratio_e6"),
+        halfUpDiv($"kept_docs" * 1000000L, $"n_docs").as("keep_ratio_e6"),
+        halfUpDiv($"tokens", $"n_docs").as("mean_tokens"))
+      .orderBy($"source")
+  }
+
+  /** c5 oracle: d1's copy rollup + the composed c1/t3/t37 oracles as
+    * subqueries, one per-source rollup, same half-up ratios. */
+  def c5Sql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |cp AS (SELECT fingerprint, count(*) AS n_copies FROM fp GROUP BY 1),
+       |v AS (SELECT doc_id, verdict FROM ($c1Sql)),
+       |tok AS (SELECT doc_id, ws_tokens FROM ($t3Sql)),
+       |enc AS (SELECT source, clean_ratio_e6 FROM ($t37Sql)),
+       |a AS (
+       |  SELECT f.source, count(*) AS n_docs, sum(tok.ws_tokens) AS tokens,
+       |    sum(CASE WHEN cp.n_copies > 1 THEN 1 ELSE 0 END) AS dup_docs,
+       |    sum(CASE WHEN v.verdict = 'keep' THEN 1 ELSE 0 END) AS kept_docs
+       |  FROM fp f JOIN cp USING (fingerprint) JOIN v USING (doc_id)
+       |  JOIN tok USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT a.source, a.n_docs, CAST(a.tokens AS BIGINT) AS tokens,
+       |  CAST(a.dup_docs AS BIGINT) AS dup_docs,
+       |  CAST(a.kept_docs AS BIGINT) AS kept_docs, enc.clean_ratio_e6,
+       |  CAST((2 * a.dup_docs * 1000000 + a.n_docs) // (2 * a.n_docs) AS BIGINT) AS dup_ratio_e6,
+       |  CAST((2 * a.kept_docs * 1000000 + a.n_docs) // (2 * a.n_docs) AS BIGINT) AS keep_ratio_e6,
+       |  CAST((2 * a.tokens + a.n_docs) // (2 * a.n_docs) AS BIGINT) AS mean_tokens
+       |FROM a JOIN enc ON enc.source = a.source
+       |ORDER BY a.source""".stripMargin
+
   /** t38: DETERMINISTIC CORPUS SHUFFLE → SHARD ASSIGNMENT — the last
     * step before training shards are written (the Dolma/RedPajama
     * "global shuffle"): every document gets a seeded pseudorandom

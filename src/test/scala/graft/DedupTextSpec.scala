@@ -1341,6 +1341,53 @@ class DedupTextSpec extends AnyFunSuite {
       "t37 must be scan -> project -> partial agg only")
   }
 
+  test("c5 source health: every column reconciles with its component operator") {
+    import graft.text.TextAnalysis
+    val r = TextAnalysis.c5SourceHealth(spark, tmp).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.keySet == docs.values.toSet, "one row per source")
+    // volume + tokens vs t3
+    val tok = TextAnalysis.t3TokenCount(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("ws_tokens").toLong).toMap
+    docs.values.toSet[String].foreach { src =>
+      val ids = docs.filter(_._2 == src).keys.toSeq
+      assert(r(src).getAs[Long]("n_docs") == ids.length.toLong, s"$src n_docs")
+      val t = ids.map(tok).sum
+      assert(r(src).getAs[Long]("tokens") == t, s"$src tokens")
+      assert(r(src).getAs[Long]("mean_tokens") ==
+        (2 * t + ids.length) / (2L * ids.length), s"$src mean")
+    }
+    // dup_docs vs d1's copy rollup applied to each doc's fingerprint
+    val d1 = graft.dedup.Dedup.d1Exact(spark, tmp).collect()
+      .map(x => x.getAs[String]("fingerprint") -> x.getAs[Long]("n_copies")).toMap
+    val fps = spark.read.parquet(s"$tmp/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) AS fp").collect()
+      .map(x => (x.getString(1), d1(x.getString(2))))
+    fps.groupBy(_._1).foreach { case (src, xs) =>
+      assert(r(src).getAs[Long]("dup_docs") == xs.count(_._2 > 1L).toLong, s"$src dup")
+    }
+    // keep rate vs c2's verdict cells; clean ratio vs t37 verbatim
+    val c2 = TextAnalysis.c2DatasetCard(spark, tmp).collect()
+    c2.groupBy(_.getAs[String]("source")).foreach { case (src, cells) =>
+      val kept = cells.filter(_.getAs[String]("verdict") == "keep")
+        .map(_.getAs[Long]("n_docs")).sum
+      assert(r(src).getAs[Long]("kept_docs") == kept, s"$src kept")
+    }
+    val t37 = TextAnalysis.t37EncodingAudit(spark, tmp).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("clean_ratio_e6")).toMap
+    r.foreach { case (src, row) =>
+      assert(row.getAs[Long]("clean_ratio_e6") == t37(src), s"$src clean")
+      val (n, d, k) = (row.getAs[Long]("n_docs"), row.getAs[Long]("dup_docs"),
+        row.getAs[Long]("kept_docs"))
+      assert(row.getAs[Long]("dup_ratio_e6") == (2 * d * 1000000L + n) / (2 * n))
+      assert(row.getAs[Long]("keep_ratio_e6") == (2 * k * 1000000L + n) / (2 * n))
+    }
+  }
+
   test("t38 corpus shuffle: seeded permutation recomputes driver-side; new seed = new order; no global sort") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
