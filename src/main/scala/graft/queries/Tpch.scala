@@ -1921,20 +1921,26 @@ object Tpch {
     * cust) once each side; output ≤ years × 10 × 11 rows. */
   def q37DecileTransition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cy = Tables.read(spark, dir, "orders")
-      .groupBy(year($"o_orderdate").cast("long").as("yr"), $"o_custkey".as("c"))
-      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
-    val bk = cy.select($"yr", $"c", expr("cents DIV 10000").as("b"))
-    val hist = bk.groupBy($"yr", $"b").agg(count(lit(1)).as("n"))
-    val wCum = Window.partitionBy($"yr").orderBy($"b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val dec = hist
-      .withColumn("cum", coalesce(sum($"n").over(wCum), lit(0L)))
-      .withColumn("ntot", sum($"n").over(Window.partitionBy($"yr")))
-      .select($"yr", $"b",
-        least(lit(10L), expr("(cum * 10) DIV ntot") + 1L).as("decile"))
-    val asg = bk.join(dec, Seq("yr", "b")).select($"yr", $"c", $"decile")
-    val yrs = cy.select($"yr").distinct()
+    // the (year, customer, decile) assignment is customer-year-sized
+    // and referenced THREE ways (from-side, to-side, year set) — one
+    // memoized materialization, the c1Frame pattern, keeps the orders
+    // table at one logical read instead of five
+    val asg = graft.operators.Indexes.memo(s"q37_asg:$dir") {
+      val cy = Tables.read(spark, dir, "orders")
+        .groupBy(year($"o_orderdate").cast("long").as("yr"), $"o_custkey".as("c"))
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      val bk = cy.select($"yr", $"c", expr("cents DIV 10000").as("b"))
+      val hist = bk.groupBy($"yr", $"b").agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy($"yr").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = hist
+        .withColumn("cum", coalesce(sum($"n").over(wCum), lit(0L)))
+        .withColumn("ntot", sum($"n").over(Window.partitionBy($"yr")))
+        .select($"yr", $"b",
+          least(lit(10L), expr("(cum * 10) DIV ntot") + 1L).as("decile"))
+      bk.join(dec, Seq("yr", "b")).select($"yr", $"c", $"decile")
+    }
+    val yrs = asg.select($"yr").distinct()
     val nxt = asg.select(($"yr" - 1L).as("yr"), $"c", $"decile".as("decile_to"))
     asg
       .join(broadcast(yrs.select(($"yr" - 1L).as("yr"))), Seq("yr"), "left_semi")

@@ -2762,28 +2762,37 @@ object TextAnalysis {
     * to one comparable row — the frame a "pause this source's crawl"
     * decision actually reads.
     *
-    * Scale shape: pure composition (build rule a): the c1 verdict
-    * frame is the session-memoized artifact, fingerprint copies are
-    * d1's rollup, t3/t37 are per-row projections; everything meets in
-    * doc_id-keyed joins then ONE map-side-combinable groupBy(source);
-    * the t37 join adds a |sources|-row broadcast. Integer-exact. */
+    * Scale shape: the fingerprint, token count and t37 detector flags
+    * are all PER-ROW projections of the same documents scan, so they
+    * ride ONE combined projection (fingerprint/tokens/flags in a
+    * single pass — calling the component queries separately would
+    * read the corpus four times for one-scan work); the only second
+    * read is the copy rollup's self-reference, and the c1 verdict
+    * frame is the session-memoized (lineage-cut) artifact. One
+    * map-side-combinable groupBy(source). Integer-exact; the flag
+    * and ratio arithmetic is bit-identical to t37's, which the spec
+    * pins by reconciling against the component operators. */
   def c5SourceHealth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = Tables.read(spark, dir, "documents")
-      .select($"doc_id", $"source", md5(normalize($"text")).as("fingerprint"))
-    val copies = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_copies"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val d = Tables.read(spark, dir, "documents")
+      .select($"doc_id", $"source", md5(normalize($"text")).as("fingerprint"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+        greatest(flag($"text".contains("�")),
+          flag($"text".rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")),
+          flag($"text".rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]"))).as("flagged"))
+    val copies = d.groupBy($"fingerprint").agg(count(lit(1)).as("n_copies"))
     val v = c1Frame(spark, dir).select($"doc_id", $"verdict")
-    val tok = t3TokenCount(spark, dir).select($"doc_id", $"ws_tokens")
-    val enc = t37EncodingAudit(spark, dir).select($"source", $"clean_ratio_e6")
-    fp.join(copies, "fingerprint").join(v, "doc_id").join(tok, "doc_id")
+    d.join(copies, "fingerprint").join(v, "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum($"ws_tokens".cast("long")).as("tokens"),
+        sum($"ws_tokens").as("tokens"),
         sum(when($"n_copies" > 1L, 1L).otherwise(0L)).as("dup_docs"),
-        sum(when($"verdict" === "keep", 1L).otherwise(0L)).as("kept_docs"))
-      .join(broadcast(enc), "source")
+        sum(when($"verdict" === "keep", 1L).otherwise(0L)).as("kept_docs"),
+        sum($"flagged").as("flagged_docs"))
       .select($"source", $"n_docs", $"tokens", $"dup_docs", $"kept_docs",
-        $"clean_ratio_e6",
+        halfUpDiv(($"n_docs" - $"flagged_docs") * 1000000L, $"n_docs")
+          .as("clean_ratio_e6"),
         halfUpDiv($"dup_docs" * 1000000L, $"n_docs").as("dup_ratio_e6"),
         halfUpDiv($"kept_docs" * 1000000L, $"n_docs").as("keep_ratio_e6"),
         halfUpDiv($"tokens", $"n_docs").as("mean_tokens"))
