@@ -1605,4 +1605,70 @@ object Dedup {
        |  CAST((2 * (sum(e - s + 1) * 1000000) + any_value(n_chars))
        |       // (2 * any_value(n_chars)) AS BIGINT) AS dup_ratio_e6
        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d20: CROSS-SHARD DUPLICATE LEAKAGE — the audit that prices a
+    * tempting 100 TB shortcut: "dedup inside each shard, skip the
+    * global shuffle". Under t38's hash-sharded layout, a duplicate
+    * group of n copies spreads ~uniformly over the shards, so
+    * shard-LOCAL dedup sees only the pairs that landed together:
+    * with S shards ~(S−1)/S of all duplicate pairs cross shards and
+    * are invisible to it. This one-row audit measures exactly that
+    * on the live corpus — duplicate groups, how many sit entirely in
+    * one shard, and the local vs cross pair split — the number that
+    * justifies d1/d2's global-key shuffle (or an explicit
+    * dedup-BEFORE-shard stage) to anyone proposing the shortcut.
+    *
+    * One documents scan (fingerprint + t38's shard slice in one
+    * projection), one (fp, shard) rollup, one fp rollup; pair
+    * arithmetic n·(n−1)/2 on group-count-sized frames; output is
+    * ONE row. Integer-exact. */
+  def d20ShardDupLeakage(spark: SparkSession, dir: String, seed: String = "graft",
+                         shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val d = Tables.read(spark, dir, "documents")
+      .select(md5(normalize($"text")).as("fp"),
+        (conv(substring(md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))),
+          13, 4), 16, 10).cast("long") % shards).as("shard"))
+    val perShard = d.groupBy($"fp", $"shard").agg(count(lit(1)).as("c"))
+    perShard.groupBy($"fp")
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("local_pairs"),
+        sum($"c").as("n"), count(lit(1)).as("n_shards"))
+      .filter($"n" > 1L)
+      .agg(count(lit(1)).as("n_dup_groups"),
+        coalesce(sum($"n"), lit(0L)).as("dup_docs"),
+        coalesce(sum(when($"n_shards" === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("single_shard_groups"),
+        coalesce(sum($"local_pairs"), lit(0L)).as("local_pairs"),
+        coalesce(sum(expr("n * (n - 1) DIV 2") - $"local_pairs"), lit(0L))
+          .as("cross_pairs"))
+      .select($"n_dup_groups", $"dup_docs", $"single_shard_groups",
+        $"local_pairs", $"cross_pairs",
+        graft.functions.IntMath.halfUpDiv($"cross_pairs" * 1000000L,
+          greatest($"local_pairs" + $"cross_pairs", lit(1L))).as("cross_share_e6"))
+  }
+
+  /** d20 oracle: same digest slices, same two rollups, same exact
+    * pair arithmetic. */
+  val d20Sql: String =
+    """WITH d AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 13, 4))
+      |      AS BIGINT) % 16 AS shard
+      |  FROM documents),
+      |ps AS (SELECT fp, shard, count(*) AS c FROM d GROUP BY 1, 2),
+      |g AS (
+      |  SELECT fp, sum(c) AS n, count(*) AS n_shards,
+      |    sum(c * (c - 1) // 2) AS local_pairs
+      |  FROM ps GROUP BY fp HAVING sum(c) > 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+      |  CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_docs,
+      |  CAST(coalesce(sum(CASE WHEN n_shards = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS single_shard_groups,
+      |  CAST(coalesce(sum(local_pairs), 0) AS BIGINT) AS local_pairs,
+      |  CAST(coalesce(sum(n * (n - 1) // 2 - local_pairs), 0) AS BIGINT) AS cross_pairs,
+      |  CAST((2 * coalesce(sum(n * (n - 1) // 2 - local_pairs), 0) * 1000000
+      |        + greatest(coalesce(sum(n * (n - 1) // 2), 0), 1))
+      |       // (2 * greatest(coalesce(sum(n * (n - 1) // 2), 0), 1)) AS BIGINT)
+      |    AS cross_share_e6
+      |FROM g""".stripMargin
 }

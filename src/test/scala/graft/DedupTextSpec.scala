@@ -1341,6 +1341,32 @@ class DedupTextSpec extends AnyFunSuite {
       "t37 must be scan -> project -> partial agg only")
   }
 
+  test("d20 shard-dup leakage recomputes driver-side from fingerprints and t38's shard slices") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val byFp = docs.map { case (id, t) =>
+      (md5hex(norm(t)), java.lang.Long.parseLong(md5hex(s"graft:$id").substring(12, 16), 16) % 16)
+    }.groupBy(_._1).filter(_._2.length > 1)
+    val localPairs = byFp.values.map(
+      _.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum).sum
+    val totalPairs = byFp.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val r = graft.dedup.Dedup.d20ShardDupLeakage(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_dup_groups") == byFp.size.toLong)
+    assert(r.getAs[Long]("dup_docs") == byFp.values.map(_.size.toLong).sum)
+    assert(r.getAs[Long]("single_shard_groups") ==
+      byFp.values.count(g => g.map(_._2).distinct.size == 1).toLong)
+    assert(r.getAs[Long]("local_pairs") == localPairs)
+    assert(r.getAs[Long]("cross_pairs") == totalPairs - localPairs)
+    assert(r.getAs[Long]("cross_share_e6") ==
+      (2 * (totalPairs - localPairs) * 1000000L + math.max(totalPairs, 1)) /
+        (2 * math.max(totalPairs, 1)))
+    // the audit must be non-vacuous: the tmp corpus plants dup groups
+    assert(byFp.nonEmpty, "no dup groups planted — vacuous audit")
+  }
+
   test("c5 source health: every column reconciles with its component operator") {
     import graft.text.TextAnalysis
     val r = TextAnalysis.c5SourceHealth(spark, tmp).collect()
