@@ -2533,4 +2533,67 @@ object Knn {
        |UNION ALL ${row("ivfpq", "tivfpq", 5L)}
        |ORDER BY tier""".stripMargin
   }
+
+  /** PERSISTED IVF-Flat index — the production serving split the
+    * session memo cannot give: build once, write to storage, serve
+    * from any later session/cluster without retraining. Layout:
+    * `centroids.parquet` (kc rows) + `postings.parquet` PARTITIONED
+    * BY cell — so a probe of nprobe cells is a PARTITION-PRUNED read
+    * (Spark's dynamic partition pruning fires on the broadcast
+    * probe⋈cell join): at 100 TB a 2-of-1024-cell probe reads ~0.2%
+    * of the index bytes, the file-skipping twin of s8's "corpus
+    * never shuffles" property. */
+  def saveIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                   kc: Int = 8, iters: Int = 4): Unit = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids.parquet")
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        quantizeE6($"embedding").as("el"))
+    assignCells(spark, e.filter($"vec_id" >= 10), cents)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"),
+        $"nrm".as("cn"), $"cluster".as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings.parquet")
+  }
+
+  /** Serve s8's exact query shape from a [[saveIvfIndex]] layout —
+    * no training, no corpus scan: centroids come off the kc-row
+    * parquet, postings off the cell-partitioned files the probe
+    * join prunes to. Bit-identical to [[s8IvfKm]] on the same corpus
+    * (spec-pinned), because assignment, probe selection and scoring
+    * reuse the same integer/IEEE-exact arithmetic. */
+  def s8FromIndex(spark: SparkSession, dir: String, indexPath: String,
+                  k: Int = K, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    val cents = spark.read.parquet(s"$indexPath/centroids.parquet")
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Long](r.fieldIndex("cent")).toArray))
+      .sortBy(_._1).toSeq
+    val corpus = spark.read.parquet(s"$indexPath/postings.parquet")
+      .select($"neighbor_id", $"c", $"cn", $"cell".cast("long").as("cell"))
+    val cellDists = cents.map { case (c, arr) =>
+      struct(
+        aggregate(zip_with($"el", lit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("cdist"),
+        lit(c.toLong).as("cell"))
+    }
+    val probes = Tables.read(spark, dir, "embeddings").filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        quantizeE6($"embedding").as("el"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        explode(slice(array_sort(array(cellDists: _*)), 1, nprobe)).as("probe"))
+      .select($"query_id", $"q", $"qn", $"probe.cell".as("cell"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    corpus.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
 }

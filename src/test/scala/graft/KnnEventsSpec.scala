@@ -1233,6 +1233,31 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("persisted IVF index: served results are bit-identical to s8; probe read is partition-pruned") {
+    import graft.similarity.Knn
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Knn.saveIvfIndex(spark, sf, idx)
+    // the layout is the contract: kc centroid rows, cell= partition dirs
+    assert(spark.read.parquet(s"$idx/centroids.parquet").count() == 8L)
+    val dirs = new java.io.File(s"$idx/postings.parquet").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cell=\\d+")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
+    val served = Knn.s8FromIndex(spark, sf, idx)
+    val got = served.collect().map(key).toSet
+    val fresh = Knn.s8IvfKm(spark, sf).collect().map(key).toSet
+    assert(got == fresh && got.nonEmpty, "served index must replay s8 bit-identically")
+    // the serving scan must be prunable: the probe join rides the
+    // partition column, so Spark plans dynamic partition pruning (or
+    // static pruning) on the postings scan rather than a full read
+    val planStr = served.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning") ||
+      planStr.toLowerCase.contains("partitionfilters: [isnotnull(cell"),
+      "postings scan is not partition-pruned")
+  }
+
   test("g12 components: size histogram matches a driver union-find over the co-pair index") {
     val r = graft.queries.GraphQueries.g12Components(spark, sf).collect()
       .map(x => x.getAs[Long]("comp_size") -> x.getAs[Long]("n_components")).toMap
