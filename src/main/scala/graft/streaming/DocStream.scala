@@ -151,6 +151,48 @@ object DocStream {
 
   /** Corpus signature index reader; empty-with-schema before the first
     * batch lands. */
+  /** STREAMING QUALITY GATE — curation at the ingest boundary: each
+    * micro-batch of crawl lines is scored with EXACTLY the batch t2
+    * quality formula ([[graft.text.TextAnalysis.qualityOf]]) and the
+    * t37 encoding detectors, then split: clean, above-threshold docs
+    * land at `keptPath`, the rest at `rejectedPath` WITH their reason
+    * (`encoding` beats `low_quality`, t37's gate-before-quality
+    * order) and score — nothing is dropped silently, rejected shards
+    * stay re-processable after a threshold retune (the Ingest
+    * quarantine principle applied to content quality).
+    *
+    * Scale shape: score = one explode + one map-side-combinable
+    * groupBy per batch (work ∝ batch); both landings ride the
+    * `ingest_batch` dynamic-overwrite partition pattern, so a
+    * replayed batch rewrites exactly its own partitions —
+    * at-least-once delivery × idempotent write = effectively-once,
+    * and kept/rejected cannot diverge past one replay. */
+  def qualityGateSink(lines: DataFrame, keptPath: String, rejectedPath: String,
+                      checkpoint: String, minQualityE6: Long = 300000L,
+                      lang: String = "und"): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def land(df: DataFrame, path: String): Unit =
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(path)
+        val docs = graft.sources.Tables.documentsFromLines(batch, lang)
+        val scored = docs
+          .join(graft.text.TextAnalysis.qualityOf(docs)
+            .select(col("doc_id"), col("quality_e6")), "doc_id")
+          .withColumn("reason",
+            when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
+              .when(col("quality_e6") < minQualityE6, "low_quality"))
+          .persist()
+        try {
+          land(scored.filter(col("reason").isNull).drop("reason"), keptPath)
+          land(scored.filter(col("reason").isNotNull), rejectedPath)
+        } finally { scored.unpersist(); () }
+      }
+      .start()
+
   private def readSigIndex(spark: SparkSession, path: String, k: Int): DataFrame = {
     import spark.implicits._
     val empty = spark.range(0).select(

@@ -120,9 +120,17 @@ object TextAnalysis {
     * the interpreted `aggregate(transform(...))` token-length fold is
     * replaced by sum(length(tok)) over the exploded rows. n_chars is
     * functionally dependent on doc_id so it rides the grouping key. */
-  def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.read(spark, dir, "documents"))
+
+  /** t2's formation over an ARBITRARY (doc_id, text, …) frame — the
+    * streaming ingest gate scores fresh micro-batches with exactly
+    * the batch quality formula ([[graft.streaming.DocStream]]'s
+    * qualityGateSink), the shingleRowsOf pattern. */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.read(spark, dir, "documents")
+    docs
       .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
       .select($"doc_id", length($"text").as("n_chars"), explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"n_chars")
@@ -2685,18 +2693,29 @@ object TextAnalysis {
     * t37's kernel, exposed separately so specs can run it over planted
     * mojibake rows (the live corpus is clean ASCII, which exercises
     * the census arms but not the detectors). */
+  /** The three t37 detector flags as reusable 0/1 columns — ONE copy
+    * shared by the census, c5's combined projection and the streaming
+    * quality gate, so a detector change cannot desynchronize them. */
+  private[graft] def fffdFlag(t: Column): Column =
+    when(t.contains("�"), 1L).otherwise(0L)
+  private[graft] def ctrlFlag(t: Column): Column =
+    when(t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L).otherwise(0L)
+  private[graft] def mojiFlag(t: Column): Column =
+    when(t.rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]"), 1L).otherwise(0L)
+  private[graft] def encodingFlag(t: Column): Column =
+    greatest(fffdFlag(t), ctrlFlag(t), mojiFlag(t))
+
   def encodingCensus(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     def cls(pat: String): Column =
       (length($"text") - length(regexp_replace($"text", pat, ""))).cast("long")
-    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
     df
       .select($"source", length($"text").cast("long").as("len"),
         cls("[A-Za-z]").as("letters"), cls("[0-9]").as("digits"),
         cls("[ \\t\\n\\r]").as("ws"),
-        flag($"text".contains("�")).as("fffd"),
-        flag($"text".rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).as("ctrl"),
-        flag($"text".rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]")).as("moji"))
+        fffdFlag($"text").as("fffd"),
+        ctrlFlag($"text").as("ctrl"),
+        mojiFlag($"text").as("moji"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"len").as("total_chars"),
         sum($"letters").as("letter_chars"), sum($"digits").as("digit_chars"),
@@ -2774,13 +2793,10 @@ object TextAnalysis {
     * pins by reconciling against the component operators. */
   def c5SourceHealth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
     val d = Tables.read(spark, dir, "documents")
       .select($"doc_id", $"source", md5(normalize($"text")).as("fingerprint"),
         size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
-        greatest(flag($"text".contains("�")),
-          flag($"text".rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")),
-          flag($"text".rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]"))).as("flagged"))
+        encodingFlag($"text").as("flagged"))
     val copies = d.groupBy($"fingerprint").agg(count(lit(1)).as("n_copies"))
     val v = c1Frame(spark, dir).select($"doc_id", $"verdict")
     d.join(copies, "fingerprint").join(v, "doc_id")

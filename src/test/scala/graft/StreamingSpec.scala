@@ -1298,6 +1298,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality gate sink splits ingest exactly like the batch formula, with reasons, across replay") {
+    import graft.streaming.DocStream
+    import graft.text.TextAnalysis
+    val in = java.nio.file.Files.createTempDirectory("graft-qg-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-qg-wd").toString
+    def writeShard(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      ()
+    }
+    val longGood = (1 to 40).map(i => s"the word$i is here").mkString(" ") // 160 tokens, stopword-rich
+    writeShard("shard1.txt", Seq(longGood, "zzzzzz", s"cafÃ© $longGood"))
+    def run(ckpt: String) = DocStream.qualityGateSink(
+      DocStream.readLinesStream(spark, in), s"$wd/kept", s"$wd/rej", ckpt)
+    val r1 = run(s"$wd/ckpt"); try r1.processAllAvailable() finally r1.stop()
+    // snapshot the checkpoint, then a second shard + restart
+    val stale = s"$wd/ckpt-stale"
+    locally {
+      val src = java.nio.file.Paths.get(s"$wd/ckpt")
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(stale).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+        ()
+      }
+    }
+    writeShard("shard2.txt", Seq(longGood + " again", "qqq"))
+    val r2 = run(s"$wd/ckpt"); try r2.processAllAvailable() finally r2.stop()
+    // crash-replay: batch re-delivers under the same id, dynamic
+    // partition overwrite must absorb it
+    val r3 = run(stale); try r3.processAllAvailable() finally r3.stop()
+    val kept = spark.read.parquet(s"$wd/kept")
+    val rej = spark.read.parquet(s"$wd/rej")
+    // the split IS the batch formula: recompute over the whole dir
+    val docs = graft.sources.Tables.documentsFromText(spark, in)
+    val expect = docs
+      .join(TextAnalysis.qualityOf(docs).select($"doc_id", $"quality_e6"), "doc_id")
+      .withColumn("reason",
+        when(TextAnalysis.encodingFlag($"text") === 1L, "encoding")
+          .when($"quality_e6" < 300000L, "low_quality"))
+      .collect().map(r => r.getAs[String]("text") ->
+        (r.getAs[Long]("quality_e6"), Option(r.getAs[String]("reason")))).toMap
+    assert(kept.count() + rej.count() == docs.count(), "nothing dropped silently")
+    kept.collect().foreach { r =>
+      val (q, reason) = expect(r.getAs[String]("text"))
+      assert(reason.isEmpty && r.getAs[Long]("quality_e6") == q)
+    }
+    rej.collect().foreach { r =>
+      val (q, reason) = expect(r.getAs[String]("text"))
+      assert(reason.contains(r.getAs[String]("reason")) && r.getAs[Long]("quality_e6") == q)
+    }
+    // the fixture exercises all three outcomes, and replay didn't dup
+    assert(kept.count() == 2L, "both long clean lines keep")
+    assert(rej.filter($"reason" === "low_quality").count() == 2L)
+    assert(rej.filter($"reason" === "encoding").count() == 1L)
+    val all = kept.select("doc_id").union(rej.select("doc_id"))
+    assert(all.distinct().count() == all.count(), "replay duplicated doc_ids")
+  }
+
   test("DocStream lands crawl shards as documents + chunks, equal to the batch ingest, across a restart") {
     import graft.streaming.DocStream
     val in = java.nio.file.Files.createTempDirectory("graft-doc-in").toString
