@@ -2534,6 +2534,132 @@ object Knn {
        |ORDER BY tier""".stripMargin
   }
 
+  /** One 32-dim half of the sign sketch: bit i set iff the quantized
+    * component is strictly positive. 32 codegen'd when() terms OR'd
+    * (d3's column-expansion trick — a HOF fold here would run
+    * interpreted on every corpus row); two halves avoid the BIGINT
+    * top-bit aggregation hazard (a sum/bit_or carrying bit 63 behaves
+    * differently across engines' overflow promotion). */
+  private def signHalfI(el: Column, off: Int): Column =
+    Seq.tabulate(32)(i =>
+      when(element_at(el, off + i + 1) > 0L, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+
+  /** s33: BINARY-QUANTIZATION ANN — the CHEAPEST storage tier of the
+    * quantization ladder (1 bit/dim = 8 bytes/vector at Dim=64; the
+    * "binary embeddings" serving mode): corpus and queries reduce to
+    * a 64-bit sign sketch, stage 1 ranks by HAMMING distance (two
+    * xor+bit_count longs per comparison — registers, not arrays),
+    * stage 2 re-ranks the 5× over-fetched shortlist by exact integer
+    * L2 (s21's retrieve-then-rerank contract). s34 prices the recall.
+    *
+    * Scale shape: the bit table is memoized (one embeddings scan,
+    * three consumers); stage 1 is the deliberate broadcast-queries
+    * compressed scan (s12's contract — 16 bytes/vector moves, never
+    * the float arrays); stage 2 equi-joins shortlist ids back into
+    * the quantized store, so full-width vectors move only for
+    * shortlist members. */
+  def s33BqAnn(spark: SparkSession, dir: String, k: Int = K,
+               shortlist: Int = 25): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sumSqI64}
+    val bits = graft.operators.Indexes.memo(s"s33_bits:$dir") {
+      quantized(spark, dir).select($"vec_id", $"el",
+        signHalfI($"el", 0).as("blo"), signHalfI($"el", 32).as("bhi"))
+    }
+    val queries = bits.filter($"vec_id" < 10)
+    val corpus = bits.filter($"vec_id" >= 10)
+    val wH = Window.partitionBy($"query_id").orderBy($"hamming", $"neighbor_id")
+    val short = corpus.select($"vec_id".as("neighbor_id"), $"blo", $"bhi")
+      .join(broadcast(queries.select($"vec_id".as("query_id"),
+        $"blo".as("qlo"), $"bhi".as("qhi"))))
+      .select($"query_id", $"neighbor_id",
+        (bit_count($"blo".bitwiseXOR($"qlo")) +
+          bit_count($"bhi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter($"hrank" <= shortlist).drop("hrank")
+    val w = Window.partitionBy($"query_id").orderBy($"sq_dist", $"neighbor_id")
+    short
+      .join(corpus.select($"vec_id".as("neighbor_id"), $"el".as("ce"),
+        sumSqI64($"el").as("cc")), "neighbor_id")
+      .join(broadcast(queries.select($"vec_id".as("query_id"), $"el".as("qe"),
+        sumSqI64($"el").as("qq"))), "query_id")
+      .select($"query_id", $"neighbor_id", $"hamming",
+        ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("sq_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** The s33 formation through ranked shortlist+rerank — shared by
+    * the s33 oracle and s34's audit composition. */
+  private def s33Ctes: String =
+    s"""eq AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |bits AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN i <= 32 AND e > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END) AS blo,
+       |    bit_or(CASE WHEN i > 32 AND e > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END) AS bhi
+       |  FROM eq GROUP BY 1),
+       |hm AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(q.blo, c.blo)) + bit_count(xor(q.bhi, c.bhi)) AS BIGINT) AS hamming
+       |  FROM bits q, bits c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |sh AS (
+       |  SELECT query_id, neighbor_id, hamming FROM (
+       |    SELECT query_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+       |    FROM hm) WHERE hrank <= 25),
+       |dd AS (
+       |  SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS sq_dist
+       |  FROM sh
+       |  JOIN eq a ON a.vec_id = sh.query_id
+       |  JOIN eq b ON b.vec_id = sh.neighbor_id AND b.i = a.i
+       |  GROUP BY 1, 2, 3),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, hamming, sq_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rank
+       |  FROM dd)""".stripMargin
+
+  /** s33 oracle: same sign sketch (two 32-bit halves via bit_or —
+    * never a bit-63 sum), Hamming shortlist, exact-L2 rerank. */
+  val s33Sql: String =
+    s"""WITH $s33Ctes
+       |SELECT query_id, neighbor_id, hamming, sq_dist, rank FROM rr
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** s34: recall@k audit of the binary-quantization tier against the
+    * exact integer-L2 top-k (the s11/s13 pattern) — what 8 bytes per
+    * vector costs in recall, priced on the live corpus. */
+  def s34BqRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    recallVsExactL2(spark, dir, k,
+      s33BqAnn(spark, dir, k).select($"query_id", $"neighbor_id"))
+  }
+
+  /** s34 oracle: s33's CTE chain composed with the exact-L2 top-k
+    * (s11's tail). */
+  val s34Sql: String =
+    s"""WITH $s33Ctes,
+       |ap AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= $K),
+       |el2 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum((a.e - b.e)*(a.e - b.e)) AS BIGINT) AS l2_e12
+       |  FROM eq a JOIN eq b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY l2_e12, neighbor_id) AS rank
+       |    FROM el2) WHERE rank <= $K)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** PERSISTED IVF-Flat index — the production serving split the
     * session memo cannot give: build once, write to storage, serve
     * from any later session/cluster without retraining. Layout:

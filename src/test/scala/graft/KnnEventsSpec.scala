@@ -1233,6 +1233,50 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("s33 BQ: sign bits, Hamming shortlist and L2 rerank match a driver recompute; s34 reconciles") {
+    import graft.similarity.Knn
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray).toMap
+    def bits(e: Array[Long]): (Long, Long) = {
+      def half(off: Int) = (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (e(off + i) > 0L) acc | (1L << i) else acc }
+      (half(0), half(32))
+    }
+    val queries = vecs.filter(_._1 < 10); val corpus = vecs.filter(_._1 >= 10)
+    val expect = queries.flatMap { case (q, qe) =>
+      val (qlo, qhi) = bits(qe)
+      val short = corpus.toSeq.map { case (c, ce) =>
+        val (clo, chi) = bits(ce)
+        (c, java.lang.Long.bitCount(qlo ^ clo) + java.lang.Long.bitCount(qhi ^ chi))
+      }.sortBy { case (c, h) => (h, c) }.take(25)
+      short.map { case (c, h) =>
+        val ce = corpus(c)
+        val d = qe.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum
+        (q, c) -> ((h.toLong, d))
+      }.sortBy { case ((_, c), (_, d)) => (d, c) }.take(5).zipWithIndex
+        .map { case (((qq, c), (h, d)), i) => (qq, c) -> ((h, d, i + 1)) }
+    }
+    val got = Knn.s33BqAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        ((r.getAs[Long]("hamming"), r.getAs[Long]("sq_dist"), r.getAs[Int]("rank")))).toMap
+    assert(got == expect.toMap, "BQ shortlist+rerank must recompute exactly")
+    // s34 = overlap of s33's ids with the exact L2 top-5
+    val exact = queries.map { case (q, qe) =>
+      q -> corpus.toSeq.map { case (c, ce) =>
+        (c, qe.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (c, d) => (d, c) }.take(5).map(_._1).toSet
+    }
+    val audit = Knn.s34BqRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_e6")))).toMap
+    exact.foreach { case (q, ex) =>
+      val hits = got.keys.collect { case (`q`, c) if ex(c) => c }.size.toLong
+      assert(audit(q) == ((hits, hits * 200000L)), s"query $q audit")
+    }
+  }
+
   test("persisted IVF index: served results are bit-identical to s8; probe read is partition-pruned") {
     import graft.similarity.Knn
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
