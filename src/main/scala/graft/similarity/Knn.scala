@@ -2501,7 +2501,8 @@ object Knn {
       ("pq", s11PqRecall(spark, dir, k), 4L),
       ("sq8", s13Sq8Recall(spark, dir, k), 64L),
       ("mrl16", s14MrlRecall(spark, dir, k), 64L),
-      ("ivfpq", s31IvfPqRecall(spark, dir, k), 5L))
+      ("ivfpq", s31IvfPqRecall(spark, dir, k), 5L),
+      ("bq", s34BqRecall(spark, dir, k), 8L))
     tiers.map { case (t, df, bytes) =>
       df.agg(count(lit(1)).as("n_queries"),
           halfUp(sum($"recall_e6"), count(lit(1))).as("mean_recall_e6"),
@@ -2511,10 +2512,12 @@ object Knn {
     }.reduce(_ unionAll _)
   }
 
-  /** s32 oracle: the five audit oracles as CTEs + the same halfUp
+  /** s32 oracle: the six audit oracles as CTEs + the same halfUp
     * rollups (each nested WITH is subquery-scoped, so their CTE names
-    * cannot collide). */
-  val s32Sql: String = {
+    * cannot collide). A def, not a val: s34Sql is declared later in
+    * the object and a val here would interpolate null (the t9Sql
+    * initialization-order lesson). */
+  def s32Sql: String = {
     def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
     def row(tier: String, cte: String, bytes: Long) =
       s"""SELECT '$tier' AS tier, count(*) AS n_queries,
@@ -2525,12 +2528,14 @@ object Knn {
        |tpq AS ($s11Sql),
        |tsq8 AS ($s13Sql),
        |tmrl AS ($s14Sql),
-       |tivfpq AS ($s31Sql)
+       |tivfpq AS ($s31Sql),
+       |tbq AS ($s34Sql)
        |${row("ivf_km", "tivf", 264L)}
        |UNION ALL ${row("pq", "tpq", 4L)}
        |UNION ALL ${row("sq8", "tsq8", 64L)}
        |UNION ALL ${row("mrl16", "tmrl", 64L)}
        |UNION ALL ${row("ivfpq", "tivfpq", 5L)}
+       |UNION ALL ${row("bq", "tbq", 8L)}
        |ORDER BY tier""".stripMargin
   }
 
