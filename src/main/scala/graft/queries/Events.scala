@@ -1462,6 +1462,106 @@ object Events {
        |       // (2 * count(*)) AS BIGINT) AS late_e6
        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** e39: WATERMARK DELAY PLAN — the config decision table for every
+    * streaming twin in this library: under e20's deterministic
+    * arrival model (event time + hashed 0–6 h ingest jitter), how
+    * many events would Spark's watermark DROP at each candidate
+    * delay? Spark drops an event iff its event time is below the
+    * stream's max-seen event time minus the delay at arrival — i.e.
+    * iff its GLOBAL arrival-order lateness exceeds the delay. The
+    * output row per candidate (15 m / 1 h / 2 h / 4 h / 6 h) carries
+    * the exact drop count and rate, and flags the smallest delay
+    * whose drop rate meets the budget (default 1%) — e20 measures
+    * disorder, e39 turns it into the `withWatermark` argument.
+    *
+    * Scale shape: the global running max is computed TWO-LEVEL (the
+    * blockCum argument): an hour-bucketed local running max
+    * (arrival-hour partitions) + a calendar-sized cumulative
+    * hour-max frame broadcast back — bit-identical to the oracle's
+    * single global window because hour blocks tile arrival order;
+    * the only partition-less windows run over the hour calendar and
+    * the 5-row candidate frame (aggregate-bounded, whitelist-pinned).
+    * One events scan; counting is one map-side-combinable aggregate. */
+  def e39WatermarkPlan(spark: SparkSession, dir: String,
+                       budgetE6: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    val delays = Seq(900L, 3600L, 7200L, 14400L, 21600L)
+    val floor = lit(Long.MinValue / 4)
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("arr_us", $"ts_us" +
+        pmod(graft.functions.DetHash.md5Long60Col($"event_id".cast("string")),
+          lit(21600000000L)))
+      .withColumn("ah", expr("arr_us div 3600000000"))
+    val hourMax = ev.groupBy($"ah").agg(max($"ts_us").as("hmax"))
+    val hw = Window.orderBy($"ah").rowsBetween(Window.unboundedPreceding, -1)
+    val hcum = hourMax.select($"ah", coalesce(max($"hmax").over(hw), floor).as("carry"))
+    val ew = Window.partitionBy($"ah").orderBy($"arr_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.join(broadcast(hcum), "ah")
+      .withColumn("prev_max",
+        greatest(coalesce(max($"ts_us").over(ew), floor), $"carry"))
+      .select(when($"prev_max" > $"ts_us", $"prev_max" - $"ts_us")
+        .otherwise(0L).as("late_us"))
+    val aggs = count(lit(1)).as("n_events") +:
+      delays.map(d => sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L)).as(s"d$d"))
+    val wide = late.agg(aggs.head, aggs.tail: _*)
+    val melted = wide.select(explode(array(delays.map(d =>
+        struct(lit(d).as("delay_s"), $"n_events", col(s"d$d").as("n_dropped"))): _*)).as("r"))
+      .select($"r.delay_s", $"r.n_events", $"r.n_dropped",
+        graft.functions.IntMath.halfUpDiv($"r.n_dropped" * 1000000L, $"r.n_events")
+          .as("drop_e6"))
+    val all = Window.partitionBy()
+    melted
+      .withColumn("rec",
+        min(when($"drop_e6" <= budgetE6, $"delay_s")).over(all))
+      .select($"delay_s", $"n_events", $"n_dropped", $"drop_e6",
+        when($"delay_s" === $"rec", 1L).otherwise(0L).as("recommended"))
+      .orderBy($"delay_s")
+  }
+
+  /** e39 oracle: e20's jitter model + ONE global arrival-order
+    * running max (the two-level Spark formation collapses to this by
+    * construction), candidate thresholds, budget pick. */
+  val e39Sql: String =
+    s"""WITH a AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) + ${graft.functions.DetHash.sql60("CAST(event_id AS VARCHAR)")} % 21600000000 AS arr_us
+       |  FROM events),
+       |m AS (
+       |  SELECT ts_us,
+       |    max(ts_us) OVER (ORDER BY arr_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM a),
+       |l AS (
+       |  SELECT CASE WHEN prev_max IS NOT NULL AND prev_max > ts_us
+       |              THEN prev_max - ts_us ELSE 0 END AS late_us
+       |  FROM m),
+       |g AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS d900,
+       |    sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS d3600,
+       |    sum(CASE WHEN late_us > 7200000000 THEN 1 ELSE 0 END) AS d7200,
+       |    sum(CASE WHEN late_us > 14400000000 THEN 1 ELSE 0 END) AS d14400,
+       |    sum(CASE WHEN late_us > 21600000000 THEN 1 ELSE 0 END) AS d21600
+       |  FROM l),
+       |t AS (
+       |  SELECT 900 AS delay_s, n AS n_events, d900 AS n_dropped FROM g
+       |  UNION ALL SELECT 3600, n, d3600 FROM g
+       |  UNION ALL SELECT 7200, n, d7200 FROM g
+       |  UNION ALL SELECT 14400, n, d14400 FROM g
+       |  UNION ALL SELECT 21600, n, d21600 FROM g),
+       |t2 AS (
+       |  SELECT delay_s, n_events, n_dropped,
+       |    CAST((2 * n_dropped * 1000000 + n_events) // (2 * n_events) AS BIGINT) AS drop_e6
+       |  FROM t)
+       |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped, drop_e6,
+       |  CAST(CASE WHEN delay_s = (SELECT min(delay_s) FROM t2 WHERE drop_e6 <= 10000)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS recommended
+       |FROM t2 ORDER BY delay_s""".stripMargin
+
   /** e21: CHURN / RECENCY BUCKETS — every user's hours since last
     * activity, measured against the corpus's own end of time (the
     * max event ts — a wall-clock "now" would make the result

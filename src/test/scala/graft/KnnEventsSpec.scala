@@ -1014,6 +1014,37 @@ class KnnEventsSpec extends AnyFunSuite {
       "zorder must skip on both stripes")
   }
 
+  test("e39 watermark plan: drop counts recompute from the global arrival-order lateness") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(ts) AS ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byArrival = ev.map { case (id, ts) =>
+      (ts + graft.functions.DetHash.md5Long60(id.toString) % 21600000000L, id, ts)
+    }.sortBy(x => (x._1, x._2))
+    var prevMax = Long.MinValue
+    val lates = byArrival.map { case (_, _, ts) =>
+      val l = if (prevMax != Long.MinValue && ts < prevMax) prevMax - ts else 0L
+      prevMax = math.max(prevMax, ts); l
+    }
+    val delays = Seq(900L, 3600L, 7200L, 14400L, 21600L)
+    val drops = delays.map(d => d -> lates.count(_ > d * 1000000L).toLong).toMap
+    def hup(n: Long, d: Long) = (2 * n * 1000000L + d) / (2 * d)
+    val rec = delays.filter(d => hup(drops(d), ev.length) <= 10000L)
+      .sorted.headOption
+    val r = graft.queries.Events.e39WatermarkPlan(spark, sf).collect()
+      .map(x => x.getAs[Long]("delay_s") -> x).toMap
+    assert(r.keySet == delays.toSet)
+    delays.foreach { d =>
+      assert(r(d).getAs[Long]("n_events") == ev.length.toLong, s"$d n")
+      assert(r(d).getAs[Long]("n_dropped") == drops(d), s"$d dropped")
+      assert(r(d).getAs[Long]("drop_e6") == hup(drops(d), ev.length), s"$d rate")
+      assert(r(d).getAs[Long]("recommended") == (if (rec.contains(d)) 1L else 0L), s"$d rec")
+    }
+    // the plan must be non-trivial: some candidate drops events, some doesn't
+    assert(drops(delays.head) > 0L, "smallest delay drops nothing — vacuous")
+    assert(drops(delays.last) == 0L && rec.nonEmpty, "no viable delay — fixture broken")
+  }
+
   test("e20 disorder audit: driver recompute under the planted jitter; non-vacuous") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us").collect()

@@ -62,7 +62,9 @@ class QueriesSpec extends AnyFunSuite {
       "s10_pq_ann", "s12_sq8_ann", // PQ/SQ8 codes ride the s1 broadcast contract
       "s11_pq_recall", "s13_sq8_recall", "s14_mrl_recall", // audits over s1-shaped sides
       "s31_ivfpq_recall", // same: exact-L2 yardstick rides the s1 broadcast contract
-      "s32_tier_table",   // composes the five audits above — their exact sides ride along
+      "s33_bq_ann",       // stage 1 IS the deliberate broadcast-queries bit scan (s12's contract)
+      "s34_bq_recall",    // composes s33 + the exact-L2 yardstick
+      "s32_tier_table",   // composes the six audits above — their exact sides ride along
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -112,6 +114,7 @@ class QueriesSpec extends AnyFunSuite {
       "e10_gap_fill",   // calendar min/max bounds over the hours×types agg
       "e12_anomaly",    // e10's shape: prefix stats over the hourly agg
       "e38_burst_runs", // rides e10's frame: the bound is e10's calendar min/max
+      "e39_watermark_plan", // hour-calendar cum max + the 5-row candidate frame
       "e19_top_paths",  // top-20 over the ≤|types|³ trigram agg
       "t12_pack",       // level-2 prefix sum over ≤256 bucket aggregates
       "w5_cume_users",  // running sum over the ~30-row daily agg
