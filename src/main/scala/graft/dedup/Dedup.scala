@@ -1606,6 +1606,107 @@ object Dedup {
        |       // (2 * any_value(n_chars)) AS BIGINT) AS dup_ratio_e6
        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d21: b-BIT MINHASH CALIBRATION (Li & König, WWW 2010, b = 1) —
+    * the s33 story on the text side: a billion-doc dedup index at 32
+    * full 61-bit minhashes costs ~256 B/doc; storing only each
+    * slot's LOWEST BIT costs 4 B/doc (64× less index RAM). The 1-bit
+    * estimator corrects for chance collisions (Pr[bit match] =
+    * (1+J)/2 ⇒ Ĵ = 2·A − 1, clamped at 0) and this audit prices what
+    * the compression does to accuracy: both estimators' absolute
+    * error against the EXACT Jaccard of every banded candidate pair,
+    * rolled to (estimator, bytes/doc, mean/max |err|) — the
+    * sketch-memory decision row a 100 TB dedup plan reads next to
+    * d10's per-pair calibration.
+    *
+    * Cost ∝ emitted candidate pairs (d2Pairs memoized; the signature
+    * index and shingle sets are the shared artifacts) — two joins
+    * into the signature index, two into the shingle-set index, one
+    * 2-row rollup. All arithmetic exact: slot agreements are integer
+    * counts, est×1e6 = m·31250 (dyadic), the 1-bit estimate
+    * (2m−32)·31250 clamped, exact Jaccard half-up. */
+  def d21BbitCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val halfUpDiv = graft.functions.IntMath.halfUpDiv _
+    val pairs = d2Pairs(spark, dir).select($"doc_id1", $"doc_id2")
+    val sigs = sigIndex(spark, dir, 32)
+    val sigA = sigs.select(col("doc_id").as("doc_id1") +:
+      (0 until 32).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_id2") +:
+      (0 until 32).map(j => col(s"h$j").as(s"b$j")): _*)
+    val mf = (0 until 32).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val m1 = (0 until 32).map(j =>
+      when(pmod(col(s"a$j"), lit(2L)) === pmod(col(s"b$j"), lit(2L)), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val sets = shingleSets(spark, dir)
+    val union = $"n1" + $"n2" - $"inter"
+    val wide = pairs
+      .join(sigA, Seq("doc_id1")).join(sigB, Seq("doc_id2"))
+      .select($"doc_id1", $"doc_id2", mf.as("mf"), m1.as("m1"))
+      .join(sets.select($"doc_id".as("doc_id1"), $"ss".as("ss1"), $"n".as("n1")),
+        Seq("doc_id1"))
+      .join(sets.select($"doc_id".as("doc_id2"), $"ss".as("ss2"), $"n".as("n2")),
+        Seq("doc_id2"))
+      .withColumn("inter", size(array_intersect($"ss1", $"ss2")).cast("long"))
+      .withColumn("exact_e6", halfUpDiv($"inter" * 1000000L, union))
+      .withColumn("errf", abs($"mf" * 31250L - $"exact_e6"))
+      .withColumn("err1",
+        abs(greatest(($"m1" * 2L - 32L) * 31250L, lit(0L)) - $"exact_e6"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"errf").as("sf"), max($"errf").as("xf"),
+        sum($"err1").as("s1"), max($"err1").as("x1"))
+    wide.select(explode(array(
+        struct(lit("bbit_32x1b").as("estimator"), lit(4L).as("bytes_per_doc"),
+          $"n_pairs", $"s1".as("se"), $"x1".as("max_abs_err_e6")),
+        struct(lit("minhash_32x61b").as("estimator"), lit(256L).as("bytes_per_doc"),
+          $"n_pairs", $"sf".as("se"), $"xf".as("max_abs_err_e6")))).as("r"))
+      .select($"r.estimator", $"r.bytes_per_doc", $"r.n_pairs",
+        halfUpDiv($"r.se", $"r.n_pairs").as("mean_abs_err_e6"),
+        $"r.max_abs_err_e6")
+      .orderBy($"estimator")
+  }
+
+  /** d21 oracle: the d2 chain's slots CTE scored both ways (full
+    * equality and low-bit parity), exact Jaccard from the shingle
+    * sets, same clamped estimator and half-up rollups. */
+  val d21Sql: String =
+    s"""WITH $d2Ctes,
+       |pairs AS (SELECT doc_id1, doc_id2 FROM est WHERE est_jaccard >= 0.7),
+       |ag AS (
+       |  SELECT p.doc_id1, p.doc_id2,
+       |    sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS mf,
+       |    sum(CASE WHEN s1.v % 2 = s2.v % 2 THEN 1 ELSE 0 END) AS m1
+       |  FROM pairs p
+       |  JOIN slots s1 ON s1.doc_id = p.doc_id1
+       |  JOIN slots s2 ON s2.doc_id = p.doc_id2 AND s2.j = s1.j
+       |  GROUP BY 1, 2),
+       |sets AS (SELECT doc_id, list(sh) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+       |x AS (
+       |  SELECT ag.mf, ag.m1,
+       |    len(list_filter(a.ss, s -> list_contains(b.ss, s))) AS inter,
+       |    a.n AS n1, b.n AS n2
+       |  FROM ag JOIN sets a ON a.doc_id = ag.doc_id1
+       |  JOIN sets b ON b.doc_id = ag.doc_id2),
+       |e AS (
+       |  SELECT mf, m1,
+       |    CAST((2 * inter * 1000000 + (n1 + n2 - inter))
+       |         // (2 * (n1 + n2 - inter)) AS BIGINT) AS exact_e6
+       |  FROM x),
+       |er AS (
+       |  SELECT abs(mf * 31250 - exact_e6) AS errf,
+       |    abs(greatest((m1 * 2 - 32) * 31250, 0) - exact_e6) AS err1
+       |  FROM e),
+       |g AS (SELECT count(*) AS n, sum(errf) AS sf, max(errf) AS xf,
+       |             sum(err1) AS s1, max(err1) AS x1 FROM er)
+       |SELECT 'bbit_32x1b' AS estimator, CAST(4 AS BIGINT) AS bytes_per_doc,
+       |  CAST(n AS BIGINT) AS n_pairs,
+       |  CAST((2 * s1 + n) // (2 * n) AS BIGINT) AS mean_abs_err_e6,
+       |  CAST(x1 AS BIGINT) AS max_abs_err_e6 FROM g
+       |UNION ALL
+       |SELECT 'minhash_32x61b', 256, CAST(n AS BIGINT),
+       |  CAST((2 * sf + n) // (2 * n) AS BIGINT), CAST(xf AS BIGINT) FROM g
+       |ORDER BY estimator""".stripMargin
+
   /** d20: CROSS-SHARD DUPLICATE LEAKAGE — the audit that prices a
     * tempting 100 TB shortcut: "dedup inside each shard, skip the
     * global shuffle". Under t38's hash-sharded layout, a duplicate

@@ -388,6 +388,41 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d21 b-bit calibration: both estimators' rollups recompute from signatures and sets") {
+    val sig = Dedup.sigIndex(spark, sf, 32).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 32).map(j => r.getAs[Long](s"h$j")).toArray).toMap
+    val sets = Dedup.shingleRows(spark, sf).dropDuplicates("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val pairs = Dedup.d2Pairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id1"), r.getAs[Long]("doc_id2")))
+    def hup(n: Long, d: Long): Long = { val n2 = 2 * n + d; (n2 - java.lang.Math.floorMod(n2, 2 * d)) / (2 * d) }
+    val errs = pairs.map { case (a, b) =>
+      val (sa, sb) = (sig(a), sig(b))
+      val mf = (0 until 32).count(j => sa(j) == sb(j)).toLong
+      val m1 = (0 until 32).count(j => (sa(j) & 1L) == (sb(j) & 1L)).toLong
+      val (x, y) = (sets(a), sets(b))
+      val exact = hup((x intersect y).size.toLong * 1000000L, (x union y).size.toLong)
+      (math.abs(mf * 31250L - exact), math.abs(math.max((m1 * 2 - 32) * 31250L, 0L) - exact))
+    }
+    val r = Dedup.d21BbitCalibration(spark, sf).collect()
+      .map(x => x.getAs[String]("estimator") -> x).toMap
+    assert(r.keySet == Set("bbit_32x1b", "minhash_32x61b"))
+    val cases = Seq(("minhash_32x61b", 256L, errs.map(_._1)), ("bbit_32x1b", 4L, errs.map(_._2)))
+    cases.foreach { case (est, bytes, es) =>
+      val row = r(est)
+      assert(row.getAs[Long]("bytes_per_doc") == bytes)
+      assert(row.getAs[Long]("n_pairs") == pairs.length.toLong, s"$est n")
+      assert(row.getAs[Long]("mean_abs_err_e6") == hup(es.sum, es.length.toLong), s"$est mean")
+      assert(row.getAs[Long]("max_abs_err_e6") == es.max, s"$est max")
+    }
+    // the compression must not be free OR catastrophic on this corpus:
+    // 1-bit error is >= full error (information can only be lost)
+    assert(r("bbit_32x1b").getAs[Long]("mean_abs_err_e6") >=
+      r("minhash_32x61b").getAs[Long]("mean_abs_err_e6"))
+  }
+
   test("t11 bloom scale path: superset-within-FPR of the exact audit, shingle-join-free") {
     val fpp = 0.01
     val exact = TextAnalysis.t11Contamination(spark, sf).collect()
