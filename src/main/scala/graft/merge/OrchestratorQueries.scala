@@ -515,4 +515,40 @@ object OrchestratorQueries {
        |  UNION ALL SELECT 'orders', src_id, dest_id, is_new FROM omap
        |  UNION ALL SELECT 'lineitem', src_id, dest_id, is_new FROM lmap)
        |ORDER BY table_name, src_id""".stripMargin
+
+  /** m32: MERGE ROLLBACK PLAN — the UNDO pre-flight the reference
+    * never had (and every operator who has run a bad merge wants):
+    * reverting a committed merge means DELETING exactly the
+    * destination rows the merge INSERTED (is_new in the published id
+    * maps — mapped_to_existing rows pre-existed and must survive),
+    * children before parents (the FK-safe REVERSE topological order,
+    * m26's cascade direction). One row per table: deletion step,
+    * rows to delete, rows whose mapping simply evaporates. The plan
+    * is derived from the merge's own published artifacts — nothing
+    * is re-diffed against the destination, so it stays correct even
+    * after later unrelated writes.
+    *
+    * Cost: a groupBy over the memoized shared-run id maps (m23's
+    * artifact) — zero new table reads. */
+  def m32RollbackPlan(spark: SparkSession, dir: String): DataFrame = {
+    val step = when(col("table_name") === "lineitem", 1L)
+      .when(col("table_name") === "orders", 2L).otherwise(3L)
+    m23Provenance(spark, dir)
+      .groupBy(col("table_name"))
+      .agg(sum(col("is_new")).as("n_delete"),
+        sum(lit(1L) - col("is_new")).as("n_unmap_only"))
+      .select(step.as("step"), col("table_name"), col("n_delete"),
+        col("n_unmap_only"))
+      .orderBy(col("step"))
+  }
+
+  /** m32 oracle: m23's provenance rollup under the reverse-topo step
+    * labels. */
+  val m32Sql: String =
+    s"""WITH prov AS ($m23Sql)
+       |SELECT CASE table_name WHEN 'lineitem' THEN 1 WHEN 'orders' THEN 2
+       |       ELSE 3 END AS step, table_name,
+       |  CAST(sum(is_new) AS BIGINT) AS n_delete,
+       |  CAST(sum(1 - is_new) AS BIGINT) AS n_unmap_only
+       |FROM prov GROUP BY table_name ORDER BY step""".stripMargin
 }

@@ -491,4 +491,21 @@ class OrchestratorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TableSpec("x", "id", Nil, MergeMode.SharedPk("p"), uuidCol = Some("u")))
   }
+
+  test("m32 rollback plan reconciles with provenance; children delete before parents") {
+    val prov = graft.merge.OrchestratorQueries.m23Provenance(spark, TestSpark.sf).collect()
+      .groupBy(_.getAs[String]("table_name"))
+    val r = graft.merge.OrchestratorQueries.m32RollbackPlan(spark, TestSpark.sf).collect()
+    assert(r.map(_.getAs[String]("table_name")).toSeq ==
+      Seq("lineitem", "orders", "customer"), "reverse-topo deletion order")
+    assert(r.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    r.foreach { row =>
+      val rows = prov(row.getAs[String]("table_name"))
+      val ins = rows.count(_.getAs[Long]("is_new") == 1L).toLong
+      assert(row.getAs[Long]("n_delete") == ins, row)
+      assert(row.getAs[Long]("n_unmap_only") == rows.length - ins, row)
+    }
+    // the plan must name real work: the merge inserted something
+    assert(r.map(_.getAs[Long]("n_delete")).sum > 0L)
+  }
 }
