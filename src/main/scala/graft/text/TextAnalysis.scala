@@ -2842,6 +2842,55 @@ object TextAnalysis {
        |FROM a JOIN enc ON enc.source = a.source
        |ORDER BY a.source""".stripMargin
 
+  /** c6: TRAINING-SHARD MANIFEST — the pipeline's actual deliverable,
+    * composed end-to-end as ONE declarative plan: documents pass the
+    * c1 curation verdict (which already folds dedup survivorship,
+    * contamination, language, quality and LM score), land in the t5
+    * stable TRAIN split, take t38's seeded shard assignment, and roll
+    * up to the per-shard manifest (docs, whitespace tokens) a
+    * training run reads before it touches a byte. Every stage is an
+    * already-certified operator; c6 is the proof they compose — the
+    * "switch to this library and ship shards" query.
+    *
+    * Scale shape: ONE documents projection (tokens + split bucket +
+    * shard slice are per-row expressions of the same scan) joined to
+    * the memoized c1 verdict frame, one map-side-combinable
+    * groupBy(shard); output = |shards| rows. */
+  def c6TrainingManifest(spark: SparkSession, dir: String, seed: String = "graft",
+                         shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val keep = c1Frame(spark, dir).filter($"verdict" === "keep").select($"doc_id")
+    Tables.read(spark, dir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+        (conv(substring(md5(normalize($"text")), 1, 6), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        (conv(substring(md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))),
+          13, 4), 16, 10).cast("long") % shards).as("shard"))
+      .join(keep, "doc_id")
+      .filter($"bucket" < 90)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"ws_tokens").as("n_tokens"))
+      .orderBy($"shard")
+  }
+
+  /** c6 oracle: the c1 verdict subquery + t5's bucket, t38's shard
+    * slice and t3's whitespace count as one per-row projection. */
+  def c6Sql: String =
+    s"""WITH v AS (SELECT doc_id FROM ($c1Sql) WHERE verdict = 'keep'),
+       |d AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       |    $splitBucketSql AS bucket,
+       |    CAST(('0x' || substr(md5('$seedLit:' || CAST(doc_id AS VARCHAR)), 13, 4))
+       |      AS BIGINT) % 16 AS shard
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |FROM d JOIN v USING (doc_id)
+       |WHERE bucket < 90
+       |GROUP BY shard ORDER BY shard""".stripMargin
+  private def seedLit: String = "graft"
+
   /** t38: DETERMINISTIC CORPUS SHUFFLE → SHARD ASSIGNMENT — the last
     * step before training shards are written (the Dolma/RedPajama
     * "global shuffle"): every document gets a seeded pseudorandom

@@ -1449,6 +1449,33 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("c6 training manifest reconciles with its composed stages: c1 keep, t5 train, t38 shard") {
+    import graft.text.TextAnalysis
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the real corpus, not the tmp fixture: every tmp doc fails a
+    // c1 gate (planted dups/short texts), which would make this vacuous
+    val kept = TextAnalysis.c1Curation(spark, sf).collect()
+      .filter(_.getAs[String]("verdict") == "keep").map(_.getAs[Long]("doc_id")).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val expect = docs
+      .filter { case (id, t) => kept(id) &&
+        java.lang.Long.parseLong(md5hex(norm(t)).substring(0, 6), 16) % 100 < 90 }
+      .map { case (id, t) =>
+        (java.lang.Long.parseLong(md5hex(s"graft:$id").substring(12, 16), 16) % 16,
+          t.trim.split("\\s+").length.toLong)
+      }.groupBy(_._1).map { case (sh, xs) => sh -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val r = TextAnalysis.c6TrainingManifest(spark, sf).collect()
+      .map(x => x.getAs[Long]("shard") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens")))).toMap
+    assert(r == expect, s"manifest mismatch: got ${r.toSeq.sorted} want ${expect.toSeq.sorted}")
+    // the composition must filter something at each stage or it's vacuous
+    assert(kept.size < docs.length, "curation dropped nothing — vacuous")
+    assert(r.values.map(_._1).sum < kept.size.toLong, "split dropped nothing — vacuous")
+  }
+
   test("t38 corpus shuffle: seeded permutation recomputes driver-side; new seed = new order; no global sort") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
