@@ -861,6 +861,68 @@ object Media {
           .as("activity_ratio_e6"))
   }
 
+  /** mm13: MEDIA SHARD MANIFEST — c6's capstone for the media block:
+    * assets pass mm6's per-asset gate (resolution + length), survive
+    * mm4's byte-level dedup (only each payload group's keeper ships),
+    * take t38's seeded shard slice, and roll up to the per-shard
+    * (assets, frames, bytes) manifest a WebDataset writer reads —
+    * the gate→dedup→shard deliverable, every stage an
+    * already-certified operator.
+    *
+    * Scale shape: ONE pass through the batched decoder boundary for
+    * stats (work ∝ assets, mm1's contract), the dedup keep set is
+    * mm4's fingerprint rollup (the payload table's second reference),
+    * shard = a digest slice on doc_id (no shuffle before the final
+    * \|shards\|-sized rollup beyond the keep join). */
+  def mm13MediaManifest(spark: SparkSession, dir: String, seed: String = "graft",
+                        shards: Int = 16, minWidth: Int = 128, minHeight: Int = 80,
+                        minFrames: Long = 2L, batchSize: Int = 64,
+                        decoder: MediaDecoder = StubDecoder): DataFrame = {
+    import spark.implicits._
+    val stats = mediaTable(spark, dir)
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.decodeBatch))
+      .toDF()
+      .filter($"width" >= minWidth && $"height" >= minHeight &&
+        $"n_frames" >= minFrames)
+    val keepers = mm4MediaDedup(spark, dir)
+      .select($"keep_id".as("doc_id"))
+    stats.join(keepers, "doc_id")
+      .select(
+        (conv(substring(md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))),
+          13, 4), 16, 10).cast("long") % shards).as("shard"),
+        $"n_frames", $"byte_len")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_assets"), sum($"n_frames").as("n_frames"),
+        sum($"byte_len").as("n_bytes"))
+      .orderBy($"shard")
+  }
+
+  /** mm13 oracle: mm6's stub stat formulas + mm4's fingerprint keeper
+    * + t38's shard slice, one rollup. */
+  val mm13Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS width,
+      |    48 + CAST(octet_length(encode(text)) % 9 AS INTEGER) * 16 AS height,
+      |    octet_length(encode(text)) // 256 + 1 AS n_frames,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+      |keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+      |g AS (
+      |  SELECT s.doc_id, s.n_frames, s.n_bytes FROM s
+      |  JOIN fp ON fp.doc_id = s.doc_id
+      |  JOIN keep ON keep.f = fp.f AND keep.keep_id = s.doc_id
+      |  WHERE s.width >= 128 AND s.height >= 80 AND s.n_frames >= 2),
+      |sh AS (
+      |  SELECT CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 13, 4))
+      |           AS BIGINT) % 16 AS shard, n_frames, n_bytes
+      |  FROM g)
+      |SELECT shard, count(*) AS n_assets,
+      |  CAST(sum(n_frames) AS BIGINT) AS n_frames,
+      |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   /** mm12 oracle: per-char long form -> 64-byte window rollup -> clip
     * totals -> cross-multiplied silence flag -> island rank trick ->
     * the same two rollups. */

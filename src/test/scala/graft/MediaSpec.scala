@@ -153,6 +153,35 @@ class MediaSpec extends AnyFunSuite {
     val plan = Media.mm12AudioSegments(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "mm12 must be join-free")
   }
+
+  test("mm13 manifest reconciles with its composed stages: mm6 gate, mm4 keeper, shard slice") {
+    val sf = TestSpark.sf
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(x => (x.getLong(0), x.getString(1)))
+    val keepers = docs.groupBy(d => md5hex(d._2)).values.map(_.map(_._1).min).toSet
+    val expect = docs.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8").length.toLong
+      val width = 64 + (t.head.toInt % 16) * 32
+      val height = 48 + (bytes % 9).toInt * 16
+      val frames = bytes / 256 + 1
+      if (width >= 128 && height >= 80 && frames >= 2 && keepers(id))
+        Some((java.lang.Long.parseLong(md5hex(s"graft:$id").substring(12, 16), 16) % 16,
+          frames, bytes))
+      else None
+    }.groupBy(_._1).map { case (sh, xs) =>
+      sh -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum))
+    }
+    val r = Media.mm13MediaManifest(spark, sf).collect()
+      .map(x => x.getAs[Long]("shard") ->
+        ((x.getAs[Long]("n_assets"), x.getAs[Long]("n_frames"), x.getAs[Long]("n_bytes")))).toMap
+    assert(r == expect, s"manifest mismatch")
+    // the gates must drop something on the live corpus (byte-level
+    // payload dups don't exist at this scale — the keeper join's
+    // semantics are pinned by the equality above regardless)
+    assert(expect.values.map(_._1).sum < docs.length.toLong, "gates dropped nothing")
+  }
 }
 
 /** JVM-static recorder: task closures are (de)serialized even in local
