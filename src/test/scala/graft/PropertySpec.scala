@@ -552,4 +552,41 @@ class PropertySpec extends AnyFunSuite {
       assert(sn * (BigInt(1) << (w - 1)) == p * sd, s"seed $s closed form")
     }
   }
+
+  test("Ingest.jsonl partitions ANY line mix into good/quarantine with exact reasons") {
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType), StructField("opt", StringType)))
+    // deterministic variant generator: every class of line a crawl
+    // shard actually contains, cycled with unique payloads
+    def variant(n: Int): (String, String) = (n % 8) match {
+      case 0 => (s"""{"id": $n, "t": "text $n"}""", "good")
+      case 1 => (s"""{"id": $n, "t": "t$n", "opt": "o$n"}""", "good")
+      case 2 => (s"""{"id": $n, "t": "t$n", "opt": null}""", "good")
+      case 3 => (s"""{"t": "orphan $n"}""", "missing_required")
+      case 4 => (s"""{"id": null, "t": "n$n"}""", "missing_required")
+      case 5 => (s"""{"id": $n, "t": "unterminated $n""", "malformed_json")
+      case 6 => (s"""garbage line $n""", "malformed_json")
+      case 7 => (s"""{"id": $n, "opt": "no t"}""", "missing_required")
+    }
+    val lines = (0 until 200).map(variant)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-prop")
+    java.nio.file.Files.write(dir.resolve("shard.jsonl"),
+      String.join("\n", lines.map(_._1): _*).getBytes("UTF-8"))
+    val split = Ingest.jsonl(spark, dir.toString, schema, required = Seq("id", "t"))
+    val good = split.good.collect()
+    val quar = split.quarantine.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the partition property: every line in exactly one side
+    assert(good.length + quar.size == lines.length)
+    val expectGood = lines.filter(_._2 == "good").map(_._1)
+    assert(good.length == expectGood.length)
+    assert(good.map(_.getAs[Long]("id")).sorted.toSeq ==
+      (0 until 200).filter(n => Set(0, 1, 2)(n % 8)).map(_.toLong))
+    // reasons exact per class
+    lines.filterNot(_._2 == "good").foreach { case (line, reason) =>
+      assert(quar.get(line).contains(reason), s"line $line")
+    }
+  }
 }
