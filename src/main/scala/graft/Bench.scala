@@ -98,7 +98,10 @@ object Bench {
         "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
         "ivfpq_books"  -> (() => { graft.similarity.Knn.ivfpqBooks(spark, sfDir); () }),
         // the scored top-pair frame d5 and d8 share
-        "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () })),
+        "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () }),
+        // the symmetrized refined kNN graph s35/s36 (and s32's graph
+        // tier) walk over — build-once/serve-many, like the IVF index
+        "walk_adj"     -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(

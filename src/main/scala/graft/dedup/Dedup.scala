@@ -1527,15 +1527,24 @@ object Dedup {
     * span, dup ratio ×1e6 (vs n_chars).
     *
     * Scale shape (the suffix-array analogue priced for a cluster):
-    *   - work ∝ total corpus chars: ONE explode of char positions
-    *     (never materializing per-doc suffix arrays), each row
-    *     carrying only (doc_id, pos, K-char gram);
-    *   - repetition test = count window partitioned by the gram — ONE
-    *     shuffle on the gram bytes (at 100 TB hash the gram to 128
-    *     bits first: same shuffle shape, narrower rows; md5 here so
-    *     the oracle reproduces it verbatim... the gram itself IS the
-    *     key below because at K=20 the string is narrower than its
-    *     hex hash);
+    *   - work ∝ total corpus chars·K: ONE pass of the CharGrams
+    *     generator per scan (never materializing per-doc suffix
+    *     arrays, never the quadratic explode+substr formulation —
+    *     see the generator's scaladoc), each emitted row carrying
+    *     only (doc_id, pos, K-char gram);
+    *   - repetition test = map-side-combined `groupBy(g).count()`
+    *     semi-joined back — NEVER a count window on the gram: a
+    *     boilerplate-heavy corpus has single grams (license headers,
+    *     whitespace runs) with 1e8+ occurrences, and a window forces
+    *     every row of a gram into ONE sorted task. Partial
+    *     aggregation absorbs the hot key before the count's shuffle
+    *     (each map task emits one row per local distinct gram), and
+    *     the semi-join probe side is AQE-skew-splittable (the tiny
+    *     hot-gram build side is duplicated across the split probe
+    *     partitions; a window can never be split this way). At 100 TB
+    *     hash the gram to 128 bits first — same shape, narrower rows;
+    *     the raw gram IS the key here because at K=20 the string is
+    *     narrower than its hex hash;
     *   - island merge = two window functions over ONE doc-partitioned
     *     sort (gaps-and-islands: a break opens where the previous
     *     repeated gram is > K behind — overlap AND adjacency merge,
@@ -1545,18 +1554,21 @@ object Dedup {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
     val k = SubstrK
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy($"g")
     val wD = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
     val wCum = wD.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ONE-PASS gram generator — never explode(sequence)+substr, which
+    // is quadratic in doc length (substring seeks code-point offsets
+    // from the string start per call, and each exploded row copies
+    // the full text): a 1 MB boilerplate doc measured ~10 min that
+    // way vs sub-second here (graft.functions.CharGrams scaladoc)
     val grams = Tables.read(spark, dir, "documents")
       .filter(length($"text") >= k)
-      .select($"doc_id", $"n_chars", $"text",
-        explode(sequence(lit(1), length($"text") - (k - 1))).as("pos"))
-      .select($"doc_id", $"n_chars", $"pos".cast("long").as("pos"),
-        $"text".substr($"pos", lit(k)).as("g"))
-    val rep = grams
-      .withColumn("cnt", count(lit(1)).over(wG))
-      .filter($"cnt" >= 2).drop("cnt", "g")
+      .select($"doc_id", $"n_chars",
+        graft.functions.TextFunctions.charGrams($"text", k))
+    val hot = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"g")
+    val rep = grams.join(hot, Seq("g"), "left_semi")
+      .select($"doc_id", $"n_chars", $"pos")
     val islands = rep
       .withColumn("brk", when($"pos" - lag($"pos", 1).over(wD) > k, 1L).otherwise(0L))
       .withColumn("island", sum($"brk").over(wCum))

@@ -124,10 +124,89 @@ case class SegCodeSums(child: Expression, segs: Int)
     copy(child = newChild)
 }
 
+/** One-pass character K-GRAM generator: emits (pos, g) rows — 1-based
+  * code-point position, k-code-point slice — for every position of the
+  * document, exactly `substring(text, pos, k)`'s semantics.
+  *
+  * Exists because the generic route — `explode(sequence(1, n−k+1))`
+  * then `substr(text, pos, k)` — is QUADRATIC in document length:
+  * UTF8String.substring seeks its code-point offsets from the string
+  * START (O(pos) per call), and the exploded row carries the whole
+  * text through the pipeline (one full-string copy per position). A
+  * 1 MB document costs ~10 minutes that way (measured — the d19
+  * hot-gram stress); this walk computes all code-point offsets once
+  * and emits each gram as a direct byte slice: O(chars·k) total, the
+  * same document in well under a second. Truncated trailing multi-byte
+  * sequences clamp to the buffer (the [[PairCounts]] crawl-bytes
+  * rule).
+  *
+  * Eval-only ([[CodegenFallback]]): one call per DOCUMENT streaming
+  * its rows through GenerateExec — the per-byte loop is already tight
+  * Java. */
+case class CharGrams(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+  override def prettyName: String = "char_grams"
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_grams needs a string column, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+  : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      // code-point start offsets, computed ONCE (offsets(n) = end)
+      val offs = new java.util.ArrayList[Integer](bytes.length + 1)
+      var i = 0
+      while (i < bytes.length) {
+        offs.add(i)
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+      }
+      offs.add(bytes.length)
+      val n = offs.size - 1
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var p = 0
+        override def hasNext: Boolean = p <= n - k
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val s = offs.get(p)
+          // clamp: a truncated trailing sequence may push the last
+          // offset past the buffer on malformed crawl bytes
+          val e = math.min(offs.get(p + k), bytes.length)
+          val r = org.apache.spark.sql.catalyst.InternalRow(
+            (p + 1).toLong, UTF8String.fromBytes(bytes, s, e - s))
+          p += 1
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-document adjacent-character-pair histogram as a Column. */
   def pairCounts(text: Column): Column =
     Bridge.column(PairCounts(Bridge.expression(text)))
+
+  /** One-pass (pos, g) character k-gram generator as a Column —
+    * select it like `posexplode` (it contributes the two columns). */
+  def charGrams(text: Column, k: Int): Column =
+    Bridge.column(CharGrams(Bridge.expression(text), k))
 
   /** Per-document segment code-point sums as a Column (mm7's decode). */
   def segCodeSums(text: Column, segs: Int): Column =

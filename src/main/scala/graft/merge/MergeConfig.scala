@@ -342,6 +342,44 @@ object MergeConfig {
       p.reverse.dropWhile(_ == '/').reverse match { case "" => "/"; case s => s }
     ).toUri.normalize.toString
 
+  /** m32's operational surface over a COMMITTED merge: the
+    * reverse-topological deletion plan derived from the PUBLISHED id
+    * maps (`output/<table>__idmap` — a `persist = true` run's
+    * artifacts), executing nothing. One row per table:
+    * (step, table_name, n_delete, n_unmap_only) — children delete
+    * before parents (m26's cascade direction), deletions are exactly
+    * the rows the merge INSERTED (is_new = 1; mapped_to_existing rows
+    * pre-existed and must survive). Reading the merge's own artifacts
+    * — never re-diffing the destination — keeps the plan correct even
+    * after later unrelated writes. Fails loudly when an id map is
+    * missing: a rollback plan over a partial artifact set would
+    * silently under-delete. */
+  def rollbackPlan(spark: SparkSession, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val tables =
+      if (cfg.source.path.startsWith("jdbc:")) discoverFks(cfg.source.path, cfg.tables)
+      else cfg.tables
+    val order = Orchestrator.topoOrder(tables)
+    val n = order.size
+    def idMapOf(name: String): DataFrame =
+      if (cfg.output.startsWith("jdbc:"))
+        spark.read.format("jdbc").option("url", cfg.output)
+          .option("dbtable", s"${name}__idmap").load()
+      else spark.read.parquet(s"${cfg.output}/${name}__idmap.parquet")
+    order.zipWithIndex.map { case (spec, i) =>
+      val m = try idMapOf(spec.name) catch {
+        case e: Exception => throw new IllegalStateException(
+          s"rollback plan needs the published id map for '${spec.name}' " +
+            s"(run the merge with persist = true): ${e.getMessage}", e)
+      }
+      m.agg(
+          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_unmap_only"))
+        .select(lit((n - i).toLong).as("step"), lit(spec.name).as("table_name"),
+          col("n_delete"), col("n_unmap_only"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
   def execute(spark: SparkSession, cfg: Config, dryRun: Boolean): DataFrame = {
     // an instance path starting with "jdbc:" is a LIVE database (the
     // reference's whole I/O surface is MySQL — connection.js:1): each
@@ -526,18 +564,26 @@ object MergeConfig {
 /** CLI: `runMain graft.merge.MergeMain <config.json> [--dry-run]` —
   * the reference's `node orchestrator.js [--dry-run]`. */
 object MergeMain {
-  /** The CLI body minus session lifecycle: parse argv, load + execute
-    * the config, print the per-table report lines. Split from main()
-    * so the integration spec can drive the EXACT argv surface on the
-    * shared test session (main would stop it). Returns the printed
-    * lines. */
+  /** The CLI body minus session lifecycle: parse argv, load the
+    * config, execute it (or print the rollback plan), print the
+    * per-table report lines. Split from main() so the integration
+    * spec can drive the EXACT argv surface on the shared test session
+    * (main would stop it). Returns the printed lines.
+    *
+    * `--rollback-plan` is the m32 operational surface (the dry-run
+    * ergonomics of orchestrator.js:26 applied to the UNDO direction):
+    * it reads the merge's PUBLISHED id maps and prints the
+    * reverse-topological deletion table, executing nothing. */
   def run(args: Array[String], spark: SparkSession): Seq[String] = {
     val dryRun = args.contains("--dry-run")
+    val rollback = args.contains("--rollback-plan")
     val cfgPath = args.filterNot(_.startsWith("--")).headOption
-      .getOrElse(sys.error("usage: MergeMain <config.json> [--dry-run]"))
+      .getOrElse(sys.error("usage: MergeMain <config.json> [--dry-run|--rollback-plan]"))
     val cfg = MergeConfig.fromJson(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8"))
-    val report = MergeConfig.execute(spark, cfg, dryRun)
+    val report =
+      if (rollback) MergeConfig.rollbackPlan(spark, cfg)
+      else MergeConfig.execute(spark, cfg, dryRun)
     val lines = report.collect().map(_.mkString("\t")).toSeq
     lines.foreach(println)
     lines

@@ -47,11 +47,23 @@ object State {
         // a previously-configured (possibly deleted) path would write
         // every later session's cuts there while the conf claims
         // otherwise. The conf is the source of truth.
-        val cur = spark.sparkContext.getCheckpointDir
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        if (cur.isEmpty ||
-            !new org.apache.hadoop.fs.Path(cur.get).toUri.getPath.startsWith(want))
-          spark.sparkContext.setCheckpointDir(dir)
+        // compare FULL QUALIFIED URIs (scheme + authority + path): a
+        // path-only check both misses scheme/namenode changes (file:
+        // vs hdfs:, different authorities) and lets /ckpt2/<uuid>
+        // pass a /ckpt config via bare startsWith — require equality
+        // or a proper child path. Both sides are fs-qualified so a
+        // bare configured path compares against the fully-qualified
+        // URI getCheckpointDir returns.
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def qualified(p: String): String = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(hconf).makeQualified(path)
+            .toUri.toString.stripSuffix("/")
+        }
+        val want = qualified(dir)
+        val inside = spark.sparkContext.getCheckpointDir.map(qualified)
+          .exists(c => c == want || c.startsWith(want + "/"))
+        if (!inside) spark.sparkContext.setCheckpointDir(dir)
         // persist-before-checkpoint: the eager action fills the cache
         // and the checkpoint file write re-reads it, instead of
         // recomputing the round's whole lineage a second time

@@ -834,6 +834,32 @@ object Events {
        |FROM pu GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  /** Shared z2/z3 cell-statistics formation: the normalized (u, ho)
+    * base frame plus the per-cell count/min/max stats frame (cell-
+    * count-sized, referenced by both audits' touched legs, extent rows
+    * and boxes frames — memoized under ONE key so each consumer reads
+    * one materialization instead of re-scanning the fact table, and so
+    * the two audits can never silently drift apart under that shared
+    * key). */
+  private def zCellStats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+    val h0 = ev.agg(min($"h").as("h0"))
+    val base = ev.crossJoin(broadcast(h0))
+      .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
+    val z = graft.functions.ZOrder.zvalue($"u", $"ho")
+    val cells = graft.operators.Indexes.memo(s"z2_cells:$dir") {
+      base
+        .select(shiftright(z, 8).as("cell"), $"u", $"ho")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
+          min($"ho").as("min_h"), max($"ho").as("max_h"))
+    }
+    (base, cells)
+  }
+
   /** z2: DATA-SKIPPING audit of the z-order layout — for three box
     * predicates (user range × hour range), how many curve cells the
     * engine must touch going by per-cell per-dimension min/max stats
@@ -855,23 +881,7 @@ object Events {
     * it. All arithmetic exact integers. */
   def z2SkipAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id",
-        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
-    val h0 = ev.agg(min($"h").as("h0"))
-    val base = ev.crossJoin(broadcast(h0))
-      .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
-    val z = graft.functions.ZOrder.zvalue($"u", $"ho")
-    // cell-count-sized and referenced three ways (touched legs, the
-    // extent row, the boxes frame) — memoized so each reference reads
-    // one materialization instead of re-scanning the fact table
-    val cells = graft.operators.Indexes.memo(s"z2_cells:$dir") {
-      base
-        .select(shiftright(z, 8).as("cell"), $"u", $"ho")
-        .groupBy($"cell")
-        .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
-          min($"ho").as("min_h"), max($"ho").as("max_h"))
-    }
+    val (base, cells) = zCellStats(spark, dir)
     // extent/total derive from the CELL frame (sum/max over ≤cells
     // rows), not another corpus aggregate — one fewer base-table pass
     val ext = cells.agg(max($"max_u").as("mu"), max($"max_h").as("mh"),
@@ -979,20 +989,7 @@ object Events {
     * intersection = files × 3-row broadcast. Integer-exact. */
   def z3LayoutTable(spark: SparkSession, dir: String, targetFiles: Int = 64): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id",
-        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
-    val h0 = ev.agg(min($"h").as("h0"))
-    val base = ev.crossJoin(broadcast(h0))
-      .select($"user_id".as("u"), ($"h" - $"h0").as("ho"))
-    val z = graft.functions.ZOrder.zvalue($"u", $"ho")
-    val cells = graft.operators.Indexes.memo(s"z2_cells:$dir") {
-      base
-        .select(shiftright(z, 8).as("cell"), $"u", $"ho")
-        .groupBy($"cell")
-        .agg(count(lit(1)).as("n"), min($"u").as("min_u"), max($"u").as("max_u"),
-          min($"ho").as("min_h"), max($"ho").as("max_h"))
-    }
+    val (base, cells) = zCellStats(spark, dir)
     val ext = cells.agg(max($"max_u").as("mu"), max($"max_h").as("mh"),
       sum($"n").as("rows_total"))
     def bucketed(key: String, tag: String): DataFrame =

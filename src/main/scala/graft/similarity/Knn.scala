@@ -1365,12 +1365,13 @@ object Knn {
     * to end → hash-checked oracle (every CTE materialized — the s29
     * lesson: DuckDB re-inlines plain CTEs per reference, and this
     * oracle's residual frame feeds 8 training chains). */
-  def s30IvfPqAnn(spark: SparkSession, dir: String, k: Int = K, nprobe: Int = 2,
-                  iters: Int = 3): DataFrame = {
+  /** The IVF-PQ posting-list frame — each corpus vector's m (cell, s,
+    * code) rows, the only thing the search ever reads from the corpus.
+    * Shared by the in-session s30 and [[saveIvfPqIndex]]. */
+  private def ivfpqPostings(spark: SparkSession, dir: String,
+                            books: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.nearestCentE6
-    val cents = lloydCentroids(spark, dir)
-    val books = ivfpqBooks(spark, dir, iters)
     val resid = ivfpqResiduals(spark, dir)
     def codeCol(s: Int, cs: Seq[(Int, Array[Long])]): Column = {
       val ids = lit(cs.map(_._1).toArray)
@@ -1378,18 +1379,25 @@ object Knn {
         (pmod(nearestCentE6(slice($"rel", s * SubDim + 1, SubDim),
           cs.map(_._2).toArray), lit(16)) + 1).cast("int")).cast("long")
     }
-    val codes = resid.filter($"vec_id" >= 10)
+    resid.filter($"vec_id" >= 10)
       .select($"vec_id".as("neighbor_id"), $"cell",
         explode(array(books.map { case (s, cs) =>
           struct(lit(s).as("s"), codeCol(s, cs).as("code")) }: _*)).as("sc"))
       .select($"neighbor_id", $"cell", $"sc.s".as("s"), $"sc.code".as("code"))
-    // probe selection + per-(query, cell) residual ADC tables: pure
-    // projections on the QUERY rows only (interpreted HOF arithmetic
-    // is fine there — s8/s10's corpus/query split); the nprobe
-    // smallest cells fall out of one array_sort, the query's residual
-    // in each probed cell subtracts that cell's centroid looked up in
-    // the nested literal, and the m×16 codeword distances explode to
-    // the broadcastable table.
+  }
+
+  /** The per-(query, probed-cell) residual ADC distance table — pure
+    * projections on the QUERY rows only (interpreted HOF arithmetic is
+    * fine there — s8/s10's corpus/query split): the nprobe smallest
+    * cells fall out of one array_sort, the query's residual in each
+    * probed cell subtracts that cell's centroid looked up in the
+    * nested literal, and the m×16 codeword distances explode to the
+    * broadcastable table. Shared by s30 and [[s30FromIndex]]. */
+  private def ivfpqDtab(spark: SparkSession, dir: String,
+                        cents: Seq[(Int, Array[Long])],
+                        books: Seq[(Int, Seq[(Int, Array[Long])])],
+                        nprobe: Int): DataFrame = {
+    import spark.implicits._
     val q = quantized(spark, dir)
     val cellDists = cents.map { case (c, arr) =>
       struct(
@@ -1413,16 +1421,31 @@ object Knn {
             (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("qdist"))
       }
     }
-    val dtab = qres
+    qres
       .select($"query_id", $"cell", explode(array(dcols: _*)).as("d"))
       .select($"query_id", $"cell", $"d.s".as("s"), $"d.code".as("code"),
         $"d.qdist".as("qdist"))
+  }
+
+  /** ADC search over a posting frame: broadcast the distance table
+    * onto the (cell, s, code)-keyed postings, sum m partials per
+    * candidate, per-query top-k. */
+  private def ivfpqSearch(postings: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
+    import postings.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"adist_e12", $"neighbor_id")
-    codes.join(broadcast(dtab), Seq("cell", "s", "code"))
+    postings.join(broadcast(dtab), Seq("cell", "s", "code"))
       .groupBy($"query_id", $"neighbor_id")
       .agg(sum($"qdist").as("adist_e12"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
+  }
+
+  def s30IvfPqAnn(spark: SparkSession, dir: String, k: Int = K, nprobe: Int = 2,
+                  iters: Int = 3): DataFrame = {
+    val cents = lloydCentroids(spark, dir)
+    val books = ivfpqBooks(spark, dir, iters)
+    ivfpqSearch(ivfpqPostings(spark, dir, books),
+      ivfpqDtab(spark, dir, cents, books, nprobe), k)
   }
 
   /** s30 oracle: coarse Lloyd's chain + residual frame + 8 residual
@@ -1808,9 +1831,12 @@ object Knn {
     * DuckDB (the BPE-chain lesson), and `pool`'s five transitive
     * references to the banded scoring chain exhausted the process's
     * memory maps at sf0.1. */
-  def s29Sql: String =
-    s"""WITH $s17Ctes,
-       |g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= 3),
+  /** The NN-descent refinement chain as composable CTEs (g → und →
+    * pool → sc → `ref` = the refined edge list) — shared by s29Sql
+    * and the s35 walk oracle, exactly as `nnDescentRound` is shared
+    * on the Scala side. Expects [[s17Ctes]]' `s17r`/`u` in scope. */
+  private def s29RefCtes: String =
+    s"""g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= 3),
        |und AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM g
        |  UNION ALL SELECT neighbor_id, src_id FROM g),
@@ -1826,11 +1852,15 @@ object Knn {
        |  JOIN u q ON q.vec_id = p.src_id
        |  JOIN u c ON c.vec_id = p.neighbor_id AND c.i = q.i
        |  GROUP BY 1, 2),
-       |ref AS (
+       |ref AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM (
        |    SELECT src_id, neighbor_id,
        |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
-       |    FROM sc) WHERE rn <= 3),
+       |    FROM sc) WHERE rn <= 3)""".stripMargin
+
+  def s29Sql: String =
+    s"""WITH $s17Ctes,
+       |$s29RefCtes,
        |ex AS (SELECT query_id, neighbor_id FROM ($s1Sql)),
        |bq AS (
        |  SELECT src_id AS query_id, neighbor_id FROM g
@@ -1847,6 +1877,188 @@ object Knn {
        |LEFT JOIN bq ON bq.query_id = ex.query_id AND bq.neighbor_id = ex.neighbor_id
        |LEFT JOIN rq ON rq.query_id = ex.query_id AND rq.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id""".stripMargin
+
+  // ---- s35/s36: graph-walk ANN serving tier -------------------------
+
+  /** The s35 serving index: the one-round-refined kNN graph
+    * (s17 banding → s29 NN-descent), symmetrized and id-partitioned —
+    * memoized per dir because build-once/serve-many is the whole point
+    * of a graph index. */
+  private[graft] def walkAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s35_adj:$dir") {
+      val ref = nnDescentRound(spark, dir, 3).select($"src_id", $"neighbor_id")
+      ref.unionAll(ref.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .dropDuplicates("src_id", "neighbor_id")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    }
+  }
+
+  /** s35: GRAPH-WALK ANN serving — beam search over the persisted
+    * s17→s29 kNN graph: the HNSW/DiskANN serving shape (Malkov &
+    * Yashunin TPAMI 2018; Subramanya et al. NeurIPS 2019) that
+    * dominates sub-100M-vector latency benchmarks, completing the
+    * production ANN ladder next to the five quantization tiers.
+    * Entry points come from the s8 coarse quantizer (the query's
+    * nearest cell's `beam` lowest-id members — a DiskANN-style fixed,
+    * index-derived entry set: no corpus scan, no extra training);
+    * then `rounds` frontier expansions over the symmetrized refined
+    * edges keep the best `beam` candidates per round by exact cosine,
+    * and the final top-k of everything visited is the answer.
+    *
+    * Scale shape — work ∝ queries × beam × degree × rounds, NEVER
+    * corpus-sized: each round is one (queries×beam)-row equi-join
+    * into the id-partitioned edge list (the memoized index artifact
+    * — [[walkAdjacency]]), a dedup while the pair is two bare longs,
+    * and exact scoring via a hash-join into the vector store — only
+    * VISITED vectors' floats ever move, which is why the graph tier
+    * serves from disk at DiskANN scale. Storage = degree×8 B of ids
+    * + the full-precision vector (s32's seventh row: 3·8 + 256 =
+    * 280 B/vec). Deterministic end to end (round-6 ordered-sum
+    * cosines, (cos DESC, id) tie-breaks, lowest-id entry set) →
+    * DuckDB hash oracle, iterations unrolled. */
+  def s35GraphWalk(spark: SparkSession, dir: String, k: Int = K,
+                   beam: Int = 4, rounds: Int = 3, kc: Int = 8,
+                   iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.quantizeE6
+    val adj = walkAdjacency(spark, dir)
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val e = Tables.read(spark, dir, "embeddings")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
+        quantizeE6($"embedding").as("el"))
+    // nprobe=1 probe selection: plan-time literal centroid distances,
+    // array_sort struct order = (dist, cell) — s8's convention
+    val cellDists = cents.map { case (c, arr) =>
+      struct(
+        aggregate(zip_with($"el", lit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("cdist"),
+        lit(c.toLong).as("cell"))
+    }
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+        element_at(array_sort(array(cellDists: _*)), 1).getField("cell").as("cell"))
+    val corpusCells = assignCells(spark, e.filter($"vec_id" >= 10), cents)
+      .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
+    val wEntry = Window.partitionBy($"query_id").orderBy($"neighbor_id")
+    val entry = corpusCells
+      .join(broadcast(queries.select($"query_id", $"cell")), Seq("cell"))
+      .withColumn("rn", row_number().over(wEntry)).filter($"rn" <= beam)
+      .select($"query_id", $"neighbor_id")
+    val qSide = queries.select($"query_id", $"q", $"qn")
+    val store = e.filter($"vec_id" >= 10)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+    def scored(pool: DataFrame): DataFrame =
+      pool.join(store, Seq("neighbor_id"))
+        .join(broadcast(qSide), Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+    val wBeam = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    var visited = entry
+    for (_ <- 1 to rounds) {
+      val beamR = scored(visited)
+        .withColumn("rn", row_number().over(wBeam)).filter($"rn" <= beam)
+        .select($"query_id", $"neighbor_id")
+      val frontier = beamR.alias("bm")
+        .join(adj.alias("ad"), col("bm.neighbor_id") === col("ad.src_id"))
+        .select(col("bm.query_id").as("query_id"),
+          col("ad.neighbor_id").as("neighbor_id"))
+        .filter($"neighbor_id" >= 10)
+      visited = visited.unionAll(frontier).dropDuplicates("query_id", "neighbor_id")
+    }
+    scored(visited)
+      .withColumn("rank", row_number().over(wBeam))
+      .filter($"rank" <= k)
+  }
+
+  /** s35 oracle: the shared s17 + refinement chains (`ref`), the s8
+    * Lloyd's chain for the nprobe=1 entry cells, and the walk's
+    * rounds unrolled as (score → beam → frontier → visited) CTE
+    * quads. Multi-referenced frames are MATERIALIZED (the s29
+    * re-inline lesson). */
+  def s35Sql: String = {
+    val (beam, rounds) = (4, 3)
+    val iters = 4
+    def scoreCte(name: String, from: String) =
+      s"""$name AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+         |  FROM $from p
+         |  JOIN u uq ON uq.vec_id = p.query_id
+         |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
+         |  GROUP BY 1, 2)""".stripMargin
+    val roundCtes = (1 to rounds).map { rd =>
+      s"""${scoreCte(s"gsc$rd", s"v${rd - 1}")},
+         |gb$rd AS (
+         |  SELECT query_id, neighbor_id FROM gsc$rd
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $beam),
+         |gf$rd AS (
+         |  SELECT b.query_id, a.neighbor_id
+         |  FROM gb$rd b JOIN adj a ON a.src_id = b.neighbor_id
+         |  WHERE a.neighbor_id >= 10),
+         |v$rd AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM v${rd - 1}
+         |  UNION SELECT query_id, neighbor_id FROM gf$rd)""".stripMargin
+    }
+    s"""WITH $s17Ctes,
+       |$s29RefCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM ref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ref),
+       |${lloydCteParts(iters).mkString(",\n")},
+       |gcells AS (
+       |  SELECT vec_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |gprobes AS (
+       |  SELECT vec_id AS query_id, cluster AS cell FROM (
+       |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
+       |    FROM q JOIN c${iters - 1} c ON c.i = q.i
+       |    WHERE q.vec_id < 10 GROUP BY 1, 2
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
+       |v0 AS MATERIALIZED (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT p.query_id, cl.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY cl.vec_id) AS rn
+       |    FROM gprobes p JOIN gcells cl ON cl.cell = p.cell) WHERE rn <= $beam),
+       |${roundCtes.mkString(",\n")},
+       |${scoreCte("gfin", s"v$rounds")}
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM gfin)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s36: recall@k audit of the graph-walk tier vs the exact s1
+    * top-k (the s9/s11/s13 pattern — index quality is measured, not
+    * claimed): prices what beam=4 × 3 rounds over a degree-3 graph
+    * buys, and feeds s32's seventh (graph) tier row. */
+  def s36WalkRecall(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val exact = s1Brute(spark, dir, k).select($"query_id", $"neighbor_id")
+    val approx = s35GraphWalk(spark, dir, k)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    exact.join(approx, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+      .groupBy($"query_id")
+      .agg(count($"n2").as("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+  }
+
+  /** s36 oracle: s1 and s35 oracles composed (the s9 pattern). */
+  def s36Sql: String =
+    s"""WITH ex AS ($s1Sql),
+       |ap AS ($s35Sql)
+       |SELECT ex.query_id, count(ap.neighbor_id) AS n_hits,
+       |  CAST(count(ap.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6
+       |FROM ex LEFT JOIN ap
+       |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** s18: HARD-NEGATIVE mining — for each query vector, the k corpus
     * neighbors with the HIGHEST cosine but a DIFFERENT label: the
@@ -2482,17 +2694,20 @@ object Knn {
     * mean/min recall@5 ×1e6, bytes per vector). This is the table an
     * index-capacity plan actually reads: s9 prices scan pruning at
     * full precision, s11/s13/s14 price the three compression
-    * families, s31 prices the composed production shape — and memory
+    * families, s31 prices the composed production shape, s34 the
+    * 1-bit sign sketch, s36 the graph-walk serving tier — and memory
     * is the axis that decides which fits a 100 TB corpus in RAM.
     * Bytes/vector are the tiers' storage formulas as plan-time
     * constants (Dim=64, float32, m=8 subspaces × 4-bit codes, 1-byte
     * cell tag): ivf_km 64·4+8=264 (full vectors, cell-tagged), pq
-    * m·log₂k/8=4, sq8 Dim·1=64, mrl16 16·4=64, ivfpq 4+1=5.
+    * m·log₂k/8=4, sq8 Dim·1=64, mrl16 16·4=64, ivfpq 4+1=5, bq
+    * Dim/8=8 (1 bit/dim), graph degree·8+Dim·4=280 (3 neighbor ids +
+    * the full-precision vector the walk scores against).
     *
     * Scale shape: each audit is its own registered, plan-audited
-    * operator riding memoized index artifacts; s32 adds only five
-    * query-set-sized aggregations and a 5-row union. halfUp means →
-    * hash-exact oracle composing the five audit oracles as CTEs. */
+    * operator riding memoized index artifacts; s32 adds only seven
+    * query-set-sized aggregations and a 7-row union. halfUp means →
+    * hash-exact oracle composing the seven audit oracles as CTEs. */
   def s32TierTable(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     import spark.implicits._
     val halfUp = graft.functions.IntMath.halfUpDiv _
@@ -2502,7 +2717,8 @@ object Knn {
       ("sq8", s13Sq8Recall(spark, dir, k), 64L),
       ("mrl16", s14MrlRecall(spark, dir, k), 64L),
       ("ivfpq", s31IvfPqRecall(spark, dir, k), 5L),
-      ("bq", s34BqRecall(spark, dir, k), 8L))
+      ("bq", s34BqRecall(spark, dir, k), 8L),
+      ("graph", s36WalkRecall(spark, dir, k), 280L))
     tiers.map { case (t, df, bytes) =>
       df.agg(count(lit(1)).as("n_queries"),
           halfUp(sum($"recall_e6"), count(lit(1))).as("mean_recall_e6"),
@@ -2512,7 +2728,7 @@ object Knn {
     }.reduce(_ unionAll _)
   }
 
-  /** s32 oracle: the six audit oracles as CTEs + the same halfUp
+  /** s32 oracle: the seven audit oracles as CTEs + the same halfUp
     * rollups (each nested WITH is subquery-scoped, so their CTE names
     * cannot collide). A def, not a val: s34Sql is declared later in
     * the object and a val here would interpolate null (the t9Sql
@@ -2529,13 +2745,15 @@ object Knn {
        |tsq8 AS ($s13Sql),
        |tmrl AS ($s14Sql),
        |tivfpq AS ($s31Sql),
-       |tbq AS ($s34Sql)
+       |tbq AS ($s34Sql),
+       |tgw AS ($s36Sql)
        |${row("ivf_km", "tivf", 264L)}
        |UNION ALL ${row("pq", "tpq", 4L)}
        |UNION ALL ${row("sq8", "tsq8", 64L)}
        |UNION ALL ${row("mrl16", "tmrl", 64L)}
        |UNION ALL ${row("ivfpq", "tivfpq", 5L)}
        |UNION ALL ${row("bq", "tbq", 8L)}
+       |UNION ALL ${row("graph", "tgw", 280L)}
        |ORDER BY tier""".stripMargin
   }
 
@@ -2724,6 +2942,105 @@ object Knn {
     corpus.join(broadcast(probes), Seq("cell"))
       .select($"query_id", $"neighbor_id",
         round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** PERSISTED IVF-PQ index — [[saveIvfIndex]]'s build-once/serve-many
+    * split for the COMPRESSED tier: `centroids.parquet` (kc coarse
+    * rows) + `codebooks.parquet` (m×16 residual codewords — the ADC
+    * sidecar) + `postings.parquet` PARTITIONED BY cell carrying ONLY
+    * (neighbor_id, s, code) — 8 small ints per vector, never a float:
+    * an nprobe-of-kc probe is a partition-pruned read of ~nprobe/kc of
+    * the already-64×-compressed index bytes, the FAISS on-disk IVFADC
+    * layout. */
+  def saveIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+                     iters: Int = 3): Unit = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, dir)
+    val books = ivfpqBooks(spark, dir, iters)
+    cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids.parquet")
+    books.flatMap { case (s, cs) => cs.map { case (code, a) => (s, code, a.toSeq) } }
+      .toDF("s", "code", "cent")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/codebooks.parquet")
+    ivfpqPostings(spark, dir, books)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings.parquet")
+  }
+
+  /** Serve s30's exact query shape from a [[saveIvfPqIndex]] layout —
+    * no training, no residual encode, no corpus scan: coarse centroids
+    * and codebooks come off the tiny sidecars, postings off the
+    * cell-partitioned files the broadcast ADC join prunes to.
+    * Bit-identical to [[s30IvfPqAnn]] on the same corpus (spec-pinned)
+    * because probe selection and the ADC table reuse the same integer
+    * arithmetic over the same saved codewords. */
+  def s30FromIndex(spark: SparkSession, dir: String, indexPath: String,
+                   k: Int = K, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids.parquet").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Long](r.fieldIndex("cent")).toArray))
+      .sortBy(_._1).toSeq
+    val books = spark.read.parquet(s"$indexPath/codebooks.parquet").collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("code"),
+        r.getSeq[Long](r.fieldIndex("cent")).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    val postings = spark.read.parquet(s"$indexPath/postings.parquet")
+      .select($"neighbor_id", $"s", $"code", $"cell".cast("long").as("cell"))
+    ivfpqSearch(postings, ivfpqDtab(spark, dir, cents, books, nprobe), k)
+  }
+
+  /** PERSISTED BINARY-QUANTIZATION index: the corpus sign sketches —
+    * (vec_id, blo, bhi), 16 B/row — as one parquet. No partitioning:
+    * the Hamming stage deliberately scans EVERY sketch (that is the
+    * tier's contract — 8 B/vec of index, no pruning structure), and
+    * the rerank stage reads full vectors from the TABLE, only for
+    * shortlist members: the production split where the bit index fits
+    * in RAM and the float store stays on disk. */
+  def saveBqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    quantized(spark, dir).filter($"vec_id" >= 10)
+      .select($"vec_id", signHalfI($"el", 0).as("blo"), signHalfI($"el", 32).as("bhi"))
+      .write.mode("overwrite").parquet(s"$indexPath/bits.parquet")
+  }
+
+  /** Serve s33's exact query shape from a [[saveBqIndex]] layout —
+    * stage 1 Hamming-ranks the saved sketches against broadcast query
+    * sketches (computed on the fly: queries are the tiny side), stage
+    * 2 re-ranks the shortlist by exact integer L2 against the table's
+    * full-precision vectors. Bit-identical to [[s33BqAnn]]
+    * (spec-pinned). */
+  def s33FromIndex(spark: SparkSession, dir: String, indexPath: String,
+                   k: Int = K, shortlist: Int = 25): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotI64, sumSqI64}
+    val corpusBits = spark.read.parquet(s"$indexPath/bits.parquet")
+      .select($"vec_id".as("neighbor_id"), $"blo", $"bhi")
+    val q = quantized(spark, dir)
+    val queries = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"el",
+        signHalfI($"el", 0).as("qlo"), signHalfI($"el", 32).as("qhi"))
+    val wH = Window.partitionBy($"query_id").orderBy($"hamming", $"neighbor_id")
+    val short = corpusBits
+      .join(broadcast(queries.select($"query_id", $"qlo", $"qhi")))
+      .select($"query_id", $"neighbor_id",
+        (bit_count($"blo".bitwiseXOR($"qlo")) +
+          bit_count($"bhi".bitwiseXOR($"qhi"))).cast("long").as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter($"hrank" <= shortlist).drop("hrank")
+    val w = Window.partitionBy($"query_id").orderBy($"sq_dist", $"neighbor_id")
+    short
+      .join(q.filter($"vec_id" >= 10).select($"vec_id".as("neighbor_id"),
+        $"el".as("ce"), sumSqI64($"el").as("cc")), "neighbor_id")
+      .join(broadcast(queries.select($"query_id", $"el".as("qe"),
+        sumSqI64($"el").as("qq"))), "query_id")
+      .select($"query_id", $"neighbor_id", $"hamming",
+        ($"qq" + $"cc" - lit(2L) * dotI64($"qe", $"ce")).as("sq_dist"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
   }

@@ -34,6 +34,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DocStream {
 
+  /** Lands one micro-batch output in its `ingest_batch=<id>` partition.
+    * The target partition is explicitly deleted first: dynamic
+    * partition overwrite only replaces partitions the NEW frame lands
+    * rows in, so a replayed batch whose side went to zero rows (e.g. a
+    * quality threshold retuned between attempts) would otherwise leave
+    * the stale first-attempt partition alive — a doc appearing in both
+    * kept and rejected for the same batch id. Delete + write keeps
+    * replay idempotent even across a between-attempt retune. */
+  private def landBatch(df: DataFrame, path: String, batchId: Long): Unit = {
+    val part = new org.apache.hadoop.fs.Path(s"$path/ingest_batch=$batchId")
+    try {
+      val fs = part.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(part, true)
+    } catch { case _: java.io.IOException => () } // fresh table: nothing to clear
+    df.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(path)
+  }
+
   /** File-watch source over line-delimited text shards: one row per
     * line, stamped with its source file (the streaming twin of
     * [[graft.sources.Tables.text]]). */
@@ -55,16 +75,11 @@ object DocStream {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        def land(df: DataFrame, path: String): Unit =
-          df.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch").parquet(path)
         val docs = graft.sources.Tables.documentsFromLines(batch, lang)
           .persist()
         try {
-          land(docs, docsPath)
-          land(graft.text.TextAnalysis.chunk(docs, window, stride), chunksPath)
+          landBatch(docs, docsPath, batchId)
+          landBatch(graft.text.TextAnalysis.chunk(docs, window, stride), chunksPath, batchId)
         } finally { docs.unpersist(); () }
       }
       .start()
@@ -100,57 +115,127 @@ object DocStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        import graft.dedup.Dedup
-        def land(df: DataFrame, path: String): Unit =
-          df.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch").parquet(path)
-        val sigs = Dedup.signaturesOf(batch, k).persist()
-        try {
-          val corpusSigs = readSigIndex(spark, indexPath, k)
-            .filter($"ingest_batch" < batchId)
-            .drop("ingest_batch")
-          val cand = Dedup.bandRowsOf(sigs, k, bands)
-            .select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
-            .join(Dedup.bandRowsOf(corpusSigs, k, bands)
-                .select($"doc_id".as("doc_id2"), $"band_idx", $"band_key"),
-              Seq("band_idx", "band_key"))
-            .select($"doc_id1", $"doc_id2")
-            .dropDuplicates("doc_id1", "doc_id2")
-          val matches = Dedup.slotAgreement(cand, sigs, corpusSigs, k)
-            .filter($"est_jaccard" >= threshold)
-            .groupBy($"doc_id1")
-            .agg(count(lit(1)).as("n_corpus_matches"),
-              min($"doc_id2").as("min_match_id"),
-              max($"est_jaccard").as("max_est"))
-            .withColumnRenamed("doc_id1", "doc_id")
-          // every batch doc gets a verdict row — docs with <3 tokens
-          // have no signature (nothing to match on) and keep
-          val report = batch.select($"doc_id").dropDuplicates("doc_id")
-            .join(matches, Seq("doc_id"), "left")
-            .select($"doc_id",
-              coalesce($"n_corpus_matches", lit(0L)).as("n_corpus_matches"),
-              $"min_match_id", $"max_est",
-              when(coalesce($"n_corpus_matches", lit(0L)) > 0, "drop")
-                .otherwise("keep").as("verdict"))
-            // lineage reads indexPath (through `matches`); the index
-            // append below writes it — cut the lineage so Spark's
-            // self-overwrite check cannot trip and the verdicts are
-            // computed exactly once
-            .localCheckpoint(true)
-          land(report, decisionsPath)
-          val kept = sigs.join(
-              report.filter($"verdict" === "keep").select($"doc_id"), Seq("doc_id"), "left_semi")
-          land(kept, indexPath)
-        } finally { sigs.unpersist(); () }
+        val (report, keptSigs) =
+          nearDupVerdicts(batch, indexPath, batchId, k, bands, threshold)
+        landBatch(report, decisionsPath, batchId)
+        landBatch(keptSigs, indexPath, batchId)
       }
       .start()
 
-  /** Corpus signature index reader; empty-with-schema before the first
-    * batch lands. */
+  /** The batch-vs-index near-dup verdict core shared by
+    * [[nearDupIngestSink]] and [[curatedIngestSink]]: signs the batch
+    * (d2's MinHash kernel), band-joins against the persisted corpus
+    * signature index (strictly OLDER `ingest_batch` partitions — a
+    * replayed batch sees exactly the view its first run saw), and
+    * returns (per-doc verdict report, kept docs' signatures). Both
+    * frames are EAGERLY lineage-cut: their lineage reads `indexPath`,
+    * which the caller appends to right after — the cut makes the
+    * verdicts compute exactly once and keeps Spark's self-overwrite
+    * check out of the way. */
+  private def nearDupVerdicts(batch: DataFrame, indexPath: String, batchId: Long,
+                              k: Int, bands: Int, threshold: Double)
+  : (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val sigs = Dedup.signaturesOf(batch, k).persist()
+    try {
+      val corpusSigs = readSigIndex(spark, indexPath, k)
+        .filter($"ingest_batch" < batchId)
+        .drop("ingest_batch")
+      val cand = Dedup.bandRowsOf(sigs, k, bands)
+        .select($"doc_id".as("doc_id1"), $"band_idx", $"band_key")
+        .join(Dedup.bandRowsOf(corpusSigs, k, bands)
+            .select($"doc_id".as("doc_id2"), $"band_idx", $"band_key"),
+          Seq("band_idx", "band_key"))
+        .select($"doc_id1", $"doc_id2")
+        .dropDuplicates("doc_id1", "doc_id2")
+      val matches = Dedup.slotAgreement(cand, sigs, corpusSigs, k)
+        .filter($"est_jaccard" >= threshold)
+        .groupBy($"doc_id1")
+        .agg(count(lit(1)).as("n_corpus_matches"),
+          min($"doc_id2").as("min_match_id"),
+          max($"est_jaccard").as("max_est"))
+        .withColumnRenamed("doc_id1", "doc_id")
+      // every batch doc gets a verdict row — docs with <3 tokens
+      // have no signature (nothing to match on) and keep
+      val report = batch.select($"doc_id").dropDuplicates("doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_corpus_matches", lit(0L)).as("n_corpus_matches"),
+          $"min_match_id", $"max_est",
+          when(coalesce($"n_corpus_matches", lit(0L)) > 0, "drop")
+            .otherwise("keep").as("verdict"))
+        .localCheckpoint(true)
+      val keptSigs = sigs.join(
+          report.filter($"verdict" === "keep").select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      (report, keptSigs)
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** STREAMING CURATED INGEST — the c6 capstone at the ingest
+    * boundary: the three certified sinks' stages composed into ONE
+    * micro-batch pipeline, quality gate (the batch t2 formula + t37
+    * encoding detectors) → near-dup probe against the persisted
+    * signature index (d11's batch-vs-corpus shape) → deterministic
+    * shard assignment (t38/c6's seeded digest slice). Kept docs land
+    * WITH their shard at `keptPath`; everything else lands at
+    * `rejectedPath` with its reason (`encoding` beats `low_quality`
+    * beats `near_dup` — cheap gates run first, t37/c1's order, and a
+    * doc rejected by the gate never pays for signing); kept docs'
+    * signatures append to the index so later batches dedup against
+    * them.
+    *
+    * Exactly-once: all three outputs ride [[landBatch]]'s delete-then-
+    * dynamic-overwrite `ingest_batch` partitions and the index reads
+    * `ingest_batch < batchId`, so a replayed batch recomputes
+    * identical partitions even if a threshold was retuned between
+    * attempts (StreamingSpec pins stale-checkpoint replay and
+    * bit-parity of kept/shard against the batch stages). */
+  def curatedIngestSink(lines: DataFrame, keptPath: String, rejectedPath: String,
+                        indexPath: String, checkpoint: String,
+                        minQualityE6: Long = 300000L, lang: String = "und",
+                        seed: String = "graft", shards: Int = 16,
+                        k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.7): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = graft.sources.Tables.documentsFromLines(batch, lang)
+        val gated = docs
+          .join(graft.text.TextAnalysis.qualityOf(docs)
+            .select(col("doc_id"), col("quality_e6")), "doc_id")
+          .withColumn("gate_reason",
+            when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
+              .when(col("quality_e6") < minQualityE6, "low_quality"))
+          .persist()
+        try {
+          val clean = gated.filter(col("gate_reason").isNull).drop("gate_reason")
+          val (report, keptSigs) =
+            nearDupVerdicts(clean, indexPath, batchId, k, bands, threshold)
+          val kept = clean
+            .join(report.filter(col("verdict") === "keep").select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .withColumn("shard",
+              conv(substring(md5(concat(lit(seed), lit(":"),
+                col("doc_id").cast("string"))), 13, 4), 16, 10)
+                .cast("long") % shards)
+          val rejected = gated.filter(col("gate_reason").isNotNull)
+            .select(col("doc_id"), col("quality_e6"),
+              col("gate_reason").as("reason"))
+            .unionByName(clean
+              .join(report.filter(col("verdict") === "drop").select(col("doc_id")),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("quality_e6"), lit("near_dup").as("reason")))
+          landBatch(kept, keptPath, batchId)
+          landBatch(rejected, rejectedPath, batchId)
+          landBatch(keptSigs, indexPath, batchId)
+        } finally { gated.unpersist(); () }
+      }
+      .start()
+
   /** STREAMING QUALITY GATE — curation at the ingest boundary: each
     * micro-batch of crawl lines is scored with EXACTLY the batch t2
     * quality formula ([[graft.text.TextAnalysis.qualityOf]]) and the
@@ -163,21 +248,19 @@ object DocStream {
     *
     * Scale shape: score = one explode + one map-side-combinable
     * groupBy per batch (work ∝ batch); both landings ride the
-    * `ingest_batch` dynamic-overwrite partition pattern, so a
-    * replayed batch rewrites exactly its own partitions —
-    * at-least-once delivery × idempotent write = effectively-once,
-    * and kept/rejected cannot diverge past one replay. */
+    * `ingest_batch` delete-then-dynamic-overwrite partition pattern
+    * ([[landBatch]] — the explicit delete covers the side a replay
+    * lands ZERO rows on, e.g. after a threshold retune between
+    * attempts), so a replayed batch rewrites exactly its own
+    * partitions: at-least-once delivery × idempotent write =
+    * effectively-once, and kept/rejected cannot diverge past one
+    * replay. */
   def qualityGateSink(lines: DataFrame, keptPath: String, rejectedPath: String,
                       checkpoint: String, minQualityE6: Long = 300000L,
                       lang: String = "und"): StreamingQuery =
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        def land(df: DataFrame, path: String): Unit =
-          df.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch").parquet(path)
         val docs = graft.sources.Tables.documentsFromLines(batch, lang)
         val scored = docs
           .join(graft.text.TextAnalysis.qualityOf(docs)
@@ -187,12 +270,14 @@ object DocStream {
               .when(col("quality_e6") < minQualityE6, "low_quality"))
           .persist()
         try {
-          land(scored.filter(col("reason").isNull).drop("reason"), keptPath)
-          land(scored.filter(col("reason").isNotNull), rejectedPath)
+          landBatch(scored.filter(col("reason").isNull).drop("reason"), keptPath, batchId)
+          landBatch(scored.filter(col("reason").isNotNull), rejectedPath, batchId)
         } finally { scored.unpersist(); () }
       }
       .start()
 
+  /** Corpus signature index reader; empty-with-schema before the first
+    * batch lands. */
   private def readSigIndex(spark: SparkSession, path: String, k: Int): DataFrame = {
     import spark.implicits._
     val empty = spark.range(0).select(

@@ -85,11 +85,54 @@ object EventStream {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
                         n_events: Long, sum_value: Double)
 
+  /** Session-conf knob the e39 watermark audit feeds: when set (by
+    * [[planWatermark]] or an operator), the event aggregations whose
+    * caller did not pick an explicit delay use it instead of the
+    * built-in [[DefaultAggWatermark]]. This closes the audit→knob
+    * loop: e39 computes the drop-rate decision table, this is the
+    * `withWatermark` argument it exists to choose. */
+  val WatermarkDelayKey = "spark.graft.watermarkDelay"
+
+  /** The built-in delay of the e1/e24 streaming twins — the sentinel
+    * [[resolvedWatermark]] replaces when [[WatermarkDelayKey]] is
+    * configured. */
+  val DefaultAggWatermark = "2 hours"
+
+  /** e39 → the knob: runs the watermark-delay decision table over the
+    * batch corpus at `dir`, picks the recommended delay (smallest
+    * candidate whose measured drop rate meets `budgetE6`), writes it
+    * to [[WatermarkDelayKey]] and returns it as a `withWatermark`
+    * interval string. Fails loudly when NO candidate meets the budget
+    * — silently picking the largest would under-deliver the budget the
+    * caller asked for. */
+  def planWatermark(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    budgetE6: Long = 10000L): String = {
+    val rec = graft.queries.Events.e39WatermarkPlan(spark, dir, budgetE6)
+      .filter(col("recommended") === 1L)
+      .select(col("delay_s")).collect()
+    require(rec.nonEmpty, s"no candidate watermark delay meets drop budget $budgetE6/1e6")
+    val delay = s"${rec.head.getLong(0)} seconds"
+    spark.conf.set(WatermarkDelayKey, delay)
+    delay
+  }
+
+  /** Explicit argument beats the conf; the conf beats the built-in
+    * default. (A caller explicitly passing the default string gets the
+    * conf too — the sentinel is the string value, documented on
+    * [[DefaultAggWatermark]].) */
+  private def resolvedWatermark(events: DataFrame, watermark: String): String =
+    if (watermark == DefaultAggWatermark)
+      events.sparkSession.conf.getOption(WatermarkDelayKey)
+        .filter(_.nonEmpty).getOrElse(watermark)
+    else watermark
+
   /** Streaming twin of e1: tumbling 1-hour counts per event type.
     * Works on any DataFrame with (ts: timestamp, event_type, value) —
-    * batch or streaming — the plan is identical, which is the point. */
-  def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    * batch or streaming — the plan is identical, which is the point.
+    * The default delay defers to [[WatermarkDelayKey]] when set. */
+  def windowedAgg(events: DataFrame, watermark: String = DefaultAggWatermark): DataFrame = {
+    val in = if (events.isStreaming)
+      events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     // decimal-exact sum, same as the batch twin e1 — identical results
     // under any partitioning / trigger pattern
     in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -103,8 +146,9 @@ object EventStream {
     * in 4 windows). Same plan batch or streaming; under streaming a
     * window is emitted in append mode once the watermark passes its
     * end, state bounded to open windows × event types. */
-  def hoppingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+  def hoppingAgg(events: DataFrame, watermark: String = DefaultAggWatermark): DataFrame = {
+    val in = if (events.isStreaming)
+      events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     in.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), exactSumValue)
       .select(col("window.start").as("w_start"), col("event_type"),
@@ -599,8 +643,9 @@ object EventStream {
     * but deterministic and replay-stable). Works identically on a
     * batch frame — the parity spec pins it. */
   def kmvDistinctStream(events: DataFrame, k: Int = 64,
-                        watermark: String = "2 hours"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+                        watermark: String = DefaultAggWatermark): DataFrame = {
+    val in = if (events.isStreaming)
+      events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     in.select(window(col("ts"), "1 hour").as("w"),
         graft.functions.DetHash.md5Long60Col(col("user_id").cast("string")).as("h"))
       .groupBy(col("w"))

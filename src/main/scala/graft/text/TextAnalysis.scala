@@ -2625,17 +2625,25 @@ object TextAnalysis {
     }
     var r = strength.select($"source", $"a".as("word"), lit(1000000L).as("r_e6"))
     for (_ <- 1 to iters) {
-      val share = edges
-        .join(r.join(strength, r("source") === strength("source") && r("word") === strength("a"))
-                .select(r("source").as("rs"), $"word", $"r_e6", $"outw"),
-              edges("source") === $"rs" && edges("a") === $"word")
-        .select(edges("source").as("source"), edges("b").as("b"),
-          halfUp($"r_e6" * $"w", $"outw").as("share"))
+      // r descends from strength, so bare r("source") === strength("source")
+      // would share an exprId and lean on the analyzer's trivially-true-
+      // predicate rewrite (a logged WARN, and a dataset-id heuristic that has
+      // shifted across Spark minors) — qualified aliases are unambiguous
+      val ranked = r.alias("rr")
+        .join(strength.alias("st"),
+          col("rr.source") === col("st.source") && col("rr.word") === col("st.a"))
+        .select(col("rr.source").as("rsrc"), col("rr.word").as("word"),
+          col("rr.r_e6").as("r_e6"), col("st.outw").as("outw"))
+      val share = edges.alias("e")
+        .join(ranked, col("e.source") === col("rsrc") && col("e.a") === col("word"))
+        .select(col("e.source").as("source"), col("e.b").as("b"),
+          halfUp(col("r_e6") * col("e.w"), col("outw")).as("share"))
       val inSum = share.groupBy($"source", $"b").agg(sum($"share").as("s"))
-      r = strength.select($"source", $"a".as("word"))
-        .join(inSum, strength("source") === inSum("source") && $"word" === inSum("b"), "left")
-        .select(strength("source").as("source"), $"word",
-          (lit(150000L) + halfUp(coalesce($"s", lit(0L)) * 85L, lit(100L))).as("r_e6"))
+      r = strength.alias("n")
+        .join(inSum.alias("i"),
+          col("n.source") === col("i.source") && col("n.a") === col("i.b"), "left")
+        .select(col("n.source").as("source"), col("n.a").as("word"),
+          (lit(150000L) + halfUp(coalesce(col("i.s"), lit(0L)) * 85L, lit(100L))).as("r_e6"))
     }
     val rk = Window.partitionBy($"source").orderBy($"r_e6".desc, $"word")
     r.join(strength.select($"source", $"a".as("word"), $"outw"), Seq("source", "word"))

@@ -1281,10 +1281,40 @@ class DedupTextSpec extends AnyFunSuite {
     assert(r(0L).getAs[Long]("dup_ratio_e6") == 1000000L)
     assert(r(0L).getAs[Long]("n_spans") == 1L)
     assert(r.contains(2L) && !r.contains(3L) && !r.contains(4L))
-    // never-all-pairs: no join of any kind in the plan
-    val plan = Dedup.d19RepeatedSubstrings(spark, tmp)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), "d19 must be join-free (windows only)")
+    // skew contract: the repetition test is a map-side-combined count
+    // semi-joined back — never a window on the gram key (a 1e8-occurrence
+    // boilerplate gram would otherwise pile into one sorted task)
+    val qe = Dedup.d19RepeatedSubstrings(spark, tmp).queryExecution
+    val plan = qe.executedPlan.toString
+    val optimized = qe.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("windowspecdefinition(g#"),
+      "d19 must not window-partition by the raw gram")
+    assert(plan.contains("partial_count"),
+      "gram counting must partial-aggregate map-side before its exchange")
+    assert(plan.contains("LeftSemi"),
+      "repeated grams rejoin via an AQE-splittable semi-join")
+  }
+
+  test("d19 hot-gram stress: one gram with 1e6 occurrences completes skew-safely") {
+    // a whitespace-run doc: every one of its ~1e6 grams is the SAME
+    // 20-char string — the boilerplate shape that stalls a gram window
+    val n = 1000000
+    val hotDir = s"$tmp/d19hot"
+    val hotText = "x" * (n + 19)
+    import spark.implicits._
+    Seq(
+      (0L, hotText, hotText.length.toLong, "web"),
+      (1L, "y" * 40, 40L, "web"), // a second, small hot gram
+      (2L, "y" * 40, 40L, "web")
+    ).toDF("doc_id", "text", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+    val r = Dedup.d19RepeatedSubstrings(spark, hotDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: one maximal span covering the whole run
+    assert(r(0L).getAs[Long]("n_spans") == 1L)
+    assert(r(0L).getAs[Long]("dup_chars") == n + 19L)
+    assert(r(0L).getAs[Long]("dup_ratio_e6") == 1000000L)
+    assert(r(1L).getAs[Long]("dup_chars") == 40L && r(2L).getAs[Long]("dup_chars") == 40L)
   }
 
   test("t36 TextRank: weighted-pagerank keywords match a driver-side recompute") {

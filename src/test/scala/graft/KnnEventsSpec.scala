@@ -1333,6 +1333,45 @@ class KnnEventsSpec extends AnyFunSuite {
       "postings scan is not partition-pruned")
   }
 
+  test("persisted IVF-PQ index: served results replay s30 bit-identically off cell-pruned postings") {
+    import graft.similarity.Knn
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Knn.saveIvfPqIndex(spark, sf, idx)
+    // layout contract: kc coarse rows, m×16 codeword sidecar rows
+    // (empty residual clusters may drop out — ≤ is the Lloyd's
+    // contract), cell= partition dirs carrying only code ints
+    assert(spark.read.parquet(s"$idx/centroids.parquet").count() == 8L)
+    val nBooks = spark.read.parquet(s"$idx/codebooks.parquet").count()
+    assert(nBooks > 8L && nBooks <= 128L, s"codebook rows: $nBooks")
+    val dirs = new java.io.File(s"$idx/postings.parquet").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cell=\\d+")))
+    assert(spark.read.parquet(s"$idx/postings.parquet").columns.sorted.toSeq ==
+      Seq("cell", "code", "neighbor_id", "s"), "postings must carry codes, never vectors")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adist_e12"), r.getAs[Int]("rank"))
+    val got = Knn.s30FromIndex(spark, sf, idx).collect().map(key).toSet
+    val fresh = Knn.s30IvfPqAnn(spark, sf).collect().map(key).toSet
+    assert(got == fresh && got.nonEmpty, "served index must replay s30 bit-identically")
+  }
+
+  test("persisted BQ index: served results replay s33 bit-identically off the sketch file") {
+    import graft.similarity.Knn
+    val idx = java.nio.file.Files.createTempDirectory("graft-bq-idx").toString
+    Knn.saveBqIndex(spark, sf, idx)
+    // 16 B/row sketches, corpus rows only
+    val bits = spark.read.parquet(s"$idx/bits.parquet")
+    assert(bits.columns.sorted.toSeq == Seq("bhi", "blo", "vec_id"))
+    assert(bits.filter($"vec_id" < 10).count() == 0L, "queries never land in the index")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("sq_dist"), r.getAs[Int]("rank"))
+    val got = Knn.s33FromIndex(spark, sf, idx).collect().map(key).toSet
+    val fresh = Knn.s33BqAnn(spark, sf).collect().map(key).toSet
+    assert(got == fresh && got.nonEmpty, "served index must replay s33 bit-identically")
+  }
+
   test("g12 components: size histogram matches a driver union-find over the co-pair index") {
     val r = graft.queries.GraphQueries.g12Components(spark, sf).collect()
       .map(x => x.getAs[Long]("comp_size") -> x.getAs[Long]("n_components")).toMap
@@ -1718,6 +1757,54 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(g.count() <= nodes * 3, "refined graph exceeded k per vertex")
     assert(edges <= nodes * 3 && nodes * 36 + edges < nodes * nodes || nodes < 40,
       s"candidate bound sanity: nodes=$nodes edges=$edges")
+  }
+
+  test("s35 graph walk: valid ranked top-k, exact cosines, corpus-only; s36 audit reconciles") {
+    val walk = Knn.s35GraphWalk(spark, sf).collect()
+    val byQuery = walk.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      val sims = byRank.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"query $q not ranked")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") >= 10L), s"query $q left the corpus")
+    }
+    // every walk cosine equals the exact pairing (the s2 pattern)
+    val exactAll = Knn.s1Brute(spark, sf, k = 1000000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    walk.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exactAll(key) == r.getAs[Double]("cos_sim"), s"cosine mismatch at $key")
+    }
+    // s36 reconciles with a driver-side intersection of walk vs exact top-5
+    val walkSet = walk
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val top5 = Knn.s1Brute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hitsByQ = top5.intersect(walkSet)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val audit = Knn.s36WalkRecall(spark, sf).collect()
+    assert(audit.length == 10)
+    audit.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_hits") == hitsByQ.getOrElse(q, 0L), s"query $q")
+      assert(r.getAs[Long]("recall_e6") == r.getAs[Long]("n_hits") * 200000L)
+    }
+    // lossy-but-alive on the real corpus (the s31/s34 convention)
+    val total = audit.map(_.getAs[Long]("n_hits")).sum
+    assert(total > 0, "walk found nothing — vacuous tier")
+    assert(total < 50, "walk recall vacuously perfect — audit proves nothing")
+  }
+
+  test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {
+    val plan = Knn.s35GraphWalk(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.linesIterator.take(8).mkString("\n"))
+    val tiers = Knn.s32TierTable(spark, sf).collect().map(_.getAs[String]("tier")).toSet
+    assert(tiers == Set("ivf_km", "pq", "sq8", "mrl16", "ivfpq", "bq", "graph"))
   }
 
   test("s28 DBSCAN invariants: roles partition, clusters are consistent, noise is isolated") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.merge.{MergeConfig, Orchestrator}
+import graft.merge.{MergeConfig, MergeMain, Orchestrator}
 import graft.merge.Orchestrator.MergeMode
 
 /** The config-driven user surface: JSON → TableSpec DAG → executed
@@ -157,6 +157,31 @@ class MergeConfigSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("instanceB already processed"))
     // dry-run remains allowed (rehearsal, no writes)
     assert(MergeConfig.execute(spark, cfg, dryRun = true).count() == 2)
+  }
+
+  test("MergeMain --rollback-plan prints the reverse-topo deletion table from published id maps") {
+    val (srcDir, destDir, outDir) = writeInstances()
+    val json = configJson(srcDir, destDir, outDir, genUuids = false, persist = true)
+    MergeConfig.execute(spark, MergeConfig.fromJson(json), dryRun = false)
+    val cfgFile = java.nio.file.Files.createTempFile("graft-merge-cfg", ".json")
+    java.nio.file.Files.write(cfgFile, json.getBytes("UTF-8"))
+    val before = spark.read.parquet(s"$outDir/parent.parquet").count()
+    val lines = MergeMain.run(Array(cfgFile.toString, "--rollback-plan"), spark)
+    // children delete before parents; deletions = exactly the rows the
+    // merge inserted (beta→12, y→501); mapped rows only unmap
+    assert(lines == Seq("1\tchild\t1\t1", "2\tparent\t1\t1"))
+    // a plan, not an action: the published merge is untouched
+    assert(spark.read.parquet(s"$outDir/parent.parquet").count() == before)
+    assert(spark.read.parquet(s"$outDir/child.parquet").count() == 2)
+    // without published id maps (a persist=false run) the plan fails
+    // loudly instead of under-deleting
+    val (s2, d2, o2) = writeInstances()
+    val json2 = configJson(s2, d2, o2, genUuids = false)
+    MergeConfig.execute(spark, MergeConfig.fromJson(json2), dryRun = false)
+    val ex = intercept[IllegalStateException] {
+      MergeConfig.rollbackPlan(spark, MergeConfig.fromJson(json2)).collect()
+    }
+    assert(ex.getMessage.contains("persist = true"))
   }
 
   test("execute refuses to merge a source with orphaned FKs (the reference's integrity gate)") {

@@ -40,6 +40,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("planWatermark closes the e39 audit → withWatermark loop; default-delay aggs pick up the knob") {
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val sfDir = TestSpark.sf
+    val table = graft.queries.Events.e39WatermarkPlan(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("delay_s") ->
+        ((r.getAs[Long]("drop_e6"), r.getAs[Long]("recommended")))).toMap
+    try {
+      val d = EventStream.planWatermark(spark, sfDir)
+      assert(d.endsWith(" seconds"))
+      val secs = d.stripSuffix(" seconds").toLong
+      // the knob holds e39's recommended row: within budget, and every
+      // smaller candidate over budget (that is what "recommended" means)
+      assert(table(secs)._2 == 1L, s"knob $d is not the table's recommended row")
+      assert(table(secs)._1 <= 10000L)
+      table.keys.filter(_ < secs).foreach(s =>
+        assert(table(s)._1 > 10000L, s"a smaller candidate ${s}s already met the budget"))
+      assert(spark.conf.get(EventStream.WatermarkDelayKey) == d)
+      // streaming twins constructed WITHOUT an explicit delay carry it
+      implicit val sqlCtx = spark.sqlContext
+      def delaysOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.queryExecution.analyzed.collect {
+          case e: EventTimeWatermark => e.delay.microseconds }
+      val in = MemoryStream[Ev]
+      val streamDf = in.toDF().withColumn("event_type", lit("e"))
+      assert(delaysOf(EventStream.windowedAgg(streamDf)) == Seq(secs * 1000000L),
+        "windowedAgg did not pick up the configured delay")
+      assert(delaysOf(EventStream.hoppingAgg(streamDf)) == Seq(secs * 1000000L))
+      // an explicit caller choice still beats the conf
+      assert(delaysOf(EventStream.windowedAgg(streamDf, "30 minutes")) == Seq(30L * 60000000L))
+    } finally spark.conf.unset(EventStream.WatermarkDelayKey)
+  }
+
   test("streaming hoppingAgg matches the batch plan; 4 windows per event") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
@@ -1355,6 +1387,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(rej.filter($"reason" === "encoding").count() == 1L)
     val all = kept.select("doc_id").union(rej.select("doc_id"))
     assert(all.distinct().count() == all.count(), "replay duplicated doc_ids")
+  }
+
+  test("curated ingest sink: gate → near-dup → shard composes the batch stages, replay converges") {
+    import graft.streaming.DocStream
+    val in = java.nio.file.Files.createTempDirectory("graft-ci-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-ci-wd").toString
+    def writeShard(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      ()
+    }
+    def run(ckpt: String) = DocStream.curatedIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/kept", s"$wd/rej", s"$wd/idx", ckpt)
+    val longGood = (1 to 40).map(i => s"the word$i is here").mkString(" ")
+    val longGood2 = (1 to 40).map(i => s"the token$i was found").mkString(" ")
+    // batch 0: one clean doc, one junk line, one mojibake line
+    writeShard("shard1.txt", Seq(longGood, "zzzzzz", s"cafÃ© $longGood"))
+    val r1 = run(s"$wd/ckpt"); try r1.processAllAvailable() finally r1.stop()
+    // stale checkpoint snapshot (the crash point before batch 1 commits)
+    val stale = s"$wd/ckpt-stale"
+    locally {
+      val src = java.nio.file.Paths.get(s"$wd/ckpt")
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(stale).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+        ()
+      }
+    }
+    // batch 1: an exact re-render of the kept batch-0 doc (must drop
+    // as near_dup against the index), a fresh clean doc (keeps +
+    // shards), and more junk (gate)
+    writeShard("shard2.txt", Seq(longGood, longGood2, "qqq"))
+    val r2 = run(s"$wd/ckpt"); try r2.processAllAvailable() finally r2.stop()
+    val kept = spark.read.parquet(s"$wd/kept")
+    val rej = spark.read.parquet(s"$wd/rej")
+    val docs = graft.sources.Tables.documentsFromText(spark, in)
+    assert(kept.count() + rej.count() == docs.count(), "nothing dropped silently")
+    assert(kept.collect().map(_.getAs[String]("text")).toSet == Set(longGood, longGood2),
+      "kept set = the clean, novel docs")
+    // gate/dedup reasons, in the t37/c1 precedence order
+    val text = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val reasons = rej.collect()
+      .map(r => text(r.getAs[Long]("doc_id")) -> r.getAs[String]("reason")).toMap
+    assert(reasons(s"cafÃ© $longGood") == "encoding")
+    assert(reasons("zzzzzz") == "low_quality" && reasons("qqq") == "low_quality")
+    assert(reasons(longGood) == "near_dup", "the re-rendered copy must drop against the index")
+    // shard parity with c6/t38's seeded digest slice, recomputed raw
+    def shardOf(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft:$docId".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(12, 16), 16) % 16
+    }
+    kept.collect().foreach { r =>
+      assert(r.getAs[Long]("shard") == shardOf(r.getAs[Long]("doc_id")),
+        s"shard mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the signature index holds exactly the kept docs
+    val idxIds = spark.read.parquet(s"$wd/idx")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == kept.collect().map(_.getAs[Long]("doc_id")).toSet)
+    // crash-replay from the stale checkpoint: batch 1 re-delivers
+    // under the same id — all three outputs must converge byte-for-byte
+    def snap(p: String) = spark.read.parquet(p).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val (k0, rj0, i0) = (snap(s"$wd/kept"), snap(s"$wd/rej"), snap(s"$wd/idx"))
+    val r3 = run(stale); try r3.processAllAvailable() finally r3.stop()
+    assert(snap(s"$wd/kept") == k0 && snap(s"$wd/rej") == rj0 && snap(s"$wd/idx") == i0,
+      "replay changed an output")
   }
 
   test("DocStream lands crawl shards as documents + chunks, equal to the batch ingest, across a restart") {
