@@ -1936,9 +1936,13 @@ object Knn {
           lit(0L), _ + _).as("cdist"),
         lit(c.toLong).as("cell"))
     }
+    // the query frame is queries-sized: eagerly cut so the 4 scored()
+    // passes and the entry join read 10 materialized rows, not 4+
+    // re-derivations of the scan+argmin lineage
     val queries = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
         element_at(array_sort(array(cellDists: _*)), 1).getField("cell").as("cell"))
+      .localCheckpoint(true)
     val corpusCells = assignCells(spark, e.filter($"vec_id" >= 10), cents)
       .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
     val wEntry = Window.partitionBy($"query_id").orderBy($"neighbor_id")
@@ -1947,15 +1951,26 @@ object Knn {
       .withColumn("rn", row_number().over(wEntry)).filter($"rn" <= beam)
       .select($"query_id", $"neighbor_id")
     val qSide = queries.select($"query_id", $"q", $"qn")
-    val store = e.filter($"vec_id" >= 10)
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+    // the serving VECTOR STORE is pinned once per dir (the rounds'
+    // scored() joins and the final rerank all probe it) — the session
+    // analogue of the RAM/disk-resident store a graph index serves
+    // from; without it every round re-plans a raw corpus scan
+    val store = graft.operators.Indexes.memo(s"s35_store:$dir") {
+      e.filter($"vec_id" >= 10)
+        .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+    }
     def scored(pool: DataFrame): DataFrame =
       pool.join(store, Seq("neighbor_id"))
         .join(broadcast(qSide), Seq("query_id"))
         .select($"query_id", $"neighbor_id",
           round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
     val wBeam = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    // per-round lineage cut (the g-family's iterative convention):
+    // round r's visited set embeds round r−1's TWICE (directly in the
+    // union and under the frontier's beam), so an uncut loop re-plans
+    // the entry scan 2^rounds times; the frames are queries×pool-sized
     var visited = entry
+    var prevCut: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val beamR = scored(visited)
         .withColumn("rn", row_number().over(wBeam)).filter($"rn" <= beam)
@@ -1965,7 +1980,15 @@ object Knn {
         .select(col("bm.query_id").as("query_id"),
           col("ad.neighbor_id").as("neighbor_id"))
         .filter($"neighbor_id" >= 10)
-      visited = visited.unionAll(frontier).dropDuplicates("query_id", "neighbor_id")
+      val next = graft.operators.State.cut(
+        visited.unionAll(frontier).dropDuplicates("query_id", "neighbor_id"))
+      // release ONLY superseded CUT generations: entry's lineage holds
+      // the shared `queries` checkpoint leaf, which qSide still reads —
+      // release walks to every LogicalRDD leaf, so releasing entry
+      // would unpersist it under the later rounds
+      prevCut.foreach(graft.operators.State.release)
+      prevCut = Some(next)
+      visited = next
     }
     scored(visited)
       .withColumn("rank", row_number().over(wBeam))

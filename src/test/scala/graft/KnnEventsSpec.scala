@@ -1919,7 +1919,7 @@ class KnnEventsSpec extends AnyFunSuite {
     import graft.similarity.Knn
     val r = Knn.s32TierTable(spark, sf).collect()
       .map(x => x.getAs[String]("tier") -> x).toMap
-    assert(r.keySet == Set("ivf_km", "pq", "sq8", "mrl16", "ivfpq", "bq"))
+    assert(r.keySet == Set("ivf_km", "pq", "sq8", "mrl16", "ivfpq", "bq", "graph"))
     def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
     val audits = Map(
       "ivf_km" -> Knn.s8IvfRecallAudit(spark, sf),
@@ -1927,9 +1927,10 @@ class KnnEventsSpec extends AnyFunSuite {
       "sq8" -> Knn.s13Sq8Recall(spark, sf),
       "mrl16" -> Knn.s14MrlRecall(spark, sf),
       "ivfpq" -> Knn.s31IvfPqRecall(spark, sf),
-      "bq" -> Knn.s34BqRecall(spark, sf))
+      "bq" -> Knn.s34BqRecall(spark, sf),
+      "graph" -> Knn.s36WalkRecall(spark, sf))
     val bytes = Map("ivf_km" -> 264L, "pq" -> 4L, "sq8" -> 64L, "mrl16" -> 64L,
-      "ivfpq" -> 5L, "bq" -> 8L)
+      "ivfpq" -> 5L, "bq" -> 8L, "graph" -> 280L)
     audits.foreach { case (tier, df) =>
       val rec = df.collect().map(_.getAs[Long]("recall_e6"))
       val row = r(tier)

@@ -64,7 +64,8 @@ class QueriesSpec extends AnyFunSuite {
       "s31_ivfpq_recall", // same: exact-L2 yardstick rides the s1 broadcast contract
       "s33_bq_ann",       // stage 1 IS the deliberate broadcast-queries bit scan (s12's contract)
       "s34_bq_recall",    // composes s33 + the exact-L2 yardstick
-      "s32_tier_table",   // composes the six audits above — their exact sides ride along
+      "s32_tier_table",   // composes the seven audits — their exact sides ride along
+      "s36_walk_recall",  // audit carries s1's exact yardstick; the walk itself is equi-join-only
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -260,8 +261,13 @@ class QueriesSpec extends AnyFunSuite {
       // recall audits are two-sided by definition: exact yardstick +
       // approximate path, each reading query and corpus slices
       "s4_ann_recall" -> 4, "s7_radius_recall" -> 4, "s9_ivfkm_recall" -> 4,
-      // five two-sided audits composed: each contributes its exact+approx slices
-      "s32_tier_table" -> 8,
+      // seven two-sided audits composed: each contributes its exact+approx
+      // slices (the graph tier adds s36's exact legs; the walk itself is
+      // lineage-cut + memoized and plans scan-free)
+      "s32_tier_table" -> 12,
+      // s1's two-sided yardstick; the walk's rounds are lineage-cut and
+      // its store/queries frames are memo/checkpoint — scan-free
+      "s36_walk_recall" -> 4,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
       // s1's two query/corpus slices + the refinement's two e-store legs
       // (the base graph itself is the memoized s29 artifact)
