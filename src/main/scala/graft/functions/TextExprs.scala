@@ -124,30 +124,36 @@ case class SegCodeSums(child: Expression, segs: Int)
     copy(child = newChild)
 }
 
-/** One-pass character K-GRAM generator: emits (pos, g) rows — 1-based
-  * code-point position, k-code-point slice — for every position of the
-  * document, exactly `substring(text, pos, k)`'s semantics.
+/** One-pass character K-GRAM / window generator: emits (pos, g) rows —
+  * 1-based code-point position, k-code-point slice starting there —
+  * stepping `stride` positions at a time, exactly
+  * `substring(text, pos, k)`'s semantics. `stride = 1, partial =
+  * false` is the sliding-gram shape (d19's ExactSubstr cover);
+  * `stride = k, partial = true` is the TILING shape (mm11's 256-byte
+  * frames, mm12's VAD windows — the trailing short window included).
   *
-  * Exists because the generic route — `explode(sequence(1, n−k+1))`
-  * then `substr(text, pos, k)` — is QUADRATIC in document length:
+  * Exists because the generic route — `explode(sequence(...))` then
+  * `substr(text, pos, k)` — is QUADRATIC in document length:
   * UTF8String.substring seeks its code-point offsets from the string
   * START (O(pos) per call), and the exploded row carries the whole
   * text through the pipeline (one full-string copy per position). A
   * 1 MB document costs ~10 minutes that way (measured — the d19
   * hot-gram stress); this walk computes all code-point offsets once
-  * and emits each gram as a direct byte slice: O(chars·k) total, the
-  * same document in well under a second. Truncated trailing multi-byte
-  * sequences clamp to the buffer (the [[PairCounts]] crawl-bytes
-  * rule).
+  * and emits each slice as a direct byte copy: O(chars·k/stride)
+  * total, the same document in well under a second. Truncated
+  * trailing multi-byte sequences clamp to the buffer (the
+  * [[PairCounts]] crawl-bytes rule).
   *
   * Eval-only ([[CodegenFallback]]): one call per DOCUMENT streaming
   * its rows through GenerateExec — the per-byte loop is already tight
   * Java. */
-case class CharGrams(child: Expression, k: Int)
+case class CharGrams(child: Expression, k: Int, stride: Int = 1,
+                     partial: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.Generator
     with CodegenFallback {
   require(k >= 1, s"gram width must be >= 1, got $k")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
   override def prettyName: String = "char_grams"
 
   override def elementSchema: org.apache.spark.sql.types.StructType =
@@ -179,15 +185,17 @@ case class CharGrams(child: Expression, k: Int)
       val n = offs.size - 1
       new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
         private var p = 0
-        override def hasNext: Boolean = p <= n - k
+        override def hasNext: Boolean =
+          if (partial) p < n else p <= n - k
         override def next(): org.apache.spark.sql.catalyst.InternalRow = {
           val s = offs.get(p)
           // clamp: a truncated trailing sequence may push the last
-          // offset past the buffer on malformed crawl bytes
-          val e = math.min(offs.get(p + k), bytes.length)
+          // offset past the buffer on malformed crawl bytes, and a
+          // partial trailing window ends at the string
+          val e = math.min(offs.get(math.min(p + k, n)), bytes.length)
           val r = org.apache.spark.sql.catalyst.InternalRow(
             (p + 1).toLong, UTF8String.fromBytes(bytes, s, e - s))
-          p += 1
+          p += stride
           r
         }
       }
@@ -203,10 +211,13 @@ object TextFunctions {
   def pairCounts(text: Column): Column =
     Bridge.column(PairCounts(Bridge.expression(text)))
 
-  /** One-pass (pos, g) character k-gram generator as a Column —
-    * select it like `posexplode` (it contributes the two columns). */
-  def charGrams(text: Column, k: Int): Column =
-    Bridge.column(CharGrams(Bridge.expression(text), k))
+  /** One-pass (pos, g) character k-gram / window generator as a
+    * Column — select it like `posexplode` (it contributes the two
+    * columns). `stride = k, partial = true` tiles the document into
+    * consecutive windows including the short trailing one. */
+  def charGrams(text: Column, k: Int, stride: Int = 1,
+                partial: Boolean = false): Column =
+    Bridge.column(CharGrams(Bridge.expression(text), k, stride, partial))
 
   /** Per-document segment code-point sums as a Column (mm7's decode). */
   def segCodeSums(text: Column, segs: Int): Column =

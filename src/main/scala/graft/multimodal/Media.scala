@@ -758,13 +758,15 @@ object Media {
     val target = spark.sessionState.conf.numShufflePartitions
     val docs = if (docs0.rdd.getNumPartitions >= target) docs0
                else docs0.repartition(target)
+    // one-pass frame tiling (CharGrams stride=k, partial): the
+    // explode+substr formulation re-seeks the payload from its start
+    // per frame — quadratic in payload length (the d19 lesson)
     val frames = docs
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), expr("(length(text) + 255) div 256") - 1)).as("f"))
-      .select($"doc_id", $"f".cast("long").as("f"),
-        $"text".substr(($"f" * 256 + 1).cast("int"), lit(256)).as("frame"))
-      .select($"doc_id", $"f", length($"frame").cast("long").as("l"),
-        element_at(graft.functions.TextFunctions.segCodeSums($"frame", 1), 1).as("s"))
+      .select($"doc_id",
+        graft.functions.TextFunctions.charGrams($"text", 256, stride = 256, partial = true))
+      .select($"doc_id", expr("(pos - 1) div 256").as("f"),
+        length($"g").cast("long").as("l"),
+        element_at(graft.functions.TextFunctions.segCodeSums($"g", 1), 1).as("s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"f")
     val num = abs($"s" * $"pl" - $"ps" * $"l")
     val den = $"l" * $"pl"
@@ -833,13 +835,13 @@ object Media {
     val target = spark.sessionState.conf.numShufflePartitions
     val docs = if (docs0.rdd.getNumPartitions >= target) docs0
                else docs0.repartition(target)
+    // one-pass window tiling (the mm11 CharGrams shape at audio width)
     val frames = docs
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), expr(s"(length(text) + ${win - 1}) div $win") - 1)).as("w"))
-      .select($"doc_id", $"w".cast("long").as("w"),
-        $"text".substr(($"w" * win + 1).cast("int"), lit(win)).as("fr"))
-      .select($"doc_id", $"w", length($"fr").cast("long").as("l"),
-        element_at(graft.functions.TextFunctions.segCodeSums($"fr", 1), 1).as("s"))
+      .select($"doc_id",
+        graft.functions.TextFunctions.charGrams($"text", win, stride = win, partial = true))
+      .select($"doc_id", expr(s"(pos - 1) div $win").as("w"),
+        length($"g").cast("long").as("l"),
+        element_at(graft.functions.TextFunctions.segCodeSums($"g", 1), 1).as("s"))
     val dw = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     val ow = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"w")
     frames

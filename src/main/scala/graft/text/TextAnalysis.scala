@@ -2204,18 +2204,26 @@ object TextAnalysis {
     require(window >= stride && stride >= 1,
       s"need window >= stride >= 1, got window=$window stride=$stride " +
         "(a stride above the window would silently DROP text between chunks)")
-    docs
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .withColumn("chunk_start",
-        explode(sequence(lit(1L), greatest(col("n_chars"), lit(1L)), lit(stride.toLong))))
+    // one-pass strided windows (CharGrams — the explode+substr
+    // formulation re-seeks the text from its start per chunk:
+    // quadratic in doc length, the d19 lesson); empty docs keep their
+    // contractual single empty chunk via a disjoint second slice
+    val nonEmpty = docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.charGrams(col("text"), window, stride, partial = true))
       .select(col("doc_id"),
         // integer DIV, not Column./ (a double Divide that is only
         // incidentally exact below 2^53) — the repo's integer-exact
         // convention, same form as the oracle's `//`
-        expr(s"(chunk_start - 1) DIV $stride").as("chunk_no"),
-        col("chunk_start"),
-        substr(col("text"), col("chunk_start"), lit(window)).as("chunk_text"))
+        expr(s"(pos - 1) DIV $stride").as("chunk_no"),
+        col("pos").as("chunk_start"),
+        col("g").as("chunk_text"))
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+    docs.filter(col("n_chars") <= 0)
+      .select(col("doc_id"), lit(0L).as("chunk_no"), lit(1L).as("chunk_start"),
+        lit("").as("chunk_text"), lit(0L).as("chunk_chars"))
+      .unionByName(nonEmpty)
   }
 
   /** t28 oracle: DuckDB range() is stop-EXCLUSIVE (hence +1) and both

@@ -31,6 +31,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CharGrams equals the substring reference for any text/k/stride, sliding and tiling") {
+    // the one-pass generator must match substring(text, pos, k)
+    // code-point semantics exactly — incl. multi-byte chars, partial
+    // trailing windows and the stride stepping — or d19/mm11/mm12/t28
+    // silently fork from their DuckDB oracles
+    // strings, not chars: the clef is a surrogate PAIR (the case that
+    // breaks char-indexed slicing)
+    val alpha = Gen.oneOf("a", "b", " ", "é", "中", "𝄞", "x")
+    for (s <- 1L to 8L) {
+      val text = sample(Gen.listOfN(sample(Gen.choose(0, 60), s + 900), alpha), s)
+        .mkString
+      val k = sample(Gen.choose(1, 7), s + 300)
+      val stride = sample(Gen.choose(1, 7), s + 600)
+      for (partial <- Seq(false, true)) {
+        val got = Seq(Tuple1(text)).toDF("text")
+          .select(graft.functions.TextFunctions.charGrams($"text", k, stride, partial))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+        // code-point reference (substring counts code points, not chars)
+        val cps = text.codePoints().toArray
+        def slice(from: Int, until: Int): String =
+          new String(cps, from, math.min(until, cps.length) - from)
+        val n = cps.length
+        val want = Iterator.iterate(0)(_ + stride)
+          .takeWhile(p => if (partial) p < n else p + k <= n)
+          .map(p => (p + 1).toLong -> slice(p, p + k)).toSeq
+        assert(got == want, s"seed $s k=$k stride=$stride partial=$partial text=$text")
+      }
+    }
+  }
+
   test("salted join equals plain join for any fact/dim data") {
     for (s <- 1L to 5L) {
       val fact = sample(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0, 100))), s)
