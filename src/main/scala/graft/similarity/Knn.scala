@@ -1919,11 +1919,18 @@ object Knn {
     * DuckDB hash oracle, iterations unrolled. */
   def s35GraphWalk(spark: SparkSession, dir: String, k: Int = K,
                    beam: Int = 4, rounds: Int = 3, kc: Int = 8,
-                   iters: Int = 4): DataFrame = {
+                   iters: Int = 4): DataFrame =
+    graphWalk(spark, dir, walkAdjacency(spark, dir),
+      lloydCentroids(spark, dir, kc, iters), k, beam, rounds)
+
+  /** The walk body over ANY (adjacency, entry-centroid) index pair —
+    * shared by the in-session [[s35GraphWalk]] and the persisted-index
+    * [[s35FromIndex]] serving path. */
+  private def graphWalk(spark: SparkSession, dir: String, adj: DataFrame,
+                        cents: Seq[(Int, Array[Long])], k: Int,
+                        beam: Int, rounds: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions.quantizeE6
-    val adj = walkAdjacency(spark, dir)
-    val cents = lloydCentroids(spark, dir, kc, iters)
     val e = Tables.read(spark, dir, "embeddings")
       .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
@@ -3030,6 +3037,41 @@ object Knn {
     quantized(spark, dir).filter($"vec_id" >= 10)
       .select($"vec_id", signHalfI($"el", 0).as("blo"), signHalfI($"el", 32).as("bhi"))
       .write.mode("overwrite").parquet(s"$indexPath/bits.parquet")
+  }
+
+  /** PERSISTED GRAPH-WALK index — [[saveIvfIndex]]'s build-once/
+    * serve-many split for the s35 serving tier: `centroids.parquet`
+    * (the kc entry-cell rows) + `adjacency.parquet` (the symmetrized
+    * refined kNN edges, bare long pairs — degree×8 B/vector, the
+    * tier's index cost in s32). Building runs the s17 banding + s29
+    * NN-descent refinement ONCE; any later session (or cluster)
+    * serves walks without re-banding. */
+  def saveWalkIndex(spark: SparkSession, dir: String, indexPath: String,
+                    kc: Int = 8, iters: Int = 4): Unit = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/centroids.parquet")
+    walkAdjacency(spark, dir)
+      .write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
+  }
+
+  /** Serve s35's exact query shape from a [[saveWalkIndex]] layout —
+    * no banding, no NN-descent, no training: entry centroids off the
+    * kc-row sidecar, frontier expansions off the persisted edge list
+    * (re-partitioned on src_id — the id-partitioned probe layout the
+    * rounds join against). Bit-identical to [[s35GraphWalk]]
+    * (spec-pinned). */
+  def s35FromIndex(spark: SparkSession, dir: String, indexPath: String,
+                   k: Int = K, beam: Int = 4, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids.parquet").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Long](r.fieldIndex("cent")).toArray))
+      .sortBy(_._1).toSeq
+    val adj = spark.read.parquet(s"$indexPath/adjacency.parquet")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    graphWalk(spark, dir, adj, cents, k, beam, rounds)
   }
 
   /** Serve s33's exact query shape from a [[saveBqIndex]] layout —

@@ -1372,6 +1372,23 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(got == fresh && got.nonEmpty, "served index must replay s33 bit-identically")
   }
 
+  test("persisted walk index: served beam search replays s35 bit-identically off the edge file") {
+    import graft.similarity.Knn
+    val idx = java.nio.file.Files.createTempDirectory("graft-walk-idx").toString
+    Knn.saveWalkIndex(spark, sf, idx)
+    // layout contract: kc entry cells + bare long edge pairs
+    assert(spark.read.parquet(s"$idx/centroids.parquet").count() == 8L)
+    val adj = spark.read.parquet(s"$idx/adjacency.parquet")
+    assert(adj.columns.sorted.toSeq == Seq("neighbor_id", "src_id"),
+      "adjacency must carry bare id pairs, never vectors")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
+    val got = Knn.s35FromIndex(spark, sf, idx).collect().map(key).toSet
+    val fresh = Knn.s35GraphWalk(spark, sf).collect().map(key).toSet
+    assert(got == fresh && got.nonEmpty, "served index must replay s35 bit-identically")
+  }
+
   test("g12 components: size histogram matches a driver union-find over the co-pair index") {
     val r = graft.queries.GraphQueries.g12Components(spark, sf).collect()
       .map(x => x.getAs[Long]("comp_size") -> x.getAs[Long]("n_components")).toMap

@@ -109,6 +109,22 @@ class MediaSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "mm11 must be join-free")
   }
 
+  test("mm11 long-payload stress: a 1 MB asset tiles linearly (the CharGrams path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm11-big").toString
+    // ~1 MB alternating blocks: 2048 frames, a cut at every block edge;
+    // the old explode+substr tiling was quadratic in payload length
+    val big = (0 until 2048).map(i => (if (i % 2 == 0) "a" else "z").toString * 256).mkString
+    Seq((0L, big, "en", "s0", big.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Media.mm11SceneCuts(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_frames") == 2048L)
+    assert(r.head.getAs[Long]("n_cuts") == 2047L) // every frame boundary jumps 25 codes
+    assert(r.head.getAs[Long]("max_jump_e6") == 25000000L)
+  }
+
   test("mm12 audio segments: planted silence gaps segment correctly; driver recompute agrees") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mm12").toString
