@@ -1424,20 +1424,23 @@ object Dedup {
     *
     * Scale shape: both inputs are shared artifacts computed once (the
     * d7 cluster map memo; t2's one-shuffle quality frame); the pick
-    * is one cluster-partitioned row_number window over the
-    * (doc, cluster, quality) join — never a global sort — and the
-    * survivor broadcast back is a cluster-keyed equi-join. */
+    * is a map-side-combinable min-struct ARGMIN aggregation per
+    * cluster ((−quality, doc_id) lexicographic = highest quality,
+    * ties to the smallest id) — a verbatim-boilerplate mega-cluster
+    * combines down to one row per map task before the shuffle, where
+    * the equivalent rank-1 window would sort the whole cluster in one
+    * task (the d19 hot-key class; this shape was the one rank-1 pick
+    * the optimizer's WindowGroupLimit pushdown did not cover) — and
+    * the survivor broadcast back is a cluster-keyed equi-join. */
   def d15SurvivorPick(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val clusters = d7Clusters(spark, dir)
     val quality = graft.text.TextAnalysis.t2QualityScore(spark, dir)
       .select($"doc_id", $"quality_e6")
     val joined = clusters.join(quality, Seq("doc_id"))
-    val w = Window.partitionBy($"cluster_id").orderBy($"quality_e6".desc, $"doc_id")
-    val survivors = joined.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"cluster_id", $"doc_id".as("survivor_id"))
+    val survivors = joined.groupBy($"cluster_id")
+      .agg(min(struct((-$"quality_e6").as("nq"), $"doc_id")).as("pick"))
+      .select($"cluster_id", $"pick.doc_id".as("survivor_id"))
     joined.join(survivors, Seq("cluster_id"))
       .select($"doc_id", $"cluster_id", $"survivor_id",
         when($"doc_id" === $"survivor_id", 1L).otherwise(0L).as("is_survivor"),

@@ -1245,6 +1245,19 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("d15 survivor pick plans as a map-side argmin aggregation, never a cluster window") {
+    // a verbatim-boilerplate mega-cluster must combine per map task,
+    // not pile into one sorted window partition (the d19 hot-key class)
+    val qe = Dedup.d15SurvivorPick(spark, sf).queryExecution
+    // scope to the OUTER plan: the memoized d7 artifact prints its own
+    // cached subtree under InMemoryRelation, which is a leaf here
+    val outerWindows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(outerWindows.isEmpty, "survivor pick must not window-sort clusters")
+    assert(qe.executedPlan.toString.contains("partial_min"),
+      "argmin must partial-aggregate map-side")
+  }
+
   test("d19 repeated substrings: planted dup spans; driver-side recount on the tiny corpus") {
     val K = 20
     // the tmp corpus: 0≡1 verbatim, 2/5 share long runs with 0, 3 unique, 4 < K chars

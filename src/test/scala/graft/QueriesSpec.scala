@@ -103,6 +103,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** The hot-GROUP twin of the d19 hot-KEY gate: a top-k window over a
+    * skewable group (a stopword token's corpus-sized posting list, a
+    * mega-customer's orders) is only scale-safe because Spark pushes a
+    * PARTIAL WindowGroupLimit below the exchange — each map task keeps
+    * ≤k rows per group before anything shuffles, so the hot group
+    * never piles into one sorted task. That pushdown is an optimizer
+    * behavior (rank-filter pattern + threshold conf), not something
+    * the query text guarantees — pin it so a pattern-breaking rewrite
+    * or conf change fails loudly instead of silently reintroducing
+    * the straggler. */
+  test("top-k windows keep the partial group-limit pushdown (hot-group skew absorbed map-side)") {
+    for ((name, df) <- Seq(
+        "t34_bm25" -> text.TextAnalysis.t34Bm25(spark, sf),
+        "w1_topk_per_group" -> queries.Tpch.w1TopkPerGroup(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val hits = "WindowGroupLimit".r.findAllIn(plan).size
+      assert(hits >= 2, s"$name lost the partial+final group-limit pushdown:\n" +
+        plan.linesIterator.take(12).mkString("\n"))
+      assert(plan.contains("Partial"), s"$name has no PARTIAL group limit")
+    }
+  }
+
   test("every partition-less window sits over an aggregate-bounded frame (pinned whitelist)") {
     // A Window with no partitionSpec moves its whole input to ONE
     // task — fatal on data-sized frames at scale, fine on
