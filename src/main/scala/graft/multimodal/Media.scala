@@ -490,37 +490,53 @@ object Media {
     * but whose content matches. The shape is the production pHash
     * pipeline end to end: (1) decode each asset to a coarse
     * luminance-style signature, (2) threshold against the asset's own
-    * mean → a 32-bit average-hash, (3) candidate generation by the
-    * PIGEONHOLE band join for Hamming space (hash split into 8×4-bit
-    * bands; dist ≤ 5 ⇒ ≥1 of any 6 disjoint bands equal, so 8 bands
-    * is a conservative cover — same LSH family as d3's simhash
-    * chunks), (4) codegen'd popcount(xor) verify ≤ 5. Never all-pairs:
-    * shuffle ∝ band collisions, the d2/d3 scale contract; at asset
-    * scale the hash widens to 64 bits with 8-bit bands — same plan.
+    * mean → a `segs`-bit average-hash, (3) candidate generation by
+    * the PIGEONHOLE band join for Hamming space (hash split into 8
+    * bands of segs/8 bits; dist ≤ 7 ⇒ ≥1 of 8 disjoint bands equal —
+    * same LSH family as d3's simhash chunks), (4) codegen'd
+    * popcount(xor) verify ≤ maxHamming. Never all-pairs: shuffle ∝
+    * band collisions, the d2/d3 scale contract.
     *
-    * The "decode" here is the stub family's gray signature: 32 equal
-    * byte-segments of the payload, segment mean vs global mean
+    * SIGNATURE WIDTH is the scale dial, and it is measured: at
+    * segs=32 the band key is 4 bits — 16 bucket values per band, so
+    * candidate pairs grow ∝ n²/128 REGARDLESS of the data (the r11
+    * sf1 run measured the band join super-linear at 9× cost for 10×
+    * rows). `segs = 64` (the classic DCT pHash width) gives 8-bit
+    * keys — 256 values per band, 16× the bucket space: measured on
+    * the sf1 clone corpus (BenchMm7), segs=64 runs 2.5 s warm vs
+    * segs=32's 10.7 s and keeps every one of the 226k TRUE clone
+    * pairs while dropping the 288k noise pairs the 4-bit floor lets
+    * through. The noise is also visible at sf0.01: the 23 hamming-≤5
+    * pairs the 32-bit registered output reports there are chance
+    * hash-collisions (wildly different lengths and texts — verified),
+    * and the 64-bit signature correctly reports none. The REGISTERED
+    * query stays at segs=32 so its oracle-gated output is non-vacuous
+    * on this corpus; a production media deployment calls segs=64.
+    *
+    * The "decode" here is the stub family's gray signature: `segs`
+    * equal byte-segments of the payload, segment mean vs global mean
     * (cross-multiplied exact integers — no division), expressed as
     * columnar arithmetic over the char codes so DuckDB reproduces
     * every bit. A real DCT pHash plugs in at the mapPartitions decode
     * boundary (mm1/mm2's hook) and feeds the SAME band join. */
   def mm7PhashNearDup(spark: SparkSession, dir: String,
-                      maxHamming: Int = 5): DataFrame = {
+                      maxHamming: Int = 5, segs: Int = 32): DataFrame = {
     import spark.implicits._
     // the 8-band pigeonhole only GUARANTEES a shared band up to
     // distance 7; a larger threshold would silently lose recall
     require(maxHamming <= 7,
       s"maxHamming=$maxHamming exceeds the 8-band pigeonhole cover (7)")
-    val segs = 32
-    // the "decode": 32 segment code-point sums per doc in ONE pass
+    require(segs % 8 == 0 && segs >= 8 && segs <= 64,
+      s"segs=$segs must be a multiple of 8 in [8, 64] (8 bands of segs/8 bits)")
+    // the "decode": `segs` segment code-point sums per doc in ONE pass
     // (graft.functions.SegCodeSums — ASCII payload ⇒ code == byte,
     // the mm1 oracle's documented stub scope). The r9 rewrite: the
     // previous posexplode(split) route pushed one row PER CHARACTER
     // through two hash aggregations (Θ(corpus chars) — sf1 measured
     // it at ~4× the doc-volume cost); this is a zero-shuffle
     // projection, segment COUNTS recovered arithmetically from the
-    // length (c_j = ⌈(j+1)n/32⌉ − ⌈jn/32⌉, the floor rule's bucket
-    // sizes). Empty payloads are skipped as before.
+    // length (c_j = ⌈(j+1)n/segs⌉ − ⌈jn/segs⌉, the floor rule's
+    // bucket sizes). Empty payloads are skipped as before.
     val docs0 = Tables.read(spark, dir, "documents")
       .filter(length($"text") > 0)
     // heavy per-row compute after a narrow scan parallelizes only as
@@ -537,20 +553,24 @@ object Media {
       .select($"doc_id", length($"text").cast("long").as("n"),
         graft.functions.TextFunctions.segCodeSums($"text", segs).as("ss"))
       .withColumn("ts", expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    // bitwiseOR, never +: bit 63 is Long.MinValue and a SUM carrying
+    // it overflows (the s33 sign-sketch hazard); OR of disjoint bits
+    // is exact in both engines
     val phash = (0 until segs).map { j =>
       val sj = element_at($"ss", j + 1)
-      val cj = expr(s"((${j + 1} * n + 31) DIV 32) - (($j * n + 31) DIV 32)")
+      val cj = expr(s"((${j + 1} * n + ${segs - 1}) DIV $segs) - (($j * n + ${segs - 1}) DIV $segs)")
       when(sj * $"n" > $"ts" * cj, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
     // materialize the signature index: the band self-join consumes it
     // on BOTH sides through different alias projections, which defeats
     // ReuseExchange (the d2_sig_index lesson) — without this the
     // per-character explode + two aggregations run twice
-    val hashes = graft.operators.Indexes.swap(s"mm7_phash_index:$dir",
+    val hashes = graft.operators.Indexes.swap(s"mm7_phash_index:$dir:$segs",
       agged.select($"doc_id", phash.as("phash")))
+    val keyBits = segs / 8
     val bands = hashes.select($"doc_id", $"phash",
       posexplode(array((0 until 8).map(b =>
-        shiftright($"phash", b * 4).bitwiseAND(lit(15L))): _*))
+        shiftright($"phash", b * keyBits).bitwiseAND(lit((1L << keyBits) - 1))): _*))
         .as(Seq("band", "key")))
     val a = bands.select($"doc_id".as("doc_id1"), $"phash".as("h1"), $"band", $"key")
     val b = bands.select($"doc_id".as("doc_id2"), $"phash".as("h2"), $"band", $"key")
@@ -569,8 +589,10 @@ object Media {
     val segCols = (0 until 32).flatMap(j => Seq(
       s"sum(CASE WHEN seg = $j THEN s ELSE 0 END) AS s$j",
       s"sum(CASE WHEN seg = $j THEN cnt ELSE 0 END) AS c$j")).mkString(", ")
+    // `|`, never `+`: matches the Spark side's bitwiseOR convention
+    // (at segs=64 bit 63's literal is negative; 32-bit here)
     val bits = (0 until 32).map(j =>
-      s"(CASE WHEN s$j * n > ts * c$j THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN s$j * n > ts * c$j THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" | ")
     val bandRows = (0 until 8).map(b =>
       s"SELECT doc_id, phash, $b AS band, (phash >> ${b * 4}) & 15 AS key FROM ph")
       .mkString(" UNION ALL ")

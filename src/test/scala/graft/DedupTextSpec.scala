@@ -1044,7 +1044,7 @@ class DedupTextSpec extends AnyFunSuite {
   }
 
   test("mm7 phash near-dup: identical payloads at hamming 0, same-length edit stays near") {
-    // the signature resizes to a 32-segment grid, so it is robust to
+    // the signature resizes to a 64-segment grid, so it is robust to
     // SAME-LENGTH perturbations (re-encode analog) but not to length
     // shifts (crop analog) — plant accordingly
     val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
@@ -1066,6 +1066,15 @@ class DedupTextSpec extends AnyFunSuite {
       assert(a < b && h >= 0L && h <= 5L, s"($a,$b,$h)")
       assert(!Set(a, b).contains(3L), s"unrelated doc matched: ($a,$b,$h)")
     }
+    // the production signature width (segs=64 — 8-bit band keys, the
+    // scale path the scaladoc prices): same planted recalls hold
+    val r64 = graft.multimodal.Media.mm7PhashNearDup(spark, dir, segs = 64).collect()
+      .map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2"))
+        -> x.getAs[Long]("hamming")).toMap
+    assert(r64.get((0L, 1L)).contains(0L), s"segs=64 lost the identical pair: $r64")
+    assert(r64.contains((0L, 2L)) && r64((0L, 2L)) <= 5L, s"segs=64 lost the edit pair: $r64")
+    assert(!r64.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"segs=64 matched the unrelated doc: $r64")
   }
 
   test("d12 kmv distinct: exact below k, s0's two identical docs count once") {
