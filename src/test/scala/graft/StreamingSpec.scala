@@ -1460,6 +1460,39 @@ class StreamingSpec extends AnyFunSuite {
       "replay changed an output")
   }
 
+  test("quality gate replay after a threshold retune rewrites BOTH sides (zero-row partition deleted)") {
+    // the ADVICE-flagged divergence: attempt 1 keeps a doc, a retuned
+    // attempt 2 rejects everything — the kept side then lands ZERO
+    // rows for the replayed batch id, and dynamic partition overwrite
+    // alone would leave the stale kept partition alive (the doc in
+    // both outputs). landBatch's explicit delete must clear it.
+    import graft.streaming.DocStream
+    val in = java.nio.file.Files.createTempDirectory("graft-qg2-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-qg2-wd").toString
+    val longGood = (1 to 40).map(i => s"the word$i is here").mkString(" ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "s1.txt"),
+      String.join("\n", longGood, "zzzzzz").getBytes("UTF-8"))
+    // attempt 1: normal threshold — longGood keeps, zzzzzz rejects
+    val r1 = DocStream.qualityGateSink(DocStream.readLinesStream(spark, in),
+      s"$wd/kept", s"$wd/rej", s"$wd/ckpt1", minQualityE6 = 300000L)
+    try r1.processAllAvailable() finally r1.stop()
+    assert(spark.read.parquet(s"$wd/kept").count() == 1L)
+    // attempt 2 = the same file batch REDELIVERED under batch id 0
+    // (fresh checkpoint — the crash-then-retune shape) with an
+    // impossible threshold: everything rejects, kept goes to zero
+    val r2 = DocStream.qualityGateSink(DocStream.readLinesStream(spark, in),
+      s"$wd/kept", s"$wd/rej", s"$wd/ckpt2", minQualityE6 = 2000000L)
+    try r2.processAllAvailable() finally r2.stop()
+    // the delete may leave the kept table with no data files at all —
+    // an unreadable/schema-less path IS the success condition here
+    val keptCount =
+      try spark.read.parquet(s"$wd/kept").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(keptCount == 0L, "stale kept partition survived the zero-row replay")
+    val rej = spark.read.parquet(s"$wd/rej")
+    assert(rej.count() == 2L && rej.filter($"reason" === "low_quality").count() == 2L)
+  }
+
   test("DocStream lands crawl shards as documents + chunks, equal to the batch ingest, across a restart") {
     import graft.streaming.DocStream
     val in = java.nio.file.Files.createTempDirectory("graft-doc-in").toString
