@@ -1924,11 +1924,18 @@ object Knn {
       lloydCentroids(spark, dir, kc, iters), k, beam, rounds)
 
   /** The walk body over ANY (adjacency, entry-centroid) index pair —
-    * shared by the in-session [[s35GraphWalk]] and the persisted-index
-    * [[s35FromIndex]] serving path. */
+    * shared by the in-session [[s35GraphWalk]], the persisted-index
+    * [[s35FromIndex]] serving path, and the s37 beam sweep (which
+    * also reads the VISITED pool — the walk's scan cost). */
   private def graphWalk(spark: SparkSession, dir: String, adj: DataFrame,
                         cents: Seq[(Int, Array[Long])], k: Int,
-                        beam: Int, rounds: Int): DataFrame = {
+                        beam: Int, rounds: Int): DataFrame =
+    graphWalkParts(spark, dir, adj, cents, k, beam, rounds)._2
+
+  /** (final visited pool, final ranked top-k). */
+  private def graphWalkParts(spark: SparkSession, dir: String, adj: DataFrame,
+                             cents: Seq[(Int, Array[Long])], k: Int,
+                             beam: Int, rounds: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.VectorFunctions.quantizeE6
     val e = Tables.read(spark, dir, "embeddings")
@@ -1997,71 +2004,84 @@ object Knn {
       prevCut = Some(next)
       visited = next
     }
-    scored(visited)
-      .withColumn("rank", row_number().over(wBeam))
-      .filter($"rank" <= k)
+    (visited,
+      scored(visited)
+        .withColumn("rank", row_number().over(wBeam))
+        .filter($"rank" <= k))
   }
 
-  /** s35 oracle: the shared s17 + refinement chains (`ref`), the s8
-    * Lloyd's chain for the nprobe=1 entry cells, and the walk's
-    * rounds unrolled as (score → beam → frontier → visited) CTE
-    * quads. Multi-referenced frames are MATERIALIZED (the s29
-    * re-inline lesson). */
-  def s35Sql: String = {
-    val (beam, rounds) = (4, 3)
-    val iters = 4
-    def scoreCte(name: String, from: String) =
-      s"""$name AS (
-         |  SELECT p.query_id, p.neighbor_id,
-         |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
-         |  FROM $from p
-         |  JOIN u uq ON uq.vec_id = p.query_id
-         |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
-         |  GROUP BY 1, 2)""".stripMargin
-    val roundCtes = (1 to rounds).map { rd =>
-      s"""${scoreCte(s"gsc$rd", s"v${rd - 1}")},
-         |gb$rd AS (
-         |  SELECT query_id, neighbor_id FROM gsc$rd
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $beam),
-         |gf$rd AS (
-         |  SELECT b.query_id, a.neighbor_id
-         |  FROM gb$rd b JOIN adj a ON a.src_id = b.neighbor_id
-         |  WHERE a.neighbor_id >= 10),
-         |v$rd AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id FROM v${rd - 1}
-         |  UNION SELECT query_id, neighbor_id FROM gf$rd)""".stripMargin
-    }
-    s"""WITH $s17Ctes,
+  /** Exact-cosine scoring CTE over a (query_id, neighbor_id) frame —
+    * the walk oracles' shared kernel. */
+  private def walkScoreCte(name: String, from: String): String =
+    s"""$name AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+       |  FROM $from p
+       |  JOIN u uq ON uq.vec_id = p.query_id
+       |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared walk prelude: s17 banding + NN-descent refinement →
+    * symmetrized `adj`, the Lloyd's chain, and the `gcells`/`gprobes`
+    * entry-cell assignment — everything that does NOT depend on the
+    * beam setting, so the s37 sweep composes it once. */
+  private def walkPreludeCtes(iters: Int = 4): String =
+    s"""$s17Ctes,
        |$s29RefCtes,
        |adj AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM ref
        |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ref),
        |${lloydCteParts(iters).mkString(",\n")},
-       |gcells AS (
+       |gcells AS MATERIALIZED (
        |  SELECT vec_id, cluster AS cell FROM (
        |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
        |    FROM q JOIN c${iters - 1} c ON c.i = q.i
        |    WHERE q.vec_id >= 10 GROUP BY 1, 2
        |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
-       |gprobes AS (
+       |gprobes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cluster AS cell FROM (
        |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
        |    FROM q JOIN c${iters - 1} c ON c.i = q.i
        |    WHERE q.vec_id < 10 GROUP BY 1, 2
-       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
-       |v0 AS MATERIALIZED (
+       |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
+
+  /** One beam setting's walk chain (entry → unrolled rounds → scored
+    * final pool), CTE names prefixed by `p` so the sweep composes
+    * several in one WITH. Leaves `${p}v$rounds` (the visited pool) and
+    * `${p}gfin` (its exact scores) in scope. */
+  private def walkCtes(p: String, beam: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { rd =>
+      s"""${walkScoreCte(s"${p}gsc$rd", s"${p}v${rd - 1}")},
+         |${p}gb$rd AS (
+         |  SELECT query_id, neighbor_id FROM ${p}gsc$rd
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $beam),
+         |${p}gf$rd AS (
+         |  SELECT b.query_id, a.neighbor_id
+         |  FROM ${p}gb$rd b JOIN adj a ON a.src_id = b.neighbor_id
+         |  WHERE a.neighbor_id >= 10),
+         |${p}v$rd AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM ${p}v${rd - 1}
+         |  UNION SELECT query_id, neighbor_id FROM ${p}gf$rd)""".stripMargin
+    }
+    s"""${p}v0 AS MATERIALIZED (
        |  SELECT query_id, vec_id AS neighbor_id FROM (
-       |    SELECT p.query_id, cl.vec_id,
-       |      row_number() OVER (PARTITION BY p.query_id ORDER BY cl.vec_id) AS rn
-       |    FROM gprobes p JOIN gcells cl ON cl.cell = p.cell) WHERE rn <= $beam),
+       |    SELECT pr.query_id, cl.vec_id,
+       |      row_number() OVER (PARTITION BY pr.query_id ORDER BY cl.vec_id) AS rn
+       |    FROM gprobes pr JOIN gcells cl ON cl.cell = pr.cell) WHERE rn <= $beam),
        |${roundCtes.mkString(",\n")},
-       |${scoreCte("gfin", s"v$rounds")}
+       |${walkScoreCte(s"${p}gfin", s"${p}v$rounds")}""".stripMargin
+  }
+
+  /** s35 oracle: the shared walk prelude + one beam-4 chain. Multi-
+    * referenced frames are MATERIALIZED (the s29 re-inline lesson). */
+  def s35Sql: String =
+    s"""WITH ${walkPreludeCtes()},
+       |${walkCtes("", 4, 3)}
        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM gfin)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-  }
 
   /** s36: recall@k audit of the graph-walk tier vs the exact s1
     * top-k (the s9/s11/s13 pattern — index quality is measured, not
@@ -2089,6 +2109,82 @@ object Knn {
        |FROM ex LEFT JOIN ap
        |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** The s37 beam settings — shared by the Spark sweep and its oracle
+    * (one registered contract, the s19/d14 convention). */
+  private val WalkBeams = Seq(2, 4, 8)
+
+  /** s37: WALK BEAM SWEEP — recall AND scan cost of the graph tier at
+    * beam = 2/4/8, in one query: the s19-for-the-walk (s19 prices
+    * IVF's nprobe dial, d14 prices LSH's banding dial; this prices
+    * the graph tier's one serving knob). Each row is (beam,
+    * n_queries, mean/min recall@5 ×1e6, sum_visited): visited-pool
+    * size IS the per-query scan cost a serving deployment pays
+    * (exactly the vectors whose floats move), so the curve says what
+    * each beam increment buys — the number a team reads before
+    * pinning beam in production.
+    *
+    * Shape: the adjacency, vector store and query frames are the
+    * SAME memoized/checkpointed artifacts every walk shares; the
+    * sweep runs three query-set-sized walks (work ∝ queries × beam ×
+    * degree × rounds each) and three query-set-sized audit joins —
+    * the corpus is never rescanned per setting. Recall is against
+    * s1's exact top-k; all arithmetic integer-exact (halfUp means). */
+  def s37WalkSweep(spark: SparkSession, dir: String, k: Int = K,
+                   rounds: Int = 3, kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val adj = walkAdjacency(spark, dir)
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val exact = s1Brute(spark, dir, k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    WalkBeams.map { b =>
+      val (visited, topk) = graphWalkParts(spark, dir, adj, cents, k, b, rounds)
+      val hits = exact
+        .join(topk.select($"query_id", $"neighbor_id"),
+          $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
+        .groupBy($"eq").agg(count($"neighbor_id").as("n_hits"))
+      val vis = visited.groupBy($"query_id").agg(count(lit(1)).as("n_visited"))
+      hits.join(vis, $"eq" === $"query_id")
+        .agg(count(lit(1)).as("n_queries"),
+          halfUp(sum($"n_hits") * lit(1000000L / k), count(lit(1))).as("mean_recall_e6"),
+          min($"n_hits" * lit(1000000L / k)).as("min_recall_e6"),
+          sum($"n_visited").as("sum_visited"))
+        .select(lit(b.toLong).as("beam"), $"n_queries", $"mean_recall_e6",
+          $"min_recall_e6", $"sum_visited")
+    }.reduce(_ unionAll _)
+  }
+
+  /** s37 oracle: ONE shared walk prelude + three prefixed beam chains
+    * + the exact yardstick, rolled to one row per beam. */
+  def s37Sql: String = {
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    val chains = WalkBeams.map(b => walkCtes(s"b$b", b, 3)).mkString(",\n")
+    val rows = WalkBeams.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam, count(*) AS n_queries,
+         |  CAST(${hu(s"sum(j.n_hits) * ${1000000L / K}", "count(*)")} AS BIGINT) AS mean_recall_e6,
+         |  CAST(min(j.n_hits) * ${1000000L / K} AS BIGINT) AS min_recall_e6,
+         |  CAST(sum(j.n_visited) AS BIGINT) AS sum_visited
+         |FROM (
+         |  SELECT h.query_id, h.n_hits, v.n_visited FROM (
+         |    SELECT ex.query_id, count(tk.neighbor_id) AS n_hits
+         |    FROM ex LEFT JOIN (
+         |      SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |        FROM b${b}gfin) WHERE rank <= $K) tk
+         |      ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+         |    GROUP BY ex.query_id) h
+         |  JOIN (SELECT query_id, count(*) AS n_visited FROM b${b}v3 GROUP BY 1) v
+         |    ON v.query_id = h.query_id) j""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${walkPreludeCtes()},
+       |$chains,
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
+       |$rows
+       |ORDER BY beam""".stripMargin
+  }
 
   /** s18: HARD-NEGATIVE mining — for each query vector, the k corpus
     * neighbors with the HIGHEST cosine but a DIFFERENT label: the

@@ -1816,6 +1816,25 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(total < 50, "walk recall vacuously perfect — audit proves nothing")
   }
 
+  test("s37 beam sweep: beam-4 row reconciles with s36; cost grows with beam") {
+    val rows = Knn.s37WalkSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("beam") -> r).toMap
+    assert(rows.keySet == Set(2L, 4L, 8L))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10L)
+      assert(r.getAs[Long]("sum_visited") > 0L)
+    }
+    // the beam-4 setting IS s35's registered walk: its sweep row must
+    // reconcile exactly with the s36 audit
+    val audit = Knn.s36WalkRecall(spark, sf).collect().map(_.getAs[Long]("recall_e6"))
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    assert(rows(4L).getAs[Long]("mean_recall_e6") == hu(audit.sum, audit.length))
+    assert(rows(4L).getAs[Long]("min_recall_e6") == audit.min)
+    // a wider beam visits more of the corpus — that is the cost axis
+    assert(rows(8L).getAs[Long]("sum_visited") > rows(2L).getAs[Long]("sum_visited"),
+      "beam widening did not grow the visited pool")
+  }
+
   test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {
     val plan = Knn.s35GraphWalk(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -66,6 +66,7 @@ class QueriesSpec extends AnyFunSuite {
       "s34_bq_recall",    // composes s33 + the exact-L2 yardstick
       "s32_tier_table",   // composes the seven audits — their exact sides ride along
       "s36_walk_recall",  // audit carries s1's exact yardstick; the walk itself is equi-join-only
+      "s37_walk_sweep",   // the beam sweep's rows each carry that same exact yardstick
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -290,6 +291,9 @@ class QueriesSpec extends AnyFunSuite {
       // s1's two-sided yardstick; the walk's rounds are lineage-cut and
       // its store/queries frames are memo/checkpoint — scan-free
       "s36_walk_recall" -> 4,
+      // three beam settings' entry formations (one cell-assign scan
+      // each) + the shared exact yardstick's slices
+      "s37_walk_sweep" -> 8,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
       // s1's two query/corpus slices + the refinement's two e-store legs
       // (the base graph itself is the memoized s29 artifact)
