@@ -353,9 +353,19 @@ object MergeConfig {
     * — never re-diffing the destination — keeps the plan correct even
     * after later unrelated writes. Fails loudly when an id map is
     * missing: a rollback plan over a partial artifact set would
-    * silently under-delete. */
+    * silently under-delete.
+    *
+    * Keyless tables get an explicit UNKNOWN marker row (counts = -1,
+    * `note` says why): a keyless merge publishes a structurally EMPTY
+    * id map ([[Orchestrator]]'s emptyIdMap — its inserted rows carry
+    * no identifiable id), so an agg over it yields NULL counts and the
+    * plan would silently claim "nothing to delete" — the exact
+    * under-delete hazard the missing-map guard exists to stop, slipped
+    * in through a map that EXISTS but cannot answer. The operator
+    * rolls a keyless table back from the pre-merge snapshot (or by
+    * source-row fingerprint), never by id list. */
   def rollbackPlan(spark: SparkSession, cfg: Config): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
     val tables =
       if (cfg.source.path.startsWith("jdbc:")) discoverFks(cfg.source.path, cfg.tables)
       else cfg.tables
@@ -367,16 +377,29 @@ object MergeConfig {
           .option("dbtable", s"${name}__idmap").load()
       else spark.read.parquet(s"${cfg.output}/${name}__idmap.parquet")
     order.zipWithIndex.map { case (spec, i) =>
-      val m = try idMapOf(spec.name) catch {
-        case e: Exception => throw new IllegalStateException(
-          s"rollback plan needs the published id map for '${spec.name}' " +
-            s"(run the merge with persist = true): ${e.getMessage}", e)
+      if (spec.mode == MergeMode.Keyless)
+        spark.range(1).select(
+          lit((n - i).toLong).as("step"), lit(spec.name).as("table_name"),
+          lit(-1L).as("n_delete"), lit(-1L).as("n_unmap_only"),
+          lit("keyless: inserted rows not identifiable from the id map; " +
+            "restore from the pre-merge snapshot").as("note"))
+      else {
+        val m = try idMapOf(spec.name) catch {
+          case e: Exception => throw new IllegalStateException(
+            s"rollback plan needs the published id map for '${spec.name}' " +
+              s"(run the merge with persist = true): ${e.getMessage}", e)
+        }
+        // coalesce: an EMPTY keyed map (zero src rows) means 0 to
+        // delete — a NULL count reads as "unknown" and -1 is reserved
+        // for the keyless marker above
+        m.agg(
+            coalesce(sum(when(col("is_new") === 1, 1L).otherwise(0L)), lit(0L))
+              .as("n_delete"),
+            coalesce(sum(when(col("is_new") === 0, 1L).otherwise(0L)), lit(0L))
+              .as("n_unmap_only"))
+          .select(lit((n - i).toLong).as("step"), lit(spec.name).as("table_name"),
+            col("n_delete"), col("n_unmap_only"), lit("").as("note"))
       }
-      m.agg(
-          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_delete"),
-          sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_unmap_only"))
-        .select(lit((n - i).toLong).as("step"), lit(spec.name).as("table_name"),
-          col("n_delete"), col("n_unmap_only"))
     }.reduce(_ unionAll _).orderBy("step")
   }
 

@@ -204,9 +204,17 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = graft.sources.Tables.documentsFromLines(batch, lang)
+        // LEFT join: a zero-token doc (empty/whitespace/punct-only
+        // crawl line) produces NO quality row — the score is a rollup
+        // over exploded tokens — and an inner join would land it in
+        // NEITHER kept nor rejected, breaking the sink's "nothing
+        // dropped silently" contract. No tokens = no content: score 0
+        // so the gate rejects it (low_quality), unless the t37
+        // detector already names it `encoding`.
         val gated = docs
           .join(graft.text.TextAnalysis.qualityOf(docs)
-            .select(col("doc_id"), col("quality_e6")), "doc_id")
+            .select(col("doc_id"), col("quality_e6")), Seq("doc_id"), "left")
+          .withColumn("quality_e6", coalesce(col("quality_e6"), lit(0L)))
           .withColumn("gate_reason",
             when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
               .when(col("quality_e6") < minQualityE6, "low_quality"))
@@ -262,9 +270,13 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = graft.sources.Tables.documentsFromLines(batch, lang)
+        // LEFT join + score-0 backfill: same zero-token contract as
+        // [[curatedIngestSink]] — empty lines reject as low_quality
+        // instead of vanishing from both outputs
         val scored = docs
           .join(graft.text.TextAnalysis.qualityOf(docs)
-            .select(col("doc_id"), col("quality_e6")), "doc_id")
+            .select(col("doc_id"), col("quality_e6")), Seq("doc_id"), "left")
+          .withColumn("quality_e6", coalesce(col("quality_e6"), lit(0L)))
           .withColumn("reason",
             when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
               .when(col("quality_e6") < minQualityE6, "low_quality"))

@@ -117,20 +117,21 @@ object EventStream {
   }
 
   /** Explicit argument beats the conf; the conf beats the built-in
-    * default. (A caller explicitly passing the default string gets the
-    * conf too — the sentinel is the string value, documented on
-    * [[DefaultAggWatermark]].) */
-  private def resolvedWatermark(events: DataFrame, watermark: String): String =
-    if (watermark == DefaultAggWatermark)
+    * default. `None` (the parameter default) is the only value that
+    * defers — an explicit caller string ALWAYS wins, even one that
+    * happens to equal [[DefaultAggWatermark]] (the old String-sentinel
+    * design silently overrode exactly that caller). */
+  private def resolvedWatermark(events: DataFrame, watermark: Option[String]): String =
+    watermark.getOrElse(
       events.sparkSession.conf.getOption(WatermarkDelayKey)
-        .filter(_.nonEmpty).getOrElse(watermark)
-    else watermark
+        .filter(_.nonEmpty).getOrElse(DefaultAggWatermark))
 
   /** Streaming twin of e1: tumbling 1-hour counts per event type.
     * Works on any DataFrame with (ts: timestamp, event_type, value) —
     * batch or streaming — the plan is identical, which is the point.
-    * The default delay defers to [[WatermarkDelayKey]] when set. */
-  def windowedAgg(events: DataFrame, watermark: String = DefaultAggWatermark): DataFrame = {
+    * The default (None) delay defers to [[WatermarkDelayKey]] when
+    * set, then to [[DefaultAggWatermark]]. */
+  def windowedAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val in = if (events.isStreaming)
       events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     // decimal-exact sum, same as the batch twin e1 — identical results
@@ -146,7 +147,7 @@ object EventStream {
     * in 4 windows). Same plan batch or streaming; under streaming a
     * window is emitted in append mode once the watermark passes its
     * end, state bounded to open windows × event types. */
-  def hoppingAgg(events: DataFrame, watermark: String = DefaultAggWatermark): DataFrame = {
+  def hoppingAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val in = if (events.isStreaming)
       events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     in.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -643,7 +644,7 @@ object EventStream {
     * but deterministic and replay-stable). Works identically on a
     * batch frame — the parity spec pins it. */
   def kmvDistinctStream(events: DataFrame, k: Int = 64,
-                        watermark: String = DefaultAggWatermark): DataFrame = {
+                        watermark: Option[String] = None): DataFrame = {
     val in = if (events.isStreaming)
       events.withWatermark("ts", resolvedWatermark(events, watermark)) else events
     in.select(window(col("ts"), "1 hour").as("w"),

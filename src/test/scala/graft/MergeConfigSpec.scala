@@ -169,7 +169,7 @@ class MergeConfigSpec extends AnyFunSuite {
     val lines = MergeMain.run(Array(cfgFile.toString, "--rollback-plan"), spark)
     // children delete before parents; deletions = exactly the rows the
     // merge inserted (beta→12, y→501); mapped rows only unmap
-    assert(lines == Seq("1\tchild\t1\t1", "2\tparent\t1\t1"))
+    assert(lines == Seq("1\tchild\t1\t1\t", "2\tparent\t1\t1\t"))
     // a plan, not an action: the published merge is untouched
     assert(spark.read.parquet(s"$outDir/parent.parquet").count() == before)
     assert(spark.read.parquet(s"$outDir/child.parquet").count() == 2)
@@ -182,6 +182,45 @@ class MergeConfigSpec extends AnyFunSuite {
       MergeConfig.rollbackPlan(spark, MergeConfig.fromJson(json2)).collect()
     }
     assert(ex.getMessage.contains("persist = true"))
+  }
+
+  test("rollback plan marks keyless tables UNKNOWN — the empty id map must not read as 'nothing to delete'") {
+    // the ADVICE hazard: a keyless merge PUBLISHES an id map (so the
+    // missing-map guard never fires) but the map is structurally empty
+    // — an agg over it yields NULL counts and the plan silently shows
+    // nothing to delete for a table the merge DID insert into
+    val (srcDir, destDir, outDir) = writeInstances()
+    Seq((1L, "t1"), (2L, "t2"))
+      .toDF("parent_id", "tag").write.parquet(s"$srcDir/assoc.parquet")
+    Seq((10L, "t0"))
+      .toDF("parent_id", "tag").write.parquet(s"$destDir/assoc.parquet")
+    val json =
+      s"""{
+         |  "source": {"path": "$srcDir", "location": "instanceB"},
+         |  "destination": {"path": "$destDir"},
+         |  "output": "$outDir",
+         |  "generateNewUuids": false,
+         |  "persist": true,
+         |  "tables": [
+         |    {"name": "parent", "idCol": "id", "mode": "consolidate",
+         |     "naturalKey": ["name"], "uuidCol": "uuid"},
+         |    {"name": "child", "idCol": "id", "mode": "move",
+         |     "naturalKey": ["payload"], "fks": {"parent_id": "parent"}},
+         |    {"name": "assoc", "mode": "keyless", "fks": {"parent_id": "parent"}}
+         |  ]
+         |}""".stripMargin
+    MergeConfig.execute(spark, MergeConfig.fromJson(json), dryRun = false)
+    // the keyless id map EXISTS and is empty — the guard's blind spot
+    assert(spark.read.parquet(s"$outDir/assoc__idmap.parquet").count() == 0L)
+    val plan = MergeConfig.rollbackPlan(spark, MergeConfig.fromJson(json))
+      .collect().map(r => r.getAs[String]("table_name") ->
+        ((r.getAs[Long]("n_delete"), r.getAs[Long]("n_unmap_only"),
+          r.getAs[String]("note")))).toMap
+    val (kd, ku, note) = plan("assoc")
+    assert(kd == -1L && ku == -1L, "keyless counts must be the explicit UNKNOWN marker, not 0/NULL")
+    assert(note.contains("keyless") && note.contains("snapshot"))
+    // keyed tables are unchanged by the marker column
+    assert(plan("parent") == ((1L, 1L, "")) && plan("child") == ((1L, 1L, "")))
   }
 
   test("execute refuses to merge a source with orphaned FKs (the reference's integrity gate)") {

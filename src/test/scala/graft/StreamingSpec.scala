@@ -67,8 +67,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(delaysOf(EventStream.windowedAgg(streamDf)) == Seq(secs * 1000000L),
         "windowedAgg did not pick up the configured delay")
       assert(delaysOf(EventStream.hoppingAgg(streamDf)) == Seq(secs * 1000000L))
-      // an explicit caller choice still beats the conf
-      assert(delaysOf(EventStream.windowedAgg(streamDf, "30 minutes")) == Seq(30L * 60000000L))
+      // an explicit caller choice still beats the conf — including one
+      // that equals the built-in default (the old String-sentinel hole)
+      assert(delaysOf(EventStream.windowedAgg(streamDf, Some("30 minutes"))) == Seq(30L * 60000000L))
+      assert(delaysOf(EventStream.windowedAgg(streamDf,
+        Some(EventStream.DefaultAggWatermark))) == Seq(2L * 3600000000L),
+        "an explicit default-valued delay must beat the conf")
     } finally spark.conf.unset(EventStream.WatermarkDelayKey)
   }
 
@@ -1341,7 +1345,11 @@ class StreamingSpec extends AnyFunSuite {
       ()
     }
     val longGood = (1 to 40).map(i => s"the word$i is here").mkString(" ") // 160 tokens, stopword-rich
-    writeShard("shard1.txt", Seq(longGood, "zzzzzz", s"cafÃ© $longGood"))
+    // "" and the mojibake-only line are the ADVICE zero-token cases: no
+    // alphanumeric content at all — they must land in REJECTED (not
+    // vanish from both outputs), with encoding still winning when the
+    // t37 detector fires
+    writeShard("shard1.txt", Seq(longGood, "zzzzzz", "", "Ã©Ã©Ã©", s"cafÃ© $longGood"))
     def run(ckpt: String) = DocStream.qualityGateSink(
       DocStream.readLinesStream(spark, in), s"$wd/kept", s"$wd/rej", ckpt)
     val r1 = run(s"$wd/ckpt"); try r1.processAllAvailable() finally r1.stop()
@@ -1365,8 +1373,11 @@ class StreamingSpec extends AnyFunSuite {
     val rej = spark.read.parquet(s"$wd/rej")
     // the split IS the batch formula: recompute over the whole dir
     val docs = graft.sources.Tables.documentsFromText(spark, in)
+    // LEFT join + 0 backfill = the sink's zero-token contract
     val expect = docs
-      .join(TextAnalysis.qualityOf(docs).select($"doc_id", $"quality_e6"), "doc_id")
+      .join(TextAnalysis.qualityOf(docs).select($"doc_id", $"quality_e6"),
+        Seq("doc_id"), "left")
+      .withColumn("quality_e6", coalesce($"quality_e6", lit(0L)))
       .withColumn("reason",
         when(TextAnalysis.encodingFlag($"text") === 1L, "encoding")
           .when($"quality_e6" < 300000L, "low_quality"))
@@ -1383,8 +1394,10 @@ class StreamingSpec extends AnyFunSuite {
     }
     // the fixture exercises all three outcomes, and replay didn't dup
     assert(kept.count() == 2L, "both long clean lines keep")
-    assert(rej.filter($"reason" === "low_quality").count() == 2L)
-    assert(rej.filter($"reason" === "encoding").count() == 1L)
+    assert(rej.filter($"reason" === "low_quality").count() == 3L,
+      "zzzzzz, qqq AND the empty line reject as low_quality")
+    assert(rej.filter($"reason" === "encoding").count() == 2L,
+      "the mojibake-only zero-token line still gets its encoding verdict")
     val all = kept.select("doc_id").union(rej.select("doc_id"))
     assert(all.distinct().count() == all.count(), "replay duplicated doc_ids")
   }
@@ -1419,8 +1432,9 @@ class StreamingSpec extends AnyFunSuite {
     }
     // batch 1: an exact re-render of the kept batch-0 doc (must drop
     // as near_dup against the index), a fresh clean doc (keeps +
-    // shards), and more junk (gate)
-    writeShard("shard2.txt", Seq(longGood, longGood2, "qqq"))
+    // shards), more junk (gate), and an EMPTY line — the ADVICE
+    // zero-token case: it must land in rejected, not vanish
+    writeShard("shard2.txt", Seq(longGood, "", longGood2, "qqq"))
     val r2 = run(s"$wd/ckpt"); try r2.processAllAvailable() finally r2.stop()
     val kept = spark.read.parquet(s"$wd/kept")
     val rej = spark.read.parquet(s"$wd/rej")
@@ -1435,6 +1449,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => text(r.getAs[Long]("doc_id")) -> r.getAs[String]("reason")).toMap
     assert(reasons(s"cafÃ© $longGood") == "encoding")
     assert(reasons("zzzzzz") == "low_quality" && reasons("qqq") == "low_quality")
+    assert(reasons("") == "low_quality", "the empty line lands in rejected (score 0)")
     assert(reasons(longGood) == "near_dup", "the re-rendered copy must drop against the index")
     // shard parity with c6/t38's seeded digest slice, recomputed raw
     def shardOf(docId: Long): Long = {
