@@ -504,14 +504,25 @@ object Media {
     * rows). `segs = 64` (the classic DCT pHash width) gives 8-bit
     * keys — 256 values per band, 16× the bucket space: measured on
     * the sf1 clone corpus (BenchMm7), segs=64 runs 2.5 s warm vs
-    * segs=32's 10.7 s and keeps every one of the 226k TRUE clone
-    * pairs while dropping the 288k noise pairs the 4-bit floor lets
-    * through. The noise is also visible at sf0.01: the 23 hamming-≤5
-    * pairs the 32-bit registered output reports there are chance
-    * hash-collisions (wildly different lengths and texts — verified),
-    * and the 64-bit signature correctly reports none. The REGISTERED
-    * query stays at segs=32 so its oracle-gated output is non-vacuous
-    * on this corpus; a production media deployment calls segs=64.
+    * segs=32's 10.7 s and keeps every TRUE clone pair while dropping
+    * the noise pairs the 4-bit floor lets through. The REGISTERED
+    * query runs segs=64 — the plan you'd run at 100× — over the
+    * corpus ⊎ PLANTED RE-ENCODE VARIANTS (below); segs=32 stays as
+    * BenchMm7's priced contrast.
+    *
+    * PLANTED VARIANTS (`plantEvery`): the synthetic corpus has exact
+    * clones (mm4's job) but no true perceptual near-dups — different
+    * bytes, same content — so a correct 64-bit detector would be
+    * VACUOUSLY green (its sf0.01 "pairs" under segs=32 were verified
+    * chance collisions). The test corpus is driver-owned, so the
+    * re-encode families are derived deterministically IN the frame:
+    * every `plantEvery`-th doc contributes a variant (doc_id +
+    * [[PlantOffset]]) whose 2nd character is shifted one code point —
+    * different bytes and md5 (mm4 misses it, which is mm7's whole
+    * reason to exist), near-identical gray signature (hamming ≲ 2).
+    * One corpus scan: the variant rides a bounded 2-element explode,
+    * never a second read. `plantEvery = 0` disables planting (the
+    * pure-corpus contrast BenchMm7 runs).
     *
     * The "decode" here is the stub family's gray signature: `segs`
     * equal byte-segments of the payload, segment mean vs global mean
@@ -520,7 +531,8 @@ object Media {
     * every bit. A real DCT pHash plugs in at the mapPartitions decode
     * boundary (mm1/mm2's hook) and feeds the SAME band join. */
   def mm7PhashNearDup(spark: SparkSession, dir: String,
-                      maxHamming: Int = 5, segs: Int = 32): DataFrame = {
+                      maxHamming: Int = 5, segs: Int = 64,
+                      plantEvery: Int = 25): DataFrame = {
     import spark.implicits._
     // the 8-band pigeonhole only GUARANTEES a shared band up to
     // distance 7; a larger threshold would silently lose recall
@@ -528,6 +540,7 @@ object Media {
       s"maxHamming=$maxHamming exceeds the 8-band pigeonhole cover (7)")
     require(segs % 8 == 0 && segs >= 8 && segs <= 64,
       s"segs=$segs must be a multiple of 8 in [8, 64] (8 bands of segs/8 bits)")
+    require(plantEvery >= 0, s"plantEvery=$plantEvery must be >= 0 (0 = no planting)")
     // the "decode": `segs` segment code-point sums per doc in ONE pass
     // (graft.functions.SegCodeSums — ASCII payload ⇒ code == byte,
     // the mm1 oracle's documented stub scope). The r9 rewrite: the
@@ -549,7 +562,22 @@ object Media {
     val docs =
       if (docs0.rdd.getNumPartitions >= target) docs0
       else docs0.repartition(target)
-    val agged = docs
+    // the planted re-encode variant: 2nd char shifted one code point
+    // (±1 keeps it in range at 127) — same length, different bytes,
+    // near-identical signature; one scan, explode arity ≤ 2
+    val vcode = "CASE WHEN ascii(substring(text, 2, 1)) >= 127 " +
+      "THEN ascii(substring(text, 2, 1)) - 1 ELSE ascii(substring(text, 2, 1)) + 1 END"
+    val corpus =
+      if (plantEvery == 0) docs.select($"doc_id", $"text")
+      else docs.select(explode(
+          when($"doc_id" % plantEvery === 0 && length($"text") >= 2,
+            array(struct($"doc_id", $"text"),
+              struct(($"doc_id" + PlantOffset).as("doc_id"),
+                expr(s"concat(substring(text, 1, 1), char($vcode), substring(text, 3))")
+                  .as("text"))))
+            .otherwise(array(struct($"doc_id", $"text")))).as("r"))
+        .select($"r.doc_id".as("doc_id"), $"r.text".as("text"))
+    val agged = corpus
       .select($"doc_id", length($"text").cast("long").as("n"),
         graft.functions.TextFunctions.segCodeSums($"text", segs).as("ss"))
       .withColumn("ts", expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x)"))
@@ -565,7 +593,8 @@ object Media {
     // on BOTH sides through different alias projections, which defeats
     // ReuseExchange (the d2_sig_index lesson) — without this the
     // per-character explode + two aggregations run twice
-    val hashes = graft.operators.Indexes.swap(s"mm7_phash_index:$dir:$segs",
+    val hashes = graft.operators.Indexes.swap(
+      s"mm7_phash_index:$dir:$segs:$plantEvery",
       agged.select($"doc_id", phash.as("phash")))
     val keyBits = segs / 8
     val bands = hashes.select($"doc_id", $"phash",
@@ -582,28 +611,49 @@ object Media {
       .filter($"hamming" <= maxHamming)
   }
 
-  /** mm7 oracle: same segment sums / strict-majority bits / band join
-    * / popcount in DuckDB (`ascii(substr(…))` = char code = payload
-    * byte for the ASCII stub corpus; `bit_count` on BIGINT). */
-  val mm7Sql: String = {
-    val segCols = (0 until 32).flatMap(j => Seq(
+  /** doc_id offset of a planted re-encode variant — far above any
+    * corpus id (GenSf1's tiled ids included), so variants never
+    * collide and a pair's plant-ness is readable from its id. */
+  val PlantOffset: Long = 1000000000000L
+
+  /** mm7 oracle builder: same corpus ⊎ planted variants, segment sums
+    * / strict-majority bits / band join / popcount in DuckDB
+    * (`ascii(substr(…))` = char code = payload byte for the ASCII
+    * stub corpus; `bit_count`/`xor` on BIGINT — exact at bit 63, the
+    * shift-then-mask band keys agree across engines because the mask
+    * erases the arithmetic-shift sign fill). */
+  def mm7SqlAt(segs: Int, plantEvery: Int, maxHamming: Int = 5): String = {
+    val keyBits = segs / 8
+    val mask = (1L << keyBits) - 1
+    val segCols = (0 until segs).flatMap(j => Seq(
       s"sum(CASE WHEN seg = $j THEN s ELSE 0 END) AS s$j",
       s"sum(CASE WHEN seg = $j THEN cnt ELSE 0 END) AS c$j")).mkString(", ")
     // `|`, never `+`: matches the Spark side's bitwiseOR convention
-    // (at segs=64 bit 63's literal is negative; 32-bit here)
-    val bits = (0 until 32).map(j =>
+    // (bit 63's literal is negative — OR of disjoint bits stays exact)
+    val bits = (0 until segs).map(j =>
       s"(CASE WHEN s$j * n > ts * c$j THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" | ")
     val bandRows = (0 until 8).map(b =>
-      s"SELECT doc_id, phash, $b AS band, (phash >> ${b * 4}) & 15 AS key FROM ph")
+      s"SELECT doc_id, phash, $b AS band, (phash >> ${b * keyBits}) & $mask AS key FROM ph")
       .mkString(" UNION ALL ")
-    s"""WITH ix AS (
+    val plant = if (plantEvery == 0) "" else s"""
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset,
+       |    substr(text, 1, 1) ||
+       |    chr(CASE WHEN ascii(substr(text, 2, 1)) >= 127
+       |        THEN ascii(substr(text, 2, 1)) - 1
+       |        ELSE ascii(substr(text, 2, 1)) + 1 END) ||
+       |    substr(text, 3)
+       |  FROM documents WHERE doc_id % $plantEvery = 0 AND length(text) >= 2""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) > 0$plant),
+       |ix AS (
        |  SELECT doc_id, length(text) AS len,
        |    unnest(range(0, length(text))) AS pos
-       |  FROM documents),
+       |  FROM corpus),
        |cc AS (
-       |  SELECT ix.doc_id, (ix.pos * 32) // ix.len AS seg,
+       |  SELECT ix.doc_id, (ix.pos * $segs) // ix.len AS seg,
        |    ascii(substr(d.text, ix.pos + 1, 1)) AS code
-       |  FROM ix JOIN documents d ON d.doc_id = ix.doc_id),
+       |  FROM ix JOIN corpus d ON d.doc_id = ix.doc_id),
        |sg AS (
        |  SELECT doc_id, seg, sum(code) AS s, count(*) AS cnt
        |  FROM cc GROUP BY 1, 2),
@@ -619,9 +669,14 @@ object Media {
        |  WHERE a.doc_id < b.doc_id)
        |SELECT doc_id1, doc_id2,
        |  CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(h1, h2)) <= 5
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= $maxHamming
        |ORDER BY doc_id1, doc_id2""".stripMargin
   }
+
+  /** mm7 oracle at the registered operating point (segs=64 over the
+    * planted corpus — the scale-safe width with a non-vacuous pair
+    * set). */
+  val mm7Sql: String = mm7SqlAt(64, 25)
 
   /** mm8: shard packing — the WebDataset/tar-shard export pass of a
     * multimodal training pipeline: assets are laid out in a stable

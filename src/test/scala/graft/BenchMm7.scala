@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch timing harness for mm7's signature-width scale dial
-  * (round-11 perf work) — not a spec; run with
+/** Scratch timing harness for mm7's signature-width scale dial —
+  * not a spec; run with
   * `SPARK_GRAFT_SF_DIR=target/sf1 sbt "Test/runMain graft.BenchMm7"`.
   * Times the band join + verify at segs=32 (4-bit keys, the 1/16
-  * collision floor) vs segs=64 (8-bit keys) on the same corpus. */
+  * collision floor) vs segs=64 (8-bit keys, the REGISTERED width) on
+  * the same planted corpus. r12 sf1 (hot 10-clone families): segs=64
+  * 3.5 s warm emitting EXACTLY the true-pair set (255,200 — zero
+  * collision noise); segs=32 23.0 s emitting 569,100 (313,900 of them
+  * noise). */
 object BenchMm7 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

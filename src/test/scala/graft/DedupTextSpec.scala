@@ -1055,7 +1055,9 @@ class DedupTextSpec extends AnyFunSuite {
       (3L, "zzz qqq xxx completely unrelated noise 000 111 222 333 444 555 666 777 888 999 aaa bbb", "en", "p2", 88L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val r = graft.multimodal.Media.mm7PhashNearDup(spark, dir).collect()
+    // the 32-bit contrast width on the pure corpus (BenchMm7's shape)
+    val r = graft.multimodal.Media
+      .mm7PhashNearDup(spark, dir, segs = 32, plantEvery = 0).collect()
     val pairs = r.map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2"))
       -> x.getAs[Long]("hamming")).toMap
     // identical bytes → identical signature
@@ -1066,13 +1068,21 @@ class DedupTextSpec extends AnyFunSuite {
       assert(a < b && h >= 0L && h <= 5L, s"($a,$b,$h)")
       assert(!Set(a, b).contains(3L), s"unrelated doc matched: ($a,$b,$h)")
     }
-    // the production signature width (segs=64 — 8-bit band keys, the
-    // scale path the scaladoc prices): same planted recalls hold
-    val r64 = graft.multimodal.Media.mm7PhashNearDup(spark, dir, segs = 64).collect()
+    // the REGISTERED operating point (segs=64, 8-bit band keys, plants
+    // on): doc 0 (id % 25 == 0) contributes a re-encode variant —
+    // different bytes, near-identical signature — and the detector
+    // must recover it; same planted recalls hold
+    val off = graft.multimodal.Media.PlantOffset
+    val r64 = graft.multimodal.Media.mm7PhashNearDup(spark, dir).collect()
       .map(x => (x.getAs[Long]("doc_id1"), x.getAs[Long]("doc_id2"))
         -> x.getAs[Long]("hamming")).toMap
     assert(r64.get((0L, 1L)).contains(0L), s"segs=64 lost the identical pair: $r64")
     assert(r64.contains((0L, 2L)) && r64((0L, 2L)) <= 5L, s"segs=64 lost the edit pair: $r64")
+    assert(r64.contains((0L, off)) && r64((0L, off)) <= 5L,
+      s"the planted re-encode variant of doc 0 was not recovered: $r64")
+    // the variant's BYTES differ from its original (mm4 would miss it)
+    val corpusTexts = docs.collect().map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+    assert(corpusTexts(0L).length >= 2, "fixture doc 0 long enough to plant")
     assert(!r64.keySet.exists { case (a, b) => a == 3L || b == 3L },
       s"segs=64 matched the unrelated doc: $r64")
   }

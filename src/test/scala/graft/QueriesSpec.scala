@@ -480,8 +480,10 @@ class QueriesSpec extends AnyFunSuite {
     // r9: mm7's decode is the one-pass SegCodeSums projection — the
     // per-CHARACTER Generate over the raw parquet (and its two hash
     // aggregations) must never creep back. The band posexplode reads
-    // the swap-cached 1-row-per-doc index, so the discriminator is a
-    // Generate with a RAW file scan underneath.
+    // the swap-cached 1-row-per-doc index. Since r12 the ONE allowed
+    // raw-scan Generate is the plant explode — a bounded literal
+    // 2-element array (corpus row ⊎ its re-encode variant), never a
+    // per-character sequence/split.
     val mm7Plan = multimodal.Media.mm7PhashNearDup(spark, sf)
       .queryExecution.optimizedPlan
     val rawGens = mm7Plan.collect {
@@ -489,8 +491,13 @@ class QueriesSpec extends AnyFunSuite {
         if g.child.collect {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
         }.nonEmpty => g }
-    assert(rawGens.isEmpty,
+    assert(rawGens.length <= 1,
       s"mm7 plans ${rawGens.length} raw-scan Generates — per-char explode is back")
+    rawGens.foreach { g =>
+      val s = g.generator.toString
+      assert(!s.contains("sequence(") && !s.contains("split("),
+        s"mm7's raw-scan Generate is per-character again: $s")
+    }
     val rawAggs = mm7Plan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if a.child.collect {
