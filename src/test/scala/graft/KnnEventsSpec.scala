@@ -1387,6 +1387,28 @@ class KnnEventsSpec extends AnyFunSuite {
     val got = Knn.s35FromIndex(spark, sf, idx).collect().map(key).toSet
     val fresh = Knn.s35GraphWalk(spark, sf).collect().map(key).toSet
     assert(got == fresh && got.nonEmpty, "served index must replay s35 bit-identically")
+    // the layout records its build parameters (degree first — s38's
+    // priced knob)
+    assert(Knn.walkIndexMeta(spark, idx) == ((3, 8, 4)))
+    // the s38-chosen operating point ships through the SAME layout: a
+    // degree-16 build records its degree, persists the denser edge
+    // file bit-equal to the in-session build, and serves a walk whose
+    // deeper graph finds strictly-better-or-equal neighbors
+    val idx16 = java.nio.file.Files.createTempDirectory("graft-walk-idx16").toString
+    Knn.saveWalkIndex(spark, sf, idx16, degree = 16)
+    assert(Knn.walkIndexMeta(spark, idx16)._1 == 16)
+    val edges16 = spark.read.parquet(s"$idx16/adjacency.parquet")
+      .select("src_id", "neighbor_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(edges16.size > adj.count(), "degree 16 must persist a denser edge file")
+    val memoEdges = Knn.walkAdjacency(spark, sf, 16)
+      .select("src_id", "neighbor_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(edges16 == memoEdges,
+      "persisted degree-16 adjacency must equal the in-session build")
+    val got16 = Knn.s35FromIndex(spark, sf, idx16).collect().map(key).toSet
+    assert(got16.nonEmpty && got16 != got,
+      "the degree-16 serve must actually walk the deeper graph")
   }
 
   test("g12 components: size histogram matches a driver union-find over the co-pair index") {
@@ -1833,6 +1855,33 @@ class KnnEventsSpec extends AnyFunSuite {
     // a wider beam visits more of the corpus — that is the cost axis
     assert(rows(8L).getAs[Long]("sum_visited") > rows(2L).getAs[Long]("sum_visited"),
       "beam widening did not grow the visited pool")
+  }
+
+  test("s38 degree sweep: degree-3 row reconciles with s37's beam-4 row; degree buys recall at measured byte cost") {
+    val rows = Knn.s38DegreeSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("degree") -> r).toMap
+    assert(rows.keySet == Set(3L, 8L, 16L))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10L)
+      assert(r.getAs[Long]("sum_visited") > 0L && r.getAs[Long]("n_edges") > 0L)
+    }
+    // the degree-3 × beam-4 cell appears in BOTH sweeps — the two
+    // dials must price the same point identically
+    val beam = Knn.s37WalkSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("beam") -> r).toMap
+    for (c <- Seq("mean_recall_e6", "min_recall_e6", "sum_visited"))
+      assert(rows(3L).getAs[Long](c) == beam(4L).getAs[Long](c),
+        s"s38(d=3).$c disagrees with s37(beam=4)")
+    // a denser graph costs measured bytes and visits more — the trade
+    // the sweep exists to price; recall must not DROP with degree here
+    assert(rows(16L).getAs[Long]("n_edges") > rows(8L).getAs[Long]("n_edges"))
+    assert(rows(8L).getAs[Long]("n_edges") > rows(3L).getAs[Long]("n_edges"))
+    assert(rows(16L).getAs[Long]("bytes_per_vec") > rows(3L).getAs[Long]("bytes_per_vec"))
+    assert(rows(16L).getAs[Long]("sum_visited") > rows(3L).getAs[Long]("sum_visited"))
+    assert(rows(16L).getAs[Long]("mean_recall_e6") >= rows(3L).getAs[Long]("mean_recall_e6"),
+      "the deeper graph lost recall — the sweep's premise broke")
+    // bytes/vec floor: the 256 B full-precision vector every degree pays
+    rows.values.foreach(r => assert(r.getAs[Long]("bytes_per_vec") > 256L))
   }
 
   test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {

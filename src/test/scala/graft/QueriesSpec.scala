@@ -67,6 +67,7 @@ class QueriesSpec extends AnyFunSuite {
       "s32_tier_table",   // composes the seven audits — their exact sides ride along
       "s36_walk_recall",  // audit carries s1's exact yardstick; the walk itself is equi-join-only
       "s37_walk_sweep",   // the beam sweep's rows each carry that same exact yardstick
+      "s38_degree_sweep", // the degree sweep's rows carry it too
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -294,6 +295,9 @@ class QueriesSpec extends AnyFunSuite {
       // three beam settings' entry formations (one cell-assign scan
       // each) + the shared exact yardstick's slices
       "s37_walk_sweep" -> 8,
+      // three degree settings' entry formations + the exact yardstick
+      // + the 1-row n_vecs scalar (adjacencies are memoized artifacts)
+      "s38_degree_sweep" -> 8,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
       // s1's two query/corpus slices + the refinement's two e-store legs
       // (the base graph itself is the memoized s29 artifact)
