@@ -1688,9 +1688,18 @@ object Knn {
     * band keys and candidate set (Lsh.bandsSqlCtes), so the graph
     * matches hash-for-hash — not a rows-only waiver. */
   def s17KnnGraph(spark: SparkSession, dir: String, k: Int = 3,
-                  bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
+                  bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame =
+    s17KnnGraphOn(spark, dir, k, lit(true), bands, r, dim)
+
+  /** s17's body restricted to a vertex predicate — the s39 "old half"
+    * index build (a trivially-true predicate folds away, so the
+    * registered s17 plan is unchanged). */
+  private def s17KnnGraphOn(spark: SparkSession, dir: String, k: Int,
+                            pred: Column, bands: Int = 8, r: Int = 8,
+                            dim: Int = 64): DataFrame = {
     import spark.implicits._
     val e = Tables.read(spark, dir, "embeddings")
+      .filter(pred)
       .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
       .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"),
         Lsh.bandKeys($"embedding", bands, r, dim).as("bkeys"))
@@ -1765,11 +1774,20 @@ object Knn {
     * hash-joins into the id-partitioned embedding store, per-src top-k
     * window. The graph artifact is memoized: the audit (s29) consumes
     * the base edges twice more. */
-  def nnDescentRound(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def nnDescentRound(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    nnDescentRoundOver(spark, dir, k,
+      graft.operators.Indexes.memo(s"s29_base:$dir:$k") {
+        s17KnnGraph(spark, dir, k).select(col("src_id"), col("neighbor_id"))
+      })
+
+  /** The NN-descent round body over ANY (memoized) base edge list —
+    * shared by [[nnDescentRound]] (the full-corpus build) and the s39
+    * old-half build. The vector store stays the full table: pool
+    * members are base-graph vertices, so the inner score joins prune
+    * to them regardless. */
+  private def nnDescentRoundOver(spark: SparkSession, dir: String, k: Int,
+                                 g: DataFrame): DataFrame = {
     import spark.implicits._
-    val g = graft.operators.Indexes.memo(s"s29_base:$dir:$k") {
-      s17KnnGraph(spark, dir, k).select($"src_id", $"neighbor_id")
-    }
     val und = g.unionAll(
       g.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
     val non = und.as("a").join(und.as("b"),
@@ -1839,8 +1857,9 @@ object Knn {
     * shared on the Scala side — the banded collision graph carries
     * ranks for every k, so the degree slice is free). Expects
     * [[s17Ctes]]' `s17r`/`u` in scope. */
-  private def s29RefCtesAt(p: String, degree: Int): String =
-    s"""${p}g AS MATERIALIZED (SELECT src_id, neighbor_id FROM s17r WHERE rank <= $degree),
+  private def s29RefCtesAt(p: String, degree: Int,
+                           rankedName: String = "s17r"): String =
+    s"""${p}g AS MATERIALIZED (SELECT src_id, neighbor_id FROM $rankedName WHERE rank <= $degree),
        |${p}und AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM ${p}g
        |  UNION ALL SELECT neighbor_id, src_id FROM ${p}g),
@@ -2307,6 +2326,216 @@ object Knn {
        |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
        |$rows
        |ORDER BY degree""".stripMargin
+  }
+
+  // ---- s39: incremental walk-index maintenance ----------------------
+
+  /** The s15 incremental split: vectors with vec_id % 8 == 7 are the
+    * ARRIVING batch; everything else is the standing old corpus the
+    * persisted index was built on. */
+  private def oldHalf: Column = pmod(col("vec_id"), lit(8)) =!= 7
+
+  /** The walk index built on the OLD HALF only — what a deployment
+    * holds on disk when the batch arrives: s17 banding + s29
+    * NN-descent restricted to old vectors, symmetrized. Memoized per
+    * (dir, degree). */
+  private[graft] def walkAdjacencyOld(spark: SparkSession, dir: String,
+                                      degree: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s39_adj_old:$dir:$degree") {
+      val base = graft.operators.Indexes.memo(s"s39_base_old:$dir:$degree") {
+        s17KnnGraphOn(spark, dir, degree, oldHalf)
+          .select($"src_id", $"neighbor_id")
+      }
+      val ref = nnDescentRoundOver(spark, dir, degree, base)
+        .select($"src_id", $"neighbor_id")
+      ref.unionAll(ref.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .dropDuplicates("src_id", "neighbor_id")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    }
+  }
+
+  /** Old-corpus entry centroids — s15's shared training artifact
+    * (same cache key: the incremental family trains ONCE on the
+    * standing corpus). */
+  private def oldCentroids(spark: SparkSession, dir: String, kc: Int,
+                           iters: Int): Seq[(Int, Array[Long])] =
+    centCache.getOrElseUpdate(s"incr:$dir:$kc:$iters",
+      lloydLoop(spark, quantized(spark, dir).filter(oldHalf), kc, iters, Dim))
+
+  /** ATTACH a new-vector batch to the old walk index WITHOUT a full
+    * rebuild — DiskANN's in-place insert shape, the graph family's
+    * answer to s15/s23 (IVF insert/delete): each batch vector's
+    * candidates are its nearest old CELL's members plus their
+    * adjacency rows (one NN-descent-style expansion through the old
+    * edges — s29's machinery at batch scale), exact-cosine scored,
+    * top-`degree` kept, symmetrized back-edges added so walks REACH
+    * the new vectors. Work ∝ batch × (cell + degree²) — the standing
+    * corpus is never re-banded, never rescanned beyond the score
+    * joins' id-pruned probes. Returns the MERGED adjacency (memoized:
+    * the updated index artifact s39 serves from). Batch↔batch edges
+    * are deliberately not formed (DiskANN's insert attaches to the
+    * standing graph; intra-batch links arrive with later rounds /
+    * periodic re-refinement). */
+  private[graft] def walkAttachAdjacency(spark: SparkSession, dir: String,
+                                         degree: Int = 3, kc: Int = 8,
+                                         iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s39_madj:$dir:$degree:$kc:$iters") {
+      val cents = oldCentroids(spark, dir, kc, iters)
+      val oadj = walkAdjacencyOld(spark, dir, degree)
+      val q = quantized(spark, dir)
+      val batchCells = assignCells(spark, q.filter(pmod($"vec_id", lit(8)) === 7), cents)
+        .select($"vec_id".as("src_id"), $"cluster".as("cell"))
+      val oldCells = assignCells(spark, q.filter(oldHalf && $"vec_id" >= 10), cents)
+        .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
+      val cand0 = batchCells.join(oldCells, Seq("cell"))
+        .select($"src_id", $"neighbor_id")
+      val non = cand0.as("c").join(oadj.as("oa"),
+          col("c.neighbor_id") === col("oa.src_id"))
+        .select(col("c.src_id").as("src_id"), col("oa.neighbor_id").as("neighbor_id"))
+        .filter($"neighbor_id" >= 10)
+      val pool = non.unionAll(cand0).dropDuplicates("src_id", "neighbor_id")
+      val e = Tables.read(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
+      val bref = pool
+        .join(e.select($"vec_id".as("src_id"), $"embedding".as("sv"), $"nrm".as("sn")),
+          Seq("src_id"))
+        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"), $"nrm".as("dn")),
+          Seq("neighbor_id"))
+        .select($"src_id", $"neighbor_id",
+          round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= degree)
+        .select($"src_id", $"neighbor_id")
+      oadj
+        .unionAll(bref)
+        .unionAll(bref.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .dropDuplicates("src_id", "neighbor_id")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    }
+  }
+
+  /** s39: WALK-INDEX INSERT audit — the registered proof that the
+    * attach works: the 10 standard queries served over the MERGED
+    * index (old-corpus entry cells — a deployment does not retrain its
+    * quantizer per batch), recall@k against s1's exact top-k over the
+    * FULL corpus (batch members included: a merged index must surface
+    * them), plus the attach's own footprint (batch size, new edge
+    * count) so the audit is visibly non-vacuous. The spec pins the
+    * from-scratch bound: merged-index serving recall within a fixed
+    * distance of the full rebuild's (s36). Completes insert parity
+    * for the graph family next to s15/s23's IVF insert/delete. */
+  def s39WalkInsert(spark: SparkSession, dir: String, k: Int = K,
+                    degree: Int = 3, beam: Int = 4, rounds: Int = 3,
+                    kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val cents = oldCentroids(spark, dir, kc, iters)
+    val madj = walkAttachAdjacency(spark, dir, degree, kc, iters)
+    val (_, topk) = graphWalkParts(spark, dir, madj, cents, k, beam, rounds)
+    val exact = s1Brute(spark, dir, k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    val nBatch = Tables.read(spark, dir, "embeddings")
+      .filter(pmod($"vec_id", lit(8)) === 7)
+      .agg(count(lit(1)).as("n_batch"))
+    val nNew = madj.agg(count(lit(1)).as("m"))
+      .crossJoin(walkAdjacencyOld(spark, dir, degree).agg(count(lit(1)).as("o")))
+      .select(($"m" - $"o").as("n_new_edges"))
+    exact
+      .join(topk.select($"query_id", $"neighbor_id"),
+        $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
+      .groupBy($"eq").agg(count($"neighbor_id").as("n_hits"))
+      .select($"eq".as("query_id"), $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .crossJoin(nBatch).crossJoin(nNew)
+  }
+
+  /** s39 oracle: old-half banding + refinement + symmetrized `oadj`
+    * (the `WHERE vec_id % 8 <> 7` twin of the s17/s29 chains), the
+    * old-trained Lloyd's with full-corpus cell assignment, the attach
+    * CTEs (cell candidates → one adjacency expansion → score →
+    * top-degree → symmetrize → `madj`), one beam-4 walk chain over
+    * `madj`, and the exact yardstick. */
+  def s39Sql: String = {
+    val iters = 4
+    val degree = 3
+    val assignAll = (name: String, where: String, alias: String) =>
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id$alias, cluster AS cell FROM (
+         |    SELECT qa.vec_id, c.cluster, sum((qa.e - c.c)*(qa.e - c.c)) AS dist
+         |    FROM qa JOIN c${iters - 1} c ON c.i = qa.i
+         |    $where GROUP BY 1, 2
+         |    QUALIFY row_number() OVER (PARTITION BY qa.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
+    s"""WITH $s17Ctes,
+       |ocand AS (
+       |  SELECT DISTINCT ba.vec_id AS src_id, bb.vec_id AS neighbor_id
+       |  FROM bands ba JOIN bands bb
+       |    ON bb.band_idx = ba.band_idx AND bb.band_key = ba.band_key
+       |  WHERE ba.vec_id <> bb.vec_id
+       |    AND ba.vec_id % 8 <> 7 AND bb.vec_id % 8 <> 7),
+       |os AS (
+       |  SELECT cd.src_id, cd.neighbor_id,
+       |    round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |  FROM ocand cd
+       |  JOIN u q ON q.vec_id = cd.src_id
+       |  JOIN u c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+       |  GROUP BY 1, 2),
+       |os17r AS (
+       |  SELECT src_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM os),
+       |${s29RefCtesAt("o", degree, "os17r")},
+       |oadj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM oref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM oref),
+       |${lloydCteParts(iters, "WHERE vec_id % 8 <> 7").mkString(",\n")},
+       |qa AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |${assignAll("gcells", "WHERE qa.vec_id >= 10", "")},
+       |${assignAll("gprobes", "WHERE qa.vec_id < 10", " AS query_id")},
+       |${assignAll("bassign", "WHERE qa.vec_id % 8 = 7", " AS src_id")},
+       |bc AS (
+       |  SELECT b.src_id, m.vec_id AS neighbor_id
+       |  FROM bassign b JOIN gcells m ON m.cell = b.cell
+       |  WHERE m.vec_id % 8 <> 7),
+       |bpool AS MATERIALIZED (
+       |  SELECT DISTINCT c.src_id, oa.neighbor_id
+       |  FROM bc c JOIN oadj oa ON oa.src_id = c.neighbor_id
+       |  WHERE oa.neighbor_id >= 10
+       |  UNION SELECT src_id, neighbor_id FROM bc),
+       |bsc AS (
+       |  SELECT p.src_id, p.neighbor_id,
+       |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+       |  FROM bpool p
+       |  JOIN u uq ON uq.vec_id = p.src_id
+       |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
+       |  GROUP BY 1, 2),
+       |bref AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM bsc) WHERE rn <= $degree),
+       |madj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM oadj
+       |  UNION SELECT src_id, neighbor_id FROM bref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM bref),
+       |${walkCtes("", 4, 3, "madj")},
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
+       |SELECT ex.query_id, count(tk.neighbor_id) AS n_hits,
+       |  CAST(count(tk.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 7) AS n_batch,
+       |  (SELECT count(*) FROM madj) - (SELECT count(*) FROM oadj) AS n_new_edges
+       |FROM ex LEFT JOIN (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM gfin) WHERE rank <= $K) tk
+       |  ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
   /** s18: HARD-NEGATIVE mining — for each query vector, the k corpus

@@ -1884,6 +1884,37 @@ class KnnEventsSpec extends AnyFunSuite {
     rows.values.foreach(r => assert(r.getAs[Long]("bytes_per_vec") > 256L))
   }
 
+  test("s39 walk insert: attach is bounded and non-vacuous; merged-index recall within the from-scratch bound") {
+    val rows = Knn.s39WalkInsert(spark, sf).collect()
+    assert(rows.length == 10)
+    val nBatch = rows.head.getAs[Long]("n_batch")
+    val nNew = rows.head.getAs[Long]("n_new_edges")
+    // the attach really happened, and stayed bounded: each batch
+    // vector contributes at most `degree` out-edges + their back-edges
+    assert(nBatch > 0L && nNew > 0L, "vacuous attach")
+    assert(nNew <= 2L * 3L * nBatch, s"attach overgrew: $nNew edges for $nBatch vectors")
+    // every batch vector is REACHABLE in the merged index (a back-edge
+    // lands on it), so walks can surface new content
+    val madj = Knn.walkAttachAdjacency(spark, sf)
+    val reachable = madj.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("neighbor_id"),
+        org.apache.spark.sql.functions.lit(8)) === 7)
+      .select("neighbor_id").distinct().count()
+    assert(reachable == nBatch,
+      s"only $reachable of $nBatch batch vectors are reachable in the merged index")
+    // the from-scratch bound: serving recall on the merged index stays
+    // within 0.10 of the full rebuild's (s36 — same degree/beam/rounds).
+    // Insert-without-rebuild trades a LITTLE recall for not re-banding
+    // the corpus; a bigger gap means the attach shape broke.
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val merged = rows.map(_.getAs[Long]("recall_e6"))
+    val scratch = Knn.s36WalkRecall(spark, sf).collect().map(_.getAs[Long]("recall_e6"))
+    val meanMerged = hu(merged.sum, merged.length)
+    val meanScratch = hu(scratch.sum, scratch.length)
+    assert((meanMerged - meanScratch).abs <= 100000L,
+      s"merged-index recall $meanMerged vs from-scratch $meanScratch — gap exceeds the pinned 0.10")
+  }
+
   test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {
     val plan = Knn.s35GraphWalk(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
