@@ -137,7 +137,8 @@ object MergeConfig {
       uuidCol = uuidCol,
       mappedKeys = mappedKeys,
       deferredFks = deferredFks,
-      saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty))
+      saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty),
+      autoSaltFks = (t \ "autoSaltFks").extractOpt[Boolean].getOrElse(false))
   }
 
   /** FK-relation AUTO-DISCOVERY from live database metadata — the
@@ -496,7 +497,10 @@ object MergeConfig {
           .map(r => (r.getAs[String]("relation"), r.getAs[Long]("orphan_count")))
         if (orphans.nonEmpty) throw MergePipeline.IntegrityViolation(orphans.toSeq)
       }
-      val results = Orchestrator.run(tables, src, dest, cfg.source.location)
+      // fill audit-driven salts BEFORE the movers plan their map joins
+      // (tables without the autoSaltFks flag pass through untouched)
+      val results = Orchestrator.run(
+        Orchestrator.autoSaltFks(tables, src), src, dest, cfg.source.location)
       // per-table progress to stderr as each table COMMITS — the
       // reference's display-utils/logOk surface (a long multi-table
       // merge is otherwise silent between Spark job lines); stderr so

@@ -97,6 +97,10 @@ object Orchestrator {
     *                   salted shape so no single task carries a hot
     *                   key's whole fact volume; rows are identical
     *                   either way (spec-pinned planted-skew test).
+    * @param autoSaltFks when true, [[autoSaltFks]] fills saltedFks
+    *                   from the table's OWN fk histograms at plan time
+    *                   (the j2 audit metric — [[graft.operators.Skew
+    *                   .autoBuckets]]); explicitly declared salts win.
     * @param deferredFks nullable fk columns resolved in a SECOND pass
     *                   after ALL tables are merged; column → parent
     *                   table, NOT a dependency edge — this is how
@@ -120,7 +124,8 @@ object Orchestrator {
       uuidCol: Option[String] = None,
       mappedKeys: Map[String, String] = Map.empty,
       deferredFks: Map[String, String] = Map.empty,
-      saltedFks: Map[String, Int] = Map.empty) {
+      saltedFks: Map[String, Int] = Map.empty,
+      autoSaltFks: Boolean = false) {
     require(mode == MergeMode.Keyless || idCol.nonEmpty,
       s"table '$name': idCol required for non-keyless modes")
     mode match {
@@ -316,6 +321,27 @@ object Orchestrator {
     * @param sourceTag  provenance label recorded on every row moved
     *                   from the source instance (orchestrator.js:92)
     */
+  /** Fill `saltedFks` from each OPTED-IN spec's own fk histograms
+    * (the j2 heavy-key audit run at plan time over the SOURCE fact —
+    * [[graft.operators.Skew.autoBuckets]]): a declared-hot relation
+    * needs no hand-tuned bucket count, and a uniform one stays on the
+    * plain shuffle path. Explicit saltedFks entries always win; specs
+    * without the flag are returned untouched (zero audit cost). */
+  def autoSaltFks(specs: Seq[TableSpec], src: String => DataFrame,
+                  hotShare: Double = 0.125, maxBuckets: Int = 32): Seq[TableSpec] =
+    specs.map { t =>
+      if (!t.autoSaltFks) t
+      else {
+        val candidates = (t.fks.keys ++ t.selfFks).toSeq.distinct
+          .filterNot(t.saltedFks.contains)
+        val auto = candidates.flatMap { fk =>
+          val b = graft.operators.Skew.autoBuckets(src(t.name), fk, hotShare, maxBuckets)
+          if (b > 0) Some(fk -> b) else None
+        }.toMap
+        if (auto.isEmpty) t else t.copy(saltedFks = t.saltedFks ++ auto)
+      }
+    }
+
   def run(specs: Seq[TableSpec],
           src: String => DataFrame, dest: String => DataFrame,
           sourceTag: String, pinIdMaps: Boolean = false): Map[String, MergedTable] = {

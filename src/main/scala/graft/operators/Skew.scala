@@ -31,4 +31,31 @@ object Skew {
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt_f") === sd("__salt_d"))
       .drop("__salt_f", "__salt_d")
   }
+
+  /** AUDIT-DRIVEN salt sizing — the j2 heavy-key metric applied at
+    * plan time. The disease salting cures is ONE join task holding a
+    * disproportionate share of the fact, so the signal is the hottest
+    * key's SHARE of all rows (a mean-ratio test goes blind exactly
+    * when skew is total — a single-key fact has max == mean): 0
+    * (don't salt) while the hottest key holds ≤ `hotShare` of the
+    * fact, else enough buckets that each slice lands well under the
+    * threshold (2·share/hotShare, capped — shuffle volume grows by
+    * dim×buckets, so runaway hot keys must not replicate the dim
+    * without bound). One map-side-combined key histogram + a 1-row
+    * driver collect: planning-time cost, the same pass j2's audit
+    * already prices. Deterministic — no sampling. */
+  def autoBuckets(fact: DataFrame, key: String, hotShare: Double = 0.125,
+                  maxBuckets: Int = 32): Int = {
+    val row = fact.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), sum(col("c")))
+      .collect()(0)
+    if (row.isNullAt(0)) 0 // empty / all-null fact: nothing to salt
+    else {
+      val (mx, n) = (row.getLong(0), row.getLong(1))
+      val share = mx.toDouble / n
+      if (share <= hotShare) 0
+      else math.min(maxBuckets.toLong, math.ceil(2 * share / hotShare).toLong).toInt
+    }
+  }
 }

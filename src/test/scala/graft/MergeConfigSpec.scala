@@ -55,6 +55,14 @@ class MergeConfigSpec extends AnyFunSuite {
         """"naturalKey": ["name"], "uuidCol": "uuid"""",
         """"naturalKey": ["name"], "uuidCol": "uuid", "deferredFks": {"fav_child": "child"}"""))
     assert(cyc.tables.find(_.name == "parent").get.deferredFks == Map("fav_child" -> "child"))
+    // the skew knobs round-trip: explicit buckets and the audit opt-in
+    val sk = MergeConfig.fromJson(
+      configJson("/s", "/d", "/o", genUuids = true).replace(
+        """"fks": {"parent_id": "parent"}""",
+        """"fks": {"parent_id": "parent"}, "saltedFks": {"parent_id": 8}, "autoSaltFks": true"""))
+    assert(sk.tables.find(_.name == "child").get.saltedFks == Map("parent_id" -> 8))
+    assert(sk.tables.find(_.name == "child").get.autoSaltFks)
+    assert(!cyc.tables.find(_.name == "child").get.autoSaltFks, "flag defaults off")
   }
 
   test("fromJson parses shared_pk and keyless modes; mode-contradicting fields are config errors") {

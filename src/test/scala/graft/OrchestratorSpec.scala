@@ -236,6 +236,42 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(hot.length == 8, "hot key must occupy every salt bucket")
     assert(hot.map(_.getAs[Long]("count")).max < 3600 / 4,
       "salt failed to break up the hot key")
+
+    // AUTO: the j2-audit-driven path needs no hand-tuned bucket count —
+    // a declared-hot relation (autoSaltFks = true) derives its buckets
+    // from the hottest key's SHARE of the fact (the fixture's key 1
+    // holds every row → share 1.0 ≫ the 1/8 default), while a
+    // wide-uniform fk stays on the plain shuffle path
+    assert(Orchestrator.autoSaltFks(
+      Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent"), autoSaltFks = true)),
+      Map("child" -> srcChild))
+      .head.saltedFks.getOrElse("parent_id", 0) >= 8,
+      "audit must salt the planted hot relation")
+    val uniform = (1L to 4000L).map(i => (i, (i % 400) + 1, s"c$i"))
+      .toDF("id", "parent_id", "payload")
+    assert(Orchestrator.autoSaltFks(
+      Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent"), autoSaltFks = true)),
+      Map("child" -> uniform)).head.saltedFks.isEmpty,
+      "uniform fk distribution must stay on the plain shuffle path")
+    // an explicitly declared salt beats the audit
+    assert(Orchestrator.autoSaltFks(
+      Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent"), saltedFks = Map("parent_id" -> 5),
+        autoSaltFks = true)),
+      Map("child" -> srcChild)).head.saltedFks == Map("parent_id" -> 5))
+    // the auto-salted merge plans the salted join and matches plain rows
+    val autoSalted = Orchestrator.run(
+      Orchestrator.autoSaltFks(specs(Map.empty).map(s =>
+          if (s.name == "child") s.copy(autoSaltFks = true) else s),
+        Map("parent" -> srcParent, "child" -> srcChild)),
+      Map("parent" -> srcParent, "child" -> srcChild),
+      Map("parent" -> destParent, "child" -> destChild), "inst2")("child").merged
+    assert(autoSalted.queryExecution.optimizedPlan.toString.contains("__salt_f"),
+      "auto-derived salt did not reach the physical plan")
+    assert(autoSalted.collect().map(_.toSeq.mkString("|")).sorted.toSeq ==
+      plain.collect().map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
   test("m13 merged output preserves referential integrity and provenance") {
