@@ -97,19 +97,23 @@ object Tables {
     * line numbering is batch-local by construction — the window never
     * needs to span micro-batches. */
   private[graft] def documentsFromLines(lines: DataFrame,
-                                        lang: String = "und"): DataFrame = {
+                                        lang: String = "und",
+                                        passthrough: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val byFile = org.apache.spark.sql.expressions.Window
       .partitionBy(col("input_file")).orderBy(monotonically_increasing_id())
     lines
       .withColumn("line_no", row_number().over(byFile).cast("long"))
       .select(
-        graft.functions.DetHash.md5Long60Col(
-          concat_ws("\u0001", col("input_file"), col("line_no"), col("value"))).as("doc_id"),
-        col("value").as("text"),
-        lit(lang).as("lang"),
-        regexp_extract(col("input_file"), "([^/]+)$", 1).as("source"),
-        length(col("value")).cast("long").as("n_chars"))
+        (graft.functions.DetHash.md5Long60Col(
+          concat_ws("\u0001", col("input_file"), col("line_no"), col("value"))).as("doc_id") +:
+        col("value").as("text") +:
+        lit(lang).as("lang") +:
+        regexp_extract(col("input_file"), "([^/]+)$", 1).as("source") +:
+        length(col("value")).cast("long").as("n_chars") +:
+        // extra caller columns carried through the landing transform
+        // (the event-time ingest's ts rides here)
+        passthrough.map(col)): _*)
   }
 
   /** XML ingest (Spark 4's native XML source — the export-dump shape

@@ -203,46 +203,166 @@ object DocStream {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = graft.sources.Tables.documentsFromLines(batch, lang)
-        // LEFT join: a zero-token doc (empty/whitespace/punct-only
-        // crawl line) produces NO quality row — the score is a rollup
-        // over exploded tokens — and an inner join would land it in
-        // NEITHER kept nor rejected, breaking the sink's "nothing
-        // dropped silently" contract. No tokens = no content: score 0
-        // so the gate rejects it (low_quality), unless the t37
-        // detector already names it `encoding`.
-        val gated = docs
-          .join(graft.text.TextAnalysis.qualityOf(docs)
-            .select(col("doc_id"), col("quality_e6")), Seq("doc_id"), "left")
-          .withColumn("quality_e6", coalesce(col("quality_e6"), lit(0L)))
-          .withColumn("gate_reason",
-            when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
-              .when(col("quality_e6") < minQualityE6, "low_quality"))
-          .persist()
-        try {
-          val clean = gated.filter(col("gate_reason").isNull).drop("gate_reason")
-          val (report, keptSigs) =
-            nearDupVerdicts(clean, indexPath, batchId, k, bands, threshold)
-          val kept = clean
-            .join(report.filter(col("verdict") === "keep").select(col("doc_id")),
-              Seq("doc_id"), "left_semi")
-            .withColumn("shard",
-              conv(substring(md5(concat(lit(seed), lit(":"),
-                col("doc_id").cast("string"))), 13, 4), 16, 10)
-                .cast("long") % shards)
-          val rejected = gated.filter(col("gate_reason").isNotNull)
-            .select(col("doc_id"), col("quality_e6"),
-              col("gate_reason").as("reason"))
-            .unionByName(clean
-              .join(report.filter(col("verdict") === "drop").select(col("doc_id")),
-                Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("quality_e6"), lit("near_dup").as("reason")))
-          landBatch(kept, keptPath, batchId)
-          landBatch(rejected, rejectedPath, batchId)
-          landBatch(keptSigs, indexPath, batchId)
-        } finally { gated.unpersist(); () }
+        curateBatch(graft.sources.Tables.documentsFromLines(batch, lang),
+          None, batchId, keptPath, rejectedPath, indexPath,
+          minQualityE6, seed, shards, k, bands, threshold)
       }
       .start()
+
+  /** One micro-batch of the curation chain (gate → near-dup → shard),
+    * shared by [[curatedIngestSink]] and the event-time variant.
+    * `preRejected`, when present, is a (doc_id, quality_e6, reason)
+    * frame of docs ALREADY rejected upstream (late arrivals, bad
+    * timestamps) — they land in the same rejected partition so the
+    * batch's outputs stay one-write-per-side idempotent. */
+  private def curateBatch(docs: DataFrame, preRejected: Option[DataFrame],
+                          batchId: Long, keptPath: String, rejectedPath: String,
+                          indexPath: String, minQualityE6: Long, seed: String,
+                          shards: Int, k: Int, bands: Int,
+                          threshold: Double): Unit = {
+    // LEFT join: a zero-token doc (empty/whitespace/punct-only
+    // crawl line) produces NO quality row — the score is a rollup
+    // over exploded tokens — and an inner join would land it in
+    // NEITHER kept nor rejected, breaking the sink's "nothing
+    // dropped silently" contract. No tokens = no content: score 0
+    // so the gate rejects it (low_quality), unless the t37
+    // detector already names it `encoding`.
+    val gated = docs
+      .join(graft.text.TextAnalysis.qualityOf(docs)
+        .select(col("doc_id"), col("quality_e6")), Seq("doc_id"), "left")
+      .withColumn("quality_e6", coalesce(col("quality_e6"), lit(0L)))
+      .withColumn("gate_reason",
+        when(graft.text.TextAnalysis.encodingFlag(col("text")) === 1L, "encoding")
+          .when(col("quality_e6") < minQualityE6, "low_quality"))
+      .persist()
+    try {
+      val clean = gated.filter(col("gate_reason").isNull).drop("gate_reason")
+      val (report, keptSigs) =
+        nearDupVerdicts(clean, indexPath, batchId, k, bands, threshold)
+      val kept = clean
+        .join(report.filter(col("verdict") === "keep").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .withColumn("shard",
+          conv(substring(md5(concat(lit(seed), lit(":"),
+            col("doc_id").cast("string"))), 13, 4), 16, 10)
+            .cast("long") % shards)
+      val rejected = gated.filter(col("gate_reason").isNotNull)
+        .select(col("doc_id"), col("quality_e6"),
+          col("gate_reason").as("reason"))
+        .unionByName(clean
+          .join(report.filter(col("verdict") === "drop").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("quality_e6"), lit("near_dup").as("reason")))
+      val rejectedAll = preRejected.fold(rejected)(pre =>
+        rejected.unionByName(pre.select(col("doc_id"), col("quality_e6"), col("reason"))))
+      landBatch(kept, keptPath, batchId)
+      landBatch(rejectedAll, rejectedPath, batchId)
+      landBatch(keptSigs, indexPath, batchId)
+    } finally { gated.unpersist(); () }
+  }
+
+  /** EVENT-TIME curated ingest — [[curatedIngestSink]] with the
+    * e39/planWatermark loop closed: each crawl line carries its
+    * capture time (`<epoch_micros>\t<text>` — the crawl-record
+    * contract), and a doc whose event time has fallen more than the
+    * configured delay behind the stream's high watermark is rejected
+    * as `late` BEFORE the gate chain — exactly Spark's watermark
+    * semantics applied at the micro-batch boundary, which is where
+    * Structured Streaming itself advances watermarks (state updates
+    * between batches, so same-batch disorder never drops — the
+    * faithful production behavior, not a per-row approximation).
+    *
+    * Delay resolution follows the EventStream convention: an explicit
+    * `delay` always wins; `None` defers to the
+    * [[EventStream.WatermarkDelayKey]] session conf (what
+    * [[EventStream.planWatermark]] writes — e39's audited pick), then
+    * to [[EventStream.DefaultAggWatermark]].
+    *
+    * Exactly-once: the high watermark is itself a per-batch landed
+    * artifact (`hwmPath`, one `ingest_batch` partition per batch) and
+    * each batch reads only STRICTLY OLDER partitions — a replayed
+    * batch sees exactly the watermark its first run saw (the
+    * signature-index pattern), so late verdicts replay identically.
+    * Malformed lines (no tab / non-numeric prefix) reject as
+    * `bad_ts`: nothing is dropped silently. */
+  def eventTimeCuratedIngestSink(lines: DataFrame, keptPath: String,
+                                 rejectedPath: String, indexPath: String,
+                                 hwmPath: String, checkpoint: String,
+                                 delay: Option[String] = None,
+                                 minQualityE6: Long = 300000L,
+                                 lang: String = "und", seed: String = "graft",
+                                 shards: Int = 16, k: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.7): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delayUs = parseDelayUs(
+          delay.getOrElse(spark.conf
+            .getOption(EventStream.WatermarkDelayKey).filter(_.nonEmpty)
+            .getOrElse(EventStream.DefaultAggWatermark)))
+        val parsed = batch
+          .withColumn("ts_us",
+            expr("TRY_CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)"))
+          .withColumn("value",
+            when(col("ts_us").isNotNull,
+              expr("substring(value, instr(value, '\t') + 1)"))
+              .otherwise(col("value")))
+        val docs = graft.sources.Tables.documentsFromLines(parsed, lang,
+          passthrough = Seq("ts_us")).persist()
+        try {
+          val hwmPrev = readHwm(spark, hwmPath, batchId)
+          val isLate = hwmPrev match {
+            case Some(h) => col("ts_us") < lit(h - delayUs)
+            case None    => lit(false)
+          }
+          val pre = docs
+            .withColumn("reason",
+              when(col("ts_us").isNull, "bad_ts")
+                .when(isLate, "late"))
+          val onTime = pre.filter(col("reason").isNull)
+            .drop("reason")
+          val preRejected = pre.filter(col("reason").isNotNull)
+            .select(col("doc_id"), lit(0L).as("quality_e6"), col("reason"))
+          curateBatch(onTime, Some(preRejected), batchId, keptPath,
+            rejectedPath, indexPath, minQualityE6, seed, shards, k, bands,
+            threshold)
+          // watermark advance: max event time SEEN (late rows included
+          // — they can only trail the max), floored at the previous
+          // watermark so an all-late batch never regresses it
+          import spark.implicits._
+          val batchMax = docs.agg(max(col("ts_us"))).collect()(0)
+          val newHwm = Seq(hwmPrev, if (batchMax.isNullAt(0)) None
+            else Some(batchMax.getLong(0))).flatten
+          landBatch(newHwm.maxOption.toSeq.toDF("hwm_us"), hwmPath, batchId)
+        } finally { docs.unpersist(); () }
+      }
+      .start()
+
+  /** "N seconds|minutes|hours" → microseconds (the delay vocabulary
+    * planWatermark emits and DefaultAggWatermark uses). */
+  private[graft] def parseDelayUs(delay: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(second|minute|hour)s?\\s*$".r
+      .findFirstMatchIn(delay.toLowerCase)
+      .getOrElse(sys.error(s"unparseable watermark delay '$delay' " +
+        "(expected 'N seconds|minutes|hours')"))
+    val unit = m.group(2) match {
+      case "second" => 1000000L
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+    }
+    m.group(1).toLong * unit
+  }
+
+  /** The high watermark as of STRICTLY BEFORE `batchId` — None before
+    * any batch landed one (no late verdicts possible yet). */
+  private def readHwm(spark: SparkSession, path: String, batchId: Long): Option[Long] = {
+    val prev =
+      try spark.read.parquet(path).filter(col("ingest_batch") < batchId)
+        .agg(max(col("hwm_us"))).collect()(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (prev.isNullAt(0)) None else Some(prev.getLong(0))
+  }
 
   /** STREAMING QUALITY GATE — curation at the ingest boundary: each
     * micro-batch of crawl lines is scored with EXACTLY the batch t2

@@ -1475,6 +1475,151 @@ class StreamingSpec extends AnyFunSuite {
       "replay changed an output")
   }
 
+  test("event-time curated ingest: late arrivals reject as 'late' through the full chain; replay converges") {
+    import graft.streaming.{DocStream, EventStream}
+    val in = java.nio.file.Files.createTempDirectory("graft-et-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-et-wd").toString
+    def writeShard(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      ()
+    }
+    def mk(stem: String) = (1 to 40).map(i => s"the $stem$i is here").mkString(" ")
+    val (gA, gB, gC, gD, gE) = (mk("alpha"), mk("bravo"), mk("clump"), mk("delta"), mk("extra"))
+    val T0 = 1700000000000000L
+    val H = 3600000000L // one hour in micros
+    // the e39→knob loop: the delay arrives via the SAME conf key
+    // planWatermark writes; the sink is constructed with delay = None
+    spark.conf.set(EventStream.WatermarkDelayKey, "3600 seconds")
+    try {
+      def run(ckpt: String) = DocStream.eventTimeCuratedIngestSink(
+        DocStream.readLinesStream(spark, in),
+        s"$wd/kept", s"$wd/rej", s"$wd/idx", s"$wd/hwm", ckpt)
+      // batch 0: two on-time docs; high watermark lands at T0+1h
+      writeShard("s0.txt", Seq(s"$T0\t$gA", s"${T0 + H}\t$gB"))
+      val r1 = run(s"$wd/ckpt"); try r1.processAllAvailable() finally r1.stop()
+      val stale = s"$wd/ckpt-stale"
+      locally {
+        val src = java.nio.file.Paths.get(s"$wd/ckpt")
+        java.nio.file.Files.walk(src).forEach { p =>
+          val dst = java.nio.file.Paths.get(stale).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+          ()
+        }
+      }
+      // batch 1: one doc a hair past the delay (late), one exactly AT
+      // the boundary (kept — strict <, Spark's semantics), one at the
+      // watermark (kept), junk (low_quality), and a tab-less line
+      // (bad_ts) — every outcome lands somewhere
+      writeShard("s1.txt", Seq(
+        s"${T0 - 1000000L}\t$gC", // hwm T0+1h − delay 1h = T0; 1s older ⇒ late
+        s"$T0\t$gE",              // exactly at the boundary ⇒ kept
+        s"${T0 + H}\t$gD",
+        s"${T0 + H}\tzzzzzz",
+        "no timestamp on this line"))
+      val r2 = run(s"$wd/ckpt"); try r2.processAllAvailable() finally r2.stop()
+      val kept = spark.read.parquet(s"$wd/kept")
+      val rej = spark.read.parquet(s"$wd/rej")
+      assert(kept.count() + rej.count() == 7L, "nothing dropped silently")
+      assert(kept.collect().map(_.getAs[String]("text")).toSet == Set(gA, gB, gD, gE),
+        "kept = on-time clean docs, INCLUDING the exact-boundary one")
+      // doc_id → raw text via the sink's own parsing, recomputed batch-side
+      val parsed = graft.sources.Tables.text(spark, in)
+        .withColumn("ts_us",
+          org.apache.spark.sql.functions.expr(
+            "TRY_CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)"))
+        .withColumn("value", org.apache.spark.sql.functions
+          .when($"ts_us".isNotNull,
+            org.apache.spark.sql.functions.expr("substring(value, instr(value, '\t') + 1)"))
+          .otherwise($"value"))
+      val text = graft.sources.Tables.documentsFromLines(parsed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      val reasons = rej.collect()
+        .map(r => text(r.getAs[Long]("doc_id")) -> r.getAs[String]("reason")).toMap
+      assert(reasons(gC) == "late", s"got $reasons")
+      assert(reasons("zzzzzz") == "low_quality")
+      assert(reasons("no timestamp on this line") == "bad_ts")
+      // the watermark artifact: one row per batch, running max T0+1h
+      val hwm = spark.read.parquet(s"$wd/hwm")
+      assert(hwm.agg(org.apache.spark.sql.functions.max($"hwm_us")).head.getLong(0) == T0 + H)
+      assert(hwm.count() == 2L)
+      // crash-replay from the stale checkpoint: the late verdict reads
+      // only STRICTLY OLDER hwm partitions, so batch 1 re-decides
+      // identically and all four outputs converge
+      def snap(p: String) = spark.read.parquet(p).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val before = Seq(s"$wd/kept", s"$wd/rej", s"$wd/idx", s"$wd/hwm").map(snap)
+      val r3 = run(stale); try r3.processAllAvailable() finally r3.stop()
+      assert(Seq(s"$wd/kept", s"$wd/rej", s"$wd/idx", s"$wd/hwm").map(snap) == before,
+        "replay changed an output")
+    } finally spark.conf.unset(EventStream.WatermarkDelayKey)
+  }
+
+  test("event-time drop decisions ARE e39's lateness model: sink drops == the model on an events-derived stream") {
+    import graft.streaming.DocStream
+    // the candidate delay comes from e39's own decision table (900 s
+    // is a table row with a nonzero drop rate on this corpus), and the
+    // sink's drop rule must BE the table's model: max-seen event time
+    // minus delay at arrival, advancing at batch boundaries. Feeding
+    // ONE doc per micro-batch in arrival order makes batch-boundary
+    // semantics coincide with e39's per-event formula exactly.
+    val delayS = 900L
+    // model identity on the FULL corpus: e39's n_dropped row equals a
+    // driver fold of the same formula over all events
+    val evAll = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"))
+      .withColumn("arr_us", $"ts_us" + org.apache.spark.sql.functions.pmod(
+        graft.functions.DetHash.md5Long60Col($"event_id".cast("string")),
+        org.apache.spark.sql.functions.lit(21600000000L)))
+      .orderBy($"arr_us", $"event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us")))
+    def lateSet(evs: Seq[(Long, Long)], delayUs: Long): Set[Long] = {
+      var mx = Long.MinValue
+      val out = scala.collection.mutable.Set.empty[Long]
+      evs.foreach { case (id, ts) =>
+        if (mx != Long.MinValue && mx - ts > delayUs) { out += id; () }
+        mx = math.max(mx, ts)
+      }
+      out.toSet
+    }
+    val fullModel = lateSet(evAll.toIndexedSeq, delayS * 1000000L).size.toLong
+    val e39row = graft.queries.Events.e39WatermarkPlan(spark, sf).collect()
+      .find(_.getAs[Long]("delay_s") == delayS).get
+    assert(e39row.getAs[Long]("n_dropped") == fullModel,
+      "e39's table row and the driver fold disagree — the model drifted")
+    // now the SINK, on the first 25 events by arrival, one per batch
+    val slice = evAll.take(25).toIndexedSeq
+    val expectLate = lateSet(slice, delayS * 1000000L)
+    val in = java.nio.file.Files.createTempDirectory("graft-em-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-em-wd").toString
+    val good = (1 to 40).map(i => s"the word$i is here").mkString(" ")
+    val q = DocStream.eventTimeCuratedIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/kept", s"$wd/rej", s"$wd/idx", s"$wd/hwm", s"$wd/ckpt",
+      delay = Some(s"$delayS seconds"))
+    try {
+      slice.zipWithIndex.foreach { case ((eid, ts), i) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(in, f"evt$i%03d.txt"),
+          s"$ts\t$good event $eid".getBytes("UTF-8"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rej = spark.read.parquet(s"$wd/rej")
+    val lateDocs = rej.filter($"reason" === "late").count()
+    assert(lateDocs == expectLate.size.toLong,
+      s"sink dropped $lateDocs late docs, the e39 model says ${expectLate.size}")
+    // and the RIGHT ones: recompute ids from the landed kept/rej split
+    val kept = spark.read.parquet(s"$wd/kept")
+    assert(kept.count() + rej.count() == slice.size.toLong, "nothing dropped silently")
+    val keptTs = kept.collect().map(_.getAs[Long]("ts_us")).toSeq.sorted
+    val expectOnTimeTs = slice.filterNot(e => expectLate(e._1)).map(_._2).sorted
+    // near-dup may reject an on-time doc AFTER the late gate, so kept ⊆
+    // on-time; late docs must never surface in kept
+    assert(keptTs.toSet.subsetOf(expectOnTimeTs.toSet),
+      "a late doc leaked into kept")
+  }
+
   test("quality gate replay after a threshold retune rewrites BOTH sides (zero-row partition deleted)") {
     // the ADVICE-flagged divergence: attempt 1 keeps a doc, a retuned
     // attempt 2 rejects everything — the kept side then lands ZERO

@@ -40,6 +40,27 @@ def parse_baseline(path):
     return best
 
 
+def parse_artifact_baseline(path):
+    # per-FAMILY gates for the `_artifacts` warm-up phase, from the
+    # `| artifact | gate_s | ... |` table: a 3x regression in one
+    # family must not hide inside the phase's wall-clock noise
+    best = {}
+    in_table = False
+    for line in open(path):
+        if re.match(r"\|\s*artifact\s*\|", line):
+            in_table = True
+            continue
+        if in_table:
+            m = re.match(r"\|\s*`?([a-z0-9_]+)`?\s*\|\s*([0-9.]+)\s*\|", line)
+            if m:
+                best[m.group(1)] = float(m.group(2))
+            elif line.startswith("| ---"):
+                continue
+            elif not line.startswith("|"):
+                in_table = False
+    return best
+
+
 def main():
     argv = sys.argv[1:]
     ratio = 1.5
@@ -71,9 +92,22 @@ def main():
             bench = {"queries": {k: float(v) for k, v in pairs
                                  if k not in ("metric", "value", "sf", "dropped")}}
     best = parse_baseline(os.path.join(ROOT, "BASELINE.md"))
+    abest = parse_artifact_baseline(os.path.join(ROOT, "BASELINE.md"))
     queries = bench.get("queries", {})
 
     regressions, warnings = [], []
+    # per-family artifact gates (the _artifacts wall total stays a
+    # query-table row; families are multi-second builds, so the noise
+    # floor is 0.5 s). A family with no gate row yet is a warning —
+    # add its clean-run value to BASELINE.md's artifact table.
+    for name, sec in sorted(bench.get("artifacts", {}).items()):
+        if name in abest:
+            if sec > abest[name] * ratio and sec - abest[name] > 0.5:
+                regressions.append((f"_artifacts/{name}", sec, abest[name],
+                                    f"{sec / abest[name]:.1f}x family gate {abest[name]}s"))
+        else:
+            warnings.append((f"_artifacts/{name}", sec, None,
+                             "no artifact-family gate in BASELINE.md"))
     for name, sec in sorted(queries.items()):
         if sec < 0:
             regressions.append((name, sec, None, "FAILED in bench run"))

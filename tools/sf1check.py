@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Standing sf1 scaling gate: diff the 10x-rows bench (BENCH_SF1.json)
+against the sf0.1 clean run (BENCH_FULL.json) and flag every query whose
+time grew beyond the per-query scaling budget.
+
+Usage: tools/sf1check.py [BENCH_SF1.json] [BENCH_SF01.json] [--budget 3.0]
+
+The default budget is 3x at 10x rows: a linear-ish distributed plan with
+fixed per-job latency lands well under it (the r11 full-registry run
+measured median 1.40x), while a plan with a quadratic candidate floor
+blows through it (mm7 at segs=32 measured ~9x before r12 fixed the
+registered width). Sub-second absolute deltas are noise, not scaling
+(fixed scheduler/job latency dominates them) - a query is only flagged
+when sf1 minus sf0.1 also exceeds 1 s.
+
+WHITELIST: documented exceptions whose super-budget growth is OUTPUT- or
+collision-bound by design of the sf1 corpus (10 verbatim clones per row
+-> true-pair volume grows ~100x per clone family), not a plan defect.
+Each entry carries its reason and a WIDER budget, not a free pass.
+
+Exit code 1 on any flag, so it can gate a round record.
+"""
+import json, re, sys, os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# query -> (allowed_ratio, reason). Keep this list SHORT and justified;
+# an entry whose reason no longer holds must be removed (the mm7
+# precedent: whitelisted in r11 at segs=32, removed in r12 when the
+# registered width became scale-safe).
+WHITELIST = {
+    # the sf1 corpus plants 10 verbatim clones per doc: every clone
+    # family is a complete band-collision clique, so candidate/output
+    # volume for the text LSH self-joins grows ~45x per family by
+    # DESIGN of the stress corpus (true pairs, not hash noise)
+    "d2_minhash_lsh": (6.0, "10-clone families: true candidate cliques grow ~45x"),
+    "d4_ngram_jaccard": (6.0, "verifies the d2 clique candidates - output-bound"),
+    "d7_dup_clusters": (6.0, "CC over the clone-clique edge list - edge-bound"),
+    "d14_lsh_sweep": (6.0, "4 re-bandings of the clone-clique candidate set"),
+    "s28_dbscan": (6.0, "banded eps-graph: clone cliques densify the graph"),
+    # the cross-modal yardstick's QUERY SET is defined as every 100th
+    # doc, so exact-side work grows with corpus^2 BY CONTRACT (unlike
+    # s1's fixed 10 queries); mm9's audit composes that exact side.
+    # The serving-scale path is mm9's bucketed candidates alone.
+    "mm5_xmodal": (6.0, "query set grows with the corpus: n/100 x n exact pairs by contract"),
+    "mm9_xmodal_bucketed": (6.0, "audit composes mm5's exact side - same yardstick growth"),
+    # r12 segs=64 mm7: the sf1 clone corpus makes the TRUE-pair output
+    # itself grow ~1200x (10-clone families are complete cliques:
+    # 255,200 pairs vs 212 at sf0.1, verified ZERO collision noise) -
+    # output-bound work, not the r11 4-bit hash floor (that defect is
+    # gone: segs=32 on the same corpus emits 569,100 with 313,900
+    # noise pairs at 6.5x the cost - BenchMm7 prices the contrast)
+    "mm7_phash_neardup": (6.0, "clone-clique TRUE-pair output grows ~1200x; zero noise at segs=64"),
+}
+
+
+def main():
+    argv = sys.argv[1:]
+    budget = 3.0
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--budget"):
+            if "=" in a:
+                budget = float(a.split("=", 1)[1])
+            else:
+                budget = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
+    sf1_path = args[0] if len(args) > 0 else os.path.join(ROOT, "BENCH_SF1.json")
+    ref_path = args[1] if len(args) > 1 else os.path.join(ROOT, "BENCH_FULL.json")
+    sf1 = json.load(open(sf1_path))
+    ref = json.load(open(ref_path))
+    q1, q0 = sf1.get("queries", {}), ref.get("queries", {})
+
+    flags, notes = [], []
+    checked = 0
+    for name in sorted(q1):
+        if name == "_artifacts":
+            continue  # index builds are priced per family by benchcheck
+        if name not in q0:
+            notes.append(f"NOTE  {name}: no sf0.1 reference - new query, record one")
+            continue
+        a, b = q1[name], q0[name]
+        if a < 0 or b < 0:
+            flags.append(f"FAIL  {name}: failed in a bench run (sf1={a}, sf0.1={b})")
+            continue
+        checked += 1
+        if a - b <= 1.0:
+            continue  # sub-second growth is job latency, not scaling
+        allowed, why = WHITELIST.get(name, (budget, None))
+        ratio = a / max(b, 1e-9)
+        if ratio > allowed:
+            tag = f" [whitelisted at {allowed}x: {why}]" if why else ""
+            flags.append(
+                f"REGR  {name}: {a:.2f}s at sf1 vs {b:.2f}s at sf0.1 = "
+                f"{ratio:.1f}x (budget {allowed}x){tag}")
+        elif why and ratio > budget:
+            notes.append(
+                f"WLIST {name}: {ratio:.1f}x within its {allowed}x exception - {why}")
+
+    for n in notes:
+        print(n)
+    for f in flags:
+        print(f)
+    print(f"RESULT: {'PASS' if not flags else f'{len(flags)} FLAGS'} "
+          f"({checked} queries checked, budget {budget}x, "
+          f"{len(WHITELIST)} whitelisted)")
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()
