@@ -101,7 +101,13 @@ object Bench {
         "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () }),
         // the symmetrized refined kNN graph s35/s36 (and s32's graph
         // tier) walk over — build-once/serve-many, like the IVF index
-        "walk_adj"     -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir).count(); () })),
+        "walk_adj"     -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir).count(); () }),
+        // r12: the degree-8/16 adjacencies s38 sweeps and the
+        // old-half + merged indexes s39 serves — index BUILDS, warmed
+        // here so the registered queries report serving marginals
+        "walk_adj8"    -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 8).count(); () }),
+        "walk_adj16"   -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 16).count(); () }),
+        "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(

@@ -38,19 +38,24 @@ WHITELIST = {
     "d7_dup_clusters": (6.0, "CC over the clone-clique edge list - edge-bound"),
     "d14_lsh_sweep": (6.0, "4 re-bandings of the clone-clique candidate set"),
     "s28_dbscan": (6.0, "banded eps-graph: clone cliques densify the graph"),
+    "d3_simhash": (6.0, "simhash band self-join: clone cliques are complete collision sets"),
+    # identical clone vectors share EVERY band, so the whole-corpus
+    # banded self-join's candidates grow ~45x per 10-clone family
+    "s17_knn_graph": (6.0, "whole-corpus band self-join over 10-clone vector families"),
+    # clone orders multiply co-occurrence pair multiplicities, so the
+    # wedge/closure joins grow with the squared clone density
+    "g2_triangles": (5.0, "co-purchase wedges grow with squared clone multiplicity"),
     # the cross-modal yardstick's QUERY SET is defined as every 100th
     # doc, so exact-side work grows with corpus^2 BY CONTRACT (unlike
-    # s1's fixed 10 queries); mm9's audit composes that exact side.
-    # The serving-scale path is mm9's bucketed candidates alone.
-    "mm5_xmodal": (6.0, "query set grows with the corpus: n/100 x n exact pairs by contract"),
-    "mm9_xmodal_bucketed": (6.0, "audit composes mm5's exact side - same yardstick growth"),
-    # r12 segs=64 mm7: the sf1 clone corpus makes the TRUE-pair output
-    # itself grow ~1200x (10-clone families are complete cliques:
-    # 255,200 pairs vs 212 at sf0.1, verified ZERO collision noise) -
-    # output-bound work, not the r11 4-bit hash floor (that defect is
-    # gone: segs=32 on the same corpus emits 569,100 with 313,900
-    # noise pairs at 6.5x the cost - BenchMm7 prices the contrast)
-    "mm7_phash_neardup": (6.0, "clone-clique TRUE-pair output grows ~1200x; zero noise at segs=64"),
+    # s1's fixed 10 queries): 10x rows = 100x exact pairs, measured
+    # ~9x wall because sf0.1 left cores idle; mm9's audit composes
+    # that exact side. The serving-scale path is mm9's bucketed
+    # candidates alone.
+    "mm5_xmodal": (12.0, "query set grows with the corpus: n/100 x n exact pairs = 100x work at 10x rows by contract"),
+    "mm9_xmodal_bucketed": (12.0, "audit composes mm5's exact side - same yardstick growth"),
+    # mm7 carries NO entry since r12: the registered segs=64 width
+    # measured 2.6x at 10x rows (the r11 segs=32 hash floor measured
+    # ~9x and is gone - BenchMm7 keeps it as the priced contrast)
 }
 
 
