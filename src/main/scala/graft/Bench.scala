@@ -107,7 +107,9 @@ object Bench {
         // here so the registered queries report serving marginals
         "walk_adj8"    -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 8).count(); () }),
         "walk_adj16"   -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 16).count(); () }),
-        "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () })),
+        "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () }),
+        // s40's consolidated (tombstone-repaired) index
+        "walk_fadj"    -> (() => { graft.similarity.Knn.walkDeleteAdjacency(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(

@@ -1692,11 +1692,11 @@ object Knn {
     s17KnnGraphOn(spark, dir, k, lit(true), bands, r, dim)
 
   /** s17's body restricted to a vertex predicate — the s39 "old half"
-    * index build (a trivially-true predicate folds away, so the
-    * registered s17 plan is unchanged). */
-  private def s17KnnGraphOn(spark: SparkSession, dir: String, k: Int,
-                            pred: Column, bands: Int = 8, r: Int = 8,
-                            dim: Int = 64): DataFrame = {
+    * / s40 "live half" index builds (a trivially-true predicate folds
+    * away, so the registered s17 plan is unchanged). */
+  private[graft] def s17KnnGraphOn(spark: SparkSession, dir: String, k: Int,
+                                   pred: Column, bands: Int = 8, r: Int = 8,
+                                   dim: Int = 64): DataFrame = {
     import spark.implicits._
     val e = Tables.read(spark, dir, "embeddings")
       .filter(pred)
@@ -1963,10 +1963,16 @@ object Knn {
                         beam: Int, rounds: Int): DataFrame =
     graphWalkParts(spark, dir, adj, cents, k, beam, rounds)._2
 
-  /** (final visited pool, final ranked top-k). */
-  private def graphWalkParts(spark: SparkSession, dir: String, adj: DataFrame,
-                             cents: Seq[(Int, Array[Long])], k: Int,
-                             beam: Int, rounds: Int): (DataFrame, DataFrame) = {
+  /** (final visited pool, final ranked top-k). `live` restricts the
+    * ENTRY-POINT candidates (s40's tombstone serving: a deleted
+    * vector must not seed a walk; the frontier can't reach tombstones
+    * because the repaired adjacency no longer carries them) — the
+    * default true-literal folds away, so the registered s35/s37/s38
+    * plans are unchanged. */
+  private[graft] def graphWalkParts(spark: SparkSession, dir: String, adj: DataFrame,
+                                    cents: Seq[(Int, Array[Long])], k: Int,
+                                    beam: Int, rounds: Int,
+                                    live: Column = lit(true)): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.VectorFunctions.quantizeE6
     val e = Tables.read(spark, dir, "embeddings")
@@ -1988,7 +1994,7 @@ object Knn {
       .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
         element_at(array_sort(array(cellDists: _*)), 1).getField("cell").as("cell"))
       .localCheckpoint(true)
-    val corpusCells = assignCells(spark, e.filter($"vec_id" >= 10), cents)
+    val corpusCells = assignCells(spark, e.filter($"vec_id" >= 10).filter(live), cents)
       .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
     val wEntry = Window.partitionBy($"query_id").orderBy($"neighbor_id")
     val entry = corpusCells
@@ -2056,13 +2062,14 @@ object Knn {
     * the `gcells`/`gprobes` entry-cell assignment — degree- AND
     * beam-independent, so both the s37 beam sweep and the s38 degree
     * sweep compose it exactly once. */
-  private def walkEntryCtes(iters: Int = 4): String =
+  private def walkEntryCtes(iters: Int = 4,
+                            cellsWhere: String = "q.vec_id >= 10"): String =
     s"""${lloydCteParts(iters).mkString(",\n")},
        |gcells AS MATERIALIZED (
        |  SELECT vec_id, cluster AS cell FROM (
        |    SELECT q.vec_id, c.cluster, sum((q.e - c.c)*(q.e - c.c)) AS dist
        |    FROM q JOIN c${iters - 1} c ON c.i = q.i
-       |    WHERE q.vec_id >= 10 GROUP BY 1, 2
+       |    WHERE $cellsWhere GROUP BY 1, 2
        |    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cluster) = 1)),
        |gprobes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cluster AS cell FROM (
@@ -2335,16 +2342,17 @@ object Knn {
     * persisted index was built on. */
   private def oldHalf: Column = pmod(col("vec_id"), lit(8)) =!= 7
 
-  /** The walk index built on the OLD HALF only — what a deployment
-    * holds on disk when the batch arrives: s17 banding + s29
-    * NN-descent restricted to old vectors, symmetrized. Memoized per
-    * (dir, degree). */
-  private[graft] def walkAdjacencyOld(spark: SparkSession, dir: String,
-                                      degree: Int = 3): DataFrame = {
+  /** A walk index built over a vertex SUB-POPULATION (s39's old half;
+    * s40's from-scratch live-rebuild yardstick): s17 banding + s29
+    * NN-descent restricted to `pred`, symmetrized. Memoized per
+    * (tag, dir, degree). */
+  private[graft] def walkAdjacencyOn(spark: SparkSession, dir: String,
+                                     degree: Int, pred: Column,
+                                     tag: String): DataFrame = {
     import spark.implicits._
-    graft.operators.Indexes.memo(s"s39_adj_old:$dir:$degree") {
-      val base = graft.operators.Indexes.memo(s"s39_base_old:$dir:$degree") {
-        s17KnnGraphOn(spark, dir, degree, oldHalf)
+    graft.operators.Indexes.memo(s"${tag}_adj:$dir:$degree") {
+      val base = graft.operators.Indexes.memo(s"${tag}_base:$dir:$degree") {
+        s17KnnGraphOn(spark, dir, degree, pred)
           .select($"src_id", $"neighbor_id")
       }
       val ref = nnDescentRoundOver(spark, dir, degree, base)
@@ -2354,6 +2362,23 @@ object Knn {
         .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
     }
   }
+
+  /** The walk index built on the OLD HALF only — what a deployment
+    * holds on disk when the batch arrives. */
+  private[graft] def walkAdjacencyOld(spark: SparkSession, dir: String,
+                                      degree: Int = 3): DataFrame =
+    walkAdjacencyOn(spark, dir, degree, oldHalf, "s39_old")
+
+  /** Lineage-cut view of a memoized adjacency, itself memoized so the
+    * maintenance ops (s39 attach, s40 repair) and their audits share
+    * ONE checkpoint: an adjacency artifact carries the full
+    * banding+refinement plan, and every reference in a repair join or
+    * a footprint count re-analyzes it — the cut collapses it to a
+    * leaf (measured on s40: the repaired-index walk dropped 5.9 s →
+    * the 1.7 s cut-twin class). */
+  private def cutAdj(spark: SparkSession, key: String,
+                     adj: => DataFrame): DataFrame =
+    graft.operators.Indexes.memo(key)(graft.operators.State.cut(adj))
 
   /** Old-corpus entry centroids — s15's shared training artifact
     * (same cache key: the incremental family trains ONCE on the
@@ -2383,7 +2408,11 @@ object Knn {
     import spark.implicits._
     graft.operators.Indexes.memo(s"s39_madj:$dir:$degree:$kc:$iters") {
       val cents = oldCentroids(spark, dir, kc, iters)
-      val oadj = walkAdjacencyOld(spark, dir, degree)
+      // lineage cut at the standing-index boundary (the s40 lesson:
+      // the attach references oadj twice and the merged index's
+      // consumers re-analyze whatever plan it carries)
+      val oadj = cutAdj(spark, s"s39_oadj_cut:$dir:$degree",
+        walkAdjacencyOld(spark, dir, degree))
       val q = quantized(spark, dir)
       val batchCells = assignCells(spark, q.filter(pmod($"vec_id", lit(8)) === 7), cents)
         .select($"vec_id".as("src_id"), $"cluster".as("cell"))
@@ -2441,7 +2470,8 @@ object Knn {
       .filter(pmod($"vec_id", lit(8)) === 7)
       .agg(count(lit(1)).as("n_batch"))
     val nNew = madj.agg(count(lit(1)).as("m"))
-      .crossJoin(walkAdjacencyOld(spark, dir, degree).agg(count(lit(1)).as("o")))
+      .crossJoin(cutAdj(spark, s"s39_oadj_cut:$dir:$degree",
+        walkAdjacencyOld(spark, dir, degree)).agg(count(lit(1)).as("o")))
       .select(($"m" - $"o").as("n_new_edges"))
     exact
       .join(topk.select($"query_id", $"neighbor_id"),
@@ -2529,6 +2559,201 @@ object Knn {
        |  CAST(count(tk.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6,
        |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 7) AS n_batch,
        |  (SELECT count(*) FROM madj) - (SELECT count(*) FROM oadj) AS n_new_edges
+       |FROM ex LEFT JOIN (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM gfin) WHERE rank <= $K) tk
+       |  ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  // ---- s40: walk-index delete consolidation --------------------------
+
+  /** The s23 tombstone split: vectors with vec_id % 8 == 3 are the
+    * DELETED batch the standing index must retire. */
+  private def tombstoned(c: Column): Column = pmod(c, lit(8)) === 3
+
+  /** DELETE-CONSOLIDATE the walk index — DiskANN's delete repair, the
+    * graph family's s23 (IVF retires a tombstone by dropping its
+    * posting; a GRAPH must also re-link, or every deleted hub tears a
+    * hole in the navigable structure): tombstoned endpoints are
+    * purged, and every live vertex that LOST an edge re-ranks its
+    * surviving edges together with its deleted neighbors' own live
+    * edge lists (the NoN bridge — exactly the paths walks would have
+    * taken THROUGH the tombstone), keeping top-`degree`. Untouched
+    * vertices keep their edges verbatim: work ∝ affected vertices ×
+    * degree², never corpus. The result re-symmetrizes (repair
+    * back-edges may push a vertex past the degree budget — DiskANN's
+    * back-edge overflow, pruned by periodic re-refinement).
+    * Memoized: the repaired index is the serving artifact. */
+  private[graft] def walkDeleteAdjacency(spark: SparkSession, dir: String,
+                                         degree: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s40_fadj:$dir:$degree") {
+      // lineage CUT at the base-index boundary: the repair references
+      // the adjacency 5× (affected, surviving, both bridge legs,
+      // untouched), and each reference would otherwise EXPAND the
+      // full banding+refinement plan — the walk over the repaired
+      // index then re-analyzes that ×rounds (measured: 5.9 s of
+      // driver planning per walk vs 1.7 s over the cut twin). The
+      // base is a memoized artifact; the cut is its cheap leaf view.
+      val adj = cutAdj(spark, s"s40_adj_cut:$dir:$degree",
+        walkAdjacency(spark, dir, degree))
+      val aff = adj
+        .filter(tombstoned($"neighbor_id") && !tombstoned($"src_id"))
+        .select($"src_id").distinct()
+      val surv = adj.join(aff, Seq("src_id"))
+        .filter(!tombstoned($"neighbor_id"))
+        .select($"src_id", $"neighbor_id")
+      val bridge = adj.as("a1").join(adj.as("a2"),
+          col("a1.neighbor_id") === col("a2.src_id"))
+        .filter(tombstoned(col("a1.neighbor_id")) &&
+          !tombstoned(col("a1.src_id")) &&
+          !tombstoned(col("a2.neighbor_id")) &&
+          col("a2.neighbor_id") =!= col("a1.src_id"))
+        .select(col("a1.src_id").as("src_id"), col("a2.neighbor_id").as("neighbor_id"))
+      val rpool = surv.unionAll(bridge).dropDuplicates("src_id", "neighbor_id")
+      val e = Tables.read(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
+      val rtop = rpool
+        .join(e.select($"vec_id".as("src_id"), $"embedding".as("sv"), $"nrm".as("sn")),
+          Seq("src_id"))
+        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"), $"nrm".as("dn")),
+          Seq("neighbor_id"))
+        .select($"src_id", $"neighbor_id",
+          round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= degree)
+        .select($"src_id", $"neighbor_id")
+      val keep = adj
+        .filter(!tombstoned($"src_id") && !tombstoned($"neighbor_id"))
+        .join(aff, Seq("src_id"), "left_anti")
+      val f0 = keep.unionAll(rtop)
+      f0
+        .unionAll(f0.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .dropDuplicates("src_id", "neighbor_id")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    }
+  }
+
+  /** s40: WALK-INDEX DELETE audit — the registered proof the repair
+    * works: the 10 standard queries served over the CONSOLIDATED
+    * index (entry points restricted to live vectors; the frontier
+    * cannot reach tombstones because the repaired adjacency no longer
+    * carries them), recall@k against the exact top-k over the LIVE
+    * corpus only (a deleted vector must neither surface nor count
+    * against recall), plus the retire footprint (tombstone count,
+    * edges before/after). With s39's insert this completes FULL
+    * insert/delete parity for the graph family next to s15/s23's IVF
+    * pair. */
+  def s40WalkDelete(spark: SparkSession, dir: String, k: Int = K,
+                    degree: Int = 3, beam: Int = 4, rounds: Int = 3,
+                    kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    // full-corpus cents: a deployment does NOT retrain its quantizer
+    // on delete (s23's premise) — only entry SELECTION goes live-only
+    val cents = lloydCentroids(spark, dir, kc, iters)
+    val fadj = walkDeleteAdjacency(spark, dir, degree)
+    val (_, topk) = graphWalkParts(spark, dir, fadj, cents, k, beam, rounds,
+      live = !tombstoned($"vec_id"))
+    // exact yardstick over the LIVE corpus (s1's shape + the filter)
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10 && !tombstoned($"vec_id"))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val wx = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val exact = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wx)).filter($"rank" <= k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    val nTomb = Tables.read(spark, dir, "embeddings")
+      .filter(tombstoned($"vec_id"))
+      .agg(count(lit(1)).as("n_tombstones"))
+    val edges = cutAdj(spark, s"s40_adj_cut:$dir:$degree",
+        walkAdjacency(spark, dir, degree))
+      .agg(count(lit(1)).as("n_edges_before"))
+      .crossJoin(fadj.agg(count(lit(1)).as("n_edges_after")))
+    exact
+      .join(topk.select($"query_id", $"neighbor_id"),
+        $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
+      .groupBy($"eq").agg(count($"neighbor_id").as("n_hits"))
+      .select($"eq".as("query_id"), $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .crossJoin(nTomb).crossJoin(edges)
+  }
+
+  /** s40 oracle: the shared full-corpus walk prelude (banding +
+    * refinement + `adj`), the tombstone/affected/bridge/repair CTEs,
+    * the re-symmetrized `fadj`, one beam-4 walk with LIVE entry
+    * cells, and the live-corpus exact yardstick. */
+  def s40Sql: String = {
+    val degree = 3
+    s"""WITH $s17Ctes,
+       |$s29RefCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM ref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ref),
+       |${walkEntryCtes(cellsWhere = "q.vec_id >= 10 AND q.vec_id % 8 <> 3")},
+       |aff AS MATERIALIZED (
+       |  SELECT DISTINCT src_id FROM adj
+       |  WHERE neighbor_id % 8 = 3 AND src_id % 8 <> 3),
+       |surv AS (
+       |  SELECT a.src_id, a.neighbor_id FROM adj a
+       |  JOIN aff ON aff.src_id = a.src_id
+       |  WHERE a.neighbor_id % 8 <> 3),
+       |bridge AS (
+       |  SELECT DISTINCT a1.src_id, a2.neighbor_id
+       |  FROM adj a1 JOIN adj a2 ON a2.src_id = a1.neighbor_id
+       |  WHERE a1.neighbor_id % 8 = 3 AND a1.src_id % 8 <> 3
+       |    AND a2.neighbor_id % 8 <> 3 AND a2.neighbor_id <> a1.src_id),
+       |rpool AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM surv
+       |  UNION SELECT src_id, neighbor_id FROM bridge),
+       |rsc AS (
+       |  SELECT p.src_id, p.neighbor_id,
+       |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+       |  FROM rpool p
+       |  JOIN u uq ON uq.vec_id = p.src_id
+       |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
+       |  GROUP BY 1, 2),
+       |rtop AS (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM rsc) WHERE rn <= $degree),
+       |keepu AS (
+       |  SELECT a.src_id, a.neighbor_id FROM adj a
+       |  WHERE a.src_id % 8 <> 3 AND a.neighbor_id % 8 <> 3
+       |    AND a.src_id NOT IN (SELECT src_id FROM aff)),
+       |f0 AS (
+       |  SELECT src_id, neighbor_id FROM keepu
+       |  UNION SELECT src_id, neighbor_id FROM rtop),
+       |fadj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM f0
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM f0),
+       |${walkCtes("", 4, 3, "fadj")},
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |      FROM u q JOIN u c ON q.i = c.i
+       |        AND q.vec_id < 10 AND c.vec_id >= 10 AND c.vec_id % 8 <> 3
+       |      GROUP BY 1, 2)) WHERE rank <= $K)
+       |SELECT ex.query_id, count(tk.neighbor_id) AS n_hits,
+       |  CAST(count(tk.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 3) AS n_tombstones,
+       |  (SELECT count(*) FROM adj) AS n_edges_before,
+       |  (SELECT count(*) FROM fadj) AS n_edges_after
        |FROM ex LEFT JOIN (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,

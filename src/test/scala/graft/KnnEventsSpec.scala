@@ -1915,6 +1915,72 @@ class KnnEventsSpec extends AnyFunSuite {
       s"merged-index recall $meanMerged vs from-scratch $meanScratch — gap exceeds the pinned 0.10")
   }
 
+  test("s40 walk delete: tombstones never surface, repair keeps affected vertices connected, recall within the rebuild bound") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val rows = Knn.s40WalkDelete(spark, sf).collect()
+    assert(rows.length == 10)
+    val nTomb = rows.head.getAs[Long]("n_tombstones")
+    val before = rows.head.getAs[Long]("n_edges_before")
+    val after = rows.head.getAs[Long]("n_edges_after")
+    assert(nTomb > 0L && after < before, "vacuous delete")
+    // the repaired index carries NO tombstoned endpoint
+    val fadj = Knn.walkDeleteAdjacency(spark, sf)
+    assert(fadj.filter(pmod(col("src_id"), lit(8)) === 3 ||
+        pmod(col("neighbor_id"), lit(8)) === 3).count() == 0L,
+      "a tombstoned endpoint survived consolidation")
+    // every vertex that LOST an edge is still connected (the repair's
+    // whole point — a torn hub would strand its region)
+    val base = Knn.walkAdjacency(spark, sf)
+    val aff = base.filter(pmod(col("neighbor_id"), lit(8)) === 3 &&
+        pmod(col("src_id"), lit(8)) =!= 3)
+      .select("src_id").distinct()
+    val disconnected = aff.join(fadj.select("src_id").distinct(), Seq("src_id"), "left_anti")
+    assert(disconnected.count() == 0L,
+      s"${disconnected.count()} affected vertices lost ALL edges")
+    // serving: no tombstone in any top-k result (entry is live-only,
+    // the frontier cannot reach a purged vertex)
+    rows.foreach(r => assert(r.getAs[Long]("n_hits") >= 0L))
+    val cents = Knn.lloydCentroids(spark, sf)
+    val (_, topk) = Knn.graphWalkParts(spark, sf, fadj, cents, 5, 4, 3,
+      live = pmod(col("vec_id"), lit(8)) =!= 3)
+    assert(topk.filter(pmod(col("neighbor_id"), lit(8)) === 3).count() == 0L,
+      "a deleted vector surfaced in served results")
+    // the rebuild bound: consolidated-index recall within 0.15 of a
+    // FROM-SCRATCH live-only build served the same way (delete repair
+    // trades a little recall for not re-banding the corpus)
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val meanCons = hu(rows.map(_.getAs[Long]("recall_e6")).sum, rows.length)
+    val live = pmod(col("vec_id"), lit(8)) =!= 3
+    val scratchAdj = Knn.walkAdjacencyOn(spark, sf, 3, live, "s40_scratch")
+    val scratchHits = Knn.graphWalkParts(spark, sf, scratchAdj, cents, 5, 4, 3, live = live)
+      ._2.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same live exact yardstick the registered audit uses
+    import spark.implicits._
+    val e = graft.sources.Tables.read(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding",
+        graft.dedup.Dedup.vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10 && pmod($"vec_id", lit(8)) =!= 3)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val exLive = corpus.join(org.apache.spark.sql.functions.broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        org.apache.spark.sql.functions.round(
+          graft.dedup.Dedup.dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perQueryScratch = exLive.groupBy(_._1).map { case (q, s) =>
+      (s.count(scratchHits.contains) * 200000L)
+    }
+    val meanScratch = hu(perQueryScratch.sum, perQueryScratch.size.toLong)
+    assert((meanCons - meanScratch).abs <= 150000L,
+      s"consolidated recall $meanCons vs from-scratch $meanScratch — gap exceeds the pinned 0.15")
+  }
+
   test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {
     val plan = Knn.s35GraphWalk(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -69,6 +69,7 @@ class QueriesSpec extends AnyFunSuite {
       "s37_walk_sweep",   // the beam sweep's rows each carry that same exact yardstick
       "s38_degree_sweep", // the degree sweep's rows carry it too
       "s39_walk_insert",  // the insert audit carries it too
+      "s40_walk_delete",  // the delete audit carries the live-corpus yardstick
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
       "s9_ivfkm_recall",  // composes s1's exact side vs the IVF-km path
@@ -302,6 +303,9 @@ class QueriesSpec extends AnyFunSuite {
       // merged-index walk entry + exact yardstick + the 1-row batch
       // count (old/merged adjacencies are memoized artifacts)
       "s39_walk_insert" -> 6,
+      // repaired-index walk entry + live exact yardstick + the 1-row
+      // tombstone count (base/repaired adjacencies are memoized)
+      "s40_walk_delete" -> 6,
       "s16_filtered_ann" -> 4, "mm9_xmodal_bucketed" -> 4,
       // s1's two query/corpus slices + the refinement's two e-store legs
       // (the base graph itself is the memoized s29 artifact)
