@@ -678,6 +678,65 @@ object Media {
     * set). */
   val mm7Sql: String = mm7SqlAt(64, 25)
 
+  /** mm14: PERCEPTUAL-DETECTOR RECALL audit — the s4/s36 convention
+    * applied to mm7 (every approximate path's quality is MEASURED by
+    * a registered audit, never claimed): of the planted re-encode
+    * families (known ground truth — the one luxury a synthetic plant
+    * buys), how many did the band join + hamming verify recover, and
+    * how many REPORTED pairs are extras (corpus-internal near-dups or
+    * chance collisions — at the 64-bit width, chance is ~zero, so a
+    * growing extras count is the first sign the signature narrowed).
+    * One row: (n_planted, n_recovered, recall_e6, n_extra_pairs).
+    *
+    * Scale shape: mm7's pair output (swap-cached signature index, the
+    * banded join) + one metadata-thin planted frame (doc_id
+    * arithmetic only — no text moves) + two pair-key joins; the
+    * 1-row×1-row crossJoin is the documented scalar-broadcast
+    * convention. */
+  def mm14PhashRecall(spark: SparkSession, dir: String, maxHamming: Int = 5,
+                      segs: Int = 64, plantEvery: Int = 25): DataFrame = {
+    import spark.implicits._
+    require(plantEvery > 0, "mm14 audits the planted families; plantEvery must be > 0")
+    val halfUp = graft.functions.IntMath.halfUpDiv _
+    val got = mm7PhashNearDup(spark, dir, maxHamming, segs, plantEvery)
+      .select($"doc_id1", $"doc_id2")
+    val planted = Tables.read(spark, dir, "documents")
+      .filter($"doc_id" % plantEvery === 0 && length($"text") >= 2)
+      .select($"doc_id".as("doc_id1"), ($"doc_id" + PlantOffset).as("doc_id2"))
+    val rec = planted
+      .join(got.withColumn("hit", lit(1L)), Seq("doc_id1", "doc_id2"), "left")
+      .agg(count(lit(1)).as("n_planted"), count($"hit").as("n_recovered"))
+    val extra = got.join(planted, Seq("doc_id1", "doc_id2"), "left_anti")
+      .agg(count(lit(1)).as("n_extra_pairs"))
+    rec.crossJoin(extra)
+      .select($"n_planted", $"n_recovered",
+        halfUp($"n_recovered" * 1000000L, greatest($"n_planted", lit(1L)))
+          .as("recall_e6"),
+        $"n_extra_pairs")
+  }
+
+  /** mm14 oracle: mm7's chain as a subquery + the planted ground
+    * truth (pure doc_id arithmetic) + the same two pair joins. */
+  val mm14Sql: String =
+    s"""WITH got AS (SELECT doc_id1, doc_id2 FROM ($mm7Sql)),
+       |planted AS (
+       |  SELECT doc_id AS doc_id1, doc_id + $PlantOffset AS doc_id2
+       |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 2),
+       |rec AS (
+       |  SELECT count(*) AS n_planted, count(g.doc_id1) AS n_recovered
+       |  FROM planted p LEFT JOIN got g
+       |    ON g.doc_id1 = p.doc_id1 AND g.doc_id2 = p.doc_id2),
+       |ext AS (
+       |  SELECT count(*) AS n_extra_pairs FROM got g
+       |  WHERE NOT EXISTS (SELECT 1 FROM planted p
+       |    WHERE p.doc_id1 = g.doc_id1 AND p.doc_id2 = g.doc_id2))
+       |SELECT CAST(rec.n_planted AS BIGINT) AS n_planted,
+       |  CAST(rec.n_recovered AS BIGINT) AS n_recovered,
+       |  CAST((2 * rec.n_recovered * 1000000 + greatest(rec.n_planted, 1))
+       |       // (2 * greatest(rec.n_planted, 1)) AS BIGINT) AS recall_e6,
+       |  CAST(ext.n_extra_pairs AS BIGINT) AS n_extra_pairs
+       |FROM rec, ext""".stripMargin
+
   /** mm8: shard packing — the WebDataset/tar-shard export pass of a
     * multimodal training pipeline: assets are laid out in a stable
     * (source, doc_id) order and greedily packed into ~targetBytes
