@@ -314,18 +314,12 @@ object Orchestrator {
     MergedTable(destOut.unionByName(srcOut), emptyIdMap(src))
   }
 
-  /** Run the full pipeline: topological order, id maps threaded
-    * parents→children, merged output per table.
-    *
-    * @param src/dest   table name → instance DataFrame
-    * @param sourceTag  provenance label recorded on every row moved
-    *                   from the source instance (orchestrator.js:92)
-    */
   /** Fill `saltedFks` from each OPTED-IN spec's own fk histograms
     * (the j2 heavy-key audit run at plan time over the SOURCE fact —
-    * [[graft.operators.Skew.autoBuckets]]): a declared-hot relation
-    * needs no hand-tuned bucket count, and a uniform one stays on the
-    * plain shuffle path. Explicit saltedFks entries always win; specs
+    * [[graft.operators.Skew.autoBucketsAll]], ONE fact scan for all
+    * of a table's candidate fks): a declared-hot relation needs no
+    * hand-tuned bucket count, and a uniform one stays on the plain
+    * shuffle path. Explicit saltedFks entries always win; specs
     * without the flag are returned untouched (zero audit cost). */
   def autoSaltFks(specs: Seq[TableSpec], src: String => DataFrame,
                   hotShare: Double = 0.125, maxBuckets: Int = 32): Seq[TableSpec] =
@@ -334,14 +328,19 @@ object Orchestrator {
       else {
         val candidates = (t.fks.keys ++ t.selfFks).toSeq.distinct
           .filterNot(t.saltedFks.contains)
-        val auto = candidates.flatMap { fk =>
-          val b = graft.operators.Skew.autoBuckets(src(t.name), fk, hotShare, maxBuckets)
-          if (b > 0) Some(fk -> b) else None
-        }.toMap
+        val auto = graft.operators.Skew.autoBucketsAll(
+          src(t.name), candidates, hotShare, maxBuckets)
         if (auto.isEmpty) t else t.copy(saltedFks = t.saltedFks ++ auto)
       }
     }
 
+  /** Run the full pipeline: topological order, id maps threaded
+    * parents→children, merged output per table.
+    *
+    * @param src/dest   table name → instance DataFrame
+    * @param sourceTag  provenance label recorded on every row moved
+    *                   from the source instance (orchestrator.js:92)
+    */
   def run(specs: Seq[TableSpec],
           src: String => DataFrame, dest: String => DataFrame,
           sourceTag: String, pinIdMaps: Boolean = false): Map[String, MergedTable] = {

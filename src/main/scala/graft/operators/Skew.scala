@@ -45,17 +45,31 @@ object Skew {
     * driver collect: planning-time cost, the same pass j2's audit
     * already prices. Deterministic — no sampling. */
   def autoBuckets(fact: DataFrame, key: String, hotShare: Double = 0.125,
-                  maxBuckets: Int = 32): Int = {
-    val row = fact.filter(col(key).isNotNull)
-      .groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")), sum(col("c")))
-      .collect()(0)
-    if (row.isNullAt(0)) 0 // empty / all-null fact: nothing to salt
-    else {
-      val (mx, n) = (row.getLong(0), row.getLong(1))
-      val share = mx.toDouble / n
-      if (share <= hotShare) 0
-      else math.min(maxBuckets.toLong, math.ceil(2 * share / hotShare).toLong).toInt
-    }
+                  maxBuckets: Int = 32): Int =
+    autoBucketsAll(fact, Seq(key), hotShare, maxBuckets).getOrElse(key, 0)
+
+  /** [[autoBuckets]] for SEVERAL key columns in ONE pass over the
+    * fact: the keys melt into (key_name, value) rows (values cast to
+    * string — count semantics unchanged), so a table declaring four
+    * fks pays one scan, not four — at plan time over a JDBC-backed
+    * fact that is the difference between one remote pull and N.
+    * Returns only the keys that SHOULD salt (share > hotShare). */
+  def autoBucketsAll(fact: DataFrame, keys: Seq[String],
+                     hotShare: Double = 0.125,
+                     maxBuckets: Int = 32): Map[String, Int] = {
+    if (keys.isEmpty) return Map.empty
+    val melted = fact.select(explode(array(keys.map(k =>
+        struct(lit(k).as("fk"), col(k).cast("string").as("v"))): _*)).as("r"))
+      .select(col("r.fk").as("fk"), col("r.v").as("v"))
+      .filter(col("v").isNotNull)
+    melted.groupBy(col("fk"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("fk")).agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+      .collect()
+      .flatMap { r =>
+        val share = r.getLong(1).toDouble / r.getLong(2)
+        if (share <= hotShare) None
+        else Some(r.getString(0) ->
+          math.min(maxBuckets.toLong, math.ceil(2 * share / hotShare).toLong).toInt)
+      }.toMap
   }
 }

@@ -2350,8 +2350,12 @@ object Knn {
                                      degree: Int, pred: Column,
                                      tag: String): DataFrame = {
     import spark.implicits._
-    graft.operators.Indexes.memo(s"${tag}_adj:$dir:$degree") {
-      val base = graft.operators.Indexes.memo(s"${tag}_base:$dir:$degree") {
+    // the PREDICATE is part of the memo key: two callers sharing a
+    // tag with different vertex splits must never share an artifact
+    // (a key without it would hand the first build back silently)
+    val pk = Bridge.expression(pred).sql
+    graft.operators.Indexes.memo(s"${tag}_adj:$dir:$degree:$pk") {
+      val base = graft.operators.Indexes.memo(s"${tag}_base:$dir:$degree:$pk") {
         s17KnnGraphOn(spark, dir, degree, pred)
           .select($"src_id", $"neighbor_id")
       }
@@ -2376,8 +2380,7 @@ object Knn {
     * a footprint count re-analyzes it — the cut collapses it to a
     * leaf (measured on s40: the repaired-index walk dropped 5.9 s →
     * the 1.7 s cut-twin class). */
-  private def cutAdj(spark: SparkSession, key: String,
-                     adj: => DataFrame): DataFrame =
+  private def cutAdj(key: String, adj: => DataFrame): DataFrame =
     graft.operators.Indexes.memo(key)(graft.operators.State.cut(adj))
 
   /** Old-corpus entry centroids — s15's shared training artifact
@@ -2411,7 +2414,7 @@ object Knn {
       // lineage cut at the standing-index boundary (the s40 lesson:
       // the attach references oadj twice and the merged index's
       // consumers re-analyze whatever plan it carries)
-      val oadj = cutAdj(spark, s"s39_oadj_cut:$dir:$degree",
+      val oadj = cutAdj(s"s39_oadj_cut:$dir:$degree",
         walkAdjacencyOld(spark, dir, degree))
       val q = quantized(spark, dir)
       val batchCells = assignCells(spark, q.filter(pmod($"vec_id", lit(8)) === 7), cents)
@@ -2470,7 +2473,7 @@ object Knn {
       .filter(pmod($"vec_id", lit(8)) === 7)
       .agg(count(lit(1)).as("n_batch"))
     val nNew = madj.agg(count(lit(1)).as("m"))
-      .crossJoin(cutAdj(spark, s"s39_oadj_cut:$dir:$degree",
+      .crossJoin(cutAdj(s"s39_oadj_cut:$dir:$degree",
         walkAdjacencyOld(spark, dir, degree)).agg(count(lit(1)).as("o")))
       .select(($"m" - $"o").as("n_new_edges"))
     exact
@@ -2598,7 +2601,7 @@ object Knn {
       // index then re-analyzes that ×rounds (measured: 5.9 s of
       // driver planning per walk vs 1.7 s over the cut twin). The
       // base is a memoized artifact; the cut is its cheap leaf view.
-      val adj = cutAdj(spark, s"s40_adj_cut:$dir:$degree",
+      val adj = cutAdj(s"s40_adj_cut:$dir:$degree",
         walkAdjacency(spark, dir, degree))
       val aff = adj
         .filter(tombstoned($"neighbor_id") && !tombstoned($"src_id"))
@@ -2676,7 +2679,7 @@ object Knn {
     val nTomb = Tables.read(spark, dir, "embeddings")
       .filter(tombstoned($"vec_id"))
       .agg(count(lit(1)).as("n_tombstones"))
-    val edges = cutAdj(spark, s"s40_adj_cut:$dir:$degree",
+    val edges = cutAdj(s"s40_adj_cut:$dir:$degree",
         walkAdjacency(spark, dir, degree))
       .agg(count(lit(1)).as("n_edges_before"))
       .crossJoin(fadj.agg(count(lit(1)).as("n_edges_after")))
@@ -3736,11 +3739,15 @@ object Knn {
     cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/centroids.parquet")
+    walkAdjacency(spark, dir, degree)
+      .write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
+    // meta LAST: it describes the adjacency, so it must not land
+    // before the (expensive) edge write commits — a crash between the
+    // two would otherwise leave a layout whose recorded degree
+    // misdescribes the previous generation's edge file
     Seq((degree, kc, iters)).toDF("degree", "kc", "iters")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/meta.parquet")
-    walkAdjacency(spark, dir, degree)
-      .write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
   }
 
   /** The (degree, kc, iters) a [[saveWalkIndex]] layout was built
