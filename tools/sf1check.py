@@ -66,15 +66,18 @@ WHITELIST = {
     # candidates alone.
     "mm5_xmodal": (12.0, "query set grows with the corpus: n/100 x n exact pairs = 100x work at 10x rows by contract"),
     "mm9_xmodal_bucketed": (12.0, "audit composes mm5's exact side - same yardstick growth"),
-    # r12 segs=64 mm7 straddles the budget across load samples
-    # (2.6-3.2x): the residual growth is OUTPUT-bound, not the r11
-    # 4-bit hash floor (which measured ~9x and is gone) - on the
-    # 10-clone corpus the TRUE-pair set itself is 255,200 pairs vs 212
-    # at sf0.1 (verified zero collision noise; the clique candidates,
-    # 8 bands x 20^2 per planted family, ARE the answer's evidence).
+    # r12 segs=64 mm7 is the d2-family collision class on this corpus:
+    # the residual growth is OUTPUT-bound, not the r11 4-bit hash
+    # floor (which measured ~9x and is gone) - on the 10-clone corpus
+    # the TRUE-pair set itself is 255,200 pairs vs 212 at sf0.1
+    # (verified zero collision noise; the clique candidates, 8 bands x
+    # 20^2 per planted family, ARE the answer's evidence). Measured
+    # ratio band 2.6-5.5x across load samples - the sf0.1 denominator
+    # (0.6-1.4 s) flaps more than the sf1 reading (3.1-3.6 s).
     # BenchMm7 keeps segs=32 as the priced contrast (6.5x slower,
     # 313,900 noise pairs).
-    "mm7_phash_neardup": (5.0, "clone-clique TRUE-pair output is ~1200x larger by corpus design; zero noise at segs=64"),
+    "mm7_phash_neardup": (6.0, "clone-clique TRUE-pair output is ~1200x larger by corpus design; zero noise at segs=64"),
+    "mm14_phash_recall": (6.0, "audits mm7's pair output - same clone-clique output growth"),
 }
 
 
