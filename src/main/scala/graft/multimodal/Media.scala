@@ -314,8 +314,12 @@ object Media {
     val dims = (0 until dim).map { i =>
       (conv(substring(hex, i * 4 + 1, 4), 16, 10).cast("double") / 65536.0).cast("float")
     }
+    // Fixed absolute query panel (the s1 convention, Knn.scala s1:
+    // vec_id < 10): the exact yardstick must be O(n·c) with a BOUNDED
+    // broadcast side — a panel that grows with the corpus (the old
+    // doc_id % 100) makes the yardstick itself the scale-killer.
     val queries = Tables.read(spark, dir, "documents")
-      .filter($"doc_id" % 100 === 0)
+      .filter($"doc_id" < 32)
       .select($"doc_id".as("query_id"), array(dims: _*).as("q"))
       .withColumn("qn", normF32($"q"))
     (media, queries)
@@ -356,7 +360,7 @@ object Media {
     val cn = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
     s"""WITH q0 AS (
        |  SELECT doc_id AS query_id, md5('txt:' || text) AS qh
-       |  FROM documents WHERE doc_id % 100 = 0),
+       |  FROM documents WHERE doc_id < 32),
        |c0 AS (SELECT doc_id AS media_id, md5(text) AS ch FROM documents),
        |q AS (SELECT query_id, ${qd.mkString(", ")} FROM q0),
        |c AS (SELECT media_id, ${cd.mkString(", ")} FROM c0),
@@ -433,7 +437,7 @@ object Media {
     val cn = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
     s"""WITH q0 AS (
        |  SELECT doc_id AS query_id, md5('txt:' || text) AS qh
-       |  FROM documents WHERE doc_id % 100 = 0),
+       |  FROM documents WHERE doc_id < 32),
        |c0 AS (SELECT doc_id AS media_id, md5(text) AS ch FROM documents),
        |q AS (SELECT query_id, ${qd.mkString(", ")} FROM q0),
        |c AS (SELECT media_id, ${cd.mkString(", ")} FROM c0),
@@ -611,9 +615,14 @@ object Media {
       .filter($"hamming" <= maxHamming)
   }
 
-  /** doc_id offset of a planted re-encode variant — far above any
-    * corpus id (GenSf1's tiled ids included), so variants never
-    * collide and a pair's plant-ness is readable from its id. */
+  /** doc_id offset of a planted re-encode variant. Collision-free
+    * for the BENCHMARK corpora only: driver testdata and GenSf1's
+    * tiled ids are small sequential longs, far below 1e12. It does
+    * NOT hold for hash-id corpora ([[graft.sources.Tables
+    * .documentsFromLines]] assigns md5-derived ids spanning [0, 2^60),
+    * where doc_id + 1e12 can land on a real id); a pipeline planting
+    * variants over hash ids must derive them outside the hash space
+    * (e.g. set bit 62) instead of using this offset. */
   val PlantOffset: Long = 1000000000000L
 
   /** mm7 oracle builder: same corpus ⊎ planted variants, segment sums

@@ -2417,7 +2417,11 @@ object Knn {
       val oadj = cutAdj(s"s39_oadj_cut:$dir:$degree",
         walkAdjacencyOld(spark, dir, degree))
       val q = quantized(spark, dir)
-      val batchCells = assignCells(spark, q.filter(pmod($"vec_id", lit(8)) === 7), cents)
+      // batch = CORPUS vectors only: the query panel (vec_id < 10) is
+      // never index content, so query vec 7 must not be attached or
+      // counted in the insert audit's batch footprint
+      val batchCells = assignCells(spark,
+          q.filter(pmod($"vec_id", lit(8)) === 7 && $"vec_id" >= 10), cents)
         .select($"vec_id".as("src_id"), $"cluster".as("cell"))
       val oldCells = assignCells(spark, q.filter(oldHalf && $"vec_id" >= 10), cents)
         .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
@@ -2470,7 +2474,7 @@ object Knn {
     val exact = s1Brute(spark, dir, k)
       .select($"query_id".as("eq"), $"neighbor_id".as("en"))
     val nBatch = Tables.read(spark, dir, "embeddings")
-      .filter(pmod($"vec_id", lit(8)) === 7)
+      .filter(pmod($"vec_id", lit(8)) === 7 && $"vec_id" >= 10)
       .agg(count(lit(1)).as("n_batch"))
     val nNew = madj.agg(count(lit(1)).as("m"))
       .crossJoin(cutAdj(s"s39_oadj_cut:$dir:$degree",
@@ -2530,7 +2534,7 @@ object Knn {
        |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
        |${assignAll("gcells", "WHERE qa.vec_id >= 10", "")},
        |${assignAll("gprobes", "WHERE qa.vec_id < 10", " AS query_id")},
-       |${assignAll("bassign", "WHERE qa.vec_id % 8 = 7", " AS src_id")},
+       |${assignAll("bassign", "WHERE qa.vec_id % 8 = 7 AND qa.vec_id >= 10", " AS src_id")},
        |bc AS (
        |  SELECT b.src_id, m.vec_id AS neighbor_id
        |  FROM bassign b JOIN gcells m ON m.cell = b.cell
@@ -2560,7 +2564,7 @@ object Knn {
        |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
        |SELECT ex.query_id, count(tk.neighbor_id) AS n_hits,
        |  CAST(count(tk.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6,
-       |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 7) AS n_batch,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 7 AND vec_id >= 10) AS n_batch,
        |  (SELECT count(*) FROM madj) - (SELECT count(*) FROM oadj) AS n_new_edges
        |FROM ex LEFT JOIN (
        |  SELECT query_id, neighbor_id FROM (

@@ -1227,7 +1227,7 @@ class DedupTextSpec extends AnyFunSuite {
   test("mm9 bucketed cross-modal: audit arithmetic holds; bands join hashed, not looped") {
     val df = graft.multimodal.Media.mm9XmodalBucketed(spark, sf)
     val r = df.collect()
-    assert(r.length == 5) // one audit row per text query at sf0.001
+    assert(r.length == 32) // one audit row per fixed-panel text query
     r.foreach { x =>
       val hits = x.getAs[Long]("n_hits")
       assert(hits >= 0L && hits <= 5L)

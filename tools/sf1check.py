@@ -58,14 +58,10 @@ WHITELIST = {
     # clone orders multiply co-occurrence pair multiplicities, so the
     # wedge/closure joins grow with the squared clone density
     "g2_triangles": (5.0, "co-purchase wedges grow with squared clone multiplicity"),
-    # the cross-modal yardstick's QUERY SET is defined as every 100th
-    # doc, so exact-side work grows with corpus^2 BY CONTRACT (unlike
-    # s1's fixed 10 queries): 10x rows = 100x exact pairs, measured
-    # ~9x wall because sf0.1 left cores idle; mm9's audit composes
-    # that exact side. The serving-scale path is mm9's bucketed
-    # candidates alone.
-    "mm5_xmodal": (12.0, "query set grows with the corpus: n/100 x n exact pairs = 100x work at 10x rows by contract"),
-    "mm9_xmodal_bucketed": (12.0, "audit composes mm5's exact side - same yardstick growth"),
+    # (r13: the mm5/mm9 12x entries are REMOVED - the cross-modal
+    # query panel is now a fixed 32-doc absolute sample, the s1
+    # convention, so the exact yardstick is O(n*32) with a bounded
+    # broadcast and rides the default 3x budget.)
     # r12 segs=64 mm7 is the d2-family collision class on this corpus:
     # the residual growth is OUTPUT-bound, not the r11 4-bit hash
     # floor (which measured ~9x and is gone) - on the 10-clone corpus
