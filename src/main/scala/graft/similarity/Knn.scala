@@ -2232,34 +2232,43 @@ object Knn {
        |ORDER BY beam""".stripMargin
   }
 
-  /** The s38 degree settings — shared by the Spark sweep and its
-    * oracle. 3 = the budget tier s35 serves by default; 8/16 = the
-    * HNSW-M/DiskANN-R territory real deployments run. */
-  private val WalkDegrees = Seq(3, 8, 16)
+  /** The s38 (degree, beam) operating points — shared by the Spark
+    * sweep and its oracle. Degree 3 = the budget tier s35 serves by
+    * default; 8/16 = the HNSW-M/DiskANN-R territory real deployments
+    * run. The joint d16×b8 / d16×b16 points price the path to
+    * shipping-class recall: degree alone (at beam 4) and beam alone
+    * (on the degree-3 graph, s37) each saturate well short of the
+    * 0.9-class recall@5 real ANN serving ships — the joint frontier
+    * is where it lives, and the sweep measures exactly where. */
+  private val WalkPoints = Seq((3, 4), (8, 4), (16, 4), (16, 8), (16, 16))
 
   /** s38: WALK DEGREE SWEEP — the graph tier's OTHER serving knob,
     * priced (s37 sweeps beam; this sweeps the adjacency's out-degree
     * budget, HNSW's M / DiskANN's R — the knob that actually buys
     * recall once beam saturates: beam alone tops out at 0.30 recall@5
-    * on the degree-3 graph). One row per degree ∈ {3, 8, 16} at fixed
-    * beam=4: recall@k vs s1's exact top-k, the visited-pool scan cost,
+    * on the degree-3 graph). One row per [[WalkPoints]] operating
+    * point — the degree axis at beam 4 PLUS the joint d16×b8/d16×b16
+    * points that chase shipping-class recall (neither dial reaches it
+    * alone): recall@k vs s1's exact top-k, the visited-pool scan cost,
     * the MEASURED edge count and the resulting index bytes/vector
     * (8 B per directed edge + the 256 B full-precision vector the walk
     * scores against) — recall AND memory on one axis, the s32 capacity
     * table's missing column for the graph family.
     *
-    * Shape: ONE banded collision graph feeds all three degrees (the
+    * Shape: ONE banded collision graph feeds every degree (the
     * ranked s17 edges are degree-sliced — rank ≤ d — before each
     * degree's own NN-descent round; the band self-join never re-runs),
-    * and each degree's walk rides the SAME memoized vector store,
-    * centroids and query checkpoint as every other walk. Work per
-    * degree ∝ queries × beam × degree × rounds + the refinement's
-    * edge-scale NoN join ((2d)² per vertex — index BUILD cost, paid
-    * once and amortized by serving, exactly the trade the sweep
-    * prices). Integer-exact rollups → DuckDB hash oracle (one shared
-    * prelude, three prefixed degree chains — the s37 convention). */
+    * each DISTINCT degree's adjacency is built once however many beams
+    * walk it (memoized), and each point's walk rides the SAME memoized
+    * vector store, centroids and query checkpoint as every other walk.
+    * Work per point ∝ queries × beam × degree × rounds + (per distinct
+    * degree) the refinement's edge-scale NoN join ((2d)² per vertex —
+    * index BUILD cost, paid once and amortized by serving, exactly the
+    * trade the sweep prices). Integer-exact rollups → DuckDB hash
+    * oracle (one shared prelude, one chain per degree, one walk per
+    * point — the s37 convention). */
   def s38DegreeSweep(spark: SparkSession, dir: String, k: Int = K,
-                     beam: Int = 4, rounds: Int = 3, kc: Int = 8,
+                     rounds: Int = 3, kc: Int = 8,
                      iters: Int = 4): DataFrame = {
     import spark.implicits._
     require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
@@ -2269,9 +2278,9 @@ object Knn {
       .select($"query_id".as("eq"), $"neighbor_id".as("en"))
     val nVecs = Tables.read(spark, dir, "embeddings")
       .agg(count(lit(1)).as("n_vecs"))
-    WalkDegrees.map { d =>
+    WalkPoints.map { case (d, b) =>
       val adj = walkAdjacency(spark, dir, d)
-      val (visited, topk) = graphWalkParts(spark, dir, adj, cents, k, beam, rounds)
+      val (visited, topk) = graphWalkParts(spark, dir, adj, cents, k, b, rounds)
       val hits = exact
         .join(topk.select($"query_id", $"neighbor_id"),
           $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
@@ -2286,34 +2295,40 @@ object Knn {
           min($"n_hits" * lit(1000000L / k)).as("min_recall_e6"),
           sum($"n_visited").as("sum_visited"))
         .crossJoin(edges).crossJoin(nVecs)
-        .select(lit(d.toLong).as("degree"), $"n_queries", $"mean_recall_e6",
+        .select(lit(d.toLong).as("degree"), lit(b.toLong).as("beam"),
+          $"n_queries", $"mean_recall_e6",
           $"min_recall_e6", $"sum_visited", $"n_edges",
           (halfUp($"n_edges" * 8L, $"n_vecs") + lit(4L * Dim)).as("bytes_per_vec"))
     }.reduce(_ unionAll _)
   }
 
   /** s38 oracle: ONE shared banding prelude (`s17r` carries ranks for
-    * every degree) + entry chain + three prefixed degree chains (each
-    * its own NN-descent refinement, symmetrized adjacency and beam-4
-    * walk) + the exact yardstick, rolled to one row per degree. */
+    * every degree) + entry chain + one prefixed degree chain per
+    * DISTINCT degree (its own NN-descent refinement and symmetrized
+    * adjacency — built once however many beams walk it) + one walk
+    * chain per (degree, beam) point + the exact yardstick, rolled to
+    * one row per point. */
   def s38Sql: String = {
     def hu(n: String, d: String) = s"((2*($n) + ($d)) // (2*($d)))"
-    val chains = WalkDegrees.map { d =>
+    val chains = WalkPoints.map(_._1).distinct.map { d =>
       val p = s"d$d"
       s"""${s29RefCtesAt(p, d)},
          |${p}adj AS MATERIALIZED (
          |  SELECT src_id, neighbor_id FROM ${p}ref
-         |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ${p}ref),
-         |${walkCtes(p, 4, 3, s"${p}adj")}""".stripMargin
+         |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ${p}ref)""".stripMargin
     }.mkString(",\n")
-    val rows = WalkDegrees.map { d =>
-      val p = s"d$d"
-      s"""SELECT CAST($d AS BIGINT) AS degree, count(*) AS n_queries,
+    val walks = WalkPoints.map { case (d, b) =>
+      walkCtes(s"d${d}b$b", b, 3, s"d${d}adj")
+    }.mkString(",\n")
+    val rows = WalkPoints.map { case (d, b) =>
+      val p = s"d${d}b$b"
+      s"""SELECT CAST($d AS BIGINT) AS degree, CAST($b AS BIGINT) AS beam,
+         |  count(*) AS n_queries,
          |  CAST(${hu(s"sum(j.n_hits) * ${1000000L / K}", "count(*)")} AS BIGINT) AS mean_recall_e6,
          |  CAST(min(j.n_hits) * ${1000000L / K} AS BIGINT) AS min_recall_e6,
          |  CAST(sum(j.n_visited) AS BIGINT) AS sum_visited,
-         |  (SELECT count(*) FROM ${p}adj) AS n_edges,
-         |  CAST(${hu(s"(SELECT count(*) FROM ${p}adj) * 8", "(SELECT count(*) FROM embeddings)")} + 256 AS BIGINT) AS bytes_per_vec
+         |  (SELECT count(*) FROM d${d}adj) AS n_edges,
+         |  CAST(${hu(s"(SELECT count(*) FROM d${d}adj) * 8", "(SELECT count(*) FROM embeddings)")} + 256 AS BIGINT) AS bytes_per_vec
          |FROM (
          |  SELECT h.query_id, h.n_hits, v.n_visited FROM (
          |    SELECT ex.query_id, count(tk.neighbor_id) AS n_hits
@@ -2330,9 +2345,10 @@ object Knn {
     s"""WITH $s17Ctes,
        |${walkEntryCtes()},
        |$chains,
+       |$walks,
        |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql))
        |$rows
-       |ORDER BY degree""".stripMargin
+       |ORDER BY degree, beam""".stripMargin
   }
 
   // ---- s39: incremental walk-index maintenance ----------------------
@@ -2386,8 +2402,8 @@ object Knn {
   /** Old-corpus entry centroids — s15's shared training artifact
     * (same cache key: the incremental family trains ONCE on the
     * standing corpus). */
-  private def oldCentroids(spark: SparkSession, dir: String, kc: Int,
-                           iters: Int): Seq[(Int, Array[Long])] =
+  private[graft] def oldCentroids(spark: SparkSession, dir: String, kc: Int,
+                                  iters: Int): Seq[(Int, Array[Long])] =
     centCache.getOrElseUpdate(s"incr:$dir:$kc:$iters",
       lloydLoop(spark, quantized(spark, dir).filter(oldHalf), kc, iters, Dim))
 
@@ -2595,8 +2611,7 @@ object Knn {
     * back-edge overflow, pruned by periodic re-refinement).
     * Memoized: the repaired index is the serving artifact. */
   private[graft] def walkDeleteAdjacency(spark: SparkSession, dir: String,
-                                         degree: Int = 3): DataFrame = {
-    import spark.implicits._
+                                         degree: Int = 3): DataFrame =
     graft.operators.Indexes.memo(s"s40_fadj:$dir:$degree") {
       // lineage CUT at the base-index boundary: the repair references
       // the adjacency 5× (affected, surviving, both bridge legs,
@@ -2605,44 +2620,54 @@ object Knn {
       // index then re-analyzes that ×rounds (measured: 5.9 s of
       // driver planning per walk vs 1.7 s over the cut twin). The
       // base is a memoized artifact; the cut is its cheap leaf view.
-      val adj = cutAdj(s"s40_adj_cut:$dir:$degree",
-        walkAdjacency(spark, dir, degree))
-      val aff = adj
-        .filter(tombstoned($"neighbor_id") && !tombstoned($"src_id"))
-        .select($"src_id").distinct()
-      val surv = adj.join(aff, Seq("src_id"))
-        .filter(!tombstoned($"neighbor_id"))
-        .select($"src_id", $"neighbor_id")
-      val bridge = adj.as("a1").join(adj.as("a2"),
-          col("a1.neighbor_id") === col("a2.src_id"))
-        .filter(tombstoned(col("a1.neighbor_id")) &&
-          !tombstoned(col("a1.src_id")) &&
-          !tombstoned(col("a2.neighbor_id")) &&
-          col("a2.neighbor_id") =!= col("a1.src_id"))
-        .select(col("a1.src_id").as("src_id"), col("a2.neighbor_id").as("neighbor_id"))
-      val rpool = surv.unionAll(bridge).dropDuplicates("src_id", "neighbor_id")
-      val e = Tables.read(spark, dir, "embeddings")
-        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
-        .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
-      val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
-      val rtop = rpool
-        .join(e.select($"vec_id".as("src_id"), $"embedding".as("sv"), $"nrm".as("sn")),
-          Seq("src_id"))
-        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"), $"nrm".as("dn")),
-          Seq("neighbor_id"))
-        .select($"src_id", $"neighbor_id",
-          round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" <= degree)
-        .select($"src_id", $"neighbor_id")
-      val keep = adj
-        .filter(!tombstoned($"src_id") && !tombstoned($"neighbor_id"))
-        .join(aff, Seq("src_id"), "left_anti")
-      val f0 = keep.unionAll(rtop)
-      f0
-        .unionAll(f0.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
-        .dropDuplicates("src_id", "neighbor_id")
-        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+      deleteConsolidateOver(spark, dir,
+        cutAdj(s"s40_adj_cut:$dir:$degree", walkAdjacency(spark, dir, degree)),
+        degree)
     }
+
+  /** The delete-consolidate body over ANY (cut) base adjacency —
+    * shared by [[walkDeleteAdjacency]] (s40: repair the from-scratch
+    * index) and [[walkChurnAdjacency]] (s41: repair s39's merged
+    * index, the second leg of the churn cycle). Same plan either
+    * way: work ∝ affected vertices × degree², never corpus. */
+  private def deleteConsolidateOver(spark: SparkSession, dir: String,
+                                    adj: DataFrame, degree: Int): DataFrame = {
+    import spark.implicits._
+    val aff = adj
+      .filter(tombstoned($"neighbor_id") && !tombstoned($"src_id"))
+      .select($"src_id").distinct()
+    val surv = adj.join(aff, Seq("src_id"))
+      .filter(!tombstoned($"neighbor_id"))
+      .select($"src_id", $"neighbor_id")
+    val bridge = adj.as("a1").join(adj.as("a2"),
+        col("a1.neighbor_id") === col("a2.src_id"))
+      .filter(tombstoned(col("a1.neighbor_id")) &&
+        !tombstoned(col("a1.src_id")) &&
+        !tombstoned(col("a2.neighbor_id")) &&
+        col("a2.neighbor_id") =!= col("a1.src_id"))
+      .select(col("a1.src_id").as("src_id"), col("a2.neighbor_id").as("neighbor_id"))
+    val rpool = surv.unionAll(bridge).dropDuplicates("src_id", "neighbor_id")
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+    val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val rtop = rpool
+      .join(e.select($"vec_id".as("src_id"), $"embedding".as("sv"), $"nrm".as("sn")),
+        Seq("src_id"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"), $"nrm".as("dn")),
+        Seq("neighbor_id"))
+      .select($"src_id", $"neighbor_id",
+        round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= degree)
+      .select($"src_id", $"neighbor_id")
+    val keep = adj
+      .filter(!tombstoned($"src_id") && !tombstoned($"neighbor_id"))
+      .join(aff, Seq("src_id"), "left_anti")
+    val f0 = keep.unionAll(rtop)
+    f0
+      .unionAll(f0.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+      .dropDuplicates("src_id", "neighbor_id")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
   }
 
   /** s40: WALK-INDEX DELETE audit — the registered proof the repair
@@ -2761,6 +2786,342 @@ object Knn {
        |  (SELECT count(*) FROM embeddings WHERE vec_id % 8 = 3) AS n_tombstones,
        |  (SELECT count(*) FROM adj) AS n_edges_before,
        |  (SELECT count(*) FROM fadj) AS n_edges_after
+       |FROM ex LEFT JOIN (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM gfin) WHERE rank <= $K) tk
+       |  ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  // ---- s41: walk-index churn compaction ------------------------------
+
+  /** The CHURNED walk index: s39's merged (batch-attached) adjacency
+    * with the s40 delete-consolidation applied over it — what a
+    * standing index looks like after one full maintenance cycle
+    * (insert batch %8==7 attached, tombstone batch %8==3 retired; the
+    * two populations are disjoint by construction). It carries exactly
+    * the damage both maintenance docs defer to "periodic
+    * re-refinement": NO intra-batch edges (the attach links new
+    * vectors to the standing graph only) and back-edge OVERFLOW past
+    * the symmetrized 2·degree budget (attach back-edges and repair
+    * re-symmetrization land unpruned). */
+  private[graft] def walkChurnAdjacency(spark: SparkSession, dir: String,
+                                        degree: Int = 3, kc: Int = 8,
+                                        iters: Int = 4): DataFrame =
+    graft.operators.Indexes.memo(s"s41_churn:$dir:$degree:$kc:$iters") {
+      deleteConsolidateOver(spark, dir,
+        cutAdj(s"s41_madj_cut:$dir:$degree:$kc:$iters",
+          walkAttachAdjacency(spark, dir, degree, kc, iters)),
+        degree)
+    }
+
+  /** The compaction's re-refinement TARGET SET: live batch vertices
+    * (attached with no intra-batch edges — the insert's deliberate
+    * deferral) ∪ vertices whose churned out-degree exceeds the
+    * symmetrized 2·degree budget (back-edge overflow victims).
+    * Memoized — the compaction body and the s41 audit's footprint
+    * column share one artifact. */
+  private def churnAffected(spark: SparkSession, dir: String, degree: Int,
+                            kc: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s41_aff:$dir:$degree:$kc:$iters") {
+      val churn = cutAdj(s"s41_churn_cut:$dir:$degree:$kc:$iters",
+        walkChurnAdjacency(spark, dir, degree, kc, iters))
+      churn.groupBy($"src_id").agg(count(lit(1)).as("deg"))
+        .filter($"deg" > 2L * degree).select($"src_id")
+        .unionAll(churn
+          .filter(pmod($"src_id", lit(8)) === 7 && $"src_id" >= 10)
+          .select($"src_id"))
+        .distinct()
+    }
+  }
+
+  /** COMPACT the churned index — FreshDiskANN's periodic consolidation
+    * (Singh et al., "FreshDiskANN", 2021: the pass that restores graph
+    * quality after sustained insert/delete streaming), i.e. the
+    * re-refinement the s39 attach and s40 repair docs defer to. One
+    * NN-descent-style round (s29's machinery) restricted to the
+    * [[churnAffected]] vertices: each re-ranks its current edges
+    * together with ONE neighbor-of-neighbor expansion through the
+    * churned graph (intra-batch links form here — batch→old→batch
+    * paths become direct edges), keeping top-degree; untouched
+    * vertices keep their lists verbatim; the new directed lists'
+    * back-edges are re-added, and any vertex the re-symmetrization
+    * pushes past 2·degree prunes to its best 2·degree by exact cosine
+    * (only over-budget lists are re-scored — DiskANN's RobustPrune
+    * role). Work ∝ affected × degree² + overflow × degree, never
+    * corpus. Memoized: the compacted index is the serving artifact
+    * completing the build→serve→insert→delete→compact lifecycle. */
+  private[graft] def walkCompactAdjacency(spark: SparkSession, dir: String,
+                                          degree: Int = 3, kc: Int = 8,
+                                          iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.operators.Indexes.memo(s"s41_cadj:$dir:$degree:$kc:$iters") {
+      val churn = cutAdj(s"s41_churn_cut:$dir:$degree:$kc:$iters",
+        walkChurnAdjacency(spark, dir, degree, kc, iters))
+      val affected = churnAffected(spark, dir, degree, kc, iters)
+      val cur = churn.join(affected, Seq("src_id"))
+      val non = cur.as("a").join(churn.as("b"),
+          col("a.neighbor_id") === col("b.src_id"))
+        .select(col("a.src_id").as("src_id"), col("b.neighbor_id").as("neighbor_id"))
+        .filter($"src_id" =!= $"neighbor_id")
+      val cpool = non.unionAll(cur.select($"src_id", $"neighbor_id"))
+        .dropDuplicates("src_id", "neighbor_id")
+      val e = Tables.read(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"vec_id")
+      def scoreEdges(p: DataFrame): DataFrame = p
+        .join(e.select($"vec_id".as("src_id"), $"embedding".as("sv"), $"nrm".as("sn")),
+          Seq("src_id"))
+        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("dv"), $"nrm".as("dn")),
+          Seq("neighbor_id"))
+        .select($"src_id", $"neighbor_id",
+          round(dot($"sv", $"dv") / ($"sn" * $"dn"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"src_id").orderBy($"cos_sim".desc, $"neighbor_id")
+      val ctop = scoreEdges(cpool)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= degree)
+        .select($"src_id", $"neighbor_id")
+      val keep = churn.join(affected, Seq("src_id"), "left_anti")
+      // cut before the overflow pass: `comp0` is referenced three
+      // times below (over-budget scan, anti-join, prune score) — the
+      // s40 lineage-cut lesson applies to the compaction's own output
+      val comp0 = graft.operators.State.cut(keep
+        .unionAll(ctop)
+        .unionAll(ctop.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .dropDuplicates("src_id", "neighbor_id"))
+      val over = comp0.groupBy($"src_id").agg(count(lit(1)).as("deg"))
+        .filter($"deg" > 2L * degree).select($"src_id")
+      val prunedOver = scoreEdges(comp0.join(over, Seq("src_id")))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2 * degree)
+        .select($"src_id", $"neighbor_id")
+      comp0.join(over, Seq("src_id"), "left_anti")
+        .unionAll(prunedOver)
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
+    }
+  }
+
+  /** s41: WALK-INDEX CHURN-COMPACTION audit — the registered proof
+    * the lifecycle's last leg works: the 10 standard queries served
+    * over the COMPACTED index (old-corpus entry centroids, live-only
+    * entries — the s39/s40 deployment premises carried through),
+    * recall@k against the exact top-k over the LIVE corpus, plus the
+    * compaction's own footprint so the audit is visibly non-vacuous:
+    * n_affected (the bounded re-refinement target set), max out-degree
+    * before/after (the restored 2·degree budget is the headline — the
+    * churned index violates it by contract), and the intra-batch edge
+    * count (zero before compaction by s39's design; the NoN round
+    * forms them). Specs pin the budget, the recall floor vs the
+    * pre-compaction churned index, and the from-scratch bound. */
+  def s41WalkCompact(spark: SparkSession, dir: String, k: Int = K,
+                     degree: Int = 3, beam: Int = 4, rounds: Int = 3,
+                     kc: Int = 8, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val cents = oldCentroids(spark, dir, kc, iters)
+    val cadj = walkCompactAdjacency(spark, dir, degree, kc, iters)
+    val (_, topk) = graphWalkParts(spark, dir, cadj, cents, k, beam, rounds,
+      live = !tombstoned($"vec_id"))
+    // exact yardstick over the LIVE corpus (s40's shape)
+    val e = Tables.read(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10 && !tombstoned($"vec_id"))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val wx = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val exact = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wx)).filter($"rank" <= k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    val churn = cutAdj(s"s41_churn_cut:$dir:$degree:$kc:$iters",
+      walkChurnAdjacency(spark, dir, degree, kc, iters))
+    val isBatch = (c: Column) => pmod(c, lit(8)) === 7 && c >= 10
+    // 1-row scalar footprints (the documented crossJoin convention)
+    val stats = churnAffected(spark, dir, degree, kc, iters)
+      .agg(count(lit(1)).as("n_affected"))
+      .crossJoin(churn.groupBy($"src_id").agg(count(lit(1)).as("d"))
+        .agg(max($"d").as("max_deg_before")))
+      .crossJoin(cadj.groupBy($"src_id").agg(count(lit(1)).as("d"))
+        .agg(max($"d").as("max_deg_after")))
+      .crossJoin(cadj.filter(isBatch($"src_id") && isBatch($"neighbor_id"))
+        .agg(count(lit(1)).as("n_intra_batch")))
+    exact
+      .join(topk.select($"query_id", $"neighbor_id"),
+        $"eq" === $"query_id" && $"en" === $"neighbor_id", "left")
+      .groupBy($"eq").agg(count($"neighbor_id").as("n_hits"))
+      .select($"eq".as("query_id"), $"n_hits",
+        ($"n_hits" * lit(1000000L / k)).as("recall_e6"))
+      .crossJoin(stats)
+  }
+
+  /** s41 oracle: the s39 chain (old-half banding + refinement +
+    * old-trained Lloyd's + attach → `madj`) composed with the s40
+    * delete-consolidation CTEs OVER `madj` (→ `churn`), the compaction
+    * CTEs (affected = overflow ∪ live batch; NoN pool; top-degree;
+    * re-symmetrize; over-budget prune → `cadj`), one beam-4 walk with
+    * live entry cells, the live-corpus exact yardstick, and the
+    * footprint scalars. */
+  def s41Sql: String = {
+    val iters = 4
+    val degree = 3
+    val assignAll = (name: String, where: String, alias: String) =>
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id$alias, cluster AS cell FROM (
+         |    SELECT qa.vec_id, c.cluster, sum((qa.e - c.c)*(qa.e - c.c)) AS dist
+         |    FROM qa JOIN c${iters - 1} c ON c.i = qa.i
+         |    $where GROUP BY 1, 2
+         |    QUALIFY row_number() OVER (PARTITION BY qa.vec_id ORDER BY dist, cluster) = 1))""".stripMargin
+    def edgeScore(name: String, from: String): String =
+      s"""$name AS (
+         |  SELECT p.src_id, p.neighbor_id,
+         |    round(sum(uq.v * uc.v ORDER BY uq.i) / (sqrt(sum(uq.v * uq.v ORDER BY uq.i)) * sqrt(sum(uc.v * uc.v ORDER BY uc.i))), 6) AS cos_sim
+         |  FROM $from p
+         |  JOIN u uq ON uq.vec_id = p.src_id
+         |  JOIN u uc ON uc.vec_id = p.neighbor_id AND uc.i = uq.i
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH $s17Ctes,
+       |ocand AS (
+       |  SELECT DISTINCT ba.vec_id AS src_id, bb.vec_id AS neighbor_id
+       |  FROM bands ba JOIN bands bb
+       |    ON bb.band_idx = ba.band_idx AND bb.band_key = ba.band_key
+       |  WHERE ba.vec_id <> bb.vec_id
+       |    AND ba.vec_id % 8 <> 7 AND bb.vec_id % 8 <> 7),
+       |${edgeScore("os", "ocand")},
+       |os17r AS (
+       |  SELECT src_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM os),
+       |${s29RefCtesAt("o", degree, "os17r")},
+       |oadj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM oref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM oref),
+       |${lloydCteParts(iters, "WHERE vec_id % 8 <> 7").mkString(",\n")},
+       |qa AS (
+       |  SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       |${assignAll("acells", "WHERE qa.vec_id >= 10", "")},
+       |gcells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM acells WHERE vec_id % 8 <> 3),
+       |${assignAll("gprobes", "WHERE qa.vec_id < 10", " AS query_id")},
+       |${assignAll("bassign", "WHERE qa.vec_id % 8 = 7 AND qa.vec_id >= 10", " AS src_id")},
+       |bc AS (
+       |  SELECT b.src_id, m.vec_id AS neighbor_id
+       |  FROM bassign b JOIN acells m ON m.cell = b.cell
+       |  WHERE m.vec_id % 8 <> 7),
+       |bpool AS MATERIALIZED (
+       |  SELECT DISTINCT c.src_id, oa.neighbor_id
+       |  FROM bc c JOIN oadj oa ON oa.src_id = c.neighbor_id
+       |  WHERE oa.neighbor_id >= 10
+       |  UNION SELECT src_id, neighbor_id FROM bc),
+       |${edgeScore("bsc", "bpool")},
+       |bref AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM bsc) WHERE rn <= $degree),
+       |madj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM oadj
+       |  UNION SELECT src_id, neighbor_id FROM bref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM bref),
+       |maff AS MATERIALIZED (
+       |  SELECT DISTINCT src_id FROM madj
+       |  WHERE neighbor_id % 8 = 3 AND src_id % 8 <> 3),
+       |msurv AS (
+       |  SELECT a.src_id, a.neighbor_id FROM madj a
+       |  JOIN maff ON maff.src_id = a.src_id
+       |  WHERE a.neighbor_id % 8 <> 3),
+       |mbridge AS (
+       |  SELECT DISTINCT a1.src_id, a2.neighbor_id
+       |  FROM madj a1 JOIN madj a2 ON a2.src_id = a1.neighbor_id
+       |  WHERE a1.neighbor_id % 8 = 3 AND a1.src_id % 8 <> 3
+       |    AND a2.neighbor_id % 8 <> 3 AND a2.neighbor_id <> a1.src_id),
+       |mrpool AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM msurv
+       |  UNION SELECT src_id, neighbor_id FROM mbridge),
+       |${edgeScore("mrsc", "mrpool")},
+       |mrtop AS (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM mrsc) WHERE rn <= $degree),
+       |mkeep AS (
+       |  SELECT a.src_id, a.neighbor_id FROM madj a
+       |  WHERE a.src_id % 8 <> 3 AND a.neighbor_id % 8 <> 3
+       |    AND a.src_id NOT IN (SELECT src_id FROM maff)),
+       |mf0 AS (
+       |  SELECT src_id, neighbor_id FROM mkeep
+       |  UNION SELECT src_id, neighbor_id FROM mrtop),
+       |churn AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM mf0
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM mf0),
+       |cdeg AS MATERIALIZED (
+       |  SELECT src_id, count(*) AS deg FROM churn GROUP BY 1),
+       |affected AS MATERIALIZED (
+       |  SELECT src_id FROM cdeg WHERE deg > ${2 * degree}
+       |  UNION
+       |  SELECT DISTINCT src_id FROM churn
+       |  WHERE src_id % 8 = 7 AND src_id >= 10),
+       |ccur AS (
+       |  SELECT c.src_id, c.neighbor_id FROM churn c
+       |  JOIN affected f ON f.src_id = c.src_id),
+       |cpool AS MATERIALIZED (
+       |  SELECT DISTINCT a.src_id, b.neighbor_id
+       |  FROM ccur a JOIN churn b ON b.src_id = a.neighbor_id
+       |  WHERE a.src_id <> b.neighbor_id
+       |  UNION SELECT src_id, neighbor_id FROM ccur),
+       |${edgeScore("csc", "cpool")},
+       |ctop AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM csc) WHERE rn <= $degree),
+       |comp0 AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT c.src_id, c.neighbor_id FROM churn c
+       |    WHERE c.src_id NOT IN (SELECT src_id FROM affected)
+       |    UNION SELECT src_id, neighbor_id FROM ctop
+       |    UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM ctop)),
+       |cover AS MATERIALIZED (
+       |  SELECT src_id FROM (
+       |    SELECT src_id, count(*) AS deg FROM comp0 GROUP BY 1)
+       |  WHERE deg > ${2 * degree}),
+       |ovpool AS (
+       |  SELECT c.src_id, c.neighbor_id FROM comp0 c
+       |  JOIN cover o ON o.src_id = c.src_id),
+       |${edgeScore("ovsc", "ovpool")},
+       |ovprune AS (
+       |  SELECT src_id, neighbor_id FROM (
+       |    SELECT src_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+       |    FROM ovsc) WHERE rn <= ${2 * degree}),
+       |cadj AS MATERIALIZED (
+       |  SELECT c.src_id, c.neighbor_id FROM comp0 c
+       |  WHERE c.src_id NOT IN (SELECT src_id FROM cover)
+       |  UNION ALL SELECT src_id, neighbor_id FROM ovprune),
+       |${walkCtes("", 4, 3, "cadj")},
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(sum(q.v * c.v ORDER BY q.i) / (sqrt(sum(q.v * q.v ORDER BY q.i)) * sqrt(sum(c.v * c.v ORDER BY c.i))), 6) AS cos_sim
+       |      FROM u q JOIN u c ON q.i = c.i
+       |        AND q.vec_id < 10 AND c.vec_id >= 10 AND c.vec_id % 8 <> 3
+       |      GROUP BY 1, 2)) WHERE rank <= $K)
+       |SELECT ex.query_id, count(tk.neighbor_id) AS n_hits,
+       |  CAST(count(tk.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_e6,
+       |  (SELECT count(*) FROM affected) AS n_affected,
+       |  (SELECT max(deg) FROM cdeg) AS max_deg_before,
+       |  (SELECT max(deg) FROM (SELECT src_id, count(*) AS deg FROM cadj GROUP BY 1)) AS max_deg_after,
+       |  (SELECT count(*) FROM cadj
+       |   WHERE src_id % 8 = 7 AND src_id >= 10
+       |     AND neighbor_id % 8 = 7 AND neighbor_id >= 10) AS n_intra_batch
        |FROM ex LEFT JOIN (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -3414,11 +3775,19 @@ object Knn {
     * Dim/8=8 (1 bit/dim), graph degree·8+Dim·4=280 (3 neighbor ids +
     * the full-precision vector the walk scores against). The graph
     * row audits the DEGREE-3 budget build s35 serves by default; the
-    * production operating point is s38's degree-16 row — measured
-    * recall@5 0.66 vs 0.20 at beam 4 for 406 vs 288 B/vec on this
-    * corpus — which ships through `saveWalkIndex(degree = 16)` (the
-    * layout records it; spec-pinned) and is oracle-certified end to
-    * end inside the registered s38 sweep.
+    * SHIPPING operating point is s38's joint d16×b16 row — the first
+    * registered point at 0.9-class recall@5 (measured 1.00 mean /
+    * 1.00 min at the sf0.01 gate corpus, 406 B/vec measured vs the
+    * d3 row's 0.20@288) — which ships through
+    * `saveWalkIndex(degree = 16)` (the layout records it;
+    * spec-pinned) and is oracle-certified end to end inside the
+    * registered s38 sweep. Corpus ceiling, documented: at 10× the
+    * corpus (sf0.1) the fixed rounds=3 contract caps the reachable
+    * set (~600 of 5000 vectors visited at b16), so d16×b16 measures
+    * 0.58 there — a production deployment grows ROUNDS with corpus
+    * size (the third dial, held fixed by both sweeps so the degree
+    * and beam axes stay comparable), which is walk depth, not index
+    * bytes: the s38-priced storage trade is unchanged.
     *
     * Scale shape: each audit is its own registered, plan-audited
     * operator riding memoized index artifacts; s32 adds only seven
@@ -3737,14 +4106,28 @@ object Knn {
     * + s29 NN-descent refinement ONCE; any later session (or cluster)
     * serves walks without re-banding. */
   def saveWalkIndex(spark: SparkSession, dir: String, indexPath: String,
-                    kc: Int = 8, iters: Int = 4, degree: Int = 3): Unit = {
+                    kc: Int = 8, iters: Int = 4, degree: Int = 3): Unit =
+    saveWalkIndexFrom(spark, indexPath, walkAdjacency(spark, dir, degree),
+      lloydCentroids(spark, dir, kc, iters), degree, kc, iters)
+
+  /** Persist ANY (adjacency, entry-centroid) pair as a
+    * [[saveWalkIndex]] layout — the MAINTAINED-index checkpoint:
+    * s39's merged and s41's compacted adjacencies are session memos,
+    * so without this a deployment that ran the maintenance ops would
+    * have to re-run them after every restart; saving the
+    * post-maintenance graph (with the old-corpus centroids the
+    * incremental family serves by — a deployment does not retrain its
+    * quantizer per batch) checkpoints maintenance instead. Serving
+    * replays bit-identically through [[s35FromIndex]] (spec-pinned,
+    * the other three index families' convention). */
+  def saveWalkIndexFrom(spark: SparkSession, indexPath: String,
+                        adj: DataFrame, cents: Seq[(Int, Array[Long])],
+                        degree: Int, kc: Int = 8, iters: Int = 4): Unit = {
     import spark.implicits._
-    val cents = lloydCentroids(spark, dir, kc, iters)
     cents.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "cent")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/centroids.parquet")
-    walkAdjacency(spark, dir, degree)
-      .write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
+    adj.write.mode("overwrite").parquet(s"$indexPath/adjacency.parquet")
     // meta LAST: it describes the adjacency, so it must not land
     // before the (expensive) edge write commits — a crash between the
     // two would otherwise leave a layout whose recorded degree
@@ -3768,14 +4151,15 @@ object Knn {
     * rounds join against). Bit-identical to [[s35GraphWalk]]
     * (spec-pinned). */
   def s35FromIndex(spark: SparkSession, dir: String, indexPath: String,
-                   k: Int = K, beam: Int = 4, rounds: Int = 3): DataFrame = {
+                   k: Int = K, beam: Int = 4, rounds: Int = 3,
+                   live: Column = lit(true)): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexPath/centroids.parquet").collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Long](r.fieldIndex("cent")).toArray))
       .sortBy(_._1).toSeq
     val adj = spark.read.parquet(s"$indexPath/adjacency.parquet")
       .repartition(spark.sessionState.conf.numShufflePartitions, $"src_id")
-    graphWalk(spark, dir, adj, cents, k, beam, rounds)
+    graphWalkParts(spark, dir, adj, cents, k, beam, rounds, live)._2
   }
 
   /** Serve s33's exact query shape from a [[saveBqIndex]] layout —

@@ -1411,6 +1411,49 @@ class KnnEventsSpec extends AnyFunSuite {
       "the degree-16 serve must actually walk the deeper graph")
   }
 
+  test("persisted MAINTAINED walk index: merged and compacted adjacencies checkpoint and replay serving bit-identically") {
+    import graft.similarity.Knn
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
+    val cents = Knn.oldCentroids(spark, sf, 8, 4)
+    // s39's merged index: save post-attach, serve from the layout —
+    // a deployment checkpoints the attach instead of re-running it
+    val idxM = java.nio.file.Files.createTempDirectory("graft-walk-merged").toString
+    Knn.saveWalkIndexFrom(spark, idxM,
+      Knn.walkAttachAdjacency(spark, sf), cents, degree = 3)
+    assert(Knn.walkIndexMeta(spark, idxM) == ((3, 8, 4)))
+    val gotM = Knn.s35FromIndex(spark, sf, idxM).collect().map(key).toSet
+    val freshM = Knn.graphWalkParts(spark, sf,
+      Knn.walkAttachAdjacency(spark, sf), cents, 5, 4, 3)._2
+      .collect().map(key).toSet
+    assert(gotM == freshM && gotM.nonEmpty,
+      "served merged index must replay the in-session attach serving bit-identically")
+    // the saved edge file IS the merged adjacency (batch edges included)
+    val savedM = spark.read.parquet(s"$idxM/adjacency.parquet")
+    assert(savedM.filter(pmod(col("neighbor_id"), lit(8)) === 7 &&
+        col("neighbor_id") >= 10).count() > 0L,
+      "the checkpoint lost the attached batch's reachability edges")
+    // s41's compacted index: save post-compaction, serve live-only —
+    // the full lifecycle (build→insert→delete→compact) checkpoints
+    val live = pmod(col("vec_id"), lit(8)) =!= 3
+    val idxC = java.nio.file.Files.createTempDirectory("graft-walk-compact").toString
+    Knn.saveWalkIndexFrom(spark, idxC,
+      Knn.walkCompactAdjacency(spark, sf), cents, degree = 3)
+    val gotC = Knn.s35FromIndex(spark, sf, idxC, live = live).collect().map(key).toSet
+    val freshC = Knn.graphWalkParts(spark, sf,
+      Knn.walkCompactAdjacency(spark, sf), cents, 5, 4, 3, live = live)._2
+      .collect().map(key).toSet
+    assert(gotC == freshC && gotC.nonEmpty,
+      "served compacted index must replay the in-session compaction serving bit-identically")
+    // the checkpointed compacted graph keeps the restored degree budget
+    val maxDeg = spark.read.parquet(s"$idxC/adjacency.parquet")
+      .groupBy("src_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxDeg <= 6L, s"persisted compacted index overflows the budget: $maxDeg")
+  }
+
   test("g12 components: size histogram matches a driver union-find over the co-pair index") {
     val r = graft.queries.GraphQueries.g12Components(spark, sf).collect()
       .map(x => x.getAs[Long]("comp_size") -> x.getAs[Long]("n_components")).toMap
@@ -1857,10 +1900,11 @@ class KnnEventsSpec extends AnyFunSuite {
       "beam widening did not grow the visited pool")
   }
 
-  test("s38 degree sweep: degree-3 row reconciles with s37's beam-4 row; degree buys recall at measured byte cost") {
+  test("s38 degree sweep: degree-3 row reconciles with s37's beam-4 row; degree and the joint points buy recall at measured byte cost") {
     val rows = Knn.s38DegreeSweep(spark, sf).collect()
-      .map(r => r.getAs[Long]("degree") -> r).toMap
-    assert(rows.keySet == Set(3L, 8L, 16L))
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("beam")) -> r).toMap
+    assert(rows.keySet ==
+      Set((3L, 4L), (8L, 4L), (16L, 4L), (16L, 8L), (16L, 16L)))
     rows.values.foreach { r =>
       assert(r.getAs[Long]("n_queries") == 10L)
       assert(r.getAs[Long]("sum_visited") > 0L && r.getAs[Long]("n_edges") > 0L)
@@ -1870,16 +1914,27 @@ class KnnEventsSpec extends AnyFunSuite {
     val beam = Knn.s37WalkSweep(spark, sf).collect()
       .map(r => r.getAs[Long]("beam") -> r).toMap
     for (c <- Seq("mean_recall_e6", "min_recall_e6", "sum_visited"))
-      assert(rows(3L).getAs[Long](c) == beam(4L).getAs[Long](c),
-        s"s38(d=3).$c disagrees with s37(beam=4)")
+      assert(rows((3L, 4L)).getAs[Long](c) == beam(4L).getAs[Long](c),
+        s"s38(d=3,b=4).$c disagrees with s37(beam=4)")
     // a denser graph costs measured bytes and visits more — the trade
     // the sweep exists to price; recall must not DROP with degree here
-    assert(rows(16L).getAs[Long]("n_edges") > rows(8L).getAs[Long]("n_edges"))
-    assert(rows(8L).getAs[Long]("n_edges") > rows(3L).getAs[Long]("n_edges"))
-    assert(rows(16L).getAs[Long]("bytes_per_vec") > rows(3L).getAs[Long]("bytes_per_vec"))
-    assert(rows(16L).getAs[Long]("sum_visited") > rows(3L).getAs[Long]("sum_visited"))
-    assert(rows(16L).getAs[Long]("mean_recall_e6") >= rows(3L).getAs[Long]("mean_recall_e6"),
+    assert(rows((16L, 4L)).getAs[Long]("n_edges") > rows((8L, 4L)).getAs[Long]("n_edges"))
+    assert(rows((8L, 4L)).getAs[Long]("n_edges") > rows((3L, 4L)).getAs[Long]("n_edges"))
+    assert(rows((16L, 4L)).getAs[Long]("bytes_per_vec") > rows((3L, 4L)).getAs[Long]("bytes_per_vec"))
+    assert(rows((16L, 4L)).getAs[Long]("sum_visited") > rows((3L, 4L)).getAs[Long]("sum_visited"))
+    assert(rows((16L, 4L)).getAs[Long]("mean_recall_e6") >= rows((3L, 4L)).getAs[Long]("mean_recall_e6"),
       "the deeper graph lost recall — the sweep's premise broke")
+    // the JOINT frontier: on the SAME d16 index (n_edges/bytes equal),
+    // widening beam must visit more and must not lose recall — the
+    // d16×b8/b16 points exist to price the shipping-recall path
+    assert(rows((16L, 8L)).getAs[Long]("n_edges") == rows((16L, 4L)).getAs[Long]("n_edges"))
+    assert(rows((16L, 16L)).getAs[Long]("n_edges") == rows((16L, 4L)).getAs[Long]("n_edges"))
+    assert(rows((16L, 16L)).getAs[Long]("sum_visited") > rows((16L, 8L)).getAs[Long]("sum_visited"))
+    assert(rows((16L, 8L)).getAs[Long]("sum_visited") > rows((16L, 4L)).getAs[Long]("sum_visited"))
+    assert(rows((16L, 8L)).getAs[Long]("mean_recall_e6") >= rows((16L, 4L)).getAs[Long]("mean_recall_e6"),
+      "beam widening on the d16 graph lost recall")
+    assert(rows((16L, 16L)).getAs[Long]("mean_recall_e6") >= rows((16L, 8L)).getAs[Long]("mean_recall_e6"),
+      "beam widening on the d16 graph lost recall")
     // bytes/vec floor: the 256 B full-precision vector every degree pays
     rows.values.foreach(r => assert(r.getAs[Long]("bytes_per_vec") > 256L))
   }
@@ -1979,6 +2034,81 @@ class KnnEventsSpec extends AnyFunSuite {
     val meanScratch = hu(perQueryScratch.sum, perQueryScratch.size.toLong)
     assert((meanCons - meanScratch).abs <= 150000L,
       s"consolidated recall $meanCons vs from-scratch $meanScratch — gap exceeds the pinned 0.15")
+  }
+
+  test("s41 walk compact: degree budget restored, intra-batch edges formed, no strand, recall holds vs churned and the rebuild bound") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, round, row_number}
+    import spark.implicits._
+    val degree = 3
+    val rows = Knn.s41WalkCompact(spark, sf).collect()
+    assert(rows.length == 10)
+    val h = rows.head
+    // (a) the budget: the churned index violates 2·degree BY CONTRACT
+    // (attach back-edges + repair re-symmetrization land unpruned —
+    // the damage the op exists to repair); compaction restores it
+    assert(h.getAs[Long]("max_deg_before") > 2L * degree,
+      "churn did not overflow the degree budget — the compaction spec is vacuous")
+    assert(h.getAs[Long]("max_deg_after") <= 2L * degree,
+      s"compaction left out-degree ${h.getAs[Long]("max_deg_after")} > ${2 * degree}")
+    // the re-refinement target set is bounded and non-vacuous, and the
+    // NoN round formed the intra-batch edges s39's attach deferred
+    assert(h.getAs[Long]("n_affected") > 0L)
+    assert(h.getAs[Long]("n_intra_batch") > 0L,
+      "no intra-batch edges — the compaction's whole point")
+    val cadj = Knn.walkCompactAdjacency(spark, sf)
+    // no tombstoned endpoint survives (carried through from the churn)
+    assert(cadj.filter(pmod(col("src_id"), lit(8)) === 3 ||
+        pmod(col("neighbor_id"), lit(8)) === 3).count() == 0L,
+      "a tombstoned endpoint survived compaction")
+    // no live batch vector stranded: the overflow prune must not cost
+    // reachability (every attached vector still has an in-edge)
+    val nBatch = graft.sources.Tables.read(spark, sf, "embeddings")
+      .filter(pmod($"vec_id", lit(8)) === 7 && $"vec_id" >= 10).count()
+    val reachable = cadj
+      .filter(pmod(col("neighbor_id"), lit(8)) === 7 && col("neighbor_id") >= 10)
+      .select("neighbor_id").distinct().count()
+    assert(reachable == nBatch,
+      s"only $reachable of $nBatch batch vectors reachable after compaction")
+    // (b) recall: compaction must not LOSE ground vs serving the
+    // churned index as-is...
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val meanComp = hu(rows.map(_.getAs[Long]("recall_e6")).sum, rows.length)
+    val live = pmod(col("vec_id"), lit(8)) =!= 3
+    val cents = Knn.oldCentroids(spark, sf, 8, 4)
+    val churn = Knn.walkChurnAdjacency(spark, sf)
+    // the live exact yardstick the registered audit uses
+    val e = graft.sources.Tables.read(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding",
+        graft.dedup.Dedup.vecNorm($"embedding").as("nrm"))
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"))
+    val corpus = e.filter($"vec_id" >= 10 && live)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c"), $"nrm".as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    val exLive = corpus.join(broadcast(queries))
+      .select($"query_id", $"neighbor_id",
+        round(graft.dedup.Dedup.dot($"q", $"c") / ($"qn" * $"cn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def servedMean(adj: org.apache.spark.sql.DataFrame): Long = {
+      val hits = Knn.graphWalkParts(spark, sf, adj, cents, 5, 4, 3, live = live)
+        ._2.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val perQ = exLive.groupBy(_._1).map { case (_, s) =>
+        s.count(hits.contains) * 200000L }
+      hu(perQ.sum, perQ.size.toLong)
+    }
+    val meanChurn = servedMean(churn)
+    assert(meanComp >= meanChurn,
+      s"compaction LOST recall: $meanComp vs churned $meanChurn")
+    // ...and must stay within the s40-convention 0.15 of a FROM-SCRATCH
+    // live-only rebuild served the same way (old centroids, live entry)
+    val scratchAdj = Knn.walkAdjacencyOn(spark, sf, degree, live, "s41_scratch")
+    val meanScratch = servedMean(scratchAdj)
+    assert((meanComp - meanScratch).abs <= 150000L,
+      s"compacted recall $meanComp vs from-scratch $meanScratch — gap exceeds the pinned 0.15")
   }
 
   test("s35 plan: frontier equi-joins + broadcast queries only, seventh tier registered") {
