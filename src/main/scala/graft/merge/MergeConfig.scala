@@ -138,7 +138,9 @@ object MergeConfig {
       mappedKeys = mappedKeys,
       deferredFks = deferredFks,
       saltedFks = (t \ "saltedFks").extractOpt[Map[String, Int]].getOrElse(Map.empty),
-      autoSaltFks = (t \ "autoSaltFks").extractOpt[Boolean].getOrElse(false))
+      // default ON: the hotShare guard (not the flag) decides whether
+      // a table actually salts — "autoSaltFks": false is the opt-OUT
+      autoSaltFks = (t \ "autoSaltFks").extractOpt[Boolean].getOrElse(true))
   }
 
   /** FK-relation AUTO-DISCOVERY from live database metadata — the
@@ -498,7 +500,9 @@ object MergeConfig {
         if (orphans.nonEmpty) throw MergePipeline.IntegrityViolation(orphans.toSeq)
       }
       // fill audit-driven salts BEFORE the movers plan their map joins
-      // (tables without the autoSaltFks flag pass through untouched)
+      // (default-ON: every table runs the one-scan hotShare audit and
+      // only provably-hot relations salt; "autoSaltFks": false opts a
+      // table out entirely)
       val results = Orchestrator.run(
         Orchestrator.autoSaltFks(tables, src), src, dest, cfg.source.location)
       // per-table progress to stderr as each table COMMITS — the

@@ -97,10 +97,18 @@ object Orchestrator {
     *                   salted shape so no single task carries a hot
     *                   key's whole fact volume; rows are identical
     *                   either way (spec-pinned planted-skew test).
-    * @param autoSaltFks when true, [[autoSaltFks]] fills saltedFks
+    * @param autoSaltFks when true (the DEFAULT — the config pipeline
+    *                   runs the guard on every table; set false to
+    *                   opt OUT), [[autoSaltFks]] fills saltedFks
     *                   from the table's OWN fk histograms at plan time
     *                   (the j2 audit metric — [[graft.operators.Skew
-    *                   .autoBuckets]]); explicitly declared salts win.
+    *                   .autoBuckets]]): the hotShare guard decides, so
+    *                   wide-uniform tables provably stay on the plain
+    *                   shuffle path and only a planted-hot relation
+    *                   pays the salted shape. Explicitly declared
+    *                   salts win. Direct [[Orchestrator.run]] callers
+    *                   compose [[autoSaltFks]] themselves (the
+    *                   MergeConfig pipeline does it for them).
     * @param deferredFks nullable fk columns resolved in a SECOND pass
     *                   after ALL tables are merged; column → parent
     *                   table, NOT a dependency edge — this is how
@@ -125,7 +133,7 @@ object Orchestrator {
       mappedKeys: Map[String, String] = Map.empty,
       deferredFks: Map[String, String] = Map.empty,
       saltedFks: Map[String, Int] = Map.empty,
-      autoSaltFks: Boolean = false) {
+      autoSaltFks: Boolean = true) {
     require(mode == MergeMode.Keyless || idCol.nonEmpty,
       s"table '$name': idCol required for non-keyless modes")
     mode match {

@@ -355,12 +355,34 @@ object DocStream {
   }
 
   /** The high watermark as of STRICTLY BEFORE `batchId` — None before
-    * any batch landed one (no late verdicts possible yet). */
+    * any batch landed one (no late verdicts possible yet).
+    *
+    * GUARD: `hwmPath` partitions with `ingest_batch > batchId` can
+    * only come from a PRIOR INCARNATION whose checkpoint was deleted
+    * or swapped (batch ids restart at 0 under a fresh checkpoint
+    * while the old run's landed partitions persist) — silently
+    * reading them would leak a stale, possibly far-future watermark
+    * into early batches and reject fresh on-time docs as `late`, so
+    * the sink refuses loudly instead: reset `hwmPath` (and the sig
+    * `indexPath` — same lifecycle, though a stale index only
+    * re-flags dups, never drops data) together with the checkpoint.
+    * `ingest_batch == batchId` stays legal: a batch that crashed
+    * after landing but before the checkpoint commit replays itself
+    * idempotently (delete-then-overwrite). */
   private def readHwm(spark: SparkSession, path: String, batchId: Long): Option[Long] = {
     val prev =
-      try spark.read.parquet(path).filter(col("ingest_batch") < batchId)
-        .agg(max(col("hwm_us"))).collect()(0)
+      try spark.read.parquet(path)
+        // partition columns read back as INT when the values are small
+        // — cast before the driver getLong
+        .agg(max(when(col("ingest_batch") < batchId, col("hwm_us"))),
+          max(col("ingest_batch").cast("long"))).collect()(0)
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (!prev.isNullAt(1) && prev.getLong(1) > batchId)
+      sys.error(s"hwmPath '$path' carries partition ingest_batch=" +
+        s"${prev.getLong(1)} > current batch $batchId: the checkpoint was " +
+        "reset while the landed watermark survived a prior run. Reset " +
+        "hwmPath (and the signature indexPath) together with the " +
+        "checkpoint — serving a stale watermark would reject on-time docs.")
     if (prev.isNullAt(0)) None else Some(prev.getLong(0))
   }
 

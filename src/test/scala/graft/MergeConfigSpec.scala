@@ -55,14 +55,17 @@ class MergeConfigSpec extends AnyFunSuite {
         """"naturalKey": ["name"], "uuidCol": "uuid"""",
         """"naturalKey": ["name"], "uuidCol": "uuid", "deferredFks": {"fav_child": "child"}"""))
     assert(cyc.tables.find(_.name == "parent").get.deferredFks == Map("fav_child" -> "child"))
-    // the skew knobs round-trip: explicit buckets and the audit opt-in
+    // the skew knobs round-trip: explicit buckets, and the audit is
+    // default-ON (the hotShare guard decides) with an explicit opt-OUT
     val sk = MergeConfig.fromJson(
       configJson("/s", "/d", "/o", genUuids = true).replace(
         """"fks": {"parent_id": "parent"}""",
-        """"fks": {"parent_id": "parent"}, "saltedFks": {"parent_id": 8}, "autoSaltFks": true"""))
+        """"fks": {"parent_id": "parent"}, "saltedFks": {"parent_id": 8}, "autoSaltFks": false"""))
     assert(sk.tables.find(_.name == "child").get.saltedFks == Map("parent_id" -> 8))
-    assert(sk.tables.find(_.name == "child").get.autoSaltFks)
-    assert(!cyc.tables.find(_.name == "child").get.autoSaltFks, "flag defaults off")
+    assert(!sk.tables.find(_.name == "child").get.autoSaltFks,
+      """"autoSaltFks": false must opt the table out""")
+    assert(cyc.tables.find(_.name == "child").get.autoSaltFks,
+      "the audit guard defaults ON when the flag is absent")
   }
 
   test("fromJson parses shared_pk and keyless modes; mode-contradicting fields are config errors") {

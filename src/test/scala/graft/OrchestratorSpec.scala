@@ -237,34 +237,40 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(hot.map(_.getAs[Long]("count")).max < 3600 / 4,
       "salt failed to break up the hot key")
 
-    // AUTO: the j2-audit-driven path needs no hand-tuned bucket count —
-    // a declared-hot relation (autoSaltFks = true) derives its buckets
-    // from the hottest key's SHARE of the fact (the fixture's key 1
-    // holds every row → share 1.0 ≫ the 1/8 default), while a
-    // wide-uniform fk stays on the plain shuffle path
+    // AUTO: the j2-audit-driven path needs no hand-tuned bucket count
+    // and is DEFAULT-ON (no flag set anywhere below) — a planted-hot
+    // relation derives its buckets from the hottest key's SHARE of the
+    // fact (the fixture's key 1 holds every row → share 1.0 ≫ the 1/8
+    // default), while a wide-uniform fk stays on the plain shuffle path
     assert(Orchestrator.autoSaltFks(
       Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
-        fks = Map("parent_id" -> "parent"), autoSaltFks = true)),
+        fks = Map("parent_id" -> "parent"))),
       Map("child" -> srcChild))
       .head.saltedFks.getOrElse("parent_id", 0) >= 8,
-      "audit must salt the planted hot relation")
+      "audit must salt the planted hot relation without any flag")
     val uniform = (1L to 4000L).map(i => (i, (i % 400) + 1, s"c$i"))
       .toDF("id", "parent_id", "payload")
     assert(Orchestrator.autoSaltFks(
       Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
-        fks = Map("parent_id" -> "parent"), autoSaltFks = true)),
+        fks = Map("parent_id" -> "parent"))),
       Map("child" -> uniform)).head.saltedFks.isEmpty,
       "uniform fk distribution must stay on the plain shuffle path")
+    // the explicit opt-OUT: autoSaltFks = false skips the audit even
+    // for the planted-hot relation (zero audit cost, plain path)
+    assert(Orchestrator.autoSaltFks(
+      Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
+        fks = Map("parent_id" -> "parent"), autoSaltFks = false)),
+      Map("child" -> srcChild)).head.saltedFks.isEmpty,
+      "autoSaltFks = false must opt the table out of the audit")
     // an explicitly declared salt beats the audit
     assert(Orchestrator.autoSaltFks(
       Seq(TableSpec("child", "id", Seq("payload"), MergeMode.Move,
-        fks = Map("parent_id" -> "parent"), saltedFks = Map("parent_id" -> 5),
-        autoSaltFks = true)),
+        fks = Map("parent_id" -> "parent"), saltedFks = Map("parent_id" -> 5))),
       Map("child" -> srcChild)).head.saltedFks == Map("parent_id" -> 5))
-    // the auto-salted merge plans the salted join and matches plain rows
+    // the auto-salted merge plans the salted join and matches plain
+    // rows — again with NO flag: the default-on guard alone decides
     val autoSalted = Orchestrator.run(
-      Orchestrator.autoSaltFks(specs(Map.empty).map(s =>
-          if (s.name == "child") s.copy(autoSaltFks = true) else s),
+      Orchestrator.autoSaltFks(specs(Map.empty),
         Map("parent" -> srcParent, "child" -> srcChild)),
       Map("parent" -> srcParent, "child" -> srcChild),
       Map("parent" -> destParent, "child" -> destChild), "inst2")("child").merged

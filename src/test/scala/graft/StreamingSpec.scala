@@ -1556,6 +1556,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(EventStream.WatermarkDelayKey)
   }
 
+  test("event-time sink refuses a stale high watermark from a reset checkpoint instead of dropping on-time docs") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.functions.lit
+    val in = java.nio.file.Files.createTempDirectory("graft-hwm-in").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft-hwm-wd").toString
+    // a PRIOR incarnation's watermark survives at hwmPath (partition
+    // ingest_batch=5, far-future hwm) while the checkpoint is fresh —
+    // batch ids restart at 0, so serving that watermark would reject
+    // every on-time doc as late; the sink must fail loudly instead
+    Seq(9700000000000000L).toDF("hwm_us").withColumn("ingest_batch", lit(5L))
+      .write.partitionBy("ingest_batch").parquet(s"$wd/hwm")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "s0.txt"),
+      s"1700000000000000\t${(1 to 40).map(i => s"the word$i is here").mkString(" ")}"
+        .getBytes("UTF-8"))
+    val q = DocStream.eventTimeCuratedIngestSink(
+      DocStream.readLinesStream(spark, in),
+      s"$wd/kept", s"$wd/rej", s"$wd/idx", s"$wd/hwm", s"$wd/ckpt")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("checkpoint was reset")),
+      s"expected the stale-hwm refusal, got: ${messages(err).mkString(" | ")}")
+    // nothing landed: the guard fired BEFORE any verdict was served
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wd/kept")))
+  }
+
   test("event-time drop decisions ARE e39's lateness model: sink drops == the model on an events-derived stream") {
     import graft.streaming.DocStream
     // the candidate delay comes from e39's own decision table (900 s
