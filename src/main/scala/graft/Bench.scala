@@ -109,7 +109,11 @@ object Bench {
         "walk_adj16"   -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 16).count(); () }),
         "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () }),
         // s40's consolidated (tombstone-repaired) index
-        "walk_fadj"    -> (() => { graft.similarity.Knn.walkDeleteAdjacency(spark, sfDir).count(); () })),
+        "walk_fadj"    -> (() => { graft.similarity.Knn.walkDeleteAdjacency(spark, sfDir).count(); () }),
+        // r13: the COMPACTED index s41 serves (builds the churned
+        // merged+delete-consolidated graph on the way) — the full
+        // maintenance-cycle build, warmed so s41 reports serving cost
+        "walk_cadj"    -> (() => { graft.similarity.Knn.walkCompactAdjacency(spark, sfDir).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(
