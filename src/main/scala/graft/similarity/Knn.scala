@@ -1987,15 +1987,31 @@ object Knn {
           lit(0L), _ + _).as("cdist"),
         lit(c.toLong).as("cell"))
     }
+    // the ENTRY-SIDE frames are walk-invariant (they depend on the
+    // centroids and the live predicate, never on beam/degree/rounds),
+    // so a sweep's N walks must not re-derive them N times: at 100 TB
+    // the corpus cell-assign is a full scan, and s38's five walks —
+    // or s37's three — would pay it five times over. Memoized per
+    // (dir, centroid values, live predicate); the structural hashCode
+    // of the centroid VALUES keys correctly across the full-corpus /
+    // old-half trainings, and the predicate's SQL keys the s40/s41
+    // live-entry variants (the walkAdjacencyOn pred-keyed lesson).
+    val centsKey = cents.map { case (c, a) => (c, a.toSeq) }.hashCode
+    val liveKey = Bridge.sql(live)
     // the query frame is queries-sized: eagerly cut so the 4 scored()
     // passes and the entry join read 10 materialized rows, not 4+
     // re-derivations of the scan+argmin lineage
-    val queries = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
-        element_at(array_sort(array(cellDists: _*)), 1).getField("cell").as("cell"))
-      .localCheckpoint(true)
-    val corpusCells = assignCells(spark, e.filter($"vec_id" >= 10).filter(live), cents)
-      .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
+    val queries = graft.operators.Indexes.memo(s"walk_queries:$dir:$centsKey") {
+      e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q"), $"nrm".as("qn"),
+          element_at(array_sort(array(cellDists: _*)), 1).getField("cell").as("cell"))
+        .localCheckpoint(true)
+    }
+    val corpusCells = graft.operators.Indexes.memo(
+        s"walk_cells:$dir:$centsKey:$liveKey") {
+      assignCells(spark, e.filter($"vec_id" >= 10).filter(live), cents)
+        .select($"vec_id".as("neighbor_id"), $"cluster".as("cell"))
+    }
     val wEntry = Window.partitionBy($"query_id").orderBy($"neighbor_id")
     val entry = corpusCells
       .join(broadcast(queries.select($"query_id", $"cell")), Seq("cell"))
@@ -2368,8 +2384,10 @@ object Knn {
     import spark.implicits._
     // the PREDICATE is part of the memo key: two callers sharing a
     // tag with different vertex splits must never share an artifact
-    // (a key without it would hand the first build back silently)
-    val pk = Bridge.expression(pred).sql
+    // (a key without it would hand the first build back silently).
+    // Bridge.sql, NOT expression(...).sql — the latter renders every
+    // Spark-4 Column as the same constant string (see Bridge.sql)
+    val pk = Bridge.sql(pred)
     graft.operators.Indexes.memo(s"${tag}_adj:$dir:$degree:$pk") {
       val base = graft.operators.Indexes.memo(s"${tag}_base:$dir:$degree:$pk") {
         s17KnnGraphOn(spark, dir, degree, pred)
@@ -3600,7 +3618,7 @@ object Knn {
           least($"mind", unpackDistE6(col("__p"))).as("mind")))
       graft.operators.State.release(prev)
     }
-    val coverage = state.agg(max($"mind")).head.getLong(0)
+    val coverage = state.agg(max($"mind")).head().getLong(0)
     trace += ((k.toLong, None, coverage))
     trace.toSeq.toDF("round", "center_id", "radius_sq").orderBy("round")
   }

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A faithful, stable SQL rendering of an UNRESOLVED Column, for
+    * use in cache keys. `expression(c).sql` is NOT that: in Spark 4 a
+    * Column wraps a ColumnNode and the lazy Expression wrapper
+    * renders as the constant `columnnodeexpression()` — two different
+    * predicates key IDENTICALLY and silently share one cache entry
+    * (found when the walk entry-cell memo handed s35's unrestricted
+    * cells to s40's live-only serving). The ColumnNode's own
+    * normalized sql renders the real tree. */
+  def sql(c: Column): String = c.node.normalized.sql
 }

@@ -296,12 +296,12 @@ class QueriesSpec extends AnyFunSuite {
       // s1's two-sided yardstick; the walk's rounds are lineage-cut and
       // its store/queries frames are memo/checkpoint — scan-free
       "s36_walk_recall" -> 4,
-      // three beam settings' entry formations (one cell-assign scan
-      // each) + the shared exact yardstick's slices
-      "s37_walk_sweep" -> 8,
-      // three degree settings' entry formations + the exact yardstick
-      // + the 1-row n_vecs scalar (adjacencies are memoized artifacts)
-      "s38_degree_sweep" -> 8,
+      // r13: entry formation (queries checkpoint + corpus cell
+      // assign) is memoized ONCE per (centroids, live) — a sweep's N
+      // walks no longer pay N cell-assign scans; what remains is the
+      // shared exact yardstick + at most one in-plan memo build
+      "s37_walk_sweep" -> 6,
+      "s38_degree_sweep" -> 6,
       // merged-index walk entry + exact yardstick + the 1-row batch
       // count (old/merged adjacencies are memoized artifacts)
       "s39_walk_insert" -> 6,
