@@ -1859,7 +1859,15 @@ object Knn {
     * [[s17Ctes]]' `s17r`/`u` in scope. */
   private def s29RefCtesAt(p: String, degree: Int,
                            rankedName: String = "s17r"): String =
-    s"""${p}g AS MATERIALIZED (SELECT src_id, neighbor_id FROM $rankedName WHERE rank <= $degree),
+    s29RefCtesFrom(p, degree,
+      s"SELECT src_id, neighbor_id FROM $rankedName WHERE rank <= $degree")
+
+  /** [[s29RefCtesAt]] with the round's INPUT edge list given as a
+    * full SELECT — one NN-descent round over ANY prior graph, which
+    * is how the s42 oracle chains round 2 over round 1's `ref`
+    * (exactly as [[nnDescentRoundOver]] composes on the Scala side). */
+  private def s29RefCtesFrom(p: String, degree: Int, gSql: String): String =
+    s"""${p}g AS MATERIALIZED ($gSql),
        |${p}und AS MATERIALIZED (
        |  SELECT src_id, neighbor_id FROM ${p}g
        |  UNION ALL SELECT neighbor_id, src_id FROM ${p}g),
@@ -3165,6 +3173,104 @@ object Knn {
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |    FROM gfin) WHERE rank <= $K) tk
        |  ON tk.query_id = ex.query_id AND tk.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  // ---- s42: refinement-depth audit -----------------------------------
+
+  /** s42: REFINE-DEPTH audit — the graph tier's THIRD dial priced at
+    * the serving level, s29-style (s29 measures what one NN-descent
+    * round buys in EDGE containment; this measures what a SECOND
+    * round buys in SERVED recall, which is what a deployment actually
+    * ships). Motivated by the measured sf0.1 ceiling: d16×b16 walks
+    * CONVERGE at 0.74 on the 1-round graph — more beam or rounds buy
+    * nothing — while the 2-round graph serves 0.86 at identical index
+    * bytes. One row per query: hits/recall served over the 1-round
+    * vs the 2-round degree-16 graph at the registered beam-4 serving
+    * shape, plus both edge counts so the build delta is visible.
+    *
+    * The audit is honest in BOTH directions: at tiny corpora the
+    * 2-round graph can serve WORSE (measured sf0.001 b4: 31 → 24
+    * total hits) — NN-descent purges the banding's "wrong" edges, but
+    * those edges were long-range shortcuts that aided navigation on a
+    * 500-vector graph (the small-world effect HNSW engineers
+    * deliberately; a pure kNN graph is poorly navigable). The dial
+    * pays off exactly where it matters — when the corpus outgrows the
+    * walk's reach (the sf0.1 ladder above) — and the registered audit
+    * row PRICES the trade instead of assuming it.
+    *
+    * Shape: both adjacencies are memoized build artifacts (round 2
+    * re-expands round 1's edges — work ∝ edges × (2d)², build cost,
+    * paid once); the two walks ride the SAME memoized entry frames,
+    * store and query checkpoint; the audit adds two query-set-sized
+    * left joins. Oracle: the s17 prelude + round-1 chain + round-2
+    * chain composed FROM round 1 (`s29RefCtesFrom`), two symmetrized
+    * adjacencies, two walk chains, the exact yardstick. */
+  def s42RefineAudit(spark: SparkSession, dir: String, k: Int = K,
+                     degree: Int = 16, beam: Int = 4, rounds: Int = 3,
+                     refineRounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for an exact recall_e6")
+    val cents = lloydCentroids(spark, dir)
+    val a1 = walkAdjacency(spark, dir, degree)
+    val a2 = walkAdjacency(spark, dir, degree, refineRounds)
+    val (_, t1) = graphWalkParts(spark, dir, a1, cents, k, beam, rounds)
+    val (_, t2) = graphWalkParts(spark, dir, a2, cents, k, beam, rounds)
+    val exact = s1Brute(spark, dir, k)
+      .select($"query_id".as("eq"), $"neighbor_id".as("en"))
+    val edges = a1.agg(count(lit(1)).as("n_edges_r1"))
+      .crossJoin(a2.agg(count(lit(1)).as("n_edges_r2")))
+    exact
+      .join(t1.select($"query_id".as("q1"), $"neighbor_id".as("n1")),
+        $"eq" === $"q1" && $"en" === $"n1", "left")
+      .join(t2.select($"query_id".as("q2"), $"neighbor_id".as("n2")),
+        $"eq" === $"q2" && $"en" === $"n2", "left")
+      .groupBy($"eq")
+      .agg(count($"n1").as("n_hits_r1"), count($"n2").as("n_hits_r2"))
+      .select($"eq".as("query_id"), $"n_hits_r1", $"n_hits_r2",
+        ($"n_hits_r1" * lit(1000000L / k)).as("recall_r1_e6"),
+        ($"n_hits_r2" * lit(1000000L / k)).as("recall_r2_e6"))
+      .crossJoin(edges)
+  }
+
+  /** s42 oracle: shared s17 prelude + the d16 round-1 chain + the
+    * round-2 chain composed FROM round 1 + both adjacencies + two
+    * beam-4 walks + the exact yardstick, one row per query. */
+  def s42Sql: String = {
+    val degree = 16
+    s"""WITH $s17Ctes,
+       |${s29RefCtesAt("d16", degree)},
+       |${s29RefCtesFrom("e16", degree, "SELECT src_id, neighbor_id FROM d16ref")},
+       |r1adj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM d16ref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM d16ref),
+       |r2adj AS MATERIALIZED (
+       |  SELECT src_id, neighbor_id FROM e16ref
+       |  UNION SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM e16ref),
+       |${walkEntryCtes()},
+       |${walkCtes("wa", 4, 3, "r1adj")},
+       |${walkCtes("wb", 4, 3, "r2adj")},
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($s1Sql)),
+       |tk1 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM wagfin) WHERE rank <= $K),
+       |tk2 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM wbgfin) WHERE rank <= $K)
+       |SELECT ex.query_id,
+       |  count(tk1.neighbor_id) AS n_hits_r1,
+       |  count(tk2.neighbor_id) AS n_hits_r2,
+       |  CAST(count(tk1.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_r1_e6,
+       |  CAST(count(tk2.neighbor_id) * ${1000000L / K} AS BIGINT) AS recall_r2_e6,
+       |  (SELECT count(*) FROM r1adj) AS n_edges_r1,
+       |  (SELECT count(*) FROM r2adj) AS n_edges_r2
+       |FROM ex
+       |LEFT JOIN tk1 ON tk1.query_id = ex.query_id AND tk1.neighbor_id = ex.neighbor_id
+       |LEFT JOIN tk2 ON tk2.query_id = ex.query_id AND tk2.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 

@@ -2111,6 +2111,32 @@ class KnnEventsSpec extends AnyFunSuite {
       s"compacted recall $meanComp vs from-scratch $meanScratch — gap exceeds the pinned 0.15")
   }
 
+  test("s42 refine audit: arithmetic holds, the r1 side reconciles with s38's d16×b4 row, round 2 really rebuilds") {
+    import graft.similarity.Knn
+    val rows = Knn.s42RefineAudit(spark, sf).collect()
+    assert(rows.length == 10)
+    val h = rows.head
+    assert(h.getAs[Long]("n_edges_r1") > 0L && h.getAs[Long]("n_edges_r2") > 0L)
+    assert(h.getAs[Long]("n_edges_r2") != h.getAs[Long]("n_edges_r1"),
+      "round 2 left the edge count unchanged — the rebuild is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_r1_e6") == r.getAs[Long]("n_hits_r1") * 200000L)
+      assert(r.getAs[Long]("recall_r2_e6") == r.getAs[Long]("n_hits_r2") * 200000L)
+    }
+    // cross-query reconcile: s42's round-1 side IS s38's (d16, b4)
+    // cell — same adjacency, same entry frames, same serving shape —
+    // so the two registered audits must price it identically
+    def hu(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val meanR1 = hu(rows.map(_.getAs[Long]("recall_r1_e6")).sum, rows.length)
+    val s38row = Knn.s38DegreeSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("beam")) -> r).toMap
+      .apply((16L, 4L))
+    assert(meanR1 == s38row.getAs[Long]("mean_recall_e6"),
+      s"s42 r1 mean $meanR1 disagrees with s38(d16,b4) ${s38row.getAs[Long]("mean_recall_e6")}")
+    assert(h.getAs[Long]("n_edges_r1") == s38row.getAs[Long]("n_edges"),
+      "s42's round-1 adjacency is not the s38 d16 artifact")
+  }
+
   test("walkAdjacency refineRounds: the graph-quality dial builds, persists, and does not lose served recall") {
     import graft.similarity.Knn
     import org.apache.spark.sql.functions.col

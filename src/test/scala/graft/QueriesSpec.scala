@@ -71,6 +71,7 @@ class QueriesSpec extends AnyFunSuite {
       "s39_walk_insert",  // the insert audit carries it too
       "s40_walk_delete",  // the delete audit carries the live-corpus yardstick
       "s41_walk_compact", // the compaction audit carries the same live yardstick
+      "s42_refine_audit", // the refine-depth audit carries s1's exact yardstick
       "mm14_phash_recall", // the 1-row×1-row footprint crossJoin (scalar-broadcast convention)
       "s4_ann_recall",    // composes s1's exact side
       "s7_radius_recall", // composes s5's exact side
