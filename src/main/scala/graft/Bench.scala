@@ -90,30 +90,47 @@ object Bench {
       Seq(
         "shingle_sets" -> (() => { graft.dedup.Dedup.shingleSets(spark, sfDir).count(); () }),
         "c1_curation"  -> (() => { graft.text.TextAnalysis.c1Curation(spark, sfDir).count(); () })),
-      // k-means training (quantized memo + centroid cache) is shared
-      // by s3 (reports it), s8 and s9; PQ codebooks are the s10/s11
-      // index-build artifact — same marginal-cost accounting
+      // r13-opt: the old single kmeans→…→walk_cadj chain WAS the
+      // _artifacts critical path (its 10 steps summed to the phase's
+      // entire 40 s wall at local[8]) — split along the REAL
+      // dependency edges so independent index builds overlap (guide
+      // §2.6). Measured both ways at local[8]: a 10-chain full split
+      // REGRESSED the phase 40.3 → 49.2 s (every step's latency
+      // inflated 2-4× — more in-flight chains than cores just moves
+      // wall time into contention), so the split is BALANCED: ~8
+      // chains whose longest (~21 s m13_run) bounds the phase. Steps
+      // that share a memo (quantized, the s17 banding) stay safe
+      // behind Indexes.memo's per-key latch.
+      // k-means coarse training gates the IVF-PQ residual books; the
+      // d5/d8 scored top-pair frame rides the quantized memo after.
       Seq(
         "kmeans"       -> (() => { graft.similarity.Knn.lloydCentroids(spark, sfDir); () }),
-        "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
         "ivfpq_books"  -> (() => { graft.similarity.Knn.ivfpqBooks(spark, sfDir); () }),
-        // the scored top-pair frame d5 and d8 share
-        "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () }),
-        // the symmetrized refined kNN graph s35/s36 (and s32's graph
-        // tier) walk over — build-once/serve-many, like the IVF index
+        "d5_pairs"     -> (() => { graft.dedup.Dedup.d5EmbeddingNearDup(spark, sfDir).count(); () })),
+      // PQ codebooks train per-subspace on the quantized memo only
+      // (no coarse centroids — a separate chain from kmeans); then
+      // the degree-3 serving graph and s40's tombstone-repaired
+      // consolidation of it
+      Seq(
+        // the exact-recall yardstick every ANN audit joins against
+        // (memoized in s1Brute, r13-opt) — warmed so each audit
+        // reports its own serving marginal
+        "s1_exact"     -> (() => { graft.similarity.Knn.s1Brute(spark, sfDir).count(); () }),
+        "pq_codebooks" -> (() => { graft.similarity.Knn.pqCodebooks(spark, sfDir); () }),
         "walk_adj"     -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir).count(); () }),
-        // r12: the degree-8/16 adjacencies s38 sweeps and the
-        // old-half + merged indexes s39 serves — index BUILDS, warmed
-        // here so the registered queries report serving marginals
+        "walk_fadj"    -> (() => { graft.similarity.Knn.walkDeleteAdjacency(spark, sfDir).count(); () })),
+      // the maintenance lifecycle (the merged insert-attached index,
+      // then the compacted index s41 serves — its churn composes the
+      // attach), then the s38 sweep degrees over the shared (latched)
+      // banding artifact and s42's 2-round d16 graph (the refine
+      // generations are memoized per round, so the r2 build
+      // re-expands walk_adj16's round-1 edges instead of rebuilding)
+      Seq(
+        "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () }),
+        "walk_cadj"    -> (() => { graft.similarity.Knn.walkCompactAdjacency(spark, sfDir).count(); () }),
         "walk_adj8"    -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 8).count(); () }),
         "walk_adj16"   -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 16).count(); () }),
-        "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () }),
-        // s40's consolidated (tombstone-repaired) index
-        "walk_fadj"    -> (() => { graft.similarity.Knn.walkDeleteAdjacency(spark, sfDir).count(); () }),
-        // r13: the COMPACTED index s41 serves (builds the churned
-        // merged+delete-consolidated graph on the way) — the full
-        // maintenance-cycle build, warmed so s41 reports serving cost
-        "walk_cadj"    -> (() => { graft.similarity.Knn.walkCompactAdjacency(spark, sfDir).count(); () })),
+        "walk_adj16r2" -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 16, 2).count(); () })),
       // the m13-family orchestrator run (merged tables + id maps)
       // is shared by m13 and m23 — warm both frame families
       Seq(
@@ -124,7 +141,11 @@ object Bench {
           // the artifacts critical path and the other chains leave
           // local[32] half idle after ~9 s
           val mts = graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values.toSeq
-          val p = java.util.concurrent.Executors.newFixedThreadPool(4)
+          // pool scales with the session's cores (r13-opt): 4 was
+          // tuned for local[8]; at local[32] the driver's cold bench
+          // left the box half idle through this 20 s critical path
+          val mtThreads = math.max(4, cpus.toInt / 4)
+          val p = java.util.concurrent.Executors.newFixedThreadPool(mtThreads)
           try mts.map { mt => p.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = { mt.merged.count(); mt.idMap.count(); () }
             }) }.foreach(_.get())

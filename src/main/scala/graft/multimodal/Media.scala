@@ -304,12 +304,21 @@ object Media {
                            decoder: MediaDecoder = StubDecoder): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.VectorFunctions.normF32
-    val media = mediaTable(spark, dir)
-      .mapPartitions(_.grouped(batchSize).flatMap(decoder.embedBatch(_, dim)))
-      .toDF()
-      .select($"doc_id".as("media_id"), $"embedding".as("c"))
-      .withColumn("cn", normF32($"c"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // the MEDIA tower is the decode+embed pass — the expensive side
+    // (mm10 prices exactly this budget) — and mm9's plan referenced
+    // it TWICE (its banded candidates + the composed mm5 exact side),
+    // re-decoding the corpus per reference. Memoized per
+    // (dir, dim, batch, decoder impl) — r13-opt; decoders are
+    // stateless codec adapters, so the class identity keys them.
+    val media = graft.operators.Indexes.memo(
+        s"mm_tower:$dir:$dim:$batchSize:${decoder.getClass.getName}") {
+      mediaTable(spark, dir)
+        .mapPartitions(_.grouped(batchSize).flatMap(decoder.embedBatch(_, dim)))
+        .toDF()
+        .select($"doc_id".as("media_id"), $"embedding".as("c"))
+        .withColumn("cn", normF32($"c"))
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+    }
     val hex = md5(encode(concat(lit("txt:"), $"text"), "UTF-8"))
     val dims = (0 until dim).map { i =>
       (conv(substring(hex, i * 4 + 1, 4), 16, 10).cast("double") / 65536.0).cast("float")
