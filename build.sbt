@@ -19,6 +19,14 @@ Test / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through UNPREFIXED: sbt's
+// default LoggedOutput for forked runs prepends "[info] " to every
+// stdout line, so the bench's one-line JSON metric never started a
+// line with '{' and a line-oriented json parse of the output fails.
+// (Every BENCH_r*.json the driver recorded has parsed:null despite the
+// line itself being valid JSON — the prefix is the one thing between
+// the contract and the parser.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,5 +42,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g (was 8g): local[32] runs 32 concurrent task slots whose sort/
+  // agg buffers plus the memoized-index registry share ONE unified
+  // memory region of (heap-300MB)*0.6 — at 8g that is ~4.6 GB, and the
+  // r13 driver bench showed execution demand evicting the cached
+  // artifacts mid-suite (t11 1.37→7.90 s on untouched code). The box
+  // is 128 GiB; the env override still wins for constrained deploys.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

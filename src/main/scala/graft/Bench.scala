@@ -4,6 +4,14 @@ import java.nio.file.{Files, Paths}
 
 object Bench {
 
+  /** The one artifact-phase worker pool (set only while the
+    * `_artifacts` phase runs): chains AND m13_run's inner
+    * materializations share it so total in-flight Spark jobs stay
+    * inside the single cores-derived budget (guide §2.6 — "2-3 jobs
+    * in flight is plenty", not one pool per call site). */
+  @volatile private[graft] var sharedArtifactPool:
+    java.util.concurrent.ExecutorService = null
+
   /** Compact JSON number: 3 decimals, trailing zeros (and a bare
     * trailing dot) stripped — "1.700" → "1.7", "0.000" → "0".
     * Locale.ROOT: a comma-decimal default locale (de_DE, tr_TR) would
@@ -141,19 +149,19 @@ object Bench {
         "m13_run"      -> (() => {
           // per-table materializations are independent lineages (each
           // re-derives its parents from raw plans, not through the
-          // sibling memos) — submit them concurrently; this chain is
-          // the artifacts critical path and the other chains leave
-          // local[32] half idle after ~9 s
+          // sibling memos) — submit them concurrently. r14-opt: to the
+          // SHARED artifact pool, not a private one — the r13 private
+          // max(4,cpus/4) pool stacked ON TOP of the 8 chain threads
+          // and oversubscribed the driver's cold local[32] run (75→153 s
+          // phase). Total in-flight jobs now never exceed the one
+          // cores-derived budget. Safe: these callables run no nested
+          // pool-blocking work, so the single blocking submitter
+          // (this step) always drains once sibling chains finish.
           val mts = graft.merge.OrchestratorQueries.sharedRun(spark, sfDir).values.toSeq
-          // pool scales with the session's cores (r13-opt): 4 was
-          // tuned for local[8]; at local[32] the driver's cold bench
-          // left the box half idle through this 20 s critical path
-          val mtThreads = math.max(4, cpus.toInt / 4)
-          val p = java.util.concurrent.Executors.newFixedThreadPool(mtThreads)
-          try mts.map { mt => p.submit(new java.util.concurrent.Callable[Unit] {
+          val p = Bench.sharedArtifactPool
+          mts.map { mt => p.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = { mt.merged.count(); mt.idMap.count(); () }
             }) }.foreach(_.get())
-          finally p.shutdown()
         })),
       // the BPE merge table is the t20/t21 trainer artifact (driver
       // memo — rounds sequential jobs; t20 read 11.9 s in the r6
@@ -164,7 +172,24 @@ object Bench {
         "g6_copairs"   -> (() => { graft.queries.GraphQueries.g6CoPairs(spark, sfDir).count(); () })))
     val ta0 = System.nanoTime()
     @volatile var artifactsFailed = false
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(artifactChains.size)
+    // ONE shared worker pool bounds TOTAL in-flight concurrency across
+    // all chains AND m13_run's inner materializations (r14-opt): the
+    // r13 shape (8 chain threads + a separate max(4,cpus/4) inner pool
+    // = up to 16 concurrent jobs at 32 cores) is what the driver's
+    // cold local[32] run thrashed on. Sizing, measured cold at 32
+    // cores this round: a FLAT cores/4 pool (8 workers) REGRESSED the
+    // phase 42.3 → 53.7 s — the 8 chain tasks occupied every worker
+    // and m13_run's queued inner materializations starved behind them
+    // (m13_run 29.6 → 40.1 s). So the budget keeps every chain
+    // runnable and bounds the EXTRA in-flight work to a cores-derived
+    // headroom: chains + max(2, cpus/8) (32 cores → 12 in flight,
+    // down from r13's 16; 8 cores → 10, the shape whose phase the
+    // driver's own c8 run already accepted). Only m13_run blocks on
+    // pool-internal futures and every other task terminates
+    // independently, so the shared pool cannot deadlock.
+    val artifactWorkers = artifactChains.size + math.max(2, cpus.toInt / 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(artifactWorkers)
+    Bench.sharedArtifactPool = pool
     val artifactTimes =
       try artifactChains.map { chain =>
         pool.submit(new java.util.concurrent.Callable[Seq[(String, Double)]] {
@@ -180,7 +205,7 @@ object Bench {
           }
         })
       }.flatMap(_.get())
-      finally pool.shutdown()
+      finally { pool.shutdown(); Bench.sharedArtifactPool = null }
     val artifactsSec = (System.nanoTime() - ta0) / 1e9
     System.err.println(f"[bench] ${"_artifacts"}%-22s $artifactsSec%8.2f s")
     // optional comma-separated query-name filter (local iteration on a
@@ -256,10 +281,23 @@ object Bench {
     Files.writeString(
       Paths.get(if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FILTERED.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"artifacts":$artQs,"first_run":$firstQs,"sf":"$sfDir"}""" + "\n")
-    // 1850 still got the r5 line front-clipped (the harness keeps the
-    // last ~2000 chars of COMBINED output and sbt's success trailer
-    // rides after the line) — leave the trailer ~400 chars
-    val budget = 1600
+    // persisted-frame footprint audit (§5): every live cached RDD with
+    // its storage level and bytes, to stderr — the registry's
+    // aggregate footprint vs the storage pool is the r13 eviction
+    // mechanism, and this table is how BASELINE.md's memo budget is
+    // produced and re-checked per run.
+    val rs = spark.sparkContext.getRDDStorageInfo
+    rs.sortBy(-_.memSize).foreach { r =>
+      System.err.println(f"[bench] cache ${r.memSize / 1048576.0}%8.1f MB mem " +
+        f"${r.diskSize / 1048576.0}%8.1f MB disk  ${r.storageLevel.description}%-30s ${r.name}")
+    }
+    System.err.println(f"[bench] cache TOTAL ${rs.map(_.memSize).sum / 1048576.0}%.1f MB mem " +
+      f"${rs.map(_.diskSize).sum / 1048576.0}%.1f MB disk over ${rs.length} frames")
+    // the stored output tail is ~2000 chars and sbt's success trailer
+    // (~80 chars) rides after the line; 1800 keeps the whole line
+    // inside the tail with margin. (1850 got the r5 line front-clipped
+    // when the trailer ran longer.)
+    val budget = 1800
     // failed entries (-1.0) are pinned into the kept set — sorted by
     // "slowest" they'd rank as the fastest and be dropped FIRST,
     // erasing the failure marker from the published line
