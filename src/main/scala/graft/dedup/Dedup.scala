@@ -418,8 +418,7 @@ object Dedup {
     import spark.implicits._
     // distinct shingle sets assembled relationally (see shingleRows),
     // block key from a second cheap scan of the normalized prefix
-    val sets = shingleRows(spark, dir)
-      .dropDuplicates("doc_id", "sh")
+    val sets = shingleOcc(spark, dir)
       .groupBy($"doc_id").agg(collect_list($"sh").as("sh"))
     val blocks = Tables.read(spark, dir, "documents")
       .select($"doc_id", substring(normalize($"text"), 1, 30).as("block"))
@@ -482,6 +481,21 @@ object Dedup {
     * trade-off documented like d4's blocking). Scoring joins the
     * (small) candidate set back to the materialized shingle-set
     * index; the ×1e6 score is exact integer arithmetic. */
+  /** Distinct (doc_id, sh) occurrence rows — the shared upstream of
+    * every containment-flavored consumer (t11's contamination audit,
+    * d4's exact Jaccard, t15's common-shingle index, [[shingleSets]]),
+    * memoized once per dir (r14-opt, guide §2.4): each consumer
+    * previously re-ran the full docs scan + tokenize + window + distinct
+    * pipeline — at 100 TB a corpus pass and a token-sized shuffle PER
+    * CONSUMER for the same frame. Warmed via the `shingle_sets`
+    * artifact step (which now builds on it), and MEMORY_AND_DISK like
+    * every registry entry, so storage-pool pressure degrades reads to
+    * disk instead of to recompute (the r13 t11-at-32-cores collapse). */
+  private[graft] def shingleOcc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexes.memo(s"shingle_occ:$dir") {
+      shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+    }
+
   /** Distinct shingle sets per doc (doc_id, ss, n) — the scoring-side
     * artifact of the exact-similarity family, materialized once per
     * dir and shared by d9 (candidates + scoring) and d10
@@ -489,7 +503,7 @@ object Dedup {
   private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.Indexes.memo(s"shingle_sets:$dir") {
-      shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+      shingleOcc(spark, dir)
         .groupBy($"doc_id").agg(collect_list($"sh").as("ss"), count(lit(1)).as("n"))
     }
   }

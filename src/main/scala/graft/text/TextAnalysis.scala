@@ -507,7 +507,7 @@ object TextAnalysis {
     * the oracle-gated query. Integer-exact ×1e6 ratio. */
   def t11Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = graft.dedup.Dedup.shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+    val sh = graft.dedup.Dedup.shingleOcc(spark, dir)
     val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
     val withSplit = sh.join(splits, Seq("doc_id"))
     val trainSh = withSplit.filter($"split" === "train").select($"sh").distinct()
@@ -546,7 +546,7 @@ object TextAnalysis {
                             fpp: Double = 0.01,
                             expectedItems: Long = -1L): DataFrame = {
     import spark.implicits._
-    val sh = graft.dedup.Dedup.shingleRows(spark, dir).dropDuplicates("doc_id", "sh")
+    val sh = graft.dedup.Dedup.shingleOcc(spark, dir)
     val splits = t5StableSplit(spark, dir).select($"doc_id", $"split")
     val withSplit = sh.join(splits, Seq("doc_id"))
     val trainSh = withSplit.filter($"split" === "train").select($"sh").distinct()
@@ -606,7 +606,7 @@ object TextAnalysis {
     import spark.implicits._
     val shu = graft.dedup.Dedup.shingleRows(spark, dir)
     val common = graft.operators.Indexes.swap("t15_common_shingles",
-      shu.dropDuplicates("doc_id", "sh")
+      graft.dedup.Dedup.shingleOcc(spark, dir)
         .groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" >= commonDf)
         .select($"sh", lit(1).as("__common")))

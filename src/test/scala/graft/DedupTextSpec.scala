@@ -295,6 +295,18 @@ class DedupTextSpec extends AnyFunSuite {
     assert((brute intersect planted) == (found intersect planted))
   }
 
+  test("shingleOcc memo equals the distinct (doc_id, sh) derivation it replaces") {
+    // r14-opt: t11/d4/t15/shingleSets now share one memoized distinct
+    // occurrence frame instead of re-running the docs scan + window
+    // pipeline each — pin row-set equivalence
+    val memo = Dedup.shingleOcc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = Dedup.shingleRows(spark, sf).dropDuplicates("doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(memo == direct)
+    assert(memo.nonEmpty)
+  }
+
   test("d9 overlap equals a driver-side ALL-pairs recomputation on real data") {
     // the rare-shingle candidate index must lose nothing at the 0.8
     // threshold on this corpus: compare against brute-force overlap
