@@ -1700,7 +1700,29 @@ object Knn {
     * matches hash-for-hash — not a rows-only waiver. */
   def s17KnnGraph(spark: SparkSession, dir: String, k: Int = 3,
                   bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame =
-    s17KnnGraphOn(spark, dir, k, lit(true), bands, r, dim)
+    // r14-opt (guide §2.4, the r13 verdict's "one banding pass"): the
+    // banded collision graph's RANKS don't depend on k — rank ≤ k is a
+    // slice — yet each serving degree (3 default, 8/16 for the walk
+    // adjacencies) memoized its own full band self-join + scoring
+    // pass. One ranked-to-16 memo now feeds every default-banding
+    // degree; at 100 TB that is one corpus banding pass instead of
+    // three. Same window, same (cos DESC, id) ties, so every sliced
+    // graph is row-identical to its direct build (oracle-pinned).
+    if (bands == 8 && r == 8 && dim == 64 && k <= s17RankedKMax)
+      s17Ranked(spark, dir).filter(col("rank") <= k)
+    else s17KnnGraphOn(spark, dir, k, lit(true), bands, r, dim)
+
+  /** The maximum serving degree the shared ranked graph carries —
+    * s38's degree axis tops out at 16. */
+  private val s17RankedKMax = 16
+
+  /** The default-banding collision graph ranked to [[s17RankedKMax]],
+    * memoized once per dir — the single banding pass every
+    * [[s17KnnGraph]] degree slices from. */
+  private def s17Ranked(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Indexes.memo(s"s17_ranked:$dir:$s17RankedKMax") {
+      s17KnnGraphOn(spark, dir, s17RankedKMax, lit(true))
+    }
 
   /** s17's body restricted to a vertex predicate — the s39 "old half"
     * / s40 "live half" index builds (a trivially-true predicate folds

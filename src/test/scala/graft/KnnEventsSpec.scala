@@ -876,6 +876,19 @@ class KnnEventsSpec extends AnyFunSuite {
           s"edge $s->$n: reverse missing though $n kept a worse/shorter list")
       }
     }
+    // r14-opt: every default-banding degree is a rank slice of the ONE
+    // shared ranked-to-16 memo — pin slice-equivalence against a
+    // direct per-degree build (same window, same (cos DESC, id) ties)
+    for (deg <- Seq(3, 8)) {
+      val sliced = Knn.s17KnnGraph(spark, sf, deg).collect()
+        .map(x => (x.getAs[Long]("src_id"), x.getAs[Long]("neighbor_id"),
+          x.getAs[Double]("cos_sim"), x.getAs[Int]("rank"))).toSet
+      val direct = Knn.s17KnnGraphOn(spark, sf, deg, lit(true)).collect()
+        .map(x => (x.getAs[Long]("src_id"), x.getAs[Long]("neighbor_id"),
+          x.getAs[Double]("cos_sim"), x.getAs[Int]("rank"))).toSet
+      assert(sliced == direct, s"degree-$deg slice != direct build")
+    }
+
     // the self-join must ride the band-bucket hash keys, never a loop
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
