@@ -1,8 +1,8 @@
 package graft.merge
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** The reference engine's merge primitives, re-expressed as
   * declarative Spark plans (SURVEY §2 block A).
@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   *   - id maps ARE DataFrames — joined (broadcast when small, shuffle
   *     otherwise), never collected;
-  *   - "next AUTO_INCREMENT" id assignment is a range-partitioned sort
-  *     + per-partition offset (the zipWithIndex pattern): two passes,
-  *     no single-partition window, no skew;
+  *   - "next AUTO_INCREMENT" id assignment is a deterministic
+  *     two-level prefix rank (value blocks + block offsets, the
+  *     PrefixSum convention): one shuffle, no single-partition window,
+  *     no skew;
   *   - dedup/match/exclusion rules are semi/anti-joins Catalyst can
   *     push down and reorder.
   */
@@ -26,21 +27,66 @@ object MergeOps {
     * (reference utils.js:11 getNextAutoIncrementId + utils.js:161
     * moveAllTableRecords's `ORDER BY id` batching).
     *
-    * Global order comes from a distributed range-partitioned sort
-    * (terasort shape); ids from partition-local offsets computed by
-    * `zipWithIndex` (one counting pass + one numbering pass). The sort
-    * key must be unique for the numbering to be deterministic.
+    * Global order comes from deterministic value blocks that tile the
+    * integral sort key's order; ids are block-local ranks plus
+    * exclusive per-block offsets. The sort key must be integral and
+    * unique for the numbering to be deterministic.
     */
   def assignSequentialIds(df: DataFrame, sortCol: String, idName: String, start: Long): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(parts, col(sortCol)).sortWithinPartitions(sortCol)
-    val outSchema = StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField(idName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (start + i + 1))
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import org.apache.spark.sql.expressions.Window
+    // r14-opt: the numbering is now one LAZY two-level prefix-rank
+    // plan (the [[graft.operators.PrefixSum.blockCum]] convention)
+    // instead of range-sort + `rdd.zipWithIndex`. The old shape paid
+    // three passes — the range partitioner's SAMPLING scan, the
+    // ZippedWithIndexRDD's EAGER per-partition count job fired at plan
+    // CONSTRUCTION time (2× the orchestrator's serial critical path,
+    // since the later materialization re-ran the sort), and the RDD
+    // round-trip dropped out of codegen. It was also only correct
+    // because both passes shared ONE RDD object: range bounds come
+    // from seeded sampling, so any re-execution of the exchange may
+    // split differently (measured: a two-branch Catalyst formulation
+    // over repartitionByRange produced GAPS AND DUPLICATE ids when the
+    // branches' exchanges weren't reused — m7's oracle caught it).
+    //
+    // Here the partition of the value axis is DETERMINISTIC (arithmetic
+    // shift blocks, which tile the sort order for both signs), so the
+    // local-rank branch and the block-offset branch agree no matter how
+    // many times either executes: id = start + exclusive block offset +
+    // rank within block. One hash shuffle on the block key, a
+    // #blocks-sized offsets window, a broadcast join — no sampling
+    // pass, no eager job, whole-stage codegen throughout. Each block
+    // holds ≤ 2^blockShift rows (the sort key is integral and UNIQUE by
+    // contract — same contract as before: ties would make any
+    // numbering nondeterministic), so no window partition ever exceeds
+    // ~4.2M rows regardless of data size.
+    val blockShift = 22
+    val blk = shiftright(col(sortCol).cast(LongType), blockShift)
+    val withBlk = df.withColumn("__blk", blk)
+    val wLocal = Window.partitionBy(col("__blk")).orderBy(col(sortCol))
+    // EAGER lineage cut of the block-ranked frame: the one real pass
+    // over the input. The offsets branch, the numbering join and every
+    // downstream plan reference of the id map then read these blocks
+    // instead of re-deriving the input per reference (the old
+    // zipWithIndex shape re-ran its hidden RDD lineage — including the
+    // source scans — once per reference AND once eagerly at
+    // construction; the scan-count gate in QueriesSpec pins the
+    // post-cut consumer plans). The session-scope analogue of the
+    // production contract in the scaladoc above: an id table is
+    // WRITTEN once and read by consumers, never re-derived.
+    val local = withBlk
+      .withColumn("__rn", row_number().over(wLocal).cast(LongType))
+      .localCheckpoint(true)
+    // exclusive per-block offsets: the only partition-less window,
+    // over ≤#blocks aggregate rows (the PrefixSum.blockCum level-2
+    // convention, whitelist-pinned in QueriesSpec)
+    val offs = local.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__boff", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__blk"), col("__boff"))
+    local.join(broadcast(offs), Seq("__blk"))
+      .withColumn(idName, (lit(start) + col("__boff") + col("__rn")).cast(LongType))
+      .drop("__blk", "__rn", "__boff")
   }
 
   /** Non-contiguous but globally unique ids — the cheap path when the
@@ -55,16 +101,20 @@ object MergeOps {
     *
     * Returns the id map: (src_id, dest_id, is_new).
     */
-  def consolidate(src: DataFrame, dest: DataFrame, naturalKey: Seq[String], idCol: String): DataFrame = {
+  def consolidate(src: DataFrame, dest: DataFrame, naturalKey: Seq[String], idCol: String,
+                  knownMaxId: Option[Long] = None): DataFrame = {
     val destKeyed = dest.groupBy(naturalKey.map(col): _*)
       .agg(min(col(idCol)).as("dest_id"))
     val matched = src.join(destKeyed, naturalKey)
       .select(col(idCol).as("src_id"), col("dest_id"), lit(0).as("is_new"))
     // max() is an aggregate — driver receives one scalar, never rows.
-    val maxId = dest.agg(max(col(idCol)).cast(LongType)).head() match {
+    // `knownMaxId` lets an orchestrator that prefetched every table's
+    // dest max CONCURRENTLY (Orchestrator.run, r14-opt) skip the
+    // serial inline action; the value is identical by construction.
+    val maxId = knownMaxId.getOrElse(dest.agg(max(col(idCol)).cast(LongType)).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
-    }
+    })
     val missing = src.join(destKeyed, naturalKey, "left_anti")
       .select(col(idCol).cast(LongType).as("src_id"))
     val assigned = assignSequentialIds(missing, "src_id", "dest_id", maxId)

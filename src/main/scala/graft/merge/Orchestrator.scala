@@ -202,7 +202,8 @@ object Orchestrator {
   /** Move-mode id map: rows matching dest (natural key, then uuid for
     * the remainder) map to their dest counterpart with is_new=0; the
     * rest get contiguous ids past dest's max with is_new=1. */
-  private def moveIdMap(src: DataFrame, dest: DataFrame, spec: TableSpec): DataFrame = {
+  private def moveIdMap(src: DataFrame, dest: DataFrame, spec: TableSpec,
+                        knownMaxId: Option[Long] = None): DataFrame = {
     val key = effectiveKey(spec)
     val destK = dest.groupBy(key.map(col): _*)
       .agg(min(col(spec.idCol)).cast(LongType).as("dest_id"))
@@ -219,7 +220,7 @@ object Orchestrator {
     }
     val assigned = MergeOps.assignSequentialIds(
         unmatched.select(col(spec.idCol).cast(LongType).as("src_id")),
-        "src_id", "dest_id", maxId(dest, spec.idCol))
+        "src_id", "dest_id", knownMaxId.getOrElse(maxId(dest, spec.idCol)))
       .select(col("src_id"), col("dest_id"), lit(1).as("is_new"))
     matched.unionAll(assigned)
   }
@@ -270,11 +271,12 @@ object Orchestrator {
   /** As [[idMapFor]], but `srcMapped` already has mappedKeys in dest
     * id space. */
   private def idMapMapped(srcMapped: DataFrame, dest: DataFrame, spec: TableSpec,
-                          parentMaps: String => DataFrame): DataFrame =
+                          parentMaps: String => DataFrame,
+                          knownMaxId: Option[Long] = None): DataFrame =
     spec.mode match {
       case MergeMode.Consolidate =>
-        MergeOps.consolidate(srcMapped, dest, effectiveKey(spec), spec.idCol)
-      case MergeMode.Move        => moveIdMap(srcMapped, dest, spec)
+        MergeOps.consolidate(srcMapped, dest, effectiveKey(spec), spec.idCol, knownMaxId)
+      case MergeMode.Move        => moveIdMap(srcMapped, dest, spec, knownMaxId)
       case MergeMode.SharedPk(p) => sharedPkIdMap(srcMapped, spec, parentMaps(p))
       case MergeMode.Keyless     => emptyIdMap(srcMapped)
     }
@@ -353,7 +355,21 @@ object Orchestrator {
           src: String => DataFrame, dest: String => DataFrame,
           sourceTag: String, pinIdMaps: Boolean = false): Map[String, MergedTable] = {
     val maps = scala.collection.mutable.Map.empty[String, DataFrame]
-    val firstPass = topoOrder(specs).map { spec =>
+    // r14-opt (guide §2.6): every Consolidate/Move table's dest
+    // max-id scalar depends ONLY on the raw destination table, yet
+    // inline it was one serial driver action per table on the id-map
+    // chain's critical path (the chain itself is dependency-true and
+    // cannot overlap). Prefetch them all concurrently up front; the
+    // values are identical by construction, so dry-run-equals-actual
+    // and every id map's rows are unchanged (OrchestratorSpec pins
+    // both).
+    val order = topoOrder(specs)
+    val knownMaxIds: Map[String, Long] = graft.operators.Overlap.map(
+      order.filter(s =>
+        s.mode == MergeMode.Consolidate || s.mode == MergeMode.Move)) { s =>
+      s.name -> maxId(dest(s.name), s.idCol)
+    }.toMap
+    val firstPass = order.map { spec =>
       if (spec.mode == MergeMode.Keyless) {
         spec.name -> keylessMerge(src(spec.name), dest(spec.name), spec, maps, sourceTag)
       } else {
@@ -375,7 +391,7 @@ object Orchestrator {
       // (the bench's artifact phase) . At 100 TB the map for a
       // fact-sized table should instead be WRITTEN once (a parquet id
       // table, the reference's durable mapping) and read by consumers.
-      val idMap0 = idMapMapped(s, d, spec, maps)
+      val idMap0 = idMapMapped(s, d, spec, maps, knownMaxIds.get(spec.name))
       val idMap = if (pinIdMaps) idMap0.localCheckpoint(true) else idMap0
       maps(spec.name) = idMap
 

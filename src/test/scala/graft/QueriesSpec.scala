@@ -155,7 +155,17 @@ class QueriesSpec extends AnyFunSuite {
       "s24_ood_flags",  // disc-p99 cum counts over the distance-DOMAIN-bounded histogram
       "q34_skyline",    // strictly-later running min over the date-DOMAIN-bounded front candidates
       "e26_hazard",     // at-risk cumulative counts over the weeks-bounded calendar
-      "q36_rfm"         // three blockCum level-2 offset frames (≤#blocks aggregate rows each)
+      "q36_rfm",        // three blockCum level-2 offset frames (≤#blocks aggregate rows each)
+      // r14-opt: assignSequentialIds' numbering is a two-level prefix
+      // rank (the blockCum convention) — its ONLY partition-less
+      // window orders the ≤#blocks per-block totals (aggregate-
+      // bounded, q33/q36's exact justification) above the eagerly-cut
+      // ranked frame. Every standalone consolidate/move query
+      // therefore carries one:
+      "m1_consolidate_meta", "m2_remap_fk", "m9_seq_assign",
+      "m11_selfref_remap", "m12_consolidate_fkmapped", "m16_circular_fk",
+      "m17_multi_source", "m19_delta_merge", "m30_shared_pk",
+      "m31_assoc_move"
       // (m13_full_pipeline left this set when its orchestrator run
       // became a shared memoized artifact: the instance() fixture's
       // global lag window now lives inside the cached frame's hidden
