@@ -72,8 +72,19 @@ WHITELIST = {
     # (0.6-1.4 s) flaps more than the sf1 reading (3.1-3.6 s).
     # BenchMm7 keeps segs=32 as the priced contrast (6.5x slower,
     # 313,900 noise pairs).
-    "mm7_phash_neardup": (6.0, "clone-clique TRUE-pair output is ~1200x larger by corpus design; zero noise at segs=64"),
+    # r14 re-base: the round's across-the-board speedups pulled mm7's
+    # sf0.1 denominator to a steady 0.51-0.57 s (two consecutive
+    # matched pairs; was 0.6-1.4) while the sf1 numerator stayed flat
+    # at 3.2-3.7 s — same output-bound physics, ratio re-based 6 -> 7.
+    "mm7_phash_neardup": (7.0, "clone-clique TRUE-pair output is ~1200x larger by corpus design; zero noise at segs=64"),
     "mm14_phash_recall": (6.0, "audits mm7's pair output - same clone-clique output growth"),
+    # r14: frontier BFS runs a fixed number of per-round jobs at BOTH
+    # scales; the sub-1.1 s sf0.1 reading is mostly that fixed job
+    # latency, so the ratio is denominator-bound, not plan growth —
+    # the sf1 numerator is flat across the r13/r14 records (3.9-4.9 s,
+    # SUB-linear at 10x rows) while the r14 denominator settled at
+    # 0.95-1.08 s across two consecutive matched pairs (was 1.2-1.5).
+    "g5_bfs_hops": (5.5, "per-round fixed job latency dominates the ~1 s sf0.1 reading; sf1 numerator flat 3.9-4.9 s and sub-linear at 10x rows"),
 }
 
 
